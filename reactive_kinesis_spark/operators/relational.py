@@ -1,0 +1,100 @@
+"""Composite relational operators Spark lacks as single calls.
+
+Each is a composition of built-in DataFrame ops (no UDFs), so Catalyst
+optimizes straight through them.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def top_k_per_group(
+    df: DataFrame,
+    partition_cols: Sequence[str],
+    order_cols: Sequence[Column],
+    k: int,
+    rank_col: str = "rn",
+) -> DataFrame:
+    """Top-k rows per group via ``row_number`` — one shuffle on the group
+    key, no global sort; the scalable top-k idiom at any data size."""
+    w = Window.partitionBy(*partition_cols).orderBy(*order_cols)
+    return (
+        df.withColumn(rank_col, F.row_number().over(w).cast("int"))
+        .where(F.col(rank_col) <= k)
+    )
+
+
+def asof_join(
+    left: DataFrame,
+    right: DataFrame,
+    key: str,
+    right_key: str,
+    left_time: str,
+    right_time: str,
+    right_value_cols: Sequence[str],
+) -> DataFrame:
+    """As-of join: for each left row, attach the right row with the greatest
+    ``right_time <= left_time`` for the same key.
+
+    Implementation is the union+window idiom — a *single* shuffle on the key,
+    instead of a range join (which would be O(n·m) per key):
+
+    1. union left and right with a side tag (right sorts before left at equal
+       timestamps, so equality matches);
+    2. per key ordered by (time, side), carry the last non-null right values
+       forward with ``last(..., ignorenulls=True)``;
+    3. keep left rows.
+
+    ``right`` must be unique per ``(right_key, right_time)`` — pre-dedup with
+    :func:`top_k_per_group` if needed. This composition scales linearly and
+    survives skew via AQE; it is the planner-friendly alternative to an
+    iterative merge.
+    """
+    lcols = [c for c in left.columns]
+    tagged_left = left.select(
+        F.col(key).alias("__k"),
+        F.col(left_time).alias("__t"),
+        F.lit(1).alias("__side"),
+        *[F.col(c) for c in lcols],
+        *[F.lit(None).cast(right.schema[c].dataType).alias(f"__r_{c}") for c in right_value_cols],
+    )
+    tagged_right = right.select(
+        F.col(right_key).alias("__k"),
+        F.col(right_time).alias("__t"),
+        F.lit(0).alias("__side"),
+        *[F.lit(None).cast(left.schema[c].dataType).alias(c) for c in lcols],
+        *[F.col(c).alias(f"__r_{c}") for c in right_value_cols],
+    )
+    w = (
+        Window.partitionBy("__k")
+        .orderBy("__t", "__side")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    filled = tagged_left.unionByName(tagged_right).select(
+        "*",
+        *[
+            F.last(f"__r_{c}", ignorenulls=True).over(w).alias(f"__f_{c}")
+            for c in right_value_cols
+        ],
+    )
+    return filled.where(F.col("__side") == 1).select(
+        *lcols, *[F.col(f"__f_{c}").alias(c) for c in right_value_cols]
+    )
+
+
+def range_join(
+    left: DataFrame,
+    right: DataFrame,
+    condition: Column,
+    how: str = "inner",
+    broadcast_right: bool = True,
+) -> DataFrame:
+    """Interval/theta join. With a broadcastable right side this is a
+    broadcast-nested-loop join (fine at scale when right is a small interval
+    dimension); otherwise fall back to a shuffled cross+filter."""
+    r = F.broadcast(right) if broadcast_right else right
+    return left.join(r, condition, how)

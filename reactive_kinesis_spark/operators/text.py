@@ -1,0 +1,100 @@
+"""Text-analysis operators for LLM training-data pipelines.
+
+All JVM-side (split/filter/transform array functions — no Python UDFs in the
+hot path), so they run inside whole-stage codegen and scale linearly with
+zero shuffle (per-row transforms).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+#: Tiny per-language stopword lists for the heuristic language-ID operator.
+#: Deterministic and engine-portable (the DuckDB oracle embeds the same sets).
+STOPWORDS: dict[str, tuple[str, ...]] = {
+    "en": ("the", "a", "of", "and", "in", "to", "is"),
+    "de": ("der", "die", "das", "und", "ist", "ein"),
+    "es": ("el", "la", "los", "y", "es", "un"),
+    "fr": ("le", "les", "et", "est", "une", "dans"),
+}
+
+QUALITY_STOPWORDS: tuple[str, ...] = ("the", "a", "of", "and", "in")
+
+
+def tokens(text: Column | str) -> Column:
+    """Whitespace tokenization (array<string>)."""
+    c = F.col(text) if isinstance(text, str) else text
+    return F.split(c, " ")
+
+
+def token_count(text: Column | str) -> Column:
+    return F.size(tokens(text)).cast("int")
+
+
+def distinct_token_count(text: Column | str) -> Column:
+    return F.size(F.array_distinct(tokens(text))).cast("int")
+
+
+def stopword_count(text: Column | str, stopwords: tuple[str, ...] = QUALITY_STOPWORDS) -> Column:
+    """Count of stopword occurrences — array ``filter`` built-in, no UDF."""
+    arr = F.array(*[F.lit(w) for w in stopwords])
+    return F.size(F.filter(tokens(text), lambda w: F.array_contains(arr, w))).cast("int")
+
+
+def quality_score(text: Column | str) -> Column:
+    """Deterministic document quality score in [0, 1]:
+    0.4·min(1, tokens/100) + 0.3·distinct_ratio + 0.3·min(1, 4·stopword_ratio).
+
+    The exact arithmetic shape is mirrored in the oracle SQL so both engines
+    produce bit-identical doubles.
+    """
+    nt = token_count(text).cast("double")
+    nd = distinct_token_count(text).cast("double")
+    ns = stopword_count(text).cast("double")
+    return (
+        F.lit(0.4) * F.least(F.lit(1.0), nt / F.lit(100.0))
+        + F.lit(0.3) * (nd / nt)
+        + F.lit(0.3) * F.least(F.lit(1.0), F.lit(4.0) * (ns / nt))
+    )
+
+
+def fingerprint(text: Column | str) -> Column:
+    """Deterministic document fingerprint: md5 of the normalized text.
+
+    md5 is engine-portable (identical hex in Spark and DuckDB), unlike
+    xxhash64 — the fingerprint is the dedup/shard key for exact-dup removal
+    at scale (hash-partitionable, no skew beyond true duplicates).
+    """
+    c = F.col(text) if isinstance(text, str) else text
+    return F.md5(F.trim(c))
+
+
+def lang_scores(text: Column | str) -> dict[str, Column]:
+    """Per-language stopword-hit scores for heuristic language ID."""
+    return {lang: stopword_count(text, words) for lang, words in STOPWORDS.items()}
+
+
+def predict_lang(text: Column | str) -> Column:
+    """argmax over language scores, ties broken by language-code order;
+    'und' (undetermined) when no stopword hits at all."""
+    scores = lang_scores(text)
+    langs = sorted(scores)
+    best = F.greatest(*[scores[lg] for lg in langs])
+    out = F.lit("und")
+    # reverse order so earlier langs win ties via later .when precedence
+    expr = F.when(best <= 0, F.lit("und"))
+    for lg in langs:
+        expr = expr.when(scores[lg] == best, F.lit(lg))
+    return expr
+
+
+def with_text_stats(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Attach the standard per-document text statistics columns."""
+    return df.select(
+        "*",
+        token_count(text_col).alias("n_tokens"),
+        distinct_token_count(text_col).alias("n_distinct_tokens"),
+        quality_score(text_col).alias("quality_score"),
+        fingerprint(text_col).alias("fingerprint"),
+    )

@@ -1,0 +1,57 @@
+"""Query registry — the engine's public query surface.
+
+Every implemented operator from SURVEY.md §2 is exposed here as a named query
+``(spark, sf_dir) -> DataFrame`` together with (when SQL-expressible) a
+DuckDB oracle SQL string computing the same result. The driver hash-compares
+the two at sf0.01 (CORRECTNESS_r{N}.json).
+
+Conventions (critical for the hash compare):
+* every computed column is aliased identically in Spark and SQL;
+* DOUBLE aggregates go through the exact DECIMAL(38,6) path
+  (:mod:`reactive_kinesis_spark.functions`) so both engines emit
+  bit-identical doubles;
+* queries with LIMIT/top-k are totally ordered with unique tie-breakers.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+from dataclasses import dataclass
+
+from pyspark.sql import DataFrame, SparkSession
+
+
+@dataclass(frozen=True)
+class QueryDef:
+    name: str
+    fn: Callable[[SparkSession, str], DataFrame]
+    oracle: str | None  # DuckDB SQL; None => rows-only check
+    doc: str = ""
+
+
+QUERIES: dict[str, QueryDef] = {}
+
+
+def query(name: str, oracle: str | None = None):
+    """Register a query under ``name`` with an optional DuckDB oracle."""
+
+    def deco(fn: Callable[[SparkSession, str], DataFrame]):
+        QUERIES[name] = QueryDef(name=name, fn=fn, oracle=oracle, doc=fn.__doc__ or "")
+        return fn
+
+    return deco
+
+
+def load_all() -> dict[str, QueryDef]:
+    """Import all query modules (side-effect: registry population)."""
+    from reactive_kinesis_spark.queries import events, llm, relational  # noqa: F401
+
+    return QUERIES
+
+
+def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
+    return {name: qd.fn for name, qd in load_all().items()}
+
+
+def oracle_sql() -> dict[str, str]:
+    return {name: qd.oracle for name, qd in load_all().items() if qd.oracle is not None}

@@ -1,0 +1,175 @@
+"""Event-stream queries over the ``events`` table (batch form).
+
+These are the batch twins of the streaming operators (SURVEY.md §7 design
+rule: every operator is DataFrame→DataFrame, so the same logic runs under
+``readStream``). Time-window aggregation, JSON payload extraction, as-of
+join, and sessionization mirror what the reference's consumers do to Kinesis
+payloads downstream (decode → transform → aggregate).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from reactive_kinesis_spark.functions import davg_sql, dsum, dsum_sql
+from reactive_kinesis_spark.operators.relational import asof_join, top_k_per_group
+from reactive_kinesis_spark.queries import query
+from reactive_kinesis_spark.tables import load_table
+
+
+@query(
+    "q17_events_hourly_window",
+    oracle=f"""
+    SELECT date_trunc('hour', ts) AS hour_start, event_type,
+           COUNT(*) AS n_events,
+           {dsum_sql('value', 'sum_value')},
+           CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users
+    FROM events
+    GROUP BY hour_start, event_type
+    ORDER BY hour_start, event_type
+    """,
+)
+def q17_events_hourly_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tumbling 1-hour event-time window aggregation — the batch twin of the
+    Structured-Streaming ``window()`` aggregate (hour windows align to epoch,
+    so ``window('1 hour').start == date_trunc('hour', ts)``)."""
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.groupBy(
+            F.window("ts", "1 hour").getField("start").alias("hour_start"),
+            "event_type",
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            dsum("value", "sum_value"),
+            F.countDistinct("user_id").alias("n_users"),
+        )
+        .orderBy("hour_start", "event_type")
+    )
+
+
+@query(
+    "q18_events_json_props",
+    oracle="""
+    SELECT event_type,
+           CAST(SUM(CAST(regexp_extract(props, '"k": ([0-9]+)', 1) AS INT)) AS BIGINT) AS sum_k,
+           COUNT(*) AS n_events
+    FROM events
+    GROUP BY event_type
+    ORDER BY event_type
+    """,
+)
+def q18_events_json_props(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JSON payload field extraction + aggregation — the batch form of
+    decode-payload (reference models/ConsumerEvent.scala:60-61 decodes bytes;
+    our engine continues into typed extraction)."""
+    ev = load_table(spark, sf_dir, "events")
+    k = F.regexp_extract("props", r'"k": ([0-9]+)', 1).cast("int")
+    return (
+        ev.groupBy("event_type")
+        .agg(F.sum(k).alias("sum_k"), F.count(F.lit(1)).alias("n_events"))
+        .orderBy("event_type")
+    )
+
+
+@query(
+    "q19_events_asof_join",
+    oracle="""
+    WITH latest_order AS (
+        SELECT o_custkey, o_orderdate, o_orderkey, o_totalprice
+        FROM (
+            SELECT o_custkey, o_orderdate, o_orderkey, o_totalprice,
+                   ROW_NUMBER() OVER (
+                       PARTITION BY o_custkey, o_orderdate
+                       ORDER BY o_orderkey DESC
+                   ) AS rn
+            FROM orders
+        ) WHERE rn = 1
+    )
+    SELECT e.event_id, e.user_id, e.ts, o.o_orderkey, o.o_totalprice
+    FROM events e
+    ASOF LEFT JOIN latest_order o
+      ON e.user_id = o.o_custkey AND e.ts >= o.o_orderdate
+    ORDER BY e.event_id
+    """,
+)
+def q19_events_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join: each event picks up the customer's most recent order at
+    event time — union+window idiom (one shuffle; see operators.relational
+    .asof_join), verified against DuckDB's native ASOF JOIN."""
+    ev = load_table(spark, sf_dir, "events")
+    orders = load_table(spark, sf_dir, "orders")
+    latest = (
+        top_k_per_group(
+            orders,
+            ["o_custkey", "o_orderdate"],
+            [F.col("o_orderkey").desc()],
+            k=1,
+        )
+        .drop("rn")
+    )
+    joined = asof_join(
+        ev.select("event_id", "user_id", "ts"),
+        latest,
+        key="user_id",
+        right_key="o_custkey",
+        left_time="ts",
+        right_time="o_orderdate",
+        right_value_cols=["o_orderkey", "o_totalprice"],
+    )
+    return joined.select("event_id", "user_id", "ts", "o_orderkey", "o_totalprice").orderBy(
+        "event_id"
+    )
+
+
+@query(
+    "q20_events_sessions",
+    oracle="""
+    WITH flagged AS (
+        SELECT user_id, event_id, ts,
+               CASE WHEN LAG(ts) OVER w IS NULL
+                         OR date_diff('second', LAG(ts) OVER w, ts) > 1800
+                    THEN 1 ELSE 0 END AS new_sess
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ),
+    sess AS (
+        SELECT user_id, event_id, ts,
+               CAST(SUM(new_sess) OVER (
+                   PARTITION BY user_id ORDER BY ts, event_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+               ) AS BIGINT) AS session_id
+        FROM flagged
+    )
+    SELECT user_id, session_id, COUNT(*) AS n_events,
+           MIN(ts) AS session_start, MAX(ts) AS session_end
+    FROM sess
+    GROUP BY user_id, session_id
+    ORDER BY user_id, session_id
+    """,
+)
+def q20_events_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sessionization (30-min inactivity gap) via the gaps-and-islands
+    window idiom — the batch twin of ``session_window()`` in streaming."""
+    ev = load_table(spark, sf_dir, "events").select("user_id", "event_id", "ts")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    wf = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    prev_ts = F.lag("ts").over(w)
+    new_sess = F.when(
+        prev_ts.isNull()
+        | ((F.col("ts").cast("long") - prev_ts.cast("long")) > 1800),
+        1,
+    ).otherwise(0)
+    sess = ev.withColumn("new_sess", new_sess).withColumn(
+        "session_id", F.sum("new_sess").over(wf).cast("long")
+    )
+    return (
+        sess.groupBy("user_id", "session_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.min("ts").alias("session_start"),
+            F.max("ts").alias("session_end"),
+        )
+        .orderBy("user_id", "session_id")
+    )

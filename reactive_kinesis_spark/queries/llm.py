@@ -1,0 +1,314 @@
+"""LLM training-data pipeline queries (north-star extensions): dedup,
+similarity search, text analysis — over the driver's ``documents`` and
+``embeddings`` tables.
+
+Oracle-backed where SQL-expressible; MinHash/SimHash/ANN are rows-only
+(hash-family internals aren't portable SQL) but fully deterministic.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from reactive_kinesis_spark.functions import davg_sql
+from reactive_kinesis_spark.operators import dedup as D
+from reactive_kinesis_spark.operators import similarity as S
+from reactive_kinesis_spark.operators import text as T
+from reactive_kinesis_spark.queries import query
+from reactive_kinesis_spark.tables import load_table
+
+# --------------------------------------------------------------------------
+# Dedup
+# --------------------------------------------------------------------------
+
+
+@query(
+    "q21_dedup_exact",
+    oracle="""
+    SELECT MIN(doc_id) AS doc_id, COUNT(*) AS dup_count
+    FROM documents
+    GROUP BY text
+    ORDER BY doc_id
+    """,
+)
+def q21_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup: hash-groupBy on the text, keep lowest doc_id. One
+    shuffle; at 100 TB group on the md5 fingerprint instead to shrink the
+    shuffle key (same op, see operators.text.fingerprint)."""
+    docs = load_table(spark, sf_dir, "documents")
+    return (
+        D.exact_dedup(docs, "text", "doc_id")
+        .select("doc_id", "dup_count")
+        .orderBy("doc_id")
+    )
+
+
+_JACCARD_ORACLE = """
+    WITH docs AS (
+        SELECT doc_id, string_split(text, ' ') AS words FROM documents
+        WHERE len(string_split(text, ' ')) >= 3
+    ),
+    sh AS (
+        SELECT DISTINCT doc_id, array_to_string(words[i:i+2], ' ') AS shingle
+        FROM docs, UNNEST(range(1, len(words)-1)) AS t(i)
+    ),
+    sizes AS (SELECT doc_id, COUNT(*) AS n_sh FROM sh GROUP BY doc_id),
+    rare AS (
+        SELECT doc_id, shingle FROM sh
+        WHERE shingle IN (
+            SELECT shingle FROM sh GROUP BY shingle HAVING COUNT(*) <= 1000
+        )
+    ),
+    common AS (
+        SELECT a.doc_id AS id_1, b.doc_id AS id_2, COUNT(*) AS n_common
+        FROM rare a JOIN rare b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+        GROUP BY a.doc_id, b.doc_id
+    )
+    SELECT id_1, id_2,
+           CAST(n_common AS DOUBLE) / CAST(s1.n_sh + s2.n_sh - n_common AS DOUBLE) AS jaccard
+    FROM common
+    JOIN sizes s1 ON s1.doc_id = id_1
+    JOIN sizes s2 ON s2.doc_id = id_2
+    WHERE CAST(n_common AS DOUBLE) / CAST(s1.n_sh + s2.n_sh - n_common AS DOUBLE) >= 0.8
+    ORDER BY id_1, id_2
+"""
+
+
+@query("q22_dedup_ngram_jaccard", oracle=_JACCARD_ORACLE)
+def q22_dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact word-trigram Jaccard near-dup pairs (threshold 0.8) via a
+    shingle inverted-index self-join with a document-frequency cap."""
+    docs = load_table(spark, sf_dir, "documents")
+    return (
+        D.ngram_jaccard_pairs(docs, "text", "doc_id", n=3, threshold=0.8, max_df=1000)
+        .orderBy("id_1", "id_2")
+    )
+
+
+@query("q23_dedup_minhash_lsh")  # rows-only: hash family not portable SQL
+def q23_dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash(64)+LSH(16 bands) near-dup pairs verified with exact Jaccard
+    — the sub-quadratic 100 TB dedup path (cost O(docs·shingles) +
+    O(candidates), never O(pairs))."""
+    docs = load_table(spark, sf_dir, "documents")
+    return (
+        D.minhash_lsh_pairs(docs, "text", "doc_id", n=3, threshold=0.8)
+        .orderBy("id_1", "id_2")
+    )
+
+
+@query("q24_dedup_simhash")  # rows-only: xxhash64 not portable SQL
+def q24_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash-64 near-dup pairs (Hamming ≤ 3) via 4-chunk pigeonhole
+    banding."""
+    docs = load_table(spark, sf_dir, "documents")
+    return D.simhash_pairs(docs, "text", "doc_id", max_hamming=3).orderBy("id_1", "id_2")
+
+
+# --------------------------------------------------------------------------
+# Text analysis
+# --------------------------------------------------------------------------
+
+
+@query(
+    "q25_text_stats_by_lang",
+    oracle=f"""
+    SELECT lang, COUNT(*) AS n_docs,
+           CAST(SUM(CAST(len(string_split(text, ' ')) AS INT)) AS BIGINT) AS sum_tokens,
+           {davg_sql(
+               "CAST(len(list_distinct(string_split(text, ' '))) AS DOUBLE)"
+               " / CAST(len(string_split(text, ' ')) AS DOUBLE)",
+               'avg_distinct_ratio',
+           )}
+    FROM documents
+    GROUP BY lang
+    ORDER BY lang
+    """,
+)
+def q25_text_stats_by_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token counting + vocabulary-diversity stats per language tag — all
+    JVM array functions, zero UDFs."""
+    docs = load_table(spark, sf_dir, "documents")
+    nt = T.token_count("text")
+    nd = T.distinct_token_count("text")
+    return (
+        docs.groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum(nt).alias("sum_tokens"),
+            (
+                F.sum((nd.cast("double") / nt.cast("double")).cast("decimal(38,6)")).cast("double")
+                / F.count(F.lit(1))
+            ).alias("avg_distinct_ratio"),
+        )
+        .orderBy("lang")
+    )
+
+
+@query(
+    "q26_quality_scores",
+    oracle="""
+    WITH t AS (
+        SELECT doc_id,
+               CAST(len(string_split(text, ' ')) AS DOUBLE) AS nt,
+               CAST(len(list_distinct(string_split(text, ' '))) AS DOUBLE) AS nd,
+               CAST(len(list_filter(string_split(text, ' '),
+                    w -> list_contains(['the','a','of','and','in'], w))) AS DOUBLE) AS ns
+        FROM documents WHERE doc_id < 200
+    )
+    SELECT doc_id, CAST(nt AS INT) AS n_tokens,
+           CAST(0.4 AS DOUBLE) * least(CAST(1.0 AS DOUBLE), nt / CAST(100.0 AS DOUBLE))
+           + CAST(0.3 AS DOUBLE) * (nd / nt)
+           + CAST(0.3 AS DOUBLE) * least(CAST(1.0 AS DOUBLE), CAST(4.0 AS DOUBLE) * (ns / nt))
+           AS quality_score
+    FROM t
+    ORDER BY doc_id
+    """,
+)
+def q26_quality_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document quality scoring (length/diversity/stopword-ratio mix) —
+    deterministic arithmetic mirrored exactly in the oracle."""
+    docs = load_table(spark, sf_dir, "documents").where(F.col("doc_id") < 200)
+    return docs.select(
+        "doc_id",
+        T.token_count("text").alias("n_tokens"),
+        T.quality_score("text").alias("quality_score"),
+    ).orderBy("doc_id")
+
+
+@query(
+    "q27_fingerprint_stats",
+    oracle="""
+    SELECT source, COUNT(*) AS n_docs,
+           CAST(COUNT(DISTINCT md5(trim(text))) AS BIGINT) AS distinct_fingerprints
+    FROM documents
+    GROUP BY source
+    ORDER BY source
+    """,
+)
+def q27_fingerprint_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Document fingerprinting (portable md5 of normalized text) +
+    per-source distinct counts."""
+    docs = load_table(spark, sf_dir, "documents")
+    return (
+        docs.select("source", T.fingerprint("text").alias("fp"))
+        .groupBy("source")
+        .agg(F.count(F.lit(1)).alias("n_docs"), F.countDistinct("fp").alias("distinct_fingerprints"))
+        .orderBy("source")
+    )
+
+
+def _langid_sql() -> str:
+    score = {
+        lg: f"CAST(len(list_filter(string_split(text, ' '), w -> list_contains({list(ws)}, w))) AS INT)"
+        for lg, ws in T.STOPWORDS.items()
+    }
+    langs = sorted(score)
+    g = "greatest(" + ", ".join(f"s_{lg}" for lg in langs) + ")"
+    case = "CASE WHEN " + g + " <= 0 THEN 'und' " + " ".join(
+        f"WHEN s_{lg} = {g} THEN '{lg}'" for lg in langs
+    ) + " END"
+    scores_sel = ", ".join(f"{score[lg]} AS s_{lg}" for lg in langs)
+    return f"""
+    WITH scored AS (SELECT lang, {scores_sel} FROM documents)
+    SELECT lang, {case} AS pred_lang, COUNT(*) AS n_docs
+    FROM scored
+    GROUP BY lang, pred_lang
+    ORDER BY lang, pred_lang
+    """
+
+
+@query("q28_lang_id", oracle=_langid_sql())
+def q28_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heuristic stopword-list language ID (confusion counts vs the lang
+    tag). Alphabetical tie-break, 'und' when no stopwords hit."""
+    docs = load_table(spark, sf_dir, "documents")
+    return (
+        docs.select("lang", T.predict_lang("text").alias("pred_lang"))
+        .groupBy("lang", "pred_lang")
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+        .orderBy("lang", "pred_lang")
+    )
+
+
+# --------------------------------------------------------------------------
+# Similarity search over embeddings
+# --------------------------------------------------------------------------
+
+
+@query(
+    "q29_embedding_cosine_topk",
+    oracle="""
+    WITH q AS (
+        SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qv
+        FROM embeddings WHERE vec_id < 100
+    ),
+    c AS (SELECT vec_id AS neighbor_id, CAST(embedding AS DOUBLE[]) AS cv FROM embeddings),
+    scored AS (
+        SELECT query_id, neighbor_id,
+               list_dot_product(qv, cv)
+               / (sqrt(list_dot_product(qv, qv)) * sqrt(list_dot_product(cv, cv))) AS cosine_sim
+        FROM c, q WHERE query_id <> neighbor_id
+    ),
+    ranked AS (
+        SELECT *, CAST(ROW_NUMBER() OVER (
+            PARTITION BY query_id ORDER BY cosine_sim DESC, neighbor_id
+        ) AS INT) AS rn FROM scored
+    )
+    SELECT query_id, neighbor_id, cosine_sim, rn
+    FROM ranked WHERE rn <= 5
+    ORDER BY query_id, rn
+    """,
+)
+def q29_embedding_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Brute-force cosine top-5 for a 100-query block: broadcast queries,
+    JVM zip_with/aggregate dot products, row_number top-k. The corpus never
+    shuffles — the pattern that scales to 100 TB corpora."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.where(F.col("vec_id") < 100)
+    return (
+        S.cosine_topk(emb, queries, "vec_id", "embedding", k=5)
+        .select("query_id", "neighbor_id", "cosine_sim", "rn")
+        .orderBy("query_id", "rn")
+    )
+
+
+@query("q30_embedding_ann_lsh")  # rows-only: approximate by design
+def q30_embedding_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANN top-5 via random-hyperplane LSH banding + exact re-rank of
+    candidates — the bucket-join scale path (no Q×N cross join)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.where(F.col("vec_id") < 100)
+    return (
+        S.ann_lsh_topk(emb, queries, "vec_id", "embedding", k=5)
+        .select("query_id", "neighbor_id", "cosine_sim", "rn")
+        .orderBy("query_id", "rn")
+    )
+
+
+@query(
+    "q31_embedding_centroids",
+    oracle=f"""
+    SELECT label, CAST(i AS INT) AS dim,
+           {davg_sql('CAST(embedding[CAST(i + 1 AS INT)] AS DOUBLE)', 'centroid')}
+    FROM embeddings, UNNEST(range(0, len(embedding))) AS t(i)
+    GROUP BY label, dim
+    ORDER BY label, dim
+    """,
+)
+def q31_embedding_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-label centroid in long form (label, dim, centroid) — posexplode +
+    partial/final agg; array columns never collected to the driver."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    return (
+        emb.select("label", F.posexplode("embedding").alias("dim", "val"))
+        .groupBy("label", F.col("dim").cast("int").alias("dim"))
+        .agg(
+            (
+                F.sum(F.col("val").cast("double").cast("decimal(38,6)")).cast("double")
+                / F.count(F.lit(1))
+            ).alias("centroid")
+        )
+        .orderBy("label", "dim")
+    )
