@@ -18,10 +18,42 @@ from __future__ import annotations
 
 import math
 
+from collections.abc import Iterator
+
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
+from pyspark.sql.types import (
+    DoubleType,
+    IntegerType,
+    LongType,
+    StructField,
+    StructType,
+)
 
 from reactive_kinesis_spark.functions import cosine_similarity
+
+
+def _seq_dot(mat, vec):
+    """Sequential-order dot products of every row of ``mat`` with ``vec``:
+    bit-identical to a left fold ``acc + (x*y)`` (Spark ``aggregate`` and
+    DuckDB ``list_dot_product``), but vectorized across rows — the loop runs
+    over the (tiny) dimension axis, numpy runs over rows. No FMA, no
+    pairwise-summation reordering, so parity with the SQL engines holds."""
+    import numpy as np
+
+    acc = np.zeros(mat.shape[0], dtype="float64")
+    for j in range(mat.shape[1]):
+        acc += mat[:, j] * vec[j]
+    return acc
+
+
+def _seq_sqnorm(mat):
+    import numpy as np
+
+    acc = np.zeros(mat.shape[0], dtype="float64")
+    for j in range(mat.shape[1]):
+        acc += mat[:, j] * mat[:, j]
+    return acc
 
 
 def cosine_topk(
@@ -31,31 +63,105 @@ def cosine_topk(
     vec_col: str = "embedding",
     k: int = 5,
     include_self: bool = False,
+    strategy: str = "numpy",
 ) -> DataFrame:
     """Exact top-k cosine neighbors for each query row against the corpus.
 
-    The query side is broadcast (block of query vectors); the corpus streams
-    through — at 100 TB the corpus never shuffles, and query blocks are sized
-    to fit the broadcast limit (chunk the query set and union for bigger Q).
-    Returns ``(query_id, neighbor_id, cosine_sim, rn)``.
+    The query block is small (collected/broadcast); the corpus streams
+    through without ever shuffling — per corpus partition we emit only the
+    local top-k per query (map-side partial top-k), then a final row_number
+    reduces k·partitions candidates per query. At 100 TB the shuffle volume
+    is O(queries·k·partitions), independent of corpus size.
+
+    ``strategy='numpy'`` (default) scores each Arrow batch with vectorized
+    float64 ops that keep the exact left-fold summation order, so results
+    are bit-identical to the ``'sql'`` strategy (pure Catalyst zip_with/
+    aggregate) and to the DuckDB oracle. Returns
+    ``(query_id, neighbor_id, cosine_sim, rn)``.
     """
-    q = queries.select(
-        F.col(id_col).alias("query_id"), F.col(vec_col).alias("__qvec")
-    )
-    c = corpus.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("__cvec"))
-    pairs = c.crossJoin(F.broadcast(q))
-    if not include_self:
-        pairs = pairs.where(F.col("query_id") != F.col("neighbor_id"))
-    scored = pairs.select(
-        "query_id",
-        "neighbor_id",
-        cosine_similarity("__qvec", "__cvec").alias("cosine_sim"),
-    )
+    if strategy == "sql":
+        q = queries.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("__qvec"))
+        c = corpus.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("__cvec"))
+        pairs = c.crossJoin(F.broadcast(q))
+        if not include_self:
+            pairs = pairs.where(F.col("query_id") != F.col("neighbor_id"))
+        scored = pairs.select(
+            "query_id",
+            "neighbor_id",
+            cosine_similarity("__qvec", "__cvec").alias("cosine_sim"),
+        )
+    else:
+        scored = _cosine_scores_numpy(corpus, queries, id_col, vec_col, k, include_self)
     w = Window.partitionBy("query_id").orderBy(F.col("cosine_sim").desc(), "neighbor_id")
     return (
         scored.withColumn("rn", F.row_number().over(w).cast("int"))
         .where(F.col("rn") <= k)
     )
+
+
+def _cosine_scores_numpy(
+    corpus: DataFrame,
+    queries: DataFrame,
+    id_col: str,
+    vec_col: str,
+    k: int,
+    include_self: bool,
+) -> DataFrame:
+    """Map-side partial top-k cosine scoring via Arrow batches.
+
+    Emits ≤ k rows per query per corpus *batch* — the final global top-k only
+    sees O(queries·k·batches) rows. Query vectors ride in the task closure
+    (the small-side 'broadcast').
+    """
+    import numpy as np
+
+    q_rows = queries.select(id_col, vec_col).collect()
+    q_ids = np.array([r[0] for r in q_rows], dtype="int64")
+    q_mat = np.array([list(r[1]) for r in q_rows], dtype="float64")
+    # per-query norms with the same sequential fold order
+    q_norm = np.sqrt(_seq_sqnorm(q_mat))
+
+    out_schema = StructType(
+        [
+            StructField("query_id", LongType()),
+            StructField("neighbor_id", LongType()),
+            StructField("cosine_sim", DoubleType()),
+        ]
+    )
+
+    def score(batches: Iterator) -> Iterator:
+        import pandas as pd
+
+        for pdf in batches:
+            c_ids = pdf[id_col].to_numpy(dtype="int64")
+            c_mat = np.array(pdf[vec_col].tolist(), dtype="float64")
+            if c_mat.size == 0:
+                continue
+            c_norm = np.sqrt(_seq_sqnorm(c_mat))
+            outs = []
+            for qi in range(len(q_ids)):
+                dots = _seq_dot(c_mat, q_mat[qi])
+                sims = dots / (q_norm[qi] * c_norm)
+                mask = np.ones(len(c_ids), dtype=bool)
+                if not include_self:
+                    mask &= c_ids != q_ids[qi]
+                idx = np.flatnonzero(mask)
+                # local top-k with (sim desc, id asc) tie-break
+                order = np.lexsort((c_ids[idx], -sims[idx]))[:k]
+                sel = idx[order]
+                outs.append(
+                    pd.DataFrame(
+                        {
+                            "query_id": np.full(len(sel), q_ids[qi]),
+                            "neighbor_id": c_ids[sel],
+                            "cosine_sim": sims[sel],
+                        }
+                    )
+                )
+            if outs:
+                yield pd.concat(outs, ignore_index=True)
+
+    return corpus.select(id_col, vec_col).mapInPandas(score, out_schema)
 
 
 def _hyperplanes(dim: int, n_planes: int, seed: int = 42) -> list[list[float]]:
@@ -103,8 +209,8 @@ def ann_lsh_topk(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     k: int = 5,
-    n_planes: int = 16,
-    bands: int = 4,
+    n_planes: int = 15,
+    bands: int = 5,
     dim: int = 64,
 ) -> DataFrame:
     """Approximate top-k: candidates = rows sharing ≥1 of ``bands`` signature
@@ -113,29 +219,60 @@ def ann_lsh_topk(
     At scale this replaces the O(Q·N) cross join with a bucket equi-join:
     corpus signatures are computed once (streamed, no shuffle), the join key
     is (band, band_bits), and AQE handles bucket skew.
-    Returns ``(query_id, neighbor_id, cosine_sim, rn)`` — approximate recall.
+
+    Default 5 bands × 3 bits targets the low-similarity regime (top
+    neighbors ≈ 0.3 cosine on near-random data ⇒ recall ≈ 0.7 with ~0.6·N
+    candidates per query). On clustered real-world embeddings (neighbor
+    sims ≥ 0.8) fewer, wider bands (e.g. 4×4) give recall ≥ 0.95 with ~N/4
+    candidates. Returns ``(query_id, neighbor_id, cosine_sim, rn)``.
     """
     bits_per_band = n_planes // bands
 
     def banded(df: DataFrame, id_alias: str, keep_vec: str) -> DataFrame:
-        sig = hyperplane_signature(df, vec_col, n_planes, dim)
-        return sig.select(
-            F.col(id_col).alias(id_alias),
-            F.col(vec_col).alias(keep_vec),
-            F.explode(
-                F.array(
-                    *[
-                        F.struct(
-                            F.lit(b).alias("band"),
-                            F.shiftright(F.col("lsh_sig"), b * bits_per_band)
-                            .bitwiseAND(F.lit((1 << bits_per_band) - 1))
-                            .alias("bits"),
+        """Arrow-batched signature + band explosion: one numpy matmul per
+        batch against the (tiny) hyperplane matrix riding in the closure."""
+        import numpy as np
+
+        planes = np.array(_hyperplanes(dim, n_planes), dtype="float64")
+        vec_type = df.schema[vec_col].dataType
+        out_schema = StructType(
+            [
+                StructField(id_alias, LongType()),
+                StructField(keep_vec, vec_type),
+                StructField("band", IntegerType()),
+                StructField("bits", IntegerType()),
+            ]
+        )
+
+        def sign_bands(batches: Iterator) -> Iterator:
+            import pandas as pd
+
+            band_mask = (1 << bits_per_band) - 1
+            for pdf in batches:
+                mat = np.array(pdf[vec_col].tolist(), dtype="float64")
+                if mat.size == 0:
+                    continue
+                bits = (mat @ planes.T) > 0  # [n, n_planes] sign bits
+                sig = np.zeros(len(mat), dtype="int64")
+                for i in range(n_planes):
+                    sig |= bits[:, i].astype("int64") << i
+                frames = []
+                for b in range(bands):
+                    frames.append(
+                        pd.DataFrame(
+                            {
+                                id_alias: pdf[id_col].to_numpy(dtype="int64"),
+                                keep_vec: pdf[vec_col],
+                                "band": np.full(len(mat), b, dtype="int32"),
+                                "bits": ((sig >> (b * bits_per_band)) & band_mask).astype(
+                                    "int32"
+                                ),
+                            }
                         )
-                        for b in range(bands)
-                    ]
-                )
-            ).alias("bb"),
-        ).select(id_alias, keep_vec, F.col("bb.band").alias("band"), F.col("bb.bits").alias("bits"))
+                    )
+                yield pd.concat(frames, ignore_index=True)
+
+        return df.select(id_col, vec_col).mapInPandas(sign_bands, out_schema)
 
     qb = banded(queries, "query_id", "__qvec")
     cb = banded(corpus, "neighbor_id", "__cvec")

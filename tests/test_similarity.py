@@ -1,0 +1,41 @@
+"""Similarity-operator invariants beyond oracle parity."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from reactive_kinesis_spark.operators import similarity as S
+from reactive_kinesis_spark.tables import load_table
+
+
+def test_numpy_and_sql_strategies_bit_identical(spark, sf_dir):
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.where(F.col("vec_id") < 20)
+    cols = ["query_id", "neighbor_id", "cosine_sim", "rn"]
+    a = sorted(S.cosine_topk(emb, queries, k=3, strategy="numpy").select(*cols).collect())
+    b = sorted(S.cosine_topk(emb, queries, k=3, strategy="sql").select(*cols).collect())
+    assert a == b  # includes float bit-equality
+
+
+def test_ann_recall_against_exact(spark, sf_dir):
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.where(F.col("vec_id") < 50)
+    exact = {
+        (r.query_id, r.neighbor_id)
+        for r in S.cosine_topk(emb, queries, k=5).select("query_id", "neighbor_id").collect()
+    }
+    approx = {
+        (r.query_id, r.neighbor_id)
+        for r in S.ann_lsh_topk(emb, queries, k=5).select("query_id", "neighbor_id").collect()
+    }
+    recall = len(exact & approx) / len(exact)
+    assert recall >= 0.5, f"ANN recall too low: {recall:.2f}"
+
+
+def test_embedding_neardup_pairs_runs(spark, sf_dir):
+    emb = load_table(spark, sf_dir, "embeddings")
+    pairs = S.embedding_neardup_pairs(emb, threshold=0.8)
+    rows = pairs.collect()
+    for r in rows:
+        assert r.id_1 < r.id_2
+        assert r.cosine_sim >= 0.8
