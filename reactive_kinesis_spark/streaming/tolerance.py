@@ -1,0 +1,76 @@
+"""Tolerate-or-halt DLQ operator (B3–B5/L3 in SURVEY.md §2.1) — the one
+genuinely non-built-in semantic in the reference.
+
+Reference behavior (consumer/ConsumerWorker.scala:396-414): after retries,
+if the unconfirmed fraction of a batch is ≤ ``failureTolerancePercentage``
+(reference.conf:424-430, default 0.25%), the worker *pretends* they were
+confirmed — checkpoints past them and continues; otherwise it emits
+``ConsumerWorkerFailure`` and shuts the shard down. Per-record skips
+(B3, ConsumerWorker.scala:104-110) also advance the checkpoint.
+
+Spark restatement: per micro-batch, rows failing a user predicate go to a
+dead-letter sink when within tolerance (batch still commits ⇒ checkpoint
+advances past them — B3's skip semantics); beyond tolerance the batch
+raises, Spark retries it (B4 analog: spark.task.maxFailures + query
+restart), and the query terminates with the error (L3's escalation).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+class ToleranceExceededError(RuntimeError):
+    """Raised when a micro-batch's failure fraction exceeds tolerance —
+    the engine's ``ConsumerWorkerFailure`` (ConsumerWorker.scala:408-414)."""
+
+    def __init__(self, batch_id: int, failed: int, total: int, tolerance_pct: float):
+        self.batch_id, self.failed, self.total = batch_id, failed, total
+        self.tolerance_pct = tolerance_pct
+        super().__init__(
+            f"batch {batch_id}: {failed}/{total} failed rows "
+            f"({100.0 * failed / max(total, 1):.3f}% > tolerance {tolerance_pct}%)"
+        )
+
+
+def split_by_predicate(df: DataFrame, ok: Column) -> tuple[DataFrame, DataFrame]:
+    """(good, bad) split on a predicate column; null predicate counts bad."""
+    good = df.where(ok)
+    bad = df.where(~F.coalesce(ok, F.lit(False)))
+    return good, bad
+
+
+def tolerant_foreach_batch(
+    ok: Column,
+    process: Callable[[DataFrame, int], None],
+    dlq: Callable[[DataFrame, int], None] | None = None,
+    tolerance_pct: float = 0.25,
+) -> Callable[[DataFrame, int], None]:
+    """Build a ``foreachBatch`` function with tolerate-or-halt semantics.
+
+    ``ok``: predicate marking a row as successfully processable;
+    ``process``: sink for good rows; ``dlq``: sink for tolerated bad rows
+    (defaults to dropping them, which is exactly the reference's skip);
+    ``tolerance_pct``: max % of bad rows per batch before halting.
+    """
+
+    def run(batch_df: DataFrame, batch_id: int) -> None:
+        flagged = batch_df.withColumn("__ok", F.coalesce(ok, F.lit(False))).persist()
+        try:
+            counts = flagged.agg(
+                F.count(F.lit(1)).alias("total"),
+                F.sum(F.when(F.col("__ok"), 0).otherwise(1)).alias("failed"),
+            ).collect()[0]
+            total, failed = counts["total"] or 0, counts["failed"] or 0
+            if total and 100.0 * failed / total > tolerance_pct:
+                raise ToleranceExceededError(batch_id, failed, total, tolerance_pct)
+            if failed and dlq is not None:
+                dlq(flagged.where(~F.col("__ok")).drop("__ok"), batch_id)
+            process(flagged.where(F.col("__ok")).drop("__ok"), batch_id)
+        finally:
+            flagged.unpersist()
+
+    return run

@@ -1,0 +1,326 @@
+"""Streaming-semantics tests mirroring the reference's integration specs
+(SURVEY.md §5): restart-from-checkpoint / no-commit-no-progress
+(KinesisSourceGraphStageIntegrationSpec.scala:66-129), tolerate-or-halt
+(ConsumerWorkerSpec.scala:302-461), producer round-trip + packing caps
+(KinesisSinkGraphStageIntegrationSpec.scala:23-33), deaggregation
+(KinesisTestConsumer.scala:83-90), and per-shard contiguity (the
+reliability test's pit stops, SimpleKinesisConsumer.scala:99-121)."""
+
+from __future__ import annotations
+
+import datetime as dt
+
+import pytest
+from pyspark.sql import functions as F
+
+from reactive_kinesis_spark.config import ConsumerConfig, ProducerConfig
+from reactive_kinesis_spark.schemas import EVENT_SCHEMA
+from reactive_kinesis_spark.streaming import (
+    ToleranceExceededError,
+    aggregate_records,
+    deaggregate,
+    file_stream_source,
+    tolerant_foreach_batch,
+    with_shard_order,
+)
+from reactive_kinesis_spark.streaming.checkpoint import (
+    has_committed_checkpoint,
+    resolve_starting_position,
+    run_pipeline,
+)
+from reactive_kinesis_spark.streaming.deaggregate import pack_records, unpack_records
+from reactive_kinesis_spark.streaming.sink import (
+    LocalDirTransport,
+    TransportError,
+    write_batch,
+)
+
+T0 = dt.datetime(2024, 1, 1, tzinfo=dt.timezone.utc)
+
+
+def make_events(spark, n, shards=2, start=0, stream="s1"):
+    rows = [
+        (
+            stream,
+            f"shardId-{i % shards:012d}",
+            str(i % shards),
+            f"{start + i:020d}",
+            0,
+            str(start + i).encode(),
+            T0 + dt.timedelta(seconds=i),
+        )
+        for i in range(n)
+    ]
+    return spark.createDataFrame(rows, EVENT_SCHEMA)
+
+
+# ---------------------------------------------------------------------------
+# Checkpoint / restart semantics (C1–C3)
+# ---------------------------------------------------------------------------
+
+
+def test_restart_from_checkpoint_processes_only_remainder(spark, tmp_path):
+    src = str(tmp_path / "stream")
+    ckpt = str(tmp_path / "ckpt")
+    make_events(spark, 10, start=0).write.parquet(src, mode="append")
+
+    seen: list[bytes] = []
+
+    def collect(batch_df, batch_id):
+        seen.extend(r.payload for r in batch_df.collect())
+
+    q = run_pipeline(spark, file_stream_source(spark, src), collect, ckpt)
+    q.awaitTermination()
+    assert sorted(int(p) for p in seen) == list(range(10))
+    assert has_committed_checkpoint(ckpt)
+
+    # new data arrives while stopped; restart must process ONLY the remainder
+    make_events(spark, 5, start=100).write.parquet(src, mode="append")
+    seen.clear()
+    q = run_pipeline(spark, file_stream_source(spark, src), collect, ckpt)
+    q.awaitTermination()
+    assert sorted(int(p) for p in seen) == list(range(100, 105))
+
+
+def test_no_commit_means_full_replay(spark, tmp_path):
+    src = str(tmp_path / "stream")
+    make_events(spark, 8).write.parquet(src, mode="append")
+    for run in range(2):  # fresh checkpoint dir each run ⇒ full replay
+        seen = []
+        q = run_pipeline(
+            spark,
+            file_stream_source(spark, src),
+            lambda b, i: seen.extend(r.payload for r in b.collect()),
+            str(tmp_path / f"ckpt{run}"),
+        )
+        q.awaitTermination()
+        assert len(seen) == 8
+
+
+def test_starting_position_precedence(tmp_path):
+    conf = ConsumerConfig(
+        stream_name="s1",
+        initial_position="LATEST",
+        checkpoint_location=str(tmp_path / "nope"),
+    )
+    assert resolve_starting_position(conf) == "latest"  # no checkpoint yet
+    commits = tmp_path / "ck" / "commits"
+    commits.mkdir(parents=True)
+    (commits / "0").write_text("{}")
+    conf.checkpoint_location = str(tmp_path / "ck")
+    assert resolve_starting_position(conf) is None  # checkpoint wins
+
+
+# ---------------------------------------------------------------------------
+# Tolerate-or-halt (B3–B5)
+# ---------------------------------------------------------------------------
+
+
+def test_tolerance_within_budget_diverts_to_dlq(spark):
+    df = make_events(spark, 100)
+    good_rows, dlq_rows = [], []
+    fn = tolerant_foreach_batch(
+        ok=F.col("payload").cast("string").cast("int") != 13,
+        process=lambda b, i: good_rows.extend(b.collect()),
+        dlq=lambda b, i: dlq_rows.extend(b.collect()),
+        tolerance_pct=1.0,
+    )
+    fn(df, 0)
+    assert len(good_rows) == 99
+    assert [bytes(r.payload) for r in dlq_rows] == [b"13"]
+
+
+def test_tolerance_exceeded_halts(spark):
+    df = make_events(spark, 100)
+    fn = tolerant_foreach_batch(
+        ok=F.col("payload").cast("string").cast("int") >= 10,  # 10% bad
+        process=lambda b, i: None,
+        tolerance_pct=0.25,
+    )
+    with pytest.raises(ToleranceExceededError) as ei:
+        fn(df, 7)
+    assert ei.value.failed == 10
+    assert ei.value.batch_id == 7
+
+
+def test_tolerance_null_predicate_counts_failed(spark):
+    df = make_events(spark, 4).withColumn(
+        "maybe", F.when(F.col("payload").cast("string") == "0", F.lit(None)).otherwise(F.lit(True))
+    )
+    good, dlq = [], []
+    fn = tolerant_foreach_batch(
+        ok=F.col("maybe"),
+        process=lambda b, i: good.extend(b.collect()),
+        dlq=lambda b, i: dlq.extend(b.collect()),
+        tolerance_pct=50.0,
+    )
+    fn(df, 0)
+    assert len(good) == 3 and len(dlq) == 1
+
+
+# ---------------------------------------------------------------------------
+# Aggregation / deaggregation (O2/O3)
+# ---------------------------------------------------------------------------
+
+
+def test_pack_unpack_roundtrip():
+    recs = [("k1", b"a"), ("k1", b"bb"), ("k2", b"\x00\xff")]
+    assert unpack_records(pack_records(recs)) == recs
+
+
+def test_unpack_passthrough_for_plain_record():
+    assert unpack_records(b"plain-bytes") == [("", b"plain-bytes")]
+
+
+def test_aggregate_then_deaggregate_dataframe_roundtrip(spark):
+    df = make_events(spark, 50, shards=2)
+    agg = aggregate_records(df, max_count=7, max_size=51_200)
+    n_agg = agg.count()
+    assert n_agg < 50  # actually packed
+    back = deaggregate(agg)
+    got = sorted((r.partition_key, bytes(r.payload)) for r in back.collect())
+    want = sorted((r.partition_key, bytes(r.payload)) for r in df.collect())
+    assert got == want
+    # sub-sequence numbers are 0..k-1 within each aggregated record
+    subs = [r.sub_sequence_number for r in back.collect()]
+    assert min(subs) == 0 and max(subs) >= 1
+
+
+def test_deaggregate_assigns_contiguous_subsequences(spark):
+    df = make_events(spark, 12, shards=1)
+    agg = aggregate_records(df, max_count=100)
+    back = deaggregate(agg).collect()
+    by_seq = {}
+    for r in back:
+        by_seq.setdefault(r.sequence_number, []).append(r.sub_sequence_number)
+    for seq, subs in by_seq.items():
+        assert sorted(subs) == list(range(len(subs)))
+
+
+# ---------------------------------------------------------------------------
+# Producer sink (S3–S6, T1/T2)
+# ---------------------------------------------------------------------------
+
+
+def test_sink_roundtrip_all_records_delivered(spark, tmp_path):
+    df = make_events(spark, 200, shards=4)
+    transport = LocalDirTransport(str(tmp_path / "out"))
+    conf = ProducerConfig(stream_name="s1", aggregation_enabled=True, aggregation_max_count=10)
+    write_batch(df, conf, transport)
+    got = []
+    for pk, blob in transport.read_back():
+        got.extend(unpack_records(blob))
+    assert sorted(int(d) for _, d in got) == list(range(200))
+
+
+def test_sink_respects_collection_caps(spark, tmp_path):
+    df = make_events(spark, 300, shards=1)
+    out = tmp_path / "out"
+    transport = LocalDirTransport(str(out))
+    conf = ProducerConfig(
+        stream_name="s1", aggregation_enabled=False, collection_max_count=50
+    )
+    write_batch(df, conf, transport)
+    import json as _json
+
+    for f in out.iterdir():
+        n_lines = sum(1 for line in f.read_text().splitlines() if line.strip())
+        assert n_lines <= 50
+    got = [int(d) for _, d in transport.read_back()]
+    assert sorted(got) == list(range(300))
+
+
+def test_sink_fails_after_ttl_on_persistent_transport_failure(spark, tmp_path):
+    df = make_events(spark, 10, shards=1)
+    transport = LocalDirTransport(str(tmp_path / "out"), fail_pks=("0",))
+    conf = ProducerConfig(stream_name="s1", aggregation_enabled=False, record_ttl_millis=200)
+    from py4j.protocol import Py4JJavaError
+
+    with pytest.raises(Exception) as ei:
+        write_batch(df, conf, transport)
+    assert "RecordTtl" in str(ei.value) or "TransportError" in str(ei.value)
+
+
+def test_streaming_sink_end_to_end(spark, tmp_path):
+    src = str(tmp_path / "stream")
+    make_events(spark, 40, shards=2).write.parquet(src, mode="append")
+    transport = LocalDirTransport(str(tmp_path / "sunk"))
+    conf = ProducerConfig(stream_name="s1", aggregation_max_count=8)
+    from reactive_kinesis_spark.streaming.sink import kinesis_like_sink
+
+    q = kinesis_like_sink(
+        file_stream_source(spark, src), conf, transport, str(tmp_path / "ckpt"), trigger_once=True
+    )
+    q.awaitTermination()
+    got = []
+    for pk, blob in transport.read_back():
+        got.extend(unpack_records(blob))
+    assert sorted(int(d) for _, d in got) == list(range(40))
+
+
+# ---------------------------------------------------------------------------
+# Ordering / contiguity (O1 + reliability-test analog)
+# ---------------------------------------------------------------------------
+
+
+def test_per_shard_contiguity_soak(spark):
+    """Pit-stop check: sequential payloads per shard arrive gap-free and
+    duplicate-free after a shuffle + reorder (SimpleKinesisConsumer
+    .scala:99-121 analog, scaled down)."""
+    n, shards = 10_000, 4
+    df = make_events(spark, n, shards=shards).repartition(16)  # scramble
+    ordered = with_shard_order(df)
+    per_shard = (
+        ordered.groupBy("shard_id")
+        .agg(
+            F.count(F.lit(1)).alias("cnt"),
+            F.countDistinct("sequence_number").alias("dcnt"),
+            F.min(F.col("payload").cast("string").cast("long")).alias("lo"),
+            F.max(F.col("payload").cast("string").cast("long")).alias("hi"),
+        )
+        .collect()
+    )
+    assert len(per_shard) == shards
+    for r in per_shard:
+        assert r.cnt == r.dcnt == n // shards  # no dups
+        # payloads are i where i % shards == shard index ⇒ arithmetic check
+        assert (r.hi - r.lo) // shards + 1 == r.cnt  # no gaps
+    # shard_seq is 1..cnt contiguous per shard
+    ranks = ordered.groupBy("shard_id").agg(
+        F.min("shard_seq").alias("mn"), F.max("shard_seq").alias("mx"), F.count("*").alias("c")
+    )
+    for r in ranks.collect():
+        assert r.mn == 1 and r.mx == r.c
+
+
+# ---------------------------------------------------------------------------
+# Config resolution (U1/U2)
+# ---------------------------------------------------------------------------
+
+
+def test_consumer_config_fallback_resolution():
+    cfg = {
+        "default-consumer": {
+            "application_name": "app",
+            "max_records": 5000,
+            "failure_tolerance_percentage": 0.25,
+        },
+        "my-consumer": {"stream_name": "s1", "max_records": 100},
+    }
+    c = ConsumerConfig.from_dict(cfg, "my-consumer")
+    assert c.stream_name == "s1"
+    assert c.max_records == 100  # named block wins
+    assert c.application_name == "app"  # fallback applies
+    assert c.checkpoint_app_name == "app-s1"  # KinesisConsumer.scala:71-72
+    assert c.reader_options()["maxFetchRecordsPerShard"] == "100"
+
+
+def test_producer_config_extra_options_passthrough():
+    cfg = {
+        "default-producer": {"rate_limit_percent": 150},
+        "p": {"stream_name": "s2", "SomeKplKnob": "42"},
+    }
+    p = ProducerConfig.from_dict(cfg, "p")
+    assert p.stream_name == "s2"
+    assert p.rate_limit_percent == 150
+    assert p.extra_options["SomeKplKnob"] == "42"
