@@ -1,0 +1,148 @@
+"""Event-time streaming tests: watermark late-data drop, session windows,
+in-watermark dedup, and the applyInPandasWithState operator with state
+carried across micro-batches."""
+
+from __future__ import annotations
+
+import datetime as dt
+
+from pyspark.sql import functions as F
+
+from reactive_kinesis_spark.schemas import EVENT_SCHEMA
+from reactive_kinesis_spark.streaming import file_stream_source
+from reactive_kinesis_spark.streaming.windows import (
+    dedup_within_watermark,
+    session_aggregate,
+    stateful_running_count,
+    windowed_aggregate,
+)
+from tests.test_streaming import T0, make_events
+
+
+def _drain(spark, df, tmp_path, name, output_mode="append"):
+    q = (
+        df.writeStream.format("memory")
+        .queryName(name)
+        .outputMode(output_mode)
+        .option("checkpointLocation", str(tmp_path / f"ckpt_{name}"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.sql(f"SELECT * FROM {name}")
+
+
+def test_windowed_aggregate_batch_and_stream_agree(spark, tmp_path):
+    src = str(tmp_path / "stream")
+    make_events(spark, 120).write.parquet(src, mode="append")
+    batch_df = spark.read.schema(EVENT_SCHEMA).parquet(src)
+    batch = windowed_aggregate(
+        batch_df, ts_col="approximate_arrival_timestamp", window="1 minute"
+    ).collect()
+
+    # update mode: every state change is emitted; the final value per window
+    # is the max — append mode would emit nothing, since the watermark never
+    # passes a window end before the stream drains (the standard gotcha).
+    stream = _drain(
+        spark,
+        windowed_aggregate(
+            file_stream_source(spark, src),
+            ts_col="approximate_arrival_timestamp",
+            window="1 minute",
+        ),
+        tmp_path,
+        "win_agg",
+        output_mode="update",
+    ).collect()
+    final = {}
+    for r in stream:
+        final[r.window_start] = max(final.get(r.window_start, 0), r.n_events)
+    assert sorted(final.items()) == sorted((r.window_start, r.n_events) for r in batch)
+
+
+def test_late_data_dropped_by_watermark(spark, tmp_path):
+    src = str(tmp_path / "stream")
+    # batch 1: on-time events up to T0+100s; batch 2 (separate file): an
+    # event 2 hours earlier — beyond the 1-minute watermark once batch 1
+    # advanced it.
+    make_events(spark, 100).write.parquet(src, mode="append")
+    late_rows = [
+        ("s1", "shardId-000000000000", "0", f"{99999:020d}", 0, b"late",
+         T0 - dt.timedelta(hours=2)),
+    ]
+    spark.createDataFrame(late_rows, EVENT_SCHEMA).write.parquet(src, mode="append")
+
+    out = _drain(
+        spark,
+        windowed_aggregate(
+            file_stream_source(spark, src, max_files_per_trigger=1),
+            ts_col="approximate_arrival_timestamp",
+            window="1 minute",
+            watermark="1 minute",
+        ),
+        tmp_path,
+        "late_drop",
+        output_mode="update",
+    ).collect()
+    final = {}
+    for r in out:
+        final[r.window_start] = max(final.get(r.window_start, 0), r.n_events)
+    assert sum(final.values()) == 100  # the late row never appears
+    assert all(ws >= T0.replace(tzinfo=None) for ws in final)  # no 2h-early window
+
+
+def test_session_aggregate_stream(spark, tmp_path):
+    src = str(tmp_path / "stream")
+    rows = []
+    for u, base in [("u1", 0), ("u1", 7200), ("u2", 0)]:  # u1 has 2 sessions
+        for i in range(3):
+            rows.append(
+                ("s1", "sh0", u, f"{base + i:020d}", 0, b"x",
+                 T0 + dt.timedelta(seconds=base + i * 60))
+            )
+    df = spark.createDataFrame(rows, EVENT_SCHEMA)
+    src_df = df.withColumnRenamed("partition_key", "user_id")
+    sessions = session_aggregate(
+        src_df, ts_col="approximate_arrival_timestamp", gap="30 minutes"
+    ).collect()
+    per_user = {}
+    for r in sessions:
+        per_user.setdefault(r.user_id, []).append(r.n_events)
+    assert sorted(per_user["u1"]) == [3, 3]
+    assert per_user["u2"] == [3]
+
+
+def test_dedup_within_watermark_drops_replays(spark, tmp_path):
+    src = str(tmp_path / "stream")
+    df = make_events(spark, 20)
+    df.write.parquet(src, mode="append")
+    df.write.parquet(src, mode="append")  # exact replay (KPL retry analog)
+    out = _drain(
+        spark,
+        dedup_within_watermark(file_stream_source(spark, src)),
+        tmp_path,
+        "dedup",
+    )
+    assert out.count() == 20
+
+
+def test_stateful_running_count_carries_state_across_batches(spark, tmp_path):
+    src = str(tmp_path / "stream")
+    make_events(spark, 30, shards=2).write.parquet(src, mode="append")
+    make_events(spark, 10, shards=2, start=1000).write.parquet(src, mode="append")
+    out = _drain(
+        spark,
+        stateful_running_count(file_stream_source(spark, src)),
+        tmp_path,
+        "state_count",
+        output_mode="update",
+    ).collect()
+    # last emitted row per key reflects the cumulative count
+    last = {}
+    for r in out:
+        last[r.partition_key] = max(
+            last.get(r.partition_key, 0), r.total_count
+        )
+    assert last == {"0": 20, "1": 20}
+    max_seqs = {r.partition_key: r.max_sequence_number for r in out if r.total_count == 20}
+    assert all(s == f"{1008 if k == '0' else 1009:020d}" for k, s in max_seqs.items())
