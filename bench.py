@@ -35,6 +35,8 @@ HEADLINE = [
     "q25_text_stats_by_lang",
     "q29_embedding_cosine_topk",
     "q30_embedding_ann_lsh",
+    "q32_media_decode",
+    "q37_range_join",
 ]
 
 

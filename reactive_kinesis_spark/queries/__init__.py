@@ -44,7 +44,12 @@ def query(name: str, oracle: str | None = None):
 
 def load_all() -> dict[str, QueryDef]:
     """Import all query modules (side-effect: registry population)."""
-    from reactive_kinesis_spark.queries import events, llm, relational  # noqa: F401
+    from reactive_kinesis_spark.queries import (  # noqa: F401
+        events,
+        llm,
+        multimodal,
+        relational,
+    )
 
     return QUERIES
 

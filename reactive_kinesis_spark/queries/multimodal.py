@@ -1,0 +1,129 @@
+"""Multimodal-pipeline queries (north-star extensions): binary media
+columns processed through Arrow-batched ``mapInPandas`` plumbing
+(operators.multimodal), verified against DuckDB oracles that recompute the
+deterministic fake-codec math in portable SQL.
+
+Media fixture: the ``documents`` table's text re-encoded as binary blobs —
+the blob *content* is irrelevant to the plumbing under test (schema, batch
+shape, explode arithmetic, null handling); what matters is that both engines
+see identical bytes.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from reactive_kinesis_spark.operators import multimodal as M
+from reactive_kinesis_spark.queries import query
+from reactive_kinesis_spark.tables import load_table
+
+
+def _media_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """documents → the standard media frame (media_id, media, media_meta).
+    Narrow projection; blob = UTF-8 bytes of the text."""
+    docs = load_table(spark, sf_dir, "documents")
+    return M.with_media_meta(
+        docs.select(
+            F.col("doc_id").alias("media_id"),
+            F.col("text").cast("binary").alias("media"),
+        ),
+        mime="text/plain",
+    )
+
+
+# DuckDB re-derivation of fake_decoder's dimension math: width/height come
+# from the first two bytes of sha256(blob); sha256() in DuckDB takes VARCHAR
+# and hashes its UTF-8 bytes — identical input to the Python side.
+_HEXB = "strpos('0123456789abcdef', {h}[{i}]) - 1"
+
+
+def _sha_byte(pos: int) -> str:
+    hi = _HEXB.format(h="sha256(text)", i=2 * pos + 1)
+    lo = _HEXB.format(h="sha256(text)", i=2 * pos + 2)
+    return f"(({hi}) * 16 + ({lo}))"
+
+
+@query(
+    "q32_media_decode",
+    oracle=f"""
+    SELECT doc_id AS media_id,
+           CAST(4 + {_sha_byte(0)} % 4 AS INT) AS width,
+           CAST(4 + {_sha_byte(1)} % 4 AS INT) AS height,
+           3 AS n_channels,
+           CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes
+    FROM documents
+    ORDER BY media_id
+    """,
+)
+def q32_media_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Media decode plumbing: binary column → (dims, size) via Arrow-batched
+    ``mapInPandas`` with the deterministic fake codec. Narrow (no shuffle
+    before the final presentation sort); memory bounded by Arrow batch size ×
+    blob size — the 100 TB posture for opaque media columns."""
+    dec = M.decode_media(_media_frame(spark, sf_dir), decoder=M.fake_decoder)
+    return dec.select("media_id", "width", "height", "n_channels", "n_bytes").orderBy(
+        "media_id"
+    )
+
+
+@query(
+    "q33_frame_sample",
+    oracle="""
+    WITH m AS (
+        SELECT doc_id AS media_id,
+               CAST(doc_id % 10 + 1 AS BIGINT) AS n,
+               octet_length(encode(text)) AS len
+        FROM documents
+    )
+    SELECT media_id,
+           CAST(n AS BIGINT) AS n_frames,
+           CAST(LEAST(n * GREATEST(1, len // n), len) AS BIGINT) AS total_frame_bytes
+    FROM m
+    ORDER BY media_id
+    """,
+)
+def q33_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frame sampling: 1→N explode of a media blob into per-frame rows
+    (duration-derived frame count), re-aggregated to per-media stats. The
+    oracle recomputes the slice arithmetic closed-form; row-explosion and
+    byte-slicing happen for real on the Spark side."""
+    media = _media_frame(spark, sf_dir).withColumn(
+        "media_meta",
+        F.struct(
+            F.lit("video/fake").alias("mime"),
+            F.lit(None).cast("int").alias("width"),
+            F.lit(None).cast("int").alias("height"),
+            ((F.col("media_id") % 10 + 1) * 1000).cast("long").alias("duration_ms"),
+        ),
+    )
+    frames = M.frame_sample(media, every_ms=1000)
+    return (
+        frames.groupBy("media_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_frames"),
+            F.sum(F.octet_length("frame")).alias("total_frame_bytes"),
+        )
+        .orderBy("media_id")
+    )
+
+
+@query("q34_media_features")  # rows-only: sha256-projection not portable SQL
+def q34_media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Feature extraction: blob → array<float> embedding (fake projection;
+    a real model slots into the same Arrow signature), then fed straight
+    into the JVM-side cosine pipeline — media and text embeddings share one
+    similarity surface. Deterministic; verified by rows+schema check."""
+    feats = M.media_features(
+        _media_frame(spark, sf_dir), dim=16, decoder=M.fake_decoder
+    )
+    dot = F.aggregate(
+        F.zip_with("embedding", "embedding", lambda a, b: a * b),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    return feats.select(
+        "media_id",
+        F.round(dot, 6).alias("self_dot"),
+        F.size("embedding").alias("dim"),
+    ).orderBy("media_id")

@@ -581,3 +581,99 @@ def q16_part_supplier_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("s_name", "p_type")
     )
+
+
+# --------------------------------------------------------------------------
+# q35 — explicit GROUPING SETS / q36 — approx distinct / q37 — range join
+# --------------------------------------------------------------------------
+
+
+@query(
+    "q35_grouping_sets",
+    oracle="""
+    SELECT l_returnflag, l_linestatus, COUNT(*) AS n_items,
+           CAST(SUM(CAST(l_quantity AS DECIMAL(38,6))) AS DOUBLE) AS sum_qty
+    FROM lineitem
+    GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus))
+    ORDER BY l_returnflag NULLS FIRST, l_linestatus NULLS FIRST
+    """,
+)
+def q35_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Explicit GROUPING SETS (disjoint single-column sets — neither rollup
+    nor cube): Catalyst plans one Expand over the scan, not N unions."""
+    _t(spark, sf_dir, "lineitem").createOrReplaceTempView("lineitem_v")
+    return spark.sql(
+        """
+        SELECT l_returnflag, l_linestatus, COUNT(*) AS n_items,
+               CAST(SUM(CAST(l_quantity AS DECIMAL(38,6))) AS DOUBLE) AS sum_qty
+        FROM lineitem_v
+        GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus))
+        ORDER BY l_returnflag ASC NULLS FIRST, l_linestatus ASC NULLS FIRST
+        """
+    )
+
+
+@query("q36_approx_distinct")  # rows-only: HLL sketch differs across engines
+def q36_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """approx_count_distinct (HyperLogLog++) next to the exact count — the
+    scale path for distinct-cardinality over 100 TB (sketches merge map-side;
+    no exact-distinct Expand blowup). Emits per-group relative error at the
+    default rsd=0.05; deterministic for fixed input (HLL merge is
+    order-insensitive)."""
+    li = _t(spark, sf_dir, "lineitem")
+    agg = li.groupBy("l_returnflag").agg(
+        F.approx_count_distinct("l_orderkey").alias("approx_orders"),
+        F.countDistinct("l_orderkey").alias("exact_orders"),
+    )
+    return agg.select(
+        "l_returnflag",
+        "approx_orders",
+        "exact_orders",
+        F.round(
+            F.abs(F.col("approx_orders") - F.col("exact_orders"))
+            / F.col("exact_orders"),
+            4,
+        ).alias("rel_err"),
+    ).orderBy("l_returnflag")
+
+
+@query(
+    "q37_range_join",
+    oracle="""
+    WITH bands AS (
+        SELECT band_id, CAST(band_id * 50000 AS DOUBLE) AS lo,
+               CAST((band_id + 1) * 50000 AS DOUBLE) AS hi
+        FROM UNNEST(range(0, 12)) AS t(band_id)
+    )
+    SELECT b.band_id, COUNT(o.o_orderkey) AS n_orders,
+           COALESCE(CAST(SUM(CAST(o_totalprice AS DECIMAL(38,6))) AS DOUBLE), 0.0) AS sum_price
+    FROM bands b LEFT JOIN orders o
+      ON o.o_totalprice >= b.lo AND o.o_totalprice < b.hi
+    GROUP BY b.band_id
+    ORDER BY b.band_id
+    """,
+)
+def q37_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Range (interval) join: facts against a tiny band table on a
+    non-equi predicate. The band side is broadcast, so the physical plan is
+    BroadcastNestedLoopJoin over a scan — the only sane shape when the join
+    key is an interval; at 100 TB the fact side still never shuffles."""
+    orders = _t(spark, sf_dir, "orders")
+    bands = spark.range(0, 12).select(
+        F.col("id").cast("int").alias("band_id"),
+        (F.col("id") * 50000).cast("double").alias("lo"),
+        ((F.col("id") + 1) * 50000).cast("double").alias("hi"),
+    )
+    joined = F.broadcast(bands).join(
+        orders,
+        (F.col("o_totalprice") >= F.col("lo")) & (F.col("o_totalprice") < F.col("hi")),
+        "left",
+    )
+    return (
+        joined.groupBy("band_id")
+        .agg(
+            F.count("o_orderkey").alias("n_orders"),
+            F.coalesce(dsum("o_totalprice"), F.lit(0.0)).alias("sum_price"),
+        )
+        .orderBy("band_id")
+    )
