@@ -1,0 +1,155 @@
+"""Tests: stream-static / stream-stream joins, skew helpers, batch IO."""
+
+from __future__ import annotations
+
+import datetime as dt
+
+import pytest
+from pyspark.sql import functions as F
+
+from reactive_kinesis_spark import io as rio
+from reactive_kinesis_spark.operators.skew import (
+    replicated_skew_join,
+    salted_agg,
+)
+from reactive_kinesis_spark.schemas import EVENT_SCHEMA
+from reactive_kinesis_spark.streaming import file_stream_source
+from reactive_kinesis_spark.streaming.joins import (
+    stream_static_join,
+    stream_stream_join,
+)
+from tests.test_streaming import T0, make_events
+
+
+def _drain(spark, df, tmp_path, name, output_mode="append"):
+    q = (
+        df.writeStream.format("memory")
+        .queryName(name)
+        .outputMode(output_mode)
+        .option("checkpointLocation", str(tmp_path / f"ckpt_{name}"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.sql(f"SELECT * FROM {name}")
+
+
+def test_stream_static_join_broadcast(spark, tmp_path):
+    src = str(tmp_path / "stream")
+    make_events(spark, 20).write.parquet(src, mode="append")
+    dim = spark.createDataFrame(
+        [("0", "alpha"), ("1", "beta")], "partition_key string, label string"
+    )
+    out = _drain(
+        spark,
+        stream_static_join(file_stream_source(spark, src), dim, on=["partition_key"]),
+        tmp_path,
+        "ssj",
+    ).collect()
+    assert len(out) == 20
+    assert {(r.partition_key, r.label) for r in out} == {("0", "alpha"), ("1", "beta")}
+
+
+def test_stream_stream_join_within_interval(spark, tmp_path):
+    left_src = str(tmp_path / "left")
+    right_src = str(tmp_path / "right")
+    make_events(spark, 10).write.parquet(left_src, mode="append")
+    # right events: same keys, timestamps shifted +30s (within 1 minute)
+    # and one row shifted +2h (outside the interval)
+    rows = [
+        ("s2", "sh0", str(i % 2), f"{500 + i:020d}", 0, b"r",
+         T0 + dt.timedelta(seconds=i + 30))
+        for i in range(10)
+    ] + [("s2", "sh0", "0", f"{900:020d}", 0, b"far", T0 + dt.timedelta(hours=2))]
+    spark.createDataFrame(rows, EVENT_SCHEMA).write.parquet(right_src, mode="append")
+
+    joined = stream_stream_join(
+        file_stream_source(spark, left_src),
+        file_stream_source(spark, right_src),
+        key="partition_key",
+        within="1 minute",
+    )
+    out = _drain(spark, joined, tmp_path, "s2s").collect()
+    # every pair with same key and |Δts| <= 60s; the +2h row matches nothing
+    left_ts = {i: T0 + dt.timedelta(seconds=i) for i in range(10)}
+    right_ts = {i: T0 + dt.timedelta(seconds=i + 30) for i in range(10)}
+    expect = sum(
+        1
+        for li, lt in left_ts.items()
+        for ri, rt in right_ts.items()
+        if li % 2 == ri % 2 and abs((lt - rt).total_seconds()) <= 60
+    )
+    assert len(out) == expect
+    assert all(r.r_sequence_number != f"{900:020d}" for r in out)
+
+    # batch twin: same helper on batch frames gives identical pairs
+    batch = stream_stream_join(
+        spark.read.schema(EVENT_SCHEMA).parquet(left_src),
+        spark.read.schema(EVENT_SCHEMA).parquet(right_src),
+        key="partition_key",
+        within="1 minute",
+    ).count()
+    assert batch == expect
+
+
+def test_salted_agg_matches_plain(spark):
+    df = spark.createDataFrame(
+        [(("hot" if i % 10 else f"k{i}"), float(i)) for i in range(1000)],
+        "k string, v double",
+    )
+    plain = {
+        (r.k): (r.n, r.total, r.mx)
+        for r in df.groupBy("k")
+        .agg(F.count(F.lit(1)).alias("n"), F.sum("v").alias("total"), F.max("v").alias("mx"))
+        .collect()
+    }
+    salted = {
+        (r.k): (r.n, r.total, r.mx)
+        for r in salted_agg(
+            df, ["k"], {"n": ("count", "*"), "total": ("sum", "v"), "mx": ("max", "v")}
+        ).collect()
+    }
+    assert salted == plain
+
+
+def test_salted_agg_hll(spark):
+    df = spark.createDataFrame(
+        [("a", i % 50) for i in range(500)] + [("b", i) for i in range(20)],
+        "k string, v int",
+    )
+    out = {r.k: r.nd for r in salted_agg(df, ["k"], {"nd": ("count_distinct_approx", "v")}).collect()}
+    assert abs(out["a"] - 50) <= 3 and abs(out["b"] - 20) <= 2
+
+
+def test_replicated_skew_join_matches_plain(spark):
+    fact = spark.createDataFrame(
+        [(("hot" if i % 5 else f"k{i}"), i) for i in range(500)], "k string, v int"
+    )
+    dim = spark.createDataFrame(
+        [("hot", "H")] + [(f"k{i}", f"L{i}") for i in range(0, 500, 5)],
+        "k string, label string",
+    )
+    plain = sorted((r.k, r.v, r.label) for r in fact.join(dim, "k").collect())
+    salted = sorted((r.k, r.v, r.label) for r in replicated_skew_join(fact, dim, "k").collect())
+    assert salted == plain
+
+
+def test_batch_io_roundtrip(spark, tmp_path):
+    df = spark.createDataFrame(
+        [(i, f"s{i}", float(i) / 7) for i in range(100)], "id long, s string, v double"
+    )
+    for fmt in ("parquet", "csv", "json", "orc"):
+        path = str(tmp_path / fmt)
+        rio.write_batch(df, path, fmt=fmt)
+        back = rio.read_batch(
+            spark, path, fmt=fmt,
+            schema="id long, s string, v double" if fmt in ("csv", "json") else None,
+        )
+        assert sorted(map(tuple, back.collect())) == sorted(map(tuple, df.collect())), fmt
+
+
+def test_batch_io_guards(spark, tmp_path):
+    with pytest.raises(ValueError, match="schema"):
+        rio.read_batch(spark, str(tmp_path), fmt="csv")
+    with pytest.raises(ValueError, match="format"):
+        rio.read_batch(spark, str(tmp_path), fmt="avro")
