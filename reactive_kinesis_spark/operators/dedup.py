@@ -138,6 +138,10 @@ def minhash_lsh_pairs(
     Returns ``(id_1, id_2, jaccard)``.
     """
     rows_per_band = num_hashes // bands
+    # NB: the shingle frame feeds three subtrees (signatures, sizes,
+    # candidate verification). Recomputing it is measurably cheaper than
+    # .cache(): materializing the exploded string frame costs more than the
+    # fused scan+explode+distinct pipeline it would save.
     sh = shingles(df, text_col, id_col, n)
     sig = minhash_signatures(sh, id_col, num_hashes)
     band_cols = [

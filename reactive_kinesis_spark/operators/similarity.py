@@ -332,3 +332,109 @@ def embedding_neardup_pairs(
         .select("id_1", "id_2", cosine_similarity("__v1", "__v2").alias("cosine_sim"))
         .where(F.col("cosine_sim") >= threshold)
     )
+
+
+# --------------------------------------------------------------------------
+# IVF (inverted-file) ANN
+# --------------------------------------------------------------------------
+
+
+def _train_centroids(mat, n_cells: int, iters: int = 8):
+    """Deterministic Lloyd's k-means on a fixed training sample (init = the
+    first ``n_cells`` rows, which are id-ordered upstream). Driver-side: the
+    sample is small; the clustering cost is O(sample·cells·dim·iters)."""
+    import numpy as np
+
+    cents = mat[:n_cells].copy()
+    for _ in range(iters):
+        d2 = ((mat[:, None, :] - cents[None, :, :]) ** 2).sum(axis=2)
+        assign = d2.argmin(axis=1)
+        for c in range(n_cells):
+            members = mat[assign == c]
+            if len(members):
+                cents[c] = members.mean(axis=0)
+    return cents
+
+
+def ivf_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 5,
+    n_cells: int = 16,
+    n_probe: int = 4,
+    train_sample: int = 2048,
+) -> DataFrame:
+    """Approximate top-k via IVF partitioning — the second ANN scale path
+    next to :func:`ann_lsh_topk`.
+
+    Build: k-means centroids trained driver-side on a deterministic
+    id-ordered sample, broadcast via task closures; every corpus vector is
+    assigned to its nearest cell in one narrow Arrow pass (no shuffle).
+    Search: each query probes its ``n_probe`` nearest cells; candidates =
+    corpus vectors in those cells (cell equi-join), exact cosine re-rank on
+    candidates only. Expected candidate fraction ≈ n_probe/n_cells.
+
+    Deterministic end-to-end (fixed init, fixed sample, argmin ties by
+    lowest index). Returns ``(query_id, neighbor_id, cosine_sim, rn)``.
+    """
+    import numpy as np
+
+    train_rows = (
+        corpus.orderBy(id_col).limit(train_sample).select(vec_col).collect()
+    )
+    cents = _train_centroids(
+        np.array([list(r[0]) for r in train_rows], dtype="float64"), n_cells
+    )
+
+    def assigner(df: DataFrame, id_alias: str, vec_alias: str, probes: int) -> DataFrame:
+        vec_type = df.schema[vec_col].dataType
+        out_schema = StructType(
+            [
+                StructField(id_alias, LongType()),
+                StructField(vec_alias, vec_type),
+                StructField("cell", IntegerType()),
+            ]
+        )
+
+        def run(batches: Iterator) -> Iterator:
+            import pandas as pd
+
+            for pdf in batches:
+                mat = np.array(pdf[vec_col].tolist(), dtype="float64")
+                if mat.size == 0:
+                    continue
+                d2 = ((mat[:, None, :] - cents[None, :, :]) ** 2).sum(axis=2)
+                # lowest-index tie-break is argsort(kind='stable') semantics;
+                # argpartition is not deterministic under ties → argsort
+                order = np.argsort(d2, axis=1, kind="stable")[:, :probes]
+                frames = []
+                for p in range(probes):
+                    frames.append(
+                        pd.DataFrame(
+                            {
+                                id_alias: pdf[id_col].to_numpy(dtype="int64"),
+                                vec_alias: pdf[vec_col],
+                                "cell": order[:, p].astype("int32"),
+                            }
+                        )
+                    )
+                yield pd.concat(frames, ignore_index=True)
+
+        return df.select(id_col, vec_col).mapInPandas(run, out_schema)
+
+    cb = assigner(corpus, "neighbor_id", "__cvec", probes=1)
+    qb = assigner(queries, "query_id", "__qvec", probes=n_probe)
+    cand = (
+        cb.join(F.broadcast(qb), "cell")
+        .where(F.col("query_id") != F.col("neighbor_id"))
+        .select("query_id", "neighbor_id", "__qvec", "__cvec")
+    )
+    scored = cand.select(
+        "query_id",
+        "neighbor_id",
+        cosine_similarity("__qvec", "__cvec").alias("cosine_sim"),
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("cosine_sim").desc(), "neighbor_id")
+    return scored.withColumn("rn", F.row_number().over(w).cast("int")).where(F.col("rn") <= k)

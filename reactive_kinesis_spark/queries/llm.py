@@ -312,3 +312,18 @@ def q31_embedding_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("label", "dim")
     )
+
+
+@query("q38_embedding_ann_ivf")  # rows-only: approximate by design
+def q38_embedding_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANN top-5 via IVF cell partitioning: deterministic driver-side
+    k-means centroids, narrow Arrow assignment pass (corpus never shuffles),
+    n_probe-cell candidate join + exact re-rank — the second ANN scale path
+    (candidate fraction ≈ n_probe/n_cells, independent of corpus size)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.where(F.col("vec_id") < 100)
+    return (
+        S.ivf_topk(emb, queries, "vec_id", "embedding", k=5, n_cells=16, n_probe=6)
+        .select("query_id", "neighbor_id", "cosine_sim", "rn")
+        .orderBy("query_id", "rn")
+    )

@@ -39,3 +39,22 @@ def test_embedding_neardup_pairs_runs(spark, sf_dir):
     for r in rows:
         assert r.id_1 < r.id_2
         assert r.cosine_sim >= 0.8
+
+
+def test_ivf_recall_and_determinism(spark, sf_dir):
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.where(F.col("vec_id") < 50)
+    exact = {
+        (r.query_id, r.neighbor_id)
+        for r in S.cosine_topk(emb, queries, k=5).select("query_id", "neighbor_id").collect()
+    }
+    run1 = S.ivf_topk(emb, queries, k=5, n_cells=16, n_probe=6)
+    got1 = sorted((r.query_id, r.neighbor_id, r.cosine_sim) for r in run1.collect())
+    approx = {(q, n) for q, n, _ in got1}
+    recall = len(exact & approx) / len(exact)
+    assert recall >= 0.5, f"IVF recall too low: {recall:.2f}"
+    got2 = sorted(
+        (r.query_id, r.neighbor_id, r.cosine_sim)
+        for r in S.ivf_topk(emb, queries, k=5, n_cells=16, n_probe=6).collect()
+    )
+    assert got1 == got2  # deterministic incl. float bits
