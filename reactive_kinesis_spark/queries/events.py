@@ -173,3 +173,99 @@ def q20_events_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("user_id", "session_id")
     )
+
+
+@query(
+    "q39_sliding_window",
+    oracle=f"""
+    WITH starts AS (
+        SELECT date_trunc('hour', ts) AS ws, value FROM events
+        UNION ALL
+        SELECT date_trunc('hour', ts) - INTERVAL 1 HOUR AS ws, value FROM events
+    )
+    SELECT ws AS window_start, ws + INTERVAL 2 HOUR AS window_end,
+           COUNT(*) AS n_events, {dsum_sql('value', 'sum_value')}
+    FROM starts GROUP BY ws ORDER BY ws
+    """,
+)
+def q39_sliding_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding event-time windows (2h size / 1h slide) through the SAME
+    streaming helper used under readStream (streaming.windows
+    .windowed_aggregate) — each event lands in exactly two windows; the
+    oracle reproduces that as a union of two offset tumbling grids."""
+    from reactive_kinesis_spark.streaming.windows import windowed_aggregate
+
+    ev = load_table(spark, sf_dir, "events")
+    return windowed_aggregate(
+        ev, ts_col="ts", window="2 hours", slide="1 hour", value_col="value"
+    ).orderBy("window_start")
+
+
+@query(
+    "q40_salted_agg",
+    oracle=f"""
+    SELECT event_type, COUNT(*) AS n_events,
+           {dsum_sql('value', 'sum_value')},
+           CAST(MAX(value) AS DOUBLE) AS max_value
+    FROM events
+    GROUP BY event_type
+    ORDER BY event_type
+    """,
+)
+def q40_salted_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skew-safe two-phase aggregation (operators.skew.salted_agg): the hot
+    key fans out over 32 salt buckets in phase 1, partials merge per key in
+    phase 2 — results provably identical to the plain groupBy (the oracle IS
+    the plain groupBy)."""
+    from reactive_kinesis_spark.operators.skew import salted_agg
+
+    ev = load_table(spark, sf_dir, "events").withColumn(
+        "value_dec", F.col("value").cast("decimal(38,6)")
+    )
+    out = salted_agg(
+        ev,
+        ["event_type"],
+        {
+            "n_events": ("count", "*"),
+            "sum_value_dec": ("sum", "value_dec"),
+            "max_value": ("max", "value"),
+        },
+        buckets=32,
+    )
+    return out.select(
+        "event_type",
+        "n_events",
+        F.col("sum_value_dec").cast("double").alias("sum_value"),
+        F.col("max_value").cast("double").alias("max_value"),
+    ).orderBy("event_type")
+
+
+@query(
+    "q41_interval_self_join",
+    oracle="""
+    SELECT a.user_id, COUNT(*) AS n_pairs
+    FROM events a JOIN events b
+      ON a.user_id = b.user_id
+     AND b.ts BETWEEN a.ts - INTERVAL 1 MINUTE AND a.ts + INTERVAL 1 MINUTE
+     AND a.event_id < b.event_id
+    GROUP BY a.user_id
+    ORDER BY a.user_id
+    """,
+)
+def q41_interval_self_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Event-time interval join through the SAME helper that runs the
+    watermarked stream-stream join under readStream (streaming.joins
+    .stream_stream_join; on batch frames the time bound is a plain
+    predicate): pairs of events from one user within ±1 minute."""
+    from reactive_kinesis_spark.streaming.joins import stream_stream_join
+
+    ev = load_table(spark, sf_dir, "events").select("user_id", "event_id", "ts")
+    j = stream_stream_join(
+        ev, ev, key="user_id", left_ts="ts", right_ts="ts", within="1 minute"
+    )
+    return (
+        j.where(F.col("event_id") < F.col("r_event_id"))
+        .groupBy("user_id")
+        .agg(F.count(F.lit(1)).alias("n_pairs"))
+        .orderBy("user_id")
+    )

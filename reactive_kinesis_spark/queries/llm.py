@@ -327,3 +327,18 @@ def q38_embedding_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("query_id", "neighbor_id", "cosine_sim", "rn")
         .orderBy("query_id", "rn")
     )
+
+
+@query("q42_embedding_neardup")  # rows-only: LSH candidate set by design
+def q42_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs via hyperplane LSH bucketing +
+    exact verification — the vector twin of MinHash text dedup; candidates
+    O(bucket collisions), never O(pairs). Threshold 0.4 exercises a
+    non-empty result on the near-random synthetic embeddings (max pairwise
+    cosine ≈ 0.51; production near-dup thresholds are ≥ 0.9 where LSH
+    recall ≈ 1)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    return (
+        S.embedding_neardup_pairs(emb, "vec_id", "embedding", threshold=0.4)
+        .orderBy("id_1", "id_2")
+    )
