@@ -168,3 +168,79 @@ def stateful_running_count(
             ),
         )
     )
+
+
+def stateful_running_count_tws(
+    df: DataFrame,
+    key_col: str = "partition_key",
+) -> DataFrame:
+    """``transformWithStateInPandas`` twin of :func:`stateful_running_count`
+    — Spark 4's arbitrary-stateful-processing API (typed value state,
+    explicit lifecycle, RocksDB-backed). Same output: per-key cumulative
+    count + high-water sequence number per micro-batch.
+
+    Requires the RocksDB state store provider
+    (``spark.sql.streaming.stateStore.providerClass =
+    ...RocksDBStateStoreProvider``) — the provider the 100 TB deployment
+    uses anyway (state >> executor heap).
+    """
+    import pandas as pd
+    from pyspark.sql.streaming.stateful_processor import (
+        StatefulProcessor,
+        StatefulProcessorHandle,
+    )
+    from pyspark.sql.types import (
+        LongType,
+        StringType,
+        StructField,
+        StructType,
+    )
+
+    out_schema = StructType(
+        [
+            StructField(key_col, StringType()),
+            StructField("total_count", LongType()),
+            StructField("max_sequence_number", StringType()),
+        ]
+    )
+    state_schema = StructType(
+        [
+            StructField("count", LongType()),
+            StructField("max_seq", StringType()),
+        ]
+    )
+
+    class RunningCount(StatefulProcessor):
+        def init(self, handle: StatefulProcessorHandle) -> None:
+            self._state = handle.getValueState("running", state_schema)
+
+        def handleInputRows(self, key, rows, timerValues):
+            count, max_seq = (
+                self._state.get() if self._state.exists() else (0, "")
+            )
+            for pdf in rows:
+                count += len(pdf)
+                if len(pdf):
+                    batch_max = max(
+                        pdf["sequence_number"], key=lambda s: (len(s), s)
+                    )
+                    if (len(batch_max), batch_max) > (len(max_seq), max_seq):
+                        max_seq = batch_max
+            self._state.update((count, max_seq))
+            yield pd.DataFrame(
+                {
+                    key_col: [key[0]],
+                    "total_count": [count],
+                    "max_sequence_number": [max_seq],
+                }
+            )
+
+        def close(self) -> None:
+            pass
+
+    return df.groupBy(key_col).transformWithStateInPandas(
+        RunningCount(),
+        outputStructType=out_schema,
+        outputMode="Update",
+        timeMode="None",
+    )

@@ -6,6 +6,7 @@ from __future__ import annotations
 
 import datetime as dt
 
+import pytest
 from pyspark.sql import functions as F
 
 from reactive_kinesis_spark.schemas import EVENT_SCHEMA
@@ -146,3 +147,34 @@ def test_stateful_running_count_carries_state_across_batches(spark, tmp_path):
     assert last == {"0": 20, "1": 20}
     max_seqs = {r.partition_key: r.max_sequence_number for r in out if r.total_count == 20}
     assert all(s == f"{1008 if k == '0' else 1009:020d}" for k, s in max_seqs.items())
+
+
+def test_transform_with_state_matches_applyinpandas(spark, tmp_path):
+    # transformWithStateInPandas's state-server protocol needs protobuf,
+    # which this environment doesn't ship — the operator itself is the
+    # production path (typed state + RocksDB); applyInPandasWithState above
+    # covers the semantics where protobuf is absent.
+    pytest.importorskip("google.protobuf")
+    from reactive_kinesis_spark.streaming.windows import stateful_running_count_tws
+
+    spark.conf.set(
+        "spark.sql.streaming.stateStore.providerClass",
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider",
+    )
+    try:
+        src = str(tmp_path / "stream")
+        make_events(spark, 30, shards=2).write.parquet(src, mode="append")
+        make_events(spark, 10, shards=2, start=1000).write.parquet(src, mode="append")
+        out = _drain(
+            spark,
+            stateful_running_count_tws(file_stream_source(spark, src)),
+            tmp_path,
+            "tws_count",
+            output_mode="update",
+        ).collect()
+        last = {}
+        for r in out:
+            last[r.partition_key] = max(last.get(r.partition_key, 0), r.total_count)
+        assert last == {"0": 20, "1": 20}
+    finally:
+        spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
