@@ -1,0 +1,68 @@
+"""Physical-plan regression tests — the scale discipline, asserted.
+
+A query that silently loses its broadcast or its parquet pushdown still
+passes value checks at sf0.01 but falls over at 100 TB; these tests pin the
+plan shapes that matter.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from reactive_kinesis_spark.queries import load_all
+from reactive_kinesis_spark.tables import load_table
+
+
+def _plan(df) -> str:
+    jdf = df._jdf
+    jvm = df.sparkSession._jvm
+    return jdf.queryExecution().explainString(
+        jvm.org.apache.spark.sql.execution.ExplainMode.fromString("formatted")
+    )
+
+
+def test_filter_and_projection_reach_the_scan(spark, sf_dir):
+    df = load_all()["q02_filter_project"].fn(spark, sf_dir)
+    plan = _plan(df)
+    assert "PushedFilters: [IsNotNull(l_discount)" in plan
+    # column pruning: the scan must read only the 5 needed columns
+    import re
+
+    read = re.search(r"ReadSchema: struct<([^>]*)>", plan).group(1)
+    cols = {c.split(":")[0] for c in read.split(",")}
+    assert cols == {"l_orderkey", "l_linenumber", "l_quantity", "l_extendedprice", "l_discount"}
+
+
+def test_star_join_broadcasts_all_dims(spark, sf_dir):
+    plan = _plan(load_all()["q04_star_join"].fn(spark, sf_dir))
+    assert plan.count("BroadcastHashJoin") >= 3  # orders/customer/nation/region dims
+    assert "SortMergeJoin" not in plan  # the fact table must not shuffle to join
+    assert "CartesianProduct" not in plan
+
+
+def test_range_join_broadcasts_band_side(spark, sf_dir):
+    plan = _plan(load_all()["q37_range_join"].fn(spark, sf_dir))
+    assert "BroadcastNestedLoopJoin" in plan  # non-equi join, tiny side broadcast
+    assert "CartesianProduct" not in plan
+
+
+def test_partial_aggregation_before_shuffle(spark, sf_dir):
+    plan = _plan(load_all()["q01_pricing_summary"].fn(spark, sf_dir))
+    # partial+final hash aggregation: two HashAggregate ops around one
+    # shuffle — map-side combine is what keeps 100 TB aggregations viable
+    assert plan.count("HashAggregate") >= 2
+    assert "partial_" in plan  # partial aggregate functions present
+
+
+def test_media_ops_are_narrow(spark, sf_dir):
+    """Multimodal decode must not shuffle blobs: the only exchange allowed
+    is the final presentation sort."""
+    from reactive_kinesis_spark.operators import multimodal as M
+
+    docs = load_table(spark, sf_dir, "documents")
+    media = M.with_media_meta(
+        docs.select(F.col("doc_id").alias("media_id"), F.col("text").cast("binary").alias("media")),
+        "text/plain",
+    )
+    plan = _plan(M.decode_media(media, decoder=M.fake_decoder))
+    assert "Exchange" not in plan  # fully narrow: scan → project → mapInPandas
