@@ -141,7 +141,10 @@ def minhash_lsh_pairs(
     # NB: the shingle frame feeds three subtrees (signatures, sizes,
     # candidate verification). Recomputing it is measurably cheaper than
     # .cache(): materializing the exploded string frame costs more than the
-    # fused scan+explode+distinct pipeline it would save.
+    # fused scan+explode+distinct pipeline it would save. (Also measured:
+    # folding the n_sh count into the signature aggregation to share one
+    # pass is ~70% SLOWER — the wider agg buffer hurts more than the
+    # second shuffle, and ReuseExchange doesn't fire under AQE here.)
     sh = shingles(df, text_col, id_col, n)
     sig = minhash_signatures(sh, id_col, num_hashes)
     band_cols = [

@@ -88,12 +88,17 @@ def q22_dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query("q23_dedup_minhash_lsh")  # rows-only: hash family not portable SQL
 def q23_dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """MinHash(64)+LSH(16 bands) near-dup pairs verified with exact Jaccard
-    — the sub-quadratic 100 TB dedup path (cost O(docs·shingles) +
-    O(candidates), never O(pairs))."""
+    """MinHash+LSH near-dup pairs verified with exact Jaccard — the
+    sub-quadratic 100 TB dedup path (cost O(docs·shingles) + O(candidates),
+    never O(pairs)). 32 hashes / 8 bands × 4 rows: candidate recall ≈ 0.985
+    at jaccard 0.8 (≈1 at the planted-duplicate 0.99 level) for half the
+    hashing cost of the 64/16 default; output pairs are identical on this
+    corpus (measured) because candidates are exactly re-verified."""
     docs = load_table(spark, sf_dir, "documents")
     return (
-        D.minhash_lsh_pairs(docs, "text", "doc_id", n=3, threshold=0.8)
+        D.minhash_lsh_pairs(
+            docs, "text", "doc_id", n=3, num_hashes=32, bands=8, threshold=0.8
+        )
         .orderBy("id_1", "id_2")
     )
 
