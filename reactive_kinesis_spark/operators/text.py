@@ -98,3 +98,16 @@ def with_text_stats(df: DataFrame, text_col: str = "text") -> DataFrame:
         quality_score(text_col).alias("quality_score"),
         fingerprint(text_col).alias("fingerprint"),
     )
+
+
+#: GPT-2-style pretokenizer pattern, lookahead-free so it parses identically
+#: under Java regex (Spark) and RE2 (DuckDB): contraction suffixes, then
+#: space-prefixed letter / digit / punctuation runs, then whitespace runs.
+BPE_SPLIT_PATTERN = r"'(?:s|t|re|ve|m|ll|d)| ?[\p{L}]+| ?[\p{N}]+| ?[^\s\p{L}\p{N}]+|\s+"
+
+
+def bpe_token_count(text: Column | str) -> Column:
+    """BPE-ish pretoken count (the unit LLM token budgets are measured in,
+    before merges) — JVM-side ``regexp_extract_all``, no UDF."""
+    c = F.col(text) if isinstance(text, str) else text
+    return F.size(F.regexp_extract_all(c, F.lit(BPE_SPLIT_PATTERN), 0)).cast("int")

@@ -347,3 +347,35 @@ def q42_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
         S.embedding_neardup_pairs(emb, "vec_id", "embedding", threshold=0.4)
         .orderBy("id_1", "id_2")
     )
+
+
+_BPE_SQL_PAT = T.BPE_SPLIT_PATTERN.replace("'", "''")
+
+
+@query(
+    "q43_bpe_token_stats",
+    oracle=f"""
+    SELECT lang,
+           CAST(SUM(len(regexp_extract_all(text, '{_BPE_SQL_PAT}'))) AS BIGINT) AS total_tokens,
+           CAST(MAX(len(regexp_extract_all(text, '{_BPE_SQL_PAT}'))) AS INT) AS max_tokens,
+           COUNT(*) AS n_docs
+    FROM documents
+    GROUP BY lang
+    ORDER BY lang
+    """,
+)
+def q43_bpe_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-budget accounting with the BPE-ish pretokenizer (lookahead-free
+    GPT-2-style split, identical under Java regex and RE2): per-language
+    total/max token counts — the scan-only shape of corpus budgeting at
+    100 TB (narrow, codegen'd, zero shuffle before the final tiny agg)."""
+    docs = load_table(spark, sf_dir, "documents")
+    return (
+        docs.groupBy("lang")
+        .agg(
+            F.sum(T.bpe_token_count("text")).alias("total_tokens"),
+            F.max(T.bpe_token_count("text")).alias("max_tokens"),
+            F.count(F.lit(1)).alias("n_docs"),
+        )
+        .orderBy("lang")
+    )
