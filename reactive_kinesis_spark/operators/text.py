@@ -111,3 +111,21 @@ def bpe_token_count(text: Column | str) -> Column:
     before merges) — JVM-side ``regexp_extract_all``, no UDF."""
     c = F.col(text) if isinstance(text, str) else text
     return F.size(F.regexp_extract_all(c, F.lit(BPE_SPLIT_PATTERN), 0)).cast("int")
+
+
+def deterministic_sample(
+    df: DataFrame,
+    text_col: str = "text",
+    buckets_of_256: int = 64,
+) -> DataFrame:
+    """Reproducible content-hash sampling: keep rows whose md5 falls in the
+    first ``buckets_of_256``/256 of hash space (rate = buckets/256).
+
+    Never ``rand()``: the sample is a pure function of content, so task
+    retries, re-runs, and other engines (the DuckDB oracle) select the
+    identical rows — the property training-data pipelines need for
+    reproducible mixes. Content-keyed (not id-keyed) so exact duplicates
+    sample identically."""
+    c = F.col(text_col) if isinstance(text_col, str) else text_col
+    cutoff = f"{buckets_of_256:02x}"
+    return df.where(F.substring(F.md5(c), 1, 2) < F.lit(cutoff))

@@ -379,3 +379,30 @@ def q43_bpe_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("lang")
     )
+
+
+@query(
+    "q44_deterministic_sample",
+    oracle="""
+    SELECT source, COUNT(*) AS n_sampled,
+           CAST(MIN(doc_id) AS BIGINT) AS first_doc
+    FROM documents
+    WHERE substr(md5(text), 1, 2) < '40'
+    GROUP BY source
+    ORDER BY source
+    """,
+)
+def q44_deterministic_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reproducible ~25% content-hash sample per source (operators.text
+    .deterministic_sample): identical selection on every engine/retry —
+    no rand() anywhere. The predicate pushes to the scan's data filter."""
+    docs = load_table(spark, sf_dir, "documents")
+    return (
+        T.deterministic_sample(docs, "text", buckets_of_256=64)
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_sampled"),
+            F.min("doc_id").alias("first_doc"),
+        )
+        .orderBy("source")
+    )
