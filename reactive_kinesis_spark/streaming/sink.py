@@ -30,6 +30,7 @@ from collections.abc import Callable, Iterator
 from dataclasses import dataclass, field
 
 from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
 
 from reactive_kinesis_spark.config import ProducerConfig
 from reactive_kinesis_spark.streaming.deaggregate import pack_records
@@ -212,3 +213,43 @@ def kinesis_like_sink(
     if trigger_once:
         writer = writer.trigger(availableNow=True)
     return writer.start()
+
+
+def idempotent_foreach_batch(
+    out_dir: str,
+    partition_by: tuple[str, ...] = (),
+):
+    """Exactly-once parquet sink for ``foreachBatch`` via batch-id keyed
+    dynamic-partition overwrite.
+
+    Structured Streaming guarantees at-least-once ``foreachBatch``
+    invocation: after a crash between sink write and commit-log write, the
+    SAME batchId is re-run. Writing each batch under ``_batch_id=<id>`` with
+    dynamic partitionOverwriteMode makes the replay overwrite its own
+    previous (possibly partial) output instead of appending duplicates —
+    at-least-once invocation + idempotent write = exactly-once output.
+
+    This is the engine's answer to the reference's documented caveat
+    (README.md:684-686: KPL retries mean consumers must dedup); for
+    non-transactional external systems (Kinesis PutRecords) at-least-once
+    is the honest contract (see write_batch); for file/table sinks this
+    gives exact semantics.
+
+    Use: ``df.writeStream.foreachBatch(idempotent_foreach_batch(path))``.
+    """
+
+    def write(batch_df: DataFrame, batch_id: int) -> None:
+        spark = batch_df.sparkSession
+        prev = spark.conf.get("spark.sql.sources.partitionOverwriteMode", "static")
+        spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+        try:
+            (
+                batch_df.withColumn("_batch_id", F.lit(batch_id))
+                .write.mode("overwrite")
+                .partitionBy("_batch_id", *partition_by)
+                .parquet(out_dir)
+            )
+        finally:
+            spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev)
+
+    return write

@@ -324,3 +324,41 @@ def test_producer_config_extra_options_passthrough():
     assert p.stream_name == "s2"
     assert p.rate_limit_percent == 150
     assert p.extra_options["SomeKplKnob"] == "42"
+
+
+def test_idempotent_sink_replay_produces_no_duplicates(spark, tmp_path):
+    """At-least-once foreachBatch + batch-id overwrite = exactly-once
+    output: simulate a crash-replay by invoking the same batchId twice
+    (with partial first output), then a second batch."""
+    from reactive_kinesis_spark.streaming.sink import idempotent_foreach_batch
+
+    out = str(tmp_path / "out")
+    sinkfn = idempotent_foreach_batch(out)
+
+    b0 = make_events(spark, 10)
+    sinkfn(b0.limit(6), 0)   # partial write before simulated crash
+    sinkfn(b0, 0)            # replay of the SAME batch id
+    sinkfn(make_events(spark, 5, start=100), 1)
+
+    got = spark.read.parquet(out)
+    assert got.count() == 15  # 10 + 5, no duplicates from the replay
+    seqs = sorted(r.sequence_number for r in got.collect())
+    assert seqs == sorted(
+        [f"{i:020d}" for i in range(10)] + [f"{100+i:020d}" for i in range(5)]
+    )
+
+
+def test_idempotent_sink_end_to_end_streaming(spark, tmp_path):
+    from reactive_kinesis_spark.streaming.sink import idempotent_foreach_batch
+
+    src, out, ckpt = (str(tmp_path / d) for d in ("src", "out", "ckpt"))
+    make_events(spark, 20).write.parquet(src, mode="append")
+    q = (
+        file_stream_source(spark, src)
+        .writeStream.foreachBatch(idempotent_foreach_batch(out))
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    assert spark.read.parquet(out).count() == 20
