@@ -362,3 +362,39 @@ def test_idempotent_sink_end_to_end_streaming(spark, tmp_path):
     )
     q.awaitTermination()
     assert spark.read.parquet(out).count() == 20
+
+
+def test_rate_stream_source_produces_event_schema(spark, tmp_path):
+    from reactive_kinesis_spark.streaming import rate_stream_source
+
+    df = rate_stream_source(spark, rows_per_second=500, num_shards=2)
+    assert df.isStreaming
+    # literal-derived columns are non-nullable — stricter is fine; the
+    # contract is names + types
+    assert [(f.name, f.dataType) for f in df.schema.fields] == [
+        (f.name, f.dataType) for f in EVENT_SCHEMA.fields
+    ]
+    q = (
+        df.writeStream.format("memory")
+        .queryName("rate_src")
+        .outputMode("append")
+        .trigger(processingTime="1 second")
+        .start()
+    )
+    try:
+        import time as _t
+
+        deadline = _t.time() + 30
+        n = 0
+        while _t.time() < deadline:
+            n = spark.sql("SELECT count(*) AS n FROM rate_src").collect()[0].n
+            if n >= 100:
+                break
+            _t.sleep(0.5)
+        assert n >= 100
+        rows = spark.sql("SELECT * FROM rate_src LIMIT 50").collect()
+        assert {r.shard_id for r in rows} <= {"shardId-000000000000", "shardId-000000000001"}
+        assert all(r.payload == r.sequence_number.lstrip("0").encode() or
+                   int(r.payload) == int(r.sequence_number) for r in rows)
+    finally:
+        q.stop()
