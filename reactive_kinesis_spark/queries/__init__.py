@@ -45,6 +45,7 @@ def query(name: str, oracle: str | None = None):
 def load_all() -> dict[str, QueryDef]:
     """Import all query modules (side-effect: registry population)."""
     from reactive_kinesis_spark.queries import (  # noqa: F401
+        advanced,
         events,
         llm,
         multimodal,

@@ -1,0 +1,465 @@
+"""Advanced relational surface: subqueries (correlated + scalar), HAVING,
+pivot/unpivot, exact statistical moments, percentiles, higher-order array
+functions, null-safe joins, filtered/conditional aggregates, and
+distribution window functions.
+
+None of these exist in the reference (SURVEY.md §2.1 — it is a stream
+connector with no relational layer); they complete the §2.2 north-star
+surface. All are pure Catalyst plans: subqueries are decorrelated by the
+optimizer into joins, PIVOT becomes one hash aggregate, higher-order array
+functions stay inside whole-stage codegen (no UDFs anywhere here).
+
+Numeric policy: every DOUBLE aggregate goes through the exact
+DECIMAL(38,6) path (:mod:`reactive_kinesis_spark.functions`) and derived
+statistics are computed with *textually identical* IEEE expression trees in
+Spark and the DuckDB oracle, so results are bit-identical.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from reactive_kinesis_spark.functions import davg_sql, dsum, dsum_sql
+from reactive_kinesis_spark.queries import query
+from reactive_kinesis_spark.tables import load_table
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return load_table(spark, sf_dir, name)
+
+
+_DEC = "decimal(38,6)"
+
+# exact per-group average, usable inside both engines' SQL dialects
+_EXACT_AVG_QTY = "0.2 * (CAST(SUM(CAST(l_quantity AS DECIMAL(38,6))) AS DOUBLE) / COUNT(*))"
+_EXACT_AVG_PRICE = "CAST(SUM(CAST(o_totalprice AS DECIMAL(38,6))) AS DOUBLE) / COUNT(*)"
+
+
+# --------------------------------------------------------------------------
+# q45 — correlated scalar subquery (TPC-H Q17 shape)
+# --------------------------------------------------------------------------
+
+
+@query(
+    "q45_correlated_subquery",
+    oracle=f"""
+    SELECT COUNT(*) AS n_small,
+           CAST(SUM(CAST(l_extendedprice AS DECIMAL(38,6))) AS DOUBLE) / 7.0 AS avg_yearly
+    FROM lineitem l
+    WHERE l_quantity < (
+        SELECT {_EXACT_AVG_QTY}
+        FROM lineitem l2 WHERE l2.l_partkey = l.l_partkey
+    )
+    """,
+)
+def q45_correlated_subquery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Correlated scalar aggregate subquery (TPC-H Q17 "small-quantity
+    revenue" shape). Catalyst decorrelates this into an aggregate + join on
+    l_partkey — one shuffle on the correlation key, no per-row re-execution,
+    which is exactly the plan you want at 100 TB."""
+    _t(spark, sf_dir, "lineitem").createOrReplaceTempView("lineitem_q45")
+    return spark.sql(
+        f"""
+        SELECT COUNT(*) AS n_small,
+               CAST(SUM(CAST(l_extendedprice AS DECIMAL(38,6))) AS DOUBLE) / 7.0 AS avg_yearly
+        FROM lineitem_q45 l
+        WHERE l_quantity < (
+            SELECT {_EXACT_AVG_QTY}
+            FROM lineitem_q45 l2 WHERE l2.l_partkey = l.l_partkey
+        )
+        """
+    )
+
+
+# --------------------------------------------------------------------------
+# q46 — uncorrelated scalar subquery
+# --------------------------------------------------------------------------
+
+
+@query(
+    "q46_scalar_subquery",
+    oracle=f"""
+    SELECT o_orderpriority, COUNT(*) AS n_orders,
+           {dsum_sql('o_totalprice', 'sum_price')}
+    FROM orders
+    WHERE o_totalprice > (SELECT {_EXACT_AVG_PRICE} FROM orders)
+    GROUP BY o_orderpriority
+    ORDER BY o_orderpriority
+    """,
+)
+def q46_scalar_subquery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Uncorrelated scalar subquery: orders above the global average price.
+    The subquery executes once and is broadcast as a literal into the main
+    scan's filter — zero extra shuffles regardless of fact-table size."""
+    _t(spark, sf_dir, "orders").createOrReplaceTempView("orders_q46")
+    return spark.sql(
+        f"""
+        SELECT o_orderpriority, COUNT(*) AS n_orders,
+               {dsum_sql('o_totalprice', 'sum_price')}
+        FROM orders_q46
+        WHERE o_totalprice > (SELECT {_EXACT_AVG_PRICE} FROM orders_q46)
+        GROUP BY o_orderpriority
+        ORDER BY o_orderpriority
+        """
+    )
+
+
+# --------------------------------------------------------------------------
+# q47 — HAVING / filter-on-aggregate (TPC-H Q18 shape)
+# --------------------------------------------------------------------------
+
+
+@query(
+    "q47_having",
+    oracle="""
+    SELECT o.o_orderkey, o.o_orderdate, o.o_totalprice, big.sum_qty
+    FROM orders o JOIN (
+        SELECT l_orderkey,
+               CAST(SUM(CAST(l_quantity AS DECIMAL(38,6))) AS DOUBLE) AS sum_qty
+        FROM lineitem
+        GROUP BY l_orderkey
+        HAVING CAST(SUM(CAST(l_quantity AS DECIMAL(38,6))) AS DOUBLE) > 250
+    ) big ON o.o_orderkey = big.l_orderkey
+    ORDER BY big.sum_qty DESC, o.o_orderkey
+    """,
+)
+def q47_having(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Large-volume orders (TPC-H Q18 shape): aggregate-then-filter (HAVING)
+    and join back to the order header. The HAVING output is tiny, so it is
+    broadcast into orders — the big lineitem aggregation is the only
+    shuffle."""
+    li = _t(spark, sf_dir, "lineitem")
+    orders = _t(spark, sf_dir, "orders")
+    big = (
+        li.groupBy("l_orderkey")
+        .agg(dsum("l_quantity", "sum_qty"))
+        .where(F.col("sum_qty") > 250)
+    )
+    return (
+        orders.join(F.broadcast(big), F.col("o_orderkey") == F.col("l_orderkey"))
+        .select("o_orderkey", "o_orderdate", "o_totalprice", "sum_qty")
+        .orderBy(F.col("sum_qty").desc(), "o_orderkey")
+    )
+
+
+# --------------------------------------------------------------------------
+# q48 — pivot / q49 — unpivot
+# --------------------------------------------------------------------------
+
+
+@query(
+    "q48_pivot",
+    oracle="""
+    SELECT o_orderpriority,
+           CAST(SUM(CASE WHEN o_orderstatus = 'F' THEN CAST(o_totalprice AS DECIMAL(38,6)) END) AS DOUBLE) AS "F",
+           CAST(SUM(CASE WHEN o_orderstatus = 'O' THEN CAST(o_totalprice AS DECIMAL(38,6)) END) AS DOUBLE) AS "O",
+           CAST(SUM(CASE WHEN o_orderstatus = 'P' THEN CAST(o_totalprice AS DECIMAL(38,6)) END) AS DOUBLE) AS "P"
+    FROM orders
+    GROUP BY o_orderpriority
+    ORDER BY o_orderpriority
+    """,
+)
+def q48_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PIVOT: order-status columns out of rows. With explicit pivot values
+    Catalyst plans a single hash aggregate with conditional branches — one
+    pass, no per-value scans; semantically identical to the oracle's
+    conditional aggregation."""
+    orders = _t(spark, sf_dir, "orders")
+    return (
+        orders.groupBy("o_orderpriority")
+        .pivot("o_orderstatus", ["F", "O", "P"])
+        .agg(F.sum(F.col("o_totalprice").cast(_DEC)).cast("double"))
+        .orderBy("o_orderpriority")
+    )
+
+
+@query(
+    "q49_unpivot",
+    oracle=f"""
+    WITH a AS (
+        SELECT l_returnflag,
+               {dsum_sql('l_quantity', 'sum_qty')},
+               {dsum_sql('l_extendedprice', 'sum_price')}
+        FROM lineitem GROUP BY l_returnflag
+    )
+    SELECT l_returnflag, 'sum_qty' AS metric, sum_qty AS value FROM a
+    UNION ALL
+    SELECT l_returnflag, 'sum_price' AS metric, sum_price AS value FROM a
+    ORDER BY l_returnflag, metric
+    """,
+)
+def q49_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """UNPIVOT (melt): wide per-flag aggregates back to (flag, metric,
+    value) rows. Spark's unpivot is a zero-shuffle Expand over the
+    aggregate's output."""
+    li = _t(spark, sf_dir, "lineitem")
+    agg = li.groupBy("l_returnflag").agg(
+        dsum("l_quantity", "sum_qty"), dsum("l_extendedprice", "sum_price")
+    )
+    return agg.unpivot(
+        ["l_returnflag"], ["sum_qty", "sum_price"], "metric", "value"
+    ).orderBy("l_returnflag", "metric")
+
+
+# --------------------------------------------------------------------------
+# q50 — exact statistical moments (variance / stddev / correlation)
+# --------------------------------------------------------------------------
+
+# Derived statistics are written with IDENTICAL expression text in both
+# engines: the moment sums are exact decimals cast to double, and every
+# subsequent op is IEEE double arithmetic with the same tree shape, so both
+# engines emit bit-identical results regardless of partitioning.
+_MOMENT_EXPRS = [
+    "CAST(n AS BIGINT) AS n",
+    "sx / nd AS mean_qty",
+    "(sxx - sx * sx / nd) / (nd - 1) AS var_qty",
+    "SQRT((sxx - sx * sx / nd) / (nd - 1)) AS stddev_qty",
+    # corr is the one compound where engine-level FP contraction (FMA) can
+    # differ by ~1 ulp; round to 12 significant decimals on both sides.
+    "ROUND((sxy - sx * sy / nd)"
+    " / SQRT((sxx - sx * sx / nd) * (syy - sy * sy / nd)), 12) AS corr_qty_price",
+]
+_MOMENT_FORMULAS = ",\n           ".join(_MOMENT_EXPRS)
+
+
+@query(
+    "q50_stats_moments",
+    oracle=f"""
+    WITH m AS (
+        SELECT l_returnflag,
+               COUNT(*) AS n,
+               CAST(COUNT(*) AS DOUBLE) AS nd,
+               CAST(SUM(CAST(l_quantity AS DECIMAL(38,6))) AS DOUBLE) AS sx,
+               CAST(SUM(CAST(l_extendedprice AS DECIMAL(38,6))) AS DOUBLE) AS sy,
+               CAST(SUM(CAST(l_quantity * l_quantity AS DECIMAL(38,6))) AS DOUBLE) AS sxx,
+               CAST(SUM(CAST(l_extendedprice * l_extendedprice AS DECIMAL(38,6))) AS DOUBLE) AS syy,
+               CAST(SUM(CAST(l_quantity * l_extendedprice AS DECIMAL(38,6))) AS DOUBLE) AS sxy
+        FROM lineitem GROUP BY l_returnflag
+    )
+    SELECT l_returnflag,
+           {_MOMENT_FORMULAS}
+    FROM m ORDER BY l_returnflag
+    """,
+)
+def q50_stats_moments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mean / sample variance / stddev / Pearson correlation from exact
+    decimal moment sums. The native var_samp/corr aggregates exist too, but
+    their float summation order is engine- and partitioning-dependent; the
+    moments formulation is the deterministic, mergeable (map-side partial)
+    form you want on a 1000-executor cluster anyway."""
+    li = _t(spark, sf_dir, "lineitem")
+    x, y = F.col("l_quantity"), F.col("l_extendedprice")
+    m = li.groupBy("l_returnflag").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.count(F.lit(1)).cast("double").alias("nd"),
+        F.sum(x.cast(_DEC)).cast("double").alias("sx"),
+        F.sum(y.cast(_DEC)).cast("double").alias("sy"),
+        F.sum((x * x).cast(_DEC)).cast("double").alias("sxx"),
+        F.sum((y * y).cast(_DEC)).cast("double").alias("syy"),
+        F.sum((x * y).cast(_DEC)).cast("double").alias("sxy"),
+    )
+    return m.selectExpr("l_returnflag", *_MOMENT_EXPRS).orderBy("l_returnflag")
+
+
+# --------------------------------------------------------------------------
+# q51 — exact percentiles (continuous interpolation)
+# --------------------------------------------------------------------------
+
+
+@query(
+    "q51_percentiles",
+    oracle="""
+    SELECT l_returnflag,
+           CAST(quantile_cont(l_quantity, 0.25) AS DOUBLE) AS p25,
+           CAST(quantile_cont(l_quantity, 0.50) AS DOUBLE) AS p50,
+           CAST(quantile_cont(l_quantity, 0.75) AS DOUBLE) AS p75,
+           CAST(quantile_cont(l_extendedprice, 0.90) AS DOUBLE) AS price_p90
+    FROM lineitem
+    GROUP BY l_returnflag
+    ORDER BY l_returnflag
+    """,
+)
+def q51_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact continuous percentiles (median and quartiles). Both engines
+    implement PERCENTILE_CONT semantics: sort, index p*(n-1), linear
+    interpolation — deterministic for identical inputs. At 100 TB the same
+    query swaps to approx_percentile (t-digest, mergeable) — exact
+    percentile requires a per-group sort."""
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.groupBy("l_returnflag")
+        .agg(
+            F.expr("percentile(l_quantity, 0.25D)").alias("p25"),
+            F.expr("percentile(l_quantity, 0.50D)").alias("p50"),
+            F.expr("percentile(l_quantity, 0.75D)").alias("p75"),
+            F.expr("percentile(l_extendedprice, 0.90D)").alias("price_p90"),
+        )
+        .orderBy("l_returnflag")
+    )
+
+
+# --------------------------------------------------------------------------
+# q52 — higher-order array functions (transform / filter / aggregate)
+# --------------------------------------------------------------------------
+
+
+@query(
+    "q52_higher_order_array",
+    oracle=f"""
+    WITH per_vec AS (
+        SELECT label,
+               list_reduce(
+                   list_transform(embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)),
+                   (acc, x) -> acc + x
+               ) AS ss,
+               CAST(len(list_filter(embedding, x -> x > 0)) AS DOUBLE)
+                   / CAST(len(embedding) AS DOUBLE) AS pos_frac
+        FROM embeddings
+    )
+    SELECT label, COUNT(*) AS n_vecs,
+           {davg_sql('SQRT(ss)', 'avg_norm')},
+           {davg_sql('pos_frac', 'avg_pos_frac')}
+    FROM per_vec GROUP BY label ORDER BY label
+    """,
+)
+def q52_higher_order_array(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Higher-order array functions over array<float> embeddings: transform
+    (square), left-fold aggregate (sum of squares — fold order matches the
+    oracle's list_reduce exactly since 0.0 + x1 == x1), filter + size
+    (positive fraction). All inside whole-stage codegen — the 100 TB path
+    for vector feature engineering without a single Python round-trip."""
+    emb = _t(spark, sf_dir, "embeddings")
+    per_vec = emb.select(
+        "label",
+        F.aggregate(
+            F.transform("embedding", lambda v: v.cast("double") * v.cast("double")),
+            F.lit(0.0),
+            lambda acc, v: acc + v,
+        ).alias("ss"),
+        (
+            F.size(F.filter("embedding", lambda v: v > 0)).cast("double")
+            / F.size("embedding").cast("double")
+        ).alias("pos_frac"),
+    )
+    return (
+        per_vec.groupBy("label")
+        .agg(
+            F.count(F.lit(1)).alias("n_vecs"),
+            (F.sum(F.sqrt("ss").cast(_DEC)).cast("double") / F.count(F.lit(1))).alias(
+                "avg_norm"
+            ),
+            (F.sum(F.col("pos_frac").cast(_DEC)).cast("double") / F.count(F.lit(1))).alias(
+                "avg_pos_frac"
+            ),
+        )
+        .orderBy("label")
+    )
+
+
+# --------------------------------------------------------------------------
+# q53 — null-safe equality join
+# --------------------------------------------------------------------------
+
+
+@query(
+    "q53_nullsafe_join",
+    oracle="""
+    WITH c AS (SELECT NULLIF(c_custkey % 10, 0) AS k FROM customer),
+         d AS (SELECT NULLIF(id, 0) AS k,
+                      'bucket_' || CAST(id AS VARCHAR) AS bucket
+               FROM range(0, 10) t(id))
+    SELECT d.bucket, COUNT(*) AS n_customers
+    FROM c JOIN d ON c.k IS NOT DISTINCT FROM d.k
+    GROUP BY d.bucket
+    ORDER BY d.bucket
+    """,
+)
+def q53_nullsafe_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Null-safe equality join (<=> / IS NOT DISTINCT FROM): NULL keys match
+    NULL keys instead of dropping out. The tiny bucket dim is broadcast, so
+    null-safe semantics cost nothing extra over a plain broadcast hash
+    join."""
+    cust = _t(spark, sf_dir, "customer").select(
+        F.expr("NULLIF(c_custkey % 10, 0)").alias("ck")
+    )
+    dim = spark.range(0, 10).select(
+        F.expr("NULLIF(id, 0)").alias("dk"),
+        F.concat(F.lit("bucket_"), F.col("id").cast("string")).alias("bucket"),
+    )
+    return (
+        cust.join(F.broadcast(dim), F.col("ck").eqNullSafe(F.col("dk")))
+        .groupBy("bucket")
+        .agg(F.count(F.lit(1)).alias("n_customers"))
+        .orderBy("bucket")
+    )
+
+
+# --------------------------------------------------------------------------
+# q54 — filtered / conditional aggregates
+# --------------------------------------------------------------------------
+
+
+@query(
+    "q54_filtered_agg",
+    oracle=f"""
+    SELECT l_returnflag,
+           COUNT(*) FILTER (WHERE l_discount > 0.05) AS n_discounted,
+           COUNT(*) FILTER (WHERE l_quantity >= 25) AS n_bulk,
+           {dsum_sql("CASE WHEN l_tax > 0.04 THEN l_extendedprice ELSE 0.0 END",
+                     'taxed_price')}
+    FROM lineitem
+    GROUP BY l_returnflag
+    ORDER BY l_returnflag
+    """,
+)
+def q54_filtered_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Filtered aggregates (SQL FILTER clause / count_if): several
+    differently-filtered measures in one pass over the fact table — the
+    alternative (N filtered scans + join) would be N× the I/O at 100 TB."""
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.groupBy("l_returnflag")
+        .agg(
+            F.count_if(F.col("l_discount") > 0.05).alias("n_discounted"),
+            F.count_if(F.col("l_quantity") >= 25).alias("n_bulk"),
+            dsum(
+                F.when(F.col("l_tax") > 0.04, F.col("l_extendedprice")).otherwise(0.0),
+                "taxed_price",
+            ),
+        )
+        .orderBy("l_returnflag")
+    )
+
+
+# --------------------------------------------------------------------------
+# q55 — distribution window functions (ntile / percent_rank / cume_dist)
+# --------------------------------------------------------------------------
+
+
+@query(
+    "q55_window_distribution",
+    oracle="""
+    SELECT o_orderkey, o_orderpriority,
+           CAST(NTILE(4) OVER w AS INT) AS quartile,
+           CAST(PERCENT_RANK() OVER w AS DOUBLE) AS pct_rank,
+           CAST(CUME_DIST() OVER w AS DOUBLE) AS cume
+    FROM orders
+    WINDOW w AS (PARTITION BY o_orderpriority ORDER BY o_totalprice, o_orderkey)
+    ORDER BY o_orderkey
+    """,
+)
+def q55_window_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distribution window functions. percent_rank = (rank-1)/(n-1) and
+    cume_dist = preceding/n are exact integer ratios → one IEEE division,
+    identical across engines; the unique (o_totalprice, o_orderkey) order
+    makes ntile assignment deterministic."""
+    orders = _t(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_orderpriority").orderBy("o_totalprice", "o_orderkey")
+    return orders.select(
+        "o_orderkey",
+        "o_orderpriority",
+        F.ntile(4).over(w).cast("int").alias("quartile"),
+        F.percent_rank().over(w).cast("double").alias("pct_rank"),
+        F.cume_dist().over(w).cast("double").alias("cume"),
+    ).orderBy("o_orderkey")
