@@ -19,7 +19,8 @@ SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 
 #: Headline queries: one per major operator family (scan-agg, join-agg,
 #: star join, window, set-op, event window, as-of, exact dedup, MinHash-LSH,
-#: trigram-Jaccard, cosine top-k, ANN, text stats).
+#: trigram-Jaccard, cosine top-k, ANN, text stats, correlated subquery,
+#: statistical moments, exact percentiles).
 HEADLINE = [
     "q01_pricing_summary",
     "q03_join_agg_topk",
@@ -37,6 +38,9 @@ HEADLINE = [
     "q30_embedding_ann_lsh",
     "q32_media_decode",
     "q37_range_join",
+    "q45_correlated_subquery",
+    "q50_stats_moments",
+    "q51_percentiles",
 ]
 
 

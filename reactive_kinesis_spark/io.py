@@ -65,3 +65,39 @@ def write_batch(
     for k, v in options.items():
         writer = writer.option(k, v)
     writer.save(path)
+
+
+def write_bucketed(
+    df: DataFrame,
+    table_name: str,
+    *,
+    buckets: int,
+    bucket_by: list[str],
+    sort_by: list[str] | None = None,
+    path: str | None = None,
+    mode: str = "overwrite",
+    fmt: str = "parquet",
+) -> None:
+    """Write ``df`` as a bucketed (optionally sorted-within-bucket) table.
+
+    Bucketing is the 100 TB answer to *recurring* joins/aggregations on the
+    same key: both sides pre-hashed into the same number of buckets join
+    with ZERO shuffle on every subsequent query — the exchange is paid once
+    at write time instead of once per query. ``sort_by`` additionally
+    pre-sorts within buckets so sort-merge joins skip their sort.
+
+    Bucketed layout requires a catalog table (``saveAsTable``); pass
+    ``path`` to keep the data external at an explicit location.
+    """
+    writer = df.write.format(fmt).mode(mode).bucketBy(buckets, *bucket_by)
+    if sort_by:
+        writer = writer.sortBy(*sort_by)
+    if path is not None:
+        writer = writer.option("path", path)
+    writer.saveAsTable(table_name)
+
+
+def read_table(spark: SparkSession, table_name: str) -> DataFrame:
+    """Catalog-table scan — bucketing metadata (bucket count/columns) rides
+    along, letting Catalyst elide the shuffle in bucket-aligned joins."""
+    return spark.table(table_name)

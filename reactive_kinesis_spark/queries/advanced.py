@@ -463,3 +463,98 @@ def q55_window_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.percent_rank().over(w).cast("double").alias("pct_rank"),
         F.cume_dist().over(w).cast("double").alias("cume"),
     ).orderBy("o_orderkey")
+
+
+# --------------------------------------------------------------------------
+# q56 — collect_list / collect_set aggregation
+# --------------------------------------------------------------------------
+
+
+@query(
+    "q56_collect_agg",
+    oracle="""
+    WITH per AS (
+        SELECT o_orderpriority, o_orderstatus, COUNT(*) AS n
+        FROM orders GROUP BY o_orderpriority, o_orderstatus
+    )
+    SELECT o_orderpriority,
+           array_to_string(list_sort(list(o_orderstatus || ':' || CAST(n AS VARCHAR))), ',')
+               AS status_counts,
+           array_to_string(list_sort(list_distinct(list(o_orderstatus))), ',') AS statuses
+    FROM per GROUP BY o_orderpriority ORDER BY o_orderpriority
+    """,
+)
+def q56_collect_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """collect_list / collect_set array aggregation. Collection order is
+    partitioning-dependent, so results are made deterministic (and
+    engine-portable) by array_sort + array_join — the discipline any
+    collect_* at scale needs anyway. Pre-aggregating to (priority, status)
+    bounds the collected arrays (never collect unbounded groups at 100 TB)."""
+    orders = _t(spark, sf_dir, "orders")
+    per = orders.groupBy("o_orderpriority", "o_orderstatus").agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    return (
+        per.groupBy("o_orderpriority")
+        .agg(
+            F.array_join(
+                F.array_sort(
+                    F.collect_list(
+                        F.concat_ws(":", "o_orderstatus", F.col("n").cast("string"))
+                    )
+                ),
+                ",",
+            ).alias("status_counts"),
+            F.array_join(F.array_sort(F.collect_set("o_orderstatus")), ",").alias(
+                "statuses"
+            ),
+        )
+        .orderBy("o_orderpriority")
+    )
+
+
+# --------------------------------------------------------------------------
+# q57 — map type & map functions
+# --------------------------------------------------------------------------
+
+
+@query(
+    "q57_map_functions",
+    oracle="""
+    WITH per AS (
+        SELECT o_orderpriority, o_orderstatus, COUNT(*) AS n
+        FROM orders GROUP BY o_orderpriority, o_orderstatus
+    )
+    SELECT o_orderpriority,
+           MAX(CASE WHEN o_orderstatus = 'F' THEN n END) AS n_f,
+           MAX(CASE WHEN o_orderstatus = 'O' THEN n END) AS n_o,
+           CAST(COUNT(CASE WHEN n > 100 THEN 1 END) AS BIGINT) AS n_big,
+           array_to_string(list_sort(list(o_orderstatus)), ',') AS statuses
+    FROM per GROUP BY o_orderpriority ORDER BY o_orderpriority
+    """,
+)
+def q57_map_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Map columns built with map_from_entries, probed with element_at,
+    filtered with map_filter, enumerated with map_keys — the typed-map
+    surface the reference's opaque byte payloads lack entirely. The oracle
+    states the same semantics relationally (lookup = conditional MAX,
+    map_filter count = filtered COUNT)."""
+    orders = _t(spark, sf_dir, "orders")
+    per = orders.groupBy("o_orderpriority", "o_orderstatus").agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    m = F.map_from_entries(
+        F.array_sort(F.collect_list(F.struct("o_orderstatus", "n")))
+    )
+    return (
+        per.groupBy("o_orderpriority")
+        .agg(m.alias("m"))
+        .select(
+            "o_orderpriority",
+            F.element_at("m", "F").alias("n_f"),
+            F.element_at("m", "O").alias("n_o"),
+            F.size(F.map_filter("m", lambda k, v: v > 100)).cast("bigint").alias("n_big"),
+            F.array_join(F.array_sort(F.map_keys("m")), ",").alias("statuses"),
+        )
+        .orderBy("o_orderpriority")
+    )

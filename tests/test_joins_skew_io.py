@@ -153,3 +153,40 @@ def test_batch_io_guards(spark, tmp_path):
         rio.read_batch(spark, str(tmp_path), fmt="csv")
     with pytest.raises(ValueError, match="format"):
         rio.read_batch(spark, str(tmp_path), fmt="avro")
+
+
+def test_bucketed_join_has_no_shuffle(spark, tmp_path, sf_dir):
+    """Bucket-aligned sort-merge join: both sides pre-bucketed on the join
+    key must join with zero Exchange — the write-once-shuffle-never layout
+    for recurring 100 TB joins."""
+    from reactive_kinesis_spark.tables import load_table
+
+    orders = load_table(spark, sf_dir, "orders")
+    cust = load_table(spark, sf_dir, "customer")
+    rio.write_bucketed(
+        orders, "orders_b", buckets=4, bucket_by=["o_custkey"],
+        sort_by=["o_custkey"], path=str(tmp_path / "orders_b"),
+    )
+    rio.write_bucketed(
+        cust, "customer_b", buckets=4, bucket_by=["c_custkey"],
+        sort_by=["c_custkey"], path=str(tmp_path / "customer_b"),
+    )
+    old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try:
+        # force the sort-merge path (broadcast would trivially avoid the
+        # shuffle and prove nothing about the bucketed layout)
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        joined = rio.read_table(spark, "orders_b").join(
+            rio.read_table(spark, "customer_b"),
+            F.col("o_custkey") == F.col("c_custkey"),
+        )
+        plan = joined._jdf.queryExecution().executedPlan().toString()
+        assert "SortMergeJoin" in plan
+        assert "Exchange" not in plan
+        # and the result is still correct vs the plain (shuffling) join
+        expected = orders.join(cust, F.col("o_custkey") == F.col("c_custkey")).count()
+        assert joined.count() == expected
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+        spark.sql("DROP TABLE IF EXISTS orders_b")
+        spark.sql("DROP TABLE IF EXISTS customer_b")
