@@ -197,22 +197,30 @@ def q04_star_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "q05_anti_join",
     oracle="""
-    SELECT c_mktsegment, COUNT(*) AS customers_without_orders
+    SELECT c_mktsegment, COUNT(*) AS inactive_customers
     FROM customer
-    WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+    WHERE NOT EXISTS (
+        SELECT 1 FROM orders
+        WHERE o_custkey = c_custkey
+          AND o_orderdate >= TIMESTAMP '1998-06-01'
+    )
     GROUP BY c_mktsegment
     ORDER BY c_mktsegment
     """,
 )
 def q05_anti_join(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Left-anti join (customers with no orders) — at scale this stays a
-    shuffled hash anti-join on the smaller distinct key set."""
+    """Left-anti join (customers with no recent orders; the date predicate
+    keeps the result non-empty at every SF so the anti path is exercised on
+    real values) — at scale this stays a shuffled hash anti-join on the
+    smaller distinct key set."""
     cust = _t(spark, sf_dir, "customer")
-    orders = _t(spark, sf_dir, "orders")
+    recent = _t(spark, sf_dir, "orders").where(
+        F.col("o_orderdate") >= F.lit("1998-06-01").cast("timestamp")
+    )
     return (
-        cust.join(orders, F.col("c_custkey") == F.col("o_custkey"), "left_anti")
+        cust.join(recent, F.col("c_custkey") == F.col("o_custkey"), "left_anti")
         .groupBy("c_mktsegment")
-        .agg(F.count(F.lit(1)).alias("customers_without_orders"))
+        .agg(F.count(F.lit(1)).alias("inactive_customers"))
         .orderBy("c_mktsegment")
     )
 
