@@ -558,3 +558,96 @@ def q57_map_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("o_orderpriority")
     )
+
+
+# --------------------------------------------------------------------------
+# q58 — compound subqueries (TPC-H Q22 shape)
+# --------------------------------------------------------------------------
+
+_AVG_POS_BAL = (
+    "SELECT CAST(SUM(CAST(c_acctbal AS DECIMAL(38,6))) AS DOUBLE) / COUNT(*) "
+    "FROM {tbl} WHERE c_acctbal > 0.0"
+)
+
+
+@query(
+    "q58_compound_subqueries",
+    oracle=f"""
+    SELECT c_nationkey, COUNT(*) AS n_customers,
+           {dsum_sql('c_acctbal', 'sum_bal')}
+    FROM customer
+    WHERE c_acctbal > ({_AVG_POS_BAL.format(tbl='customer')})
+      AND NOT EXISTS (
+          SELECT 1 FROM orders
+          WHERE o_custkey = c_custkey
+            AND o_orderdate >= TIMESTAMP '2000-09-01'
+      )
+    GROUP BY c_nationkey
+    ORDER BY c_nationkey
+    """,
+)
+def q58_compound_subqueries(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q22 shape ("global sales opportunity"): a scalar aggregate
+    subquery (above-average positive balance) AND a NOT EXISTS anti-join
+    (no recent orders) in one WHERE. Catalyst plans the scalar subquery as a
+    one-row broadcast and the NOT EXISTS as a left-anti hash join — the
+    whole query costs one shuffle over the semi-filtered customer side."""
+    _t(spark, sf_dir, "customer").createOrReplaceTempView("customer_q58")
+    _t(spark, sf_dir, "orders").createOrReplaceTempView("orders_q58")
+    return spark.sql(
+        f"""
+        SELECT c_nationkey, COUNT(*) AS n_customers,
+               {dsum_sql('c_acctbal', 'sum_bal')}
+        FROM customer_q58
+        WHERE c_acctbal > ({_AVG_POS_BAL.format(tbl='customer_q58')})
+          AND NOT EXISTS (
+              SELECT 1 FROM orders_q58
+              WHERE o_custkey = c_custkey
+                AND o_orderdate >= TIMESTAMP '2000-09-01'
+          )
+        GROUP BY c_nationkey
+        ORDER BY c_nationkey
+        """
+    )
+
+
+# --------------------------------------------------------------------------
+# q59 — RANGE interval window frame (trailing 30 days)
+# --------------------------------------------------------------------------
+
+
+@query(
+    "q59_range_frame_window",
+    oracle="""
+    SELECT o_custkey, o_orderkey,
+           COUNT(*) OVER w AS n_30d,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(38,6))) OVER w AS DOUBLE) AS spend_30d
+    FROM orders
+    WINDOW w AS (
+        PARTITION BY o_custkey ORDER BY epoch(o_orderdate)
+        RANGE BETWEEN 2592000 PRECEDING AND CURRENT ROW
+    )
+    ORDER BY o_custkey, o_orderkey
+    """,
+)
+def q59_range_frame_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Value-based RANGE frame: per-customer trailing-30-day order count and
+    exact spend (q09 covers ROWS frames; this is the other frame kind).
+    RANGE over unix seconds includes all order-date peers in the frame —
+    identical tie semantics in both engines, so no tie-breaker is needed in
+    the frame ordering."""
+    orders = _t(spark, sf_dir, "orders")
+    w = (
+        Window.partitionBy("o_custkey")
+        .orderBy(F.unix_timestamp("o_orderdate"))
+        .rangeBetween(-30 * 86400, 0)
+    )
+    return (
+        orders.select(
+            "o_custkey",
+            "o_orderkey",
+            F.count(F.lit(1)).over(w).alias("n_30d"),
+            F.sum(F.col("o_totalprice").cast(_DEC)).over(w).cast("double").alias("spend_30d"),
+        )
+        .orderBy("o_custkey", "o_orderkey")
+    )
