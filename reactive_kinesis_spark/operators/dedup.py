@@ -216,12 +216,18 @@ def simhash(
 
     Returned as ``(id, simhash_hi, simhash_lo)`` (two signed 32-bit halves,
     avoiding 64-bit sign pitfalls in downstream banding).
+
+    Words are hashed to 64-bit longs BEFORE the term-frequency shuffle: the
+    votes depend only on ``xxhash64(word)``, so grouping by the hash is
+    semantically identical while shuffling fixed 8-byte keys instead of
+    strings (hash collisions merge tf of colliding words — their vote
+    contribution is identical either way).
     """
+    hashes = F.transform(F.split(F.col(text_col), " "), lambda w: F.xxhash64(w))
     words = (
-        df.select(F.col(id_col), F.explode(F.split(F.col(text_col), " ")).alias("w"))
-        .groupBy(id_col, "w")
+        df.select(F.col(id_col), F.explode(hashes).alias("h"))
+        .groupBy(id_col, "h")
         .agg(F.count(F.lit(1)).alias("tf"))
-        .withColumn("h", F.xxhash64("w"))
     )
     votes = [
         F.sum(
