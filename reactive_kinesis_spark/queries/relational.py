@@ -445,11 +445,14 @@ def q12_set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
     cutoff = F.lit("1998-01-01").cast("timestamp")
     early = orders.where(F.col("o_orderdate") < cutoff).select("o_custkey").distinct()
     late = orders.where(F.col("o_orderdate") >= cutoff).select("o_custkey").distinct()
+    # early/late are distinct sets, so exceptAll(other) ≡ EXCEPT — don't
+    # recompute the intersection per branch (drops the plan from 9
+    # exchanges / 20 aggregates to 7 / 16)
     both = early.intersect(late).select("o_custkey", F.lit("both").alias("cohort"))
-    early_only = early.exceptAll(early.intersect(late)).select(
+    early_only = early.exceptAll(late).select(
         "o_custkey", F.lit("early_only").alias("cohort")
     )
-    late_only = late.exceptAll(late.intersect(early)).select(
+    late_only = late.exceptAll(early).select(
         "o_custkey", F.lit("late_only").alias("cohort")
     )
     return both.unionByName(early_only).unionByName(late_only).orderBy("cohort", "o_custkey")
