@@ -9,6 +9,7 @@ helpers.
 
 from reactive_kinesis_spark.streaming.deaggregate import aggregate_records, deaggregate
 from reactive_kinesis_spark.streaming.ordering import ordered_within_key, with_shard_order
+from reactive_kinesis_spark.streaming.replay_source import register_replay_source
 from reactive_kinesis_spark.streaming.source import file_stream_source, rate_stream_source
 from reactive_kinesis_spark.streaming.tolerance import (
     ToleranceExceededError,
