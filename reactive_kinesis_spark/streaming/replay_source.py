@@ -33,7 +33,9 @@ from pyspark.sql.datasource import (
     DataSource,
     DataSourceReader,
     DataSourceStreamReader,
+    DataSourceStreamWriter,
     InputPartition,
+    WriterCommitMessage,
 )
 
 from reactive_kinesis_spark.schemas import EVENT_SCHEMA
@@ -196,8 +198,85 @@ class _ReplayBatchReader(DataSourceReader):
         return _read_slice(partition)
 
 
+@dataclass
+class _StagedFile(WriterCommitMessage):
+    path: str
+    rows: int
+
+
+class _ReplayStreamWriter(DataSourceStreamWriter):
+    """Producer side (reference S3–S6): a two-phase-commit stream sink.
+
+    Tasks stage parquet files of ``(partition_key, payload)`` producer
+    events (reference models/ProducerEvent.scala:28-37); the driver-side
+    ``commit`` publishes them atomically under ``data/batch-<id>-*`` and
+    records the batch id in ``_commits/`` — a REPLAYED batch (foreachBatch/
+    writer re-execution after restart) is detected there and its staged
+    files are discarded, upgrading the reference's at-least-once
+    (README.md:684-686) to exactly-once publication.
+    """
+
+    def __init__(self, options: dict, schema):
+        self._path = options.get("path")
+        if not self._path:
+            raise ValueError("kinesis_replay sink requires option 'path'")
+        names = [f.name for f in schema.fields]
+        for required in ("partition_key", "payload"):
+            if required not in names:
+                raise ValueError(
+                    f"kinesis_replay sink requires column {required!r}; got {names}"
+                )
+        self._schema = schema
+        for sub in ("_staging", "_commits", "data"):
+            os.makedirs(os.path.join(self._path, sub), exist_ok=True)
+
+    def write(self, iterator) -> _StagedFile:
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+        from pyspark import TaskContext
+
+        ctx = TaskContext.get()
+        staged = os.path.join(
+            self._path,
+            "_staging",
+            f"stage-{ctx.stageId()}-part-{ctx.partitionId()}-attempt-{ctx.taskAttemptId()}.parquet",
+        )
+        rows = list(iterator)
+        names = [f.name for f in self._schema.fields]
+        table = pa.table({n: [getattr(r, n) for r in rows] for n in names})
+        pq.write_table(table, staged)
+        return _StagedFile(path=staged, rows=len(rows))
+
+    def commit(self, messages, batchId: int) -> None:
+        marker = os.path.join(self._path, "_commits", f"{batchId}.json")
+        if os.path.exists(marker):  # replayed batch → drop duplicates
+            for m in messages:
+                if m is not None and os.path.exists(m.path):
+                    os.remove(m.path)
+            return
+        total = 0
+        for i, m in enumerate(messages):
+            if m is None:
+                continue
+            final = os.path.join(self._path, "data", f"batch-{batchId}-{i:05d}.parquet")
+            os.replace(m.path, final)
+            total += m.rows
+        import json
+
+        tmp = f"{marker}.tmp"
+        with open(tmp, "w") as fh:
+            json.dump({"batch_id": batchId, "rows": total}, fh)
+        os.replace(tmp, marker)
+
+    def abort(self, messages, batchId: int) -> None:
+        for m in messages:
+            if m is not None and os.path.exists(m.path):
+                os.remove(m.path)
+
+
 class KinesisReplayDataSource(DataSource):
-    """``spark.read/readStream.format("kinesis_replay")`` after
+    """``spark.read/readStream.format("kinesis_replay")`` (source) and
+    ``df.writeStream.format("kinesis_replay")`` (producer sink) after
     ``register_replay_source(spark)``."""
 
     @classmethod
@@ -212,6 +291,11 @@ class KinesisReplayDataSource(DataSource):
 
     def streamReader(self, schema) -> DataSourceStreamReader:
         return _ReplayStreamReader({k.lower(): v for k, v in self.options.items()})
+
+    def streamWriter(self, schema, overwrite: bool) -> DataSourceStreamWriter:
+        return _ReplayStreamWriter(
+            {k.lower(): v for k, v in self.options.items()}, schema
+        )
 
 
 def register_replay_source(spark) -> None:
