@@ -36,6 +36,7 @@ def shingles(
     text_col: str = "text",
     id_col: str = "doc_id",
     n: int = 3,
+    hashed: bool = False,
 ) -> DataFrame:
     """Distinct word n-gram shingles per document: ``(id_col, shingle)``.
 
@@ -45,12 +46,20 @@ def shingles(
     operation, vs. the naive ``explode().distinct()`` which shuffles the
     entire exploded string frame (measured −18% on the Jaccard pipeline at
     sf0.1; at 100 TB it removes the largest exchange in the plan).
+
+    ``hashed=True`` emits ``xxhash64(shingle)`` (a long) instead of the
+    string. Downstream dedup consumers only ever group/join on shingle
+    identity, so the 8-byte key is semantically interchangeable (up to
+    64-bit collisions, ~n²/2⁶⁴). Measured at sf0.1/local[32]: NEUTRAL TO
+    SLOWER (the hash costs more than the smaller shuffle saves when
+    exchanges are in-memory) — it is a knob for genuinely network-bound
+    clusters, so the default stays ``False``.
     """
     words = F.split(F.col(text_col), " ")
-    grams = F.transform(
-        F.sequence(F.lit(0), F.greatest(F.size(words) - n, F.lit(0))),
-        lambda i: F.concat_ws(" ", *[F.element_at(words, (i + j + 1).cast("int")) for j in range(n)]),
-    )
+    def mk(i: Column) -> Column:
+        gram = F.concat_ws(" ", *[F.element_at(words, (i + j + 1).cast("int")) for j in range(n)])
+        return F.xxhash64(gram) if hashed else gram
+    grams = F.transform(F.sequence(F.lit(0), F.greatest(F.size(words) - n, F.lit(0))), mk)
     return (
         df.where(F.size(words) >= n)
         .select(F.col(id_col), F.explode(F.array_distinct(grams)).alias("shingle"))
@@ -154,6 +163,8 @@ def minhash_lsh_pairs(
     # folding the n_sh count into the signature aggregation to share one
     # pass is ~70% SLOWER — the wider agg buffer hurts more than the
     # second shuffle, and ReuseExchange doesn't fire under AQE here.)
+    # (Also measured: hashed shingle keys — no win here either, see
+    # shingles() docstring.)
     sh = shingles(df, text_col, id_col, n)
     sig = minhash_signatures(sh, id_col, num_hashes)
     band_cols = [
