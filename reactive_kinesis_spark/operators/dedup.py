@@ -17,7 +17,7 @@ shuffle-minimal):
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 
@@ -39,6 +39,12 @@ def shingles(
     hashed: bool = False,
 ) -> DataFrame:
     """Distinct word n-gram shingles per document: ``(id_col, shingle)``.
+
+    PRECONDITION: ``id_col`` is unique in ``df`` (one row per document).
+    Distinctness is per-row (``array_distinct``), so duplicate id rows
+    would emit duplicate ``(id, shingle)`` pairs and inflate downstream
+    ``n_sh`` counts / Jaccard denominators. The ``documents`` table
+    guarantees this; run ``exact_dedup`` first if your corpus does not.
 
     Pure array ops (``sequence``/``transform``/``explode``) — JVM-side,
     no UDF, linear in total tokens. Per-document distinctness is computed
@@ -81,18 +87,24 @@ def ngram_jaccard_pairs(
     discrimination); denominators still use the full shingle counts, so the
     score is a deterministic, engine-portable lower bound on true Jaccard.
 
-    The df cap is a windowed count over the shingle partition (one shuffle)
-    rather than an agg + semi-join back (two) — measured faster and the
-    shingle-partitioned exchange feeds the pairing self-join directly.
+    The df cap is a ``groupBy(shingle).count()`` — partial+final hash
+    aggregation with map-side combine, so a hot shingle costs one combined
+    row per map task, never one task holding every occurrence — followed by
+    a **broadcast anti-join** of the tiny over-cap shingle set. (A windowed
+    count over ``partitionBy(shingle)`` was measured faster at sf0.1 but
+    materializes every occurrence of the hottest shingle in a single task —
+    at 100 TB a 10M-doc shingle is a straggler, so the window idiom is
+    deliberately NOT used.)
     """
     sh = shingles(df, text_col, id_col, n)
     sizes = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_sh"))
-    w_sh = Window.partitionBy("shingle")
-    rare = (
-        sh.withColumn("df_", F.count(F.lit(1)).over(w_sh))
-        .where(F.col("df_") <= max_df)
-        .select(id_col, "shingle")
+    over_cap = (
+        sh.groupBy("shingle")
+        .agg(F.count(F.lit(1)).alias("df_"))
+        .where(F.col("df_") > max_df)
+        .select("shingle")
     )
+    rare = sh.join(F.broadcast(over_cap), "shingle", "left_anti").select(id_col, "shingle")
     a = rare.select(F.col(id_col).alias("id_1"), "shingle")
     b = rare.select(F.col(id_col).alias("id_2"), "shingle")
     common = (
@@ -147,6 +159,7 @@ def minhash_lsh_pairs(
     num_hashes: int = 64,
     bands: int = 16,
     threshold: float = 0.8,
+    cache_shingles: bool = False,
 ) -> DataFrame:
     """Near-duplicate pairs via MinHash banding, verified with exact
     n-gram Jaccard on the candidate set only.
@@ -154,18 +167,29 @@ def minhash_lsh_pairs(
     With 64 hashes / 16 bands (4 rows per band) the S-curve crosses ~0.7 —
     recall at ``threshold=0.8`` is ≈1 while keeping candidates near-linear.
     Returns ``(id_1, id_2, jaccard)``.
+
+    ``cache_shingles`` persists the shingle frame (MEMORY_AND_DISK) so its
+    three consumers (signatures, sizes, candidate verification) share one
+    corpus explosion. Measured at sf0.1/local[32] recomputation is CHEAPER
+    (the fused scan+explode+distinct pipeline beats materializing the
+    exploded string frame), so the default is off; at 100 TB, where the
+    scan itself dominates, turn it on (or ``df.localCheckpoint()`` upstream)
+    to read the corpus once instead of three times. Caller owns the
+    lifecycle (``unpersist()`` after the action).
     """
     rows_per_band = num_hashes // bands
     # NB: the shingle frame feeds three subtrees (signatures, sizes,
-    # candidate verification). Recomputing it is measurably cheaper than
-    # .cache(): materializing the exploded string frame costs more than the
-    # fused scan+explode+distinct pipeline it would save. (Also measured:
-    # folding the n_sh count into the signature aggregation to share one
-    # pass is ~70% SLOWER — the wider agg buffer hurts more than the
-    # second shuffle, and ReuseExchange doesn't fire under AQE here.)
-    # (Also measured: hashed shingle keys — no win here either, see
-    # shingles() docstring.)
+    # candidate verification) — see the cache_shingles docstring for the
+    # recompute-vs-persist trade-off. (Also measured: folding the n_sh
+    # count into the signature aggregation to share one pass is ~70%
+    # SLOWER — the wider agg buffer hurts more than the second shuffle,
+    # and ReuseExchange doesn't fire under AQE here; hashed shingle keys —
+    # no win here either, see shingles() docstring.)
     sh = shingles(df, text_col, id_col, n)
+    if cache_shingles:
+        from pyspark import StorageLevel
+
+        sh = sh.persist(StorageLevel.MEMORY_AND_DISK)
     sig = minhash_signatures(sh, id_col, num_hashes)
     band_cols = [
         F.xxhash64(*[F.col(f"mh_{b * rows_per_band + r}") for r in range(rows_per_band)]).alias(

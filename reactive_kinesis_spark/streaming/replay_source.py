@@ -10,10 +10,12 @@ analog of the reference's consumer core:
   (reference consumer/KinesisConsumer.scala:207-226, README.md:84-92);
 * ``maxRecordsPerBatch`` caps per-shard batch size — the KCL ``maxRecords``
   GetRecords cap (reference reference.conf:479-482);
-* ``startingPosition`` = ``trim_horizon`` | ``latest`` with
-  checkpoint-wins precedence (reference reference.conf:469-477) — Spark's
-  offset log overrides the initial position on restart exactly like a KCL
-  lease table;
+* ``startingPosition`` = ``trim_horizon`` | ``latest`` | ``at_timestamp``
+  (+ ``startingTimestamp``) | ``at_sequence_number`` |
+  ``after_sequence_number`` (+ ``startingSequenceNumber``) — the
+  reference's five initial positions (reference reference.conf:469-477,
+  README.md:675-683) — with checkpoint-wins precedence: Spark's offset log
+  overrides the initial position on restart exactly like a KCL lease table;
 * offsets are a per-shard ``{shard_id: next_row}`` map — the analog of
   per-shard sequence-number checkpoints;
 * rows inside a shard are delivered in file order — per-shard total order
@@ -67,23 +69,90 @@ class _ShardSlice(InputPartition):
     end: int
 
 
-def _read_slice(part: _ShardSlice):
-    from datetime import timezone
+_POSITIONS = (
+    "trim_horizon",
+    "latest",
+    "at_timestamp",
+    "at_sequence_number",
+    "after_sequence_number",
+)
 
-    import pyarrow as pa
+
+def _parse_timestamp_us(raw: str) -> int:
+    """startingTimestamp option → epoch microseconds. Accepts epoch
+    seconds (int/float, the reference's ``at.timestamp`` config form,
+    reference.conf:474-477) or an ISO-8601 string (resolved with exact
+    integer arithmetic — no float rounding at microsecond precision)."""
+    from datetime import datetime, timedelta, timezone
+
+    try:
+        return int(float(raw) * 1_000_000)
+    except ValueError:
+        dt = datetime.fromisoformat(raw)
+        if dt.tzinfo is None:
+            dt = dt.replace(tzinfo=timezone.utc)
+        epoch = datetime(1970, 1, 1, tzinfo=timezone.utc)
+        return (dt - epoch) // timedelta(microseconds=1)
+
+
+def _resolve_start_offsets(
+    files: dict[str, str],
+    total: dict[str, int],
+    position: str,
+    timestamp_us: int | None,
+    sequence_number: str | None,
+) -> dict[str, int]:
+    """Per-shard first row index for the five reference starting positions
+    (reference.conf:469-477, README.md:675-683). TRIM_HORIZON/LATEST are
+    metadata-only; the timestamp/sequence positions binary-search one sorted
+    column per shard file — a bounded, driver-side, init-time scan (the
+    analog of the Kinesis GetShardIterator server-side lookup)."""
+    if position == "trim_horizon":
+        return {sid: 0 for sid in files}
+    if position == "latest":
+        return dict(total)
+
+    import numpy as np
     import pyarrow.parquet as pq
 
+    out: dict[str, int] = {}
+    if position == "at_timestamp":
+        if timestamp_us is None:
+            raise ValueError("startingPosition=at_timestamp requires startingTimestamp")
+        for sid, f in files.items():
+            col = pq.read_table(f, columns=["approximate_arrival_timestamp"]).column(0)
+            arr = col.cast("timestamp[us]").to_numpy(zero_copy_only=False)
+            us = arr.astype("datetime64[us]").astype("int64")
+            out[sid] = int(np.searchsorted(us, timestamp_us, side="left"))
+        return out
+
+    # (AT|AFTER)_SEQUENCE_NUMBER: sequence_number strings sort ascending
+    # within a shard (zero-padded by construction — schemas.EVENT_SCHEMA)
+    if sequence_number is None:
+        raise ValueError(
+            f"startingPosition={position} requires startingSequenceNumber"
+        )
+    side = "left" if position == "at_sequence_number" else "right"
+    for sid, f in files.items():
+        col = pq.read_table(f, columns=["sequence_number"]).column(0)
+        arr = np.asarray(col.to_pylist(), dtype=object)
+        out[sid] = int(np.searchsorted(arr, sequence_number, side=side))
+    return out
+
+
+def _read_slice(part: _ShardSlice):
+    """Arrow-native read: yield ``pyarrow.RecordBatch`` directly (PySpark 4
+    DataSource readers accept them) — columnar end-to-end, no Python
+    row-at-a-time materialization. Cast normalizes the on-disk parquet
+    types (e.g. tz-naive/ns timestamps) to the EVENT_SCHEMA arrow types
+    Spark expects (timestamp[us, tz=UTC])."""
+    import pyarrow.parquet as pq
+    from pyspark.sql.pandas.types import to_arrow_schema
+
+    from reactive_kinesis_spark.schemas import EVENT_SCHEMA
+
     table = pq.read_table(part.file).slice(part.start, part.end - part.start)
-    for batch in table.to_batches():
-        cols = []
-        for i in range(batch.num_columns):
-            vals = batch.column(i).to_pylist()
-            t = batch.schema.field(i).type
-            # Spark's Python worker needs tz-aware datetimes for TimestampType
-            if pa.types.is_timestamp(t) and t.tz is None:
-                vals = [v.replace(tzinfo=timezone.utc) if v is not None else None for v in vals]
-            cols.append(vals)
-        yield from zip(*cols)
+    yield from table.cast(to_arrow_schema(EVENT_SCHEMA)).to_batches()
 
 
 class _ReplayStreamReader(DataSourceStreamReader):
@@ -98,10 +167,11 @@ class _ReplayStreamReader(DataSourceStreamReader):
       totals — monotone by construction, restart-safe, one micro-batch;
     * with ``maxRecordsPerBatch`` (the KCL ``maxRecords`` analog): the
       planning cursor is made durable — persisted on every ``commit()``
-      (atomic rename) to ``cursorPath`` (default
-      ``<path>/_replay_cursor.json``) and restored on construction, the
-      same role the KCL lease table plays for GetRecords paging. One
-      cursor file per concurrently-running query (set ``cursorPath``).
+      (atomic rename) to the REQUIRED per-query ``cursorPath`` option and
+      restored on construction, the same role the KCL lease table plays
+      for GetRecords paging. The cursor is coupled to the checkpoint:
+      deleting/recreating the checkpoint requires deleting the cursor
+      file too, or planning resumes past rows the new query never saw.
     """
 
     def __init__(self, options: dict):
@@ -113,17 +183,35 @@ class _ReplayStreamReader(DataSourceStreamReader):
         mrb = options.get("maxrecordsperbatch")
         self._max_records = int(mrb) if mrb is not None else None
         start = str(options.get("startingposition", "trim_horizon")).lower()
-        if start not in ("trim_horizon", "latest"):
-            raise ValueError(f"unsupported startingPosition {start!r}")
-        self._start_latest = start == "latest"
-        self._cursor_path = options.get(
-            "cursorpath", os.path.join(self._path, "_replay_cursor.json")
+        if start not in _POSITIONS:
+            raise ValueError(
+                f"unsupported startingPosition {start!r}; one of {_POSITIONS}"
+            )
+        ts_opt = options.get("startingtimestamp")
+        self._start_offsets = _resolve_start_offsets(
+            self._files,
+            self._total,
+            start,
+            _parse_timestamp_us(ts_opt) if ts_opt is not None else None,
+            options.get("startingsequencenumber"),
         )
+        # the durable planning cursor is per-query state (the KCL lease
+        # table analog) — sharing one file between queries, or outliving a
+        # deleted checkpoint, re-delivers or skips rows. Require an explicit
+        # per-query path; delete it whenever the checkpoint is deleted.
+        self._cursor_path = options.get("cursorpath")
+        if self._max_records is not None and not self._cursor_path:
+            raise ValueError(
+                "maxRecordsPerBatch requires option 'cursorPath' (one file "
+                "per query; delete it together with the checkpoint)"
+            )
         self._planned: dict[str, int] = self._load_cursor()
 
     def _load_cursor(self) -> dict[str, int]:
         import json
 
+        if not self._cursor_path:
+            return {}
         try:
             with open(self._cursor_path) as fh:
                 return {str(k): int(v) for k, v in json.load(fh).items()}
@@ -139,12 +227,10 @@ class _ReplayStreamReader(DataSourceStreamReader):
         os.replace(tmp, self._cursor_path)
 
     def _base(self, sid: str) -> int:
-        return self._total[sid] if self._start_latest else 0
+        return self._start_offsets[sid]
 
     def initialOffset(self) -> dict:
-        if self._start_latest:
-            return dict(self._total)
-        return {sid: 0 for sid in self._files}
+        return dict(self._start_offsets)
 
     def latestOffset(self) -> dict:
         if self._max_records is None:
@@ -168,13 +254,15 @@ class _ReplayStreamReader(DataSourceStreamReader):
 
     def commit(self, end: dict) -> None:
         # reference parity: checkpoint monotonicity — never re-plan below a
-        # committed sequence (consumer/ConsumerWorker.scala:515-531)
-        changed = False
+        # committed sequence (consumer/ConsumerWorker.scala:515-531).
+        # The cursor is persisted on EVERY commit: ``latestOffset()`` advances
+        # ``_planned`` to the batch end BEFORE the batch commits, so a
+        # "persist only when end > planned" guard never fires and the cursor
+        # file would never exist (round-1 duplicate-delivery bug).
         for sid, off in end.items():
             if int(off) > self._planned.get(sid, 0):
                 self._planned[sid] = int(off)
-                changed = True
-        if self._max_records is not None and changed:
+        if self._max_records is not None:
             self._save_cursor()
 
     def stop(self) -> None:
@@ -234,16 +322,27 @@ class _ReplayStreamWriter(DataSourceStreamWriter):
         import pyarrow as pa
         import pyarrow.parquet as pq
         from pyspark import TaskContext
+        from pyspark.sql.pandas.types import to_arrow_schema
 
+        rows = list(iterator)
+        if not rows:
+            # never stage empty partitions: schema-less inference on [] would
+            # produce pyarrow null-typed columns and the published data/
+            # directory would mix parquet schemas (binary vs null)
+            return _StagedFile(path="", rows=0)
         ctx = TaskContext.get()
         staged = os.path.join(
             self._path,
             "_staging",
             f"stage-{ctx.stageId()}-part-{ctx.partitionId()}-attempt-{ctx.taskAttemptId()}.parquet",
         )
-        rows = list(iterator)
         names = [f.name for f in self._schema.fields]
-        table = pa.table({n: [getattr(r, n) for r in rows] for n in names})
+        # explicit schema from the Spark schema — all-NULL columns must
+        # still publish with their declared type, not pyarrow null
+        table = pa.table(
+            {n: [getattr(r, n) for r in rows] for n in names},
+            schema=to_arrow_schema(self._schema),
+        )
         pq.write_table(table, staged)
         return _StagedFile(path=staged, rows=len(rows))
 
@@ -251,12 +350,12 @@ class _ReplayStreamWriter(DataSourceStreamWriter):
         marker = os.path.join(self._path, "_commits", f"{batchId}.json")
         if os.path.exists(marker):  # replayed batch → drop duplicates
             for m in messages:
-                if m is not None and os.path.exists(m.path):
+                if m is not None and m.path and os.path.exists(m.path):
                     os.remove(m.path)
             return
         total = 0
         for i, m in enumerate(messages):
-            if m is None:
+            if m is None or not m.path:
                 continue
             final = os.path.join(self._path, "data", f"batch-{batchId}-{i:05d}.parquet")
             os.replace(m.path, final)
@@ -270,7 +369,7 @@ class _ReplayStreamWriter(DataSourceStreamWriter):
 
     def abort(self, messages, batchId: int) -> None:
         for m in messages:
-            if m is not None and os.path.exists(m.path):
+            if m is not None and m.path and os.path.exists(m.path):
                 os.remove(m.path)
 
 

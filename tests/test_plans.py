@@ -54,6 +54,17 @@ def test_partial_aggregation_before_shuffle(spark, sf_dir):
     assert "partial_" in plan  # partial aggregate functions present
 
 
+def test_jaccard_df_cap_is_map_side_combinable(spark, sf_dir):
+    """Round-1 verdict fix: the hot-shingle df cap must be partial+final
+    hash aggregation + broadcast anti-join — NOT a Window over
+    partitionBy(shingle), which materializes every occurrence of a hot
+    shingle in one task (the classic skewed-key straggler at 100 TB)."""
+    plan = _plan(load_all()["q22_dedup_ngram_jaccard"].fn(spark, sf_dir))
+    assert "Window" not in plan
+    assert "BroadcastHashJoin" in plan and "LeftAnti" in plan
+    assert plan.count("HashAggregate") >= 2 and "partial_" in plan
+
+
 def test_media_ops_are_narrow(spark, sf_dir):
     """Multimodal decode must not shuffle blobs: the only exchange allowed
     is the final presentation sort."""

@@ -131,6 +131,105 @@ def test_stream_drains_exactly_once_with_restart_and_paging(spark, replay_dir, t
             high[s] = max(vals)
 
 
+def test_cursor_file_persisted_and_covers_committed_offsets(spark, replay_dir, tmp_path):
+    """Round-1 regression: commit() must persist the durable planning cursor
+    on EVERY commit (latestOffset pre-advances the in-memory cursor, so a
+    changed-only guard never fires). After stopping a throttled query
+    mid-stream the cursor file must exist and be >= the offsets of every
+    batch in Spark's commit log (checkpoint monotonicity,
+    consumer/ConsumerWorker.scala:515-531)."""
+    import json
+
+    cursor = tmp_path / "cursor.json"
+    ckpt = tmp_path / "ckpt"
+    batches: list[int] = []
+    q = (
+        spark.readStream.format("kinesis_replay")
+        .option("path", replay_dir)
+        .option("maxRecordsPerBatch", 500)
+        .option("cursorPath", str(cursor))
+        .load()
+        .writeStream.foreachBatch(lambda bdf, _i: batches.append(bdf.count()))
+        .option("checkpointLocation", str(ckpt))
+        .trigger(processingTime="0 seconds")
+        .start()
+    )
+    t0 = time.time()
+    while len(batches) < 3 and time.time() - t0 < 60:
+        time.sleep(0.2)
+    q.stop()
+    q.awaitTermination()
+
+    assert cursor.exists(), "durable cursor file was never written"
+    cur = {k: int(v) for k, v in json.loads(cursor.read_text()).items()}
+    committed = sorted(int(p.name) for p in (ckpt / "commits").iterdir() if p.name.isdigit())
+    assert committed, "no committed batches"
+    last = committed[-1]
+    # offset log entry for the last committed batch: v1 line, metadata line,
+    # then one serialized offset json per source
+    lines = (ckpt / "offsets" / str(last)).read_text().strip().splitlines()
+    end = {k: int(v) for k, v in json.loads(lines[-1]).items()}
+    for sid, off in end.items():
+        assert cur.get(sid, 0) >= off, f"cursor below committed offset for {sid}"
+
+
+def test_paging_without_cursor_path_rejected(replay_dir):
+    from reactive_kinesis_spark.streaming.replay_source import _ReplayStreamReader
+
+    with pytest.raises(ValueError, match="cursorPath"):
+        _ReplayStreamReader({"path": replay_dir, "maxrecordsperbatch": "10"})
+
+
+def _drain(spark, replay_dir, tmp_path, name, **opts):
+    counts: list[int] = []
+    reader = spark.readStream.format("kinesis_replay").option("path", replay_dir)
+    for k, v in opts.items():
+        reader = reader.option(k, v)
+    q = (
+        reader.load()
+        .writeStream.foreachBatch(lambda bdf, _i: counts.append(bdf.count()))
+        .option("checkpointLocation", str(tmp_path / name))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return sum(counts)
+
+
+def test_starting_position_at_timestamp(spark, replay_dir, tmp_path):
+    """AT_TIMESTAMP (reference.conf:474-477): replay starts at the first
+    record whose arrival timestamp is >= the given instant. Arrival ts is
+    1_700_000_000s + id µs, so the midpoint instant admits ids >= N/2."""
+    from datetime import datetime, timedelta, timezone
+
+    mid = datetime(1970, 1, 1, tzinfo=timezone.utc) + timedelta(
+        seconds=1_700_000_000, microseconds=N // 2
+    )
+    got = _drain(
+        spark, replay_dir, tmp_path, "ckpt_ts",
+        startingPosition="at_timestamp", startingTimestamp=mid.isoformat(),
+    )
+    assert got == N - N // 2
+
+
+def test_starting_position_sequence_number(spark, replay_dir, tmp_path):
+    """(AT|AFTER)_SEQUENCE_NUMBER (reference.conf:469-473): per-shard
+    sequence numbers are zero-padded row indices 0..N/SHARDS-1; AT includes
+    the matching record, AFTER excludes it — KCL iterator semantics."""
+    seq = str(2500).zfill(20)
+    at = _drain(
+        spark, replay_dir, tmp_path, "ckpt_at_seq",
+        startingPosition="at_sequence_number", startingSequenceNumber=seq,
+    )
+    after = _drain(
+        spark, replay_dir, tmp_path, "ckpt_after_seq",
+        startingPosition="after_sequence_number", startingSequenceNumber=seq,
+    )
+    per_shard = N // SHARDS
+    assert at == SHARDS * (per_shard - 2500)
+    assert after == SHARDS * (per_shard - 2501)
+
+
 def test_starting_position_latest_sees_nothing(spark, replay_dir, tmp_path):
     counts: list[int] = []
     q = (
