@@ -48,29 +48,60 @@ def tolerant_foreach_batch(
     process: Callable[[DataFrame, int], None],
     dlq: Callable[[DataFrame, int], None] | None = None,
     tolerance_pct: float = 0.25,
+    failed_message_retries: int = 1,
 ) -> Callable[[DataFrame, int], None]:
-    """Build a ``foreachBatch`` function with tolerate-or-halt semantics.
+    """Build a ``foreachBatch`` function with retry-then-tolerate-or-halt
+    semantics.
 
     ``ok``: predicate marking a row as successfully processable;
     ``process``: sink for good rows; ``dlq``: sink for tolerated bad rows
     (defaults to dropping them, which is exactly the reference's skip);
-    ``tolerance_pct``: max % of bad rows per batch before halting.
+    ``tolerance_pct``: max % of bad rows per batch before halting;
+    ``failed_message_retries``: before tolerance accounting, re-evaluate
+    ``ok`` on ONLY the failed subset up to this many times, promoting rows
+    that succeed on retry into the good set — the reference's in-batch
+    retry of unconfirmed events (consumer/ConsumerWorker.scala:385-394;
+    default 1 mirrors ``failed-message-retries``, reference.conf:419-422;
+    behavior matrix ConsumerWorkerSpec.scala:302-461). Transient per-record
+    failures (flaky external lookups in the predicate) clear on retry and
+    never reach the DLQ; deterministic failures cost one cheap extra
+    evaluation of the (tiny) failed subset.
+
+    Each evaluation round is pinned with ``persist`` + a materializing
+    count, so a non-deterministic predicate cannot give inconsistent
+    answers between the good/bad splits of one round.
     """
 
     def run(batch_df: DataFrame, batch_id: int) -> None:
-        flagged = batch_df.withColumn("__ok", F.coalesce(ok, F.lit(False))).persist()
-        try:
+        pinned: list[DataFrame] = []
+
+        def flag(df: DataFrame) -> tuple[DataFrame, int, int]:
+            """Evaluate the predicate once, pinned: (flagged, total, failed)."""
+            flagged = df.withColumn("__ok", F.coalesce(ok, F.lit(False))).persist()
+            pinned.append(flagged)
             counts = flagged.agg(
                 F.count(F.lit(1)).alias("total"),
                 F.sum(F.when(F.col("__ok"), 0).otherwise(1)).alias("failed"),
             ).collect()[0]
-            total, failed = counts["total"] or 0, counts["failed"] or 0
+            return flagged, counts["total"] or 0, counts["failed"] or 0
+
+        try:
+            flagged, total, failed = flag(batch_df)
+            good = flagged.where(F.col("__ok")).drop("__ok")
+            bad = flagged.where(~F.col("__ok")).drop("__ok")
+            for _ in range(failed_message_retries):
+                if not failed:
+                    break
+                reflagged, _, failed = flag(bad)
+                good = good.union(reflagged.where(F.col("__ok")).drop("__ok"))
+                bad = reflagged.where(~F.col("__ok")).drop("__ok")
             if total and 100.0 * failed / total > tolerance_pct:
                 raise ToleranceExceededError(batch_id, failed, total, tolerance_pct)
             if failed and dlq is not None:
-                dlq(flagged.where(~F.col("__ok")).drop("__ok"), batch_id)
-            process(flagged.where(F.col("__ok")).drop("__ok"), batch_id)
+                dlq(bad, batch_id)
+            process(good, batch_id)
         finally:
-            flagged.unpersist()
+            for df in pinned:
+                df.unpersist()
 
     return run

@@ -143,6 +143,65 @@ def test_tolerance_exceeded_halts(spark):
     assert ei.value.batch_id == 7
 
 
+def _flaky_predicate(marker_dir: str):
+    """Boolean UDF that fails the FIRST evaluation of each multiple-of-5
+    payload and succeeds afterwards — a transient per-record failure
+    (the retry matrix the reference exercises in
+    ConsumerWorkerSpec.scala:302-461)."""
+    import os
+
+    from pyspark.sql.functions import udf
+
+    def f(v: str) -> bool:
+        if int(v) % 5 != 0:
+            return True
+        p = os.path.join(marker_dir, v)
+        if os.path.exists(p):
+            return True
+        open(p, "w").close()
+        return False
+
+    return udf(f, "boolean").asNondeterministic()
+
+
+def test_tolerance_retry_recovers_transient_failures(spark, tmp_path):
+    # 4/20 rows fail on first evaluation (>> 0.25% tolerance) but succeed on
+    # the in-batch retry: the batch must commit with ZERO dlq rows
+    # (reference consumer/ConsumerWorker.scala:385-394 retries unconfirmed
+    # events failed-message-retries times before tolerance accounting)
+    marker = tmp_path / "attempts"
+    marker.mkdir()
+    flaky = _flaky_predicate(str(marker))
+    df = make_events(spark, 20)
+    good, dlq = [], []
+    fn = tolerant_foreach_batch(
+        ok=flaky(F.col("payload").cast("string")),
+        process=lambda b, i: good.extend(b.collect()),
+        dlq=lambda b, i: dlq.extend(b.collect()),
+        tolerance_pct=0.25,
+        failed_message_retries=1,
+    )
+    fn(df, 0)
+    assert len(good) == 20 and len(dlq) == 0
+
+
+def test_tolerance_no_retries_halts_on_transient_failures(spark, tmp_path):
+    # same flaky batch with the retry budget at 0: 4/20 = 20% > 0.25% ⇒ halt
+    marker = tmp_path / "attempts"
+    marker.mkdir()
+    flaky = _flaky_predicate(str(marker))
+    df = make_events(spark, 20)
+    fn = tolerant_foreach_batch(
+        ok=flaky(F.col("payload").cast("string")),
+        process=lambda b, i: None,
+        tolerance_pct=0.25,
+        failed_message_retries=0,
+    )
+    with pytest.raises(ToleranceExceededError) as ei:
+        fn(df, 3)
+    assert ei.value.failed == 4
+
+
 def test_tolerance_null_predicate_counts_failed(spark):
     df = make_events(spark, 4).withColumn(
         "maybe", F.when(F.col("payload").cast("string") == "0", F.lit(None)).otherwise(F.lit(True))
