@@ -44,6 +44,68 @@ class TransportError(RuntimeError):
     pass
 
 
+class BoundedSender:
+    """Bounded-concurrency request dispatch with 0.9 resume hysteresis —
+    the reference's outstanding-request throttle, Spark-task-shaped.
+
+    The reference producer actor stashes sends once outstanding futures
+    reach ``max-outstanding-requests`` and resumes below 0.9× the bound
+    (producer/KinesisProducerActor.scala:135-161,203-217); the stream sink
+    pulls the next element only while ``outstanding < maxOutstanding``
+    (stream/Kinesis.scala:195-200, KinesisSinkGraphStage.scala:100-105).
+    Here: requests run on a thread pool; ``submit`` blocks (the stash
+    analog — a Spark task has no mailbox to stash into) while in-flight
+    requests ≥ the bound, resuming once they drain below 0.9×bound.
+    A failed request (TTL exhausted) raises on the next ``submit`` or at
+    ``close()``, failing the task → batch → query, the reference's
+    ``SendFailed`` ⇒ stage-failure escalation.
+
+    ``max_outstanding=1`` degenerates to strict sequential send (no
+    cross-request reordering); above 1, records of one partition key may
+    reorder across concurrent requests — the same contract as the KPL
+    (README.md:684-686: consumers needing order use aggregation or dedup
+    by sequence number).
+    """
+
+    def __init__(self, send_fn, max_outstanding: int, pool_size: int | None = None):
+        import concurrent.futures as cf
+
+        self._cf = cf
+        self._send = send_fn
+        self._max = max(1, int(max_outstanding))
+        self._pool = cf.ThreadPoolExecutor(
+            max_workers=pool_size or min(self._max, 8)
+        )
+        self._inflight: set = set()
+
+    def _reap(self, block_below: float | None = None) -> None:
+        """Collect finished futures (raising their errors); if
+        ``block_below`` is set, wait until in-flight < that level."""
+        while True:
+            done = {f for f in self._inflight if f.done()}
+            for f in done:
+                self._inflight.discard(f)
+                f.result()  # propagate TransportError
+            if block_below is None or len(self._inflight) < block_below:
+                return
+            self._cf.wait(self._inflight, return_when=self._cf.FIRST_COMPLETED)
+
+    def submit(self, entries: list[tuple[str, bytes]]) -> None:
+        self._reap()
+        if len(self._inflight) >= self._max:
+            # throttled: resume only below 0.9× the bound (hysteresis)
+            self._reap(block_below=0.9 * self._max)
+        self._inflight.add(self._pool.submit(self._send, entries))
+
+    def close(self) -> None:
+        try:
+            while self._inflight:
+                self._cf.wait(self._inflight, return_when=self._cf.ALL_COMPLETED)
+                self._reap()
+        finally:
+            self._pool.shutdown(wait=True)
+
+
 @dataclass
 class RequestPacker:
     """Packs producer records into PutRecords-shaped requests honoring
@@ -121,6 +183,7 @@ def write_batch(
     transport: Transport,
     pk_col: str = "partition_key",
     payload_col: str = "payload",
+    max_outstanding: int | None = None,
 ) -> None:
     """Send one micro-batch through the producer path.
 
@@ -130,6 +193,12 @@ def write_batch(
     failing after its TTL raises, failing the batch (Spark retries, then the
     query stops — the reference's ``SendFailed`` ⇒ stage failure,
     KinesisSinkGraphStage.scala:138-148).
+
+    ``max_outstanding`` (default: ``conf.max_outstanding_requests``) bounds
+    concurrent in-flight requests per task via :class:`BoundedSender` —
+    the reference's producer throttle with 0.9 resume hysteresis. Pass 1
+    for strict sequential send (preserves intra-key order across requests);
+    transports must be thread-safe for values > 1.
     """
     max_count = conf.collection_max_count
     max_size = conf.collection_max_size
@@ -138,10 +207,12 @@ def write_batch(
     agg_size = conf.aggregation_max_size
     ttl_s = conf.record_ttl_millis / 1000.0
     stream_name = conf.stream_name
+    outstanding = (
+        max_outstanding if max_outstanding is not None else conf.max_outstanding_requests
+    )
 
     def send_partition(rows: Iterator) -> None:
         packer = RequestPacker(max_count, max_size)
-        pending: list[tuple[str, bytes]] = []
 
         def send_request(entries: list[tuple[str, bytes]]) -> None:
             deadline = time.monotonic() + ttl_s
@@ -157,10 +228,12 @@ def write_batch(
                 if todo:
                     time.sleep(min(0.05, ttl_s / 10))
 
+        sender = BoundedSender(send_request, outstanding)
+
         def emit(pk: str, data: bytes) -> None:
             flushed = packer.add(pk, data)
             if flushed:
-                send_request(flushed)
+                sender.submit(flushed)
 
         # aggregation buffer per partition key (KPL packs per shard; key →
         # shard is the routing invariant, README.md:669-672)
@@ -191,8 +264,8 @@ def write_batch(
             flush_agg(pk)
         last = packer.flush()
         if last:
-            send_request(last)
-        del pending
+            sender.submit(last)
+        sender.close()
 
     batch_df.select(pk_col, payload_col).repartition(pk_col).foreachPartition(send_partition)
 

@@ -300,6 +300,64 @@ def test_sink_fails_after_ttl_on_persistent_transport_failure(spark, tmp_path):
     assert "RecordTtl" in str(ei.value) or "TransportError" in str(ei.value)
 
 
+def test_bounded_sender_never_exceeds_max_outstanding():
+    """In-flight requests stay ≤ max_outstanding while sends run
+    concurrently (reference KinesisSinkGraphStageSpec.scala:82-91:
+    'does not produce more than maxOutstanding unacked messages')."""
+    import threading
+    import time as _time
+
+    from reactive_kinesis_spark.streaming.sink import BoundedSender
+
+    lock = threading.Lock()
+    inflight = 0
+    seen_max = 0
+    sent = []
+
+    def slow_send(entries):
+        nonlocal inflight, seen_max
+        with lock:
+            inflight += 1
+            seen_max = max(seen_max, inflight)
+        _time.sleep(0.05)
+        with lock:
+            inflight -= 1
+            sent.append(entries)
+
+    sender = BoundedSender(slow_send, max_outstanding=4)
+    for i in range(20):
+        sender.submit([(str(i), b"x")])
+    sender.close()
+    assert len(sent) == 20
+    assert seen_max <= 4  # the throttle bound
+    assert seen_max >= 2  # and sends genuinely overlapped
+
+
+def test_bounded_sender_propagates_send_failure():
+    from reactive_kinesis_spark.streaming.sink import BoundedSender, TransportError
+
+    def failing_send(entries):
+        raise TransportError("boom")
+
+    sender = BoundedSender(failing_send, max_outstanding=2)
+    with pytest.raises(TransportError):
+        sender.submit([("0", b"x")])
+        sender.close()
+
+
+def test_sink_concurrent_roundtrip_all_records_delivered(spark, tmp_path):
+    # bounded-concurrency path (max_outstanding > 1): every record still
+    # delivered exactly once per send, collection caps still honored
+    df = make_events(spark, 200, shards=2)
+    transport = LocalDirTransport(str(tmp_path / "out"))
+    conf = ProducerConfig(
+        stream_name="s1", aggregation_enabled=False, collection_max_count=10
+    )
+    write_batch(df, conf, transport, max_outstanding=3)
+    got = [int(d) for _, d in transport.read_back()]
+    assert sorted(got) == list(range(200))
+
+
 def test_streaming_sink_end_to_end(spark, tmp_path):
     src = str(tmp_path / "stream")
     make_events(spark, 40, shards=2).write.parquet(src, mode="append")
