@@ -17,6 +17,17 @@ import time
 
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 
+#: Timed executions per query; the reported figure is the per-query MEDIAN
+#: (single-run numbers at this scale sit in a ±25% noise band — observed
+#: across round 1/2 reruns of unchanged queries).
+N_RUNS = int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "3"))
+
+
+def _median(xs: list[float]) -> float:
+    s = sorted(xs)
+    n = len(s)
+    return s[n // 2] if n % 2 else 0.5 * (s[n // 2 - 1] + s[n // 2])
+
 #: Headline queries: one per major operator family (scan-agg, join-agg,
 #: star join, window, set-op, event window, as-of, exact dedup, MinHash-LSH,
 #: trigram-Jaccard, cosine top-k, ANN, text stats, correlated subquery,
@@ -61,19 +72,40 @@ def main() -> None:
     for name in HEADLINE:
         registry[name].fn(spark, SF_DIR).collect()
 
-    timings: dict[str, float] = {}
-    total = 0.0
-    for name in HEADLINE:
-        qd = registry[name]
-        t0 = time.perf_counter()
-        rows = qd.fn(spark, SF_DIR).collect()
-        dt = time.perf_counter() - t0
-        timings[name] = round(dt, 3)
-        total += dt
-        print(f"# {name}: {dt:.3f}s ({len(rows)} rows)", file=sys.stderr)
+    # Median of N_RUNS timed executions per query. Caches are cleared
+    # before every execution so queries that persist intermediates (the
+    # Jaccard shingle frame) are timed COLD — the honest one-shot cost;
+    # cache reuse across repeated runs would otherwise hide the corpus
+    # scan entirely.
+    samples: dict[str, list[float]] = {name: [] for name in HEADLINE}
+    for _ in range(N_RUNS):
+        for name in HEADLINE:
+            spark.catalog.clearCache()
+            qd = registry[name]
+            t0 = time.perf_counter()
+            rows = qd.fn(spark, SF_DIR).collect()
+            dt = time.perf_counter() - t0
+            samples[name].append(dt)
+    timings = {name: round(_median(ts), 3) for name, ts in samples.items()}
+    total = sum(timings.values())
+    for name, med in timings.items():
+        print(f"# {name}: median {med:.3f}s over {N_RUNS} runs", file=sys.stderr)
 
     streaming = _streaming_throughput(spark)
-    print(f"# streaming: {streaming['msgs_per_sec']:.0f} msg/s", file=sys.stderr)
+    print(f"# streaming (file source): {streaming['msgs_per_sec']:.0f} msg/s", file=sys.stderr)
+    # apples-to-apples pair: both sources paged into the SAME 4×100k
+    # micro-batch shape, so the delta isolates the source read path (the
+    # un-paged file number above keeps cross-round comparability)
+    streaming_file_paged = _streaming_throughput(spark, files_per_trigger=1)
+    print(
+        f"# streaming (file source, paged): {streaming_file_paged['msgs_per_sec']:.0f} msg/s",
+        file=sys.stderr,
+    )
+    streaming_replay = _replay_throughput(spark)
+    print(
+        f"# streaming (kinesis_replay, paged): {streaming_replay['msgs_per_sec']:.0f} msg/s",
+        file=sys.stderr,
+    )
 
     m = re.search(r"sf([0-9.]+)", SF_DIR)
     sf = float(m.group(1).rstrip(".")) if m else None
@@ -85,78 +117,172 @@ def main() -> None:
                 "unit": "sec",
                 "queries": timings,
                 "sf": sf,
+                "runs": N_RUNS,
                 "streaming": streaming,
+                "streaming_file_paged": streaming_file_paged,
+                "streaming_replay": streaming_replay,
             }
         )
     )
 
 
-def _streaming_throughput(spark, n: int = 400_000, shards: int = 4) -> dict:
+def _event_frame(spark, n: int, shards: int):
+    """The reliability-test payload: n sequential ints round-robined over
+    shards, EVENT_SCHEMA-shaped (reference sample.conf:10-22)."""
+    from pyspark.sql import functions as F
+
+    return spark.range(n).select(
+        F.lit("bench").alias("stream_name"),
+        F.concat(
+            F.lit("shardId-"), F.lpad((F.col("id") % shards).cast("string"), 12, "0")
+        ).alias("shard_id"),
+        (F.col("id") % shards).cast("string").alias("partition_key"),
+        F.lpad((F.col("id") / shards).cast("long").cast("string"), 20, "0").alias(
+            "sequence_number"
+        ),
+        F.lit(0).cast("long").alias("sub_sequence_number"),
+        F.col("id").cast("string").cast("binary").alias("payload"),
+        F.current_timestamp().alias("approximate_arrival_timestamp"),
+    )
+
+
+def _pump_and_score(spark, stream, name: str, ckpt: str, n: int, shards: int, paged: bool):
+    """source stream → per-shard contiguity aggregate → memory sink; drain,
+    return (elapsed_sec, contiguity_ok). Paged queries use a 0-interval
+    processing trigger + drain-polling (availableNow captures ONE
+    latestOffset on a Python source — one page); un-paged use availableNow."""
+    from pyspark.sql import functions as F
+
+    seq = F.col("sequence_number").cast("long")
+    agg = stream.groupBy("shard_id").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.min(seq).alias("min_seq"),
+        F.max(seq).alias("max_seq"),
+        F.sum(seq).alias("sum_seq"),
+        F.sum(seq * seq).alias("sum_sq"),
+    )
+    writer = (
+        agg.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("complete")
+        .option("checkpointLocation", ckpt)
+    )
+    t0 = time.perf_counter()
+    if paged:
+        q = writer.trigger(processingTime="0 seconds").start()
+        deadline = time.time() + 300
+        while time.time() < deadline:
+            done = spark.sql(f"SELECT coalesce(sum(n), 0) AS t FROM {name}").collect()[0].t
+            if done >= n:
+                break
+            time.sleep(0.2)
+        q.stop()
+        q.awaitTermination()
+    else:
+        q = writer.trigger(availableNow=True).start()
+        q.awaitTermination()
+    dt = time.perf_counter() - t0
+    rows = spark.sql(f"SELECT * FROM {name}").collect()
+    p = n // shards
+    # contiguity without COUNT(DISTINCT) (unsupported on streams):
+    # count + min/max + first two moments pin the multiset to exactly
+    # {0..p-1} — any duplicate-for-missing swap shifts sum or sum_sq.
+    contiguous = len(rows) == shards and all(
+        r.n == p
+        and r.min_seq == 0
+        and r.max_seq == p - 1
+        and r.sum_seq == p * (p - 1) // 2
+        and r.sum_sq == (p - 1) * p * (2 * p - 1) // 6
+        for r in rows
+    )
+    return dt, contiguous
+
+
+def _streaming_throughput(
+    spark, n: int = 400_000, shards: int = 4, files_per_trigger: int | None = None
+) -> dict:
     """Reliability-test analog (reference sample.conf:10-22 pumps 5M
     sequential ints through 2 shards; floor = 1,000 msg/s/shard,
     reference.conf:413-417,479-482): pump ``n`` sequential integer payloads
-    through source → per-shard ordering → count, verify per-shard
-    contiguity, report end-to-end msg/s."""
+    through the file source → per-shard contiguity check → msg/s.
+    ``files_per_trigger`` pages the stream (1 ⇒ one shard file per
+    micro-batch) for the apples-to-apples comparison with the paged
+    kinesis_replay leg."""
     import shutil
     import tempfile
-
-    from pyspark.sql import functions as F
 
     from reactive_kinesis_spark.streaming import file_stream_source
 
     tmp = tempfile.mkdtemp(prefix="rks_bench_stream_")
     src, ckpt = f"{tmp}/src", f"{tmp}/ckpt"
     try:
-        (
-            spark.range(n)
-            .select(
-                F.lit("bench").alias("stream_name"),
-                F.concat(F.lit("shardId-"), F.lpad((F.col("id") % shards).cast("string"), 12, "0")).alias("shard_id"),
-                (F.col("id") % shards).cast("string").alias("partition_key"),
-                F.lpad((F.col("id") / shards).cast("long").cast("string"), 20, "0").alias("sequence_number"),
-                F.lit(0).cast("long").alias("sub_sequence_number"),
-                F.col("id").cast("string").cast("binary").alias("payload"),
-                F.current_timestamp().alias("approximate_arrival_timestamp"),
+        _event_frame(spark, n, shards).repartition(shards).write.parquet(src)
+        name = "bench_stream_paged" if files_per_trigger else "bench_stream"
+        stream = file_stream_source(spark, src, max_files_per_trigger=files_per_trigger)
+        dt, contiguous = _pump_and_score(
+            spark, stream, name, ckpt, n, shards, paged=files_per_trigger is not None
+        )
+        out = {
+            "msgs": n,
+            "shards": shards,
+            "msgs_per_sec": round(n / dt, 1),
+            "contiguity_ok": contiguous,
+        }
+        if files_per_trigger:
+            out["files_per_trigger"] = files_per_trigger
+        return out
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+
+
+def _replay_throughput(
+    spark, n: int = 400_000, shards: int = 4, page: int = 25_000
+) -> dict:
+    """Same pump through the ``kinesis_replay`` connector with rate-limited
+    paging (``maxRecordsPerBatch`` = the KCL ``maxRecords`` analog,
+    reference.conf:479-482) — measures the custom Arrow-native source read
+    path. ``page`` rows/shard/batch ⇒ n/(shards·page) micro-batches, the
+    same batch shape as the paged file leg."""
+    import shutil
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from reactive_kinesis_spark.streaming.replay_source import register_replay_source
+
+    register_replay_source(spark)
+    tmp = tempfile.mkdtemp(prefix="rks_bench_replay_")
+    src, ckpt, cursor = f"{tmp}/src", f"{tmp}/ckpt", f"{tmp}/cursor.json"
+    os.makedirs(src)
+    try:
+        base = _event_frame(spark, n, shards)
+        # layout contract: one sorted parquet file per shard
+        for s in range(shards):
+            sid = f"shardId-{s:012d}"
+            (
+                base.where(F.col("shard_id") == sid)
+                .orderBy("sequence_number")
+                .coalesce(1)
+                .write.parquet(f"{tmp}/stage-{s}")
             )
-            .repartition(shards)
-            .write.parquet(src)
+            part = [
+                f for f in os.listdir(f"{tmp}/stage-{s}") if f.endswith(".parquet")
+            ][0]
+            os.rename(f"{tmp}/stage-{s}/{part}", f"{src}/shard-{s:04d}.parquet")
+        stream = (
+            spark.readStream.format("kinesis_replay")
+            .option("path", src)
+            .option("maxRecordsPerBatch", page)
+            .option("cursorPath", cursor)
+            .load()
         )
-        t0 = time.perf_counter()
-        stream = file_stream_source(spark, src)
-        seq = F.col("sequence_number").cast("long")
-        agg = stream.groupBy("shard_id").agg(
-            F.count(F.lit(1)).alias("n"),
-            F.min(seq).alias("min_seq"),
-            F.max(seq).alias("max_seq"),
-            F.sum(seq).alias("sum_seq"),
-            F.sum(seq * seq).alias("sum_sq"),
-        )
-        q = (
-            agg.writeStream.format("memory")
-            .queryName("bench_stream")
-            .outputMode("complete")
-            .option("checkpointLocation", ckpt)
-            .trigger(availableNow=True)
-            .start()
-        )
-        q.awaitTermination()
-        dt = time.perf_counter() - t0
-        rows = spark.sql("SELECT * FROM bench_stream").collect()
-        p = n // shards
-        # contiguity without COUNT(DISTINCT) (unsupported on streams):
-        # count + min/max + first two moments pin the multiset to exactly
-        # {0..p-1} — any duplicate-for-missing swap shifts sum or sum_sq.
-        contiguous = len(rows) == shards and all(
-            r.n == p
-            and r.min_seq == 0
-            and r.max_seq == p - 1
-            and r.sum_seq == p * (p - 1) // 2
-            and r.sum_sq == (p - 1) * p * (2 * p - 1) // 6
-            for r in rows
+        dt, contiguous = _pump_and_score(
+            spark, stream, "bench_replay", ckpt, n, shards, paged=True
         )
         return {
             "msgs": n,
             "shards": shards,
+            "page_per_shard": page,
             "msgs_per_sec": round(n / dt, 1),
             "contiguity_ok": contiguous,
         }
