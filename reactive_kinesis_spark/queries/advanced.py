@@ -309,12 +309,16 @@ def q51_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle=f"""
     WITH per_vec AS (
         SELECT label,
-               list_reduce(
-                   list_transform(embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)),
-                   (acc, x) -> acc + x
-               ) AS ss,
-               CAST(len(list_filter(embedding, x -> x > 0)) AS DOUBLE)
-                   / CAST(len(embedding) AS DOUBLE) AS pos_frac
+               CASE WHEN len(embedding) = 0 THEN 0.0 ELSE
+                   list_reduce(
+                       list_transform(embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)),
+                       (acc, x) -> acc + x
+                   )
+               END AS ss,
+               CASE WHEN len(embedding) > 0 THEN
+                   CAST(len(list_filter(embedding, x -> x > 0)) AS DOUBLE)
+                       / CAST(len(embedding) AS DOUBLE)
+               END AS pos_frac
         FROM embeddings
     )
     SELECT label, COUNT(*) AS n_vecs,
@@ -328,7 +332,14 @@ def q52_higher_order_array(spark: SparkSession, sf_dir: str) -> DataFrame:
     (square), left-fold aggregate (sum of squares — fold order matches the
     oracle's list_reduce exactly since 0.0 + x1 == x1), filter + size
     (positive fraction). All inside whole-stage codegen — the 100 TB path
-    for vector feature engineering without a single Python round-trip."""
+    for vector feature engineering without a single Python round-trip.
+
+    Degenerate-input contract (pinned by an oracle-parity test with
+    injected rows): empty array → ss = 0.0 (DuckDB ``list_reduce`` errors
+    on [] without the CASE guard), pos_frac = NULL on both engines; NULL
+    embedding → ss and pos_frac NULL. The averages divide by the NON-NULL
+    count (matching ``davg_sql``'s null-skipping ``COUNT(expr)``), so a
+    NULL row shrinks the denominator identically on both engines."""
     emb = _t(spark, sf_dir, "embeddings")
     per_vec = emb.select(
         "label",
@@ -337,21 +348,22 @@ def q52_higher_order_array(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.lit(0.0),
             lambda acc, v: acc + v,
         ).alias("ss"),
-        (
+        F.when(
+            F.size("embedding") > 0,
             F.size(F.filter("embedding", lambda v: v > 0)).cast("double")
-            / F.size("embedding").cast("double")
+            / F.size("embedding").cast("double"),
         ).alias("pos_frac"),
     )
     return (
         per_vec.groupBy("label")
         .agg(
             F.count(F.lit(1)).alias("n_vecs"),
-            (F.sum(F.sqrt("ss").cast(_DEC)).cast("double") / F.count(F.lit(1))).alias(
+            (F.sum(F.sqrt("ss").cast(_DEC)).cast("double") / F.count(F.sqrt("ss"))).alias(
                 "avg_norm"
             ),
-            (F.sum(F.col("pos_frac").cast(_DEC)).cast("double") / F.count(F.lit(1))).alias(
-                "avg_pos_frac"
-            ),
+            (
+                F.sum(F.col("pos_frac").cast(_DEC)).cast("double") / F.count("pos_frac")
+            ).alias("avg_pos_frac"),
         )
         .orderBy("label")
     )

@@ -80,19 +80,32 @@ _POSITIONS = (
 
 def _parse_timestamp_us(raw: str) -> int:
     """startingTimestamp option → epoch microseconds. Accepts epoch
-    seconds (int/float, the reference's ``at.timestamp`` config form,
-    reference.conf:474-477) or an ISO-8601 string (resolved with exact
-    integer arithmetic — no float rounding at microsecond precision)."""
+    seconds (int/float form, the reference's ``at.timestamp`` config,
+    reference.conf:474-477) or an ISO-8601 string. Both paths use exact
+    integer arithmetic — the numeric form is split on ``.`` so fractional
+    seconds never round through a float, and negative epochs scale
+    symmetrically (-1.5 → -1_500_000 µs, not truncated toward zero).
+    Malformed input ('inf', 'nan', garbage) raises a ValueError naming
+    the option."""
     from datetime import datetime, timedelta, timezone
 
+    s = str(raw).strip()
+    body = s[1:] if s[:1] in ("-", "+") else s
+    if body and body.replace(".", "", 1).isdigit():
+        whole, _, frac = body.partition(".")
+        us = int(whole or "0") * 1_000_000 + int((frac + "000000")[:6])
+        return -us if s.startswith("-") else us
     try:
-        return int(float(raw) * 1_000_000)
+        dt = datetime.fromisoformat(s)
     except ValueError:
-        dt = datetime.fromisoformat(raw)
-        if dt.tzinfo is None:
-            dt = dt.replace(tzinfo=timezone.utc)
-        epoch = datetime(1970, 1, 1, tzinfo=timezone.utc)
-        return (dt - epoch) // timedelta(microseconds=1)
+        raise ValueError(
+            f"invalid startingTimestamp {raw!r}: expected epoch seconds "
+            "(int/float) or an ISO-8601 timestamp"
+        ) from None
+    if dt.tzinfo is None:
+        dt = dt.replace(tzinfo=timezone.utc)
+    epoch = datetime(1970, 1, 1, tzinfo=timezone.utc)
+    return (dt - epoch) // timedelta(microseconds=1)
 
 
 def _resolve_start_offsets(
@@ -105,8 +118,11 @@ def _resolve_start_offsets(
     """Per-shard first row index for the five reference starting positions
     (reference.conf:469-477, README.md:675-683). TRIM_HORIZON/LATEST are
     metadata-only; the timestamp/sequence positions binary-search one sorted
-    column per shard file — a bounded, driver-side, init-time scan (the
-    analog of the Kinesis GetShardIterator server-side lookup)."""
+    column per shard file — a bounded, driver-side scan (the analog of the
+    Kinesis GetShardIterator server-side lookup). The layout contract says
+    each shard file is sorted ascending on the searched column; that is
+    VALIDATED here (searchsorted on unsorted data silently returns an
+    arbitrary index — rows skipped or re-delivered with no error)."""
     if position == "trim_horizon":
         return {sid: 0 for sid in files}
     if position == "latest":
@@ -123,6 +139,12 @@ def _resolve_start_offsets(
             col = pq.read_table(f, columns=["approximate_arrival_timestamp"]).column(0)
             arr = col.cast("timestamp[us]").to_numpy(zero_copy_only=False)
             us = arr.astype("datetime64[us]").astype("int64")
+            if us.size > 1 and not bool(np.all(np.diff(us) >= 0)):
+                raise ValueError(
+                    f"shard file {f!r}: approximate_arrival_timestamp is not "
+                    "sorted ascending — the kinesis_replay layout contract "
+                    "requires per-shard arrival order for at_timestamp"
+                )
             out[sid] = int(np.searchsorted(us, timestamp_us, side="left"))
         return out
 
@@ -136,6 +158,12 @@ def _resolve_start_offsets(
     for sid, f in files.items():
         col = pq.read_table(f, columns=["sequence_number"]).column(0)
         arr = np.asarray(col.to_pylist(), dtype=object)
+        if arr.size > 1 and not bool(np.all(arr[:-1] <= arr[1:])):
+            raise ValueError(
+                f"shard file {f!r}: sequence_number is not sorted ascending — "
+                "the kinesis_replay layout contract requires zero-padded, "
+                f"in-order sequence numbers for {position}"
+            )
         out[sid] = int(np.searchsorted(arr, sequence_number, side=side))
     return out
 
@@ -188,13 +216,21 @@ class _ReplayStreamReader(DataSourceStreamReader):
                 f"unsupported startingPosition {start!r}; one of {_POSITIONS}"
             )
         ts_opt = options.get("startingtimestamp")
-        self._start_offsets = _resolve_start_offsets(
-            self._files,
-            self._total,
+        # option VALIDATION is eager (bad configs fail at construction);
+        # the per-shard file scan behind timestamp/sequence positions is
+        # LAZY (see _start_offsets) — on checkpoint restart Spark never
+        # calls initialOffset and the durable cursor covers every shard,
+        # so reader construction does zero data I/O.
+        self._start_args = (
             start,
             _parse_timestamp_us(ts_opt) if ts_opt is not None else None,
             options.get("startingsequencenumber"),
         )
+        if start == "at_timestamp" and self._start_args[1] is None:
+            raise ValueError("startingPosition=at_timestamp requires startingTimestamp")
+        if start.endswith("_sequence_number") and self._start_args[2] is None:
+            raise ValueError(f"startingPosition={start} requires startingSequenceNumber")
+        self._start_offsets_cache: dict[str, int] | None = None
         # the durable planning cursor is per-query state (the KCL lease
         # table analog) — sharing one file between queries, or outliving a
         # deleted checkpoint, re-delivers or skips rows. Require an explicit
@@ -226,6 +262,18 @@ class _ReplayStreamReader(DataSourceStreamReader):
             json.dump(self._planned, fh)
         os.replace(tmp, self._cursor_path)
 
+    @property
+    def _start_offsets(self) -> dict[str, int]:
+        """Resolved starting offsets, computed on first use (ADVICE round 2:
+        eager resolution re-scanned every shard file on every reader
+        construction, including checkpoint restarts that never consult it)."""
+        if self._start_offsets_cache is None:
+            position, ts_us, seqno = self._start_args
+            self._start_offsets_cache = _resolve_start_offsets(
+                self._files, self._total, position, ts_us, seqno
+            )
+        return self._start_offsets_cache
+
     def _base(self, sid: str) -> int:
         return self._start_offsets[sid]
 
@@ -236,7 +284,9 @@ class _ReplayStreamReader(DataSourceStreamReader):
         if self._max_records is None:
             return dict(self._total)
         for sid, total in self._total.items():
-            cur = self._planned.get(sid, self._base(sid))
+            # cursor hit avoids touching _start_offsets: a restart with a
+            # complete cursor never pays the start-position file scan
+            cur = self._planned[sid] if sid in self._planned else self._base(sid)
             self._planned[sid] = min(total, cur + self._max_records)
         return dict(self._planned)
 

@@ -26,3 +26,34 @@ def test_rows_only_query_runs(spark, sf_dir, name):
     df = qd.fn(spark, sf_dir)
     assert df.count() >= 0
     assert len(df.columns) > 0
+
+
+def test_q52_oracle_parity_on_degenerate_embeddings(spark, sf_dir, tmp_path):
+    """Round-2 advice: q52 passed only because the data has no empty/NULL
+    embeddings (DuckDB ``list_reduce`` ERRORS on an empty list; the
+    null-skipping oracle COUNT diverged from a count-all Spark
+    denominator). Inject both degenerate shapes and require exact parity."""
+    import duckdb
+
+    emb_dir = str(tmp_path / "sf_degenerate")
+    base = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    degenerate = spark.createDataFrame(
+        [
+            (900001, 0, []),
+            (900002, 1, None),
+        ],
+        schema="vec_id long, label int, embedding array<float>",
+    )
+    base.select("vec_id", "label", "embedding").unionByName(degenerate).write.parquet(
+        f"{emb_dir}/embeddings.parquet"
+    )
+    qd = _REGISTRY["q52_higher_order_array"]
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW embeddings AS SELECT * FROM "
+        f"read_parquet('{emb_dir}/embeddings.parquet/*.parquet')"
+    )
+    try:
+        compare(qd.fn(spark, emb_dir), con, qd.oracle)
+    finally:
+        con.close()

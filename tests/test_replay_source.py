@@ -196,6 +196,81 @@ def _drain(spark, replay_dir, tmp_path, name, **opts):
     return sum(counts)
 
 
+def test_parse_timestamp_exact_integer_arithmetic():
+    """Epoch-seconds forms resolve with integer arithmetic: fractional
+    seconds don't round through a float, negative epochs scale
+    symmetrically, and inf/nan are rejected naming the option."""
+    from reactive_kinesis_spark.streaming.replay_source import _parse_timestamp_us
+
+    assert _parse_timestamp_us("1700000000") == 1_700_000_000_000_000
+    assert _parse_timestamp_us("1700000000.000001") == 1_700_000_000_000_001
+    # 16 correct significant digits — the float path would drift here
+    assert _parse_timestamp_us("1700000000.123456") == 1_700_000_000_123_456
+    assert _parse_timestamp_us("-1.5") == -1_500_000
+    assert _parse_timestamp_us("1970-01-01T00:00:01+00:00") == 1_000_000
+    for bad in ("inf", "nan", "-inf", "tomorrow"):
+        with pytest.raises(ValueError, match="startingTimestamp"):
+            _parse_timestamp_us(bad)
+
+
+def test_unsorted_shard_file_rejected_for_position_search(spark, tmp_path):
+    """searchsorted on an unsorted column silently returns arbitrary
+    offsets (skipped/re-delivered rows); the layout contract is now
+    validated and violations raise."""
+    from reactive_kinesis_spark.streaming.replay_source import _resolve_start_offsets
+
+    src = tmp_path / "bad"
+    src.mkdir()
+    df = spark.range(100).select(
+        F.lit("s").alias("stream_name"),
+        F.lit("shard-0").alias("shard_id"),
+        F.lit("0").alias("partition_key"),
+        # DESCENDING sequence numbers — violates the contract
+        F.lpad((99 - F.col("id")).cast("string"), 20, "0").alias("sequence_number"),
+        F.lit(0).cast("long").alias("sub_sequence_number"),
+        F.col("id").cast("string").cast("binary").alias("payload"),
+        F.timestamp_micros(F.lit(1_700_000_000_000_000) - F.col("id")).alias(
+            "approximate_arrival_timestamp"
+        ),
+    )
+    stage = str(tmp_path / "stage")
+    df.coalesce(1).write.parquet(stage)
+    part = next(f for f in os.listdir(stage) if f.endswith(".parquet"))
+    shutil.move(os.path.join(stage, part), str(src / "shard-0.parquet"))
+    files = {"shard-0": str(src / "shard-0.parquet")}
+    with pytest.raises(ValueError, match="not sorted ascending"):
+        _resolve_start_offsets(files, {"shard-0": 100}, "at_sequence_number", None, "0" * 20)
+    with pytest.raises(ValueError, match="not sorted ascending"):
+        _resolve_start_offsets(files, {"shard-0": 100}, "at_timestamp", 1, None)
+
+
+def test_start_resolution_lazy_and_skipped_with_complete_cursor(replay_dir, tmp_path):
+    """Reader construction does no start-position file scan; a restart
+    whose durable cursor covers every shard never resolves start offsets
+    at all (ADVICE round 2: wasted init-time I/O growing with shard
+    count)."""
+    import json as _json
+
+    from reactive_kinesis_spark.streaming.replay_source import _ReplayStreamReader
+
+    cursor = tmp_path / "cursor.json"
+    cursor.write_text(_json.dumps({f"shard-{s}": 1000 for s in range(SHARDS)}))
+    reader = _ReplayStreamReader(
+        {
+            "path": replay_dir,
+            "maxrecordsperbatch": "500",
+            "cursorpath": str(cursor),
+            "startingposition": "at_timestamp",
+            "startingtimestamp": "1700000000",
+        }
+    )
+    assert reader._start_offsets_cache is None  # nothing resolved eagerly
+    reader.latestOffset()  # cursor covers all shards → still no resolution
+    assert reader._start_offsets_cache is None
+    assert reader.initialOffset()  # fresh-query path resolves on demand
+    assert reader._start_offsets_cache is not None
+
+
 def test_starting_position_at_timestamp(spark, replay_dir, tmp_path):
     """AT_TIMESTAMP (reference.conf:474-477): replay starts at the first
     record whose arrival timestamp is >= the given instant. Arrival ts is

@@ -58,3 +58,33 @@ def test_ivf_recall_and_determinism(spark, sf_dir):
         for r in S.ivf_topk(emb, queries, k=5, n_cells=16, n_probe=6).collect()
     )
     assert got1 == got2  # deterministic incl. float bits
+
+
+def test_recall_artifact_pins_clustered_ann_quality(spark):
+    """RECALL.json is the committed evidence for the ANN 100 TB design
+    claim (similarity.py: clustered-data settings ⇒ recall ≥ 0.9+). The
+    clustered measurements must hold the ≥ 0.9 bar, and the LSH number
+    must REPRODUCE from the deterministic generator — a stale artifact
+    fails here."""
+    import json
+    import os
+
+    path = os.path.join(os.path.dirname(os.path.dirname(__file__)), "RECALL.json")
+    with open(path) as fh:
+        art = json.load(fh)
+    assert art["lsh_clustered"]["recall"] >= 0.9
+    assert art["ivf_clustered"]["recall"] >= 0.9
+
+    import sys
+
+    sys.path.insert(0, os.path.join(os.path.dirname(os.path.dirname(__file__)), "tools"))
+    import recall_report as R
+
+    cfg = R.CLUSTERED
+    clustered = R.clustered_frame(spark)
+    cq = clustered.where(F.col("vec_id") < cfg["n_queries"])
+    exact = S.cosine_topk(clustered, cq, k=cfg["k"])
+    approx = S.ann_lsh_topk(
+        clustered, cq, k=cfg["k"], n_planes=16, bands=4, dim=cfg["dim"]
+    )
+    assert R.recall_at_k(exact, approx) == art["lsh_clustered"]["recall"]
