@@ -6,10 +6,14 @@ record into ``UserRecord``s carrying a ``subSequenceNumber``
 it/.../common/KinesisTestConsumer.scala:83-90), and the KPL packs user
 records up to AggregationMaxCount/AggregationMaxSize (reference.conf:57-91).
 
-The engine implements the same *semantics* with its own deterministic,
-dependency-free wire format (the KPL protobuf needs AWS libs not present
-here; the format is isolated behind pack/unpack so swapping in KPL protobuf
-is a two-function change):
+Two wire formats, auto-detected by magic on the consumer side:
+
+* **KPL protobuf** (:mod:`reactive_kinesis_spark.streaming.kpl`) — the
+  published format real Kinesis producers emit (magic F3899AC2 +
+  AggregatedRecord + md5), hand-coded dependency-free, so the engine
+  deaggregates genuine KPL data;
+* **RKSA1** — the engine's own deterministic format (simpler framing,
+  kept as the producer default and for pre-existing test fixtures):
 
     RKSA1 | u32 count | repeat: u16 pk_len | pk utf8 | u32 data_len | data
 
@@ -49,8 +53,14 @@ class CorruptAggregateError(ValueError):
 
 
 def unpack_records(blob: bytes) -> list[tuple[str, bytes]]:
-    """Inverse of :func:`pack_records`; non-aggregated blobs return
-    themselves as a single record with an empty partition key marker."""
+    """Inverse of :func:`pack_records`; also transparently unpacks
+    KPL-protobuf aggregates (magic-dispatched); non-aggregated blobs
+    return themselves as a single record with an empty partition key
+    marker."""
+    from reactive_kinesis_spark.streaming.kpl import is_kpl_aggregate, unpack_kpl_records
+
+    if is_kpl_aggregate(blob):
+        return unpack_kpl_records(blob)
     if not blob.startswith(MAGIC):
         return [("", bytes(blob))]
     try:
@@ -80,6 +90,7 @@ def aggregate_records(
     df: DataFrame,
     max_count: int = 100,
     max_size: int = 51_200,
+    wire_format: str = "rksa1",
 ) -> DataFrame:
     """Producer-side aggregation: pack EVENT_SCHEMA rows into aggregated
     records per (shard_id, partition_key), respecting AggregationMaxCount /
@@ -87,10 +98,21 @@ def aggregate_records(
     (sequence_number, sub_sequence_number) order; output keeps the FIRST
     packed record's sequence number (the Kinesis-visible one).
 
+    ``wire_format``: ``"rksa1"`` (engine format, default) or ``"kpl"``
+    (the published KPL protobuf aggregate — what a real KCL consumer
+    deaggregates). The consumer side auto-detects either.
+
     Runs per partition after a hash repartition on the grouping key —
     map-side packing, one shuffle, no driver involvement.
     """
     import pandas as pd
+
+    if wire_format == "kpl":
+        from reactive_kinesis_spark.streaming.kpl import pack_kpl_records as pack_records
+    elif wire_format == "rksa1":
+        pack_records = globals()["pack_records"]
+    else:
+        raise ValueError(f"unknown wire_format {wire_format!r}; use 'rksa1' or 'kpl'")
 
     def pack(batches: Iterator) -> Iterator:
         for pdf in batches:
@@ -138,12 +160,14 @@ def deaggregate(df: DataFrame) -> DataFrame:
     with their original sub-sequence. Narrow transform — no shuffle."""
     import pandas as pd
 
+    from reactive_kinesis_spark.streaming.kpl import is_kpl_aggregate
+
     def unpack(batches: Iterator) -> Iterator:
         for pdf in batches:
             rows = []
             for r in pdf.itertuples(index=False):
                 blob = bytes(r.payload)
-                if blob.startswith(MAGIC):
+                if blob.startswith(MAGIC) or is_kpl_aggregate(blob):
                     for sub, (pk, data) in enumerate(unpack_records(blob)):
                         rows.append(
                             (r.stream_name, r.shard_id, pk or r.partition_key,
