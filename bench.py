@@ -175,7 +175,7 @@ def _pump_and_score(spark, stream, name: str, ckpt: str, n: int, shards: int, pa
             done = spark.sql(f"SELECT coalesce(sum(n), 0) AS t FROM {name}").collect()[0].t
             if done >= n:
                 break
-            time.sleep(0.2)
+            time.sleep(0.05)
         q.stop()
         q.awaitTermination()
     else:
@@ -256,7 +256,12 @@ def _replay_throughput(
     os.makedirs(src)
     try:
         base = _event_frame(spark, n, shards)
-        # layout contract: one sorted parquet file per shard
+        # layout contract: one sorted parquet file per shard, row groups
+        # sized to the page so the reader's row-group pruning serves each
+        # micro-batch by decoding ~one group (how a shard archiver would
+        # roll row groups at the GetRecords cap)
+        import pyarrow.parquet as pq
+
         for s in range(shards):
             sid = f"shardId-{s:012d}"
             (
@@ -268,7 +273,11 @@ def _replay_throughput(
             part = [
                 f for f in os.listdir(f"{tmp}/stage-{s}") if f.endswith(".parquet")
             ][0]
-            os.rename(f"{tmp}/stage-{s}/{part}", f"{src}/shard-{s:04d}.parquet")
+            pq.write_table(
+                pq.read_table(f"{tmp}/stage-{s}/{part}"),
+                f"{src}/shard-{s:04d}.parquet",
+                row_group_size=page,
+            )
         stream = (
             spark.readStream.format("kinesis_replay")
             .option("path", src)
