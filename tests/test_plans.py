@@ -70,6 +70,49 @@ def test_jaccard_df_cap_is_map_side_combinable(spark, sf_dir):
     assert "InMemoryTableScan" in plan
 
 
+def test_asof_join_is_single_shuffle_union_window(spark, sf_dir):
+    """The as-of join must stay the union+window idiom: no join operator at
+    all (a range join here explodes into O(events×quotes) at 100 TB), one
+    key shuffle + rank, with WindowGroupLimit pushing the rank-1 filter
+    below the sort."""
+    import re
+
+    plan = _plan(load_all()["q19_events_asof_join"].fn(spark, sf_dir))
+    assert "Join" not in plan and "CartesianProduct" not in plan
+    assert "WindowGroupLimit" in plan
+    n_exchanges = len(re.findall(r"^\(\d+\) Exchange", plan, re.M))
+    assert n_exchanges <= 4  # union shuffle + window + presentation sort
+
+
+def test_minhash_lsh_stays_banded_and_broadcast(spark, sf_dir):
+    """MinHash pipeline: banded candidate equi-join + broadcast joins only —
+    no Window (hot-key straggler), no SortMergeJoin (corpus-sized shuffle
+    sort), no cartesian blowup; aggregation stays partial+final."""
+    import re
+
+    plan = _plan(load_all()["q23_dedup_minhash_lsh"].fn(spark, sf_dir))
+    assert "Window" not in plan
+    assert "CartesianProduct" not in plan and "SortMergeJoin" not in plan
+    assert "BroadcastHashJoin" in plan and "partial_" in plan
+    n_exchanges = len(re.findall(r"^\(\d+\) Exchange", plan, re.M))
+    assert n_exchanges <= 6  # signatures/bands/candidates/verify budget
+
+
+def test_cosine_topk_never_shuffles_the_corpus(spark, sf_dir):
+    """Brute-force cosine top-k: the query block rides to the executors in
+    the Arrow closure (no join operator, no corpus shuffle); per-query
+    top-k uses WindowGroupLimit so only k rows per query survive each
+    partition before the exchange."""
+    import re
+
+    plan = _plan(load_all()["q29_embedding_cosine_topk"].fn(spark, sf_dir))
+    assert "Join" not in plan and "CartesianProduct" not in plan
+    assert "MapInPandas" in plan  # the one allowed Arrow boundary
+    assert "WindowGroupLimit" in plan
+    n_exchanges = len(re.findall(r"^\(\d+\) Exchange", plan, re.M))
+    assert n_exchanges <= 2  # rank partition + presentation sort only
+
+
 def test_media_ops_are_narrow(spark, sf_dir):
     """Multimodal decode must not shuffle blobs: the only exchange allowed
     is the final presentation sort."""
