@@ -155,6 +155,132 @@ def ngram_jaccard_pairs(
 
 
 # --------------------------------------------------------------------------
+# Cluster resolution (connected components over near-dup pair edges)
+# --------------------------------------------------------------------------
+
+
+def connected_components(
+    pairs: DataFrame,
+    src_col: str = "id_1",
+    dst_col: str = "id_2",
+    max_iterations: int = 50,
+) -> DataFrame:
+    """Resolve near-duplicate *pairs* into clusters: connected components of
+    the pair graph via the alternating large-star/small-star algorithm
+    (Kiveris et al., "Connected Components in MapReduce and Beyond",
+    SoCC'14). Returns ``(node, component)`` with ``component`` = the minimum
+    node id of the cluster, for every node that appears in ``pairs``.
+
+    This is the missing last step of dedup at scale: pair emitters
+    (:func:`ngram_jaccard_pairs`, :func:`minhash_lsh_pairs`,
+    :func:`simhash_pairs`) produce edges, but "keep one copy per duplicate
+    *group*" needs the transitive closure. Label-propagation converges in
+    O(diameter) rounds; large-star/small-star converges in O(log n) rounds
+    on pathological chains — the difference between 5 and 10,000 shuffles on
+    a 100 TB corpus with chained near-dups.
+
+    Each round is two self-contained DataFrame passes (groupBy ``min`` +
+    broadcast-eligible join back to the edge list); intermediate frames are
+    ``localCheckpoint``-ed to truncate lineage (otherwise the plan doubles
+    per round and the driver OOMs planning round ~20). Convergence is
+    detected with an order-independent edge-set checksum (count + sum of
+    ``xxhash64(u, v)``) — one tiny aggregate action per round.
+
+    The loop is driver-side control flow over fully distributed rounds —
+    the same structure GraphX/GraphFrames use; no per-row driver work.
+    """
+    u, v = F.col("u"), F.col("v")
+    # Canonical undirected edge list, self-loops dropped, deduped.
+    edges = (
+        pairs.select(
+            F.least(F.col(src_col), F.col(dst_col)).alias("u"),
+            F.greatest(F.col(src_col), F.col(dst_col)).alias("v"),
+        )
+        .where(u != v)
+        .distinct()
+        .localCheckpoint()
+    )
+
+    def _checksum(e: DataFrame) -> tuple[int, int]:
+        # sum the 64-bit hashes in decimal(38,0): a long sum overflows under
+        # ANSI mode after ~2^32 edges (and nondeterministically errors)
+        row = e.agg(
+            F.count(F.lit(1)).alias("n"),
+            F.coalesce(
+                F.sum(F.xxhash64("u", "v").cast("decimal(38,0)")), F.lit(0)
+            ).alias("h"),
+        ).collect()[0]
+        return int(row["n"]), int(row["h"])
+
+    prev = _checksum(edges)
+    for _ in range(max_iterations):
+        # Large-star: for every node, attach its LARGER neighbours to the
+        # minimum of its neighbourhood (incl. itself). Both edge directions.
+        sym = edges.union(edges.select(v.alias("u"), u.alias("v")))
+        mins = sym.groupBy("u").agg(F.least(F.min("v"), F.first("u")).alias("m"))
+        edges = (
+            sym.join(mins, "u")
+            .where(v > u)
+            .select(v.alias("u_raw"), F.col("m").alias("v_raw"))
+            .select(
+                F.least(F.col("u_raw"), F.col("v_raw")).alias("u"),
+                F.greatest(F.col("u_raw"), F.col("v_raw")).alias("v"),
+            )
+            .where(u != v)
+            .distinct()
+            .localCheckpoint()
+        )
+        # Small-star: orient edges max→min, attach all smaller neighbours
+        # (and the node itself) to the minimum of that neighbourhood.
+        oriented = edges.select(F.greatest("u", "v").alias("u"), F.least("u", "v").alias("v"))
+        mins = oriented.groupBy("u").agg(F.min("v").alias("m"))
+        attach = oriented.join(mins, "u")
+        edges = (
+            attach.select(v.alias("u_raw"), F.col("m").alias("v_raw"))
+            .union(attach.select(u.alias("u_raw"), F.col("m").alias("v_raw")))
+            .select(
+                F.least(F.col("u_raw"), F.col("v_raw")).alias("u"),
+                F.greatest(F.col("u_raw"), F.col("v_raw")).alias("v"),
+            )
+            .where(u != v)
+            .distinct()
+            .localCheckpoint()
+        )
+        cur = _checksum(edges)
+        if cur == prev:
+            break
+        prev = cur
+    else:
+        raise RuntimeError(
+            f"connected_components did not converge in {max_iterations} rounds"
+        )
+    # Converged edge set is a star forest: (member, root). Roots themselves
+    # appear only on the right side — add their self-mapping.
+    members = edges.select(v.alias("node"), u.alias("component"))
+    roots = edges.select(u.alias("node")).distinct().withColumn("component", F.col("node"))
+    return members.union(roots).distinct()
+
+
+def dedup_clusters(
+    pairs: DataFrame,
+    src_col: str = "id_1",
+    dst_col: str = "id_2",
+) -> DataFrame:
+    """Cluster assignment for near-dup pairs: ``(doc_id, rep_id,
+    cluster_size)`` — ``rep_id`` is the minimum doc id of the connected
+    component (the survivor a dedup pass keeps); every clustered doc gets a
+    row. Compose with a left-anti join on ``doc_id != rep_id`` to drop
+    non-representatives from the corpus."""
+    cc = connected_components(pairs, src_col, dst_col)
+    sizes = cc.groupBy("component").agg(F.count(F.lit(1)).alias("cluster_size"))
+    return cc.join(sizes, "component").select(
+        F.col("node").alias("doc_id"),
+        F.col("component").alias("rep_id"),
+        "cluster_size",
+    )
+
+
+# --------------------------------------------------------------------------
 # MinHash + LSH
 # --------------------------------------------------------------------------
 

@@ -44,8 +44,10 @@ def q21_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-_JACCARD_ORACLE = """
-    WITH docs AS (
+#: Shared CTE block producing word-trigram Jaccard near-dup pairs — the
+#: edge list consumed by both q22 (pairs) and q60 (connected components).
+_JACCARD_PAIR_CTES = """
+    docs AS (
         SELECT doc_id, string_split(text, ' ') AS words FROM documents
         WHERE len(string_split(text, ' ')) >= 3
     ),
@@ -64,14 +66,22 @@ _JACCARD_ORACLE = """
         SELECT a.doc_id AS id_1, b.doc_id AS id_2, COUNT(*) AS n_common
         FROM rare a JOIN rare b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
         GROUP BY a.doc_id, b.doc_id
+    ),
+    pairs AS (
+        SELECT id_1, id_2,
+               CAST(n_common AS DOUBLE)
+               / CAST(s1.n_sh + s2.n_sh - n_common AS DOUBLE) AS jaccard
+        FROM common
+        JOIN sizes s1 ON s1.doc_id = id_1
+        JOIN sizes s2 ON s2.doc_id = id_2
+        WHERE CAST(n_common AS DOUBLE)
+              / CAST(s1.n_sh + s2.n_sh - n_common AS DOUBLE) >= 0.8
     )
-    SELECT id_1, id_2,
-           CAST(n_common AS DOUBLE) / CAST(s1.n_sh + s2.n_sh - n_common AS DOUBLE) AS jaccard
-    FROM common
-    JOIN sizes s1 ON s1.doc_id = id_1
-    JOIN sizes s2 ON s2.doc_id = id_2
-    WHERE CAST(n_common AS DOUBLE) / CAST(s1.n_sh + s2.n_sh - n_common AS DOUBLE) >= 0.8
-    ORDER BY id_1, id_2
+"""
+
+_JACCARD_ORACLE = f"""
+    WITH {_JACCARD_PAIR_CTES}
+    SELECT id_1, id_2, jaccard FROM pairs ORDER BY id_1, id_2
 """
 
 
@@ -84,6 +94,38 @@ def q22_dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
         D.ngram_jaccard_pairs(docs, "text", "doc_id", n=3, threshold=0.8, max_df=1000)
         .orderBy("id_1", "id_2")
     )
+
+
+@query(
+    "q60_dedup_clusters",
+    oracle=f"""
+    WITH RECURSIVE {_JACCARD_PAIR_CTES},
+    edges AS (
+        SELECT id_1 AS u, id_2 AS v FROM pairs
+        UNION
+        SELECT id_2 AS u, id_1 AS v FROM pairs
+    ),
+    walk(node, reach) AS (
+        SELECT u, u FROM edges
+        UNION
+        SELECT w.node, e.v FROM walk w JOIN edges e ON e.u = w.reach
+    ),
+    comp AS (SELECT node, MIN(reach) AS rep_id FROM walk GROUP BY node),
+    csize AS (SELECT rep_id, COUNT(*) AS cluster_size FROM comp GROUP BY rep_id)
+    SELECT comp.node AS doc_id, comp.rep_id, csize.cluster_size
+    FROM comp JOIN csize USING (rep_id)
+    ORDER BY doc_id
+    """,
+)
+def q60_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup *clusters*: the q22 Jaccard pair edges resolved to connected
+    components (doc_id, rep_id = cluster min, cluster_size) via the
+    O(log n)-round large-star/small-star algorithm — the "keep one copy per
+    duplicate group" step the pair emitters stop short of. The oracle walks
+    the same edges with a recursive CTE (min reachable node = component)."""
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = D.ngram_jaccard_pairs(docs, "text", "doc_id", n=3, threshold=0.8, max_df=1000)
+    return D.dedup_clusters(pairs).orderBy("doc_id")
 
 
 @query("q23_dedup_minhash_lsh")  # rows-only: hash family not portable SQL

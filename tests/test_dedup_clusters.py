@@ -1,0 +1,93 @@
+"""Connected-components cluster resolution over near-dup pair edges.
+
+The pair emitters (Jaccard / MinHash / SimHash) stop at edges; "keep one
+copy per duplicate group" needs the transitive closure. These tests pin
+the large-star/small-star implementation (operators.dedup
+.connected_components): exact components on hand-built graphs, O(log n)
+convergence on a pathological chain, and cluster invariants on real
+pair-emitter output.
+"""
+
+from __future__ import annotations
+
+import pytest
+
+from reactive_kinesis_spark.operators import dedup as D
+
+
+def _components(spark, edges, **kw):
+    df = spark.createDataFrame(edges, ["id_1", "id_2"])
+    rows = D.connected_components(df, **kw).collect()
+    return {r["node"]: r["component"] for r in rows}
+
+
+def test_cc_exact_on_disjoint_shapes(spark):
+    # triangle {1,2,3} + path {10,11,12,13} + pair {20,21} + cycle {30..33}
+    edges = [
+        (1, 2), (2, 3), (3, 1),
+        (10, 11), (11, 12), (12, 13),
+        (21, 20),
+        (30, 31), (31, 32), (32, 33), (33, 30),
+    ]
+    got = _components(spark, edges)
+    assert got == {
+        1: 1, 2: 1, 3: 1,
+        10: 10, 11: 10, 12: 10, 13: 10,
+        20: 20, 21: 20,
+        30: 30, 31: 30, 32: 30, 33: 30,
+    }
+
+
+def test_cc_duplicate_and_reversed_edges_are_canonicalized(spark):
+    got = _components(spark, [(2, 1), (1, 2), (2, 3), (3, 3)])
+    # self-loop (3,3) must not crash or create a phantom component
+    assert got == {1: 1, 2: 1, 3: 1}
+
+
+def test_cc_long_chain_converges_in_logarithmic_rounds(spark):
+    # a 256-node path is the worst case for label propagation (O(n) rounds);
+    # large-star/small-star must resolve it within the 50-round budget
+    # (expected ~log2(256) = 8 alternating rounds)
+    edges = [(i, i + 1) for i in range(256)]
+    got = _components(spark, edges, max_iterations=20)
+    assert len(got) == 257
+    assert set(got.values()) == {0}
+
+
+def test_cc_empty_edge_set(spark):
+    df = spark.createDataFrame([], "id_1 long, id_2 long")
+    assert D.connected_components(df).count() == 0
+
+
+def test_cc_nonconvergence_raises(spark):
+    with pytest.raises(RuntimeError, match="did not converge"):
+        D.connected_components(
+            spark.createDataFrame([(i, i + 1) for i in range(64)], ["id_1", "id_2"]),
+            max_iterations=1,
+        )
+
+
+def test_dedup_clusters_invariants_on_minhash_pairs(spark, sf_dir):
+    """End-to-end: MinHash LSH pairs -> clusters. Every clustered doc
+    appears exactly once, the representative is the cluster minimum and a
+    member of its own cluster, and sizes sum to the node count."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    pairs = D.minhash_lsh_pairs(docs, "text", "doc_id", num_hashes=32, bands=8)
+    clusters = D.dedup_clusters(pairs).collect()
+    assert clusters, "planted duplicates must produce at least one cluster"
+    by_doc = {}
+    for r in clusters:
+        assert r["doc_id"] not in by_doc, "doc assigned to two clusters"
+        by_doc[r["doc_id"]] = r
+        assert r["rep_id"] <= r["doc_id"]
+    reps = {r["rep_id"] for r in clusters}
+    assert reps <= set(by_doc), "every representative is itself clustered"
+    for rep in reps:
+        members = [r for r in clusters if r["rep_id"] == rep]
+        assert by_doc[rep]["rep_id"] == rep
+        assert all(m["cluster_size"] == len(members) for m in members)
+        assert min(m["doc_id"] for m in members) == rep
+    # edges only connect nodes inside one cluster (pairs respect clusters)
+    assign = {d: r["rep_id"] for d, r in by_doc.items()}
+    for p in pairs.select("id_1", "id_2").collect():
+        assert assign[p["id_1"]] == assign[p["id_2"]]
