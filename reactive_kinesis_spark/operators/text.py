@@ -113,6 +113,47 @@ def bpe_token_count(text: Column | str) -> Column:
     return F.size(F.regexp_extract_all(c, F.lit(BPE_SPLIT_PATTERN), 0)).cast("int")
 
 
+def pack_by_token_budget(
+    df: DataFrame,
+    budget: int,
+    partition_cols: tuple[str, ...] = ("lang",),
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Assign each document to a training shard by cumulative token budget:
+    within each ``partition_cols`` group, documents are laid out in
+    ``id_col`` order and a document goes to ``shard = floor(start / budget)``
+    where ``start`` is the running token total before it (greedy sequential
+    packing — a doc that straddles a boundary starts the next shard's
+    overflow, it is never split).
+
+    One shuffle (hash on ``partition_cols``) + an in-partition sort and
+    running sum — the canonical window-cumsum shape. Each partition group is
+    a single window task, so at 100 TB the caller bounds group size by
+    packing within finer partitions (e.g. ``("lang", "ingest_day")``) —
+    which is how production pipelines shard anyway; the layout stays
+    deterministic because the order key is content-stable ids, never
+    ``rand()``.
+
+    Shard starts are exact: the running sum is integer (long), and the
+    division floors a non-negative integer < 2^53, so the result is
+    bit-identical across engines (mirrored in the q62 oracle).
+    """
+    from pyspark.sql import Window
+
+    nt = bpe_token_count(text_col)
+    w = (
+        Window.partitionBy(*partition_cols)
+        .orderBy(id_col)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    staged = df.select(*partition_cols, id_col, nt.alias("n_tokens"))
+    start = F.sum("n_tokens").over(w) - F.col("n_tokens")
+    return staged.withColumn(
+        "shard", F.floor(start / F.lit(float(budget))).cast("int")
+    )
+
+
 def deterministic_sample(
     df: DataFrame,
     text_col: str = "text",

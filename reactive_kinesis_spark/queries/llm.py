@@ -246,20 +246,30 @@ def q27_fingerprint_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _langid_sql() -> str:
+def _lang_score_sel() -> str:
+    """SELECT fragment computing per-language stopword scores ``s_<lg>``."""
     score = {
         lg: f"CAST(len(list_filter(string_split(text, ' '), w -> list_contains({list(ws)}, w))) AS INT)"
         for lg, ws in T.STOPWORDS.items()
     }
-    langs = sorted(score)
+    return ", ".join(f"{score[lg]} AS s_{lg}" for lg in sorted(score))
+
+
+def _lang_case() -> str:
+    """CASE expression over ``s_<lg>`` columns mirroring predict_lang."""
+    langs = sorted(T.STOPWORDS)
     g = "greatest(" + ", ".join(f"s_{lg}" for lg in langs) + ")"
-    case = "CASE WHEN " + g + " <= 0 THEN 'und' " + " ".join(
-        f"WHEN s_{lg} = {g} THEN '{lg}'" for lg in langs
-    ) + " END"
-    scores_sel = ", ".join(f"{score[lg]} AS s_{lg}" for lg in langs)
+    return (
+        "CASE WHEN " + g + " <= 0 THEN 'und' "
+        + " ".join(f"WHEN s_{lg} = {g} THEN '{lg}'" for lg in langs)
+        + " END"
+    )
+
+
+def _langid_sql() -> str:
     return f"""
-    WITH scored AS (SELECT lang, {scores_sel} FROM documents)
-    SELECT lang, {case} AS pred_lang, COUNT(*) AS n_docs
+    WITH scored AS (SELECT lang, {_lang_score_sel()} FROM documents)
+    SELECT lang, {_lang_case()} AS pred_lang, COUNT(*) AS n_docs
     FROM scored
     GROUP BY lang, pred_lang
     ORDER BY lang, pred_lang
@@ -392,6 +402,114 @@ def q42_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 _BPE_SQL_PAT = T.BPE_SPLIT_PATTERN.replace("'", "''")
+
+#: q26's quality-score arithmetic as a SQL predicate input (nt/nd/ns DOUBLE).
+_QUALITY_SQL = (
+    "CAST(0.4 AS DOUBLE) * least(CAST(1.0 AS DOUBLE), nt / CAST(100.0 AS DOUBLE))"
+    " + CAST(0.3 AS DOUBLE) * (nd / nt)"
+    " + CAST(0.3 AS DOUBLE) * least(CAST(1.0 AS DOUBLE), CAST(4.0 AS DOUBLE) * (ns / nt))"
+)
+
+
+def _curation_sql() -> str:
+    return f"""
+    WITH t AS (
+        SELECT doc_id, source, lang, text,
+               CAST(len(string_split(text, ' ')) AS DOUBLE) AS nt,
+               CAST(len(list_distinct(string_split(text, ' '))) AS DOUBLE) AS nd,
+               CAST(len(list_filter(string_split(text, ' '),
+                    w -> list_contains(['the','a','of','and','in'], w))) AS DOUBLE) AS ns,
+               {_lang_score_sel()}
+        FROM documents
+    ),
+    scored AS (
+        SELECT doc_id, source, lang, text FROM t
+        WHERE {_QUALITY_SQL} >= CAST(0.5 AS DOUBLE)
+          AND {_lang_case()} = lang
+    ),
+    d AS (SELECT MIN(doc_id) AS doc_id, COUNT(*) AS dup_count FROM scored GROUP BY text),
+    kept AS (
+        SELECT s.source, s.lang, s.text, d.dup_count
+        FROM scored s JOIN d ON d.doc_id = s.doc_id
+    ),
+    samp AS (SELECT * FROM kept WHERE substr(md5(text), 1, 2) < '80')
+    SELECT source, lang, COUNT(*) AS n_docs,
+           CAST(SUM(dup_count) AS BIGINT) AS n_raw_docs,
+           CAST(SUM(len(regexp_extract_all(text, '{_BPE_SQL_PAT}'))) AS BIGINT) AS token_budget
+    FROM samp
+    GROUP BY source, lang
+    ORDER BY source, lang
+    """
+
+
+@query("q61_curation_pipeline", oracle=_curation_sql())
+def q61_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end training-data curation in ONE Catalyst plan: quality-score
+    filter → language-ID agreement filter → exact dedup (keep lowest id per
+    text) → deterministic 50% content-hash sample → per-(source, lang)
+    document counts and BPE token budget. Every stage is a JVM built-in
+    (zero UDFs); the filters fuse into the scan, dedup is the only wide
+    stage, and the sample predicate costs one md5 per surviving row — the
+    shape a 100 TB curation pass wants (filter early, shuffle once)."""
+    docs = load_table(spark, sf_dir, "documents")
+    scored = docs.where(
+        (T.quality_score("text") >= F.lit(0.5))
+        & (T.predict_lang("text") == F.col("lang"))
+    )
+    kept = D.exact_dedup(scored, "text", "doc_id")
+    samp = T.deterministic_sample(kept, "text", buckets_of_256=128)
+    return (
+        samp.groupBy("source", "lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("dup_count").alias("n_raw_docs"),
+            F.sum(T.bpe_token_count("text")).alias("token_budget"),
+        )
+        .orderBy("source", "lang")
+    )
+
+
+@query(
+    "q62_token_packing",
+    oracle=f"""
+    WITH staged AS (
+        SELECT lang, doc_id,
+               CAST(len(regexp_extract_all(text, '{_BPE_SQL_PAT}')) AS INT) AS n_tokens
+        FROM documents
+    ),
+    packed AS (
+        SELECT lang, doc_id, n_tokens,
+               CAST(FLOOR((SUM(n_tokens) OVER (
+                       PARTITION BY lang ORDER BY doc_id
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+                    ) - n_tokens) / CAST(4096 AS DOUBLE)) AS INT) AS shard
+        FROM staged
+    )
+    SELECT lang, shard, COUNT(*) AS n_docs,
+           CAST(SUM(n_tokens) AS BIGINT) AS shard_tokens,
+           CAST(MIN(doc_id) AS BIGINT) AS first_doc
+    FROM packed
+    GROUP BY lang, shard
+    ORDER BY lang, shard
+    """,
+)
+def q62_token_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Greedy sequential packing of documents into fixed token-budget
+    training shards (4096 BPE tokens) per language: window running-sum
+    layout, shard = floor(start / budget). Deterministic (content-stable id
+    order, no rand()); see operators.text.pack_by_token_budget for the
+    100 TB partition-granularity note."""
+    docs = load_table(spark, sf_dir, "documents")
+    packed = T.pack_by_token_budget(docs, budget=4096, partition_cols=("lang",))
+    return (
+        packed.groupBy("lang", "shard")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_tokens").alias("shard_tokens"),
+            F.min("doc_id").alias("first_doc"),
+        )
+        .orderBy("lang", "shard")
+    )
 
 
 @query(
