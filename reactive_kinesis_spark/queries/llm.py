@@ -401,6 +401,17 @@ def q42_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query("q63_embedding_neardup_clusters")  # rows-only: LSH candidate set by design
+def q63_embedding_neardup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semantic dedup end-to-end: embedding-cosine near-dup pairs (q42's
+    LSH-bucketed candidates + exact verify) resolved into duplicate groups
+    by the same connected-components operator as q60 — pairs→clusters works
+    identically for the text and vector paths."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    pairs = S.embedding_neardup_pairs(emb, "vec_id", "embedding", threshold=0.4)
+    return D.dedup_clusters(pairs).orderBy("doc_id")
+
+
 _BPE_SQL_PAT = T.BPE_SPLIT_PATTERN.replace("'", "''")
 
 #: q26's quality-score arithmetic as a SQL predicate input (nt/nd/ns DOUBLE).

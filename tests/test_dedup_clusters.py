@@ -67,6 +67,39 @@ def test_cc_nonconvergence_raises(spark):
         )
 
 
+def test_cc_matches_union_find_on_random_graphs(spark):
+    """Differential check: large-star/small-star must agree with a plain
+    union-find on seeded random graphs (mixed density, isolated pairs,
+    multi-edges, self-loops)."""
+    import random
+
+    for seed in (7, 23, 91):
+        rng = random.Random(seed)
+        n = rng.randint(10, 40)
+        edges = [
+            (rng.randint(0, n), rng.randint(0, n))
+            for _ in range(rng.randint(5, 80))
+        ]
+        parent = list(range(n + 1))
+
+        def find(x):
+            while parent[x] != x:
+                parent[x] = parent[parent[x]]
+                x = parent[x]
+            return x
+
+        touched = set()
+        for a, b in edges:
+            if a != b:
+                touched.update((a, b))
+                ra, rb = find(a), find(b)
+                if ra != rb:
+                    parent[max(ra, rb)] = min(ra, rb)
+        expected = {x: find(x) for x in touched}
+        got = _components(spark, edges)
+        assert got == expected, f"seed {seed}: {got} != {expected}"
+
+
 def test_dedup_clusters_invariants_on_minhash_pairs(spark, sf_dir):
     """End-to-end: MinHash LSH pairs -> clusters. Every clustered doc
     appears exactly once, the representative is the cluster minimum and a

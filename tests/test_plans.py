@@ -125,3 +125,30 @@ def test_media_ops_are_narrow(spark, sf_dir):
     )
     plan = _plan(M.decode_media(media, decoder=M.fake_decoder))
     assert "Exchange" not in plan  # fully narrow: scan → project → mapInPandas
+
+
+def test_curation_pipeline_is_single_fused_plan(spark, sf_dir):
+    """q61 chains filter -> lang-id -> dedup -> sample -> agg; the plan must
+    stay JVM-side (no Python boundary), window-free, with the dedup
+    survivor join broadcast and partial aggregation before every shuffle."""
+    import re
+
+    plan = _plan(load_all()["q61_curation_pipeline"].fn(spark, sf_dir))
+    assert "InPandas" not in plan and "BatchEvalPython" not in plan
+    assert "Window" not in plan and "CartesianProduct" not in plan
+    assert "BroadcastHashJoin" in plan
+    assert "partial_" in plan
+    n_exchanges = len(re.findall(r"^\(\d+\) Exchange", plan, re.M))
+    assert n_exchanges <= 4  # dedup agg, survivor-side agg, final agg, sort
+
+
+def test_token_packing_is_one_window_pass(spark, sf_dir):
+    """q62's running-sum layout must cost exactly one hash exchange on the
+    partition key plus the final agg/sort — no Python, no joins."""
+    import re
+
+    plan = _plan(load_all()["q62_token_packing"].fn(spark, sf_dir))
+    assert "InPandas" not in plan and "Join" not in plan
+    assert len(re.findall(r"^\(\d+\) Window", plan, re.M)) == 1
+    n_exchanges = len(re.findall(r"^\(\d+\) Exchange", plan, re.M))
+    assert n_exchanges <= 3  # window partition, final agg, presentation sort
