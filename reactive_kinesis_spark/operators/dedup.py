@@ -154,6 +154,56 @@ def ngram_jaccard_pairs(
     )
 
 
+def contamination_report(
+    train: DataFrame,
+    test: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 8,
+) -> DataFrame:
+    """Train/test decontamination: per test document, how many of its
+    distinct word ``n``-gram shingles also occur anywhere in the train
+    corpus — ``(id_col, n_sh, n_hits, contamination)`` with
+    ``contamination = n_hits / n_sh``. Filter ``contamination > 0`` (or a
+    stricter ratio) to drop leaked evaluation documents before training.
+
+    Shape: the train side collapses to its DISTINCT shingle set (partial +
+    final hash aggregation, map-side combined), then a **left-semi join on
+    the shingle** marks test shingles present in train — one shuffle keyed
+    by shingle on each side, never a doc×doc comparison. At 100 TB the
+    train shingle set dominates; the semi-join stays the right shape
+    (Spark's runtime bloom-filter injection prunes the probe side), and
+    the test side is typically small enough that AQE broadcasts it.
+    A test document with fewer than ``n`` words has no shingles and is
+    reported with ``n_sh = 0, contamination = 0.0``.
+    """
+    tr = shingles(train, text_col, id_col, n).select("shingle").distinct()
+    te = shingles(test, text_col, id_col, n)
+    sizes = te.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_sh"))
+    hits = (
+        te.join(tr, "shingle", "left_semi")
+        .groupBy(id_col)
+        .agg(F.count(F.lit(1)).alias("n_hits"))
+    )
+    all_ids = test.select(id_col).distinct()
+    return (
+        all_ids.join(sizes, id_col, "left")
+        .join(hits, id_col, "left")
+        .select(
+            id_col,
+            F.coalesce("n_sh", F.lit(0)).alias("n_sh"),
+            F.coalesce("n_hits", F.lit(0)).alias("n_hits"),
+            F.when(
+                F.coalesce("n_sh", F.lit(0)) > 0,
+                F.coalesce("n_hits", F.lit(0)).cast("double")
+                / F.col("n_sh").cast("double"),
+            )
+            .otherwise(F.lit(0.0))
+            .alias("contamination"),
+        )
+    )
+
+
 # --------------------------------------------------------------------------
 # Cluster resolution (connected components over near-dup pair edges)
 # --------------------------------------------------------------------------

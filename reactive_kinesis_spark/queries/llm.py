@@ -401,6 +401,56 @@ def q42_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "q64_decontamination",
+    oracle="""
+    WITH tr_docs AS (
+        SELECT string_split(text, ' ') AS words FROM documents
+        WHERE source <> 'src0' AND len(string_split(text, ' ')) >= 8
+    ),
+    tr AS (
+        SELECT DISTINCT array_to_string(words[i:i+7], ' ') AS shingle
+        FROM tr_docs, UNNEST(range(1, len(words)-6)) AS t(i)
+    ),
+    te_docs AS (
+        SELECT doc_id, string_split(text, ' ') AS words FROM documents
+        WHERE source = 'src0' AND len(string_split(text, ' ')) >= 8
+    ),
+    te AS (
+        SELECT DISTINCT doc_id, array_to_string(words[i:i+7], ' ') AS shingle
+        FROM te_docs, UNNEST(range(1, len(words)-6)) AS t(i)
+    ),
+    sizes AS (SELECT doc_id, COUNT(*) AS n_sh FROM te GROUP BY doc_id),
+    hits AS (
+        SELECT doc_id, COUNT(*) AS n_hits FROM te
+        WHERE shingle IN (SELECT shingle FROM tr)
+        GROUP BY doc_id
+    )
+    SELECT d.doc_id,
+           COALESCE(s.n_sh, 0) AS n_sh,
+           COALESCE(h.n_hits, 0) AS n_hits,
+           CASE WHEN COALESCE(s.n_sh, 0) > 0
+                THEN CAST(COALESCE(h.n_hits, 0) AS DOUBLE) / CAST(s.n_sh AS DOUBLE)
+                ELSE CAST(0.0 AS DOUBLE) END AS contamination
+    FROM (SELECT DISTINCT doc_id FROM documents WHERE source = 'src0') d
+    LEFT JOIN sizes s USING (doc_id)
+    LEFT JOIN hits h USING (doc_id)
+    ORDER BY d.doc_id
+    """,
+)
+def q64_decontamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Train/test contamination sweep: hold out source 'src0' as the eval
+    set and report, per eval document, the fraction of its distinct 8-gram
+    shingles that appear anywhere in the remaining training corpus (the
+    planted cross-source duplicates surface as contamination = 1.0). One
+    shingle-keyed semi-join — never doc×doc; see
+    operators.dedup.contamination_report for the 100 TB shape."""
+    docs = load_table(spark, sf_dir, "documents")
+    train = docs.where(F.col("source") != "src0")
+    test = docs.where(F.col("source") == "src0")
+    return D.contamination_report(train, test, "text", "doc_id", n=8).orderBy("doc_id")
+
+
 @query("q63_embedding_neardup_clusters")  # rows-only: LSH candidate set by design
 def q63_embedding_neardup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Semantic dedup end-to-end: embedding-cosine near-dup pairs (q42's
