@@ -31,7 +31,8 @@ def _median(xs: list[float]) -> float:
 #: Headline queries: one per major operator family (scan-agg, join-agg,
 #: star join, window, set-op, event window, as-of, exact dedup, MinHash-LSH,
 #: trigram-Jaccard, cosine top-k, ANN, text stats, correlated subquery,
-#: statistical moments, exact percentiles).
+#: statistical moments, exact percentiles, curation pipeline, token
+#: packing, decontamination).
 HEADLINE = [
     "q01_pricing_summary",
     "q03_join_agg_topk",
@@ -52,6 +53,9 @@ HEADLINE = [
     "q45_correlated_subquery",
     "q50_stats_moments",
     "q51_percentiles",
+    "q61_curation_pipeline",
+    "q62_token_packing",
+    "q64_decontamination",
 ]
 
 
