@@ -24,9 +24,9 @@ N_RUNS = int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "3"))
 
 
 def _median(xs: list[float]) -> float:
-    s = sorted(xs)
-    n = len(s)
-    return s[n // 2] if n % 2 else 0.5 * (s[n // 2 - 1] + s[n // 2])
+    import statistics
+
+    return float(statistics.median(xs))
 
 #: Headline queries: one per major operator family (scan-agg, join-agg,
 #: star join, window, set-op, event window, as-of, exact dedup, MinHash-LSH,

@@ -104,8 +104,12 @@ class ProducerConfig:
     # (reference.conf:93-114)
     collection_max_count: int = 500
     collection_max_size: int = 5_242_880
-    # akka.max-outstanding-requests (stream/Kinesis.scala:195-200)
-    max_outstanding_requests: int = 1_000
+    # akka.max-outstanding-requests (stream/Kinesis.scala:195-200).
+    # Optional in the reference too (reference.conf:38-44, commented out =
+    # no throttle configured). None ⇒ strict sequential send: concurrency
+    # is OPT-IN because it requires a thread-safe transport and relaxes
+    # intra-key ordering across requests.
+    max_outstanding_requests: int | None = None
     # KPL RecordTtl (reference.conf:325-343) — per-record retry budget
     record_ttl_millis: int = 30_000
     # KPL RateLimit % of shard capacity (reference.conf:283-301)

@@ -160,6 +160,7 @@ def contamination_report(
     text_col: str = "text",
     id_col: str = "doc_id",
     n: int = 8,
+    cache_test_shingles: bool = True,
 ) -> DataFrame:
     """Train/test decontamination: per test document, how many of its
     distinct word ``n``-gram shingles also occur anywhere in the train
@@ -176,9 +177,19 @@ def contamination_report(
     the test side is typically small enough that AQE broadcasts it.
     A test document with fewer than ``n`` words has no shingles and is
     reported with ``n_sh = 0, contamination = 0.0``.
+
+    ``cache_test_shingles`` persists the test shingle frame so its two
+    consumers (the sizes aggregate and the semi-join probe) share one
+    scan+explode — same lifecycle contract as ``ngram_jaccard_pairs``
+    (session-scoped, plan-keyed; ``spark.catalog.clearCache()`` drops it).
+    The eval set is small by definition, so the cache is cheap.
     """
     tr = shingles(train, text_col, id_col, n).select("shingle").distinct()
     te = shingles(test, text_col, id_col, n)
+    if cache_test_shingles:
+        from pyspark import StorageLevel
+
+        te = te.persist(StorageLevel.MEMORY_AND_DISK)
     sizes = te.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_sh"))
     hits = (
         te.join(tr, "shingle", "left_semi")

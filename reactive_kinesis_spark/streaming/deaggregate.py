@@ -108,9 +108,11 @@ def aggregate_records(
     import pandas as pd
 
     if wire_format == "kpl":
-        from reactive_kinesis_spark.streaming.kpl import pack_kpl_records as pack_records
+        from reactive_kinesis_spark.streaming.kpl import pack_kpl_records
+
+        pack_blob = pack_kpl_records
     elif wire_format == "rksa1":
-        pack_records = globals()["pack_records"]
+        pack_blob = pack_records
     else:
         raise ValueError(f"unknown wire_format {wire_format!r}; use 'rksa1' or 'kpl'")
 
@@ -125,14 +127,14 @@ def aggregate_records(
                 for r in grp.itertuples(index=False):
                     data = bytes(r.payload)
                     if buf and (len(buf) >= max_count or size + len(data) > max_size):
-                        rows.append((r.stream_name, shard, pk, first.sequence_number, 0, pack_records(buf), first.approximate_arrival_timestamp))
+                        rows.append((r.stream_name, shard, pk, first.sequence_number, 0, pack_blob(buf), first.approximate_arrival_timestamp))
                         buf, size, first = [], 0, None
                     if first is None:
                         first = r
                     buf.append((pk, data))
                     size += len(data) + len(pk.encode()) + 6
                 if buf:
-                    rows.append((first.stream_name, shard, pk, first.sequence_number, 0, pack_records(buf), first.approximate_arrival_timestamp))
+                    rows.append((first.stream_name, shard, pk, first.sequence_number, 0, pack_blob(buf), first.approximate_arrival_timestamp))
             if rows:
                 yield pd.DataFrame(
                     rows,

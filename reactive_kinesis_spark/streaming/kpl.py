@@ -89,7 +89,12 @@ def pack_kpl_records(records: list[tuple[str, bytes]]) -> bytes:
 
 
 def is_kpl_aggregate(blob: bytes) -> bool:
-    return blob.startswith(KPL_MAGIC) and len(blob) >= len(KPL_MAGIC) + 16
+    """True if the blob *claims* the KPL aggregate wire format (magic
+    prefix). A truncated aggregate still claims it — ``unpack_kpl_records``
+    raises ``CorruptAggregateError`` for it, the same tolerance/DLQ routing
+    as RKSA1 truncation, instead of masking corruption by passing the
+    partial bytes through as a plain user record."""
+    return blob.startswith(KPL_MAGIC)
 
 
 def _skip_field(buf: bytes, off: int, wire_type: int) -> int:
@@ -138,6 +143,11 @@ def unpack_kpl_records(blob: bytes) -> list[tuple[str, bytes]]:
 
     if not is_kpl_aggregate(blob):
         raise CorruptAggregateError("not a KPL aggregated record")
+    if len(blob) < len(KPL_MAGIC) + 16:
+        raise CorruptAggregateError(
+            f"KPL aggregated record truncated: {len(blob)} bytes, "
+            f"need ≥ {len(KPL_MAGIC) + 16} (magic + md5 digest)"
+        )
     body, digest = blob[len(KPL_MAGIC) : -16], blob[-16:]
     if hashlib.md5(body).digest() != digest:
         raise CorruptAggregateError("KPL aggregated record: md5 digest mismatch")

@@ -95,6 +95,18 @@ def _parse_timestamp_us(raw: str) -> int:
         whole, _, frac = body.partition(".")
         us = int(whole or "0") * 1_000_000 + int((frac + "000000")[:6])
         return -us if s.startswith("-") else us
+    # scientific notation / underscore separators ('1.7e9', '1_700_000_000')
+    # are valid float literals for epoch seconds — scale exactly via Decimal
+    # (no binary-float rounding), flooring sub-µs fractions toward -inf so
+    # negative epochs behave symmetrically with the plain-decimal path
+    try:
+        from decimal import ROUND_FLOOR, Decimal, InvalidOperation
+
+        d = Decimal(s.replace("_", ""))
+        if d.is_finite():
+            return int((d * 1_000_000).to_integral_value(rounding=ROUND_FLOOR))
+    except (InvalidOperation, ValueError):
+        pass
     try:
         dt = datetime.fromisoformat(s)
     except ValueError:

@@ -105,6 +105,17 @@ class BoundedSender:
         finally:
             self._pool.shutdown(wait=True)
 
+    def abort(self) -> None:
+        """Error-path cleanup: cancel queued requests and reclaim the pool
+        WITHOUT raising further. In-flight sends are waited out (each is
+        bounded by the record TTL) so no zombie thread keeps calling the
+        transport after the Spark task has failed — a task retry must not
+        race a leftover sender from the failed attempt."""
+        for f in self._inflight:
+            f.cancel()
+        self._pool.shutdown(wait=True, cancel_futures=True)
+        self._inflight.clear()
+
 
 @dataclass
 class RequestPacker:
@@ -196,9 +207,13 @@ def write_batch(
 
     ``max_outstanding`` (default: ``conf.max_outstanding_requests``) bounds
     concurrent in-flight requests per task via :class:`BoundedSender` —
-    the reference's producer throttle with 0.9 resume hysteresis. Pass 1
-    for strict sequential send (preserves intra-key order across requests);
-    transports must be thread-safe for values > 1.
+    the reference's producer throttle with 0.9 resume hysteresis.
+    Concurrency is OPT-IN (mirroring the reference, where
+    max-outstanding-requests is optional, reference.conf:38-44): when
+    neither the argument nor the config sets it, sends are strictly
+    sequential, preserving intra-key order and requiring nothing of the
+    transport. Values > 1 require a thread-safe transport and relax
+    cross-request ordering (the KPL contract, README.md:684-686).
     """
     max_count = conf.collection_max_count
     max_size = conf.collection_max_size
@@ -208,7 +223,9 @@ def write_batch(
     ttl_s = conf.record_ttl_millis / 1000.0
     stream_name = conf.stream_name
     outstanding = (
-        max_outstanding if max_outstanding is not None else conf.max_outstanding_requests
+        max_outstanding
+        if max_outstanding is not None
+        else (conf.max_outstanding_requests or 1)
     )
 
     def send_partition(rows: Iterator) -> None:
@@ -246,25 +263,31 @@ def write_batch(
             if buf:
                 emit(pk, pack_records(buf))
 
-        for row in rows:
-            pk = row[pk_col]
-            data = bytes(row[payload_col])
-            if not agg_enabled:
-                emit(pk, data)
-                continue
-            buf = agg_buf.setdefault(pk, [])
-            size = agg_sizes.get(pk, 0)
-            if buf and (len(buf) >= agg_count or size + len(data) > agg_size):
-                flush_agg(pk)
+        try:
+            for row in rows:
+                pk = row[pk_col]
+                data = bytes(row[payload_col])
+                if not agg_enabled:
+                    emit(pk, data)
+                    continue
                 buf = agg_buf.setdefault(pk, [])
-                size = 0
-            buf.append((pk, data))
-            agg_sizes[pk] = size + len(data) + len(pk.encode()) + 6
-        for pk in list(agg_buf):
-            flush_agg(pk)
-        last = packer.flush()
-        if last:
-            sender.submit(last)
+                size = agg_sizes.get(pk, 0)
+                if buf and (len(buf) >= agg_count or size + len(data) > agg_size):
+                    flush_agg(pk)
+                    buf = agg_buf.setdefault(pk, [])
+                    size = 0
+                buf.append((pk, data))
+                agg_sizes[pk] = size + len(data) + len(pk.encode()) + 6
+            for pk in list(agg_buf):
+                flush_agg(pk)
+            last = packer.flush()
+            if last:
+                sender.submit(last)
+        except BaseException:
+            # fail the task with the ORIGINAL error, but never leak live
+            # sender threads past it (they would race the task retry)
+            sender.abort()
+            raise
         sender.close()
 
     batch_df.select(pk_col, payload_col).repartition(pk_col).foreachPartition(send_partition)

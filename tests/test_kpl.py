@@ -61,6 +61,17 @@ def test_kpl_unknown_fields_skipped():
     assert unpack_kpl_records(blob) == [("k", b"ok")]
 
 
+def test_kpl_truncated_aggregate_rejected_not_passed_through():
+    """A blob that CLAIMS the KPL format (magic prefix) but is truncated
+    below magic+digest must raise — same DLQ routing as RKSA1 truncation —
+    never be delivered as a bogus plain user record."""
+    truncated = pack_kpl_records([("k", b"data")])[:10]
+    with pytest.raises(CorruptAggregateError, match="truncated"):
+        unpack_kpl_records(truncated)
+    with pytest.raises(CorruptAggregateError, match="truncated"):
+        unpack_records(truncated)
+
+
 def test_unpack_records_dispatches_on_magic():
     kpl = pack_kpl_records([("p", b"x"), ("q", b"y")])
     assert unpack_records(kpl) == [("p", b"x"), ("q", b"y")]

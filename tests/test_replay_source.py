@@ -207,6 +207,11 @@ def test_parse_timestamp_exact_integer_arithmetic():
     # 16 correct significant digits — the float path would drift here
     assert _parse_timestamp_us("1700000000.123456") == 1_700_000_000_123_456
     assert _parse_timestamp_us("-1.5") == -1_500_000
+    # valid float literals beyond plain decimal: scientific notation and
+    # underscore separators resolve exactly (Decimal, not binary float)
+    assert _parse_timestamp_us("1.7e9") == 1_700_000_000_000_000
+    assert _parse_timestamp_us("1_700_000_000") == 1_700_000_000_000_000
+    assert _parse_timestamp_us("1.7000000001234567e9") == 1_700_000_000_123_456
     assert _parse_timestamp_us("1970-01-01T00:00:01+00:00") == 1_000_000
     for bad in ("inf", "nan", "-inf", "tomorrow"):
         with pytest.raises(ValueError, match="startingTimestamp"):
