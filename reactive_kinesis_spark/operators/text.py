@@ -113,6 +113,60 @@ def bpe_token_count(text: Column | str) -> Column:
     return F.size(F.regexp_extract_all(c, F.lit(BPE_SPLIT_PATTERN), 0)).cast("int")
 
 
+def mixture_sample(
+    df: DataFrame,
+    weights: dict[str, float],
+    group_col: str = "source",
+    text_col: str = "text",
+) -> DataFrame:
+    """Deterministic mixture resampling: downsample each ``group_col``
+    group so the kept corpus approximates the target mix ``weights``
+    (relative proportions; groups absent from ``weights`` are dropped).
+
+    The total kept size is maximized subject to never up-sampling: with
+    target share ``w_g`` and available count ``n_g``, the feasible total is
+    ``K = min_g(n_g / w_g)`` and each group keeps ``rate_g = w_g·K / n_g``
+    of its rows (the binding group keeps 100%). Selection is the same
+    content-hash bucket rule as :func:`deterministic_sample` — first 4 md5
+    hex digits under a per-group cutoff of ``floor(rate·65536)`` buckets —
+    so the sample is a pure function of content + weights: reproducible
+    across retries, engines (mirrored in the q65 oracle), and corpus
+    *growth* (a doc's keep/drop never flips when other docs arrive, only
+    the cutoffs move).
+
+    Plan shape: one tiny per-group count aggregate, a scalar min, and a
+    broadcast join of the per-group cutoffs back onto the corpus — the
+    corpus itself is never shuffled, the filter is a narrow md5-compare.
+    """
+    spark = df.sparkSession
+    wdf = spark.createDataFrame(
+        [(g, float(w)) for g, w in sorted(weights.items())], [group_col, "wt"]
+    )
+    counts = df.groupBy(group_col).agg(F.count(F.lit(1)).alias("n_g"))
+    gw = counts.join(wdf, group_col)  # inner: unweighted groups drop out
+    kk = gw.agg(F.min(F.col("n_g").cast("double") / F.col("wt")).alias("kk"))
+    cuts = (
+        gw.crossJoin(F.broadcast(kk))
+        .select(
+            group_col,
+            F.floor(
+                F.least(
+                    F.lit(1.0),
+                    (F.col("wt") * F.col("kk")) / F.col("n_g").cast("double"),
+                )
+                * F.lit(65536.0)
+            )
+            .cast("int")
+            .alias("cut"),
+        )
+    )
+    keep = (F.col("cut") >= F.lit(65536)) | (
+        F.substring(F.md5(F.col(text_col)), 1, 4)
+        < F.lower(F.lpad(F.hex(F.col("cut")), 4, "0"))
+    )
+    return df.join(F.broadcast(cuts), group_col).where(keep).drop("cut")
+
+
 def pack_by_token_budget(
     df: DataFrame,
     budget: int,

@@ -451,6 +451,47 @@ def q64_decontamination(spark: SparkSession, sf_dir: str) -> DataFrame:
     return D.contamination_report(train, test, "text", "doc_id", n=8).orderBy("doc_id")
 
 
+#: q65 target mix: upweight src0, keep three more sources, drop the rest.
+_MIX_WEIGHTS = {"src0": 3.0, "src1": 1.0, "src2": 1.0, "src3": 1.0}
+
+
+@query(
+    "q65_mixture_sample",
+    oracle=f"""
+    WITH w(source, wt) AS (
+        VALUES {", ".join(f"('{g}', CAST({w} AS DOUBLE))" for g, w in sorted(_MIX_WEIGHTS.items()))}
+    ),
+    n AS (SELECT source, COUNT(*) AS n_g FROM documents GROUP BY source),
+    gw AS (SELECT n.source, n.n_g, w.wt FROM n JOIN w USING (source)),
+    k AS (SELECT MIN(CAST(n_g AS DOUBLE) / wt) AS kk FROM gw),
+    cuts AS (
+        SELECT source,
+               CAST(FLOOR(LEAST(CAST(1.0 AS DOUBLE), (wt * kk) / CAST(n_g AS DOUBLE))
+                          * CAST(65536.0 AS DOUBLE)) AS INT) AS cut
+        FROM gw, k
+    )
+    SELECT d.source, COUNT(*) AS n_kept, CAST(MIN(d.doc_id) AS BIGINT) AS first_doc
+    FROM documents d JOIN cuts USING (source)
+    WHERE cut >= 65536 OR substr(md5(d.text), 1, 4) < printf('%04x', cut)
+    GROUP BY d.source
+    ORDER BY d.source
+    """,
+)
+def q65_mixture_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic domain-mix resampling: retarget the corpus to a 3:1:1:1
+    mix over four sources (dropping the rest), selecting by content-hash
+    buckets so the mix is reproducible across engines and retries — the
+    data-mixing step of a training pipeline. See operators.text
+    .mixture_sample for the never-shuffle-the-corpus plan shape."""
+    docs = load_table(spark, sf_dir, "documents")
+    kept = T.mixture_sample(docs, _MIX_WEIGHTS, "source", "text")
+    return (
+        kept.groupBy("source")
+        .agg(F.count(F.lit(1)).alias("n_kept"), F.min("doc_id").alias("first_doc"))
+        .orderBy("source")
+    )
+
+
 @query("q63_embedding_neardup_clusters")  # rows-only: LSH candidate set by design
 def q63_embedding_neardup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Semantic dedup end-to-end: embedding-cosine near-dup pairs (q42's
