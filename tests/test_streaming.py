@@ -345,6 +345,37 @@ def test_bounded_sender_propagates_send_failure():
         sender.close()
 
 
+def test_bounded_sender_abort_reclaims_pool_without_raising():
+    """The error path (task failing for any reason mid-partition) must
+    reclaim the sender: queued requests cancelled, pool shut down, no
+    secondary exception masking the original — and no thread left calling
+    the transport after the task has failed (it would race the retry)."""
+    import threading
+
+    from reactive_kinesis_spark.streaming.sink import BoundedSender, TransportError
+
+    release = threading.Event()
+    calls = []
+
+    def slow_failing_send(entries):
+        calls.append(entries)
+        release.wait(5)
+        raise TransportError("boom")
+
+    sender = BoundedSender(slow_failing_send, max_outstanding=2)
+    sender.submit([("0", b"x")])
+    sender.submit([("1", b"y")])
+    release.set()
+    sender.abort()  # must not raise despite failed sends
+    assert not sender._inflight
+    assert sender._pool._shutdown
+    n_after_abort = len(calls)
+    import time as _time
+
+    _time.sleep(0.2)
+    assert len(calls) == n_after_abort  # no zombie thread still sending
+
+
 def test_sink_concurrent_roundtrip_all_records_delivered(spark, tmp_path):
     # bounded-concurrency path (max_outstanding > 1): every record still
     # delivered exactly once per send, collection caps still honored
