@@ -168,31 +168,46 @@ def contamination_report(
     ``contamination = n_hits / n_sh``. Filter ``contamination > 0`` (or a
     stricter ratio) to drop leaked evaluation documents before training.
 
-    Shape: the train side collapses to its DISTINCT shingle set (partial +
-    final hash aggregation, map-side combined), then a **left-semi join on
-    the shingle** marks test shingles present in train — one shuffle keyed
-    by shingle on each side, never a doc×doc comparison. At 100 TB the
-    train shingle set dominates; the semi-join stays the right shape
-    (Spark's runtime bloom-filter injection prunes the probe side), and
-    the test side is typically small enough that AQE broadcasts it.
-    A test document with fewer than ``n`` words has no shingles and is
-    reported with ``n_sh = 0, contamination = 0.0``.
+    Shape — **the train corpus is scanned once and NEVER shuffled**, the
+    invariant that decides 100 TB viability (shuffling 10^12 train shingles
+    is the naive plan's death):
 
-    ``cache_test_shingles`` persists the test shingle frame so its two
-    consumers (the sizes aggregate and the semi-join probe) share one
+    1. the eval set's distinct shingles are collected and **broadcast**
+       (an eval set is small by definition — 10k docs ≈ a few MB of
+       shingles; this bound is the operator's contract);
+    2. one narrow pass over the train corpus explodes its shingles and
+       broadcast-semi-joins them against the eval set — surviving
+       ("matched") shingles are ≤ the eval set, so the only shuffle in the
+       whole plan is the tiny distinct over them;
+    3. matched shingles broadcast back onto the eval shingles for the
+       per-document hit counts.
+
+    No doc×doc comparison anywhere; the train side needs no distinct at
+    all (semi-join membership is idempotent), which also skips the
+    map-side aggregation pass the naive plan pays. A test document with
+    fewer than ``n`` words has no shingles and is reported with
+    ``n_sh = 0, contamination = 0.0``.
+
+    ``cache_test_shingles`` persists the eval shingle frame so its three
+    consumers (sizes, the broadcast build, the hit counts) share one
     scan+explode — same lifecycle contract as ``ngram_jaccard_pairs``
     (session-scoped, plan-keyed; ``spark.catalog.clearCache()`` drops it).
-    The eval set is small by definition, so the cache is cheap.
     """
-    tr = shingles(train, text_col, id_col, n).select("shingle").distinct()
     te = shingles(test, text_col, id_col, n)
     if cache_test_shingles:
         from pyspark import StorageLevel
 
         te = te.persist(StorageLevel.MEMORY_AND_DISK)
     sizes = te.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_sh"))
+    te_sh = te.select("shingle").distinct()
+    matched = (
+        shingles(train, text_col, id_col, n)
+        .join(F.broadcast(te_sh), "shingle", "left_semi")
+        .select("shingle")
+        .distinct()
+    )
     hits = (
-        te.join(tr, "shingle", "left_semi")
+        te.join(F.broadcast(matched), "shingle", "left_semi")
         .groupBy(id_col)
         .agg(F.count(F.lit(1)).alias("n_hits"))
     )

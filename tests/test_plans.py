@@ -142,6 +142,19 @@ def test_curation_pipeline_is_single_fused_plan(spark, sf_dir):
     assert n_exchanges <= 4  # dedup agg, survivor-side agg, final agg, sort
 
 
+def test_decontamination_never_shuffles_the_train_corpus(spark, sf_dir):
+    """q64's train side must be scan → explode → broadcast-semi-join — never
+    a shuffle keyed by train shingles (10^12 rows at 100 TB) and never a
+    train-side distinct/aggregate. Every join in the plan must be broadcast;
+    the only exchanges allowed are over eval-sized frames."""
+    plan = _plan(load_all()["q64_decontamination"].fn(spark, sf_dir))
+    assert "SortMergeJoin" not in plan and "CartesianProduct" not in plan
+    assert "ShuffledHashJoin" not in plan
+    assert plan.count("BroadcastHashJoin") >= 2  # train probe + hit count
+    assert "LeftSemi" in plan
+    assert "Window" not in plan
+
+
 def test_token_packing_is_one_window_pass(spark, sf_dir):
     """q62's running-sum layout must cost exactly one hash exchange on the
     partition key plus the final agg/sort — no Python, no joins."""
