@@ -56,6 +56,9 @@ HEADLINE = [
     "q61_curation_pipeline",
     "q62_token_packing",
     "q64_decontamination",
+    "q66_repetition_stats",
+    "q67_pii_redaction",
+    "q68_embedding_quantization",
 ]
 
 

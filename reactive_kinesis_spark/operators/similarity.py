@@ -438,3 +438,56 @@ def ivf_topk(
     )
     w = Window.partitionBy("query_id").orderBy(F.col("cosine_sim").desc(), "neighbor_id")
     return scored.withColumn("rn", F.row_number().over(w).cast("int")).where(F.col("rn") <= k)
+
+
+# --------------------------------------------------------------------------
+# Scalar (int8) quantization
+# --------------------------------------------------------------------------
+
+
+def quantize_embeddings(
+    df: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Per-vector scalar int8 quantization — the storage/ANN-memory
+    compression step of a vector pipeline (a 64-dim float32 vector becomes
+    64 bytes + 2 scale floats, 4x smaller). Adds:
+
+    * ``vmin``/``vmax`` — the per-vector dequantization scale,
+    * ``codes`` — ``array<int>`` of ``floor((x - vmin)/(vmax - vmin)*255)``
+      clamped to [0, 255] (constant vectors quantize to all-zeros),
+    * ``code_sum`` — exact integer checksum of the codes (the portable
+      correctness probe: integer arithmetic, no float-summation order).
+
+    Narrow per-row array ops (``array_min/max``, ``transform``,
+    ``aggregate``) — zero shuffle, whole-stage codegen, linear in
+    rows x dim. Each elementary float op (sub, div, mul, floor) maps to one
+    IEEE double op in both Spark and DuckDB, so codes are bit-identical
+    across engines — division BEFORE the x255 multiply keeps the expression
+    free of fusable multiply-add shapes (FMA contraction is the classic
+    cross-engine ulp divergence).
+    """
+    c = F.col(vec_col) if isinstance(vec_col, str) else vec_col
+    vmin = F.array_min(c).cast("double")
+    vmax = F.array_max(c).cast("double")
+    span = vmax - vmin
+    code = lambda x: F.least(  # noqa: E731
+        F.lit(255),
+        F.greatest(
+            F.lit(0),
+            F.floor((x.cast("double") - vmin) / span * F.lit(255.0)).cast("int"),
+        ),
+    )
+    codes = F.when(span > 0, F.transform(c, code)).otherwise(
+        F.transform(c, lambda x: F.lit(0))
+    )
+    return df.select(
+        "*",
+        vmin.alias("vmin"),
+        vmax.alias("vmax"),
+        codes.alias("codes"),
+    ).withColumn(
+        "code_sum",
+        F.aggregate(F.col("codes"), F.lit(0).cast("long"), lambda a, x: a + x),
+    )

@@ -208,6 +208,102 @@ def pack_by_token_budget(
     )
 
 
+def word_ngram_array(text: Column | str, n: int) -> Column:
+    """All word ``n``-grams of a document INCLUDING duplicates (unlike
+    ``dedup.shingles``, which is distinct-per-doc) — the unit repetition
+    metrics count over. Pure array ops (``sequence``/``transform``), narrow,
+    zero-shuffle. Empty array when the document has fewer than ``n`` words."""
+    c = F.col(text) if isinstance(text, str) else text
+    words = F.split(c, " ")
+    grams = F.transform(
+        F.sequence(F.lit(0), F.greatest(F.size(words) - n, F.lit(0))),
+        lambda i: F.concat_ws(
+            " ", *[F.element_at(words, (i + j + 1).cast("int")) for j in range(n)]
+        ),
+    )
+    return F.when(F.size(words) >= n, grams).otherwise(F.array())
+
+
+def repetition_stats(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 2,
+) -> DataFrame:
+    """Gopher-style repetition metrics per document (NeurIPS 2021 "Scaling
+    Language Models" App. A quality rules, re-expressed relationally):
+    ``(id_col, n_grams, top_cnt, top_share, dup_word_frac)`` where
+    ``top_share`` is the most-frequent word ``n``-gram's share of all
+    ``n``-gram occurrences and ``dup_word_frac = 1 − distinct/total
+    words``. High values mean boilerplate/degenerate repetition — the
+    standard pre-training quality gate alongside stopword/length rules.
+
+    Shape: explode → ``groupBy(id, gram).count()`` → ``groupBy(id)`` —
+    both aggregations are partial+final hash aggs keyed by (doc, gram)
+    then doc, so hot *grams* never concentrate (the key always includes
+    the doc); cost is linear in total tokens with map-side combine.
+    ``top_share`` is one int/int IEEE division — bit-identical across
+    engines, no decimal policy needed. Documents with fewer than ``n``
+    words are excluded (no grams to measure).
+    """
+    grams = word_ngram_array(text_col, n)
+    per_gram = (
+        df.select(F.col(id_col), F.explode(grams).alias("gram"))
+        .groupBy(id_col, "gram")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    per_doc = per_gram.groupBy(id_col).agg(
+        F.sum("cnt").alias("n_grams"),
+        F.max("cnt").alias("top_cnt"),
+    )
+    words = df.select(
+        F.col(id_col),
+        token_count(text_col).alias("n_words"),
+        distinct_token_count(text_col).alias("n_distinct"),
+    )
+    return per_doc.join(words, id_col).select(
+        id_col,
+        "n_grams",
+        "top_cnt",
+        (F.col("top_cnt").cast("double") / F.col("n_grams").cast("double")).alias(
+            "top_share"
+        ),
+        (
+            F.lit(1.0)
+            - F.col("n_distinct").cast("double") / F.col("n_words").cast("double")
+        ).alias("dup_word_frac"),
+    )
+
+
+#: PII patterns, written to parse identically under Java regex (Spark) and
+#: RE2 (DuckDB): no lookaround, no backreferences, POSIX-safe classes.
+PII_EMAIL_PATTERN = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+PII_IPV4_PATTERN = r"[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}"
+
+
+def redact_pii(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Detect-and-redact PII spans (emails, IPv4 addresses) — the scrubbing
+    pass every production training pipeline runs before tokenization. Adds
+    ``n_emails``/``n_ipv4`` match counts and a ``redacted`` column with
+    spans replaced by ``<EMAIL>``/``<IP>`` placeholders.
+
+    All JVM-side regex built-ins (``regexp_extract_all``/``regexp_replace``)
+    — per-row, narrow, zero-shuffle, inside whole-stage codegen; the
+    patterns avoid lookaround so the DuckDB oracle (RE2) matches the exact
+    same spans. Emails are redacted before IPv4 so a numeric host part is
+    never double-counted."""
+    c = F.col(text_col) if isinstance(text_col, str) else F.col(text_col)
+    no_email = F.regexp_replace(c, PII_EMAIL_PATTERN, "<EMAIL>")
+    return df.select(
+        "*",
+        F.size(F.regexp_extract_all(c, F.lit(PII_EMAIL_PATTERN), 0)).alias("n_emails"),
+        F.size(F.regexp_extract_all(no_email, F.lit(PII_IPV4_PATTERN), 0)).alias(
+            "n_ipv4"
+        ),
+        F.regexp_replace(no_email, PII_IPV4_PATTERN, "<IP>").alias("redacted"),
+    )
+
+
 def deterministic_sample(
     df: DataFrame,
     text_col: str = "text",

@@ -11,7 +11,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from reactive_kinesis_spark.functions import davg_sql
+from reactive_kinesis_spark.functions import davg_sql, dsum, dsum_sql
 from reactive_kinesis_spark.operators import dedup as D
 from reactive_kinesis_spark.operators import similarity as S
 from reactive_kinesis_spark.operators import text as T
@@ -667,4 +667,195 @@ def q44_deterministic_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.min("doc_id").alias("first_doc"),
         )
         .orderBy("source")
+    )
+
+
+# --------------------------------------------------------------------------
+# Quality rules / PII / quantization
+# --------------------------------------------------------------------------
+
+
+@query(
+    "q66_repetition_stats",
+    oracle="""
+    WITH d AS (SELECT doc_id, string_split(text, ' ') AS words FROM documents),
+    g AS (
+        SELECT doc_id, array_to_string(words[i:i+1], ' ') AS gram
+        FROM d, UNNEST(range(1, len(words))) AS t(i)
+        WHERE len(words) >= 2
+    ),
+    pg AS (SELECT doc_id, gram, COUNT(*) AS cnt FROM g GROUP BY doc_id, gram),
+    pd AS (
+        SELECT doc_id, CAST(SUM(cnt) AS BIGINT) AS n_grams,
+               CAST(MAX(cnt) AS BIGINT) AS top_cnt
+        FROM pg GROUP BY doc_id
+    ),
+    w AS (
+        SELECT doc_id, len(words) AS n_words,
+               len(list_distinct(words)) AS n_distinct
+        FROM d
+    )
+    SELECT p.doc_id, p.n_grams, p.top_cnt,
+           CAST(p.top_cnt AS DOUBLE) / CAST(p.n_grams AS DOUBLE) AS top_share,
+           CAST(1.0 AS DOUBLE)
+             - CAST(w.n_distinct AS DOUBLE) / CAST(w.n_words AS DOUBLE)
+             AS dup_word_frac
+    FROM pd p JOIN w USING (doc_id)
+    ORDER BY p.doc_id
+    """,
+)
+def q66_repetition_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style repetition quality metrics per document: top-bigram
+    share of all bigram occurrences + duplicate-word fraction — the
+    boilerplate/degenerate-repetition gate of a pre-training quality
+    pipeline. Both divisions are single int/int IEEE ops, bit-identical
+    across engines; see operators.text.repetition_stats for the
+    (doc, gram)-keyed partial+final aggregation shape (hot grams never
+    concentrate — the key always includes the doc)."""
+    docs = load_table(spark, sf_dir, "documents")
+    return T.repetition_stats(docs, "text", "doc_id", n=2).orderBy("doc_id")
+
+
+@query(
+    "q67_pii_redaction",
+    oracle=r"""
+    WITH planted AS (
+        SELECT doc_id, source,
+               CASE
+                 WHEN doc_id % 15 = 0 THEN text || ' reach user'
+                      || CAST(doc_id AS VARCHAR) || '@example.com via 10.0.'
+                      || CAST(doc_id % 250 AS VARCHAR) || '.7'
+                 WHEN doc_id % 5 = 0 THEN text || ' mail user'
+                      || CAST(doc_id AS VARCHAR) || '@example.org'
+                 WHEN doc_id % 7 = 0 THEN text || ' host 192.168.'
+                      || CAST(doc_id % 250 AS VARCHAR) || '.'
+                      || CAST(doc_id % 100 AS VARCHAR)
+                 ELSE text
+               END AS text
+        FROM documents
+    ),
+    r AS (
+        SELECT source,
+               len(regexp_extract_all(text,
+                   '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS n_emails,
+               len(regexp_extract_all(
+                   regexp_replace(text,
+                       '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}',
+                       '<EMAIL>', 'g'),
+                   '[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}')) AS n_ipv4
+        FROM planted
+    )
+    SELECT source, COUNT(*) AS n_docs,
+           CAST(SUM(n_emails) AS BIGINT) AS n_email_hits,
+           CAST(SUM(n_ipv4) AS BIGINT) AS n_ip_hits,
+           CAST(SUM(CASE WHEN n_emails + n_ipv4 > 0 THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_dirty_docs
+    FROM r
+    GROUP BY source
+    ORDER BY source
+    """,
+)
+def q67_pii_redaction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII scrub sweep: plant deterministic emails/IPv4 spans into a slice
+    of the corpus (the synthetic text contains none), then detect+redact
+    with the shared RE2/Java-portable patterns and report per-source hit
+    counts. The scrub itself (operators.text.redact_pii) is narrow
+    per-row regex inside codegen — zero shuffle before the final tiny
+    per-source aggregate."""
+    docs = load_table(spark, sf_dir, "documents")
+    did = F.col("doc_id")
+    planted = docs.select(
+        "doc_id",
+        "source",
+        F.when(
+            did % 15 == 0,
+            F.concat(
+                F.col("text"),
+                F.lit(" reach user"),
+                did.cast("string"),
+                F.lit("@example.com via 10.0."),
+                (did % 250).cast("string"),
+                F.lit(".7"),
+            ),
+        )
+        .when(
+            did % 5 == 0,
+            F.concat(
+                F.col("text"),
+                F.lit(" mail user"),
+                did.cast("string"),
+                F.lit("@example.org"),
+            ),
+        )
+        .when(
+            did % 7 == 0,
+            F.concat(
+                F.col("text"),
+                F.lit(" host 192.168."),
+                (did % 250).cast("string"),
+                F.lit("."),
+                (did % 100).cast("string"),
+            ),
+        )
+        .otherwise(F.col("text"))
+        .alias("text"),
+    )
+    r = T.redact_pii(planted, "text")
+    return (
+        r.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_emails").alias("n_email_hits"),
+            F.sum("n_ipv4").alias("n_ip_hits"),
+            F.sum(((F.col("n_emails") + F.col("n_ipv4")) > 0).cast("int"))
+            .alias("n_dirty_docs"),
+        )
+        .orderBy("source")
+    )
+
+
+@query(
+    "q68_embedding_quantization",
+    oracle=f"""
+    WITH q AS (
+        SELECT label,
+               CAST(list_aggregate(embedding, 'min') AS DOUBLE) AS vmin,
+               CAST(list_aggregate(embedding, 'max') AS DOUBLE) AS vmax,
+               embedding
+        FROM embeddings
+    ),
+    c AS (
+        SELECT label, vmax - vmin AS span,
+               CASE WHEN vmax - vmin > 0 THEN
+                   list_transform(embedding, x -> LEAST(255, GREATEST(0,
+                       CAST(FLOOR(((CAST(x AS DOUBLE) - vmin) / (vmax - vmin))
+                                  * CAST(255.0 AS DOUBLE)) AS INT))))
+               ELSE list_transform(embedding, x -> 0) END AS codes
+        FROM q
+    )
+    SELECT label, COUNT(*) AS n_vecs,
+           CAST(SUM(list_aggregate(codes, 'sum')) AS BIGINT) AS sum_codes,
+           {dsum_sql('span', 'sum_span')}
+    FROM c
+    GROUP BY label
+    ORDER BY label
+    """,
+)
+def q68_embedding_quantization(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scalar int8 quantization sweep over the embedding corpus: per label,
+    the exact integer checksum of all quantized codes plus the exact
+    decimal sum of per-vector scale spans — the compression step of a
+    vector-search pipeline, verified portably (integer codes + the
+    DECIMAL(38,6) sum policy; see operators.similarity
+    .quantize_embeddings for the narrow zero-shuffle plan)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    q = S.quantize_embeddings(emb, "vec_id", "embedding")
+    return (
+        q.groupBy("label")
+        .agg(
+            F.count(F.lit(1)).alias("n_vecs"),
+            F.sum("code_sum").alias("sum_codes"),
+            dsum(F.col("vmax") - F.col("vmin"), "sum_span"),
+        )
+        .orderBy("label")
     )
