@@ -59,6 +59,7 @@ HEADLINE = [
     "q66_repetition_stats",
     "q67_pii_redaction",
     "q68_embedding_quantization",
+    "q69_duplicate_spans",
 ]
 
 

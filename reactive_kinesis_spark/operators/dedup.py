@@ -230,6 +230,62 @@ def contamination_report(
     )
 
 
+def duplicate_span_stats(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 8,
+) -> DataFrame:
+    """Span-level exact-duplicate audit ("Deduplicating Training Data Makes
+    Language Models Better", Lee et al. 2022, re-expressed relationally):
+    per document, the fraction of its distinct word ``n``-gram spans that
+    appear verbatim in at least one OTHER document —
+    ``(id_col, n_sp, n_dup, dup_frac)``. ``dup_frac = 1.0`` flags a fully
+    copied document; intermediate values localize boilerplate/quoted spans
+    that exact whole-text dedup misses.
+
+    Shape: one shingle explode (per-doc distinct, so a span's document
+    frequency = distinct-doc count with no per-doc dedup pass), a
+    partial+final ``groupBy(shingle).count()`` for the cross-doc span set
+    (map-side combined — a hot span costs one row per map task), and a
+    shingle-keyed semi-join back. Two shuffles keyed by shingle, never
+    doc×doc, and — unlike the decontamination broadcast, whose eval side
+    is small by contract — nothing here is assumed bounded, so no
+    broadcast: the dup-span set is corpus-sized in the worst case.
+    Documents with fewer than ``n`` words report ``n_sp = 0``.
+    """
+    sh = shingles(df, text_col, id_col, n)
+    dup = (
+        sh.groupBy("shingle")
+        .agg(F.count(F.lit(1)).alias("df_"))
+        .where(F.col("df_") >= 2)
+        .select("shingle")
+    )
+    sizes = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_sp"))
+    hits = (
+        sh.join(dup, "shingle", "left_semi")
+        .groupBy(id_col)
+        .agg(F.count(F.lit(1)).alias("n_dup"))
+    )
+    return (
+        df.select(id_col)
+        .join(sizes, id_col, "left")
+        .join(hits, id_col, "left")
+        .select(
+            id_col,
+            F.coalesce("n_sp", F.lit(0)).alias("n_sp"),
+            F.coalesce("n_dup", F.lit(0)).alias("n_dup"),
+            F.when(
+                F.coalesce("n_sp", F.lit(0)) > 0,
+                F.coalesce("n_dup", F.lit(0)).cast("double")
+                / F.col("n_sp").cast("double"),
+            )
+            .otherwise(F.lit(0.0))
+            .alias("dup_frac"),
+        )
+    )
+
+
 # --------------------------------------------------------------------------
 # Cluster resolution (connected components over near-dup pair edges)
 # --------------------------------------------------------------------------

@@ -859,3 +859,43 @@ def q68_embedding_quantization(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("label")
     )
+
+
+@query(
+    "q69_duplicate_spans",
+    oracle="""
+    WITH d AS (SELECT doc_id, string_split(text, ' ') AS words FROM documents),
+    sh AS (
+        SELECT DISTINCT doc_id, array_to_string(words[i:i+7], ' ') AS shingle
+        FROM d, UNNEST(range(1, len(words) - 6)) AS t(i)
+        WHERE len(words) >= 8
+    ),
+    dup AS (SELECT shingle FROM sh GROUP BY shingle HAVING COUNT(*) >= 2),
+    sizes AS (SELECT doc_id, COUNT(*) AS n_sp FROM sh GROUP BY doc_id),
+    hits AS (
+        SELECT doc_id, COUNT(*) AS n_dup FROM sh
+        WHERE shingle IN (SELECT shingle FROM dup)
+        GROUP BY doc_id
+    )
+    SELECT a.doc_id,
+           COALESCE(s.n_sp, 0) AS n_sp,
+           COALESCE(h.n_dup, 0) AS n_dup,
+           CASE WHEN COALESCE(s.n_sp, 0) > 0
+                THEN CAST(COALESCE(h.n_dup, 0) AS DOUBLE) / CAST(s.n_sp AS DOUBLE)
+                ELSE CAST(0.0 AS DOUBLE) END AS dup_frac
+    FROM (SELECT doc_id FROM documents) a
+    LEFT JOIN sizes s USING (doc_id)
+    LEFT JOIN hits h USING (doc_id)
+    ORDER BY a.doc_id
+    """,
+)
+def q69_duplicate_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Span-level exact-duplicate audit (Lee et al. 2022): per document,
+    the fraction of its distinct 8-gram spans appearing verbatim in
+    another document — planted cross-source duplicates surface as
+    dup_frac = 1.0, partial boilerplate as intermediate values that
+    whole-text dedup (q21) misses. See operators.dedup
+    .duplicate_span_stats: two shingle-keyed shuffles, never doc×doc,
+    no boundedness assumption (hence no broadcast)."""
+    docs = load_table(spark, sf_dir, "documents")
+    return D.duplicate_span_stats(docs, "text", "doc_id", n=8).orderBy("doc_id")

@@ -155,6 +155,16 @@ def test_decontamination_never_shuffles_the_train_corpus(spark, sf_dir):
     assert "Window" not in plan
 
 
+def test_duplicate_spans_stay_shingle_keyed(spark, sf_dir):
+    """q69 must stay shingle-keyed shuffles + semi-join — never a doc×doc
+    comparison, never a Window over shingle (the hot-span straggler), with
+    map-side combine on every aggregation."""
+    plan = _plan(load_all()["q69_duplicate_spans"].fn(spark, sf_dir))
+    assert "CartesianProduct" not in plan and "Window" not in plan
+    assert "LeftSemi" in plan
+    assert "partial_" in plan
+
+
 def test_token_packing_is_one_window_pass(spark, sf_dir):
     """q62's running-sum layout must cost exactly one hash exchange on the
     partition key plus the final agg/sort — no Python, no joins."""
