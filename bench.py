@@ -63,7 +63,16 @@ HEADLINE = [
 ]
 
 
+def _err_str(exc: BaseException) -> str:
+    return f"{type(exc).__name__}: {exc}"[:500]
+
+
 def main() -> None:
+    # FAILURE ISOLATION CONTRACT: one broken query (or streaming leg) must
+    # never erase the round's whole perf signal — every per-query execution
+    # is individually guarded, failures are reported in an "errors" map, and
+    # the final JSON line is ALWAYS printed with rc=0 (round 3 lost its
+    # entire bench to a single AnalysisException in the warm-up loop).
     from reactive_kinesis_spark.queries import load_all
     from reactive_kinesis_spark.session import get_spark
 
@@ -76,44 +85,58 @@ def main() -> None:
     # One untimed warm pass per query: first execution pays one-time JIT,
     # whole-stage-codegen compilation, and file-listing costs (2-4s each
     # locally) that a long-lived cluster amortizes to zero — steady-state
-    # latency is what scales to the 100 TB deployment.
+    # latency is what scales to the 100 TB deployment. A query that fails
+    # warm-up is excluded from the timed loop and reported in "errors".
+    errors: dict[str, str] = {}
+    runnable: list[str] = []
     for name in HEADLINE:
-        registry[name].fn(spark, SF_DIR).collect()
+        try:
+            registry[name].fn(spark, SF_DIR).collect()
+            runnable.append(name)
+        except Exception as exc:  # noqa: BLE001 — isolate, report, continue
+            errors[name] = _err_str(exc)
+            print(f"# {name}: FAILED warm-up: {errors[name]}", file=sys.stderr)
 
     # Median of N_RUNS timed executions per query. Caches are cleared
     # before every execution so queries that persist intermediates (the
     # Jaccard shingle frame) are timed COLD — the honest one-shot cost;
     # cache reuse across repeated runs would otherwise hide the corpus
     # scan entirely.
-    samples: dict[str, list[float]] = {name: [] for name in HEADLINE}
+    samples: dict[str, list[float]] = {name: [] for name in runnable}
     for _ in range(N_RUNS):
-        for name in HEADLINE:
+        for name in list(samples):
             spark.catalog.clearCache()
             qd = registry[name]
             t0 = time.perf_counter()
-            rows = qd.fn(spark, SF_DIR).collect()
-            dt = time.perf_counter() - t0
-            samples[name].append(dt)
-    timings = {name: round(_median(ts), 3) for name, ts in samples.items()}
+            try:
+                qd.fn(spark, SF_DIR).collect()
+            except Exception as exc:  # noqa: BLE001
+                errors[name] = _err_str(exc)
+                del samples[name]
+                print(f"# {name}: FAILED timed run: {errors[name]}", file=sys.stderr)
+                continue
+            samples[name].append(time.perf_counter() - t0)
+    timings = {name: round(_median(ts), 3) for name, ts in samples.items() if ts}
     total = sum(timings.values())
     for name, med in timings.items():
         print(f"# {name}: median {med:.3f}s over {N_RUNS} runs", file=sys.stderr)
 
-    streaming = _streaming_throughput(spark)
-    print(f"# streaming (file source): {streaming['msgs_per_sec']:.0f} msg/s", file=sys.stderr)
+    def _leg(label: str, fn, **kw) -> dict:
+        try:
+            out = fn(spark, **kw)
+            print(f"# streaming ({label}): {out['msgs_per_sec']:.0f} msg/s", file=sys.stderr)
+            return out
+        except Exception as exc:  # noqa: BLE001
+            errors[f"streaming_{label}"] = _err_str(exc)
+            print(f"# streaming ({label}): FAILED: {_err_str(exc)}", file=sys.stderr)
+            return {"err": _err_str(exc)}
+
+    streaming = _leg("file source", _streaming_throughput)
     # apples-to-apples pair: both sources paged into the SAME 4×100k
     # micro-batch shape, so the delta isolates the source read path (the
     # un-paged file number above keeps cross-round comparability)
-    streaming_file_paged = _streaming_throughput(spark, files_per_trigger=1)
-    print(
-        f"# streaming (file source, paged): {streaming_file_paged['msgs_per_sec']:.0f} msg/s",
-        file=sys.stderr,
-    )
-    streaming_replay = _replay_throughput(spark)
-    print(
-        f"# streaming (kinesis_replay, paged): {streaming_replay['msgs_per_sec']:.0f} msg/s",
-        file=sys.stderr,
-    )
+    streaming_file_paged = _leg("file source, paged", _streaming_throughput, files_per_trigger=1)
+    streaming_replay = _leg("kinesis_replay, paged", _replay_throughput)
 
     m = re.search(r"sf([0-9.]+)", SF_DIR)
     sf = float(m.group(1).rstrip(".")) if m else None
@@ -124,6 +147,7 @@ def main() -> None:
                 "value": round(total, 3),
                 "unit": "sec",
                 "queries": timings,
+                "errors": errors,
                 "sf": sf,
                 "runs": N_RUNS,
                 "streaming": streaming,
@@ -308,4 +332,20 @@ def _replay_throughput(
 
 
 if __name__ == "__main__":
-    main()
+    try:
+        main()
+    except Exception as exc:  # noqa: BLE001 — last-resort: still emit the JSON line
+        import traceback
+
+        traceback.print_exc()
+        print(
+            json.dumps(
+                {
+                    "metric": "headline_queries_total",
+                    "value": None,
+                    "unit": "sec",
+                    "queries": {},
+                    "errors": {"__fatal__": _err_str(exc)},
+                }
+            )
+        )

@@ -42,25 +42,56 @@ def query(name: str, oracle: str | None = None):
     return deco
 
 
-#: Oracle-backed queries deliberately ordered AFTER the other oracle-backed
-#: entries: the driver's correctness run samples the first 50 registry
-#: entries, and these two categories keep driver-visible oracle coverage
-#: through other entries (subqueries: q45/q58; window functions:
-#: q08/q09/q59). They remain fully oracle-checked locally
-#: (tests/test_oracle_parity.py).
-_DEMOTED = ("q46_scalar_subquery", "q55_window_distribution")
+#: Driver-visibility rotation (round 4). The driver's correctness run samples
+#: the FIRST 50 registry entries; with 61 oracle-backed queries, 11 must sit
+#: past the window each round. Policy: the least-driver-certified queries get
+#: the visible slots. _PROMOTED = the round-3 flagship work (q60-q69) plus the
+#: two previously-demoted entries (q46/q55) — none has ever appeared in a
+#: driver CORRECTNESS run; they take slots 0-10 this round. _DEMOTED = eleven
+#: long-stable trivial queries, each driver-certified green in rounds 1-3
+#: (CORRECTNESS_r01-r03), rotated out to make room; they remain fully
+#: oracle-checked locally every session (tests/test_oracle_parity.py).
+_PROMOTED = (
+    "q60_dedup_clusters",
+    "q61_curation_pipeline",
+    "q62_token_packing",
+    "q64_decontamination",
+    "q65_mixture_sample",
+    "q66_repetition_stats",
+    "q67_pii_redaction",
+    "q68_embedding_quantization",
+    "q69_duplicate_spans",
+    "q46_scalar_subquery",
+    "q55_window_distribution",
+)
+_DEMOTED = (
+    "q02_filter_project",
+    "q03_join_agg_topk",
+    "q05_anti_join",
+    "q07_semi_join",
+    "q12_set_ops",
+    "q13_scalar_functions",
+    "q14_date_functions",
+    "q15_distinct_agg",
+    "q16_part_supplier_join",
+    "q18_events_json_props",
+    "q44_deterministic_sample",
+)
 
 
 def _registry_order(item: tuple[str, QueryDef]) -> tuple[int, str]:
-    """Driver-visibility ordering: oracle-backed first (numeric), then the
-    demoted oracle pair, then rows-only queries (which get the weaker
+    """Driver-visibility ordering: promoted (never-driver-certified)
+    oracle-backed first, then the remaining oracle-backed (numeric), then the
+    demoted long-stable pool, then rows-only queries (which get the weaker
     rows-only driver check wherever they land)."""
     name, qd = item
     if qd.oracle is None:
-        return (2, name)
+        return (3, name)
     if name in _DEMOTED:
-        return (1, name)
-    return (0, name)
+        return (2, name)
+    if name in _PROMOTED:
+        return (0, name)
+    return (1, name)
 
 
 def load_all() -> dict[str, QueryDef]:

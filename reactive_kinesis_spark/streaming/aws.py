@@ -1,0 +1,147 @@
+"""Real AWS Kinesis transport for the producer sink (S6 in SURVEY.md §2.1).
+
+Completes the pluggable-transport seam (:data:`~reactive_kinesis_spark
+.streaming.sink.Transport`): the packing / TTL-retry / throttling machinery
+all lives transport-agnostically in ``write_batch`` — this module only maps
+one PutRecords-shaped request onto ``boto3 kinesis.put_records`` and maps the
+response back to per-entry success flags, exactly the contract
+``LocalDirTransport`` implements for tests.
+
+Reference semantics being mirrored (clean-room, from observable behavior):
+
+* per-record send through the KPL with per-record success/failure futures
+  (producer/KinesisProducer.scala:117-163 ``addUserRecord`` →
+  ``UserRecordResult``);
+* retryable service errors surface as failed records that the TTL-bounded
+  retry loop re-sends — only the FAILED subset is retried
+  (reference.conf:325-343 RecordTtl; PutRecords partial-failure contract);
+* non-retryable errors (validation, missing stream, auth) escalate
+  immediately — the reference's ``SendFailed`` ⇒ stage failure
+  (KinesisSinkGraphStage.scala:138-148).
+
+boto3 is NOT a dependency of this package (and absent in the test sandbox):
+the import is deferred to construction time, and everything above the raw
+client call is unit-tested against a fake client with the same response
+shape (tests/test_streaming.py::TestBoto3Transport).
+"""
+
+from __future__ import annotations
+
+from reactive_kinesis_spark.streaming.sink import TransportError
+
+#: AWS error codes that mean "try the same records again" — the service is
+#: shedding load or momentarily unavailable, not rejecting the request.
+RETRYABLE_ERROR_CODES = frozenset(
+    {
+        "ProvisionedThroughputExceededException",
+        "InternalFailure",
+        "InternalError",
+        "ServiceUnavailable",
+        "ServiceUnavailableException",
+        "ThrottlingException",
+        "RequestTimeout",
+        "LimitExceededException",
+    }
+)
+
+#: PutRecords API hard limits (public AWS contract). ``RequestPacker``
+#: enforces these upstream; the transport re-checks so a packing bug fails
+#: loudly here instead of as an opaque AWS ValidationException.
+MAX_RECORDS_PER_REQUEST = 500
+MAX_REQUEST_BYTES = 5 * 1024 * 1024
+MAX_RECORD_BYTES = 1024 * 1024  # 1 MiB data+partition-key per record
+
+
+def _aws_error_code(exc: BaseException) -> str | None:
+    """Extract the AWS error code from a botocore ClientError (duck-typed so
+    the module needs no botocore import)."""
+    response = getattr(exc, "response", None)
+    if isinstance(response, dict):
+        code = response.get("Error", {}).get("Code")
+        if isinstance(code, str):
+            return code
+    return None
+
+
+class Boto3Transport:
+    """``Transport`` implementation over ``boto3`` ``kinesis.put_records``.
+
+    Parameters
+    ----------
+    client:
+        A pre-built Kinesis client (anything with a ``put_records`` method —
+        tests inject a fake). When ``None``, a real boto3 client is built
+        from the remaining kwargs.
+    region_name / endpoint_url / profile_name:
+        Standard boto3 session/client knobs; ``endpoint_url`` points the
+        transport at localstack-style local endpoints, mirroring the
+        reference's integration harness (it/.../KinesisSuite.scala:283-302
+        runs against a local Kinesis endpoint the same way).
+
+    Thread-safety: boto3 clients are thread-safe for concurrent calls, so
+    this transport supports ``max_outstanding > 1`` in ``write_batch``.
+    """
+
+    def __init__(
+        self,
+        client=None,
+        *,
+        region_name: str | None = None,
+        endpoint_url: str | None = None,
+        profile_name: str | None = None,
+    ):
+        if client is None:
+            try:
+                import boto3
+            except ImportError as exc:  # pragma: no cover — sandbox has no boto3
+                raise ImportError(
+                    "Boto3Transport requires boto3 (pip install boto3); in "
+                    "tests inject a fake client via Boto3Transport(client=...)"
+                ) from exc
+            session = boto3.session.Session(profile_name=profile_name, region_name=region_name)
+            client = session.client("kinesis", endpoint_url=endpoint_url)
+        self._client = client
+
+    def __call__(self, stream_name: str, entries: list[tuple[str, bytes]]) -> list[bool]:
+        self._check_request_shape(entries)
+        records = [{"Data": data, "PartitionKey": pk} for pk, data in entries]
+        try:
+            resp = self._client.put_records(StreamName=stream_name, Records=records)
+        except Exception as exc:  # noqa: BLE001 — classify, then retry or escalate
+            code = _aws_error_code(exc)
+            if code in RETRYABLE_ERROR_CODES:
+                # whole-call throttle: report every entry failed; the caller's
+                # TTL-bounded loop re-sends them (failed-subset-only contract)
+                return [False] * len(entries)
+            raise TransportError(
+                f"put_records to {stream_name!r} failed non-retryably"
+                + (f" ({code})" if code else "")
+            ) from exc
+        out = resp.get("Records", [])
+        if len(out) != len(entries):
+            raise TransportError(
+                f"put_records returned {len(out)} results for {len(entries)} records"
+            )
+        return [not r.get("ErrorCode") for r in out]
+
+    @staticmethod
+    def _check_request_shape(entries: list[tuple[str, bytes]]) -> None:
+        if len(entries) > MAX_RECORDS_PER_REQUEST:
+            raise TransportError(
+                f"request has {len(entries)} records > PutRecords cap "
+                f"{MAX_RECORDS_PER_REQUEST} — RequestPacker invariant broken"
+            )
+        total = 0
+        for pk, data in entries:
+            entry = len(data) + len(pk.encode("utf-8"))
+            if entry > MAX_RECORD_BYTES:
+                raise TransportError(
+                    f"record for pk={pk!r} is {entry} B > per-record cap "
+                    f"{MAX_RECORD_BYTES} — aggregation cap invariant broken"
+                )
+            total += entry
+        if total > MAX_REQUEST_BYTES:
+            raise TransportError(
+                f"request is {total} B > PutRecords cap {MAX_REQUEST_BYTES} "
+                f"— RequestPacker invariant broken"
+            )

@@ -1,0 +1,165 @@
+"""Boto3Transport unit tests (S6) — the transport's request shaping, partial
+-failure mapping, and retry classification, verified against a fake client
+with the real ``put_records`` response shape (no boto3/AWS in the sandbox;
+the reference proves the same contract against localstack,
+it/.../KinesisSuite.scala:283-302).
+
+Parity target: with the same producer config, the fake-client path must
+deliver the identical record multiset as ``LocalDirTransport`` — same
+packing, same TTL retry, same escalation.
+"""
+
+from __future__ import annotations
+
+import base64
+import json
+import os
+import uuid
+
+import pytest
+
+from reactive_kinesis_spark.config import ProducerConfig
+from reactive_kinesis_spark.streaming.aws import (
+    MAX_RECORDS_PER_REQUEST,
+    Boto3Transport,
+    TransportError,
+)
+from reactive_kinesis_spark.streaming.sink import LocalDirTransport, write_batch
+from tests.test_streaming import make_events
+
+
+def _make_fakes():
+    """Define the fakes in function scope so cloudpickle serializes them BY
+    VALUE (a top-level test-module class is pickled by reference and Spark's
+    Python workers cannot import ``test_aws_transport``)."""
+
+    class FakeClientError(Exception):
+        """botocore.exceptions.ClientError shape (duck-typed ``.response``)."""
+
+        def __init__(self, code: str):
+            super().__init__(code)
+            self.response = {"Error": {"Code": code}}
+
+    class FakeKinesisClient:
+        """In-memory ``put_records`` with the real response shape. ``spool``
+        makes it executor-safe: each request appends one JSON-lines file
+        (local mode shares the filesystem), so driver-side asserts can read
+        back what Spark tasks sent — same observability trick as
+        LocalDirTransport."""
+
+        def __init__(self, spool: str | None = None, fail_pks: tuple[str, ...] = (),
+                     raise_code: str | None = None):
+            self.spool = spool
+            self.fail_pks = fail_pks
+            self.raise_code = raise_code
+            self.requests: list[list[dict]] = []  # in-process capture
+
+        def put_records(self, StreamName: str, Records: list[dict]):
+            if self.raise_code is not None:
+                raise FakeClientError(self.raise_code)
+            self.requests.append(Records)
+            out = []
+            for r in Records:
+                if r["PartitionKey"] in self.fail_pks:
+                    out.append({"ErrorCode": "ProvisionedThroughputExceededException",
+                                "ErrorMessage": "throttled"})
+                else:
+                    out.append({"SequenceNumber": "1", "ShardId": "shardId-000000000000"})
+            if self.spool:
+                os.makedirs(self.spool, exist_ok=True)
+                path = os.path.join(self.spool, f"{StreamName}-{uuid.uuid4().hex}.jsonl")
+                with open(path, "w") as fh:
+                    for r, res in zip(Records, out):
+                        if "ErrorCode" not in res:
+                            fh.write(json.dumps({
+                                "pk": r["PartitionKey"],
+                                "data": base64.b64encode(bytes(r["Data"])).decode("ascii"),
+                            }) + "\n")
+            return {"Records": out, "FailedRecordCount": sum("ErrorCode" in r for r in out)}
+
+    return FakeClientError, FakeKinesisClient
+
+
+FakeClientError, FakeKinesisClient = _make_fakes()
+
+
+def _spool_read_back(spool: str) -> list[tuple[str, bytes]]:
+    out = []
+    for name in sorted(os.listdir(spool)):
+        with open(os.path.join(spool, name)) as fh:
+            for line in fh:
+                if line.strip():
+                    rec = json.loads(line)
+                    out.append((rec["pk"], base64.b64decode(rec["data"])))
+    return out
+
+
+def test_success_maps_to_all_true():
+    client = FakeKinesisClient()
+    t = Boto3Transport(client=client)
+    assert t("s1", [("a", b"x"), ("b", b"y")]) == [True, True]
+    assert client.requests == [[{"Data": b"x", "PartitionKey": "a"},
+                                {"Data": b"y", "PartitionKey": "b"}]]
+
+
+def test_partial_failure_maps_per_entry():
+    t = Boto3Transport(client=FakeKinesisClient(fail_pks=("b",)))
+    assert t("s1", [("a", b"x"), ("b", b"y"), ("c", b"z")]) == [True, False, True]
+
+
+def test_whole_call_throttle_reports_all_failed_for_retry():
+    t = Boto3Transport(client=FakeKinesisClient(raise_code="ProvisionedThroughputExceededException"))
+    assert t("s1", [("a", b"x"), ("b", b"y")]) == [False, False]
+
+
+def test_non_retryable_error_escalates():
+    t = Boto3Transport(client=FakeKinesisClient(raise_code="ResourceNotFoundException"))
+    with pytest.raises(TransportError, match="ResourceNotFoundException"):
+        t("s1", [("a", b"x")])
+
+
+def test_request_shape_guards():
+    t = Boto3Transport(client=FakeKinesisClient())
+    with pytest.raises(TransportError, match="cap 500"):
+        t("s1", [(str(i), b"x") for i in range(MAX_RECORDS_PER_REQUEST + 1)])
+    with pytest.raises(TransportError, match="per-record cap"):
+        t("s1", [("a", b"x" * (1024 * 1024 + 1))])
+    big = b"x" * (900 * 1024)  # 6 × 900 KiB > 5 MiB total, each under 1 MiB
+    with pytest.raises(TransportError, match="PutRecords cap"):
+        t("s1", [(str(i), big) for i in range(6)])
+
+
+def test_write_batch_parity_with_local_transport(spark, tmp_path):
+    """Same config, same data: the boto3 path delivers the identical record
+    multiset as LocalDirTransport, and every request honors the PutRecords
+    caps (packing happens upstream, transport re-verifies)."""
+    df = make_events(spark, 300, shards=4)
+    conf = ProducerConfig(
+        stream_name="s1", aggregation_enabled=False, collection_max_count=50
+    )
+
+    local_dir = str(tmp_path / "local")
+    write_batch(df, conf, LocalDirTransport(local_dir))
+
+    spool = str(tmp_path / "aws")
+    write_batch(df, conf, Boto3Transport(client=FakeKinesisClient(spool=spool)))
+
+    want = sorted(LocalDirTransport(local_dir).read_back())
+    got = sorted(_spool_read_back(spool))
+    assert got == want
+    # ≤50 records per request (collection cap < API cap) — parity with the
+    # LocalDirTransport cap test
+    for name in os.listdir(spool):
+        n = sum(1 for line in open(os.path.join(spool, name)) if line.strip())
+        assert n <= 50
+
+
+def test_write_batch_retries_failed_subset_until_ttl(spark, tmp_path):
+    """A persistently-throttled pk exhausts RecordTtl and fails the batch —
+    identical escalation contract as the LocalDirTransport TTL test."""
+    df = make_events(spark, 10, shards=1)
+    conf = ProducerConfig(stream_name="s1", aggregation_enabled=False, record_ttl_millis=200)
+    transport = Boto3Transport(client=FakeKinesisClient(fail_pks=("0",)))
+    with pytest.raises(Exception) as ei:
+        write_batch(df, conf, transport)
+    assert "RecordTtl" in str(ei.value) or "TransportError" in str(ei.value)
