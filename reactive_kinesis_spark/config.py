@@ -87,11 +87,18 @@ class ConsumerConfig:
 
 @dataclass
 class ProducerConfig:
-    """Typed producer config ↔ the KPL knobs the engine honors.
+    """Typed producer config — the FULL KPL knob surface, typed.
 
-    The reference exposes all 31 KPL settings
-    (producer/KinesisProducerConfig.scala:27-171); the engine implements the
-    ones with Spark-side meaning and passes the rest through.
+    The reference types all KPL settings
+    (producer/KinesisProducerConfig.scala:27-60) and emits them onto the
+    native KPL configuration (``toAwsConfig``, same file :63-106). Here the
+    send-path knobs (aggregation, collection, TTL, outstanding-requests)
+    drive ``streaming.sink.write_batch`` directly; the transport/metrics
+    knobs parameterize the wire layer (``streaming.aws.Boto3Transport``:
+    endpoints, region, timeouts) or are carried for config-surface parity
+    (a deployment that swaps in the real KPL reads them via
+    :meth:`kpl_config`). Defaults mirror reference.conf:57-395 — the
+    public KPL defaults.
     """
 
     stream_name: str
@@ -114,7 +121,61 @@ class ProducerConfig:
     record_ttl_millis: int = 30_000
     # KPL RateLimit % of shard capacity (reference.conf:283-301)
     rate_limit_percent: int = 150
+    # --- connection / endpoint knobs (consumed by the transport layer) ---
+    # KPL KinesisEndpoint/KinesisPort (reference.conf:126-140) — custom
+    # endpoint, e.g. localstack; maps to Boto3Transport(endpoint_url=...)
+    kinesis_endpoint: str | None = None
+    kinesis_port: int = 443
+    # KPL Region (reference.conf:318-324)
+    region: str | None = None
+    # KPL ConnectTimeout / RequestTimeout (reference.conf:87-92,355-366)
+    connect_timeout_millis: int = 6_000
+    request_timeout_millis: int = 6_000
+    # KPL MinConnections / MaxConnections (reference.conf:240-247,164-173)
+    min_connections: int = 1
+    max_connections: int = 24
+    # KPL VerifyCertificate (reference.conf:374-378)
+    verify_certificate: bool = True
+    # KPL FailIfThrottled (reference.conf:142-155)
+    fail_if_throttled: bool = False
+    # KPL RecordMaxBufferedTime (reference.conf:274-294)
+    record_max_buffered_time_millis: int = 100
+    # --- credentials (names/profiles — the object-valued providers of
+    # KinesisProducerConfig.scala:29-30 have no cross-language form) ---
+    credentials_provider: str | None = None
+    metrics_credentials_provider: str | None = None
+    credentials_refresh_delay_millis: int = 5_000
+    # --- metrics/cloudwatch knobs (carried for parity) ---
+    cloudwatch_endpoint: str | None = None
+    cloudwatch_port: int = 443
+    metrics_granularity: str = "shard"  # global | stream | shard
+    metrics_level: str = "detailed"  # none | summary | detailed
+    metrics_namespace: str = "KinesisProducerLibrary"
+    metrics_upload_delay_millis: int = 60_000
+    additional_metric_dimensions: list = field(default_factory=list)
+    # --- native-process knobs (no engine meaning; parity only) ---
+    log_level: str = "info"
+    enable_core_dumps: bool = False
+    native_executable: str | None = None
+    temp_directory: str | None = None
+    threading_model: str = "PER_REQUEST"  # PER_REQUEST | POOLED
+    thread_pool_size: int = 0
     extra_options: dict[str, str] = field(default_factory=dict)
+
+    def __post_init__(self) -> None:
+        _check_enum("threading_model", self.threading_model, ("PER_REQUEST", "POOLED"))
+        _check_enum(
+            "metrics_granularity", self.metrics_granularity, ("global", "stream", "shard")
+        )
+        _check_enum("metrics_level", self.metrics_level, ("none", "summary", "detailed"))
+        _check_enum(
+            "log_level", self.log_level, ("trace", "debug", "info", "warning", "error")
+        )
+        if not 1 <= self.collection_max_count <= 500:
+            raise ValueError(
+                f"collection_max_count={self.collection_max_count} outside "
+                "[1, 500] (PutRecords API cap)"
+            )
 
     @classmethod
     def from_dict(cls, config: dict[str, Any], name: str) -> "ProducerConfig":
@@ -126,3 +187,76 @@ class ProducerConfig:
             raise ValueError(f"producer block {name!r} missing stream_name")
         kwargs.setdefault("extra_options", {}).update(extra)
         return cls(**kwargs)
+
+    def kpl_config(self) -> dict[str, Any]:
+        """The KPL-named settings map — the analog of ``toAwsConfig``
+        (producer/KinesisProducerConfig.scala:63-106): every typed knob
+        under its public KPL name; Optional knobs only when set (the
+        reference folds ``Option`` the same way)."""
+        out: dict[str, Any] = {}
+        for field_name, kpl_name in _KPL_FIELD_MAP.items():
+            value = getattr(self, field_name)
+            if value is None:
+                continue
+            out[kpl_name] = value
+        return out
+
+    @classmethod
+    def from_kpl_config(cls, stream_name: str, kpl: dict[str, Any]) -> "ProducerConfig":
+        """Inverse of :meth:`kpl_config` — the analog of ``fromAwsConfig``
+        (producer/KinesisProducerConfig.scala:120-158)."""
+        inverse = {v: k for k, v in _KPL_FIELD_MAP.items()}
+        kwargs: dict[str, Any] = {}
+        extra: dict[str, str] = {}
+        for kpl_name, value in kpl.items():
+            if kpl_name in inverse:
+                kwargs[inverse[kpl_name]] = value
+            else:
+                extra[kpl_name] = str(value)
+        return cls(stream_name=stream_name, extra_options=extra, **kwargs)
+
+
+def _check_enum(name: str, value: str, allowed: tuple[str, ...]) -> None:
+    if value not in allowed:
+        raise ValueError(f"{name}={value!r} not one of {allowed}")
+
+
+#: typed field ↔ public KPL setting name (KinesisProducerConfig.scala:63-106
+#: setter per knob; reference.conf:57-395 documents each). The engine-only
+#: knobs (stream_name, max_outstanding_requests, extra_options) have no KPL
+#: name and are deliberately absent.
+_KPL_FIELD_MAP: dict[str, str] = {
+    "aggregation_enabled": "AggregationEnabled",
+    "aggregation_max_count": "AggregationMaxCount",
+    "aggregation_max_size": "AggregationMaxSize",
+    "cloudwatch_endpoint": "CloudwatchEndpoint",
+    "cloudwatch_port": "CloudwatchPort",
+    "collection_max_count": "CollectionMaxCount",
+    "collection_max_size": "CollectionMaxSize",
+    "connect_timeout_millis": "ConnectTimeout",
+    "credentials_provider": "CredentialsProvider",
+    "credentials_refresh_delay_millis": "CredentialsRefreshDelay",
+    "enable_core_dumps": "EnableCoreDumps",
+    "fail_if_throttled": "FailIfThrottled",
+    "kinesis_endpoint": "KinesisEndpoint",
+    "kinesis_port": "KinesisPort",
+    "log_level": "LogLevel",
+    "max_connections": "MaxConnections",
+    "metrics_credentials_provider": "MetricsCredentialsProvider",
+    "metrics_granularity": "MetricsGranularity",
+    "metrics_level": "MetricsLevel",
+    "metrics_namespace": "MetricsNamespace",
+    "metrics_upload_delay_millis": "MetricsUploadDelay",
+    "min_connections": "MinConnections",
+    "native_executable": "NativeExecutable",
+    "rate_limit_percent": "RateLimit",
+    "record_max_buffered_time_millis": "RecordMaxBufferedTime",
+    "record_ttl_millis": "RecordTtl",
+    "region": "Region",
+    "request_timeout_millis": "RequestTimeout",
+    "temp_directory": "TempDirectory",
+    "thread_pool_size": "ThreadPoolSize",
+    "threading_model": "ThreadingModel",
+    "verify_certificate": "VerifyCertificate",
+    "additional_metric_dimensions": "AdditionalMetricDimensions",
+}

@@ -296,6 +296,7 @@ def connected_components(
     src_col: str = "id_1",
     dst_col: str = "id_2",
     max_iterations: int = 50,
+    stats: dict | None = None,
 ) -> DataFrame:
     """Resolve near-duplicate *pairs* into clusters: connected components of
     the pair graph via the alternating large-star/small-star algorithm
@@ -320,6 +321,11 @@ def connected_components(
 
     The loop is driver-side control flow over fully distributed rounds —
     the same structure GraphX/GraphFrames use; no per-row driver work.
+
+    Pass ``stats={}`` to receive ``stats['rounds']`` (rounds executed until
+    the edge-set fixpoint) — tests pin this against the O(log n) bound so a
+    regression to linear convergence fails loudly instead of silently
+    multiplying shuffles at scale.
     """
     u, v = F.col("u"), F.col("v")
     # Canonical undirected edge list, self-loops dropped, deduped.
@@ -345,7 +351,9 @@ def connected_components(
         return int(row["n"]), int(row["h"])
 
     prev = _checksum(edges)
+    rounds = 0
     for _ in range(max_iterations):
+        rounds += 1
         # Large-star: for every node, attach its LARGER neighbours to the
         # minimum of its neighbourhood (incl. itself). Both edge directions.
         sym = edges.union(edges.select(v.alias("u"), u.alias("v")))
@@ -386,6 +394,8 @@ def connected_components(
         raise RuntimeError(
             f"connected_components did not converge in {max_iterations} rounds"
         )
+    if stats is not None:
+        stats["rounds"] = rounds
     # Converged edge set is a star forest: (member, root). Roots themselves
     # appear only on the right side — add their self-mapping.
     members = edges.select(v.alias("node"), u.alias("component"))

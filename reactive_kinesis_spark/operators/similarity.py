@@ -64,6 +64,7 @@ def cosine_topk(
     k: int = 5,
     include_self: bool = False,
     strategy: str = "numpy",
+    max_query_rows: int = 65_536,
 ) -> DataFrame:
     """Exact top-k cosine neighbors for each query row against the corpus.
 
@@ -78,6 +79,12 @@ def cosine_topk(
     are bit-identical to the ``'sql'`` strategy (pure Catalyst zip_with/
     aggregate) and to the DuckDB oracle. Returns
     ``(query_id, neighbor_id, cosine_sim, rn)``.
+
+    ``max_query_rows`` makes the small-by-contract query block LOUD: the
+    numpy strategy collects queries to the driver (and ships them in task
+    closures), so a query side that silently grew past the cap raises
+    instead of OOMing the driver at 100 TB. Raise the cap deliberately if
+    you really have more queries — or swap the sides.
     """
     if strategy == "sql":
         q = queries.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("__qvec"))
@@ -91,7 +98,9 @@ def cosine_topk(
             cosine_similarity("__qvec", "__cvec").alias("cosine_sim"),
         )
     else:
-        scored = _cosine_scores_numpy(corpus, queries, id_col, vec_col, k, include_self)
+        scored = _cosine_scores_numpy(
+            corpus, queries, id_col, vec_col, k, include_self, max_query_rows
+        )
     w = Window.partitionBy("query_id").orderBy(F.col("cosine_sim").desc(), "neighbor_id")
     return (
         scored.withColumn("rn", F.row_number().over(w).cast("int"))
@@ -106,6 +115,7 @@ def _cosine_scores_numpy(
     vec_col: str,
     k: int,
     include_self: bool,
+    max_query_rows: int,
 ) -> DataFrame:
     """Map-side partial top-k cosine scoring via Arrow batches.
 
@@ -115,7 +125,15 @@ def _cosine_scores_numpy(
     """
     import numpy as np
 
-    q_rows = queries.select(id_col, vec_col).collect()
+    # limit(cap+1) keeps the overflow probe itself bounded: the violation is
+    # detected from ONE extra row, never by materializing the oversized block
+    q_rows = queries.select(id_col, vec_col).limit(max_query_rows + 1).collect()
+    if len(q_rows) > max_query_rows:
+        raise ValueError(
+            f"cosine_topk query block exceeds max_query_rows={max_query_rows}; "
+            "the query side is collected to the driver and must stay small — "
+            "raise max_query_rows deliberately or swap corpus/queries"
+        )
     q_ids = np.array([r[0] for r in q_rows], dtype="int64")
     q_mat = np.array([list(r[1]) for r in q_rows], dtype="float64")
     # per-query norms with the same sequential fold order
@@ -378,9 +396,21 @@ def ivf_topk(
 
     Deterministic end-to-end (fixed init, fixed sample, argmin ties by
     lowest index). Returns ``(query_id, neighbor_id, cosine_sim, rn)``.
+
+    The driver-side k-means training set is bounded BY CONSTRUCTION
+    (``limit(train_sample)``); the explicit cap below makes a
+    misconfigured ``train_sample`` fail loudly instead of OOMing the
+    driver — quantizer quality plateaus long before this bound.
     """
     import numpy as np
 
+    if not 0 < train_sample <= 1 << 17:
+        raise ValueError(
+            f"train_sample={train_sample} outside (0, {1 << 17}]: the k-means "
+            "training block is collected to the driver and must stay bounded"
+        )
+    if n_cells > train_sample:
+        raise ValueError(f"n_cells={n_cells} > train_sample={train_sample}")
     train_rows = (
         corpus.orderBy(id_col).limit(train_sample).select(vec_col).collect()
     )

@@ -52,6 +52,18 @@ MAX_REQUEST_BYTES = 5 * 1024 * 1024
 MAX_RECORD_BYTES = 1024 * 1024  # 1 MiB data+partition-key per record
 
 
+def endpoint_url(conf) -> str | None:
+    """KinesisEndpoint/KinesisPort → a boto3 ``endpoint_url`` (None = the
+    public regional endpoint, the KPL default). A bare host gets https; an
+    explicit scheme (localstack-style ``http://localhost``) is preserved."""
+    host = conf.kinesis_endpoint
+    if not host:
+        return None
+    if "://" not in host:
+        host = f"https://{host}"
+    return f"{host}:{conf.kinesis_port}"
+
+
 def _aws_error_code(exc: BaseException) -> str | None:
     """Extract the AWS error code from a botocore ClientError (duck-typed so
     the module needs no botocore import)."""
@@ -101,6 +113,40 @@ class Boto3Transport:
             session = boto3.session.Session(profile_name=profile_name, region_name=region_name)
             client = session.client("kinesis", endpoint_url=endpoint_url)
         self._client = client
+
+    @classmethod
+    def from_producer_config(cls, conf, client=None) -> "Boto3Transport":
+        """Build the transport from a typed :class:`~reactive_kinesis_spark
+        .config.ProducerConfig` — the connection knobs (KinesisEndpoint/
+        KinesisPort/Region/VerifyCertificate/ConnectTimeout/RequestTimeout/
+        MaxConnections/CredentialsProvider, reference.conf:87-378) map onto
+        the boto3 client the way ``toAwsConfig`` maps them onto the native
+        KPL (producer/KinesisProducerConfig.scala:63-106)."""
+        if client is not None:
+            return cls(client=client)
+        try:
+            import boto3
+            from botocore.config import Config
+        except ImportError as exc:  # pragma: no cover — sandbox has no boto3
+            raise ImportError(
+                "Boto3Transport requires boto3; in tests inject a fake "
+                "client via from_producer_config(conf, client=...)"
+            ) from exc
+        session = boto3.session.Session(
+            profile_name=conf.credentials_provider, region_name=conf.region
+        )
+        return cls(
+            session.client(
+                "kinesis",
+                endpoint_url=endpoint_url(conf),
+                verify=conf.verify_certificate,
+                config=Config(
+                    connect_timeout=conf.connect_timeout_millis / 1000.0,
+                    read_timeout=conf.request_timeout_millis / 1000.0,
+                    max_pool_connections=conf.max_connections,
+                ),
+            )
+        )
 
     def __call__(self, stream_name: str, entries: list[tuple[str, bytes]]) -> list[bool]:
         self._check_request_shape(entries)

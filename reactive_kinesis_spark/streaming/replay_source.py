@@ -62,6 +62,24 @@ def _shard_rows(files: dict[str, str]) -> dict[str, int]:
     return {sid: pq.read_metadata(f).num_rows for sid, f in files.items()}
 
 
+def _filter_shards(files: dict[str, str], shards_opt: str | None) -> dict[str, str]:
+    """Restrict a reader to an explicit shard subset via the ``shards``
+    option (comma-separated shard ids) — the shard-assignment analog of the
+    reference's lease table (L1): each concurrent consumer of one stream
+    holds a disjoint shard set, and a failed consumer's shards are taken
+    over by pointing a new query at its shard set + checkpoint (the lease
+    state here IS the checkpoint + cursor pair)."""
+    if not shards_opt:
+        return files
+    want = [s.strip() for s in str(shards_opt).split(",") if s.strip()]
+    missing = [s for s in want if s not in files]
+    if missing:
+        raise ValueError(
+            f"unknown shard ids {missing}; available: {sorted(files)}"
+        )
+    return {sid: files[sid] for sid in want}
+
+
 @dataclass
 class _ShardSlice(InputPartition):
     file: str
@@ -238,7 +256,7 @@ class _ReplayStreamReader(DataSourceStreamReader):
         self._path = options.get("path") or options.get("paths")
         if not self._path:
             raise ValueError("kinesis_replay requires option 'path'")
-        self._files = _shard_files(self._path)
+        self._files = _filter_shards(_shard_files(self._path), options.get("shards"))
         self._total = _shard_rows(self._files)
         mrb = options.get("maxrecordsperbatch")
         self._max_records = int(mrb) if mrb is not None else None
@@ -356,7 +374,7 @@ class _ReplayBatchReader(DataSourceReader):
         path = options.get("path") or options.get("paths")
         if not path:
             raise ValueError("kinesis_replay requires option 'path'")
-        self._files = _shard_files(path)
+        self._files = _filter_shards(_shard_files(path), options.get("shards"))
         self._total = _shard_rows(self._files)
 
     def partitions(self):

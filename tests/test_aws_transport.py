@@ -163,3 +163,22 @@ def test_write_batch_retries_failed_subset_until_ttl(spark, tmp_path):
     with pytest.raises(Exception) as ei:
         write_batch(df, conf, transport)
     assert "RecordTtl" in str(ei.value) or "TransportError" in str(ei.value)
+
+
+def test_endpoint_url_mapping():
+    from reactive_kinesis_spark.streaming.aws import endpoint_url
+
+    c = ProducerConfig(stream_name="s")
+    assert endpoint_url(c) is None  # public regional endpoint (KPL default)
+    c = ProducerConfig(stream_name="s", kinesis_endpoint="localhost", kinesis_port=4567)
+    assert endpoint_url(c) == "https://localhost:4567"
+    c = ProducerConfig(stream_name="s", kinesis_endpoint="http://localstack", kinesis_port=4566)
+    assert endpoint_url(c) == "http://localstack:4566"
+
+
+def test_from_producer_config_with_injected_client():
+    client = FakeKinesisClient()
+    t = Boto3Transport.from_producer_config(
+        ProducerConfig(stream_name="s", kinesis_endpoint="localhost"), client=client
+    )
+    assert t("s", [("a", b"x")]) == [True]

@@ -46,12 +46,17 @@ def test_cc_duplicate_and_reversed_edges_are_canonicalized(spark):
 
 def test_cc_long_chain_converges_in_logarithmic_rounds(spark):
     # a 256-node path is the worst case for label propagation (O(n) rounds);
-    # large-star/small-star must resolve it within the 50-round budget
-    # (expected ~log2(256) = 8 alternating rounds)
+    # large-star/small-star must resolve it in O(log n) alternating rounds —
+    # pin the ACTUAL round count via stats so a regression to linear
+    # convergence (≈128 shuffles here, ruinous at 100 TB) fails loudly
     edges = [(i, i + 1) for i in range(256)]
-    got = _components(spark, edges, max_iterations=20)
+    stats: dict = {}
+    df = spark.createDataFrame(edges, ["id_1", "id_2"])
+    rows = D.connected_components(df, max_iterations=20, stats=stats).collect()
+    got = {r.node: r.component for r in rows}
     assert len(got) == 257
     assert set(got.values()) == {0}
+    assert 1 <= stats["rounds"] <= 12, f"expected O(log n) rounds, got {stats['rounds']}"
 
 
 def test_cc_empty_edge_set(spark):

@@ -369,3 +369,101 @@ def test_stream_writer_round_trip_and_idempotent_commit(spark, replay_dir, tmp_p
     assert marker, "commit marker missing"
     with open(marker[0]) as fh:
         assert json.load(fh)["rows"] == N
+
+
+# ---------------------------------------------------------------------------
+# Multi-consumer shard split + failover (L1 analog)
+# ---------------------------------------------------------------------------
+
+
+def test_two_consumers_split_shards_union_exactly_once(spark, replay_dir, tmp_path):
+    """The lease-rebalancing analog (reference it/.../
+    ConsumerProcessingManagerIntegrationSpec.scala:33-69 proves shards
+    redistribute across concurrent workers): two CONCURRENT queries over one
+    stream hold disjoint shard subsets via the ``shards`` option (the lease
+    split), each with its own checkpoint+cursor (the lease state). Worker A
+    dies mid-stream; a replacement pointed at A's shard set + A's
+    checkpoint/cursor takes over (lease takeover) and finishes A's shards.
+    Union of both workers' deliveries = every record exactly once; neither
+    worker ever touches the other's shards."""
+    seen_a: dict[int, list[int]] = {}
+    seen_b: dict[int, list[int]] = {}
+
+    def sink(store):
+        def f(bdf, bid):
+            store[bid] = [int(bytes(r.payload)) for r in bdf.select("payload").collect()]
+
+        return f
+
+    def start(worker, shards, store, interval="0 seconds"):
+        return (
+            spark.readStream.format("kinesis_replay")
+            .option("path", replay_dir)
+            .option("shards", shards)
+            .option("maxRecordsPerBatch", 1000)
+            .option("cursorPath", str(tmp_path / f"cursor_{worker}.json"))
+            .load()
+            .writeStream.foreachBatch(sink(store))
+            .option("checkpointLocation", str(tmp_path / f"ckpt_{worker}"))
+            .trigger(processingTime=interval)
+            .start()
+        )
+
+    half = N // 2
+    qa = start("a", "shard-0,shard-1", seen_a, "1 seconds")
+    qb = start("b", "shard-2,shard-3", seen_b)
+
+    # A makes partial progress, then fails mid-stream
+    t0 = time.time()
+    while not seen_a and time.time() - t0 < 60:
+        time.sleep(0.2)
+    qa.stop()
+    qa.awaitTermination()
+    assert 0 < sum(len(b) for b in seen_a.values()) <= half
+
+    # B drains its half concurrently, unaffected by A's failure
+    t0 = time.time()
+    while sum(len(b) for b in seen_b.values()) < half and time.time() - t0 < 120:
+        time.sleep(0.2)
+    qb.stop()
+    qb.awaitTermination()
+
+    # failover: replacement consumer adopts A's shard set + lease state
+    qa2 = start("a", "shard-0,shard-1", seen_a)
+    t0 = time.time()
+    while sum(len(b) for b in seen_a.values()) < half and time.time() - t0 < 120:
+        time.sleep(0.2)
+    qa2.stop()
+    qa2.awaitTermination()
+
+    flat_a = [v for b in seen_a.values() for v in b]
+    flat_b = [v for b in seen_b.values() for v in b]
+    # shard ownership respected (id % SHARDS is the shard by construction)
+    assert all(v % SHARDS in (0, 1) for v in flat_a)
+    assert all(v % SHARDS in (2, 3) for v in flat_b)
+    union = flat_a + flat_b
+    assert len(union) == N and len(set(union)) == N  # exactly once, no loss
+
+
+def test_batch_read_shard_subset(spark, replay_dir):
+    df = (
+        spark.read.format("kinesis_replay")
+        .option("path", replay_dir)
+        .option("shards", "shard-1,shard-3")
+        .load()
+    )
+    assert df.count() == N // 2
+    assert df.rdd.getNumPartitions() == 2  # one partition per owned shard
+    got = {r.shard_id for r in df.select("shard_id").distinct().collect()}
+    assert got == {"shard-1", "shard-3"}
+
+
+def test_unknown_shard_rejected(spark, replay_dir):
+    with pytest.raises(Exception, match="unknown shard ids"):
+        (
+            spark.read.format("kinesis_replay")
+            .option("path", replay_dir)
+            .option("shards", "shard-9")
+            .load()
+            .count()
+        )

@@ -88,3 +88,27 @@ def test_recall_artifact_pins_clustered_ann_quality(spark):
         clustered, cq, k=cfg["k"], n_planes=16, bands=4, dim=cfg["dim"]
     )
     assert R.recall_at_k(exact, approx) == art["lsh_clustered"]["recall"]
+
+
+def test_cosine_topk_query_block_cap_raises(spark, sf_dir):
+    """The small-by-contract query block fails LOUDLY past max_query_rows
+    (it is collected to the driver) instead of OOMing at scale."""
+    import pytest
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    with pytest.raises(ValueError, match="max_query_rows"):
+        S.cosine_topk(emb, emb, k=3, max_query_rows=10).collect()
+    # within the cap: unchanged behavior
+    q = emb.orderBy("vec_id").limit(5)
+    assert S.cosine_topk(emb, q, k=3, max_query_rows=10).count() == 15
+
+
+def test_ivf_train_sample_bounds_raise(spark, sf_dir):
+    import pytest
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    q = emb.orderBy("vec_id").limit(3)
+    with pytest.raises(ValueError, match="train_sample"):
+        S.ivf_topk(emb, q, train_sample=1 << 20)
+    with pytest.raises(ValueError, match="n_cells"):
+        S.ivf_topk(emb, q, n_cells=64, train_sample=32)

@@ -546,3 +546,115 @@ def test_rate_stream_source_produces_event_schema(spark, tmp_path):
                    int(r.payload) == int(r.sequence_number) for r in rows)
     finally:
         q.stop()
+
+
+def test_producer_config_full_kpl_knob_round_trip():
+    """Full typed KPL knob surface (U2): every setting of the reference's
+    KinesisProducerConfig (producer/KinesisProducerConfig.scala:27-60) has a
+    typed field, a KPL-named emission (toAwsConfig analog), and survives the
+    round trip from_dict → kpl_config → from_kpl_config — the engine's form
+    of ProducerConfSpec.scala:223-392."""
+    from reactive_kinesis_spark.config import _KPL_FIELD_MAP
+
+    block = {
+        "stream_name": "s-full",
+        "aggregation_enabled": False,
+        "aggregation_max_count": 1000,
+        "aggregation_max_size": 40_000,
+        "collection_max_count": 123,
+        "collection_max_size": 1_000_000,
+        "max_outstanding_requests": 7,
+        "record_ttl_millis": 12_345,
+        "rate_limit_percent": 90,
+        "kinesis_endpoint": "localhost",
+        "kinesis_port": 4567,
+        "region": "us-east-1",
+        "connect_timeout_millis": 1111,
+        "request_timeout_millis": 2222,
+        "min_connections": 2,
+        "max_connections": 9,
+        "verify_certificate": False,
+        "fail_if_throttled": True,
+        "record_max_buffered_time_millis": 250,
+        "credentials_provider": "profile-a",
+        "metrics_credentials_provider": "profile-b",
+        "credentials_refresh_delay_millis": 4000,
+        "cloudwatch_endpoint": "cw.local",
+        "cloudwatch_port": 4568,
+        "metrics_granularity": "stream",
+        "metrics_level": "summary",
+        "metrics_namespace": "MyNS",
+        "metrics_upload_delay_millis": 30_000,
+        "additional_metric_dimensions": [
+            {"key": "env", "value": "test", "granularity": "stream"}
+        ],
+        "log_level": "warning",
+        "enable_core_dumps": True,
+        "native_executable": "/opt/kpl",
+        "temp_directory": "/tmp/kpl",
+        "threading_model": "POOLED",
+        "thread_pool_size": 16,
+    }
+    conf = ProducerConfig.from_dict({"default-producer": {}, "p1": block}, "p1")
+    # every typed field got its value (none fell into extra_options)
+    for k, v in block.items():
+        assert getattr(conf, k) == v, k
+    assert conf.extra_options == {}
+
+    kpl = conf.kpl_config()
+    # every KPL knob of the reference surface is emitted under its KPL name
+    assert set(kpl) == set(_KPL_FIELD_MAP.values())
+    assert kpl["AggregationMaxCount"] == 1000
+    assert kpl["ThreadingModel"] == "POOLED"
+
+    back = ProducerConfig.from_kpl_config("s-full", kpl)
+    for field_name in _KPL_FIELD_MAP:
+        assert getattr(back, field_name) == getattr(conf, field_name), field_name
+
+
+def test_producer_config_defaults_match_kpl_defaults():
+    """Defaults mirror the public KPL defaults (reference.conf:57-395)."""
+    conf = ProducerConfig(stream_name="s")
+    kpl = conf.kpl_config()
+    assert kpl["AggregationEnabled"] is True
+    assert kpl["AggregationMaxCount"] == 4_294_967_295
+    assert kpl["AggregationMaxSize"] == 51_200
+    assert kpl["CollectionMaxCount"] == 500
+    assert kpl["CollectionMaxSize"] == 5_242_880
+    assert kpl["ConnectTimeout"] == 6_000
+    assert kpl["RequestTimeout"] == 6_000
+    assert kpl["CloudwatchPort"] == 443
+    assert kpl["KinesisPort"] == 443
+    assert kpl["MinConnections"] == 1
+    assert kpl["MaxConnections"] == 24
+    assert kpl["RateLimit"] == 150
+    assert kpl["RecordMaxBufferedTime"] == 100
+    assert kpl["RecordTtl"] == 30_000
+    assert kpl["MetricsGranularity"] == "shard"
+    assert kpl["MetricsLevel"] == "detailed"
+    assert kpl["MetricsNamespace"] == "KinesisProducerLibrary"
+    assert kpl["MetricsUploadDelay"] == 60_000
+    assert kpl["LogLevel"] == "info"
+    assert kpl["VerifyCertificate"] is True
+    assert kpl["FailIfThrottled"] is False
+    assert kpl["EnableCoreDumps"] is False
+    assert kpl["ThreadingModel"] == "PER_REQUEST"
+    assert kpl["ThreadPoolSize"] == 0
+    # unset Optionals are absent, exactly like the reference's Option folds
+    for absent in ("KinesisEndpoint", "CloudwatchEndpoint", "Region",
+                   "NativeExecutable", "TempDirectory", "CredentialsProvider",
+                   "MetricsCredentialsProvider"):
+        assert absent not in kpl
+
+
+def test_producer_config_rejects_invalid_enums_and_caps():
+    with pytest.raises(ValueError, match="threading_model"):
+        ProducerConfig(stream_name="s", threading_model="FIBERS")
+    with pytest.raises(ValueError, match="metrics_level"):
+        ProducerConfig(stream_name="s", metrics_level="verbose")
+    with pytest.raises(ValueError, match="metrics_granularity"):
+        ProducerConfig(stream_name="s", metrics_granularity="galaxy")
+    with pytest.raises(ValueError, match="log_level"):
+        ProducerConfig(stream_name="s", log_level="loud")
+    with pytest.raises(ValueError, match="collection_max_count"):
+        ProducerConfig(stream_name="s", collection_max_count=501)
