@@ -60,16 +60,23 @@ def shingles(
     SLOWER (the hash costs more than the smaller shuffle saves when
     exchanges are in-memory) — it is a knob for genuinely network-bound
     clusters, so the default stays ``False``.
+
+    The word array is PROJECTED before the gram transform. Inlining
+    ``split()`` into the lambda re-evaluates it per ``element_at`` call —
+    n×positions split()s per document, quadratic in document length
+    (measured 7.7× slower at sf0.1, and worse as documents grow);
+    Catalyst does not CSE through the higher-order-function boundary.
     """
     words = F.split(F.col(text_col), " ")
+    wdf = df.where(F.size(words) >= n).select(F.col(id_col), words.alias("__words"))
+    w = F.col("__words")
+
     def mk(i: Column) -> Column:
-        gram = F.concat_ws(" ", *[F.element_at(words, (i + j + 1).cast("int")) for j in range(n)])
+        gram = F.concat_ws(" ", *[F.element_at(w, (i + j + 1).cast("int")) for j in range(n)])
         return F.xxhash64(gram) if hashed else gram
-    grams = F.transform(F.sequence(F.lit(0), F.greatest(F.size(words) - n, F.lit(0))), mk)
-    return (
-        df.where(F.size(words) >= n)
-        .select(F.col(id_col), F.explode(F.array_distinct(grams)).alias("shingle"))
-    )
+
+    grams = F.transform(F.sequence(F.lit(0), F.greatest(F.size(w) - n, F.lit(0))), mk)
+    return wdf.select(F.col(id_col), F.explode(F.array_distinct(grams)).alias("shingle"))
 
 
 def ngram_jaccard_pairs(
@@ -235,6 +242,7 @@ def duplicate_span_stats(
     text_col: str = "text",
     id_col: str = "doc_id",
     n: int = 8,
+    cache_shingles: bool = True,
 ) -> DataFrame:
     """Span-level exact-duplicate audit ("Deduplicating Training Data Makes
     Language Models Better", Lee et al. 2022, re-expressed relationally):
@@ -245,32 +253,42 @@ def duplicate_span_stats(
     that exact whole-text dedup misses.
 
     Shape: one shingle explode (per-doc distinct, so a span's document
-    frequency = distinct-doc count with no per-doc dedup pass), a
+    frequency = distinct-doc count with no per-doc dedup pass; persisted
+    when ``cache_shingles`` so both consumers share ONE corpus scan+explode
+    — the same measured win as the Jaccard pipeline's shared scan), a
     partial+final ``groupBy(shingle).count()`` for the cross-doc span set
-    (map-side combined — a hot span costs one row per map task), and a
-    shingle-keyed semi-join back. Two shuffles keyed by shingle, never
-    doc×doc, and — unlike the decontamination broadcast, whose eval side
-    is small by contract — nothing here is assumed bounded, so no
-    broadcast: the dup-span set is corpus-sized in the worst case.
+    (map-side combined — a hot span costs one row per map task), then ONE
+    shingle-keyed join back annotating each span with its dup flag and ONE
+    per-doc aggregate computing ``n_sp``/``n_dup`` together (fused: the
+    separate sizes/hits aggs were each a full pass over the exploded
+    frame). Shuffles are keyed by shingle or doc id, never doc×doc, and —
+    unlike the decontamination broadcast, whose eval side is small by
+    contract — nothing here is assumed bounded, so no broadcast: the
+    dup-span set is corpus-sized in the worst case.
     Documents with fewer than ``n`` words report ``n_sp = 0``.
     """
     sh = shingles(df, text_col, id_col, n)
+    if cache_shingles:
+        from pyspark import StorageLevel
+
+        sh = sh.persist(StorageLevel.MEMORY_AND_DISK)
     dup = (
         sh.groupBy("shingle")
         .agg(F.count(F.lit(1)).alias("df_"))
         .where(F.col("df_") >= 2)
-        .select("shingle")
+        .select("shingle", F.lit(1).alias("__dup"))
     )
-    sizes = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_sp"))
-    hits = (
-        sh.join(dup, "shingle", "left_semi")
+    per_doc = (
+        sh.join(dup, "shingle", "left")
         .groupBy(id_col)
-        .agg(F.count(F.lit(1)).alias("n_dup"))
+        .agg(
+            F.count(F.lit(1)).alias("n_sp"),
+            F.count("__dup").alias("n_dup"),  # count(col) skips nulls
+        )
     )
     return (
         df.select(id_col)
-        .join(sizes, id_col, "left")
-        .join(hits, id_col, "left")
+        .join(per_doc, id_col, "left")
         .select(
             id_col,
             F.coalesce("n_sp", F.lit(0)).alias("n_sp"),

@@ -208,13 +208,17 @@ def pack_by_token_budget(
     )
 
 
-def word_ngram_array(text: Column | str, n: int) -> Column:
+def word_ngram_array(words: Column, n: int) -> Column:
     """All word ``n``-grams of a document INCLUDING duplicates (unlike
     ``dedup.shingles``, which is distinct-per-doc) — the unit repetition
     metrics count over. Pure array ops (``sequence``/``transform``), narrow,
-    zero-shuffle. Empty array when the document has fewer than ``n`` words."""
-    c = F.col(text) if isinstance(text, str) else text
-    words = F.split(c, " ")
+    zero-shuffle. Empty array when the document has fewer than ``n`` words.
+
+    ``words`` must be an already-PROJECTED word-array column (``F.split``
+    aliased in a prior ``select``), not an inline ``split()`` expression:
+    Catalyst does not CSE through the higher-order-function boundary, so an
+    inline split re-evaluates once per ``element_at`` — n×positions splits
+    per document (the same 7.7× cliff measured in ``dedup.shingles``)."""
     grams = F.transform(
         F.sequence(F.lit(0), F.greatest(F.size(words) - n, F.lit(0))),
         lambda i: F.concat_ws(
@@ -246,9 +250,10 @@ def repetition_stats(
     engines, no decimal policy needed. Documents with fewer than ``n``
     words are excluded (no grams to measure).
     """
-    grams = word_ngram_array(text_col, n)
+    wdf = df.select(F.col(id_col), F.split(F.col(text_col), " ").alias("__words"))
+    grams = word_ngram_array(F.col("__words"), n)
     per_gram = (
-        df.select(F.col(id_col), F.explode(grams).alias("gram"))
+        wdf.select(F.col(id_col), F.explode(grams).alias("gram"))
         .groupBy(id_col, "gram")
         .agg(F.count(F.lit(1)).alias("cnt"))
     )

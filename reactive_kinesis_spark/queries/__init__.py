@@ -61,6 +61,7 @@ _PROMOTED = (
     "q67_pii_redaction",
     "q68_embedding_quantization",
     "q69_duplicate_spans",
+    "q70_async_enrichment",
     "q46_scalar_subquery",
     "q55_window_distribution",
 )
@@ -76,6 +77,7 @@ _DEMOTED = (
     "q16_part_supplier_join",
     "q18_events_json_props",
     "q44_deterministic_sample",
+    "q47_having",
 )
 
 

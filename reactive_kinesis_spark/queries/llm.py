@@ -899,3 +899,43 @@ def q69_duplicate_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     no boundedness assumption (hence no broadcast)."""
     docs = load_table(spark, sf_dir, "documents")
     return D.duplicate_span_stats(docs, "text", "doc_id", n=8).orderBy("doc_id")
+
+
+def _enrich_doc(row: dict) -> dict:
+    """Per-document 'external call' for q70 — deterministic stand-in for the
+    reference's download-per-event use of mapAsync (README.md:355): returns
+    the payload size and a normalized tag the way a metadata service would."""
+    return {
+        "doc_id": row["doc_id"],
+        "fetched_chars": len(row["text"]),
+        "lang_tag": row["lang"].upper(),
+    }
+
+
+@query(
+    "q70_async_enrichment",
+    oracle="""
+    SELECT doc_id,
+           CAST(length(text) AS BIGINT) AS fetched_chars,
+           upper(lang) AS lang_tag
+    FROM documents
+    ORDER BY doc_id
+    """,
+)
+def q70_async_enrichment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-record async-IO enrichment through operators.map_async (P2): every
+    document goes through a bounded-concurrency per-row call inside
+    mapInPandas — the engine's CommittableEvent.mapAsync analog
+    (stream/KinesisSourceGraphStage.scala:91,111-115). The callable here is
+    a deterministic stand-in for an external fetch, so the oracle can verify
+    the full plumbing (schema, batching, ordering, completeness) in SQL."""
+    from reactive_kinesis_spark.operators import map_async
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text", "lang")
+    out = map_async(
+        docs,
+        _enrich_doc,
+        "doc_id long, fetched_chars long, lang_tag string",
+        parallelism=8,
+    )
+    return out.orderBy("doc_id")

@@ -156,12 +156,14 @@ def test_decontamination_never_shuffles_the_train_corpus(spark, sf_dir):
 
 
 def test_duplicate_spans_stay_shingle_keyed(spark, sf_dir):
-    """q69 must stay shingle-keyed shuffles + semi-join — never a doc×doc
-    comparison, never a Window over shingle (the hot-span straggler), with
-    map-side combine on every aggregation."""
+    """q69 must stay shingle-keyed — never a doc×doc comparison, never a
+    Window over shingle (the hot-span straggler), with map-side combine on
+    every aggregation. Since the fused rewrite the dup-flag rides a LEFT
+    OUTER join on shingle (one join + ONE per-doc agg instead of
+    semi-join + two aggs); the outer join must still be shingle-keyed."""
     plan = _plan(load_all()["q69_duplicate_spans"].fn(spark, sf_dir))
     assert "CartesianProduct" not in plan and "Window" not in plan
-    assert "LeftSemi" in plan
+    assert "LeftOuter" in plan and "shingle" in plan
     assert "partial_" in plan
 
 
