@@ -325,3 +325,29 @@ def deterministic_sample(
     c = F.col(text_col) if isinstance(text_col, str) else text_col
     cutoff = f"{buckets_of_256:02x}"
     return df.where(F.substring(F.md5(c), 1, 2) < F.lit(cutoff))
+
+
+def vocabulary_topk(
+    df: DataFrame,
+    text_col: str = "text",
+    k: int = 100,
+) -> DataFrame:
+    """Corpus-wide token frequency top-k ``(token, freq)`` — the vocabulary
+    statistics a tokenizer-training / frequency-cutoff pass needs.
+
+    Shape: explode whitespace tokens → ``groupBy(token).count()`` → top-k
+    with a total order (freq desc, token asc). The aggregation is
+    partial+final with map-side combine, so a hot token ("the") costs one
+    combined row per map task, never a skewed reduce partition holding every
+    occurrence; the top-k compiles to ``TakeOrderedAndProject`` — per
+    partition k rows then a driver merge, no global sort of the vocabulary.
+    At 100 TB the full pass is one shuffle of the (already combined)
+    per-task partial vocabulary — the canonical word-count plan.
+    """
+    return (
+        df.select(F.explode(tokens(text_col)).alias("token"))
+        .groupBy("token")
+        .agg(F.count(F.lit(1)).alias("freq"))
+        .orderBy(F.col("freq").desc(), "token")
+        .limit(k)
+    )

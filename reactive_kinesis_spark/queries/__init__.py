@@ -62,6 +62,7 @@ _PROMOTED = (
     "q68_embedding_quantization",
     "q69_duplicate_spans",
     "q70_async_enrichment",
+    "q71_vocabulary_topk",
     "q46_scalar_subquery",
     "q55_window_distribution",
 )
@@ -78,6 +79,7 @@ _DEMOTED = (
     "q18_events_json_props",
     "q44_deterministic_sample",
     "q47_having",
+    "q06_outer_join_histogram",
 )
 
 

@@ -939,3 +939,22 @@ def q70_async_enrichment(spark: SparkSession, sf_dir: str) -> DataFrame:
         parallelism=8,
     )
     return out.orderBy("doc_id")
+
+
+@query(
+    "q71_vocabulary_topk",
+    oracle="""
+    SELECT token, CAST(COUNT(*) AS BIGINT) AS freq
+    FROM (SELECT unnest(string_split(text, ' ')) AS token FROM documents)
+    GROUP BY token
+    ORDER BY freq DESC, token
+    LIMIT 100
+    """,
+)
+def q71_vocabulary_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus vocabulary frequency top-100 — tokenizer-training statistics
+    (frequency cutoffs, merges seeding). Map-side-combined word count +
+    TakeOrderedAndProject top-k; see operators.text.vocabulary_topk for the
+    100 TB shape (hot tokens combine per task, never skew a reducer)."""
+    docs = load_table(spark, sf_dir, "documents")
+    return T.vocabulary_topk(docs, "text", k=100)
