@@ -46,9 +46,15 @@ class ConsumerConfig:
     failed_message_retries: int = 1
     # worker.failureTolerancePercentage (reference.conf:424-430)
     failure_tolerance_percentage: float = 0.25
-    # checkpointer.intervalMillis / backoffMillis (reference.conf:441-446)
+    # worker.gracefulShutdownHook / shutdownTimeoutSeconds
+    # (reference.conf:432-438)
+    graceful_shutdown_hook: bool = True
+    shutdown_timeout_seconds: int = 25
+    # checkpointer.intervalMillis / backoffMillis / notificationDelayMillis
+    # (reference.conf:441-449)
     checkpoint_interval_millis: int = 2_000
     checkpoint_backoff_millis: int = 3_000
+    checkpoint_notification_delay_millis: int = 1_000
     # engine-side: Structured Streaming checkpoint dir (replaces DynamoDB)
     checkpoint_location: str | None = None
     # pass-through options for a real Kinesis connector

@@ -461,6 +461,11 @@ def test_consumer_config_fallback_resolution():
     assert c.application_name == "app"  # fallback applies
     assert c.checkpoint_app_name == "app-s1"  # KinesisConsumer.scala:71-72
     assert c.reader_options()["maxFetchRecordsPerShard"] == "100"
+    # worker/checkpointer typed surface matches reference.conf defaults
+    # (reference types exactly these; the kcl block is passthrough there too)
+    assert c.graceful_shutdown_hook is True
+    assert c.shutdown_timeout_seconds == 25
+    assert c.checkpoint_notification_delay_millis == 1_000
 
 
 def test_producer_config_extra_options_passthrough():
