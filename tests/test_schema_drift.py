@@ -68,6 +68,33 @@ def test_ts_drift_oracle_parity(spark, ddb, sf_dir, tmp_path, variant):
         compare(qd.fn(spark, drifted), ddb, qd.oracle)
 
 
+def test_orders_lineitem_ts_drift_oracle_parity(spark, ddb, sf_dir, tmp_path):
+    """o_orderdate / l_shipdate carry the same drift risk as events.ts —
+    drift them to NTZ and prove the date-function, as-of, and scan-agg
+    queries stay oracle-exact. (DATE drift is covered by the coercion rule
+    but not exercised here: these columns carry time-of-day in the current
+    testdata, so a DATE rewrite would change values, not just encoding.)"""
+    out = str(tmp_path / "drift_ol")
+    os.makedirs(out)
+    for name in TABLES:
+        src = table_path(sf_dir, name)
+        if name not in ("orders", "lineitem"):
+            os.symlink(src, table_path(out, name))
+            continue
+        t = pq.read_table(src)
+        col = "o_orderdate" if name == "orders" else "l_shipdate"
+        idx = t.schema.get_field_index(col)
+        t = t.set_column(idx, col, t.column(col).cast(pa.timestamp("us")))
+        pq.write_table(t, table_path(out, name))
+    for tname, col in (("orders", "o_orderdate"), ("lineitem", "l_shipdate")):
+        df = load_table(spark, out, tname)
+        assert df.schema[col].dataType.simpleString() == "timestamp"
+    registry = load_all()
+    for qname in ("q14_date_functions", "q19_events_asof_join", "q01_pricing_summary"):
+        qd = registry[qname]
+        compare(qd.fn(spark, out), ddb, qd.oracle)
+
+
 def test_unknown_drift_raises(spark, sf_dir, tmp_path):
     """Non-equivalent drift (ts as string) must fail loudly at load."""
     out = str(tmp_path / "drift_bad")
