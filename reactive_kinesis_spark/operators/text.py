@@ -351,3 +351,66 @@ def vocabulary_topk(
         .orderBy(F.col("freq").desc(), "token")
         .limit(k)
     )
+
+
+def collocation_topk(
+    df: DataFrame,
+    text_col: str = "text",
+    k: int = 100,
+    min_count: int = 5,
+) -> DataFrame:
+    """Corpus-wide bigram collocation mining: the top-``k`` adjacent word
+    pairs by association lift ``count(w1 w2)·N / (count(w1)·count(w2))`` —
+    the PMI argument without the log, so ranking is identical and the score
+    stays ONE exact-integer division (both operands are exact int64 products
+    below 2^53 converted to double; a single IEEE division is bit-identical
+    across engines, no libm log involved). This is the statistic tokenizer
+    merge seeding / phrase detection runs over a corpus.
+
+    Shape: one projected-words pass (the CSE-safe pattern) exploding
+    bigrams, map-side-combined counts for bigrams and unigrams, two
+    bigram↔unigram joins (unigram side left to AQE — a real vocabulary is
+    Zipf-heavy but unbounded, so no forced broadcast), the corpus token
+    total as a broadcast scalar, and a TakeOrderedAndProject top-k.
+    ``min_count`` suppresses noise pairs (standard collocation practice)
+    and bounds the join fan-in. Returns ``(w1, w2, c_xy, lift)``.
+    """
+    wdf = df.select(F.split(F.col(text_col), " ").alias("__words"))
+    w = F.col("__words")
+    pairs = F.transform(
+        F.sequence(F.lit(0), F.greatest(F.size(w) - 2, F.lit(0))),
+        lambda i: F.struct(
+            F.element_at(w, (i + 1).cast("int")).alias("w1"),
+            F.element_at(w, (i + 2).cast("int")).alias("w2"),
+        ),
+    )
+    bigrams = (
+        wdf.where(F.size(w) >= 2)
+        .select(F.explode(pairs).alias("p"))
+        .select(F.col("p.w1").alias("w1"), F.col("p.w2").alias("w2"))
+        .groupBy("w1", "w2")
+        .agg(F.count(F.lit(1)).alias("c_xy"))
+        .where(F.col("c_xy") >= min_count)
+    )
+    uni = (
+        wdf.select(F.explode(w).alias("tok"))
+        .groupBy("tok")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    total = uni.agg(F.sum("c").alias("n_total"))
+    return (
+        bigrams.join(uni.select(F.col("tok").alias("w1"), F.col("c").alias("c_1")), "w1")
+        .join(uni.select(F.col("tok").alias("w2"), F.col("c").alias("c_2")), "w2")
+        .crossJoin(F.broadcast(total))
+        .select(
+            "w1",
+            "w2",
+            "c_xy",
+            (
+                (F.col("c_xy") * F.col("n_total")).cast("double")
+                / (F.col("c_1") * F.col("c_2")).cast("double")
+            ).alias("lift"),
+        )
+        .orderBy(F.col("lift").desc(), "w1", "w2")
+        .limit(k)
+    )

@@ -63,6 +63,7 @@ _PROMOTED = (
     "q69_duplicate_spans",
     "q70_async_enrichment",
     "q71_vocabulary_topk",
+    "q72_collocations",
     "q46_scalar_subquery",
     "q55_window_distribution",
 )
@@ -80,6 +81,7 @@ _DEMOTED = (
     "q44_deterministic_sample",
     "q47_having",
     "q06_outer_join_histogram",
+    "q10_rollup",
 )
 
 

@@ -958,3 +958,40 @@ def q71_vocabulary_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     100 TB shape (hot tokens combine per task, never skew a reducer)."""
     docs = load_table(spark, sf_dir, "documents")
     return T.vocabulary_topk(docs, "text", k=100)
+
+
+@query(
+    "q72_collocations",
+    oracle="""
+    WITH w AS (SELECT string_split(text, ' ') AS words FROM documents),
+    uni AS (SELECT unnest(words) AS tok FROM w),
+    ucnt AS (SELECT tok, COUNT(*) AS c FROM uni GROUP BY tok),
+    tot AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_total FROM uni),
+    big AS (
+        SELECT words[i] AS w1, words[i + 1] AS w2
+        FROM w, UNNEST(range(1, len(words))) AS t(i)
+        WHERE len(words) >= 2
+    ),
+    bcnt AS (
+        SELECT w1, w2, CAST(COUNT(*) AS BIGINT) AS c_xy
+        FROM big GROUP BY w1, w2 HAVING COUNT(*) >= 5
+    )
+    SELECT b.w1, b.w2, b.c_xy,
+           CAST(b.c_xy * t.n_total AS DOUBLE)
+             / CAST(u1.c * u2.c AS DOUBLE) AS lift
+    FROM bcnt b
+    JOIN ucnt u1 ON b.w1 = u1.tok
+    JOIN ucnt u2 ON b.w2 = u2.tok
+    CROSS JOIN tot t
+    ORDER BY lift DESC, b.w1, b.w2
+    LIMIT 100
+    """,
+)
+def q72_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bigram collocation mining: top-100 adjacent word pairs by association
+    lift (PMI ranking without the engine-dependent log) — the corpus
+    statistic BPE merge seeding and phrase detection consume. Exact-integer
+    numerators/denominators, one IEEE division, bit-identical across
+    engines; see operators.text.collocation_topk for the plan shape."""
+    docs = load_table(spark, sf_dir, "documents")
+    return T.collocation_topk(docs, "text", k=100, min_count=5)
