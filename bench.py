@@ -60,6 +60,9 @@ HEADLINE = [
     "q67_pii_redaction",
     "q68_embedding_quantization",
     "q69_duplicate_spans",
+    "q70_async_enrichment",
+    "q71_vocabulary_topk",
+    "q72_collocations",
 ]
 
 

@@ -98,3 +98,24 @@ def test_failure_escalates(spark):
 def test_invalid_parallelism():
     with pytest.raises(ValueError):
         map_async(None, _make_fn(), OUT_SCHEMA, parallelism=0)
+
+
+def test_map_async_runs_under_readstream(spark, tmp_path):
+    """The §7 design rule (every operator DataFrame→DataFrame) holds for
+    map_async: the SAME call runs under readStream — per-record bounded-
+    concurrency IO inside a micro-batch, the reference's mapAsync-in-stream
+    shape (stream/KinesisSourceGraphStage.scala:91)."""
+    src = str(tmp_path / "src")
+    spark.range(100).write.parquet(src)
+    stream = spark.readStream.schema("id long").parquet(src)
+    out = map_async(stream, _make_fn(), OUT_SCHEMA, parallelism=4)
+    q = (
+        out.writeStream.format("memory")
+        .queryName("async_stream")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    rows = spark.sql("SELECT * FROM async_stream").collect()
+    assert sorted((r.id, r.doubled) for r in rows) == [(i, 2 * i) for i in range(100)]
