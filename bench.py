@@ -70,12 +70,52 @@ def _err_str(exc: BaseException) -> str:
     return f"{type(exc).__name__}: {exc}"[:500]
 
 
+def run_queries(
+    spark, registry, names: list[str], sf_dir: str, n_runs: int
+) -> tuple[dict[str, float], dict[str, str]]:
+    """Warm-up + timed loop with PER-QUERY failure isolation: a query that
+    raises (warm-up or timed) lands in the errors map and the rest keep
+    benchmarking — one broken query must never erase the whole perf signal
+    (round 3 lost its entire bench to a single AnalysisException in the
+    warm-up loop). Returns ``(median timings, errors)``.
+
+    One untimed warm pass per query first: first execution pays one-time
+    JIT, whole-stage-codegen compilation, and file-listing costs (2-4s each
+    locally) that a long-lived cluster amortizes to zero — steady-state
+    latency is what scales to the 100 TB deployment. Then the median of
+    ``n_runs`` timed executions, caches cleared before every execution so
+    queries that persist intermediates (the Jaccard/span shingle frames)
+    are timed COLD — the honest one-shot cost.
+    """
+    errors: dict[str, str] = {}
+    runnable: list[str] = []
+    for name in names:
+        try:
+            registry[name].fn(spark, sf_dir).collect()
+            runnable.append(name)
+        except Exception as exc:  # noqa: BLE001 — isolate, report, continue
+            errors[name] = _err_str(exc)
+            print(f"# {name}: FAILED warm-up: {errors[name]}", file=sys.stderr)
+
+    samples: dict[str, list[float]] = {name: [] for name in runnable}
+    for _ in range(n_runs):
+        for name in list(samples):
+            spark.catalog.clearCache()
+            qd = registry[name]
+            t0 = time.perf_counter()
+            try:
+                qd.fn(spark, sf_dir).collect()
+            except Exception as exc:  # noqa: BLE001
+                errors[name] = _err_str(exc)
+                del samples[name]
+                print(f"# {name}: FAILED timed run: {errors[name]}", file=sys.stderr)
+                continue
+            samples[name].append(time.perf_counter() - t0)
+    timings = {name: round(_median(ts), 3) for name, ts in samples.items() if ts}
+    return timings, errors
+
+
 def main() -> None:
-    # FAILURE ISOLATION CONTRACT: one broken query (or streaming leg) must
-    # never erase the round's whole perf signal — every per-query execution
-    # is individually guarded, failures are reported in an "errors" map, and
-    # the final JSON line is ALWAYS printed with rc=0 (round 3 lost its
-    # entire bench to a single AnalysisException in the warm-up loop).
     from reactive_kinesis_spark.queries import load_all
     from reactive_kinesis_spark.session import get_spark
 
@@ -85,41 +125,7 @@ def main() -> None:
     # JVM/codegen warmup outside the timed region
     spark.range(1_000_000).selectExpr("sum(id)").collect()
 
-    # One untimed warm pass per query: first execution pays one-time JIT,
-    # whole-stage-codegen compilation, and file-listing costs (2-4s each
-    # locally) that a long-lived cluster amortizes to zero — steady-state
-    # latency is what scales to the 100 TB deployment. A query that fails
-    # warm-up is excluded from the timed loop and reported in "errors".
-    errors: dict[str, str] = {}
-    runnable: list[str] = []
-    for name in HEADLINE:
-        try:
-            registry[name].fn(spark, SF_DIR).collect()
-            runnable.append(name)
-        except Exception as exc:  # noqa: BLE001 — isolate, report, continue
-            errors[name] = _err_str(exc)
-            print(f"# {name}: FAILED warm-up: {errors[name]}", file=sys.stderr)
-
-    # Median of N_RUNS timed executions per query. Caches are cleared
-    # before every execution so queries that persist intermediates (the
-    # Jaccard shingle frame) are timed COLD — the honest one-shot cost;
-    # cache reuse across repeated runs would otherwise hide the corpus
-    # scan entirely.
-    samples: dict[str, list[float]] = {name: [] for name in runnable}
-    for _ in range(N_RUNS):
-        for name in list(samples):
-            spark.catalog.clearCache()
-            qd = registry[name]
-            t0 = time.perf_counter()
-            try:
-                qd.fn(spark, SF_DIR).collect()
-            except Exception as exc:  # noqa: BLE001
-                errors[name] = _err_str(exc)
-                del samples[name]
-                print(f"# {name}: FAILED timed run: {errors[name]}", file=sys.stderr)
-                continue
-            samples[name].append(time.perf_counter() - t0)
-    timings = {name: round(_median(ts), 3) for name, ts in samples.items() if ts}
+    timings, errors = run_queries(spark, registry, HEADLINE, SF_DIR, N_RUNS)
     total = sum(timings.values())
     for name, med in timings.items():
         print(f"# {name}: median {med:.3f}s over {N_RUNS} runs", file=sys.stderr)
