@@ -663,3 +663,30 @@ def q59_range_frame_window(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("o_custkey", "o_orderkey")
     )
+
+
+# --------------------------------------------------------------------------
+# q73 — approximate percentiles (the q51 100 TB posture, made concrete)
+# --------------------------------------------------------------------------
+
+
+@query("q73_percentiles_approx", oracle=None)
+def q73_percentiles_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The scale path q51's docstring commits to: ``approx_percentile``
+    (KLL/quantile-sketch — mergeable partial aggregates, NO per-group sort,
+    one partial+final shuffle like any hash agg). Rows-only driver check —
+    sketch internals are engine-specific so no DuckDB hash parity — with
+    the rank-error contract pinned locally against the exact q51 values
+    (tests/test_properties.py::test_approx_percentiles_rank_error_bound):
+    accuracy=10000 bounds rank error at n/10000 per group."""
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.groupBy("l_returnflag")
+        .agg(
+            F.expr("approx_percentile(l_quantity, 0.25D, 10000)").alias("p25"),
+            F.expr("approx_percentile(l_quantity, 0.50D, 10000)").alias("p50"),
+            F.expr("approx_percentile(l_quantity, 0.75D, 10000)").alias("p75"),
+            F.expr("approx_percentile(l_extendedprice, 0.90D, 10000)").alias("price_p90"),
+        )
+        .orderBy("l_returnflag")
+    )

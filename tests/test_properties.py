@@ -74,3 +74,42 @@ def test_dsum_equals_exact_decimal_sum(spark, values):
     got = df.agg(dsum("v", "s")).collect()[0].s
     want = float(sum(Decimal(str(v)).quantize(Decimal("0.000001")) for v in values))
     assert got == want
+
+
+def test_approx_percentiles_rank_error_bound(spark, sf_dir):
+    """q73's contract: with accuracy=10000 the approx percentile of each
+    group sits within rank n/10000 of the exact order statistic — at test
+    SFs that means the approx value must fall between the exact quantiles
+    at p ± 0.01 (generous cover for the ±n/10000-rank guarantee)."""
+    from reactive_kinesis_spark.queries import load_all
+
+    R = load_all()
+    approx = {r.l_returnflag: r for r in R["q73_percentiles_approx"].fn(spark, sf_dir).collect()}
+    from reactive_kinesis_spark.tables import load_table
+
+    li = load_table(spark, sf_dir, "lineitem")
+    from pyspark.sql import functions as F
+
+    bounds = (
+        li.groupBy("l_returnflag")
+        .agg(
+            *[
+                F.expr(f"percentile({col}, {p}D)").alias(f"{name}_{tag}")
+                for name, col, pc in (
+                    ("p25", "l_quantity", 0.25),
+                    ("p50", "l_quantity", 0.50),
+                    ("p75", "l_quantity", 0.75),
+                    ("price_p90", "l_extendedprice", 0.90),
+                )
+                for tag, p in (("lo", max(0.0, pc - 0.01)), ("hi", min(1.0, pc + 0.01)))
+            ]
+        )
+        .collect()
+    )
+    assert approx
+    for row in bounds:
+        a = approx[row.l_returnflag]
+        for name in ("p25", "p50", "p75", "price_p90"):
+            lo, hi = getattr(row, f"{name}_lo"), getattr(row, f"{name}_hi")
+            got = getattr(a, name)
+            assert lo <= got <= hi, (row.l_returnflag, name, lo, got, hi)
