@@ -414,3 +414,36 @@ def collocation_topk(
         .orderBy(F.col("lift").desc(), "w1", "w2")
         .limit(k)
     )
+
+
+def stratified_sample(
+    df: DataFrame,
+    k: int,
+    group_col: str = "source",
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Exactly ``min(k, n_g)`` documents per ``group_col`` group, selected
+    deterministically by content-hash order (md5(text), id tiebreak) — the
+    "exactly k per stratum" curation contract (eval-set carving, per-domain
+    caps), reproducible across retries, engines, and corpus growth *within
+    a group's unchanged membership*.
+
+    Shape: one hash shuffle on the group column + an in-partition window
+    sort. Each group must fit a single window task — right for bounded
+    strata (sources, languages, shards). For UNBOUNDED groups at 100 TB,
+    exact-k requires a global per-group sort by construction; prefer the
+    rate-based hash-cutoff samplers (:func:`deterministic_sample`,
+    :func:`mixture_sample`), which never shuffle the corpus and bound any
+    group's cost, when the contract allows a rate instead of an exact k.
+    Returns ``(group_col, id_col, rn)`` with ``rn`` in 1..k.
+    """
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(group_col).orderBy(F.md5(F.col(text_col)), id_col)
+    return (
+        df.select(group_col, id_col, text_col)
+        .withColumn("rn", F.row_number().over(w).cast("int"))
+        .where(F.col("rn") <= k)
+        .select(group_col, id_col, "rn")
+    )

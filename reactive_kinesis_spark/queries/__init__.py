@@ -64,6 +64,7 @@ _PROMOTED = (
     "q70_async_enrichment",
     "q71_vocabulary_topk",
     "q72_collocations",
+    "q74_stratified_sample",
     "q46_scalar_subquery",
     "q55_window_distribution",
 )
@@ -82,6 +83,7 @@ _DEMOTED = (
     "q47_having",
     "q06_outer_join_histogram",
     "q10_rollup",
+    "q11_cube",
 )
 
 

@@ -995,3 +995,28 @@ def q72_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
     engines; see operators.text.collocation_topk for the plan shape."""
     docs = load_table(spark, sf_dir, "documents")
     return T.collocation_topk(docs, "text", k=100, min_count=5)
+
+
+@query(
+    "q74_stratified_sample",
+    oracle="""
+    SELECT source, doc_id, rn
+    FROM (
+        SELECT source, doc_id,
+               CAST(ROW_NUMBER() OVER (
+                   PARTITION BY source ORDER BY md5(text), doc_id
+               ) AS INT) AS rn
+        FROM documents
+    )
+    WHERE rn <= 20
+    ORDER BY source, rn
+    """,
+)
+def q74_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact-k stratified sampling: 20 documents per source, selected by
+    content-hash order — deterministic across engines/retries (md5 is
+    portable, unlike rand()); the eval-carving / per-domain-cap primitive.
+    See operators.text.stratified_sample for the bounded-strata contract
+    and the rate-based alternative for unbounded groups."""
+    docs = load_table(spark, sf_dir, "documents")
+    return T.stratified_sample(docs, k=20).orderBy("source", "rn")
