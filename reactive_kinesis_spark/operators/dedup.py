@@ -21,6 +21,21 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 
+def _persist(df: DataFrame, cache_registry: list | None) -> DataFrame:
+    """MEMORY_AND_DISK-persist ``df``; when the caller passed a
+    ``cache_registry`` list, append the persisted frame so a long-lived
+    session can ``frame.unpersist()`` deterministically instead of relying
+    on ``spark.catalog.clearCache()`` (the bench-harness approach). The
+    cache entry is keyed by canonicalized plan, so repeated calls on the
+    same input reuse one entry rather than leaking new ones."""
+    from pyspark import StorageLevel
+
+    out = df.persist(StorageLevel.MEMORY_AND_DISK)
+    if cache_registry is not None:
+        cache_registry.append(out)
+    return out
+
+
 def exact_dedup(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
     """Keep the lowest-id row per distinct text; adds ``dup_count``."""
     survivors = (
@@ -87,6 +102,7 @@ def ngram_jaccard_pairs(
     threshold: float = 0.8,
     max_df: int = 1000,
     cache_shingles: bool = True,
+    cache_registry: list | None = None,
 ) -> DataFrame:
     """Exact n-gram-Jaccard near-duplicate pairs ``(id_1, id_2, jaccard)``.
 
@@ -121,13 +137,13 @@ def ngram_jaccard_pairs(
     keyed by canonicalized plan, so repeated calls on the same input reuse
     one entry rather than leaking new ones; lifecycle is the session's
     (``spark.catalog.clearCache()`` to drop early, or pass
-    ``cache_shingles=False`` for a strictly streaming-shaped plan).
+    ``cache_shingles=False`` for a strictly streaming-shaped plan; or pass
+    ``cache_registry=[]`` to receive the persisted frame for an explicit
+    ``unpersist()``).
     """
     sh = shingles(df, text_col, id_col, n)
     if cache_shingles:
-        from pyspark import StorageLevel
-
-        sh = sh.persist(StorageLevel.MEMORY_AND_DISK)
+        sh = _persist(sh, cache_registry)
     sizes = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_sh"))
     over_cap = (
         sh.groupBy("shingle")
@@ -168,6 +184,7 @@ def contamination_report(
     id_col: str = "doc_id",
     n: int = 8,
     cache_test_shingles: bool = True,
+    cache_registry: list | None = None,
 ) -> DataFrame:
     """Train/test decontamination: per test document, how many of its
     distinct word ``n``-gram shingles also occur anywhere in the train
@@ -198,13 +215,12 @@ def contamination_report(
     ``cache_test_shingles`` persists the eval shingle frame so its three
     consumers (sizes, the broadcast build, the hit counts) share one
     scan+explode — same lifecycle contract as ``ngram_jaccard_pairs``
-    (session-scoped, plan-keyed; ``spark.catalog.clearCache()`` drops it).
+    (session-scoped, plan-keyed; ``spark.catalog.clearCache()`` drops it,
+    or pass ``cache_registry=[]`` to receive the frame for ``unpersist()``).
     """
     te = shingles(test, text_col, id_col, n)
     if cache_test_shingles:
-        from pyspark import StorageLevel
-
-        te = te.persist(StorageLevel.MEMORY_AND_DISK)
+        te = _persist(te, cache_registry)
     sizes = te.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_sh"))
     te_sh = te.select("shingle").distinct()
     matched = (
@@ -243,6 +259,7 @@ def duplicate_span_stats(
     id_col: str = "doc_id",
     n: int = 8,
     cache_shingles: bool = True,
+    cache_registry: list | None = None,
 ) -> DataFrame:
     """Span-level exact-duplicate audit ("Deduplicating Training Data Makes
     Language Models Better", Lee et al. 2022, re-expressed relationally):
@@ -266,12 +283,15 @@ def duplicate_span_stats(
     contract — nothing here is assumed bounded, so no broadcast: the
     dup-span set is corpus-sized in the worst case.
     Documents with fewer than ``n`` words report ``n_sp = 0``.
+
+    Cache lifecycle: session-scoped and plan-keyed like the Jaccard path —
+    long-lived sessions should either pass ``cache_registry=[]`` and
+    ``unpersist()`` the returned frame when done, or call
+    ``spark.catalog.clearCache()`` periodically (as ``bench.py`` does).
     """
     sh = shingles(df, text_col, id_col, n)
     if cache_shingles:
-        from pyspark import StorageLevel
-
-        sh = sh.persist(StorageLevel.MEMORY_AND_DISK)
+        sh = _persist(sh, cache_registry)
     dup = (
         sh.groupBy("shingle")
         .agg(F.count(F.lit(1)).alias("df_"))
@@ -472,6 +492,7 @@ def minhash_lsh_pairs(
     bands: int = 16,
     threshold: float = 0.8,
     cache_shingles: bool = False,
+    cache_registry: list | None = None,
 ) -> DataFrame:
     """Near-duplicate pairs via MinHash banding, verified with exact
     n-gram Jaccard on the candidate set only.
@@ -501,9 +522,7 @@ def minhash_lsh_pairs(
     # no win here either, see shingles() docstring.)
     sh = shingles(df, text_col, id_col, n)
     if cache_shingles:
-        from pyspark import StorageLevel
-
-        sh = sh.persist(StorageLevel.MEMORY_AND_DISK)
+        sh = _persist(sh, cache_registry)
     sig = minhash_signatures(sh, id_col, num_hashes)
     band_cols = [
         F.xxhash64(*[F.col(f"mh_{b * rows_per_band + r}") for r in range(rows_per_band)]).alias(

@@ -51,16 +51,47 @@ MAX_RECORDS_PER_REQUEST = 500
 MAX_REQUEST_BYTES = 5 * 1024 * 1024
 MAX_RECORD_BYTES = 1024 * 1024  # 1 MiB data+partition-key per record
 
+#: KPL ``CredentialsProvider`` values that mean "use the ambient default AWS
+#: credential chain" (reference.conf:87-95 defaults to the Java SDK's
+#: DefaultAWSCredentialsProviderChain). boto3's equivalent is simply NOT
+#: naming a profile — passing such a class name as ``profile_name`` would
+#: raise ProfileNotFound at session build. Any other value is treated as a
+#: boto3/botocore named profile (the closest Python-native analog).
+DEFAULT_CREDENTIALS_CHAIN_NAMES = frozenset(
+    {
+        "DefaultAWSCredentialsProviderChain",
+        "com.amazonaws.auth.DefaultAWSCredentialsProviderChain",
+        "DefaultCredentialsProvider",
+        "software.amazon.awssdk.auth.credentials.DefaultCredentialsProvider",
+    }
+)
+
+
+def _profile_name(credentials_provider: str | None) -> str | None:
+    """Map the KPL ``CredentialsProvider`` knob to a boto3 profile name:
+    default-chain class names (and None) → None = ambient default chain."""
+    if (
+        credentials_provider is None
+        or credentials_provider in DEFAULT_CREDENTIALS_CHAIN_NAMES
+    ):
+        return None
+    return credentials_provider
+
 
 def endpoint_url(conf) -> str | None:
     """KinesisEndpoint/KinesisPort → a boto3 ``endpoint_url`` (None = the
     public regional endpoint, the KPL default). A bare host gets https; an
-    explicit scheme (localstack-style ``http://localhost``) is preserved."""
+    explicit scheme (localstack-style ``http://localhost``) is preserved.
+    A host that already carries a port (``localhost:4566``) keeps it —
+    ``KinesisPort`` is only appended when the host has none."""
     host = conf.kinesis_endpoint
     if not host:
         return None
     if "://" not in host:
         host = f"https://{host}"
+    scheme, _, rest = host.partition("://")
+    if ":" in rest:
+        return host
     return f"{host}:{conf.kinesis_port}"
 
 
@@ -73,6 +104,20 @@ def _aws_error_code(exc: BaseException) -> str | None:
         if isinstance(code, str):
             return code
     return None
+
+
+def _is_transient_network_error(exc: BaseException) -> bool:
+    """botocore network failures (ReadTimeoutError, ConnectTimeoutError,
+    EndpointConnectionError, ConnectionClosedError, ...) carry no AWS error
+    code — they never reached the service. They are transient by nature and
+    the KPL retries them within RecordTtl (reference.conf:325-343), so the
+    transport must classify them retryable too. Duck-typed on the exception
+    class-name chain so the module needs no botocore import."""
+    for klass in type(exc).__mro__:
+        name = klass.__name__
+        if "Timeout" in name or "Connection" in name:
+            return True
+    return False
 
 
 class Boto3Transport:
@@ -133,7 +178,8 @@ class Boto3Transport:
                 "client via from_producer_config(conf, client=...)"
             ) from exc
         session = boto3.session.Session(
-            profile_name=conf.credentials_provider, region_name=conf.region
+            profile_name=_profile_name(conf.credentials_provider),
+            region_name=conf.region,
         )
         return cls(
             session.client(
@@ -155,9 +201,12 @@ class Boto3Transport:
             resp = self._client.put_records(StreamName=stream_name, Records=records)
         except Exception as exc:  # noqa: BLE001 — classify, then retry or escalate
             code = _aws_error_code(exc)
-            if code in RETRYABLE_ERROR_CODES:
-                # whole-call throttle: report every entry failed; the caller's
-                # TTL-bounded loop re-sends them (failed-subset-only contract)
+            if code in RETRYABLE_ERROR_CODES or (
+                code is None and _is_transient_network_error(exc)
+            ):
+                # whole-call throttle / transient network failure: report every
+                # entry failed; the caller's TTL-bounded loop re-sends them
+                # (failed-subset-only contract)
                 return [False] * len(entries)
             raise TransportError(
                 f"put_records to {stream_name!r} failed non-retryably"

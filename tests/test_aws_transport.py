@@ -174,6 +174,53 @@ def test_endpoint_url_mapping():
     assert endpoint_url(c) == "https://localhost:4567"
     c = ProducerConfig(stream_name="s", kinesis_endpoint="http://localstack", kinesis_port=4566)
     assert endpoint_url(c) == "http://localstack:4566"
+    # host already carrying a port (localstack convention) keeps it —
+    # KinesisPort must NOT be appended a second time
+    c = ProducerConfig(stream_name="s", kinesis_endpoint="localhost:4566")
+    assert endpoint_url(c) == "https://localhost:4566"
+    c = ProducerConfig(stream_name="s", kinesis_endpoint="http://localhost:4566", kinesis_port=443)
+    assert endpoint_url(c) == "http://localhost:4566"
+
+
+def test_transient_network_exceptions_are_retryable():
+    """botocore network failures (ReadTimeoutError / ConnectTimeoutError /
+    EndpointConnectionError) carry no AWS error code — they must map to
+    all-failed (retry within RecordTtl), not escalate, matching the KPL's
+    treatment of transient network errors."""
+
+    class ReadTimeoutError(Exception):  # botocore.exceptions shape: no .response
+        pass
+
+    class EndpointConnectionError(Exception):
+        pass
+
+    class FakeFlakyClient:
+        def __init__(self, exc):
+            self.exc = exc
+            self.calls = 0
+
+        def put_records(self, StreamName, Records):
+            self.calls += 1
+            raise self.exc
+
+    for exc in (ReadTimeoutError("timed out"), EndpointConnectionError("refused")):
+        t = Boto3Transport(client=FakeFlakyClient(exc))
+        assert t("s1", [("a", b"x"), ("b", b"y")]) == [False, False]
+
+    # a non-network uncoded exception still escalates
+    t = Boto3Transport(client=FakeFlakyClient(ValueError("boom")))
+    with pytest.raises(TransportError):
+        t("s1", [("a", b"x")])
+
+
+def test_credentials_provider_chain_names_map_to_default_chain():
+    from reactive_kinesis_spark.streaming.aws import _profile_name
+
+    assert _profile_name(None) is None
+    assert _profile_name("DefaultAWSCredentialsProviderChain") is None
+    assert _profile_name("com.amazonaws.auth.DefaultAWSCredentialsProviderChain") is None
+    assert _profile_name("software.amazon.awssdk.auth.credentials.DefaultCredentialsProvider") is None
+    assert _profile_name("my-profile") == "my-profile"
 
 
 def test_from_producer_config_with_injected_client():

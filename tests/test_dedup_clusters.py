@@ -129,3 +129,21 @@ def test_dedup_clusters_invariants_on_minhash_pairs(spark, sf_dir):
     assign = {d: r["rep_id"] for d, r in by_doc.items()}
     for p in pairs.select("id_1", "id_2").collect():
         assert assign[p["id_1"]] == assign[p["id_2"]]
+
+
+def test_cache_registry_exposes_persisted_frames(spark, sf_dir):
+    """Long-lived sessions can unpersist deterministically: passing
+    ``cache_registry=[]`` hands back every frame the operator persisted
+    (the ADVICE-flagged leak in duplicate_span_stats and friends)."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").limit(50)
+    registry = []
+    out = D.duplicate_span_stats(docs, cache_registry=registry)
+    assert out.count() == 50
+    assert len(registry) == 1 and registry[0].is_cached
+    for frame in registry:
+        frame.unpersist()
+    assert not registry[0].is_cached
+    # cache_shingles=False registers nothing
+    registry2 = []
+    D.duplicate_span_stats(docs, cache_shingles=False, cache_registry=registry2).count()
+    assert registry2 == []

@@ -82,7 +82,11 @@ def main() -> int:
                 F.min(seq).alias("min_seq"),
                 F.max(seq).alias("max_seq"),
                 F.sum(seq).alias("sum_seq"),
-                F.sum(seq * seq).alias("sum_sq"),
+                # decimal(38,0): sum of squares overflows int64 for
+                # p >~ 3.07M rows/shard (non-ANSI sum wraps silently, while
+                # the Python-side closed form is an exact big int — spurious
+                # contiguity failure). Decimal sum is exact to 38 digits.
+                F.sum(seq.cast("decimal(38,0)") * seq).alias("sum_sq"),
             )
         )
         q = (
@@ -120,7 +124,7 @@ def main() -> int:
             and r.min_seq == 0
             and r.max_seq == p - 1
             and r.sum_seq == p * (p - 1) // 2
-            and r.sum_sq == (p - 1) * p * (2 * p - 1) // 6
+            and int(r.sum_sq) == (p - 1) * p * (2 * p - 1) // 6
             for r in rows
         )
         out = {
