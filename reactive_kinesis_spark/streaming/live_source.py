@@ -1,0 +1,290 @@
+"""``kinesis_live`` — a live-polling Kinesis streaming source (S1/S2 live).
+
+Completes the consumer loop the replay source models from parquet: the same
+five starting positions, checkpoint-wins resume, per-shard ``maxRecords``
+paging and per-shard order — but the data plane is GetShardIterator /
+GetRecords through a pluggable :mod:`consumer_aws` transport, i.e. the
+reference's actual consumption path (consumer/KinesisConsumer.scala:240-271,
+consumer/ConsumerProcessingManager.scala:100-121, reference.conf:479-487).
+
+Architecture: a :class:`SimpleDataSourceStreamReader` — Spark 4's
+driver-side streaming reader. That choice is deliberate, not a shortcut:
+
+* the KCL worker IS a single polling process per application instance; a
+  driver-side poll loop with per-shard cursors is the faithful analog;
+* Kinesis shard read caps (2 MB/s, 5 reads/s per shard) bound any single
+  consumer far below driver capacity, so executor-parallel GetRecords buys
+  nothing on one stream — the scale path for replay/backfill is the
+  partitioned ``kinesis_replay`` source over exported shard files;
+* offsets are per-shard **sequence-number maps** — restart replays the
+  in-flight range deterministically via AT/AFTER_SEQUENCE_NUMBER iterators
+  (``readBetweenOffsets``), upgrading the reference's at-least-once
+  (README.md:684-686) to Spark's exactly-once offset-log contract.
+
+Trigger note: ``trigger(availableNow=True)`` falls back to Trigger.Once
+semantics for Python data sources (no SupportsTriggerAvailableNow seam), so
+with ``maxRecordsPerBatch`` set it delivers ONE page per shard and stops.
+Paged/backfill reads should use a repeating trigger (``processingTime``) or
+leave the page cap at the 10k default with availableNow.
+
+Options (case-insensitive): ``streamName`` (required), ``startingPosition``
+(5 positions, default trim_horizon) + ``startingTimestamp`` /
+``startingSequenceNumber``, ``maxRecordsPerBatch`` (per shard per
+micro-batch, default 10_000 = kcl.maxRecords), ``shards`` (explicit subset
+— the L1 shard-assignment analog), ``deaggregate`` (true = KCL-style KPL
+deaggregation with sub-sequence numbers), ``transport`` (factory name,
+default ``boto3``) + ``region``/``endpointUrl``/``profile``.
+
+Tests inject a fake transport via :func:`register_transport_factory` — the
+same fake-client seam as the producer's ``Boto3Transport``.
+"""
+
+from __future__ import annotations
+
+from datetime import datetime, timezone
+from typing import Callable, Iterator, Tuple
+
+from pyspark.sql.datasource import DataSource, SimpleDataSourceStreamReader
+
+from reactive_kinesis_spark.schemas import EVENT_SCHEMA
+from reactive_kinesis_spark.streaming.consumer_aws import read_shard
+from reactive_kinesis_spark.streaming.replay_source import (
+    _POSITIONS,
+    _parse_timestamp_us,
+)
+
+LIVE_FORMAT_NAME = "kinesis_live"
+
+#: name → factory(options_dict) → transport. ``boto3`` (default) and
+#: ``localdir`` are built in; ``module.path:attr`` resolves by import. A
+#: name registry (vs pickling a transport into the DataSource) keeps
+#: DataSource options plain strings — the Spark contract. NB: Spark
+#: constructs streaming readers in a dedicated Python worker process, so a
+#: factory registered at runtime in the driver process is only visible to
+#: readers constructed in-process (unit tests driving the reader class
+#: directly); end-to-end queries must use a built-in name or an importable
+#: ``module:attr`` path.
+_TRANSPORT_FACTORIES: dict[str, Callable[[dict], object]] = {}
+
+
+def register_transport_factory(name: str, factory: Callable[[dict], object]) -> None:
+    _TRANSPORT_FACTORIES[name] = factory
+
+
+def _default_boto3_factory(options: dict):
+    from reactive_kinesis_spark.streaming.consumer_aws import Boto3GetRecordsTransport
+
+    return Boto3GetRecordsTransport.from_options(options)
+
+
+def _localdir_factory(options: dict):
+    from reactive_kinesis_spark.streaming.consumer_aws import LocalDirGetRecordsTransport
+
+    path = options.get("transportpath")
+    if not path:
+        raise ValueError("transport=localdir requires option 'transportPath'")
+    return LocalDirGetRecordsTransport(path)
+
+
+register_transport_factory("boto3", _default_boto3_factory)
+register_transport_factory("localdir", _localdir_factory)
+
+
+def _resolve_transport_factory(name: str) -> Callable[[dict], object]:
+    if name in _TRANSPORT_FACTORIES:
+        return _TRANSPORT_FACTORIES[name]
+    if ":" in name:
+        import importlib
+
+        module, _, attr = name.partition(":")
+        return getattr(importlib.import_module(module), attr)
+    raise ValueError(
+        f"unknown transport {name!r}; registered: {sorted(_TRANSPORT_FACTORIES)} "
+        "(or pass an importable 'module.path:factory')"
+    )
+
+
+def _to_timestamp(value) -> datetime:
+    """boto3 hands back tz-aware datetimes; fakes may hand epoch seconds.
+    Normalize to tz-aware UTC (EVENT_SCHEMA timestamp)."""
+    if isinstance(value, datetime):
+        return value if value.tzinfo else value.replace(tzinfo=timezone.utc)
+    return datetime.fromtimestamp(float(value), tz=timezone.utc)
+
+
+class _LiveStreamReader(SimpleDataSourceStreamReader):
+    """Offsets: ``{shard_id: last_delivered_sequence_number}`` with ``""``
+    = nothing delivered yet (start from the configured initial position).
+    Plain-string values keep the offset JSON primitive, per the API."""
+
+    def __init__(self, options: dict):
+        self._stream = options.get("streamname")
+        if not self._stream:
+            raise ValueError("kinesis_live requires option 'streamName'")
+        position = str(options.get("startingposition", "trim_horizon")).lower()
+        if position not in _POSITIONS:
+            raise ValueError(
+                f"unsupported startingPosition {position!r}; one of {_POSITIONS}"
+            )
+        ts_opt = options.get("startingtimestamp")
+        self._position = position
+        self._timestamp_us = _parse_timestamp_us(ts_opt) if ts_opt is not None else None
+        self._sequence_number = options.get("startingsequencenumber")
+        if position == "at_timestamp" and self._timestamp_us is None:
+            raise ValueError("startingPosition=at_timestamp requires startingTimestamp")
+        if position.endswith("_sequence_number") and self._sequence_number is None:
+            raise ValueError(f"startingPosition={position} requires startingSequenceNumber")
+        self._max_records = int(options.get("maxrecordsperbatch", 10_000))
+        self._deaggregate = str(options.get("deaggregate", "false")).lower() == "true"
+        shards_opt = options.get("shards")
+        self._shard_subset = (
+            [s.strip() for s in str(shards_opt).split(",") if s.strip()]
+            if shards_opt
+            else None
+        )
+        factory_name = str(options.get("transport", "boto3"))
+        self._transport = _resolve_transport_factory(factory_name)(options)
+        # LATEST before the first record: keep the live iterator across
+        # polls (in-memory only) — a fresh LATEST iterator each batch would
+        # skip records arriving between polls. After a crash-restart the
+        # position re-resolves to LATEST, exactly the KCL's semantics for a
+        # lease that never checkpointed.
+        self._latest_iters: dict[str, str | None] = {}
+
+    # -- shard discovery ---------------------------------------------------
+
+    def _shards(self) -> list[str]:
+        """Refreshed per batch — resharding shows up as new shard ids,
+        which start at the initial position (KCL lease-sync analog). An
+        explicit ``shards`` subset pins this consumer's assignment (L1)."""
+        shards = self._transport.list_shards(self._stream)
+        if self._shard_subset is None:
+            return shards
+        missing = [s for s in self._shard_subset if s not in shards]
+        if missing:
+            raise ValueError(f"unknown shard ids {missing}; available: {shards}")
+        return list(self._shard_subset)
+
+    # -- record conversion -------------------------------------------------
+
+    def _rows(self, shard_id: str, rec: dict) -> Iterator[Tuple]:
+        """One GetRecords record → EVENT_SCHEMA tuple(s). With
+        ``deaggregate`` on, KPL aggregates expand into sub-records with
+        ascending sub-sequence numbers (the KCL's transparent
+        deaggregation; README.md:684-686 sub-sequence semantics)."""
+        ts = _to_timestamp(rec["ApproximateArrivalTimestamp"])
+        data = bytes(rec["Data"])
+        seq = rec["SequenceNumber"]
+        pk = rec.get("PartitionKey", "")
+        if self._deaggregate:
+            from reactive_kinesis_spark.streaming.deaggregate import unpack_records
+
+            subs = unpack_records(data)
+            if not (len(subs) == 1 and subs[0][0] == ""):
+                for i, (sub_pk, sub_data) in enumerate(subs):
+                    yield (self._stream, shard_id, sub_pk, seq, i, sub_data, ts)
+                return
+        yield (self._stream, shard_id, pk, seq, 0, data, ts)
+
+    def _poll(
+        self,
+        shard_id: str,
+        last_seq: str,
+        *,
+        max_records: int | None,
+        until: str | None = None,
+    ) -> tuple[list[Tuple], str]:
+        rows: list[Tuple] = []
+        new_last = last_seq
+        state: dict = {}
+        resume = (
+            self._latest_iters.get(shard_id)
+            if self._position == "latest" and not last_seq and until is None
+            else None
+        )
+        for rec in read_shard(
+            self._transport,
+            self._stream,
+            shard_id,
+            last_sequence_number=last_seq or None,
+            position=self._position,
+            timestamp_us=self._timestamp_us,
+            sequence_number=self._sequence_number,
+            max_records=max_records,
+            until_sequence_number=until,
+            resume_iterator=resume,
+            state=state,
+        ):
+            rows.extend(self._rows(shard_id, rec))
+            new_last = rec["SequenceNumber"]
+        if self._position == "latest" and until is None:
+            if new_last:
+                self._latest_iters.pop(shard_id, None)  # seq now durable
+            elif state.get("next_iterator"):
+                self._latest_iters[shard_id] = state["next_iterator"]
+        return rows, new_last
+
+    # -- SimpleDataSourceStreamReader protocol -----------------------------
+
+    def initialOffset(self) -> dict:
+        return {sid: "" for sid in self._shards()}
+
+    def read(self, start: dict) -> Tuple[Iterator[Tuple], dict]:
+        end = dict(start)
+        batch: list[Tuple] = []
+        for sid in self._shards():
+            last = start.get(sid, "")
+            rows, new_last = self._poll(sid, last, max_records=self._max_records)
+            batch.extend(rows)
+            end[sid] = new_last
+        return iter(batch), end
+
+    def readBetweenOffsets(self, start: dict, end: dict) -> Iterator[Tuple]:
+        """Deterministic replay of a committed-offset range after restart:
+        the closed sequence range per shard, re-fetched via sequence-number
+        iterators. No page budget — the full range must be delivered."""
+        for sid, end_seq in end.items():
+            start_seq = start.get(sid, "")
+            if not end_seq or end_seq == start_seq:
+                continue
+            rows, _ = self._poll(sid, start_seq, max_records=None, until=end_seq)
+            yield from rows
+
+    def commit(self, end: dict) -> None:
+        # Spark's offset log IS the durable position (the lease-table
+        # analog) — nothing to persist transport-side.
+        pass
+
+
+class KinesisLiveDataSource(DataSource):
+    """``spark.readStream.format("kinesis_live")`` after
+    :func:`register_live_source`."""
+
+    @classmethod
+    def name(cls) -> str:
+        return LIVE_FORMAT_NAME
+
+    def schema(self):
+        return EVENT_SCHEMA
+
+    def simpleStreamReader(self, schema) -> SimpleDataSourceStreamReader:
+        return _LiveStreamReader({k.lower(): v for k, v in self.options.items()})
+
+
+def register_live_source(spark) -> None:
+    """Register the connector on this session (idempotent)."""
+    spark.dataSource.register(KinesisLiveDataSource)
+
+
+def live_reader_options(conf) -> dict[str, str]:
+    """:class:`~reactive_kinesis_spark.config.ConsumerConfig` → this
+    source's option names (initial position, kcl.maxRecords paging)."""
+    opts = {
+        "streamName": conf.stream_name,
+        "startingPosition": conf.initial_position.lower(),
+        "maxRecordsPerBatch": str(conf.max_records),
+    }
+    if conf.at_timestamp is not None:
+        opts["startingTimestamp"] = str(conf.at_timestamp)
+    opts.update(conf.extra_options)
+    return opts
