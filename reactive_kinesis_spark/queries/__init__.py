@@ -42,33 +42,19 @@ def query(name: str, oracle: str | None = None):
     return deco
 
 
-#: Driver-visibility rotation (round 4). The driver's correctness run samples
-#: the FIRST 50 registry entries; with 61 oracle-backed queries, 11 must sit
+#: Driver-visibility rotation (round 5). The driver's correctness run samples
+#: the FIRST 50 registry entries; with 65 oracle-backed queries, 15 must sit
 #: past the window each round. Policy: the least-driver-certified queries get
-#: the visible slots. _PROMOTED = the round-3 flagship work (q60-q69) plus the
-#: two previously-demoted entries (q46/q55) — none has ever appeared in a
-#: driver CORRECTNESS run; they take slots 0-10 this round. _DEMOTED = eleven
-#: long-stable trivial queries, each driver-certified green in rounds 1-3
-#: (CORRECTNESS_r01-r03), rotated out to make room; they remain fully
-#: oracle-checked locally every session (tests/test_oracle_parity.py).
+#: the visible slots, so no oracle query goes more than ~2 rounds without
+#: driver re-certification. This round the two pools SWAP (the round-4
+#: VERDICT's explicit ask): _PROMOTED = the fifteen queries demoted in round
+#: 4, whose last driver certification is rounds 1-3 (q11-q16 only r3) — they
+#: take slots 0-14. _DEMOTED = the fifteen queries promoted in round 4, each
+#: freshly certified in CORRECTNESS_r04 (rows+schema+hash), rotated out to
+#: make room; they remain fully oracle-checked locally every session
+#: (tests/test_oracle_parity.py). The 35 middle-tier queries were also all
+#: certified in r4 and keep their in-window slots.
 _PROMOTED = (
-    "q60_dedup_clusters",
-    "q61_curation_pipeline",
-    "q62_token_packing",
-    "q64_decontamination",
-    "q65_mixture_sample",
-    "q66_repetition_stats",
-    "q67_pii_redaction",
-    "q68_embedding_quantization",
-    "q69_duplicate_spans",
-    "q70_async_enrichment",
-    "q71_vocabulary_topk",
-    "q72_collocations",
-    "q74_stratified_sample",
-    "q46_scalar_subquery",
-    "q55_window_distribution",
-)
-_DEMOTED = (
     "q02_filter_project",
     "q03_join_agg_topk",
     "q05_anti_join",
@@ -84,6 +70,23 @@ _DEMOTED = (
     "q06_outer_join_histogram",
     "q10_rollup",
     "q11_cube",
+)
+_DEMOTED = (
+    "q60_dedup_clusters",
+    "q61_curation_pipeline",
+    "q62_token_packing",
+    "q64_decontamination",
+    "q65_mixture_sample",
+    "q66_repetition_stats",
+    "q67_pii_redaction",
+    "q68_embedding_quantization",
+    "q69_duplicate_spans",
+    "q70_async_enrichment",
+    "q71_vocabulary_topk",
+    "q72_collocations",
+    "q74_stratified_sample",
+    "q46_scalar_subquery",
+    "q55_window_distribution",
 )
 
 
