@@ -22,6 +22,14 @@ SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 #: across round 1/2 reruns of unchanged queries).
 N_RUNS = int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "3"))
 
+#: The sweep leg times EVERY registered query once (warm pass + one timed
+#: run) so no query is correctness-green but perf-blind — a plan regression
+#: in an unbenched query is otherwise invisible (q22's round-2 blowup was
+#: only caught because it was benched). Headline queries keep their medians;
+#: the sweep's single-run numbers are coarser (±25% band) but catch
+#: order-of-magnitude regressions. Disable with SPARK_GRAFT_SWEEP=0.
+SWEEP = os.environ.get("SPARK_GRAFT_SWEEP", "1") != "0"
+
 
 def _median(xs: list[float]) -> float:
     import statistics
@@ -130,6 +138,17 @@ def main() -> None:
     for name, med in timings.items():
         print(f"# {name}: median {med:.3f}s over {N_RUNS} runs", file=sys.stderr)
 
+    sweep: dict[str, float] = {}
+    if SWEEP:
+        sweep_names = [name for name in registry if name not in HEADLINE]
+        sweep, sweep_errors = run_queries(spark, registry, sweep_names, SF_DIR, 1)
+        errors.update(sweep_errors)
+        print(
+            f"# sweep: {len(sweep)}/{len(sweep_names)} non-headline queries, "
+            f"{sum(sweep.values()):.1f}s total (single run each)",
+            file=sys.stderr,
+        )
+
     def _leg(label: str, fn, **kw) -> dict:
         try:
             out = fn(spark, **kw)
@@ -139,6 +158,17 @@ def main() -> None:
             errors[f"streaming_{label}"] = _err_str(exc)
             print(f"# streaming ({label}): FAILED: {_err_str(exc)}", file=sys.stderr)
             return {"err": _err_str(exc)}
+
+    try:
+        skew = _skew_leg(spark)
+        print(
+            "# skew: naive(noaqe) {join_naive_noaqe_sec}s / naive(aqe) "
+            "{join_naive_aqe_sec}s / salted {join_salted_sec}s".format(**skew),
+            file=sys.stderr,
+        )
+    except Exception as exc:  # noqa: BLE001
+        errors["skew_leg"] = _err_str(exc)
+        skew = {"err": _err_str(exc)}
 
     streaming = _leg("file source", _streaming_throughput)
     # apples-to-apples pair: both sources paged into the SAME 4×100k
@@ -156,15 +186,99 @@ def main() -> None:
                 "value": round(total, 3),
                 "unit": "sec",
                 "queries": timings,
+                "sweep": sweep,
                 "errors": errors,
                 "sf": sf,
                 "runs": N_RUNS,
+                "skew": skew,
                 "streaming": streaming,
                 "streaming_file_paged": streaming_file_paged,
                 "streaming_replay": streaming_replay,
             }
         )
     )
+
+
+def _skew_leg(
+    spark, n_fact: int = 16_000_000, n_dim: int = 1_000_000, hot_pct: int = 30
+) -> dict:
+    """Zipf-skew stress: measure the skew helpers against naive plans on a
+    synthetic hot-key distribution (``hot_pct``% of fact rows share ONE key;
+    the rest spread uniformly over 1,000 keys) — the VERDICT r4 ask: the
+    'plans at 100×' claim for operators/skew.py, measured instead of argued.
+
+    Three join legs, all with broadcast disabled (the scenario is 'dimension
+    too big to broadcast', skew.py:81-93):
+
+    * ``join_naive_noaqe`` — plain shuffle join, AQE off: the worst case a
+      1000-executor cluster hits when runtime stats mis-estimate; the hot
+      key lands on one task.
+    * ``join_naive_aqe`` — plain join under AQE skew-split (the engine's
+      first line of defense, on by default in session.get_spark).
+    * ``join_salted`` — ``replicated_skew_join``: deterministic salting,
+      works even where AQE can't re-plan (already-running stage, stateful
+      streaming joins).
+
+    Two aggregation legs on the same fact (sum+count per key). NB: for
+    decomposable aggregates map-side partial aggregation already collapses
+    the hot key to one row per map task, so naive ≈ salted here is the
+    EXPECTED result — reported to document that salted_agg's value is the
+    cases partial-agg can't collapse (huge per-key partial state), not
+    plain sums.
+    """
+    from pyspark.sql import functions as F
+
+    from reactive_kinesis_spark.operators.skew import replicated_skew_join, salted_agg
+
+    # fact: hot_pct% of rows share key 0, the rest spread uniformly over the
+    # dim's key space; dim: UNIQUE key per row (a real dimension) — the hot
+    # key's straggler is then a single sort-merge task holding hot_pct% of
+    # the fact, not a join-output explosion.
+    fact = spark.range(n_fact).select(
+        F.when(F.pmod("id", F.lit(100)) < hot_pct, F.lit(0))
+        .otherwise(F.pmod(F.xxhash64("id"), F.lit(n_dim - 1)) + 1)
+        .cast("long")
+        .alias("k"),
+        F.col("id").alias("v"),
+    )
+    dim = spark.range(n_dim).select(
+        F.col("id").alias("k"), (F.col("id") * 3).alias("dim_v")
+    )
+
+    def timed(fn) -> float:
+        t0 = time.perf_counter()
+        fn().collect()
+        return round(time.perf_counter() - t0, 3)
+
+    out: dict = {"fact_rows": n_fact, "dim_rows": n_dim, "hot_pct": hot_pct}
+    threshold = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    aqe = spark.conf.get("spark.sql.adaptive.enabled")
+    try:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+
+        def probe(joined):
+            return joined.groupBy().agg(
+                F.count(F.lit(1)).alias("n"), F.sum("dim_v").alias("s")
+            )
+
+        spark.conf.set("spark.sql.adaptive.enabled", "false")
+        out["join_naive_noaqe_sec"] = timed(lambda: probe(fact.join(dim, "k")))
+        spark.conf.set("spark.sql.adaptive.enabled", "true")
+        out["join_naive_aqe_sec"] = timed(lambda: probe(fact.join(dim, "k")))
+        out["join_salted_sec"] = timed(
+            lambda: probe(replicated_skew_join(fact, dim, "k", buckets=8))
+        )
+        aggs = {"n": ("count", "*"), "total": ("sum", "v")}
+        out["agg_naive_sec"] = timed(
+            lambda: fact.groupBy("k").agg(
+                F.count(F.lit(1)).alias("n"), F.sum("v").alias("total")
+            )
+        )
+        out["agg_salted_sec"] = timed(lambda: salted_agg(fact, ["k"], aggs))
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", threshold)
+        spark.conf.set("spark.sql.adaptive.enabled", aqe)
+    return out
 
 
 def _event_frame(spark, n: int, shards: int):
