@@ -69,6 +69,11 @@ def main() -> int:
             )
             shutil.rmtree(stage)
 
+        # shuffle partitions = shard count: every state-store partition
+        # costs a commit per micro-batch; 32 partitions for a 2-shard
+        # stream dominated the pipeline (measured 2.7x on the bench replay
+        # leg — see bench._pump_and_score)
+        spark.conf.set("spark.sql.shuffle.partitions", str(shards))
         seq = F.col("sequence_number").cast("long")
         agg = (
             spark.readStream.format("kinesis_replay")
