@@ -69,15 +69,14 @@ def test_concurrent_execution_with_bounded_inflight(spark, tmp_path):
     log_dir = str(tmp_path / "log")
     os.makedirs(log_dir)
     df = spark.range(80).repartition(2)
-    t0 = time.monotonic()
     out = map_async(df, _make_fn(log_dir, delay=0.05), OUT_SCHEMA, parallelism=8).collect()
-    wall = time.monotonic() - t0
     assert len(out) == 80
-    assert _max_concurrency(log_dir) <= 8
-    # 80 rows / 2 tasks / 8-way concurrency ⇒ ~5 waves × 50 ms ≈ 0.25 s of
-    # sleep per task; sequential would be 2 s per task. Generous margin for
-    # scheduling noise:
-    assert wall < 1.8, f"no concurrency observed: wall={wall:.2f}s"
+    # The enter/exit log is the load-robust concurrency proof (a wall-clock
+    # bound flakes when the suite saturates the machine): the pool must
+    # genuinely overlap calls (≥ 4 of the 8 workers simultaneously inside
+    # 50 ms sleeps) while never exceeding the promised bound.
+    conc = _max_concurrency(log_dir)
+    assert 4 <= conc <= 8, f"concurrency profile out of bounds: {conc}"
 
 
 def test_order_preserved_within_partition(spark):
@@ -98,6 +97,50 @@ def test_failure_escalates(spark):
 def test_invalid_parallelism():
     with pytest.raises(ValueError):
         map_async(None, _make_fn(), OUT_SCHEMA, parallelism=0)
+    with pytest.raises(ValueError, match="window"):
+        map_async(None, _make_fn(), OUT_SCHEMA, parallelism=8, window=4)
+
+
+def test_window_bounds_buffered_results_and_keeps_order():
+    """The result window is the memory cap: with window=w, at most w results
+    are pending/buffered at any moment even for an arbitrarily large batch,
+    and chunks come back in exact input order."""
+    import concurrent.futures as cf
+
+    from reactive_kinesis_spark.operators.async_map import _bounded_ordered_map
+
+    n, window = 500, 16
+    state = {"unyielded": 0, "worst": 0}
+
+    def fn(rec):
+        state["unyielded"] += 1
+        state["worst"] = max(state["worst"], state["unyielded"])
+        return rec
+
+    out: list[dict] = []
+    with cf.ThreadPoolExecutor(max_workers=4) as pool:
+        for chunk in _bounded_ordered_map(
+            pool, fn, ({"id": i} for i in range(n)), window
+        ):
+            assert len(chunk) <= window
+            state["unyielded"] -= len(chunk)
+            out.extend(chunk)
+    # worst counts completed-or-running results not yet yielded; the deque
+    # admits ≤ window futures and the chunk buffer ≤ window popped results,
+    # so the documented bound is 2·window (+1 transient for the row whose
+    # submit raced the drain).
+    assert state["worst"] <= 2 * window + 1, state["worst"]
+    assert [r["id"] for r in out] == list(range(n))
+
+
+def test_window_smaller_than_batch_still_fails_fast(spark):
+    """A failure deep in a large batch escalates even when earlier windows
+    already yielded (partial output is discarded by the task failure)."""
+    df = spark.range(300).coalesce(1)
+    with pytest.raises(Exception, match="boom on 250"):
+        map_async(
+            df, _make_fn(fail_id=250), OUT_SCHEMA, parallelism=4, window=8
+        ).collect()
 
 
 def test_map_async_runs_under_readstream(spark, tmp_path):
