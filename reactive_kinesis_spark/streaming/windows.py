@@ -182,8 +182,17 @@ def stateful_running_count_tws(
     Requires the RocksDB state store provider
     (``spark.sql.streaming.stateStore.providerClass =
     ...RocksDBStateStoreProvider``) — the provider the 100 TB deployment
-    uses anyway (state >> executor heap).
+    uses anyway (state >> executor heap) — and the protobuf package
+    (:func:`reactive_kinesis_spark.capabilities.transform_with_state`);
+    without it this raises immediately with the capability reason instead
+    of crashing the first micro-batch's state server.
     """
+    from reactive_kinesis_spark.capabilities import transform_with_state
+
+    ok, reason = transform_with_state()
+    if not ok:
+        raise RuntimeError(reason)
+
     import pandas as pd
     from pyspark.sql.streaming.stateful_processor import (
         StatefulProcessor,

@@ -149,12 +149,34 @@ def test_stateful_running_count_carries_state_across_batches(spark, tmp_path):
     assert all(s == f"{1008 if k == '0' else 1009:020d}" for k, s in max_seqs.items())
 
 
+def test_tws_capability_probe_is_explicit(spark, tmp_path):
+    """Whether or not this env can run transformWithState, the answer must
+    be an explicit capability: the probe names what's missing, and the
+    operator fails fast with that reason rather than crashing the first
+    micro-batch's state server."""
+    from reactive_kinesis_spark.capabilities import transform_with_state
+    from reactive_kinesis_spark.streaming.windows import stateful_running_count_tws
+
+    ok, reason = transform_with_state()
+    assert isinstance(ok, bool) and reason
+    if not ok:
+        assert "protobuf" in reason
+        src = str(tmp_path / "stream")
+        make_events(spark, 4, shards=1).write.parquet(src, mode="append")
+        with pytest.raises(RuntimeError, match="protobuf"):
+            stateful_running_count_tws(file_stream_source(spark, src))
+
+
 def test_transform_with_state_matches_applyinpandas(spark, tmp_path):
-    # transformWithStateInPandas's state-server protocol needs protobuf,
-    # which this environment doesn't ship — the operator itself is the
-    # production path (typed state + RocksDB); applyInPandasWithState above
-    # covers the semantics where protobuf is absent.
-    pytest.importorskip("google.protobuf")
+    # Skip is gated on the documented capability probe (capabilities.py):
+    # the operator is the production path (typed state + RocksDB);
+    # applyInPandasWithState above covers the semantics where the env
+    # lacks the protobuf state-server protocol.
+    from reactive_kinesis_spark.capabilities import transform_with_state
+
+    ok, reason = transform_with_state()
+    if not ok:
+        pytest.skip(f"env capability absent: {reason}")
     from reactive_kinesis_spark.streaming.windows import stateful_running_count_tws
 
     spark.conf.set(
