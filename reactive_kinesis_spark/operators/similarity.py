@@ -32,6 +32,55 @@ from pyspark.sql.types import (
 
 from reactive_kinesis_spark.functions import cosine_similarity
 
+#: Tuned parameter presets for the two ANN scale paths, measured on the
+#: driver's near-random sf0.01 embeddings (RECALL.json regenerates these
+#: numbers; tools/recall_report.py is the harness). The quantitative
+#: recall-vs-cost contract:
+#:
+#: ============  =====================  ========  =========================
+#: preset        parameters             recall@5  candidate cost per query
+#: ============  =====================  ========  =========================
+#: lsh balanced  15 planes × 5 bands    0.72      0.49·N  (3-bit bands)
+#: lsh recall    16 planes × 8 bands    0.97      0.89·N  (2-bit bands)
+#: ivf balanced  16 cells, 6 probes     0.75      0.38·N  (6/16 cells)
+#: ivf recall    16 cells, 12 probes    0.94      0.76·N  (12/16 cells)
+#: ============  =====================  ========  =========================
+#:
+#: Near-random embeddings (top-neighbor cosine ≈ 0.3) are the worst case —
+#: recall ≥ 0.9 there genuinely requires examining most of the corpus. On
+#: clustered real-world corpora (neighbor cosine ≥ 0.8) the SAME presets
+#: reach recall 1.0 at a fraction of the cost (RECALL.json `*_clustered`),
+#: so "recall" is the safe default when corpus geometry is unknown and
+#: "balanced" the cheap one when it is known to be clustered.
+ANN_PRESETS: dict[str, dict[str, dict[str, int]]] = {
+    "lsh": {
+        "balanced": {"n_planes": 15, "bands": 5},
+        "recall": {"n_planes": 16, "bands": 8},
+    },
+    "ivf": {
+        "balanced": {"n_cells": 16, "n_probe": 6},
+        "recall": {"n_cells": 16, "n_probe": 12},
+    },
+}
+
+
+def _apply_preset(kind: str, preset: str | None, params: dict) -> dict:
+    """Overlay a named preset (``ANN_PRESETS[kind][preset]``) onto the
+    caller's keyword parameters; explicit values the caller changed from
+    the signature defaults are NOT preserved — a preset states the whole
+    tuned operating point, so it wins wholesale (pass preset=None to tune
+    by hand)."""
+    if preset is None:
+        return params
+    try:
+        chosen = ANN_PRESETS[kind][preset]
+    except KeyError:
+        raise ValueError(
+            f"unknown {kind} preset {preset!r}; available: "
+            f"{sorted(ANN_PRESETS[kind])}"
+        ) from None
+    return {**params, **chosen}
+
 
 def _seq_dot(mat, vec):
     """Sequential-order dot products of every row of ``mat`` with ``vec``:
@@ -221,29 +270,19 @@ def hyperplane_signature(
     return df.withColumn(out_col, sig.cast("int"))
 
 
-def ann_lsh_topk(
+def _lsh_candidates(
     corpus: DataFrame,
     queries: DataFrame,
-    id_col: str = "vec_id",
-    vec_col: str = "embedding",
-    k: int = 5,
-    n_planes: int = 15,
-    bands: int = 5,
-    dim: int = 64,
+    id_col: str,
+    vec_col: str,
+    n_planes: int,
+    bands: int,
+    dim: int,
 ) -> DataFrame:
-    """Approximate top-k: candidates = rows sharing ≥1 of ``bands`` signature
-    bands with the query, exact cosine re-rank on candidates only.
-
-    At scale this replaces the O(Q·N) cross join with a bucket equi-join:
-    corpus signatures are computed once (streamed, no shuffle), the join key
-    is (band, band_bits), and AQE handles bucket skew.
-
-    Default 5 bands × 3 bits targets the low-similarity regime (top
-    neighbors ≈ 0.3 cosine on near-random data ⇒ recall ≈ 0.7 with ~0.6·N
-    candidates per query). On clustered real-world embeddings (neighbor
-    sims ≥ 0.8) fewer, wider bands (e.g. 4×4) give recall ≥ 0.95 with ~N/4
-    candidates. Returns ``(query_id, neighbor_id, cosine_sim, rn)``.
-    """
+    """Banded-signature candidate pairs ``(query_id, neighbor_id, __qvec,
+    __cvec)`` for :func:`ann_lsh_topk` — exposed separately so
+    tools/recall_report.py can measure candidate cost (candidates ÷ Q·(N−1)
+    brute-force pairs) for the preset table above."""
     bits_per_band = n_planes // bands
 
     def banded(df: DataFrame, id_alias: str, keep_vec: str) -> DataFrame:
@@ -294,11 +333,42 @@ def ann_lsh_topk(
 
     qb = banded(queries, "query_id", "__qvec")
     cb = banded(corpus, "neighbor_id", "__cvec")
-    cand = (
+    return (
         cb.join(F.broadcast(qb), ["band", "bits"])
         .where(F.col("query_id") != F.col("neighbor_id"))
         .select("query_id", "neighbor_id", "__qvec", "__cvec")
         .dropDuplicates(["query_id", "neighbor_id"])
+    )
+
+
+def ann_lsh_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 5,
+    n_planes: int = 15,
+    bands: int = 5,
+    dim: int = 64,
+    preset: str | None = None,
+) -> DataFrame:
+    """Approximate top-k: candidates = rows sharing ≥1 of ``bands`` signature
+    bands with the query, exact cosine re-rank on candidates only.
+
+    At scale this replaces the O(Q·N) cross join with a bucket equi-join:
+    corpus signatures are computed once (streamed, no shuffle), the join key
+    is (band, band_bits), and AQE handles bucket skew.
+
+    ``preset`` selects a tuned operating point from :data:`ANN_PRESETS`
+    (overriding ``n_planes``/``bands``): ``'balanced'`` = the signature
+    defaults (recall ≈ 0.72 at ≈ 0.6·N candidates on near-random data),
+    ``'recall'`` = 16 planes × 8 two-bit bands (recall ≈ 0.97 at ≈ 0.9·N) —
+    see the measured recall-vs-cost table on :data:`ANN_PRESETS` and
+    RECALL.json. Returns ``(query_id, neighbor_id, cosine_sim, rn)``.
+    """
+    p = _apply_preset("lsh", preset, {"n_planes": n_planes, "bands": bands})
+    cand = _lsh_candidates(
+        corpus, queries, id_col, vec_col, p["n_planes"], p["bands"], dim
     )
     scored = cand.select(
         "query_id", "neighbor_id", cosine_similarity("__qvec", "__cvec").alias("cosine_sim")
@@ -374,28 +444,18 @@ def _train_centroids(mat, n_cells: int, iters: int = 8):
     return cents
 
 
-def ivf_topk(
+def _ivf_candidates(
     corpus: DataFrame,
     queries: DataFrame,
-    id_col: str = "vec_id",
-    vec_col: str = "embedding",
-    k: int = 5,
-    n_cells: int = 16,
-    n_probe: int = 4,
-    train_sample: int = 2048,
+    id_col: str,
+    vec_col: str,
+    n_cells: int,
+    n_probe: int,
+    train_sample: int,
 ) -> DataFrame:
-    """Approximate top-k via IVF partitioning — the second ANN scale path
-    next to :func:`ann_lsh_topk`.
-
-    Build: k-means centroids trained driver-side on a deterministic
-    id-ordered sample, broadcast via task closures; every corpus vector is
-    assigned to its nearest cell in one narrow Arrow pass (no shuffle).
-    Search: each query probes its ``n_probe`` nearest cells; candidates =
-    corpus vectors in those cells (cell equi-join), exact cosine re-rank on
-    candidates only. Expected candidate fraction ≈ n_probe/n_cells.
-
-    Deterministic end-to-end (fixed init, fixed sample, argmin ties by
-    lowest index). Returns ``(query_id, neighbor_id, cosine_sim, rn)``.
+    """IVF candidate pairs ``(query_id, neighbor_id, __qvec, __cvec)`` for
+    :func:`ivf_topk` — exposed separately so tools/recall_report.py can
+    measure candidate cost per preset. Expected fraction ≈ n_probe/n_cells.
 
     The driver-side k-means training set is bounded BY CONSTRUCTION
     (``limit(train_sample)``); the explicit cap below makes a
@@ -456,10 +516,46 @@ def ivf_topk(
 
     cb = assigner(corpus, "neighbor_id", "__cvec", probes=1)
     qb = assigner(queries, "query_id", "__qvec", probes=n_probe)
-    cand = (
+    return (
         cb.join(F.broadcast(qb), "cell")
         .where(F.col("query_id") != F.col("neighbor_id"))
         .select("query_id", "neighbor_id", "__qvec", "__cvec")
+    )
+
+
+def ivf_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 5,
+    n_cells: int = 16,
+    n_probe: int = 4,
+    train_sample: int = 2048,
+    preset: str | None = None,
+) -> DataFrame:
+    """Approximate top-k via IVF partitioning — the second ANN scale path
+    next to :func:`ann_lsh_topk`.
+
+    Build: k-means centroids trained driver-side on a deterministic
+    id-ordered sample, broadcast via task closures; every corpus vector is
+    assigned to its nearest cell in one narrow Arrow pass (no shuffle).
+    Search: each query probes its ``n_probe`` nearest cells; candidates =
+    corpus vectors in those cells (cell equi-join), exact cosine re-rank on
+    candidates only. Expected candidate fraction ≈ n_probe/n_cells.
+
+    ``preset`` selects a tuned operating point from :data:`ANN_PRESETS`
+    (overriding ``n_cells``/``n_probe``): ``'balanced'`` = 16 cells ×
+    6 probes (recall ≈ 0.75 at ≈ 0.38·N candidates on near-random data),
+    ``'recall'`` = 16 cells × 12 probes (recall ≈ 0.94 at ≈ 0.75·N) — see
+    the measured table on :data:`ANN_PRESETS` and RECALL.json.
+
+    Deterministic end-to-end (fixed init, fixed sample, argmin ties by
+    lowest index). Returns ``(query_id, neighbor_id, cosine_sim, rn)``.
+    """
+    p = _apply_preset("ivf", preset, {"n_cells": n_cells, "n_probe": n_probe})
+    cand = _ivf_candidates(
+        corpus, queries, id_col, vec_col, p["n_cells"], p["n_probe"], train_sample
     )
     scored = cand.select(
         "query_id",

@@ -112,3 +112,48 @@ def test_ivf_train_sample_bounds_raise(spark, sf_dir):
         S.ivf_topk(emb, q, train_sample=1 << 20)
     with pytest.raises(ValueError, match="n_cells"):
         S.ivf_topk(emb, q, n_cells=64, train_sample=32)
+
+
+def test_recall_preset_hits_090_on_near_random_data(spark, sf_dir):
+    """ANN_PRESETS['*']['recall'] is the documented ≥0.9-on-any-geometry
+    operating point; near-random test embeddings are the worst case, so
+    this pins the preset contract at its hardest. RECALL.json's sf0.01
+    measurements (lsh 0.97 / ivf 0.94) must also hold the bar."""
+    import json
+    import os
+
+    path = os.path.join(os.path.dirname(os.path.dirname(__file__)), "RECALL.json")
+    with open(path) as fh:
+        art = json.load(fh)
+    for key in ("lsh_testdata_recall_preset", "ivf_testdata_recall_preset"):
+        assert art[key]["recall"] >= 0.9, (key, art[key])
+        # the cost side of the contract is recorded, not hidden
+        assert 0 < art[key]["candidate_fraction"] <= 1
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.where(F.col("vec_id") < 50)
+    exact = {
+        (r.query_id, r.neighbor_id)
+        for r in S.cosine_topk(emb, queries, k=5).select("query_id", "neighbor_id").collect()
+    }
+    for approx_df in (
+        S.ann_lsh_topk(emb, queries, k=5, preset="recall"),
+        S.ivf_topk(emb, queries, k=5, preset="recall"),
+    ):
+        approx = {
+            (r.query_id, r.neighbor_id)
+            for r in approx_df.select("query_id", "neighbor_id").collect()
+        }
+        recall = len(exact & approx) / len(exact)
+        assert recall >= 0.9, f"recall preset under bar: {recall:.2f}"
+
+
+def test_unknown_preset_raises(spark, sf_dir):
+    import pytest
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    q = emb.orderBy("vec_id").limit(3)
+    with pytest.raises(ValueError, match="unknown lsh preset"):
+        S.ann_lsh_topk(emb, q, preset="turbo")
+    with pytest.raises(ValueError, match="unknown ivf preset"):
+        S.ivf_topk(emb, q, preset="turbo")

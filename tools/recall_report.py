@@ -106,19 +106,60 @@ def measure_testdata(spark, sf_dir: str, out: dict) -> None:
     from reactive_kinesis_spark.operators import similarity as S
     from reactive_kinesis_spark.tables import load_table
 
-    emb = load_table(spark, sf_dir, "embeddings")
+    emb = load_table(spark, sf_dir, "embeddings").cache()
     q = emb.where(F.col("vec_id") < 100)
+    n, nq = emb.count(), q.count()
+    brute_pairs = nq * (n - 1)
     exact = S.cosine_topk(emb, q, k=5)
     out["lsh_testdata"] = {
         "sf_dir": sf_dir,
-        "settings": "q30 registry defaults (near-random data; documented ≈0.7)",
+        "settings": "q30 registry defaults (= 'balanced' preset; near-random data)",
         "recall": recall_at_k(exact, S.ann_lsh_topk(emb, q, k=5)),
+        "candidate_fraction": round(
+            S._lsh_candidates(emb, q, "vec_id", "embedding", 15, 5, 64).count()
+            / brute_pairs,
+            3,
+        ),
     }
     out["ivf_testdata"] = {
         "sf_dir": sf_dir,
-        "settings": "q38 registry settings",
+        "settings": "q38 registry settings (= 'balanced' preset)",
         "recall": recall_at_k(exact, S.ivf_topk(emb, q, k=5, n_cells=16, n_probe=6)),
+        "candidate_fraction": round(
+            S._ivf_candidates(emb, q, "vec_id", "embedding", 16, 6, 2048).count()
+            / brute_pairs,
+            3,
+        ),
     }
+    # recall-first presets: the documented ≥0.9-on-any-geometry operating
+    # point (ANN_PRESETS), with the measured candidate-cost delta
+    lsh_p = S.ANN_PRESETS["lsh"]["recall"]
+    ivf_p = S.ANN_PRESETS["ivf"]["recall"]
+    out["lsh_testdata_recall_preset"] = {
+        "sf_dir": sf_dir,
+        "settings": lsh_p,
+        "recall": recall_at_k(exact, S.ann_lsh_topk(emb, q, k=5, preset="recall")),
+        "candidate_fraction": round(
+            S._lsh_candidates(
+                emb, q, "vec_id", "embedding", lsh_p["n_planes"], lsh_p["bands"], 64
+            ).count()
+            / brute_pairs,
+            3,
+        ),
+    }
+    out["ivf_testdata_recall_preset"] = {
+        "sf_dir": sf_dir,
+        "settings": ivf_p,
+        "recall": recall_at_k(exact, S.ivf_topk(emb, q, k=5, preset="recall")),
+        "candidate_fraction": round(
+            S._ivf_candidates(
+                emb, q, "vec_id", "embedding", ivf_p["n_cells"], ivf_p["n_probe"], 2048
+            ).count()
+            / brute_pairs,
+            3,
+        ),
+    }
+    emb.unpersist()
 
 
 def main() -> None:
