@@ -447,3 +447,167 @@ def stratified_sample(
         .where(F.col("rn") <= k)
         .select(group_col, id_col, "rn")
     )
+
+
+def doc_word_counts(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Per-document term frequencies ``(id_col, word, tf)``.
+
+    One explode + one (id, word)-keyed partial+final hash aggregation: the
+    map-side combine collapses within-document repeats before the shuffle,
+    so shuffle volume is O(distinct (doc, word)) not O(tokens). The shared
+    base frame for the corpus-relative scorers below.
+    """
+    return (
+        df.select(F.col(id_col), F.explode(tokens(text_col)).alias("word"))
+        .groupBy(id_col, "word")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+
+
+def rare_word_scoring(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    rare_max_count: int = 100,
+) -> DataFrame:
+    """Corpus-relative word-rarity quality signals per document — the
+    companion to the document-local :func:`quality_score`: a doc full of
+    words the corpus has barely seen is OOV-heavy/noisy (or precious),
+    and either way a filtering/routing pass wants the signal.
+
+    Emits per document: ``n_words``, ``rare_words`` (occurrences of words
+    whose CORPUS count ≤ ``rare_max_count``), ``commonness_sum``
+    (Σ tf·corpus_count — the exact-integer form of "how common is this
+    doc's vocabulary"), plus ``rare_ratio`` and ``mean_commonness``
+    (each ONE IEEE division of exact int64s, bit-identical across engines
+    — no libm, no float summation order).
+
+    Shape: :func:`doc_word_counts` once; the vocabulary is re-aggregated
+    FROM it (word-keyed, input already combined — never a second corpus
+    scan of raw tokens); one word-keyed join (vocabulary size is Zipf-
+    bounded but unbounded in principle, so the join side is left to AQE
+    rather than force-broadcast); final id-keyed aggregation. All shuffle
+    keys are words or ids — no skew beyond true hot words, which the
+    map-side combine already collapsed to one row per (doc, word).
+    """
+    dw = doc_word_counts(df, text_col, id_col)
+    vocab = dw.groupBy("word").agg(F.sum("tf").cast("long").alias("c"))
+    return (
+        dw.join(vocab, "word")
+        .groupBy(id_col)
+        .agg(
+            F.sum("tf").cast("long").alias("n_words"),
+            F.sum(
+                F.when(F.col("c") <= rare_max_count, F.col("tf")).otherwise(F.lit(0))
+            )
+            .cast("long")
+            .alias("rare_words"),
+            F.sum(F.col("tf") * F.col("c")).cast("long").alias("commonness_sum"),
+        )
+        .select(
+            id_col,
+            "n_words",
+            "rare_words",
+            "commonness_sum",
+            (F.col("rare_words").cast("double") / F.col("n_words").cast("double")).alias(
+                "rare_ratio"
+            ),
+            (
+                F.col("commonness_sum").cast("double") / F.col("n_words").cast("double")
+            ).alias("mean_commonness"),
+        )
+    )
+
+
+def characteristic_terms(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 3,
+) -> DataFrame:
+    """Top-``k`` characteristic terms per document, ranked by
+    ``(tf DESC, document_frequency ASC, word ASC)`` — the TF-IDF intuition
+    (frequent here, rare across the corpus) as a total order in EXACT
+    integer space. Deliberately NOT ``tf·log(N/df)``: the lexicographic
+    rank is its own contract (primary evidence tf, rarity as tiebreak),
+    reproducible bit-for-bit on any engine with no libm in the plan —
+    where a float score would make the top-k frontier engine-dependent.
+
+    Shape: :func:`doc_word_counts`, document frequency re-aggregated from
+    it (word-keyed count of docs), one word-keyed join, then a per-doc
+    ``row_number`` window — the window partitions by document, so no
+    single task ever sees more than one document's vocabulary.
+    Returns ``(id_col, word, tf, df, rn)``.
+    """
+    from pyspark.sql import Window
+
+    dw = doc_word_counts(df, text_col, id_col)
+    dfreq = dw.groupBy("word").agg(F.count(F.lit(1)).cast("long").alias("df"))
+    w = Window.partitionBy(id_col).orderBy(
+        F.col("tf").desc(), F.col("df").asc(), "word"
+    )
+    return (
+        dw.join(dfreq, "word")
+        .withColumn("rn", F.row_number().over(w).cast("int"))
+        .where(F.col("rn") <= k)
+        .select(id_col, "word", "tf", "df", "rn")
+    )
+
+
+def source_overlap(
+    df: DataFrame,
+    text_col: str = "text",
+    group_col: str = "source",
+    n: int = 3,
+) -> DataFrame:
+    """Pairwise content overlap between corpus slices (sources/domains):
+    distinct word-``n``-gram shingle sets per slice, intersected across
+    every slice pair — the cross-source contamination matrix a mixture
+    designer checks before weighting domains (is "webcrawl B" just
+    "webcrawl A" again?).
+
+    Emits ``(source_1, source_2, n_1, n_2, n_common, jaccard)`` for pairs
+    with ≥1 shared shingle; ``jaccard`` is ONE IEEE division of exact
+    int64 counts. Shape: shingle explode (narrow, per-row distinct), one
+    (slice, shingle) distinct shuffle, a shingle-keyed self-join whose
+    output is bounded by slices² per shingle (slice cardinality is small
+    by construction — sources, not documents), then a tiny pair
+    aggregation. The corpus is never joined row-to-row.
+    """
+    from reactive_kinesis_spark.operators.dedup import shingles
+
+    sl = shingles(df, text_col, group_col, n).distinct()
+    sizes = sl.groupBy(group_col).agg(F.count(F.lit(1)).cast("long").alias("n_sh"))
+    a = sl.select(F.col(group_col).alias("source_1"), "shingle")
+    b = sl.select(F.col(group_col).alias("source_2"), "shingle")
+    common = (
+        a.join(b, "shingle")
+        .where(F.col("source_1") < F.col("source_2"))
+        .groupBy("source_1", "source_2")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_common"))
+    )
+    return (
+        common.join(
+            F.broadcast(sizes.select(F.col(group_col).alias("source_1"), F.col("n_sh").alias("n_1"))),
+            "source_1",
+        )
+        .join(
+            F.broadcast(sizes.select(F.col(group_col).alias("source_2"), F.col("n_sh").alias("n_2"))),
+            "source_2",
+        )
+        .select(
+            "source_1",
+            "source_2",
+            "n_1",
+            "n_2",
+            "n_common",
+            (
+                F.col("n_common").cast("double")
+                / (F.col("n_1") + F.col("n_2") - F.col("n_common")).cast("double")
+            ).alias("jaccard"),
+        )
+    )

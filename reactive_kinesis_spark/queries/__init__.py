@@ -43,17 +43,19 @@ def query(name: str, oracle: str | None = None):
 
 
 #: Driver-visibility rotation (round 5). The driver's correctness run samples
-#: the FIRST 50 registry entries; with 65 oracle-backed queries, 15 must sit
+#: the FIRST 50 registry entries; with 68 oracle-backed queries, 18 must sit
 #: past the window each round. Policy: the least-driver-certified queries get
 #: the visible slots, so no oracle query goes more than ~2 rounds without
 #: driver re-certification. This round the two pools SWAP (the round-4
 #: VERDICT's explicit ask): _PROMOTED = the fifteen queries demoted in round
-#: 4, whose last driver certification is rounds 1-3 (q11-q16 only r3) — they
-#: take slots 0-14. _DEMOTED = the fifteen queries promoted in round 4, each
-#: freshly certified in CORRECTNESS_r04 (rows+schema+hash), rotated out to
-#: make room; they remain fully oracle-checked locally every session
-#: (tests/test_oracle_parity.py). The 35 middle-tier queries were also all
-#: certified in r4 and keep their in-window slots.
+#: 4, whose last driver certification is rounds 1-3 (q11-q16 only r3), PLUS
+#: the three brand-new never-certified round-5 queries (q75-q77) — they take
+#: slots 0-17. _DEMOTED = the fifteen queries promoted in round 4, each
+#: freshly certified in CORRECTNESS_r04 (rows+schema+hash), plus three
+#: r4-certified mid-tier queries (q48/q49/q52) rotated out to make room for
+#: the new ones; all remain fully oracle-checked locally every session
+#: (tests/test_oracle_parity.py). The remaining 32 middle-tier queries were
+#: all certified in r4 and keep their in-window slots.
 _PROMOTED = (
     "q02_filter_project",
     "q03_join_agg_topk",
@@ -70,6 +72,9 @@ _PROMOTED = (
     "q06_outer_join_histogram",
     "q10_rollup",
     "q11_cube",
+    "q75_rare_word_scoring",
+    "q76_characteristic_terms",
+    "q77_source_overlap",
 )
 _DEMOTED = (
     "q60_dedup_clusters",
@@ -87,6 +92,9 @@ _DEMOTED = (
     "q74_stratified_sample",
     "q46_scalar_subquery",
     "q55_window_distribution",
+    "q48_pivot",
+    "q49_unpivot",
+    "q52_higher_order_array",
 )
 
 

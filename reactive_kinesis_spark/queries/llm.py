@@ -1020,3 +1020,109 @@ def q74_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     and the rate-based alternative for unbounded groups."""
     docs = load_table(spark, sf_dir, "documents")
     return T.stratified_sample(docs, k=20).orderBy("source", "rn")
+
+
+@query(
+    "q75_rare_word_scoring",
+    oracle="""
+    WITH words AS (
+        SELECT doc_id, unnest(string_split(text, ' ')) AS word FROM documents
+    ),
+    dw AS (
+        SELECT doc_id, word, CAST(COUNT(*) AS BIGINT) AS tf
+        FROM words GROUP BY doc_id, word
+    ),
+    vocab AS (
+        SELECT word, CAST(SUM(tf) AS BIGINT) AS c FROM dw GROUP BY word
+    )
+    SELECT doc_id,
+           CAST(SUM(tf) AS BIGINT) AS n_words,
+           CAST(SUM(CASE WHEN c <= 100 THEN tf ELSE 0 END) AS BIGINT) AS rare_words,
+           CAST(SUM(tf * c) AS BIGINT) AS commonness_sum,
+           CAST(CAST(SUM(CASE WHEN c <= 100 THEN tf ELSE 0 END) AS BIGINT) AS DOUBLE)
+               / CAST(CAST(SUM(tf) AS BIGINT) AS DOUBLE) AS rare_ratio,
+           CAST(CAST(SUM(tf * c) AS BIGINT) AS DOUBLE)
+               / CAST(CAST(SUM(tf) AS BIGINT) AS DOUBLE) AS mean_commonness
+    FROM dw JOIN vocab USING (word)
+    GROUP BY doc_id
+    ORDER BY doc_id
+    """,
+)
+def q75_rare_word_scoring(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-relative rarity quality signals: per-doc rare-word ratio and
+    exact-integer vocabulary commonness against the live corpus counts —
+    the OOV/noise filter signal next to the document-local q26 score. See
+    operators.text.rare_word_scoring for the two-shuffle plan shape."""
+    docs = load_table(spark, sf_dir, "documents")
+    return T.rare_word_scoring(docs, rare_max_count=100).orderBy("doc_id")
+
+
+@query(
+    "q76_characteristic_terms",
+    oracle="""
+    WITH words AS (
+        SELECT doc_id, unnest(string_split(text, ' ')) AS word FROM documents
+    ),
+    dw AS (
+        SELECT doc_id, word, CAST(COUNT(*) AS BIGINT) AS tf
+        FROM words GROUP BY doc_id, word
+    ),
+    dfreq AS (
+        SELECT word, CAST(COUNT(*) AS BIGINT) AS df FROM dw GROUP BY word
+    )
+    SELECT doc_id, word, tf, df, rn FROM (
+        SELECT doc_id, word, tf, df,
+               CAST(ROW_NUMBER() OVER (
+                   PARTITION BY doc_id ORDER BY tf DESC, df ASC, word ASC
+               ) AS INT) AS rn
+        FROM dw JOIN dfreq USING (word)
+    )
+    WHERE rn <= 3
+    ORDER BY doc_id, rn
+    """,
+)
+def q76_characteristic_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-3 characteristic terms per document by (tf DESC, df ASC, word) —
+    the TF-IDF ranking intuition as an exact-integer total order (no libm
+    in the top-k frontier). The per-doc keyword/labeling primitive."""
+    docs = load_table(spark, sf_dir, "documents")
+    return T.characteristic_terms(docs, k=3).orderBy("doc_id", "rn")
+
+
+@query(
+    "q77_source_overlap",
+    oracle="""
+    WITH docs AS (
+        SELECT source, string_split(text, ' ') AS words FROM documents
+        WHERE len(string_split(text, ' ')) >= 3
+    ),
+    sl AS (
+        SELECT DISTINCT source, array_to_string(words[i:i+2], ' ') AS shingle
+        FROM docs, UNNEST(range(1, len(words)-1)) AS t(i)
+    ),
+    sizes AS (
+        SELECT source, CAST(COUNT(*) AS BIGINT) AS n_sh FROM sl GROUP BY source
+    ),
+    common AS (
+        SELECT a.source AS source_1, b.source AS source_2,
+               CAST(COUNT(*) AS BIGINT) AS n_common
+        FROM sl a JOIN sl b ON a.shingle = b.shingle AND a.source < b.source
+        GROUP BY a.source, b.source
+    )
+    SELECT source_1, source_2,
+           s1.n_sh AS n_1, s2.n_sh AS n_2, n_common,
+           CAST(n_common AS DOUBLE)
+               / CAST(s1.n_sh + s2.n_sh - n_common AS DOUBLE) AS jaccard
+    FROM common
+    JOIN sizes s1 ON s1.source = source_1
+    JOIN sizes s2 ON s2.source = source_2
+    ORDER BY source_1, source_2
+    """,
+)
+def q77_source_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-source contamination matrix: word-trigram shingle overlap and
+    Jaccard between every pair of sources — the is-domain-B-just-domain-A
+    check a mixture designer runs before q65's weighting. Bounded output
+    (sources squared), shingle-keyed shuffles only."""
+    docs = load_table(spark, sf_dir, "documents")
+    return T.source_overlap(docs, n=3).orderBy("source_1", "source_2")
