@@ -137,6 +137,12 @@ class Boto3Transport:
 
     Thread-safety: boto3 clients are thread-safe for concurrent calls, so
     this transport supports ``max_outstanding > 1`` in ``write_batch``.
+
+    Pickling: ``write_batch`` ships the transport to executors inside the
+    ``foreachPartition`` closure, and boto3 clients are not picklable — so
+    client construction is LAZY (first ``__call__``) and an owned client is
+    dropped on pickle and rebuilt per executor process. An injected client
+    (tests, pre-configured sessions) is kept — fakes cloudpickle by value.
     """
 
     def __init__(
@@ -146,18 +152,48 @@ class Boto3Transport:
         region_name: str | None = None,
         endpoint_url: str | None = None,
         profile_name: str | None = None,
+        verify=None,
+        client_config_kwargs: dict | None = None,
     ):
-        if client is None:
+        self._client = client
+        self._owns_client = client is None
+        self._build_kwargs = {
+            "region_name": region_name,
+            "endpoint_url": endpoint_url,
+            "profile_name": profile_name,
+            "verify": verify,
+            "client_config_kwargs": client_config_kwargs,
+        }
+
+    def _ensure_client(self):
+        if self._client is None:
             try:
                 import boto3
+                from botocore.config import Config
             except ImportError as exc:  # pragma: no cover — sandbox has no boto3
                 raise ImportError(
                     "Boto3Transport requires boto3 (pip install boto3); in "
                     "tests inject a fake client via Boto3Transport(client=...)"
                 ) from exc
-            session = boto3.session.Session(profile_name=profile_name, region_name=region_name)
-            client = session.client("kinesis", endpoint_url=endpoint_url)
-        self._client = client
+            kw = self._build_kwargs
+            session = boto3.session.Session(
+                profile_name=kw["profile_name"], region_name=kw["region_name"]
+            )
+            extra: dict = {}
+            if kw["verify"] is not None:
+                extra["verify"] = kw["verify"]
+            if kw["client_config_kwargs"]:
+                extra["config"] = Config(**kw["client_config_kwargs"])
+            self._client = session.client(
+                "kinesis", endpoint_url=kw["endpoint_url"], **extra
+            )
+        return self._client
+
+    def __getstate__(self):
+        state = dict(self.__dict__)
+        if self._owns_client:
+            state["_client"] = None  # rebuilt lazily after unpickle
+        return state
 
     @classmethod
     def from_producer_config(cls, conf, client=None) -> "Boto3Transport":
@@ -166,39 +202,29 @@ class Boto3Transport:
         KinesisPort/Region/VerifyCertificate/ConnectTimeout/RequestTimeout/
         MaxConnections/CredentialsProvider, reference.conf:87-378) map onto
         the boto3 client the way ``toAwsConfig`` maps them onto the native
-        KPL (producer/KinesisProducerConfig.scala:63-106)."""
+        KPL (producer/KinesisProducerConfig.scala:63-106). Construction is
+        lazy — nothing touches boto3 until the first send."""
         if client is not None:
             return cls(client=client)
-        try:
-            import boto3
-            from botocore.config import Config
-        except ImportError as exc:  # pragma: no cover — sandbox has no boto3
-            raise ImportError(
-                "Boto3Transport requires boto3; in tests inject a fake "
-                "client via from_producer_config(conf, client=...)"
-            ) from exc
-        session = boto3.session.Session(
-            profile_name=_profile_name(conf.credentials_provider),
-            region_name=conf.region,
-        )
         return cls(
-            session.client(
-                "kinesis",
-                endpoint_url=endpoint_url(conf),
-                verify=conf.verify_certificate,
-                config=Config(
-                    connect_timeout=conf.connect_timeout_millis / 1000.0,
-                    read_timeout=conf.request_timeout_millis / 1000.0,
-                    max_pool_connections=conf.max_connections,
-                ),
-            )
+            region_name=conf.region,
+            endpoint_url=endpoint_url(conf),
+            profile_name=_profile_name(conf.credentials_provider),
+            verify=conf.verify_certificate,
+            client_config_kwargs={
+                "connect_timeout": conf.connect_timeout_millis / 1000.0,
+                "read_timeout": conf.request_timeout_millis / 1000.0,
+                "max_pool_connections": conf.max_connections,
+            },
         )
 
     def __call__(self, stream_name: str, entries: list[tuple[str, bytes]]) -> list[bool]:
         self._check_request_shape(entries)
         records = [{"Data": data, "PartitionKey": pk} for pk, data in entries]
         try:
-            resp = self._client.put_records(StreamName=stream_name, Records=records)
+            resp = self._ensure_client().put_records(
+                StreamName=stream_name, Records=records
+            )
         except Exception as exc:  # noqa: BLE001 — classify, then retry or escalate
             code = _aws_error_code(exc)
             if code in RETRYABLE_ERROR_CODES or (

@@ -229,3 +229,21 @@ def test_from_producer_config_with_injected_client():
         ProducerConfig(stream_name="s", kinesis_endpoint="localhost"), client=client
     )
     assert t("s", [("a", b"x")]) == [True]
+
+
+def test_owned_client_transport_pickles_for_executor_shipping():
+    """write_batch ships the transport inside the foreachPartition closure;
+    an owned (lazily-built) client must drop on pickle and rebuild, while
+    an injected fake stays by-value."""
+    import pickle
+
+    t = Boto3Transport.from_producer_config(
+        ProducerConfig(stream_name="s", kinesis_endpoint="localhost")
+    )
+    assert t._owns_client and t._client is None
+    t2 = pickle.loads(pickle.dumps(t))
+    assert t2._client is None
+    assert t2._build_kwargs["endpoint_url"] == "https://localhost:443"
+
+    injected = Boto3Transport(client=FakeKinesisClient())
+    assert injected("s", [("a", b"x")]) == [True]  # no lazy build needed
