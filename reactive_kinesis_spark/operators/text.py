@@ -572,42 +572,67 @@ def source_overlap(
 
     Emits ``(source_1, source_2, n_1, n_2, n_common, jaccard)`` for pairs
     with ≥1 shared shingle; ``jaccard`` is ONE IEEE division of exact
-    int64 counts. Shape: shingle explode (narrow, per-row distinct), one
-    (slice, shingle) distinct shuffle, a shingle-keyed self-join whose
-    output is bounded by slices² per shingle (slice cardinality is small
-    by construction — sources, not documents), then a tiny pair
-    aggregation. The corpus is never joined row-to-row.
+    int64 counts.
+
+    Shape — ONE corpus scan, one linear chain (a naive self-join + size
+    joins evaluates the corpus-sized shingle subtree once per branch —
+    measured 4-6 scans in the pre-AQE plan; attribute aliasing defeats
+    ReuseExchange): shingle explode (narrow, per-row distinct) → one
+    (slice, shingle) distinct shuffle → one shingle-keyed aggregation to
+    the per-shingle sorted slice set (bounded by slice CARDINALITY, which
+    is small by construction — sources, not documents) → a single narrow
+    generate emits marker rows ``(s, NULL)``/``(NULL, s)`` and pair rows
+    ``(s_i, s_j)`` per shingle → one tiny aggregation counts per-slice
+    sizes and pair intersections TOGETHER → two windows over the
+    O(slices²) counted frame attach each pair's sizes (no joins, nothing
+    corpus-sized past the shingle agg).
     """
+    from pyspark.sql import Window
+
     from reactive_kinesis_spark.operators.dedup import shingles
 
     sl = shingles(df, text_col, group_col, n).distinct()
-    sizes = sl.groupBy(group_col).agg(F.count(F.lit(1)).cast("long").alias("n_sh"))
-    a = sl.select(F.col(group_col).alias("source_1"), "shingle")
-    b = sl.select(F.col(group_col).alias("source_2"), "shingle")
-    common = (
-        a.join(b, "shingle")
-        .where(F.col("source_1") < F.col("source_2"))
-        .groupBy("source_1", "source_2")
-        .agg(F.count(F.lit(1)).cast("long").alias("n_common"))
+    by_sh = sl.groupBy("shingle").agg(
+        F.sort_array(F.collect_set(group_col)).alias("gs")
     )
+    gs = F.col("gs")
+    null_s = F.lit(None).cast("string")
+    units1 = F.transform(gs, lambda s: F.struct(s.alias("source_1"), null_s.alias("source_2")))
+    units2 = F.transform(gs, lambda s: F.struct(null_s.alias("source_1"), s.alias("source_2")))
+    pairs = F.flatten(
+        F.transform(
+            gs,
+            lambda s, i: F.transform(
+                F.slice(gs, i + F.lit(2), F.size(gs)),
+                lambda t: F.struct(s.alias("source_1"), t.alias("source_2")),
+            ),
+        )
+    )
+    counted = (
+        by_sh.select(F.explode(F.concat(units1, units2, pairs)).alias("e"))
+        .select("e.source_1", "e.source_2")
+        .groupBy("source_1", "source_2")
+        .agg(F.count(F.lit(1)).cast("long").alias("cnt"))
+    )
+    w1 = Window.partitionBy("source_1")
+    w2 = Window.partitionBy("source_2")
     return (
-        common.join(
-            F.broadcast(sizes.select(F.col(group_col).alias("source_1"), F.col("n_sh").alias("n_1"))),
-            "source_1",
+        counted.withColumn(
+            "n_1", F.max(F.when(F.col("source_2").isNull(), F.col("cnt"))).over(w1)
         )
-        .join(
-            F.broadcast(sizes.select(F.col(group_col).alias("source_2"), F.col("n_sh").alias("n_2"))),
-            "source_2",
+        .withColumn(
+            "n_2", F.max(F.when(F.col("source_1").isNull(), F.col("cnt"))).over(w2)
         )
+        .where(F.col("source_1").isNotNull() & F.col("source_2").isNotNull())
         .select(
             "source_1",
             "source_2",
             "n_1",
             "n_2",
-            "n_common",
+            F.col("cnt").alias("n_common"),
             (
-                F.col("n_common").cast("double")
-                / (F.col("n_1") + F.col("n_2") - F.col("n_common")).cast("double")
+                F.col("cnt").cast("double")
+                / (F.col("n_1") + F.col("n_2") - F.col("cnt")).cast("double")
             ).alias("jaccard"),
         )
     )
