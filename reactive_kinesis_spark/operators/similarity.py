@@ -270,6 +270,126 @@ def hyperplane_signature(
     return df.withColumn(out_col, sig.cast("int"))
 
 
+def _banded_signatures(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    n_planes: int,
+    bands: int,
+    dim: int,
+    id_alias: str,
+    keep_vec: str,
+    keep_norm: str | None = None,
+) -> DataFrame:
+    """Arrow-batched hyperplane signature + band explosion: one numpy matmul
+    per batch against the (tiny) plane matrix riding in the closure, then
+    ``bands`` rows per input ``(id_alias, keep_vec, band, bits[, norm])``.
+
+    This is the scale path for EVERY banded-LSH consumer (ANN search and
+    embedding near-dup alike): the JVM literal-plane fold
+    (:func:`hyperplane_signature`) expands to a ~n_planes·dim-term Catalyst
+    expression — measured 3.2 s for 2 000 rows at 16×64 vs milliseconds
+    here — so it is kept only as the no-Python-boundary variant for tiny
+    frames.
+
+    ``keep_norm`` additionally emits each vector's L2 norm (computed once
+    here, sequential-fold order), so downstream cosine re-ranking is ONE
+    dot fold per candidate pair instead of three (dot + two per-pair norm
+    recomputations)."""
+    import numpy as np
+
+    bits_per_band = n_planes // bands
+    planes = np.array(_hyperplanes(dim, n_planes), dtype="float64")
+    vec_type = df.schema[vec_col].dataType
+    fields = [
+        StructField(id_alias, LongType()),
+        StructField(keep_vec, vec_type),
+        StructField("band", IntegerType()),
+        StructField("bits", IntegerType()),
+    ]
+    if keep_norm:
+        fields.append(StructField(keep_norm, DoubleType()))
+    out_schema = StructType(fields)
+
+    def sign_bands(batches: Iterator) -> Iterator:
+        import pandas as pd
+
+        band_mask = (1 << bits_per_band) - 1
+        for pdf in batches:
+            mat = np.array(pdf[vec_col].tolist(), dtype="float64")
+            if mat.size == 0:
+                continue
+            bits = (mat @ planes.T) > 0  # [n, n_planes] sign bits
+            sig = np.zeros(len(mat), dtype="int64")
+            for i in range(n_planes):
+                sig |= bits[:, i].astype("int64") << i
+            norms = np.sqrt(_seq_sqnorm(mat)) if keep_norm else None
+            frames = []
+            for b in range(bands):
+                cols = {
+                    id_alias: pdf[id_col].to_numpy(dtype="int64"),
+                    keep_vec: pdf[vec_col],
+                    "band": np.full(len(mat), b, dtype="int32"),
+                    "bits": ((sig >> (b * bits_per_band)) & band_mask).astype(
+                        "int32"
+                    ),
+                }
+                if keep_norm:
+                    cols[keep_norm] = norms
+                frames.append(pd.DataFrame(cols))
+            yield pd.concat(frames, ignore_index=True)
+
+    return df.select(id_col, vec_col).mapInPandas(sign_bands, out_schema)
+
+
+def _pairwise_cosine_arrow(
+    pairs: DataFrame,
+    id_1: str,
+    id_2: str,
+    v1: str,
+    v2: str,
+    n1: str,
+    n2: str,
+) -> DataFrame:
+    """Vectorized candidate re-rank: one narrow Arrow pass computing
+    ``dot(v1, v2) / (n1 · n2)`` per row with a batched numpy row-wise dot.
+
+    The JVM ``aggregate``-fold dot is an interpreted per-element expression
+    — measured ~2× the whole query time on the sf0.1 near-dup family —
+    while the Arrow batch is one fused multiply + pairwise-sum per row.
+    Deterministic (fixed batch-internal arithmetic), used only by the
+    rows-only approximate operators; the oracle-matched exact path (q29)
+    keeps the sequential-fold scorer."""
+    out_schema = StructType(
+        [
+            StructField(id_1, LongType()),
+            StructField(id_2, LongType()),
+            StructField("cosine_sim", DoubleType()),
+        ]
+    )
+
+    def score(batches: Iterator) -> Iterator:
+        import numpy as np
+        import pandas as pd
+
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            a = np.array(pdf[v1].tolist(), dtype="float64")
+            b = np.array(pdf[v2].tolist(), dtype="float64")
+            dots = np.einsum("ij,ij->i", a, b)
+            yield pd.DataFrame(
+                {
+                    id_1: pdf[id_1].to_numpy(dtype="int64"),
+                    id_2: pdf[id_2].to_numpy(dtype="int64"),
+                    "cosine_sim": dots
+                    / (pdf[n1].to_numpy(dtype="float64") * pdf[n2].to_numpy(dtype="float64")),
+                }
+            )
+
+    return pairs.select(id_1, id_2, v1, v2, n1, n2).mapInPandas(score, out_schema)
+
+
 def _lsh_candidates(
     corpus: DataFrame,
     queries: DataFrame,
@@ -283,60 +403,16 @@ def _lsh_candidates(
     __cvec)`` for :func:`ann_lsh_topk` — exposed separately so
     tools/recall_report.py can measure candidate cost (candidates ÷ Q·(N−1)
     brute-force pairs) for the preset table above."""
-    bits_per_band = n_planes // bands
-
-    def banded(df: DataFrame, id_alias: str, keep_vec: str) -> DataFrame:
-        """Arrow-batched signature + band explosion: one numpy matmul per
-        batch against the (tiny) hyperplane matrix riding in the closure."""
-        import numpy as np
-
-        planes = np.array(_hyperplanes(dim, n_planes), dtype="float64")
-        vec_type = df.schema[vec_col].dataType
-        out_schema = StructType(
-            [
-                StructField(id_alias, LongType()),
-                StructField(keep_vec, vec_type),
-                StructField("band", IntegerType()),
-                StructField("bits", IntegerType()),
-            ]
-        )
-
-        def sign_bands(batches: Iterator) -> Iterator:
-            import pandas as pd
-
-            band_mask = (1 << bits_per_band) - 1
-            for pdf in batches:
-                mat = np.array(pdf[vec_col].tolist(), dtype="float64")
-                if mat.size == 0:
-                    continue
-                bits = (mat @ planes.T) > 0  # [n, n_planes] sign bits
-                sig = np.zeros(len(mat), dtype="int64")
-                for i in range(n_planes):
-                    sig |= bits[:, i].astype("int64") << i
-                frames = []
-                for b in range(bands):
-                    frames.append(
-                        pd.DataFrame(
-                            {
-                                id_alias: pdf[id_col].to_numpy(dtype="int64"),
-                                keep_vec: pdf[vec_col],
-                                "band": np.full(len(mat), b, dtype="int32"),
-                                "bits": ((sig >> (b * bits_per_band)) & band_mask).astype(
-                                    "int32"
-                                ),
-                            }
-                        )
-                    )
-                yield pd.concat(frames, ignore_index=True)
-
-        return df.select(id_col, vec_col).mapInPandas(sign_bands, out_schema)
-
-    qb = banded(queries, "query_id", "__qvec")
-    cb = banded(corpus, "neighbor_id", "__cvec")
+    qb = _banded_signatures(
+        queries, id_col, vec_col, n_planes, bands, dim, "query_id", "__qvec", "__qnorm"
+    )
+    cb = _banded_signatures(
+        corpus, id_col, vec_col, n_planes, bands, dim, "neighbor_id", "__cvec", "__cnorm"
+    )
     return (
         cb.join(F.broadcast(qb), ["band", "bits"])
         .where(F.col("query_id") != F.col("neighbor_id"))
-        .select("query_id", "neighbor_id", "__qvec", "__cvec")
+        .select("query_id", "neighbor_id", "__qvec", "__cvec", "__qnorm", "__cnorm")
         .dropDuplicates(["query_id", "neighbor_id"])
     )
 
@@ -370,8 +446,8 @@ def ann_lsh_topk(
     cand = _lsh_candidates(
         corpus, queries, id_col, vec_col, p["n_planes"], p["bands"], dim
     )
-    scored = cand.select(
-        "query_id", "neighbor_id", cosine_similarity("__qvec", "__cvec").alias("cosine_sim")
+    scored = _pairwise_cosine_arrow(
+        cand, "query_id", "neighbor_id", "__qvec", "__cvec", "__qnorm", "__cnorm"
     )
     w = Window.partitionBy("query_id").orderBy(F.col("cosine_sim").desc(), "neighbor_id")
     return scored.withColumn("rn", F.row_number().over(w).cast("int")).where(F.col("rn") <= k)
@@ -387,38 +463,31 @@ def embedding_neardup_pairs(
     dim: int = 64,
 ) -> DataFrame:
     """Embedding-cosine near-duplicate pairs (cosine ≥ threshold) via the
-    same LSH bucketing (near-dups almost surely collide in ≥1 band)."""
-    bits_per_band = n_planes // bands
-    sig = hyperplane_signature(df, vec_col, n_planes, dim)
-    banded = sig.select(
-        F.col(id_col),
-        F.col(vec_col),
-        F.explode(
-            F.array(
-                *[
-                    F.struct(
-                        F.lit(b).alias("band"),
-                        F.shiftright(F.col("lsh_sig"), b * bits_per_band)
-                        .bitwiseAND(F.lit((1 << bits_per_band) - 1))
-                        .alias("bits"),
-                    )
-                    for b in range(bands)
-                ]
-            )
-        ).alias("bb"),
-    ).select(id_col, vec_col, F.col("bb.band").alias("band"), F.col("bb.bits").alias("bits"))
-    x = banded.select(
-        F.col("band"), F.col("bits"), F.col(id_col).alias("id_1"), F.col(vec_col).alias("__v1")
-    )
-    y = banded.select(
-        F.col("band"), F.col("bits"), F.col(id_col).alias("id_2"), F.col(vec_col).alias("__v2")
-    )
-    return (
+    same LSH bucketing (near-dups almost surely collide in ≥1 band).
+
+    Signatures AND per-vector norms come from the Arrow matmul path
+    (:func:`_banded_signatures`): the JVM literal-plane fold was a
+    n_planes·dim-term Catalyst expression per row, and the three-fold
+    per-pair cosine (dot + two norm recomputations) dominated the
+    candidate re-rank — together 2.5-3× of q42/q63's sf0.1 time."""
+    from reactive_kinesis_spark.functions import vec_dot
+
+    x = _banded_signatures(df, id_col, vec_col, n_planes, bands, dim, "id_1", "__v1", "__n1")
+    y = _banded_signatures(df, id_col, vec_col, n_planes, bands, dim, "id_2", "__v2", "__n2")
+    # score (vectorized Arrow pass) + threshold BEFORE the dedup: band-
+    # collision duplicates cost a few extra batched dots, but the dedup
+    # exchange then carries only the (id, id, score) rows that PASSED the
+    # threshold — not every candidate with two attached dim-float vectors
+    # (the otherwise-largest exchange at 100 TB). Duplicate rows score
+    # bit-identically, so dropDuplicates on the ids keeps exactly one.
+    pairs = (
         x.join(y, ["band", "bits"])
         .where(F.col("id_1") < F.col("id_2"))
-        .dropDuplicates(["id_1", "id_2"])
-        .select("id_1", "id_2", cosine_similarity("__v1", "__v2").alias("cosine_sim"))
+    )
+    return (
+        _pairwise_cosine_arrow(pairs, "id_1", "id_2", "__v1", "__v2", "__n1", "__n2")
         .where(F.col("cosine_sim") >= threshold)
+        .dropDuplicates(["id_1", "id_2"])
     )
 
 
@@ -478,13 +547,16 @@ def _ivf_candidates(
         np.array([list(r[0]) for r in train_rows], dtype="float64"), n_cells
     )
 
-    def assigner(df: DataFrame, id_alias: str, vec_alias: str, probes: int) -> DataFrame:
+    def assigner(
+        df: DataFrame, id_alias: str, vec_alias: str, norm_alias: str, probes: int
+    ) -> DataFrame:
         vec_type = df.schema[vec_col].dataType
         out_schema = StructType(
             [
                 StructField(id_alias, LongType()),
                 StructField(vec_alias, vec_type),
                 StructField("cell", IntegerType()),
+                StructField(norm_alias, DoubleType()),
             ]
         )
 
@@ -499,6 +571,7 @@ def _ivf_candidates(
                 # lowest-index tie-break is argsort(kind='stable') semantics;
                 # argpartition is not deterministic under ties → argsort
                 order = np.argsort(d2, axis=1, kind="stable")[:, :probes]
+                norms = np.sqrt(_seq_sqnorm(mat))
                 frames = []
                 for p in range(probes):
                     frames.append(
@@ -507,6 +580,7 @@ def _ivf_candidates(
                                 id_alias: pdf[id_col].to_numpy(dtype="int64"),
                                 vec_alias: pdf[vec_col],
                                 "cell": order[:, p].astype("int32"),
+                                norm_alias: norms,
                             }
                         )
                     )
@@ -514,12 +588,12 @@ def _ivf_candidates(
 
         return df.select(id_col, vec_col).mapInPandas(run, out_schema)
 
-    cb = assigner(corpus, "neighbor_id", "__cvec", probes=1)
-    qb = assigner(queries, "query_id", "__qvec", probes=n_probe)
+    cb = assigner(corpus, "neighbor_id", "__cvec", "__cnorm", probes=1)
+    qb = assigner(queries, "query_id", "__qvec", "__qnorm", probes=n_probe)
     return (
         cb.join(F.broadcast(qb), "cell")
         .where(F.col("query_id") != F.col("neighbor_id"))
-        .select("query_id", "neighbor_id", "__qvec", "__cvec")
+        .select("query_id", "neighbor_id", "__qvec", "__cvec", "__qnorm", "__cnorm")
     )
 
 
@@ -557,10 +631,8 @@ def ivf_topk(
     cand = _ivf_candidates(
         corpus, queries, id_col, vec_col, p["n_cells"], p["n_probe"], train_sample
     )
-    scored = cand.select(
-        "query_id",
-        "neighbor_id",
-        cosine_similarity("__qvec", "__cvec").alias("cosine_sim"),
+    scored = _pairwise_cosine_arrow(
+        cand, "query_id", "neighbor_id", "__qvec", "__cvec", "__qnorm", "__cnorm"
     )
     w = Window.partitionBy("query_id").orderBy(F.col("cosine_sim").desc(), "neighbor_id")
     return scored.withColumn("rn", F.row_number().over(w).cast("int")).where(F.col("rn") <= k)
