@@ -113,3 +113,53 @@ def test_approx_percentiles_rank_error_bound(spark, sf_dir):
             lo, hi = getattr(row, f"{name}_lo"), getattr(row, f"{name}_hi")
             got = getattr(a, name)
             assert lo <= got <= hi, (row.l_returnflag, name, lo, got, hi)
+
+
+def test_source_overlap_invariants(spark, sf_dir):
+    """Structural invariants of the contamination matrix: intersection
+    bounded by either side, jaccard in (0, 1], pairs ordered and unique."""
+    from reactive_kinesis_spark.operators.text import source_overlap
+    from reactive_kinesis_spark.tables import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    rows = source_overlap(docs, n=3).collect()
+    assert rows, "expected at least one overlapping source pair"
+    seen = set()
+    for r in rows:
+        assert r.source_1 < r.source_2
+        assert (r.source_1, r.source_2) not in seen
+        seen.add((r.source_1, r.source_2))
+        assert 0 < r.n_common <= min(r.n_1, r.n_2)
+        assert 0.0 < r.jaccard <= 1.0
+        assert r.jaccard == r.n_common / (r.n_1 + r.n_2 - r.n_common)
+
+
+def test_rare_word_scoring_invariants(spark, sf_dir):
+    """rare_words never exceeds n_words; commonness_sum >= n_words (every
+    word occurs at least once corpus-wide); ratios reconstruct exactly."""
+    from reactive_kinesis_spark.operators.text import rare_word_scoring
+    from reactive_kinesis_spark.tables import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    for r in rare_word_scoring(docs, rare_max_count=100).collect():
+        assert 0 <= r.rare_words <= r.n_words
+        assert r.commonness_sum >= r.n_words
+        assert r.rare_ratio == r.rare_words / r.n_words
+        assert r.mean_commonness == r.commonness_sum / r.n_words
+
+
+def test_characteristic_terms_rank_contract(spark, sf_dir):
+    """Within a doc, rn follows (tf desc, df asc, word asc) with no gaps."""
+    from reactive_kinesis_spark.operators.text import characteristic_terms
+    from reactive_kinesis_spark.tables import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    by_doc: dict[int, list] = {}
+    for r in characteristic_terms(docs, k=3).collect():
+        by_doc.setdefault(r.doc_id, []).append(r)
+    assert by_doc
+    for rows in by_doc.values():
+        rows.sort(key=lambda r: r.rn)
+        assert [r.rn for r in rows] == list(range(1, len(rows) + 1))
+        keys = [(-r.tf, r.df, r.word) for r in rows]
+        assert keys == sorted(keys)
