@@ -52,11 +52,35 @@ def test_cc_long_chain_converges_in_logarithmic_rounds(spark):
     edges = [(i, i + 1) for i in range(256)]
     stats: dict = {}
     df = spark.createDataFrame(edges, ["id_1", "id_2"])
-    rows = D.connected_components(df, max_iterations=20, stats=stats).collect()
+    # local_threshold=0 forces the distributed loop — the round pin is
+    # about ITS convergence, not the adaptive local fast path
+    rows = D.connected_components(
+        df, max_iterations=20, stats=stats, local_threshold=0
+    ).collect()
     got = {r.node: r.component for r in rows}
     assert len(got) == 257
     assert set(got.values()) == {0}
+    assert stats["local"] is False
     assert 1 <= stats["rounds"] <= 12, f"expected O(log n) rounds, got {stats['rounds']}"
+
+
+def test_cc_local_fast_path_matches_distributed(spark):
+    """Below local_threshold the driver-side union-find must produce the
+    identical (node, component) mapping the distributed loop produces —
+    same worst-case chain graph, both paths."""
+    edges = [(i, i + 1) for i in range(64)] + [(500, 400), (400, 300)]
+    df = spark.createDataFrame(edges, ["id_1", "id_2"])
+    stats: dict = {}
+    local = {
+        (r.node, r.component)
+        for r in D.connected_components(df, stats=stats).collect()
+    }
+    assert stats["local"] is True and stats["rounds"] == 0
+    dist = {
+        (r.node, r.component)
+        for r in D.connected_components(df, local_threshold=0).collect()
+    }
+    assert local == dist
 
 
 def test_cc_empty_edge_set(spark):
@@ -69,6 +93,7 @@ def test_cc_nonconvergence_raises(spark):
         D.connected_components(
             spark.createDataFrame([(i, i + 1) for i in range(64)], ["id_1", "id_2"]),
             max_iterations=1,
+            local_threshold=0,
         )
 
 
@@ -101,8 +126,11 @@ def test_cc_matches_union_find_on_random_graphs(spark):
                 if ra != rb:
                     parent[max(ra, rb)] = min(ra, rb)
         expected = {x: find(x) for x in touched}
-        got = _components(spark, edges)
-        assert got == expected, f"seed {seed}: {got} != {expected}"
+        # differential across BOTH execution paths
+        got_local = _components(spark, edges)
+        got_dist = _components(spark, edges, local_threshold=0)
+        assert got_local == expected, f"seed {seed}: {got_local} != {expected}"
+        assert got_dist == expected, f"seed {seed}: {got_dist} != {expected}"
 
 
 def test_dedup_clusters_invariants_on_minhash_pairs(spark, sf_dir):
