@@ -596,3 +596,32 @@ def test_localdir_transport_positions_and_liveness(tmp_path):
     # liveness: appended records visible to the next read
     LocalDirGetRecordsTransport.append_records(path, sid, _records("s0", 3, start=10))
     assert drain(last_sequence_number=_seq(9)) == [_seq(i) for i in range(10, 13)]
+
+
+def test_resharding_new_shard_picked_up_mid_stream():
+    """Shard discovery is per batch (the KCL lease-sync analog): a shard
+    created AFTER the query started must appear in the next micro-batch,
+    read from the initial position, while existing shards resume from
+    their committed sequence numbers."""
+    client = _client(n_per_shard=10, shards=1)
+    r = _reader(client)
+    start = r.initialOffset()
+    assert list(start) == ["shardId-000000000000"]
+    rows1, end1 = r.read(start)
+    assert len(list(rows1)) == 10
+
+    # stream is resharded: a brand-new shard appears with its own records
+    client.shards["shardId-000000000001"] = _records("s1", 5)
+    rows2, end2 = r.read(end1)
+    rows2 = list(rows2)
+    by_shard: dict[str, list] = {}
+    for row in rows2:
+        by_shard.setdefault(row[1], []).append(row)
+    # nothing re-read from the old shard; the new one read from trim horizon
+    assert "shardId-000000000000" not in by_shard
+    new_rows = by_shard["shardId-000000000001"]
+    assert [row[3] for row in new_rows] == [_seq(i) for i in range(5)]
+    assert end2["shardId-000000000001"] == _seq(4)
+    assert end2["shardId-000000000000"] == end1["shardId-000000000000"]
+    # the committed range replays deterministically including the new shard
+    assert sorted(r.readBetweenOffsets(end1, end2)) == sorted(rows2)
