@@ -43,18 +43,18 @@ def query(name: str, oracle: str | None = None):
 
 
 #: Driver-visibility rotation (round 5). The driver's correctness run samples
-#: the FIRST 50 registry entries; with 68 oracle-backed queries, 18 must sit
+#: the FIRST 50 registry entries; with 69 oracle-backed queries, 19 must sit
 #: past the window each round. Policy: the least-driver-certified queries get
 #: the visible slots, so no oracle query goes more than ~2 rounds without
 #: driver re-certification. This round the two pools SWAP (the round-4
 #: VERDICT's explicit ask): _PROMOTED = the fifteen queries demoted in round
 #: 4, whose last driver certification is rounds 1-3 (q11-q16 only r3), PLUS
-#: the three brand-new never-certified round-5 queries (q75-q77) — they take
-#: slots 0-17. _DEMOTED = the fifteen queries promoted in round 4, each
-#: freshly certified in CORRECTNESS_r04 (rows+schema+hash), plus three
-#: r4-certified mid-tier queries (q48/q49/q52) rotated out to make room for
-#: the new ones; all remain fully oracle-checked locally every session
-#: (tests/test_oracle_parity.py). The remaining 32 middle-tier queries were
+#: the four brand-new never-certified round-5 queries (q75-q78) — they take
+#: slots 0-18. _DEMOTED = the fifteen queries promoted in round 4, each
+#: freshly certified in CORRECTNESS_r04 (rows+schema+hash), plus four
+#: r4-certified mid-tier queries (q48/q49/q52/q54) rotated out to make room
+#: for the new ones; all remain fully oracle-checked locally every session
+#: (tests/test_oracle_parity.py). The remaining 31 middle-tier queries were
 #: all certified in r4 and keep their in-window slots.
 _PROMOTED = (
     "q02_filter_project",
@@ -75,6 +75,7 @@ _PROMOTED = (
     "q75_rare_word_scoring",
     "q76_characteristic_terms",
     "q77_source_overlap",
+    "q78_event_transitions",
 )
 _DEMOTED = (
     "q60_dedup_clusters",
@@ -95,6 +96,7 @@ _DEMOTED = (
     "q48_pivot",
     "q49_unpivot",
     "q52_higher_order_array",
+    "q54_filtered_agg",
 )
 
 

@@ -269,3 +269,66 @@ def q41_interval_self_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("n_pairs"))
         .orderBy("user_id")
     )
+
+
+@query(
+    "q78_event_transitions",
+    oracle="""
+    WITH seq AS (
+        SELECT user_id, event_type,
+               LAG(event_type) OVER (
+                   PARTITION BY user_id ORDER BY ts, event_id
+               ) AS prev_type
+        FROM events
+    ),
+    trans AS (
+        SELECT prev_type, event_type, CAST(COUNT(*) AS BIGINT) AS n_trans
+        FROM seq WHERE prev_type IS NOT NULL
+        GROUP BY prev_type, event_type
+    ),
+    outdeg AS (
+        SELECT prev_type, CAST(SUM(n_trans) AS BIGINT) AS n_out
+        FROM trans GROUP BY prev_type
+    )
+    SELECT prev_type, event_type, n_trans,
+           CAST(n_trans AS DOUBLE) / CAST(n_out AS DOUBLE) AS p_trans
+    FROM trans JOIN outdeg USING (prev_type)
+    ORDER BY prev_type, event_type
+    """,
+)
+def q78_event_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user event-transition matrix (first-order Markov estimate):
+    LAG over (user, time) sequences → transition counts → per-state
+    row-normalized probabilities. The sessionization/funnel primitive next
+    to q20's gap sessions. Exact-integer counts; ``p_trans`` is one IEEE
+    division of int64s, bit-identical across engines.
+
+    Shape: one user-keyed window (each task sees one user's events — user
+    cardinality spreads; no global sort), transition counts via
+    partial+final hash agg, out-degrees re-aggregated from the (tiny,
+    |event_types|²-bounded) transition frame — the corpus is scanned once
+    and nothing corpus-sized survives past the first aggregation.
+    """
+    ev = load_table(spark, sf_dir, "events").select("user_id", "event_type", "ts", "event_id")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    trans = (
+        ev.withColumn("prev_type", F.lag("event_type").over(w))
+        .where(F.col("prev_type").isNotNull())
+        .groupBy("prev_type", "event_type")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_trans"))
+    )
+    outdeg = trans.groupBy("prev_type").agg(
+        F.sum("n_trans").cast("long").alias("n_out")
+    )
+    return (
+        trans.join(outdeg, "prev_type")
+        .select(
+            "prev_type",
+            "event_type",
+            "n_trans",
+            (F.col("n_trans").cast("double") / F.col("n_out").cast("double")).alias(
+                "p_trans"
+            ),
+        )
+        .orderBy("prev_type", "event_type")
+    )
