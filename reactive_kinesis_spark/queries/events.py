@@ -305,9 +305,10 @@ def q78_event_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Shape: one user-keyed window (each task sees one user's events — user
     cardinality spreads; no global sort), transition counts via
-    partial+final hash agg, out-degrees re-aggregated from the (tiny,
-    |event_types|²-bounded) transition frame — the corpus is scanned once
-    and nothing corpus-sized survives past the first aggregation.
+    partial+final hash agg, then out-degrees as a WINDOW over the (tiny,
+    |event_types|²-bounded) transition frame rather than a re-aggregate +
+    join — a join's branches would re-evaluate the corpus-sized subtree
+    (the q77 lesson); this is one linear chain, one corpus scan.
     """
     ev = load_table(spark, sf_dir, "events").select("user_id", "event_type", "ts", "event_id")
     w = Window.partitionBy("user_id").orderBy("ts", "event_id")
@@ -317,11 +318,9 @@ def q78_event_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("prev_type", "event_type")
         .agg(F.count(F.lit(1)).cast("long").alias("n_trans"))
     )
-    outdeg = trans.groupBy("prev_type").agg(
-        F.sum("n_trans").cast("long").alias("n_out")
-    )
+    w_out = Window.partitionBy("prev_type")
     return (
-        trans.join(outdeg, "prev_type")
+        trans.withColumn("n_out", F.sum("n_trans").over(w_out).cast("long"))
         .select(
             "prev_type",
             "event_type",
