@@ -335,7 +335,7 @@ def connected_components(
     dst_col: str = "id_2",
     max_iterations: int = 50,
     stats: dict | None = None,
-    local_threshold: int = 1_000_000,
+    local_threshold: int = 200_000,
 ) -> DataFrame:
     """Resolve near-duplicate *pairs* into clusters: connected components of
     the pair graph via the alternating large-star/small-star algorithm
@@ -372,7 +372,9 @@ def connected_components(
     union-find instead of 2-3 distributed rounds (each round = two
     localCheckpoint materializations + a collect — seconds of fixed job
     latency for a graph that fits in one task). The collect is bounded BY
-    CONSTRUCTION: 1M edges ≈ 16 MB. Same output contract either way
+    CONSTRUCTION: 200k edges ≈ 60 MB of driver heap — sized for Python Row
+    object overhead (~300 B/edge), not the 16 B of raw payload. Same
+    output contract either way
     (``stats['local']`` reports which path ran); pass
     ``local_threshold=0`` to force the distributed loop. This is the AQE
     localness decision applied to the iterative step — near-dup edge sets

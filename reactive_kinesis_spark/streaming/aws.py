@@ -83,14 +83,17 @@ def endpoint_url(conf) -> str | None:
     public regional endpoint, the KPL default). A bare host gets https; an
     explicit scheme (localstack-style ``http://localhost``) is preserved.
     A host that already carries a port (``localhost:4566``) keeps it —
-    ``KinesisPort`` is only appended when the host has none."""
+    ``KinesisPort`` is only appended when the host has none. Bracketed
+    IPv6 literals (``[::1]``) are full of colons; for them the port test
+    is a ``]:`` suffix, not any colon."""
     host = conf.kinesis_endpoint
     if not host:
         return None
     if "://" not in host:
         host = f"https://{host}"
     scheme, _, rest = host.partition("://")
-    if ":" in rest:
+    has_port = "]:" in rest if rest.startswith("[") else ":" in rest
+    if has_port:
         return host
     return f"{host}:{conf.kinesis_port}"
 
@@ -112,9 +115,16 @@ def _is_transient_network_error(exc: BaseException) -> bool:
     code — they never reached the service. They are transient by nature and
     the KPL retries them within RecordTtl (reference.conf:325-343), so the
     transport must classify them retryable too. Duck-typed on the exception
-    class-name chain so the module needs no botocore import."""
+    class-name chain so the module needs no botocore import.
+
+    TLS failures are the exception: botocore ``SSLError`` SUBCLASSES
+    ConnectionError, but a certificate problem is a permanent configuration
+    error — retrying it just burns the TTL budget masking the real cause,
+    so it fails fast."""
     for klass in type(exc).__mro__:
         name = klass.__name__
+        if "SSL" in name:
+            return False
         if "Timeout" in name or "Connection" in name:
             return True
     return False

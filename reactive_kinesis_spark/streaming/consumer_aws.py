@@ -238,6 +238,7 @@ class Boto3GetRecordsTransport:
             profile_name=options.get("profile"),
             max_attempts=int(options.get("maxattempts", 8)),
             backoff_millis=int(options.get("backoffmillis", 200)),
+            max_backoff_millis=int(options.get("maxbackoffmillis", 5_000)),
         )
 
 
@@ -254,6 +255,7 @@ def read_shard(
     until_sequence_number: str | None = None,
     max_empty_pages: int = 3,
     resume_iterator: str | None = None,
+    resume_issued_at_us: int | None = None,
     state: dict | None = None,
 ) -> Iterator[dict]:
     """The per-shard polling loop — the engine's ``Worker.run()`` analog
@@ -279,8 +281,16 @@ def read_shard(
       the first record: a fresh LATEST iterator would skip records that
       arrived between polls); when ``state`` is given, the loop writes the
       current ``next_iterator`` into ``state["next_iterator"]`` so the
-      caller can resume.
+      caller can resume;
+    * LATEST iterator EXPIRY before any record was delivered cannot simply
+      re-resolve LATEST — records that arrived during the > 5-minute gap
+      would be skipped forever. The loop remembers when the latest
+      iterator was issued (``resume_issued_at_us`` for a resumed one, its
+      own clock for a fresh one) and recovers with ``AT_TIMESTAMP`` of
+      that instant: at-least-once with no gap (nothing was delivered, so
+      nothing can duplicate).
     """
+    issued_at_us = resume_issued_at_us
     if resume_iterator is not None:
         it = resume_iterator
     elif last_sequence_number:
@@ -291,6 +301,8 @@ def read_shard(
             sequence_number=last_sequence_number,
         )
     else:
+        if position == "latest" and issued_at_us is None:
+            issued_at_us = int(time.time() * 1_000_000)
         it = transport.get_shard_iterator(
             stream_name,
             shard_id,
@@ -320,6 +332,15 @@ def read_shard(
                     shard_id,
                     "after_sequence_number",
                     sequence_number=last_seq,
+                )
+            elif position == "latest" and issued_at_us is not None:
+                # gap-free LATEST recovery: resolve at the instant the
+                # expired iterator was issued, not at the new tip
+                it = transport.get_shard_iterator(
+                    stream_name,
+                    shard_id,
+                    "at_timestamp",
+                    timestamp_us=issued_at_us,
                 )
             else:
                 it = transport.get_shard_iterator(
@@ -429,11 +450,13 @@ class LocalDirGetRecordsTransport:
     def list_shards(self, stream_name: str) -> list[str]:
         import os
 
-        return sorted(
-            f[: -len(".jsonl")]
-            for f in os.listdir(self._path)
-            if f.endswith(".jsonl")
-        )
+        try:
+            names = os.listdir(self._path)
+        except FileNotFoundError:
+            # consumer may start before the first append creates the dir —
+            # an empty stream, consistent with _load's missing-file tolerance
+            return []
+        return sorted(f[: -len(".jsonl")] for f in names if f.endswith(".jsonl"))
 
     def get_shard_iterator(
         self,

@@ -115,7 +115,31 @@ def _to_timestamp(value) -> datetime:
 class _LiveStreamReader(SimpleDataSourceStreamReader):
     """Offsets: ``{shard_id: last_delivered_sequence_number}`` with ``""``
     = nothing delivered yet (start from the configured initial position).
-    Plain-string values keep the offset JSON primitive, per the API."""
+    Plain-string values keep the offset JSON primitive, per the API.
+
+    With ``startingPosition=latest`` the offset value is
+    ``"first:last"`` — the FIRST sequence number this query ever delivered
+    for the shard rides along, because a committed range starting at ``""``
+    is otherwise unreplayable (re-resolving LATEST lands at the new tip
+    and would silently drop the batch; trim_horizon would replay records
+    the query intentionally skipped). ``readBetweenOffsets`` replays such
+    a range as ``AT_SEQUENCE_NUMBER(first) .. last``."""
+
+    @staticmethod
+    def _dec(value: str | None) -> tuple[str, str]:
+        """Offset value → (first_delivered_seq, last_seq); plain values
+        (non-latest positions, old checkpoints) decode as ("", value)."""
+        if not value:
+            return "", ""
+        if ":" in value:
+            first, _, last = value.partition(":")
+            return first, last
+        return "", value
+
+    def _enc(self, first: str, last: str) -> str:
+        if self._position == "latest" and first:
+            return f"{first}:{last}"
+        return last
 
     def __init__(self, options: dict):
         self._stream = options.get("streamname")
@@ -149,7 +173,9 @@ class _LiveStreamReader(SimpleDataSourceStreamReader):
         # skip records arriving between polls. After a crash-restart the
         # position re-resolves to LATEST, exactly the KCL's semantics for a
         # lease that never checkpointed.
-        self._latest_iters: dict[str, str | None] = {}
+        # shard → (live iterator, issued-at epoch µs): the timestamp makes
+        # iterator EXPIRY recoverable without a gap (AT_TIMESTAMP re-resolve)
+        self._latest_iters: dict[str, tuple[str, int]] = {}
 
     # -- shard discovery ---------------------------------------------------
 
@@ -193,35 +219,52 @@ class _LiveStreamReader(SimpleDataSourceStreamReader):
         *,
         max_records: int | None,
         until: str | None = None,
+        position: str | None = None,
+        sequence_number: str | None = None,
     ) -> tuple[list[Tuple], str]:
+        """``position``/``sequence_number`` override the configured start
+        position for THIS poll (new-shard trim_horizon, latest-range
+        replay); ``None`` = the reader's configured position."""
+        import time as _time
+
+        pos = position or self._position
+        seqno = sequence_number if position else self._sequence_number
+        ts_us = None if position else self._timestamp_us
         rows: list[Tuple] = []
         new_last = last_seq
         state: dict = {}
-        resume = (
-            self._latest_iters.get(shard_id)
-            if self._position == "latest" and not last_seq and until is None
-            else None
+        resume, resume_issued = (
+            self._latest_iters.get(shard_id, (None, None))
+            if pos == "latest" and not last_seq and until is None
+            else (None, None)
         )
+        poll_started_us = int(_time.time() * 1_000_000)
         for rec in read_shard(
             self._transport,
             self._stream,
             shard_id,
             last_sequence_number=last_seq or None,
-            position=self._position,
-            timestamp_us=self._timestamp_us,
-            sequence_number=self._sequence_number,
+            position=pos,
+            timestamp_us=ts_us,
+            sequence_number=seqno,
             max_records=max_records,
             until_sequence_number=until,
             resume_iterator=resume,
+            resume_issued_at_us=resume_issued,
             state=state,
         ):
             rows.extend(self._rows(shard_id, rec))
             new_last = rec["SequenceNumber"]
-        if self._position == "latest" and until is None:
+        if pos == "latest" and until is None:
             if new_last:
                 self._latest_iters.pop(shard_id, None)  # seq now durable
             elif state.get("next_iterator"):
-                self._latest_iters[shard_id] = state["next_iterator"]
+                # remember WHEN the cached iterator chain was live so that
+                # expiry can recover via AT_TIMESTAMP without a gap
+                self._latest_iters[shard_id] = (
+                    state["next_iterator"],
+                    resume_issued or poll_started_us,
+                )
         return rows, new_last
 
     # -- SimpleDataSourceStreamReader protocol -----------------------------
@@ -233,21 +276,61 @@ class _LiveStreamReader(SimpleDataSourceStreamReader):
         end = dict(start)
         batch: list[Tuple] = []
         for sid in self._shards():
-            last = start.get(sid, "")
-            rows, new_last = self._poll(sid, last, max_records=self._max_records)
+            raw = start.get(sid)
+            first, last = self._dec(raw)
+            # a shard NOT in the start offsets appeared after the query
+            # started (resharding): its records begin at ITS trim horizon
+            # (KCL child-shard semantics). The configured position must not
+            # apply — at/after_sequence_number would hand another shard's
+            # sequence number to GetShardIterator (InvalidArgument on real
+            # Kinesis), latest would skip records arrived since the split.
+            override = "trim_horizon" if raw is None else None
+            rows, new_last = self._poll(
+                sid, last, max_records=self._max_records, position=override
+            )
             batch.extend(rows)
-            end[sid] = new_last
+            if rows and not first:
+                first = rows[0][3]  # first sequence number ever delivered
+            end[sid] = self._enc(first, new_last)
         return iter(batch), end
 
     def readBetweenOffsets(self, start: dict, end: dict) -> Iterator[Tuple]:
         """Deterministic replay of a committed-offset range after restart:
         the closed sequence range per shard, re-fetched via sequence-number
-        iterators. No page budget — the full range must be delivered."""
-        for sid, end_seq in end.items():
-            start_seq = start.get(sid, "")
+        iterators. No page budget — the full range must be delivered.
+
+        A range that starts at ``""`` replays from the position that
+        produced it: ``AT_SEQUENCE_NUMBER(first)`` for latest (the encoded
+        first-delivered seq), trim_horizon for a shard discovered
+        mid-stream, else the configured initial position (deterministic
+        for trim_horizon / at_timestamp / at_sequence_number)."""
+        for sid, end_raw in end.items():
+            end_first, end_seq = self._dec(end_raw)
+            start_raw = start.get(sid)
+            _, start_seq = self._dec(start_raw)
             if not end_seq or end_seq == start_seq:
                 continue
-            rows, _ = self._poll(sid, start_seq, max_records=None, until=end_seq)
+            if start_seq:
+                rows, _ = self._poll(sid, start_seq, max_records=None, until=end_seq)
+            elif end_first:
+                # latest-position first range: replay exactly what was
+                # delivered, starting at the recorded first sequence number
+                rows, _ = self._poll(
+                    sid,
+                    "",
+                    max_records=None,
+                    until=end_seq,
+                    position="at_sequence_number",
+                    sequence_number=end_first,
+                )
+            elif start_raw is None:
+                # mid-stream-discovered shard: its first range began at its
+                # trim horizon, replay the same way
+                rows, _ = self._poll(
+                    sid, "", max_records=None, until=end_seq, position="trim_horizon"
+                )
+            else:
+                rows, _ = self._poll(sid, "", max_records=None, until=end_seq)
             yield from rows
 
     def commit(self, end: dict) -> None:

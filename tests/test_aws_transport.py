@@ -247,3 +247,34 @@ def test_owned_client_transport_pickles_for_executor_shipping():
 
     injected = Boto3Transport(client=FakeKinesisClient())
     assert injected("s", [("a", b"x")]) == [True]  # no lazy build needed
+
+
+def test_ssl_errors_fail_fast_and_ipv6_endpoints_get_ports():
+    """TLS/certificate failures are permanent configuration errors, not
+    transient network blips — they must escalate immediately; and bracketed
+    IPv6 endpoint hosts still get KinesisPort appended."""
+    from reactive_kinesis_spark.streaming.aws import (
+        _is_transient_network_error,
+        endpoint_url,
+    )
+
+    class ConnectionError_(Exception):
+        pass
+
+    class SSLError(ConnectionError_):
+        pass
+
+    class ReadTimeoutError(Exception):
+        pass
+
+    assert _is_transient_network_error(ReadTimeoutError())
+    assert _is_transient_network_error(ConnectionError_())
+    assert not _is_transient_network_error(SSLError())
+
+    assert endpoint_url(ProducerConfig(stream_name="s", kinesis_endpoint="http://[::1]")) == "http://[::1]:443"
+    assert endpoint_url(
+        ProducerConfig(stream_name="s", kinesis_endpoint="http://[::1]:4566")
+    ) == "http://[::1]:4566"
+    assert endpoint_url(
+        ProducerConfig(stream_name="s", kinesis_endpoint="localhost:4566")
+    ) == "https://localhost:4566"

@@ -342,9 +342,13 @@ def test_latest_survives_empty_polls_without_skipping():
     rows1, end1 = r.read(start)  # establishes the live iterator
     assert list(rows1) == [] and end1 == start
     client.shards[sid].extend(_records("s0", 5))  # arrive between polls
-    rows2, end2 = r.read(end1)
+    rows2_it, end2 = r.read(end1)
+    rows2 = list(rows2_it)
     assert [row[3] for row in rows2] == [_seq(i) for i in range(5)]
-    assert end2[sid] == _seq(4)
+    # latest-position offsets carry first:last so the range stays replayable
+    assert end2[sid] == f"{_seq(0)}:{_seq(4)}"
+    # and the committed range replays exactly, not as empty / from the tip
+    assert sorted(r.readBetweenOffsets(end1, end2)) == sorted(rows2)
 
 
 def test_deaggregate_expands_kpl_aggregates_with_sub_sequence():
@@ -625,3 +629,114 @@ def test_resharding_new_shard_picked_up_mid_stream():
     assert end2["shardId-000000000000"] == end1["shardId-000000000000"]
     # the committed range replays deterministically including the new shard
     assert sorted(r.readBetweenOffsets(end1, end2)) == sorted(rows2)
+
+
+def test_latest_first_range_replays_after_crash_restart():
+    """The code-review crash scenario: startingPosition=latest, a batch
+    delivers records, the query dies BEFORE completing the batch; Spark
+    replays readBetweenOffsets(initial, committed_end) — which must return
+    the same records, not an empty set resolved at the new tip."""
+    sid = "shardId-000000000000"
+    client = _client(n_per_shard=0, shards=1)
+    r = _reader(client, startingposition="latest")
+    start = r.initialOffset()
+    list(r.read(start)[0])  # establish live iterator at the tip
+    client.shards[sid].extend(_records("s0", 7))
+    rows, end = r.read(start)
+    rows = list(rows)
+    assert len(rows) == 7
+
+    # crash: a FRESH reader (no in-memory iterator cache) replays the range
+    r2 = _reader(client, startingposition="latest")
+    replayed = sorted(r2.readBetweenOffsets(start, end))
+    assert replayed == sorted(rows), "committed latest range lost on restart"
+
+
+def test_resharding_under_sequence_position_reads_new_shard_from_horizon():
+    """A shard discovered mid-stream must NOT be resolved with the
+    configured at/after_sequence_number (that seq belongs to another
+    shard — real Kinesis rejects it); it starts at its own trim horizon."""
+    sid0 = "shardId-000000000000"
+    client = _client(n_per_shard=6, shards=1)
+    r = _reader(
+        client,
+        startingposition="after_sequence_number",
+        startingsequencenumber=_seq(2),
+    )
+
+    class StrictClient:
+        """Delegates to the fake but rejects sequence-number iterators for
+        sequence numbers the shard does not contain (real AWS behavior)."""
+
+        def __init__(self, inner):
+            self._inner = inner
+
+        def __getattr__(self, name):
+            return getattr(self._inner, name)
+
+        def get_shard_iterator(self, StreamName, ShardId, ShardIteratorType, **kw):
+            if ShardIteratorType in ("AT_SEQUENCE_NUMBER", "AFTER_SEQUENCE_NUMBER"):
+                seqs = [rec["SequenceNumber"] for rec in self._inner.shards[ShardId]]
+                if kw.get("StartingSequenceNumber") not in seqs:
+                    raise FakeClientError("InvalidArgumentException")
+            return self._inner.get_shard_iterator(
+                StreamName=StreamName,
+                ShardId=ShardId,
+                ShardIteratorType=ShardIteratorType,
+                **kw,
+            )
+
+    r._transport = _transport(StrictClient(client))
+    start = r.initialOffset()
+    rows1, end1 = r.read(start)
+    assert [row[3] for row in rows1] == [_seq(i) for i in range(3, 6)]
+
+    # resharding: new child shard with fresh sequence numbering
+    client.shards["shardId-000000000001"] = _records("s1", 4)
+    rows2, end2 = r.read(end1)
+    new_rows = [row for row in rows2 if row[1] == "shardId-000000000001"]
+    assert [row[3] for row in new_rows] == [_seq(i) for i in range(4)]
+    assert end2["shardId-000000000001"] == _seq(3)
+
+
+def test_latest_expired_iterator_recovers_via_timestamp_without_gap(monkeypatch):
+    """Iterator expiry under LATEST with nothing delivered yet must not
+    skip records that arrived before the expiry: recovery resolves
+    AT_TIMESTAMP of the expired iterator's issue time, not a new tip.
+
+    The clock is frozen just before the fake records' synthetic arrival
+    timestamps so issue-time precedes arrival-time, as it does on real
+    Kinesis (arrival stamps are assigned after the iterator existed)."""
+    monkeypatch.setattr(time, "time", lambda: float(T0 - 1))
+    sid = "shardId-000000000000"
+    client = _client(n_per_shard=0, shards=1)
+    r = _reader(client, startingposition="latest")
+    start = r.initialOffset()
+    list(r.read(start)[0])  # live iterator established at tip (epoch 0)
+    # records arrive, THEN the iterator expires (>5 min gap)
+    client.shards[sid].extend(_records("s0", 4))
+    client.expire_iterators()
+    rows, end = r.read(start)
+    assert [row[3] for row in rows] == [_seq(i) for i in range(4)], (
+        "records arriving before iterator expiry were skipped"
+    )
+
+
+def test_localdir_consumer_tolerates_missing_directory(tmp_path):
+    """The advertised start-consumer-then-append flow: a consumer started
+    before the first append sees an empty stream, not FileNotFoundError."""
+    from reactive_kinesis_spark.streaming.consumer_aws import (
+        LocalDirGetRecordsTransport,
+    )
+
+    t = LocalDirGetRecordsTransport(str(tmp_path / "not_created_yet"))
+    assert t.list_shards("s") == []
+
+
+def test_from_options_wires_every_retry_knob():
+    t = Boto3GetRecordsTransport.from_options(
+        {"maxattempts": "4", "backoffmillis": "50", "maxbackoffmillis": "75"}
+    )
+    assert t._max_attempts == 4
+    assert t._backoff_millis == 50
+    assert t._max_backoff_millis == 75
