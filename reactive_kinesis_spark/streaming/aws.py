@@ -98,6 +98,37 @@ def endpoint_url(conf) -> str | None:
     return f"{host}:{conf.kinesis_port}"
 
 
+def build_kinesis_client(
+    *,
+    region_name: str | None = None,
+    endpoint_url: str | None = None,
+    profile_name: str | None = None,
+    verify=None,
+    client_config_kwargs: dict | None = None,
+    requirer: str = "this transport",
+):
+    """The one place a real boto3 Kinesis client is constructed — shared by
+    the producer (:class:`Boto3Transport`) and consumer
+    (:class:`~reactive_kinesis_spark.streaming.consumer_aws
+    .Boto3GetRecordsTransport`) transports so session/endpoint/TLS/retry
+    configuration can never diverge between the read and write paths."""
+    try:
+        import boto3
+        from botocore.config import Config
+    except ImportError as exc:  # pragma: no cover — import-guarded for sandboxes
+        raise ImportError(
+            f"{requirer} requires boto3 (pip install boto3); in tests "
+            "inject a fake client via the client= parameter"
+        ) from exc
+    session = boto3.session.Session(profile_name=profile_name, region_name=region_name)
+    extra: dict = {}
+    if verify is not None:
+        extra["verify"] = verify
+    if client_config_kwargs:
+        extra["config"] = Config(**client_config_kwargs)
+    return session.client("kinesis", endpoint_url=endpoint_url, **extra)
+
+
 def _aws_error_code(exc: BaseException) -> str | None:
     """Extract the AWS error code from a botocore ClientError (duck-typed so
     the module needs no botocore import)."""
@@ -177,25 +208,8 @@ class Boto3Transport:
 
     def _ensure_client(self):
         if self._client is None:
-            try:
-                import boto3
-                from botocore.config import Config
-            except ImportError as exc:  # pragma: no cover — sandbox has no boto3
-                raise ImportError(
-                    "Boto3Transport requires boto3 (pip install boto3); in "
-                    "tests inject a fake client via Boto3Transport(client=...)"
-                ) from exc
-            kw = self._build_kwargs
-            session = boto3.session.Session(
-                profile_name=kw["profile_name"], region_name=kw["region_name"]
-            )
-            extra: dict = {}
-            if kw["verify"] is not None:
-                extra["verify"] = kw["verify"]
-            if kw["client_config_kwargs"]:
-                extra["config"] = Config(**kw["client_config_kwargs"])
-            self._client = session.client(
-                "kinesis", endpoint_url=kw["endpoint_url"], **extra
+            self._client = build_kinesis_client(
+                **self._build_kwargs, requirer="Boto3Transport"
             )
         return self._client
 

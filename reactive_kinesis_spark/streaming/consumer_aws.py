@@ -117,20 +117,10 @@ class Boto3GetRecordsTransport:
 
     def _ensure_client(self):
         if self._client is None:
-            try:
-                import boto3
-            except ImportError as exc:  # pragma: no cover — sandbox has no boto3
-                raise ImportError(
-                    "Boto3GetRecordsTransport requires boto3 (pip install "
-                    "boto3); in tests inject a fake client via "
-                    "Boto3GetRecordsTransport(client=...)"
-                ) from exc
-            session = boto3.session.Session(
-                profile_name=self._build_kwargs["profile_name"],
-                region_name=self._build_kwargs["region_name"],
-            )
-            self._client = session.client(
-                "kinesis", endpoint_url=self._build_kwargs["endpoint_url"]
+            from reactive_kinesis_spark.streaming.aws import build_kinesis_client
+
+            self._client = build_kinesis_client(
+                **self._build_kwargs, requirer="Boto3GetRecordsTransport"
             )
         return self._client
 
