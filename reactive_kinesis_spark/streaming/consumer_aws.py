@@ -135,15 +135,28 @@ class Boto3GetRecordsTransport:
     def list_shards(self, stream_name: str) -> list[str]:
         """Open shard ids, ascending — the worker's shard discovery
         (the KCL lease-sync analog). Paginated (``NextToken``)."""
-        out: list[str] = []
+        return sorted(self.shard_parents(stream_name))
+
+    def shard_parents(self, stream_name: str) -> dict[str, list[str]]:
+        """``{shard_id: [parent_shard_ids]}`` — the shard lineage the KCL
+        uses to finish a closed parent before starting its children (one
+        parent after a split, two after a merge). Same paginated ListShards
+        call as :meth:`list_shards`, keeping the Parent/AdjacentParent ids
+        the simple variant drops."""
+        out: dict[str, list[str]] = {}
         token = None
         while True:
             kw = {"NextToken": token} if token else {"StreamName": stream_name}
             resp = self._call("list_shards", **kw)
-            out.extend(s["ShardId"] for s in resp.get("Shards", []))
+            for s in resp.get("Shards", []):
+                out[s["ShardId"]] = [
+                    p
+                    for p in (s.get("ParentShardId"), s.get("AdjacentParentShardId"))
+                    if p
+                ]
             token = resp.get("NextToken")
             if not token:
-                return sorted(out)
+                return out
 
     def get_shard_iterator(
         self,
@@ -361,6 +374,11 @@ def read_shard(
         else:
             empty_pages = 0
         it = page.next_iterator
+        if it is None and state is not None:
+            # null NextShardIterator = the shard is CLOSED and fully
+            # drained (split/merge shard end) — the signal the caller's
+            # parent-before-child gating needs (KCL shard-end semantics)
+            state["closed"] = True
 
 
 class LocalDirGetRecordsTransport:

@@ -176,20 +176,43 @@ class _LiveStreamReader(SimpleDataSourceStreamReader):
         # shard → (live iterator, issued-at epoch µs): the timestamp makes
         # iterator EXPIRY recoverable without a gap (AT_TIMESTAMP re-resolve)
         self._latest_iters: dict[str, tuple[str, int]] = {}
+        # shards observed CLOSED-and-drained (null NextShardIterator).
+        # In-memory: after a restart one extra poll of each closed parent
+        # re-detects it, so child gating resumes conservatively.
+        self._closed_shards: set[str] = set()
 
     # -- shard discovery ---------------------------------------------------
 
     def _shards(self) -> list[str]:
         """Refreshed per batch — resharding shows up as new shard ids,
         which start at the initial position (KCL lease-sync analog). An
-        explicit ``shards`` subset pins this consumer's assignment (L1)."""
+        explicit ``shards`` subset pins this consumer's assignment (L1).
+
+        Parent-before-child gating (KCL shard-end semantics): a shard with
+        a parent still listed and not yet observed closed-and-drained is
+        withheld from this batch, so a split/merge never interleaves child
+        records before the tail of the parent — per-key order survives
+        resharding. Transports without lineage (``shard_parents``) fall
+        back to independent shards."""
         shards = self._transport.list_shards(self._stream)
-        if self._shard_subset is None:
+        if self._shard_subset is not None:
+            missing = [s for s in self._shard_subset if s not in shards]
+            if missing:
+                raise ValueError(f"unknown shard ids {missing}; available: {shards}")
+            shards = list(self._shard_subset)
+        lineage = getattr(self._transport, "shard_parents", None)
+        if lineage is None:
             return shards
-        missing = [s for s in self._shard_subset if s not in shards]
-        if missing:
-            raise ValueError(f"unknown shard ids {missing}; available: {shards}")
-        return list(self._shard_subset)
+        parents = lineage(self._stream)
+        listed = set(parents)
+        return [
+            sid
+            for sid in shards
+            if all(
+                p not in listed or p in self._closed_shards
+                for p in parents.get(sid, [])
+            )
+        ]
 
     # -- record conversion -------------------------------------------------
 
@@ -265,11 +288,19 @@ class _LiveStreamReader(SimpleDataSourceStreamReader):
                     state["next_iterator"],
                     resume_issued or poll_started_us,
                 )
+        if until is None and state.get("closed"):
+            # closed-and-drained: unblocks this shard's children next batch
+            self._closed_shards.add(shard_id)
         return rows, new_last
 
     # -- SimpleDataSourceStreamReader protocol -----------------------------
 
     def initialOffset(self) -> dict:
+        # full (ungated) listing at query start: shards that existed here
+        # read from the CONFIGURED position when they later enter the
+        # offsets (a gated child of a pre-closed parent); shards absent
+        # here are true mid-stream arrivals and read from trim_horizon
+        self._initial_listing = set(self._transport.list_shards(self._stream))
         return {sid: "" for sid in self._shards()}
 
     def read(self, start: dict) -> Tuple[Iterator[Tuple], dict]:
@@ -277,6 +308,11 @@ class _LiveStreamReader(SimpleDataSourceStreamReader):
         batch: list[Tuple] = []
         for sid in self._shards():
             raw = start.get(sid)
+            if sid in self._closed_shards:
+                # drained to shard end — nothing more can arrive; keep the
+                # committed position without burning a GetRecords poll
+                end.setdefault(sid, raw or "")
+                continue
             first, last = self._dec(raw)
             # a shard NOT in the start offsets appeared after the query
             # started (resharding): its records begin at ITS trim horizon
@@ -284,7 +320,11 @@ class _LiveStreamReader(SimpleDataSourceStreamReader):
             # apply — at/after_sequence_number would hand another shard's
             # sequence number to GetShardIterator (InvalidArgument on real
             # Kinesis), latest would skip records arrived since the split.
-            override = "trim_horizon" if raw is None else None
+            # Exception: a shard that existed at query START but was gated
+            # behind an unfinished parent keeps the configured position
+            # (fresh-app semantics, no pre-query replay under latest).
+            known_at_start = sid in getattr(self, "_initial_listing", set())
+            override = "trim_horizon" if raw is None and not known_at_start else None
             rows, new_last = self._poll(
                 sid, last, max_records=self._max_records, position=override
             )

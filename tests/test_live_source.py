@@ -740,3 +740,64 @@ def test_from_options_wires_every_retry_knob():
     assert t._max_attempts == 4
     assert t._backoff_millis == 50
     assert t._max_backoff_millis == 75
+
+
+def test_split_gates_children_until_parent_drained():
+    """KCL shard-end semantics: after a split, child shards are withheld
+    until the (closed) parent is read to its end — per-key order survives
+    resharding. The fake closes the parent (null NextShardIterator after
+    drain) and advertises lineage via ParentShardId."""
+
+    class ReshardingClient(FakeKinesisConsumerClient):
+        def __init__(self, shards, parents=None, closed=()):
+            super().__init__(shards)
+            self.parents = parents or {}
+            self.closed = set(closed)
+
+        def list_shards(self, StreamName=None, NextToken=None):
+            self.calls["list_shards"] += 1
+            return {
+                "Shards": [
+                    {"ShardId": s, **({"ParentShardId": self.parents[s]} if s in self.parents else {})}
+                    for s in sorted(self.shards)
+                ]
+            }
+
+        def get_records(self, ShardIterator, Limit):
+            out = super().get_records(ShardIterator, Limit)
+            shard, _, _ = ShardIterator.rsplit("#", 2)
+            if shard in self.closed and out["MillisBehindLatest"] == 0:
+                out["NextShardIterator"] = None  # closed shard fully drained
+            return out
+
+    parent, child = "shardId-000000000000", "shardId-000000000002"
+    client = ReshardingClient({parent: _records("p", 6)})
+    r = _reader(client)
+    start = r.initialOffset()
+    assert list(start) == [parent]
+
+    # the split happens: parent closes, child appears with lineage
+    client.closed.add(parent)
+    client.shards[child] = _records("c", 3)
+    client.parents[child] = parent
+
+    # next batch: parent drains to its end; the child is still gated
+    rows1, end1 = r.read(start)
+    rows1 = list(rows1)
+    assert {row[1] for row in rows1} == {parent}
+    assert [row[3] for row in rows1] == [_seq(i) for i in range(6)]
+    assert child not in end1
+
+    # parent observed closed-and-drained -> child unblocks, from horizon
+    rows2, end2 = r.read(end1)
+    rows2 = list(rows2)
+    assert {row[1] for row in rows2} == {child}
+    assert [row[3] for row in rows2] == [_seq(i) for i in range(3)]
+    # closed parent is not polled again; its offset rides along unchanged
+    assert end2[parent] == end1[parent]
+
+    # a further batch is quiet and the parent stays un-polled
+    gr_before = client.calls["get_records"]
+    rows3, _ = r.read(end2)
+    assert list(rows3) == []
+    assert client.calls["get_records"] > gr_before  # child polled
