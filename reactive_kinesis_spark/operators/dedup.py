@@ -717,3 +717,43 @@ def simhash_pairs(
     return cand.select("id_1", "id_2", hamming.alias("hamming")).where(
         F.col("hamming") <= max_hamming
     )
+
+
+def incremental_dedup(
+    incoming: DataFrame,
+    history: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Incremental-ingest exact dedup: of a batch of NEW documents, keep
+    only those whose content fingerprint (md5 of the trimmed text) (a) has
+    never been seen in the historical corpus and (b) is the first
+    occurrence within the batch itself (min ``id_col`` wins —
+    deterministic, not arrival order).
+
+    This is the ingestion-time half of :func:`exact_dedup`: a production
+    corpus is not re-deduplicated wholesale per ingest; only the delta is
+    checked against the accumulated fingerprint set. The streaming twin is
+    a stream-static LEFT ANTI join on the same fingerprint (see
+    tests/test_streaming.py::test_incremental_dedup_stream_matches_batch).
+
+    Plan shape at 100 TB: the within-batch dedup is one hash shuffle of
+    the (small) incoming batch on its fingerprint; the history check is a
+    LEFT ANTI join on the same key. Keep the history fingerprints BUCKETED
+    by fingerprint (:func:`reactive_kinesis_spark.io.write_bucketed`) and
+    the anti join shuffles only the incoming batch — the history side is
+    read pre-partitioned and never moves (pinned in tests/test_plans.py).
+    md5 keys are uniform, so neither shuffle can skew by construction.
+    ``history`` must expose either a ``fingerprint`` column (the stored
+    ingest ledger) or ``text_col`` to fingerprint on the fly.
+    """
+    from reactive_kinesis_spark.operators.text import fingerprint
+
+    inc = incoming.withColumn("fingerprint", fingerprint(text_col))
+    first = inc.groupBy("fingerprint").agg(F.min(id_col).alias(id_col))
+    survivors = inc.join(first, ["fingerprint", id_col], "inner")
+    if "fingerprint" in history.columns:
+        hist = history.select("fingerprint")
+    else:
+        hist = history.select(fingerprint(text_col).alias("fingerprint"))
+    return survivors.join(hist, "fingerprint", "left_anti")

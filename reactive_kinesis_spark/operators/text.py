@@ -636,3 +636,49 @@ def source_overlap(
             ).alias("jaccard"),
         )
     )
+
+
+def temperature_weights(
+    df: DataFrame,
+    group_col: str = "source",
+) -> DataFrame:
+    """Temperature-balanced mixture weights at alpha = 0.5: each group's
+    target sampling share is proportional to ``sqrt(n_g)`` — the standard
+    temperature rebalancing for multi-source/multilingual corpora
+    (upweights small sources relative to their natural share so no giant
+    crawl dominates, without flattening to uniform). The output feeds
+    straight into :func:`mixture_sample` as its ``weights``.
+
+    Emits per group: ``n_docs``, ``natural_share`` (n_g / N),
+    ``target_share`` (sqrt(n_g) / Σ sqrt(n_g)) and ``oversample_factor``
+    (target / natural — >1 means the source would be up-weighted).
+
+    Numerics are engine-exact: counts are integers; ``sqrt`` is IEEE
+    correctly-rounded (bit-identical everywhere); each per-group sqrt is
+    snapped to DECIMAL(38,6) so the cross-group denominator is an EXACT,
+    order-free decimal sum (float summation order is the one thing two
+    engines — or two partitionings of the same engine — never agree on);
+    the shares are then single IEEE divisions in a fixed operand order
+    (mirrored in the q79 oracle).
+
+    Plan shape at 100 TB: one map-side-combined count aggregate collapses
+    the corpus to #groups rows; everything downstream runs on that tiny
+    frame (the 1-row denominator is broadcast). The corpus is scanned once
+    and never shuffled.
+    """
+    counts = df.groupBy(group_col).agg(F.count(F.lit(1)).alias("n_docs"))
+    sq = F.sqrt(F.col("n_docs").cast("double")).cast("decimal(38,6)")
+    totals = counts.agg(
+        F.sum("n_docs").alias("total_docs"),
+        F.sum(sq).cast("double").alias("denom"),
+    )
+    sqd = sq.cast("double")
+    natural = F.col("n_docs").cast("double") / F.col("total_docs").cast("double")
+    target = sqd / F.col("denom")
+    return counts.crossJoin(F.broadcast(totals)).select(
+        group_col,
+        "n_docs",
+        natural.alias("natural_share"),
+        target.alias("target_share"),
+        (target / natural).alias("oversample_factor"),
+    )

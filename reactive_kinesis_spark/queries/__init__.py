@@ -43,19 +43,19 @@ def query(name: str, oracle: str | None = None):
 
 
 #: Driver-visibility rotation (round 5). The driver's correctness run samples
-#: the FIRST 50 registry entries; with 69 oracle-backed queries, 19 must sit
+#: the FIRST 50 registry entries; with 71 oracle-backed queries, 21 must sit
 #: past the window each round. Policy: the least-driver-certified queries get
 #: the visible slots, so no oracle query goes more than ~2 rounds without
 #: driver re-certification. This round the two pools SWAP (the round-4
 #: VERDICT's explicit ask): _PROMOTED = the fifteen queries demoted in round
 #: 4, whose last driver certification is rounds 1-3 (q11-q16 only r3), PLUS
-#: the four brand-new never-certified round-5 queries (q75-q78) — they take
-#: slots 0-18. _DEMOTED = the fifteen queries promoted in round 4, each
-#: freshly certified in CORRECTNESS_r04 (rows+schema+hash), plus four
-#: r4-certified mid-tier queries (q48/q49/q52/q54) rotated out to make room
-#: for the new ones; all remain fully oracle-checked locally every session
-#: (tests/test_oracle_parity.py). The remaining 31 middle-tier queries were
-#: all certified in r4 and keep their in-window slots.
+#: the six brand-new never-certified round-5 queries (q75-q80) — they take
+#: slots 0-20. _DEMOTED = the fifteen queries promoted in round 4, each
+#: freshly certified in CORRECTNESS_r04 (rows+schema+hash), plus six
+#: r4-certified mid-tier queries (q48/q49/q52/q54/q56/q57) rotated out to
+#: make room for the new ones; all remain fully oracle-checked locally every
+#: session (tests/test_oracle_parity.py). The remaining 29 middle-tier
+#: queries were all certified in r4 and keep their in-window slots.
 _PROMOTED = (
     "q02_filter_project",
     "q03_join_agg_topk",
@@ -76,6 +76,8 @@ _PROMOTED = (
     "q76_characteristic_terms",
     "q77_source_overlap",
     "q78_event_transitions",
+    "q79_temperature_weights",
+    "q80_incremental_dedup",
 )
 _DEMOTED = (
     "q60_dedup_clusters",
@@ -97,6 +99,8 @@ _DEMOTED = (
     "q49_unpivot",
     "q52_higher_order_array",
     "q54_filtered_agg",
+    "q56_collect_agg",
+    "q57_map_functions",
 )
 
 

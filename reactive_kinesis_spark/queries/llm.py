@@ -1126,3 +1126,76 @@ def q77_source_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     (sources squared), shingle-keyed shuffles only."""
     docs = load_table(spark, sf_dir, "documents")
     return T.source_overlap(docs, n=3).orderBy("source_1", "source_2")
+
+
+@query(
+    "q79_temperature_weights",
+    oracle="""
+    WITH counts AS (
+        SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs
+        FROM documents GROUP BY source
+    ),
+    totals AS (
+        SELECT CAST(SUM(n_docs) AS BIGINT) AS total_docs,
+               CAST(SUM(CAST(sqrt(CAST(n_docs AS DOUBLE)) AS DECIMAL(38,6)))
+                    AS DOUBLE) AS denom
+        FROM counts
+    )
+    SELECT source, n_docs,
+           CAST(n_docs AS DOUBLE) / CAST(total_docs AS DOUBLE) AS natural_share,
+           CAST(CAST(sqrt(CAST(n_docs AS DOUBLE)) AS DECIMAL(38,6)) AS DOUBLE)
+               / denom AS target_share,
+           (CAST(CAST(sqrt(CAST(n_docs AS DOUBLE)) AS DECIMAL(38,6)) AS DOUBLE)
+               / denom)
+               / (CAST(n_docs AS DOUBLE) / CAST(total_docs AS DOUBLE))
+               AS oversample_factor
+    FROM counts CROSS JOIN totals
+    ORDER BY source
+    """,
+)
+def q79_temperature_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature (alpha=0.5) mixture weights per source: target share
+    proportional to sqrt(n), the rebalancing that feeds q65's
+    mixture_sample. Corpus collapses to #sources rows in one
+    map-side-combined count; exact-decimal denominator keeps the shares
+    bit-identical across engines."""
+    docs = load_table(spark, sf_dir, "documents")
+    return T.temperature_weights(docs, group_col="source").orderBy("source")
+
+
+@query(
+    "q80_incremental_dedup",
+    oracle="""
+    WITH incoming AS (
+        SELECT doc_id, md5(trim(text)) AS fingerprint
+        FROM documents WHERE doc_id % 5 = 4
+    ),
+    history AS (
+        SELECT DISTINCT md5(trim(text)) AS fingerprint
+        FROM documents WHERE doc_id % 5 <> 4
+    ),
+    first_in_batch AS (
+        SELECT fingerprint, MIN(doc_id) AS doc_id FROM incoming GROUP BY fingerprint
+    )
+    SELECT i.doc_id, i.fingerprint
+    FROM incoming i
+    JOIN first_in_batch f ON i.fingerprint = f.fingerprint AND i.doc_id = f.doc_id
+    LEFT JOIN history h ON i.fingerprint = h.fingerprint
+    WHERE h.fingerprint IS NULL
+    ORDER BY i.doc_id
+    """,
+)
+def q80_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental-ingest dedup: treat every fifth document as the newly
+    arrived batch and the rest as the accumulated corpus; keep only new
+    docs that are first-in-batch AND absent from history (anti join on the
+    md5 fingerprint — only the delta ever shuffles when the history ledger
+    is bucketed; see operators.dedup.incremental_dedup)."""
+    docs = load_table(spark, sf_dir, "documents")
+    incoming = docs.where(F.col("doc_id") % 5 == 4)
+    history = docs.where(F.col("doc_id") % 5 != 4)
+    return (
+        D.incremental_dedup(incoming, history)
+        .select("doc_id", "fingerprint")
+        .orderBy("doc_id")
+    )
