@@ -689,3 +689,123 @@ def quantize_embeddings(
         "code_sum",
         F.aggregate(F.col("codes"), F.lit(0).cast("long"), lambda a, x: a + x),
     )
+
+
+def pca_fit(
+    df: DataFrame,
+    vec_col: str = "embedding",
+    k: int | None = None,
+):
+    """Fit a PCA basis over an embedding column in ONE distributed pass.
+
+    The moment computation is the distributed part: every Arrow batch
+    reduces to one partial ``(n, sum_vec[d], xtx[d*d])`` row (vectorized
+    ``X^T X`` per batch), those partials are summed POSITION-WISE in Spark
+    (posexplode + hash agg — never collected raw), and only the final
+    ``d^2 + d + 1`` aggregated doubles reach the driver: driver memory is
+    O(d^2) regardless of corpus size (64-dim => ~33 KB at 100 TB). The
+    eigendecomposition of the d x d covariance is a driver-side
+    ``numpy.linalg.eigh`` — microseconds, and NOT worth distributing below
+    d ~ 10^4.
+
+    Deterministic: covariance entries are IEEE sums whose grouping varies
+    with partitioning, but eigh of the (symmetric) result plus a sign
+    convention (largest-|loading| coordinate positive) makes repeated fits
+    on the same data agree to fp tolerance; the differential test pins the
+    whole pipeline against a single-node numpy PCA.
+
+    Returns ``(mean, components, eigenvalues)`` as numpy arrays, with
+    ``components[:, i]`` the i-th principal axis, eigenvalues descending,
+    truncated to ``k`` columns when given.
+    """
+    import numpy as np
+    import pandas as pd
+
+    dim = len(df.select(vec_col).first()[0])
+
+    def partial_moments(batches):
+        for pdf in batches:
+            mat = np.array(pdf[vec_col].tolist(), dtype="float64")
+            if mat.size == 0:
+                continue
+            yield pd.DataFrame(
+                {
+                    "n": [float(len(mat))],
+                    "moments": [
+                        np.concatenate([mat.sum(axis=0), (mat.T @ mat).ravel()])
+                    ],
+                }
+            )
+
+    partials = df.select(vec_col).mapInPandas(
+        partial_moments, "n double, moments array<double>"
+    )
+    summed = (
+        partials.select(
+            F.posexplode(
+                F.concat(F.array(F.col("n")), F.col("moments"))
+            ).alias("pos", "val")
+        )
+        .groupBy("pos")
+        .agg(F.sum("val").alias("s"))
+        .orderBy("pos")
+        .collect()
+    )
+    flat = np.array([r.s for r in summed])
+    n = flat[0]
+    mean = flat[1 : 1 + dim] / n
+    xtx = flat[1 + dim :].reshape(dim, dim)
+    cov = xtx / n - np.outer(mean, mean)
+    eigvals, eigvecs = np.linalg.eigh(cov)
+    order = np.argsort(eigvals)[::-1]
+    eigvals, eigvecs = eigvals[order], eigvecs[:, order]
+    # sign convention: the largest-|loading| coordinate of each axis positive
+    for i in range(eigvecs.shape[1]):
+        j = np.abs(eigvecs[:, i]).argmax()
+        if eigvecs[j, i] < 0:
+            eigvecs[:, i] = -eigvecs[:, i]
+    if k is not None:
+        eigvals, eigvecs = eigvals[:k], eigvecs[:, :k]
+    return mean, eigvecs, eigvals
+
+
+def pca_project(
+    df: DataFrame,
+    mean,
+    components,
+    eigenvalues=None,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    whiten: bool = False,
+) -> DataFrame:
+    """Project embeddings onto a fitted PCA basis (optionally whitened —
+    unit variance per axis, the standard preconditioner before LSH/IVF so
+    no high-variance axis dominates every hyperplane/centroid split).
+
+    One narrow Arrow pass: the (tiny) basis rides into each task as a
+    closure broadcast, each batch is one ``(X - mean) @ W`` matmul — zero
+    shuffle, linear in rows x dim x k, the same batched-linear-algebra
+    shape as the ANN re-ranker (SCALING.md: Arrow matmul beats per-row
+    Catalyst folds by an order of magnitude).
+    """
+    import numpy as np
+    import pandas as pd
+
+    w = np.asarray(components, dtype="float64")
+    mu = np.asarray(mean, dtype="float64")
+    if whiten:
+        if eigenvalues is None:
+            raise ValueError("whiten=True requires eigenvalues")
+        w = w / np.sqrt(np.maximum(np.asarray(eigenvalues, dtype="float64"), 1e-12))
+
+    def project(batches):
+        for pdf in batches:
+            mat = np.array(pdf[vec_col].tolist(), dtype="float64")
+            if mat.size == 0:
+                continue
+            proj = (mat - mu) @ w
+            yield pd.DataFrame({id_col: pdf[id_col], "projection": list(proj)})
+
+    return df.select(id_col, vec_col).mapInPandas(
+        project, f"{id_col} long, projection array<double>"
+    )

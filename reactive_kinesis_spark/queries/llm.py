@@ -1199,3 +1199,18 @@ def q80_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_id", "fingerprint")
         .orderBy("doc_id")
     )
+
+
+@query("q81_pca_whitening")  # rows-only: eigendecomposition not portable SQL
+def q81_pca_whitening(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Whitened PCA projection of the embedding corpus to 8 axes — the
+    standard preconditioner before LSH/IVF indexing (no high-variance axis
+    dominates every hyperplane/centroid split). The fit is one distributed
+    moment pass reducing to d^2+d+1 doubles on the driver; the projection
+    is one narrow Arrow matmul pass (see operators.similarity.pca_fit)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    mean, comps, eigvals = S.pca_fit(emb, "embedding", k=8)
+    return (
+        S.pca_project(emb, mean, comps, eigvals, whiten=True)
+        .orderBy("vec_id")
+    )

@@ -157,3 +157,67 @@ def test_unknown_preset_raises(spark, sf_dir):
         S.ann_lsh_topk(emb, q, preset="turbo")
     with pytest.raises(ValueError, match="unknown ivf preset"):
         S.ivf_topk(emb, q, preset="turbo")
+
+
+def test_pca_fit_matches_single_node_numpy(spark, sf_dir):
+    """Differential: the distributed one-pass moment PCA must agree with a
+    single-node numpy PCA on the collected matrix (same covariance, same
+    eigh, same sign convention) to fp tolerance."""
+    import numpy as np
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    mean, comps, eigvals = S.pca_fit(emb, "embedding", k=8)
+
+    mat = np.array(
+        [list(r.embedding) for r in emb.orderBy("vec_id").collect()], dtype="float64"
+    )
+    mu = mat.mean(axis=0)
+    cov = (mat.T @ mat) / len(mat) - np.outer(mu, mu)
+    ev, w = np.linalg.eigh(cov)
+    order = np.argsort(ev)[::-1]
+    ev, w = ev[order][:8], w[:, order][:, :8]
+    for i in range(w.shape[1]):
+        j = np.abs(w[:, i]).argmax()
+        if w[j, i] < 0:
+            w[:, i] = -w[:, i]
+
+    assert np.allclose(mean, mu, atol=1e-9)
+    assert np.allclose(eigvals, ev, atol=1e-7)
+    assert np.allclose(comps, w, atol=1e-6)
+
+
+def test_pca_components_orthonormal_and_variance_sorted(spark, sf_dir):
+    import numpy as np
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    _, comps, eigvals = S.pca_fit(emb, "embedding", k=8)
+    assert np.allclose(comps.T @ comps, np.eye(8), atol=1e-9)
+    assert all(eigvals[i] >= eigvals[i + 1] - 1e-12 for i in range(7))
+    assert eigvals[0] > 0
+
+
+def test_pca_whitened_projection_has_unit_variance(spark, sf_dir):
+    """Whitening contract: each projected axis has (population) variance 1
+    and mean 0 — the property that makes LSH hyperplane splits isotropic."""
+    import numpy as np
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    mean, comps, eigvals = S.pca_fit(emb, "embedding", k=4)
+    proj = S.pca_project(emb, mean, comps, eigvals, whiten=True)
+    mat = np.array([list(r.projection) for r in proj.collect()], dtype="float64")
+    assert np.allclose(mat.mean(axis=0), 0.0, atol=1e-9)
+    assert np.allclose(mat.var(axis=0), 1.0, atol=1e-6)
+
+
+def test_pca_projection_deterministic_across_runs(spark, sf_dir):
+    emb = load_table(spark, sf_dir, "embeddings")
+    mean, comps, eigvals = S.pca_fit(emb, "embedding", k=4)
+    a = sorted(S.pca_project(emb, mean, comps).collect())
+    mean2, comps2, eigvals2 = S.pca_fit(emb, "embedding", k=4)
+    b = sorted(S.pca_project(emb, mean2, comps2).collect())
+    import numpy as np
+
+    assert [r.vec_id for r in a] == [r.vec_id for r in b]
+    assert np.allclose(
+        [r.projection for r in a], [r.projection for r in b], atol=1e-9
+    )
