@@ -101,3 +101,84 @@ def read_table(spark: SparkSession, table_name: str) -> DataFrame:
     """Catalog-table scan — bucketing metadata (bucket count/columns) rides
     along, letting Catalyst elide the shuffle in bucket-aligned joins."""
     return spark.table(table_name)
+
+
+def file_stats(spark: SparkSession, path: str, fmt: str = "parquet") -> dict:
+    """Data-file inventory for a dataset directory: ``n_files``,
+    ``total_bytes``, ``avg_bytes`` — the health probe that decides whether
+    :func:`compact_files` is due. Uses the Hadoop FileSystem API (same code
+    path on local disk, HDFS, or s3a), recursing into partition
+    subdirectories and skipping metadata/hidden files.
+    """
+    jvm = spark._jvm
+    conf = spark._jsc.hadoopConfiguration()
+    p = jvm.org.apache.hadoop.fs.Path(path)
+    fs = p.getFileSystem(conf)
+    it = fs.listFiles(p, True)
+    n = total = 0
+    while it.hasNext():
+        st = it.next()
+        name = st.getPath().getName()
+        if name.startswith("_") or name.startswith("."):
+            continue
+        n += 1
+        total += st.getLen()
+    return {
+        "n_files": n,
+        "total_bytes": total,
+        "avg_bytes": (total / n) if n else 0.0,
+    }
+
+
+def compact_files(
+    spark: SparkSession,
+    path: str,
+    target_bytes_per_file: int = 128 * 1024 * 1024,
+    fmt: str = "parquet",
+    shuffle: bool = False,
+) -> dict:
+    """Rewrite a small-files dataset into ``ceil(total/target)`` right-sized
+    files — the maintenance pass every long-running streaming sink needs:
+    a micro-batch writer emits one file per trigger per partition, and a
+    week of 10-second triggers is ~60k tiny files whose open/footer
+    overhead dominates every subsequent scan (and breaks object-store
+    listing long before that).
+
+    ``shuffle=False`` (default) uses ``coalesce`` — no exchange, each
+    output file unions whole input files; size skew across outputs is
+    bounded by the input file sizes, which is exactly the small-file case.
+    ``shuffle=True`` uses round-robin ``repartition`` for byte-exact
+    balance at the cost of one full shuffle of the dataset.
+
+    The rewrite stages into a sibling temp dir, then swaps directories via
+    rename — atomic on posix/HDFS. On object stores without atomic rename,
+    run the swap step under a table format's commit protocol instead; the
+    compaction itself (read → re-layout → write) is identical. Readers
+    started before the swap see the old listing — schedule compaction in
+    the same maintenance window as checkpoint cleanup.
+
+    Returns ``{before: file_stats, after: file_stats}``.
+    """
+    import math
+    import os
+    import shutil
+
+    spark.catalog.refreshByPath(path)  # drop any stale cached listing
+    before = file_stats(spark, path, fmt)
+    if before["n_files"] == 0:
+        return {"before": before, "after": before}
+    n_out = max(1, math.ceil(before["total_bytes"] / target_bytes_per_file))
+    df = spark.read.format(fmt).load(path)
+    sized = df.repartition(n_out) if shuffle else df.coalesce(n_out)
+    tmp = path.rstrip("/") + "._compact_tmp"
+    sized.write.format(fmt).mode("overwrite").save(tmp)
+    old = path.rstrip("/") + "._compact_old"
+    os.rename(path, old)
+    os.rename(tmp, path)
+    shutil.rmtree(old)
+    # the session's FileStatusCache still lists the pre-swap files; without
+    # this, the next scan of `path` raises FILE_NOT_EXIST (found by driving
+    # the swap end-to-end — the in-process analog of REFRESH TABLE)
+    spark.catalog.refreshByPath(path)
+    after = file_stats(spark, path, fmt)
+    return {"before": before, "after": after}

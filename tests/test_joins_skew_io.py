@@ -264,3 +264,33 @@ def test_incremental_dedup_bucketed_history_shuffles_only_the_delta(
     finally:
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
         spark.sql("DROP TABLE IF EXISTS history_fp_b")
+
+
+def test_compact_files_reduces_count_and_preserves_content(spark, tmp_path, sf_dir):
+    """Streaming sinks emit one file per trigger per partition; compaction
+    must collapse them to the target layout without changing a single row."""
+    src = str(tmp_path / "many_small")
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    docs.repartition(64).write.parquet(src)  # 64 tiny files
+
+    stats = rio.compact_files(spark, src, target_bytes_per_file=1 << 30)
+    assert stats["before"]["n_files"] == 64
+    assert stats["after"]["n_files"] == 1
+    assert stats["after"]["total_bytes"] > 0
+
+    after = spark.read.parquet(src)
+    assert after.count() == docs.count()
+    assert sorted(r.doc_id for r in after.select("doc_id").collect()) == sorted(
+        r.doc_id for r in docs.select("doc_id").collect()
+    )
+
+
+def test_compact_files_respects_target_size(spark, tmp_path, sf_dir):
+    src = str(tmp_path / "sized")
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    docs.repartition(32).write.parquet(src)
+    total = rio.file_stats(spark, src)["total_bytes"]
+    # pick a target that should yield ~4 files
+    stats = rio.compact_files(spark, src, target_bytes_per_file=total // 4 + 1)
+    assert 2 <= stats["after"]["n_files"] <= 5
+    assert spark.read.parquet(src).count() == docs.count()
