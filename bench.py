@@ -219,12 +219,22 @@ def _skew_leg(
       works even where AQE can't re-plan (already-running stage, stateful
       streaming joins).
 
-    Two aggregation legs on the same fact (sum+count per key). NB: for
-    decomposable aggregates map-side partial aggregation already collapses
-    the hot key to one row per map task, so naive ≈ salted here is the
-    EXPECTED result — reported to document that salted_agg's value is the
-    cases partial-agg can't collapse (huge per-key partial state), not
-    plain sums.
+    Aggregation legs on the same fact, two families:
+
+    * sum+count per key (``agg_*``): for decomposable aggregates Spark's
+      map-side partial aggregation already collapses the hot key to ≤1 row
+      per map task, so NAIVE WINNING is the expected, honest result — and
+      salting the uniform million-key tail (``agg_salted_full``) actively
+      hurts by shredding phase 1's collapse. Reported to document when NOT
+      to salt.
+    * collect_list per key (``agg_list_*``): non-collapsible per-key state —
+      every hot-key row reaches one reducer, which builds a hot_pct%-of-fact
+      element array alone. Targeted salting (only the hot key) spreads that
+      build over ``buckets`` tasks — the case salted_agg exists for. NB on
+      local[N] the two legs measure shared memory BANDWIDTH, not straggler
+      wall-clock (one task sorting 5M longs runs at full node speed), so
+      naive can win locally while losing on a wide cluster; reported as-is,
+      with the cluster-vs-local analysis in SCALING.md.
     """
     from pyspark.sql import functions as F
 
@@ -246,6 +256,12 @@ def _skew_leg(
     )
 
     def timed(fn) -> float:
+        # warm pass first: these legs compare PLAN SHAPES, and a single cold
+        # run is dominated by codegen/JIT/GC of whichever leg goes first
+        # (measured swings of 3x on the salted legs). fn() rebuilds the
+        # DataFrame per call — re-collecting one object would silently reuse
+        # shuffle map stages and time ~nothing.
+        fn().collect()
         t0 = time.perf_counter()
         fn().collect()
         return round(time.perf_counter() - t0, 3)
@@ -269,12 +285,44 @@ def _skew_leg(
             lambda: probe(replicated_skew_join(fact, dim, "k", buckets=8))
         )
         aggs = {"n": ("count", "*"), "total": ("sum", "v")}
+
+        def agg_probe(agged):
+            # 1-row reduction so driver collect cost never pollutes the timing
+            return agged.groupBy().agg(
+                F.count(F.lit(1)).alias("groups"), F.sum("n").alias("rows")
+            )
+
         out["agg_naive_sec"] = timed(
-            lambda: fact.groupBy("k").agg(
-                F.count(F.lit(1)).alias("n"), F.sum("v").alias("total")
+            lambda: agg_probe(
+                fact.groupBy("k").agg(
+                    F.count(F.lit(1)).alias("n"), F.sum("v").alias("total")
+                )
             )
         )
-        out["agg_salted_sec"] = timed(lambda: salted_agg(fact, ["k"], aggs))
+        out["agg_salted_full_sec"] = timed(
+            lambda: agg_probe(salted_agg(fact, ["k"], aggs))
+        )
+        out["agg_salted_targeted_sec"] = timed(
+            lambda: agg_probe(salted_agg(fact, ["k"], aggs, hot_keys=[0]))
+        )
+
+        def list_probe(agged):
+            return agged.select(F.size("bag").alias("n")).groupBy().agg(
+                F.sum("n").alias("elems")
+            )
+
+        out["agg_list_naive_sec"] = timed(
+            lambda: list_probe(
+                fact.groupBy("k").agg(F.collect_list("v").alias("bag"))
+            )
+        )
+        out["agg_list_salted_sec"] = timed(
+            lambda: list_probe(
+                salted_agg(
+                    fact, ["k"], {"bag": ("collect_list", "v")}, hot_keys=[0]
+                )
+            )
+        )
     finally:
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", threshold)
         spark.conf.set("spark.sql.adaptive.enabled", aqe)

@@ -294,3 +294,59 @@ def test_compact_files_respects_target_size(spark, tmp_path, sf_dir):
     stats = rio.compact_files(spark, src, target_bytes_per_file=total // 4 + 1)
     assert 2 <= stats["after"]["n_files"] <= 5
     assert spark.read.parquet(src).count() == docs.count()
+
+
+def test_salted_agg_targeted_matches_plain(spark):
+    from reactive_kinesis_spark.operators.skew import detect_hot_keys
+
+    df = spark.createDataFrame(
+        [(("hot" if i % 10 else f"k{i}"), float(i)) for i in range(1000)],
+        "k string, v double",
+    )
+    plain = {
+        r.k: (r.n, r.total)
+        for r in df.groupBy("k")
+        .agg(F.count(F.lit(1)).alias("n"), F.sum("v").alias("total"))
+        .collect()
+    }
+    targeted = {
+        r.k: (r.n, r.total)
+        for r in salted_agg(
+            df, ["k"], {"n": ("count", "*"), "total": ("sum", "v")},
+            hot_keys=["hot"],
+        ).collect()
+    }
+    assert targeted == plain
+    # auto-detection on the full frame (sample_fraction=1 keeps the test
+    # deterministic and exact at this size)
+    assert detect_hot_keys(df, "k", min_share=0.5, sample_fraction=1.0) == ["hot"]
+
+
+def test_salted_agg_collect_list_is_bag_equal(spark):
+    df = spark.createDataFrame(
+        [(("hot" if i % 3 else f"k{i}"), i) for i in range(300)], "k string, v int"
+    )
+    plain = {
+        r.k: sorted(r.bag)
+        for r in df.groupBy("k").agg(F.collect_list("v").alias("bag")).collect()
+    }
+    salted = {
+        r.k: sorted(r.bag)
+        for r in salted_agg(
+            df, ["k"], {"bag": ("collect_list", "v")}, hot_keys=["hot"]
+        ).collect()
+    }
+    assert salted == plain
+    sset = {
+        r.k: sorted(r.bag)
+        for r in salted_agg(
+            df, ["k"], {"bag": ("collect_set", "v")}, hot_keys=["hot"]
+        ).collect()
+    }
+    assert sset == {k: sorted(set(v)) for k, v in plain.items()}
+
+
+def test_salted_agg_hot_keys_requires_single_key(spark):
+    df = spark.createDataFrame([("a", "b", 1)], "k1 string, k2 string, v int")
+    with pytest.raises(ValueError, match="one grouping key"):
+        salted_agg(df, ["k1", "k2"], {"n": ("count", "*")}, hot_keys=["a"])
