@@ -682,3 +682,62 @@ def temperature_weights(
         target.alias("target_share"),
         (target / natural).alias("oversample_factor"),
     )
+
+
+def heavy_hitters(
+    df: DataFrame,
+    text_col: str = "text",
+    min_share_permille: int = 2,
+) -> DataFrame:
+    """Exact corpus heavy hitters — every word holding at least
+    ``min_share_permille``/1000 of all token occurrences — found WITHOUT a
+    full-vocabulary aggregation.
+
+    Two passes, neither vocabulary-sized:
+
+    1. **Candidates** via Spark's one-pass misra-gries style
+       ``stat.freqItems`` at a support just under the threshold. Its
+       contract guarantees every item above support is returned (plus
+       false positives), so the candidate set is a SUPERSET of the answer
+       and is bounded by ~1/support items regardless of corpus size.
+    2. **Exact verification**: one corpus re-scan counting ONLY candidate
+       words (broadcast ``isin`` filter — the aggregate state is candidate-
+       sized, never vocabulary-sized), kept where
+       ``1000 * cnt >= min_share_permille * total`` — exact integer
+       arithmetic, so the result is deterministic and engine-portable even
+       though step 1 is approximate.
+
+    This is the 100 TB shape for "which tokens dominate the corpus": the
+    full groupBy-word alternative shuffles the whole vocabulary (fine at
+    q71's top-k scale, wasteful when only hitters ≥ 0.2% are wanted).
+    ``share`` is one IEEE division of exact int64s.
+    """
+    words = df.select(F.explode(tokens(text_col)).alias("word"))
+    support = max(min_share_permille / 1000.0 * 0.5, 1e-4)
+    cand = [
+        w
+        for w in words.stat.freqItems(["word"], support).collect()[0][0]
+        if w is not None
+    ]
+    total_row = words.agg(F.count(F.lit(1)).alias("t")).collect()[0]
+    total = int(total_row.t)
+    if not cand:
+        return (
+            words.limit(0)
+            .groupBy("word")
+            .agg(F.count(F.lit(1)).cast("long").alias("cnt"))
+            .withColumn("share", F.col("cnt").cast("double"))
+        )
+    return (
+        words.where(F.col("word").isin(cand))
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).cast("long").alias("cnt"))
+        .where(F.lit(1000) * F.col("cnt") >= F.lit(min_share_permille) * F.lit(total))
+        .select(
+            "word",
+            "cnt",
+            (F.col("cnt").cast("double") / F.lit(total).cast("double")).alias(
+                "share"
+            ),
+        )
+    )

@@ -1214,3 +1214,28 @@ def q81_pca_whitening(spark: SparkSession, sf_dir: str) -> DataFrame:
         S.pca_project(emb, mean, comps, eigvals, whiten=True)
         .orderBy("vec_id")
     )
+
+
+@query(
+    "q82_heavy_hitters",
+    oracle="""
+    WITH words AS (
+        SELECT unnest(string_split(text, ' ')) AS word FROM documents
+    ),
+    tot AS (SELECT CAST(COUNT(*) AS BIGINT) AS t FROM words)
+    SELECT word, CAST(COUNT(*) AS BIGINT) AS cnt,
+           CAST(CAST(COUNT(*) AS BIGINT) AS DOUBLE) / CAST(t AS DOUBLE) AS share
+    FROM words CROSS JOIN tot
+    GROUP BY word, t
+    HAVING 1000 * CAST(COUNT(*) AS BIGINT) >= 2 * t
+    ORDER BY word
+    """,
+)
+def q82_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus heavy hitters (words ≥ 0.2% of all tokens) via the
+    sketch-candidates + exact-verification pattern: freqItems bounds the
+    candidate set by ~1/support independent of corpus size, one broadcast-
+    filtered re-scan produces EXACT counts — deterministic output from an
+    approximate first pass (see operators.text.heavy_hitters)."""
+    docs = load_table(spark, sf_dir, "documents")
+    return T.heavy_hitters(docs, min_share_permille=2).orderBy("word")
