@@ -741,3 +741,49 @@ def heavy_hitters(
             ),
         )
     )
+
+
+def chunk_documents(
+    df: DataFrame,
+    chunk_tokens: int = 64,
+    stride: int = 48,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Split documents into fixed-size token windows with overlap — the
+    training-example preparation step between curation and tokenization
+    (``stride < chunk_tokens`` keeps context across boundaries; the last
+    window per doc may be short, and a doc shorter than one window yields
+    exactly one chunk).
+
+    Emits ``(id_col, chunk_id, chunk_text, n_chunk_tokens)`` with
+    ``chunk_id`` the 0-based window index at starts 0, stride, 2·stride...
+    strictly below the document's token count.
+
+    Pure array ops: ONE projected ``split`` per document (never inline in
+    the lambda — the round-4 CSE-through-HOF cliff), ``sequence`` for the
+    window starts, ``slice``+``concat_ws`` per window, one ``posexplode``.
+    Narrow and zero-shuffle: output rows ≈ tokens/stride per doc, produced
+    in the same task that read the doc — at 100 TB this pipelines straight
+    into the tokenizer with no exchange anywhere.
+    """
+    if not 0 < stride <= chunk_tokens:
+        raise ValueError(f"need 0 < stride ({stride}) <= chunk_tokens ({chunk_tokens})")
+    words = F.col("__words")
+    n = F.size(words)
+    starts = F.sequence(
+        F.lit(0), F.greatest(n - 1, F.lit(0)), F.lit(stride)
+    )
+    chunks = F.transform(
+        starts, lambda s: F.concat_ws(" ", F.slice(words, s + 1, chunk_tokens))
+    )
+    return (
+        df.select(F.col(id_col), tokens(text_col).alias("__words"))
+        .select(id_col, F.posexplode(chunks).alias("chunk_id", "chunk_text"))
+        .select(
+            id_col,
+            "chunk_id",
+            "chunk_text",
+            F.size(F.split("chunk_text", " ")).cast("int").alias("n_chunk_tokens"),
+        )
+    )

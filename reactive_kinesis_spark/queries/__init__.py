@@ -43,18 +43,18 @@ def query(name: str, oracle: str | None = None):
 
 
 #: Driver-visibility rotation (round 5). The driver's correctness run samples
-#: the FIRST 50 registry entries; with 72 oracle-backed queries, 22 must sit
+#: the FIRST 50 registry entries; with 73 oracle-backed queries, 23 must sit
 #: past the window each round. Policy: the least-driver-certified queries get
 #: the visible slots, so no oracle query goes more than ~2 rounds without
 #: driver re-certification. This round the two pools SWAP (the round-4
 #: VERDICT's explicit ask): _PROMOTED = the fifteen queries demoted in round
 #: 4, whose last driver certification is rounds 1-3 (q11-q16 only r3), PLUS
-#: the seven brand-new never-certified round-5 queries (q75-q80, q82) —
-#: they take slots 0-21. _DEMOTED = the fifteen queries promoted in round 4,
-#: each freshly certified in CORRECTNESS_r04 (rows+schema+hash), plus seven
-#: r4-certified mid-tier queries (q48/q49/q52/q54/q56/q57/q58) rotated out
+#: the eight brand-new never-certified round-5 queries (q75-q80, q82, q83)
+#: — they take slots 0-22. _DEMOTED = the fifteen queries promoted in round
+#: 4, each freshly certified in CORRECTNESS_r04 (rows+schema+hash), plus
+#: eight r4-certified mid-tier queries (q48/q49/q52/q54/q56-q59) rotated out
 #: to make room for the new ones; all remain fully oracle-checked locally
-#: every session (tests/test_oracle_parity.py). The remaining 28 middle-tier
+#: every session (tests/test_oracle_parity.py). The remaining 27 middle-tier
 #: queries were all certified in r4 and keep their in-window slots.
 _PROMOTED = (
     "q02_filter_project",
@@ -79,6 +79,7 @@ _PROMOTED = (
     "q79_temperature_weights",
     "q80_incremental_dedup",
     "q82_heavy_hitters",
+    "q83_chunking",
 )
 _DEMOTED = (
     "q60_dedup_clusters",
@@ -103,6 +104,7 @@ _DEMOTED = (
     "q56_collect_agg",
     "q57_map_functions",
     "q58_compound_subqueries",
+    "q59_range_frame_window",
 )
 
 

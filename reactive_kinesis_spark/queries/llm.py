@@ -1239,3 +1239,33 @@ def q82_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
     approximate first pass (see operators.text.heavy_hitters)."""
     docs = load_table(spark, sf_dir, "documents")
     return T.heavy_hitters(docs, min_share_permille=2).orderBy("word")
+
+
+@query(
+    "q83_chunking",
+    oracle="""
+    WITH w AS (
+        SELECT doc_id, string_split(text, ' ') AS words FROM documents
+    ),
+    starts AS (
+        SELECT doc_id, words, CAST(s AS INT) AS start,
+               CAST(s / 48 AS INT) AS chunk_id
+        FROM w, UNNEST(range(0, GREATEST(len(words), 1), 48)) AS t(s)
+    )
+    SELECT doc_id, chunk_id,
+           array_to_string(words[start+1:start+64], ' ') AS chunk_text,
+           CAST(LEAST(64, len(words) - start) AS INT) AS n_chunk_tokens
+    FROM starts
+    ORDER BY doc_id, chunk_id
+    """,
+)
+def q83_chunking(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-window document chunking (64-token windows, stride 48) — the
+    training-example prep step between curation and tokenization. One
+    projected split per doc, sequence+slice windows, one posexplode:
+    narrow, zero-shuffle, pipelines straight into the tokenizer (see
+    operators.text.chunk_documents)."""
+    docs = load_table(spark, sf_dir, "documents")
+    return T.chunk_documents(docs, chunk_tokens=64, stride=48).orderBy(
+        "doc_id", "chunk_id"
+    )
