@@ -758,7 +758,10 @@ def chunk_documents(
 
     Emits ``(id_col, chunk_id, chunk_text, n_chunk_tokens)`` with
     ``chunk_id`` the 0-based window index at starts 0, stride, 2·stride...
-    strictly below the document's token count.
+    strictly below the document's token count. A window whose PREDECESSOR
+    already reached the last token is not emitted (it would be fully
+    contained in the previous chunk — pure token-budget waste), so the
+    final chunk is the first one that touches the document's end.
 
     Pure array ops: ONE projected ``split`` per document (never inline in
     the lambda — the round-4 CSE-through-HOF cliff), ``sequence`` for the
@@ -771,8 +774,11 @@ def chunk_documents(
         raise ValueError(f"need 0 < stride ({stride}) <= chunk_tokens ({chunk_tokens})")
     words = F.col("__words")
     n = F.size(words)
-    starts = F.sequence(
-        F.lit(0), F.greatest(n - 1, F.lit(0)), F.lit(stride)
+    starts = F.filter(
+        F.sequence(F.lit(0), F.greatest(n - 1, F.lit(0)), F.lit(stride)),
+        # drop windows fully contained in their predecessor: emit s only if
+        # the previous window (s - stride, +chunk_tokens) stopped short
+        lambda s: (s == 0) | (s - stride + chunk_tokens < n),
     )
     chunks = F.transform(
         starts, lambda s: F.concat_ws(" ", F.slice(words, s + 1, chunk_tokens))

@@ -1251,6 +1251,7 @@ def q82_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
         SELECT doc_id, words, CAST(s AS INT) AS start,
                CAST(s / 48 AS INT) AS chunk_id
         FROM w, UNNEST(range(0, GREATEST(len(words), 1), 48)) AS t(s)
+        WHERE s = 0 OR s - 48 + 64 < len(words)
     )
     SELECT doc_id, chunk_id,
            array_to_string(words[start+1:start+64], ' ') AS chunk_text,

@@ -163,3 +163,51 @@ def test_characteristic_terms_rank_contract(spark, sf_dir):
         assert [r.rn for r in rows] == list(range(1, len(rows) + 1))
         keys = [(-r.tf, r.df, r.word) for r in rows]
         assert keys == sorted(keys)
+
+
+def test_chunking_covers_every_token_and_respects_stride(spark):
+    """Chunking contract: every token index is inside ≥1 chunk, chunk i
+    starts at i·stride, consecutive chunks overlap by chunk-stride tokens,
+    and degenerate docs (shorter than one window, single word) yield
+    exactly one chunk equal to the document."""
+    from reactive_kinesis_spark.operators.text import chunk_documents
+
+    docs = spark.createDataFrame(
+        [
+            (1, " ".join(f"t{i}" for i in range(150))),  # 3 chunks @ 64/48
+            (2, " ".join(f"u{i}" for i in range(64))),   # exactly one window
+            (3, "single"),                                # sub-window doc
+            (4, " ".join(f"v{i}" for i in range(65))),   # one full + one short
+        ],
+        "doc_id long, text string",
+    )
+    rows = chunk_documents(docs, chunk_tokens=64, stride=48).collect()
+    by_doc: dict[int, list] = {}
+    for r in rows:
+        by_doc.setdefault(r.doc_id, []).append(r)
+    assert sorted(by_doc) == [1, 2, 3, 4]
+    assert [r.chunk_id for r in sorted(by_doc[1], key=lambda r: r.chunk_id)] == [0, 1, 2]
+    assert len(by_doc[2]) == 1 and by_doc[2][0].n_chunk_tokens == 64
+    assert len(by_doc[3]) == 1 and by_doc[3][0].chunk_text == "single"
+    assert len(by_doc[4]) == 2 and by_doc[4][1].n_chunk_tokens == 65 - 48
+    # coverage + overlap on the 150-token doc
+    toks = [f"t{i}" for i in range(150)]
+    seen: set[int] = set()
+    for r in by_doc[1]:
+        words = r.chunk_text.split(" ")
+        start = r.chunk_id * 48
+        assert words == toks[start : start + 64]
+        seen.update(range(start, start + len(words)))
+    assert seen == set(range(150))
+
+
+def test_chunking_rejects_bad_stride(spark):
+    import pytest
+
+    from reactive_kinesis_spark.operators.text import chunk_documents
+
+    docs = spark.createDataFrame([(1, "a b c")], "doc_id long, text string")
+    with pytest.raises(ValueError, match="stride"):
+        chunk_documents(docs, chunk_tokens=8, stride=0)
+    with pytest.raises(ValueError, match="stride"):
+        chunk_documents(docs, chunk_tokens=8, stride=9)
