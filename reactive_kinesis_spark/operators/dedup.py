@@ -673,11 +673,22 @@ def simhash_pairs(
     text_col: str = "text",
     id_col: str = "doc_id",
     max_hamming: int = 3,
+    cache_signatures: bool = True,
+    cache_registry: list | None = None,
 ) -> DataFrame:
     """Near-dup pairs with Hamming distance ≤ ``max_hamming`` over 64-bit
     SimHash, found via the 4-chunk pigeonhole band join (any pair within
-    Hamming 3 must agree exactly on ≥1 of 4 16-bit chunks)."""
+    Hamming 3 must agree exactly on ≥1 of 4 16-bit chunks).
+
+    The signature frame is persisted before the banded self-join by
+    default: the two join sides are aliases of the same subtree, and
+    attribute aliasing defeats exchange reuse (the q77 finding), so
+    without the persist the full explode + 64-vote aggregation pipeline
+    executes twice. Signatures are 3 longs per document — the persist is
+    corpus-row-count sized, never token-sized."""
     sig = simhash(df, text_col, id_col)
+    if cache_signatures:
+        sig = _persist(sig, cache_registry)
     chunks = sig.select(
         F.col(id_col),
         "simhash_hi",
