@@ -350,3 +350,47 @@ def test_salted_agg_hot_keys_requires_single_key(spark):
     df = spark.createDataFrame([("a", "b", 1)], "k1 string, k2 string, v int")
     with pytest.raises(ValueError, match="one grouping key"):
         salted_agg(df, ["k1", "k2"], {"n": ("count", "*")}, hot_keys=["a"])
+
+
+def test_streaming_curation_chunking_matches_batch(spark, tmp_path, sf_dir):
+    """The 'one code path' claim driven end-to-end: the SAME narrow text
+    operators (quality score filter → PII redaction → chunking) applied to
+    a readStream frame must produce exactly the batch result. Stateless
+    narrow stages — no watermark needed; dedup/sampling stages have their
+    own streaming twins (dropDuplicates test above, q44's content-hash
+    predicate is stateless too)."""
+    from reactive_kinesis_spark.operators.text import (
+        chunk_documents,
+        quality_score,
+        redact_pii,
+    )
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    src = str(tmp_path / "doc_stream")
+    docs.write.parquet(src)
+
+    def pipeline(frame):
+        kept = frame.where(quality_score("text") >= F.lit(0.5))
+        clean = redact_pii(kept, "text")
+        return chunk_documents(
+            clean.drop("text").withColumnRenamed("redacted", "text"),
+            chunk_tokens=32,
+            stride=24,
+        )
+
+    batch = {
+        (r.doc_id, r.chunk_id, r.chunk_text, r.n_chunk_tokens)
+        for r in pipeline(docs).collect()
+    }
+    stream_out = _drain(
+        spark,
+        pipeline(spark.readStream.schema(docs.schema).parquet(src)),
+        tmp_path,
+        "cur_chunk",
+    )
+    streamed = {
+        (r.doc_id, r.chunk_id, r.chunk_text, r.n_chunk_tokens)
+        for r in stream_out.collect()
+    }
+    assert streamed == batch
+    assert len(batch) > 0
