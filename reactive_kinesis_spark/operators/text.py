@@ -793,3 +793,113 @@ def chunk_documents(
             F.size(F.split("chunk_text", " ")).cast("int").alias("n_chunk_tokens"),
         )
     )
+
+
+def weighted_sample(
+    df: DataFrame,
+    k: int,
+    weight_col: str = "n_chars",
+    group_col: str = "source",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Weighted sampling WITHOUT replacement — exactly ``min(k, n_g)`` rows
+    per ``group_col`` group with inclusion propensity proportional to
+    ``weight_col`` (Efraimidis & Spirakis 2006, the A-ES reservoir keys):
+    rank by ``ln(u) / w`` descending, where ``u`` is a uniform draw in
+    (0, 1). The size-biased companion to :func:`stratified_sample` — "carve
+    an eval set but prefer substantial documents", "sample transcripts
+    proportional to duration".
+
+    ``u`` is NOT ``rand()``: it is derived from the row's id hash
+    (``(int(md5(id)[:8], 16) + 0.5) / 2^32`` — the +0.5 keeps u strictly
+    inside (0,1) so ``ln`` is finite), making selection a pure function of
+    content like every sampler in this module: task retries, re-runs, and
+    other engines draw the identical sample. ``ln`` here is the one libm
+    call in this module; it only ORDERS candidates (the emitted columns are
+    the exact inputs), and two independent 2^-32-grid draws landing within
+    one ulp of each other after ``/w`` is the only way engines could
+    disagree — vanishing, and absent entirely in the driver compare since
+    both engines hash identical md5 draws.
+
+    Shape: identical to :func:`stratified_sample` — one hash shuffle on the
+    group column + an in-partition window sort; same bounded-strata
+    contract (for unbounded groups, fall back to rate-based samplers).
+    Returns ``(group_col, id_col, weight, rn)``.
+    """
+    from pyspark.sql import Window
+
+    if k < 1:
+        raise ValueError(f"need k >= 1, got {k}")
+    u = (
+        F.conv(F.substring(F.md5(F.col(id_col).cast("string")), 1, 8), 16, 10).cast(
+            "double"
+        )
+        + F.lit(0.5)
+    ) / F.lit(4294967296.0)
+    key = F.log(u) / F.col(weight_col).cast("double")
+    w = Window.partitionBy(group_col).orderBy(F.col("__aes_key").desc(), id_col)
+    return (
+        df.select(
+            group_col,
+            id_col,
+            F.col(weight_col).alias("weight"),
+            key.alias("__aes_key"),
+        )
+        .withColumn("rn", F.row_number().over(w).cast("int"))
+        .where(F.col("rn") <= k)
+        .select(group_col, id_col, "weight", "rn")
+    )
+
+
+def surprisal_scoring(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Per-document cross-entropy under the corpus's OWN unigram model,
+    quantized to exact integer bits — the engine-portable form of the
+    perplexity quality filter (CCNet-style: route/downweight documents the
+    corpus LM finds surprising). A word with corpus count ``c`` out of
+    ``T`` total tokens carries ``floor(log2 T) - floor(log2 c)`` bits of
+    (quantized) surprisal; a document's score is the tf-weighted sum.
+
+    The quantization is the portability contract: ``floor(log2 x)`` is
+    computed as ``length(bin(x)) - 1`` — pure integer/string ops, no libm
+    anywhere, so scores are bit-identical across engines and hardware
+    (a float ``Σ tf·ln(T/c)`` would depend on both libm and summation
+    order). On a deployment that wants nats, swapping the quantized term
+    for ``ln`` is a one-line change that alters no plan shape.
+
+    Shape: :func:`doc_word_counts` once; vocabulary re-aggregated from it;
+    the corpus total re-aggregated from the VOCABULARY (word-count-sized,
+    not corpus-sized) and attached as a broadcast single-row frame; one
+    word-keyed join; final id-keyed aggregation — the same two-shuffle
+    skeleton as :func:`rare_word_scoring`, which measures the linear-domain
+    signal where this measures the log-domain one. ``bits_per_token`` is
+    one IEEE division of exact int64s. Returns
+    ``(id_col, n_words, surprisal_bits, bits_per_token)``.
+    """
+    dw = doc_word_counts(df, text_col, id_col)
+    vocab = dw.groupBy("word").agg(F.sum("tf").cast("long").alias("c"))
+    total = vocab.agg(F.sum("c").cast("long").alias("t"))
+    log2 = lambda c: (F.length(F.bin(c)) - 1).cast("long")  # noqa: E731
+    return (
+        dw.join(vocab, "word")
+        .crossJoin(F.broadcast(total))
+        .groupBy(id_col)
+        .agg(
+            F.sum("tf").cast("long").alias("n_words"),
+            F.sum(F.col("tf") * (log2(F.col("t")) - log2(F.col("c"))))
+            .cast("long")
+            .alias("surprisal_bits"),
+        )
+        .select(
+            id_col,
+            "n_words",
+            "surprisal_bits",
+            (
+                F.col("surprisal_bits").cast("double")
+                / F.col("n_words").cast("double")
+            ).alias("bits_per_token"),
+        )
+    )

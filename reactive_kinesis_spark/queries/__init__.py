@@ -43,7 +43,7 @@ def query(name: str, oracle: str | None = None):
 
 
 #: Driver-visibility rotation (round 5). The driver's correctness run samples
-#: the FIRST 50 registry entries; with 73 oracle-backed queries, 23 must sit
+#: the FIRST 50 registry entries; with 77 oracle-backed queries, 27 must sit
 #: past the window each round. Policy: the least-driver-certified queries get
 #: the visible slots, so no oracle query goes more than ~2 rounds without
 #: driver re-certification. This round the two pools SWAP (the round-4
@@ -80,6 +80,11 @@ _PROMOTED = (
     "q80_incremental_dedup",
     "q82_heavy_hitters",
     "q83_chunking",
+    # round-5 session additions — never driver-certified, take window slots
+    "q84_weighted_sample",
+    "q85_event_funnel",
+    "q86_robust_outliers",
+    "q87_surprisal_scoring",
 )
 _DEMOTED = (
     "q60_dedup_clusters",
@@ -105,6 +110,12 @@ _DEMOTED = (
     "q57_map_functions",
     "q58_compound_subqueries",
     "q59_range_frame_window",
+    # demoted mid-session to make window room for q84-q87 (all four below
+    # are r4-certified rows+schema+hash and stay locally oracle-checked)
+    "q09_window_analytic",
+    "q26_quality_scores",
+    "q27_fingerprint_stats",
+    "q33_frame_sample",
 )
 
 

@@ -690,3 +690,71 @@ def q73_percentiles_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("l_returnflag")
     )
+
+
+@query(
+    "q86_robust_outliers",
+    oracle="""
+    WITH med AS (
+        SELECT source, CAST(quantile_cont(n_chars, 0.5) AS DOUBLE) AS med
+        FROM documents GROUP BY source
+    ),
+    dev AS (
+        SELECT d.source, med.med,
+               ABS(CAST(n_chars AS DOUBLE) - med.med) AS adev
+        FROM documents d JOIN med USING (source)
+    ),
+    mad AS (
+        SELECT source, CAST(quantile_cont(adev, 0.5) AS DOUBLE) AS mad
+        FROM dev GROUP BY source
+    )
+    SELECT dev.source,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           MIN(dev.med) AS med,
+           MIN(mad.mad) AS mad,
+           CAST(SUM(CASE WHEN adev > 3 * mad.mad THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_outliers
+    FROM dev JOIN mad USING (source)
+    GROUP BY dev.source
+    ORDER BY dev.source
+    """,
+)
+def q86_robust_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Robust per-source outlier report: median and MAD (median absolute
+    deviation) of document length, and how many documents sit beyond
+    3 MADs — the outlier-rate signal mean/stddev (q50) gets wrong on the
+    heavy-tailed length distributions real corpora have (one 100 MB
+    document drags a stddev fence; it cannot drag a median).
+
+    Spark-first shape: ONE source-keyed shuffle for the whole query. Both
+    exact medians run as WINDOW aggregates over the same partition key
+    (``percentile(...).over(partitionBy(source))``), so the second window
+    and the final group-by all reuse the first exchange — where the naive
+    aggregate-then-join-back formulation (what the DuckDB oracle runs)
+    scans and shuffles the corpus three times. Same bounded-strata
+    contract as every per-source exact-median: each source must fit a
+    task; at unbounded group sizes swap ``percentile`` for the q73
+    ``approx_percentile`` sketch (mergeable, no single-task constraint)
+    with the pinned rank-error bound.
+    """
+    docs = load_table(spark, sf_dir, "documents").select("source", "n_chars")
+    w = Window.partitionBy("source")
+    dev = (
+        docs.withColumn("med", F.percentile("n_chars", F.lit(0.5)).over(w))
+        .withColumn("adev", F.abs(F.col("n_chars").cast("double") - F.col("med")))
+        .withColumn("mad", F.percentile("adev", F.lit(0.5)).over(w))
+    )
+    return (
+        dev.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.min("med").alias("med"),
+            F.min("mad").alias("mad"),
+            F.sum(
+                F.when(F.col("adev") > 3 * F.col("mad"), F.lit(1)).otherwise(F.lit(0))
+            )
+            .cast("long")
+            .alias("n_outliers"),
+        )
+        .orderBy("source")
+    )

@@ -331,3 +331,99 @@ def q78_event_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("prev_type", "event_type")
     )
+
+
+def funnel(
+    ev: DataFrame,
+    steps: tuple[str, ...],
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    type_col: str = "event_type",
+) -> DataFrame:
+    """Ordered-funnel depth per user: how far through ``steps`` (e.g.
+    view → click → purchase) each user progressed, where step *i+1* must
+    occur STRICTLY after the matched step *i* event. Greedy
+    earliest-match — provably optimal for depth (taking the earliest
+    possible event at each step can only enlarge the set of later events
+    available for the next one), so depth is well-defined, not
+    match-order-dependent.
+
+    Spark-first shape: ONE user-keyed shuffle. Each user's events are
+    gathered (``collect_list`` of (unix_micros, type) structs — partial
+    aggregation ships per-task slices, not rows), ``array_sort``-ed, and
+    folded through a Catalyst-lambda state machine (``F.aggregate`` with a
+    (depth, last_ts) struct accumulator) — the whole match runs inside
+    whole-stage-codegen'd expressions, no UDF, no second shuffle. The
+    cascade alternative (one aggregate+join per step — what the DuckDB
+    oracle runs) costs ``len(steps)`` corpus shuffles; this costs one,
+    with per-user state bounded by that user's event count (the same
+    bounded-entity contract as q20's sessions; for entities with unbounded
+    history, window the input first).
+
+    Returns ``(user_col, funnel_depth)``, depth in 0..len(steps).
+    """
+    steps_arr = F.array(*[F.lit(s) for s in steps])
+    evs = F.array_sort(
+        F.collect_list(
+            F.struct(
+                F.unix_micros(F.col(ts_col)).alias("t"),
+                F.col(type_col).alias("e"),
+            )
+        )
+    )
+    init = F.struct(
+        F.lit(0).cast("int").alias("d"), F.lit(-1).cast("long").alias("t")
+    )
+
+    def advance(acc, x):
+        hit = (
+            (acc["d"] < F.lit(len(steps)))
+            & (x["e"] == F.element_at(steps_arr, acc["d"] + 1))
+            & (x["t"] > acc["t"])
+        )
+        return F.when(
+            hit,
+            F.struct((acc["d"] + 1).cast("int").alias("d"), x["t"].alias("t")),
+        ).otherwise(acc)
+
+    return ev.groupBy(user_col).agg(
+        F.aggregate(evs, init, advance)["d"].alias("funnel_depth")
+    )
+
+
+@query(
+    "q85_event_funnel",
+    oracle="""
+    WITH t1 AS (
+        SELECT user_id, MIN(ts) AS ts1 FROM events
+        WHERE event_type = 'view' GROUP BY user_id
+    ),
+    t2 AS (
+        SELECT e.user_id, MIN(e.ts) AS ts2 FROM events e JOIN t1 USING (user_id)
+        WHERE e.event_type = 'click' AND e.ts > t1.ts1 GROUP BY e.user_id
+    ),
+    t3 AS (
+        SELECT e.user_id, MIN(e.ts) AS ts3 FROM events e JOIN t2 USING (user_id)
+        WHERE e.event_type = 'purchase' AND e.ts > t2.ts2 GROUP BY e.user_id
+    )
+    SELECT u.user_id,
+           CAST(CASE WHEN ts3 IS NOT NULL THEN 3
+                     WHEN ts2 IS NOT NULL THEN 2
+                     WHEN ts1 IS NOT NULL THEN 1
+                     ELSE 0 END AS INT) AS funnel_depth
+    FROM (SELECT DISTINCT user_id FROM events) u
+    LEFT JOIN t1 USING (user_id)
+    LEFT JOIN t2 USING (user_id)
+    LEFT JOIN t3 USING (user_id)
+    ORDER BY u.user_id
+    """,
+)
+def q85_event_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Conversion-funnel depth (view → click → purchase, strictly ordered
+    in event time) per user — the product-analytics staple next to q78's
+    transition matrix. One user-keyed shuffle + a Catalyst-lambda state
+    machine; the oracle runs the independent 3-stage min-cascade
+    formulation, so agreement cross-checks the algorithm, not just the
+    arithmetic. See :func:`funnel`."""
+    ev = load_table(spark, sf_dir, "events").select("user_id", "event_type", "ts")
+    return funnel(ev, steps=("view", "click", "purchase")).orderBy("user_id")

@@ -1270,3 +1270,70 @@ def q83_chunking(spark: SparkSession, sf_dir: str) -> DataFrame:
     return T.chunk_documents(docs, chunk_tokens=64, stride=48).orderBy(
         "doc_id", "chunk_id"
     )
+
+
+@query(
+    "q84_weighted_sample",
+    oracle="""
+    SELECT source, doc_id, weight, rn FROM (
+        SELECT source, doc_id, n_chars AS weight,
+               CAST(ROW_NUMBER() OVER (
+                   PARTITION BY source ORDER BY
+                       ln((('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))
+                               ::BIGINT + 0.5) / 4294967296.0)
+                           / CAST(n_chars AS DOUBLE) DESC,
+                       doc_id
+               ) AS INT) AS rn
+        FROM documents
+    )
+    WHERE rn <= 5
+    ORDER BY source, rn
+    """,
+)
+def q84_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted sampling without replacement: 5 documents per source with
+    inclusion propensity proportional to length (Efraimidis-Spirakis
+    reservoir keys over a DETERMINISTIC content-derived uniform — no
+    rand(), so retries/engines draw the identical sample). The size-biased
+    companion to q74's uniform stratified carve. See
+    operators.text.weighted_sample."""
+    docs = load_table(spark, sf_dir, "documents")
+    return T.weighted_sample(docs, k=5).orderBy("source", "rn")
+
+
+@query(
+    "q87_surprisal_scoring",
+    oracle="""
+    WITH words AS (
+        SELECT doc_id, unnest(string_split(text, ' ')) AS word FROM documents
+    ),
+    dw AS (
+        SELECT doc_id, word, CAST(COUNT(*) AS BIGINT) AS tf
+        FROM words GROUP BY doc_id, word
+    ),
+    vocab AS (
+        SELECT word, CAST(SUM(tf) AS BIGINT) AS c FROM dw GROUP BY word
+    ),
+    total AS (
+        SELECT CAST(SUM(c) AS BIGINT) AS t FROM vocab
+    )
+    SELECT doc_id,
+           CAST(SUM(tf) AS BIGINT) AS n_words,
+           CAST(SUM(tf * ((length(bin(t)) - 1) - (length(bin(c)) - 1)))
+               AS BIGINT) AS surprisal_bits,
+           CAST(CAST(SUM(tf * ((length(bin(t)) - 1) - (length(bin(c)) - 1)))
+                    AS BIGINT) AS DOUBLE)
+               / CAST(CAST(SUM(tf) AS BIGINT) AS DOUBLE) AS bits_per_token
+    FROM dw JOIN vocab USING (word) CROSS JOIN total
+    GROUP BY doc_id
+    ORDER BY doc_id
+    """,
+)
+def q87_surprisal_scoring(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document cross-entropy under the corpus's own unigram model,
+    quantized to exact integer bits (floor-log2 via length(bin(x))-1 — no
+    libm, bit-identical across engines): the perplexity-style quality
+    filter in engine-portable form, log-domain companion to q75's
+    linear-domain commonness. See operators.text.surprisal_scoring."""
+    docs = load_table(spark, sf_dir, "documents")
+    return T.surprisal_scoring(docs).orderBy("doc_id")

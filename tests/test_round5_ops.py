@@ -1,0 +1,167 @@
+"""Structural tests for the round-5 session operators: weighted sampling
+(A-ES), funnel state machine, robust MAD outliers, surprisal scoring.
+Each is also oracle-checked end-to-end by test_oracle_parity; these pin
+the operator-level contracts on handcrafted data where the expected
+answer is computable by hand."""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import functions as F
+
+from reactive_kinesis_spark.operators.text import surprisal_scoring, weighted_sample
+from reactive_kinesis_spark.queries.events import funnel
+
+
+def _docs(spark, rows):
+    return spark.createDataFrame(
+        rows, schema="doc_id long, source string, text string, n_chars int"
+    )
+
+
+class TestWeightedSample:
+    def test_exact_k_per_group_and_valid_ranks(self, spark):
+        rows = [
+            (i, f"s{i % 3}", f"doc {i}", 10 + i) for i in range(30)
+        ]
+        out = weighted_sample(_docs(spark, rows), k=4).collect()
+        by_group: dict[str, list] = {}
+        for r in out:
+            by_group.setdefault(r.source, []).append(r)
+        assert set(by_group) == {"s0", "s1", "s2"}
+        for g, sel in by_group.items():
+            assert sorted(r.rn for r in sel) == [1, 2, 3, 4]
+
+    def test_k_larger_than_group_returns_all(self, spark):
+        rows = [(1, "a", "x", 5), (2, "a", "y", 7)]
+        out = weighted_sample(_docs(spark, rows), k=10).collect()
+        assert sorted(r.doc_id for r in out) == [1, 2]
+
+    def test_deterministic_across_runs(self, spark):
+        rows = [(i, "s", "t", 1 + (i * 7) % 50) for i in range(40)]
+        df = _docs(spark, rows)
+        a = sorted((r.doc_id, r.rn) for r in weighted_sample(df, k=6).collect())
+        b = sorted((r.doc_id, r.rn) for r in weighted_sample(df, k=6).collect())
+        assert a == b
+
+    def test_dominant_weight_always_selected_first(self, spark):
+        # |ln u|/1e9 for the heavy doc is < 2.3e-8; every unit-weight doc
+        # needs u > 1 - 2.3e-8 (a ~1e-8 hash event) to beat it — and the
+        # draw is a fixed pure function of doc_id, so this is stable.
+        rows = [(i, "s", "t", 1) for i in range(50)] + [(999, "s", "t", 10**9)]
+        out = weighted_sample(_docs(spark, rows), k=3, weight_col="n_chars").collect()
+        winner = next(r for r in out if r.rn == 1)
+        assert winner.doc_id == 999
+
+    def test_matches_reference_formula(self, spark):
+        # independently recompute the A-ES keys in Python (hashlib md5)
+        import hashlib
+
+        rows = [(i, "s", "t", 3 + i) for i in range(25)]
+        out = {r.doc_id: r.rn for r in weighted_sample(_docs(spark, rows), k=5).collect()}
+
+        def key(doc_id: int, w: int) -> float:
+            u = (int(hashlib.md5(str(doc_id).encode()).hexdigest()[:8], 16) + 0.5) / 2**32
+            return math.log(u) / w
+
+        want = sorted(rows, key=lambda r: (-key(r[0], r[3]), r[0]))[:5]
+        assert out == {r[0]: i + 1 for i, r in enumerate(want)}
+
+
+class TestFunnel:
+    def _events(self, spark, rows):
+        return spark.createDataFrame(
+            [(u, f"2024-01-0{d} 00:00:0{s}", e) for (u, d, s, e) in rows],
+            schema="user_id long, ts string, event_type string",
+        ).select("user_id", F.col("ts").cast("timestamp").alias("ts"), "event_type")
+
+    def test_depths_on_handcrafted_sequences(self, spark):
+        rows = [
+            # user 1: full funnel in order -> 3
+            (1, 1, 1, "view"), (1, 1, 2, "click"), (1, 2, 1, "purchase"),
+            # user 2: purchase BEFORE view/click -> only view+click count -> 2
+            (2, 1, 1, "purchase"), (2, 1, 2, "view"), (2, 1, 3, "click"),
+            # user 3: view only -> 1
+            (3, 1, 1, "view"), (3, 1, 2, "error"),
+            # user 4: click/purchase but never a view -> 0
+            (4, 1, 1, "click"), (4, 1, 2, "purchase"),
+            # user 5: interleaved noise, funnel spread across days -> 3
+            (5, 1, 1, "error"), (5, 1, 2, "view"), (5, 2, 1, "signup"),
+            (5, 2, 2, "click"), (5, 3, 1, "view"), (5, 3, 2, "purchase"),
+        ]
+        out = {
+            r.user_id: r.funnel_depth
+            for r in funnel(
+                self._events(spark, rows), steps=("view", "click", "purchase")
+            ).collect()
+        }
+        assert out == {1: 3, 2: 2, 3: 1, 4: 0, 5: 3}
+
+    def test_strictly_after_same_timestamp_does_not_advance(self, spark):
+        rows = [(7, 1, 1, "view"), (7, 1, 1, "click"), (7, 1, 2, "click")]
+        out = funnel(
+            self._events(spark, rows), steps=("view", "click", "purchase")
+        ).collect()
+        # the t=1 click ties the matched view and must NOT count; t=2 does
+        assert out[0].funnel_depth == 2
+
+    def test_greedy_earliest_is_depth_optimal(self, spark):
+        # view@1 view@3 click@2: greedy matches view@1 then click@2 -> 2;
+        # a non-greedy matcher that took view@3 would strand the click
+        rows = [(8, 1, 1, "view"), (8, 1, 3, "view"), (8, 1, 2, "click")]
+        out = funnel(self._events(spark, rows), steps=("view", "click")).collect()
+        assert out[0].funnel_depth == 2
+
+
+class TestSurprisal:
+    def test_handcrafted_bits(self, spark):
+        # corpus: "a a a b" + "a c" -> counts a=4, b=1, c=1, T=6
+        # floor_log2: T->2, a->2, b->0, c->0
+        docs = _docs(
+            spark,
+            [(1, "s", "a a a b", 7), (2, "s", "a c", 3)],
+        )
+        out = {r.doc_id: r for r in surprisal_scoring(docs).collect()}
+        # doc 1: 3*(2-2) + 1*(2-0) = 2 bits over 4 words
+        assert out[1].surprisal_bits == 2
+        assert out[1].n_words == 4
+        assert out[1].bits_per_token == 0.5
+        # doc 2: 1*(2-2) + 1*(2-0) = 2 bits over 2 words
+        assert out[2].surprisal_bits == 2
+        assert out[2].bits_per_token == 1.0
+
+    def test_uniform_corpus_scores_equal(self, spark):
+        docs = _docs(
+            spark, [(i, "s", "w1 w2 w3 w4", 11) for i in range(4)]
+        )
+        out = surprisal_scoring(docs).collect()
+        assert len({r.surprisal_bits for r in out}) == 1
+
+
+class TestRobustOutliers:
+    def test_against_plain_python(self, spark, sf_dir):
+        from reactive_kinesis_spark.queries import load_all
+
+        qd = load_all()["q86_robust_outliers"]
+        got = {r.source: r for r in qd.fn(spark, sf_dir).collect()}
+
+        import statistics
+
+        import duckdb
+
+        rows = duckdb.sql(
+            f"select source, n_chars from '{sf_dir}/documents.parquet'"
+        ).fetchall()
+        by_src: dict[str, list[int]] = {}
+        for s, n in rows:
+            by_src.setdefault(s, []).append(n)
+        for s, xs in by_src.items():
+            med = statistics.median(xs)
+            devs = [abs(float(x) - med) for x in xs]
+            mad = statistics.median(devs)
+            n_out = sum(1 for d in devs if d > 3 * mad)
+            assert got[s].n_docs == len(xs)
+            assert got[s].med == med
+            assert got[s].mad == mad
+            assert got[s].n_outliers == n_out
