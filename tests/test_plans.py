@@ -177,3 +177,50 @@ def test_token_packing_is_one_window_pass(spark, sf_dir):
     assert len(re.findall(r"^\(\d+\) Window", plan, re.M)) == 1
     n_exchanges = len(re.findall(r"^\(\d+\) Exchange", plan, re.M))
     assert n_exchanges <= 3  # window partition, final agg, presentation sort
+
+
+def test_weighted_sample_is_one_window_exchange(spark, sf_dir):
+    """q84 must keep stratified_sample's shape: one hash exchange on the
+    group key feeding the rank window, plus at most a presentation sort —
+    no joins, nothing corpus-wide in one task."""
+    import re
+
+    plan = _plan(load_all()["q84_weighted_sample"].fn(spark, sf_dir))
+    assert "Join" not in plan and "InPandas" not in plan
+    assert len(re.findall(r"^\(\d+\) Exchange", plan, re.M)) <= 2
+
+
+def test_funnel_is_single_shuffle_no_join(spark, sf_dir):
+    """q85's state machine must run inside ONE user-keyed aggregation —
+    the whole point vs the per-step aggregate+join cascade the oracle
+    runs. Partial collect_list must ship task slices, not rows."""
+    import re
+
+    plan = _plan(load_all()["q85_event_funnel"].fn(spark, sf_dir))
+    assert "Join" not in plan and "Window" not in plan and "InPandas" not in plan
+    assert len(re.findall(r"^\(\d+\) Exchange", plan, re.M)) <= 2
+    assert "partial_collect_list" in plan
+
+
+def test_robust_outliers_reuse_one_exchange(spark, sf_dir):
+    """q86: both exact-median windows and the final group-by must ride ONE
+    source-keyed exchange (+ presentation sort) — the aggregate+join-back
+    formulation the oracle uses would scan the corpus three times."""
+    import re
+
+    plan = _plan(load_all()["q86_robust_outliers"].fn(spark, sf_dir))
+    assert "Join" not in plan
+    assert len(re.findall(r"^\(\d+\) Window", plan, re.M)) == 2
+    assert len(re.findall(r"^\(\d+\) Exchange", plan, re.M)) <= 2
+
+
+def test_surprisal_stays_word_keyed_with_partial_aggs(spark, sf_dir):
+    """q87 joins doc-term counts to the vocabulary on word — never doc×doc,
+    never a hot-word window (a stopword's rows would pile into one task);
+    every aggregation must combine map-side. The corpus IS scanned more
+    than once (the vocab branch prunes differently, so no exchange reuse)
+    — that is the deliberate trade: linear columnar rescans over a
+    straggler-prone single-scan window."""
+    plan = _plan(load_all()["q87_surprisal_scoring"].fn(spark, sf_dir))
+    assert "CartesianProduct" not in plan and "Window" not in plan
+    assert "partial_" in plan
