@@ -97,6 +97,43 @@ def write_bucketed(
     writer.saveAsTable(table_name)
 
 
+def write_range_layout(
+    df: DataFrame,
+    path: str,
+    range_by: list[str],
+    *,
+    files: int | None = None,
+    fmt: str = "parquet",
+    mode: str = "overwrite",
+    **options: str,
+) -> None:
+    """Write ``df`` range-clustered on ``range_by``: rows are range-
+    partitioned (contiguous key bands per output file) and sorted within
+    each file, so every parquet footer carries a TIGHT min/max band for
+    the key.
+
+    This is the layout lever for range predicates, the way
+    :func:`write_bucketed` is for equi-joins: a time- or key-range scan
+    then prunes at two levels — whole files via footer stats and row
+    groups via chunk stats — reading O(selectivity) instead of O(corpus).
+    On an unsorted layout every file spans nearly the full key range and
+    min/max pruning is useless (each footer intersects every predicate);
+    ``tests/test_joins_skew_io.py`` pins both directions. The range
+    exchange is paid once at write time, amortized over every later scan
+    — exactly the bucketing trade.
+
+    ``repartitionByRange`` samples key quantiles, so bands are balanced
+    even under skew (a hot day gets more files, not a bigger one).
+    ``files`` bounds the file count (default: the session's shuffle
+    partitions). Use alongside ``partition_by`` directory layout when the
+    key has a natural coarse unit (e.g. ``partition_by=["date"]`` +
+    range layout on ``ts`` inside each date).
+    """
+    n = files or int(df.sparkSession.conf.get("spark.sql.shuffle.partitions"))
+    out = df.repartitionByRange(n, *range_by).sortWithinPartitions(*range_by)
+    write_batch(out, path, fmt=fmt, mode=mode, **options)
+
+
 def read_table(spark: SparkSession, table_name: str) -> DataFrame:
     """Catalog-table scan — bucketing metadata (bucket count/columns) rides
     along, letting Catalyst elide the shuffle in bucket-aligned joins."""

@@ -165,3 +165,37 @@ class TestRobustOutliers:
             assert got[s].med == med
             assert got[s].mad == mad
             assert got[s].n_outliers == n_out
+
+
+def test_funnel_matches_python_greedy_on_random_sequences(spark):
+    """Differential: 200 random event sequences (with duplicate timestamps,
+    repeated steps, noise types) — the Catalyst state machine must agree
+    with an independent pure-Python greedy matcher on every user."""
+    import random
+
+    rng = random.Random(20260814)
+    steps = ("view", "click", "purchase")
+    types = list(steps) + ["error", "signup"]
+    rows, expected = [], {}
+    for uid in range(200):
+        n = rng.randint(0, 12)
+        evs = sorted(
+            (rng.randint(0, 20), rng.choice(types)) for _ in range(n)
+        )
+        for t, e in evs:
+            rows.append((uid, t, e))
+        d, last = 0, -1
+        for t, e in sorted(evs):  # same (t, type) total order as array_sort
+            if d < len(steps) and e == steps[d] and t > last:
+                d, last = d + 1, t
+        expected[uid] = d
+    df = spark.createDataFrame(
+        rows, schema="user_id long, tsec long, event_type string"
+    ).select(
+        "user_id",
+        F.timestamp_seconds(F.col("tsec")).alias("ts"),
+        "event_type",
+    )
+    got = {r.user_id: r.funnel_depth for r in funnel(df, steps=steps).collect()}
+    missing = {u: 0 for u in range(200) if u not in got}  # users with 0 events
+    assert {**got, **missing} == expected
