@@ -199,3 +199,51 @@ def test_funnel_matches_python_greedy_on_random_sequences(spark):
     got = {r.user_id: r.funnel_depth for r in funnel(df, steps=steps).collect()}
     missing = {u: 0 for u in range(200) if u not in got}  # users with 0 events
     assert {**got, **missing} == expected
+
+
+def test_funnel_stream_matches_batch(spark, tmp_path):
+    """The funnel state machine applied under readStream (complete output
+    mode — collect_list carries unordered per-user state, so the fold's
+    array_sort makes each emitted result order-insensitive) must converge
+    to exactly the batch answer over the same files."""
+    import random
+
+    rng = random.Random(7)
+    steps = ("view", "click", "purchase")
+    types = list(steps) + ["error"]
+    src = str(tmp_path / "src")
+    rows = [
+        (uid, 1_700_000_000 + rng.randint(0, 1000), rng.choice(types))
+        for uid in range(40)
+        for _ in range(rng.randint(1, 8))
+    ]
+    df = spark.createDataFrame(
+        rows, schema="user_id long, tsec long, event_type string"
+    ).select("user_id", F.timestamp_seconds("tsec").alias("ts"), "event_type")
+    # two files so the stream sees >=2 micro-batches of partial users
+    df.where(F.col("user_id") < 20).write.parquet(src)
+    df.where(F.col("user_id") >= 20).write.parquet(src, mode="append")
+
+    stored = spark.read.parquet(src)
+    batch = {r.user_id: r.funnel_depth for r in funnel(stored, steps=steps).collect()}
+
+    stream_in = (
+        spark.readStream.schema(stored.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    q = (
+        funnel(stream_in, steps=steps)
+        .writeStream.format("memory")
+        .queryName("funnel_stream")
+        .outputMode("complete")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    streamed = {
+        r.user_id: r.funnel_depth
+        for r in spark.sql("SELECT * FROM funnel_stream").collect()
+    }
+    assert streamed == batch and len(batch) == 40
