@@ -46,6 +46,45 @@ def exact_dedup(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -
     return df.join(survivors, id_col, "inner")
 
 
+def canonical_pick(
+    df: DataFrame,
+    order_by: list,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Keep the BEST copy per exact-duplicate group, by an explicit
+    preference order (e.g. ``[F.col("n_chars").desc()]`` — prefer the
+    least-truncated copy; ``id_col`` ascending is always the final
+    tiebreak, so the pick is total and deterministic). The curation-grade
+    refinement of :func:`exact_dedup`, which hard-codes "lowest id":
+    real pipelines keep the copy with the best quality signal and drop
+    the rest.
+
+    Shape: ONE shuffle, keyed on ``md5(text)`` — a 32-byte fingerprint,
+    so the exchange never carries document bodies as keys (the win over
+    the groupBy-text formulation when texts are megabytes); the rank
+    window and the group-size count window share that exchange. Group
+    sizes are duplicate-multiplicities — bounded in practice; a single
+    adversarial content replicated corpus-wide concentrates its group in
+    one task, the same contract as every exact-dup grouping.
+
+    Returns one row per distinct text: the surviving row's ``id_col``,
+    the preference columns, and ``group_size``.
+    """
+    from pyspark.sql import Window
+
+    fp = F.md5(F.col(text_col)).alias("__fp")
+    w = Window.partitionBy("__fp")
+    rank_w = w.orderBy(*order_by, F.col(id_col))
+    return (
+        df.select(id_col, *[c for c in df.columns if c != id_col], fp)
+        .withColumn("rn", F.row_number().over(rank_w))
+        .withColumn("group_size", F.count(F.lit(1)).over(w).cast("long"))
+        .where(F.col("rn") == 1)
+        .drop("rn", "__fp")
+    )
+
+
 def shingles(
     df: DataFrame,
     text_col: str = "text",

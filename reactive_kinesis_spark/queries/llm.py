@@ -1337,3 +1337,33 @@ def q87_surprisal_scoring(spark: SparkSession, sf_dir: str) -> DataFrame:
     linear-domain commonness. See operators.text.surprisal_scoring."""
     docs = load_table(spark, sf_dir, "documents")
     return T.surprisal_scoring(docs).orderBy("doc_id")
+
+
+@query(
+    "q88_canonical_pick",
+    oracle="""
+    SELECT doc_id, n_chars, group_size FROM (
+        SELECT doc_id, n_chars,
+               ROW_NUMBER() OVER (
+                   PARTITION BY md5(text) ORDER BY n_chars DESC, doc_id
+               ) AS rn,
+               CAST(COUNT(*) OVER (PARTITION BY md5(text)) AS BIGINT)
+                   AS group_size
+        FROM documents
+    )
+    WHERE rn = 1
+    ORDER BY doc_id
+    """,
+)
+def q88_canonical_pick(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Keep the BEST copy per exact-duplicate group — longest text first,
+    id as the deterministic tiebreak — instead of q21's lowest-id rule:
+    the curation-grade dedup that keeps the least-truncated copy. One
+    md5-fingerprint-keyed shuffle; rank and group-size windows share the
+    exchange. See operators.dedup.canonical_pick."""
+    docs = load_table(spark, sf_dir, "documents")
+    return (
+        D.canonical_pick(docs, order_by=[F.col("n_chars").desc()])
+        .select("doc_id", "n_chars", "group_size")
+        .orderBy("doc_id")
+    )

@@ -224,3 +224,27 @@ def test_surprisal_stays_word_keyed_with_partial_aggs(spark, sf_dir):
     plan = _plan(load_all()["q87_surprisal_scoring"].fn(spark, sf_dir))
     assert "CartesianProduct" not in plan and "Window" not in plan
     assert "partial_" in plan
+
+
+def test_canonical_pick_windows_share_one_exchange(spark, sf_dir):
+    """q88: the rank window and the group-size window must both ride the
+    single md5-fingerprint exchange (+ presentation sort) — and the
+    exchange key must be the fingerprint, never the document body."""
+    import re
+
+    plan = _plan(load_all()["q88_canonical_pick"].fn(spark, sf_dir))
+    assert "Join" not in plan
+    assert len(re.findall(r"^\(\d+\) Exchange", plan, re.M)) <= 2
+    assert "hashpartitioning(__fp" in plan
+
+
+def test_table_profile_is_one_pass(spark, sf_dir):
+    """q89: all columns' aggregates (incl. the multi-count_distinct
+    Expand) must run in ONE aggregation over one corpus scan — no joins,
+    no per-column re-scans."""
+    import re
+
+    plan = _plan(load_all()["q89_table_profile"].fn(spark, sf_dir))
+    assert "Join" not in plan
+    assert len(re.findall(r"^\(\d+\) Scan parquet", plan, re.M)) == 1
+    assert "Expand" in plan and "partial_" in plan

@@ -247,3 +247,48 @@ def test_funnel_stream_matches_batch(spark, tmp_path):
         for r in spark.sql("SELECT * FROM funnel_stream").collect()
     }
     assert streamed == batch and len(batch) == 40
+
+
+def test_canonical_pick_prefers_longest_and_accounts_for_every_row(spark):
+    from reactive_kinesis_spark.operators.dedup import canonical_pick
+
+    rows = [
+        (1, "s", "same text", 9),
+        (2, "s", "same text padded", 16),   # distinct text
+        (3, "s", "same text", 9),
+        (4, "s", "unique", 6),
+        (5, "s", "same text", 9),
+    ]
+    out = canonical_pick(
+        _docs(spark, rows), order_by=[F.col("n_chars").desc()]
+    ).collect()
+    by_id = {r.doc_id: r for r in out}
+    # 3 distinct texts -> 3 survivors; the triplicate keeps its lowest id
+    assert sorted(by_id) == [1, 2, 4]
+    assert by_id[1].group_size == 3
+    assert sum(r.group_size for r in out) == len(rows)
+
+
+def test_canonical_pick_order_by_actually_prefers(spark):
+    from reactive_kinesis_spark.operators.dedup import canonical_pick
+
+    # same text, different n_chars metadata (e.g. pre-strip lengths):
+    # the pick must take the LARGEST n_chars, not the lowest id
+    rows = [(1, "s", "t", 5), (2, "s", "t", 9), (3, "s", "t", 7)]
+    out = canonical_pick(_docs(spark, rows), order_by=[F.col("n_chars").desc()]).collect()
+    assert len(out) == 1 and out[0].doc_id == 2 and out[0].group_size == 3
+
+
+def test_profile_table_counts_nulls_and_distincts_exactly(spark):
+    from reactive_kinesis_spark.io import profile_table
+
+    df = spark.createDataFrame(
+        [(1, "a"), (2, None), (3, "b"), (4, "a"), (5, None)],
+        schema="id long, tag string",
+    )
+    prof = {r.col_name: r for r in profile_table(df, ["id", "tag"]).collect()}
+    assert prof["id"].n_rows == 5 and prof["id"].n_nulls == 0
+    assert prof["id"].n_distinct == 5
+    assert (prof["id"].min_value, prof["id"].max_value) == ("1", "5")
+    assert prof["tag"].n_nulls == 2 and prof["tag"].n_distinct == 2
+    assert (prof["tag"].min_value, prof["tag"].max_value) == ("a", "b")
