@@ -802,3 +802,54 @@ def q89_table_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     return profile_table(docs, ["doc_id", "lang", "source", "n_chars"]).orderBy(
         "col_name"
     )
+
+
+@query(
+    "q90_zscore_normalize",
+    oracle="""
+    WITH m AS (
+        SELECT doc_id, source, n_chars,
+               CAST(COUNT(*) OVER w AS DOUBLE) AS nd,
+               CAST(SUM(CAST(n_chars AS DECIMAL(38,6))) OVER w AS DOUBLE) AS sx,
+               CAST(SUM(CAST(n_chars * n_chars AS DECIMAL(38,6))) OVER w
+                   AS DOUBLE) AS sxx
+        FROM documents
+        WINDOW w AS (PARTITION BY source)
+    )
+    SELECT doc_id, source, n_chars,
+           (CAST(n_chars AS DOUBLE) - sx / nd)
+               / sqrt(GREATEST((sxx - sx * sx / nd) / nd, 0.0)) AS z
+    FROM m
+    ORDER BY doc_id
+    """,
+)
+def q90_zscore_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-row feature normalization: z-score of document length within its
+    source — the ML-preprocessing step (comparable quality features across
+    domains with different length regimes). Bit-identical across engines
+    WITHOUT the decimal round-trip being approximate: sums and
+    sums-of-squares are exact DECIMAL(38,6) (the engine's q50 policy
+    extended from aggregates to windows), every division is one IEEE op,
+    and sqrt — unlike ln/exp — is CORRECTLY ROUNDED by IEEE-754, so even
+    the standard deviation is portable.
+
+    Shape: ONE source-keyed exchange; the three moment windows and the
+    per-row projection all ride it (the aggregate+join-back alternative
+    scans twice). Population variance, clamped at 0 against cancellation.
+    """
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "source", "n_chars")
+    w = Window.partitionBy("source")
+    nd = F.count(F.lit(1)).over(w).cast("double")
+    sx = F.sum(F.col("n_chars").cast("decimal(38,6)")).over(w).cast("double")
+    sxx = (
+        F.sum((F.col("n_chars") * F.col("n_chars")).cast("decimal(38,6)"))
+        .over(w)
+        .cast("double")
+    )
+    var = F.greatest((sxx - sx * sx / nd) / nd, F.lit(0.0))
+    return docs.select(
+        "doc_id",
+        "source",
+        "n_chars",
+        ((F.col("n_chars").cast("double") - sx / nd) / F.sqrt(var)).alias("z"),
+    ).orderBy("doc_id")

@@ -248,3 +248,14 @@ def test_table_profile_is_one_pass(spark, sf_dir):
     assert "Join" not in plan
     assert len(re.findall(r"^\(\d+\) Scan parquet", plan, re.M)) == 1
     assert "Expand" in plan and "partial_" in plan
+
+
+def test_zscore_windows_share_one_exchange(spark, sf_dir):
+    """q90: all three moment windows and the per-row projection must ride
+    ONE source-keyed exchange — no joins, no second corpus scan."""
+    import re
+
+    plan = _plan(load_all()["q90_zscore_normalize"].fn(spark, sf_dir))
+    assert "Join" not in plan
+    assert len(re.findall(r"^\(\d+\) Scan parquet", plan, re.M)) == 1
+    assert len(re.findall(r"^\(\d+\) Exchange", plan, re.M)) <= 2
