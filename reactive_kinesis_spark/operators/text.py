@@ -903,3 +903,37 @@ def surprisal_scoring(
             ).alias("bits_per_token"),
         )
     )
+
+
+def feature_hash(
+    df: DataFrame,
+    dims: int = 256,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Feature hashing (the "hashing trick"): project each document's bag
+    of words into a FIXED ``dims``-dimensional sparse vector, emitted in
+    long form ``(id_col, dim, weight)`` with ``weight`` = summed tf of the
+    words hashing to that dimension. The vectorizer for linear
+    quality/topic classifiers at corpus scale — no vocabulary dictionary
+    to build, broadcast, or keep consistent across ingests, which is the
+    entire point at 100 TB: the feature space is a pure function of
+    content, so yesterday's model scores today's shard unchanged.
+
+    The hash is the engine-portable md5-prefix (same draw as
+    :func:`weighted_sample`), not ``xxhash64`` — so vectors are identical
+    across engines/retries. Shape: :func:`doc_word_counts` once, then one
+    (id, dim)-keyed partial+final aggregation — map-side combine collapses
+    the hot dimensions before the shuffle; nothing vocabulary-sized is
+    ever materialized.
+    """
+    if dims < 1:
+        raise ValueError(f"need dims >= 1, got {dims}")
+    dw = doc_word_counts(df, text_col, id_col)
+    dim = (
+        F.conv(F.substring(F.md5("word"), 1, 8), 16, 10).cast("long") % dims
+    ).cast("int")
+    return (
+        dw.groupBy(F.col(id_col), dim.alias("dim"))
+        .agg(F.sum("tf").cast("long").alias("weight"))
+    )

@@ -43,7 +43,7 @@ def query(name: str, oracle: str | None = None):
 
 
 #: Driver-visibility rotation (round 5). The driver's correctness run samples
-#: the FIRST 50 registry entries; with 80 oracle-backed queries, 30 must sit
+#: the FIRST 50 registry entries; with 82 oracle-backed queries, 32 must sit
 #: past the window each round. Policy: the least-driver-certified queries get
 #: the visible slots, so no oracle query goes more than ~2 rounds without
 #: driver re-certification. This round the two pools SWAP (the round-4
@@ -88,6 +88,8 @@ _PROMOTED = (
     "q88_canonical_pick",
     "q89_table_profile",
     "q90_zscore_normalize",
+    "q91_feature_hashing",
+    "q92_centroid_similarity",
 )
 _DEMOTED = (
     "q60_dedup_clusters",
@@ -113,7 +115,7 @@ _DEMOTED = (
     "q57_map_functions",
     "q58_compound_subqueries",
     "q59_range_frame_window",
-    # demoted mid-session to make window room for q84-q90 (all seven below
+    # demoted mid-session to make window room for q84-q92 (all nine below
     # are r4-certified rows+schema+hash and stay locally oracle-checked)
     "q09_window_analytic",
     "q26_quality_scores",
@@ -122,6 +124,8 @@ _DEMOTED = (
     "q32_media_decode",
     "q35_grouping_sets",
     "q43_bpe_token_stats",
+    "q39_sliding_window",
+    "q41_interval_self_join",
 )
 
 

@@ -1367,3 +1367,99 @@ def q88_canonical_pick(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_id", "n_chars", "group_size")
         .orderBy("doc_id")
     )
+
+
+@query(
+    "q91_feature_hashing",
+    oracle="""
+    WITH words AS (
+        SELECT doc_id, unnest(string_split(text, ' ')) AS word FROM documents
+    ),
+    dw AS (
+        SELECT doc_id, word, CAST(COUNT(*) AS BIGINT) AS tf
+        FROM words GROUP BY doc_id, word
+    )
+    SELECT doc_id,
+           CAST(('0x' || substr(md5(word), 1, 8))::BIGINT % 64 AS INT) AS dim,
+           CAST(SUM(tf) AS BIGINT) AS weight
+    FROM dw
+    GROUP BY doc_id, dim
+    ORDER BY doc_id, dim
+    """,
+)
+def q91_feature_hashing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hashing-trick vectorization: each document's bag of words projected
+    into a fixed 64-dim sparse vector (long form) via the portable
+    md5-prefix hash — the dictionary-free feature extractor for linear
+    classifiers over unbounded vocabularies. See
+    operators.text.feature_hash."""
+    docs = load_table(spark, sf_dir, "documents")
+    return T.feature_hash(docs, dims=64).orderBy("doc_id", "dim")
+
+
+@query(
+    "q92_centroid_similarity",
+    oracle=f"""
+    WITH cent AS (
+        SELECT label, CAST(i AS INT) AS dim,
+               {davg_sql('CAST(embedding[CAST(i + 1 AS INT)] AS DOUBLE)', 'centroid')}
+        FROM embeddings, UNNEST(range(0, len(embedding))) AS t(i)
+        GROUP BY label, dim
+    )
+    SELECT a.label AS label_1, b.label AS label_2,
+           CAST(SUM(CAST(a.centroid * b.centroid AS DECIMAL(38,6))) AS DOUBLE)
+               / (sqrt(CAST(SUM(CAST(a.centroid * a.centroid AS DECIMAL(38,6)))
+                       AS DOUBLE))
+                  * sqrt(CAST(SUM(CAST(b.centroid * b.centroid AS DECIMAL(38,6)))
+                       AS DOUBLE))) AS cosine
+    FROM cent a JOIN cent b ON a.dim = b.dim AND a.label < b.label
+    GROUP BY a.label, b.label
+    ORDER BY label_1, label_2
+    """,
+)
+def q92_centroid_similarity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Label-centroid cosine similarity matrix — the which-classes-collide
+    diagnostic run before clustering/routing decisions. Builds on q31's
+    exact-decimal centroids; dot products and norms are per-dim products
+    cast to DECIMAL(38,6) and summed exactly (order-free), and sqrt is
+    IEEE-correctly-rounded, so the cosine is bit-identical across engines
+    (the q90 policy applied to vector math). The dim-keyed self-join runs
+    over the CENTROID frame (labels x dims rows, corpus-independent) —
+    the corpus is scanned only to build centroids."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    cent = (
+        emb.select("label", F.posexplode("embedding").alias("dim", "val"))
+        .groupBy("label", F.col("dim").cast("int").alias("dim"))
+        .agg(
+            (
+                F.sum(F.col("val").cast("double").cast("decimal(38,6)")).cast("double")
+                / F.count(F.lit(1))
+            ).alias("centroid")
+        )
+    )
+    a, b = cent.alias("a"), cent.alias("b")
+    dec = lambda c: c.cast("decimal(38,6)")  # noqa: E731
+    return (
+        a.join(b, (F.col("a.dim") == F.col("b.dim")) & (F.col("a.label") < F.col("b.label")))
+        .groupBy(
+            F.col("a.label").alias("label_1"), F.col("b.label").alias("label_2")
+        )
+        .agg(
+            (
+                F.sum(dec(F.col("a.centroid") * F.col("b.centroid"))).cast("double")
+                / (
+                    F.sqrt(
+                        F.sum(dec(F.col("a.centroid") * F.col("a.centroid"))).cast(
+                            "double"
+                        )
+                    )
+                    * F.sqrt(
+                        F.sum(dec(F.col("b.centroid") * F.col("b.centroid"))).cast(
+                            "double"
+                        )
+                    )
+                )
+            ).alias("cosine")
+        )
+        .orderBy("label_1", "label_2")
+    )
