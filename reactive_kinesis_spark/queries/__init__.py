@@ -43,7 +43,7 @@ def query(name: str, oracle: str | None = None):
 
 
 #: Driver-visibility rotation (round 5). The driver's correctness run samples
-#: the FIRST 50 registry entries; with 82 oracle-backed queries, 32 must sit
+#: the FIRST 50 registry entries; with 83 oracle-backed queries, 33 must sit
 #: past the window each round. Policy: the least-driver-certified queries get
 #: the visible slots, so no oracle query goes more than ~2 rounds without
 #: driver re-certification. This round the two pools SWAP (the round-4
@@ -90,6 +90,7 @@ _PROMOTED = (
     "q90_zscore_normalize",
     "q91_feature_hashing",
     "q92_centroid_similarity",
+    "q93_session_paths",
 )
 _DEMOTED = (
     "q60_dedup_clusters",
@@ -115,7 +116,7 @@ _DEMOTED = (
     "q57_map_functions",
     "q58_compound_subqueries",
     "q59_range_frame_window",
-    # demoted mid-session to make window room for q84-q92 (all nine below
+    # demoted mid-session to make window room for q84-q93 (all ten below
     # are r4-certified rows+schema+hash and stay locally oracle-checked)
     "q09_window_analytic",
     "q26_quality_scores",
@@ -126,6 +127,7 @@ _DEMOTED = (
     "q43_bpe_token_stats",
     "q39_sliding_window",
     "q41_interval_self_join",
+    "q53_nullsafe_join",
 )
 
 

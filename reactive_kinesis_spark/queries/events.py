@@ -427,3 +427,95 @@ def q85_event_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     arithmetic. See :func:`funnel`."""
     ev = load_table(spark, sf_dir, "events").select("user_id", "event_type", "ts")
     return funnel(ev, steps=("view", "click", "purchase")).orderBy("user_id")
+
+
+@query(
+    "q93_session_paths",
+    oracle="""
+    WITH flagged AS (
+        SELECT user_id, event_id, ts, event_type,
+               CASE WHEN LAG(ts) OVER w IS NULL
+                         OR date_diff('second', LAG(ts) OVER w, ts) > 1800
+                    THEN 1 ELSE 0 END AS new_sess
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ),
+    sess AS (
+        SELECT user_id, event_id, ts, event_type,
+               CAST(SUM(new_sess) OVER (
+                   PARTITION BY user_id ORDER BY ts, event_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+               ) AS BIGINT) AS session_id
+        FROM flagged
+    ),
+    paths AS (
+        SELECT user_id, session_id,
+               array_to_string(
+                   (list(event_type ORDER BY ts, event_id))[1:8], '>'
+               ) AS path
+        FROM sess GROUP BY user_id, session_id
+    ),
+    counts AS (
+        SELECT path, CAST(COUNT(*) AS BIGINT) AS n_sessions
+        FROM paths GROUP BY path
+    )
+    SELECT path, n_sessions FROM counts
+    ORDER BY n_sessions DESC, path
+    LIMIT 20
+    """,
+)
+def q93_session_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-20 user-journey paths: q20's gaps-and-islands sessionization,
+    each session rendered as its first-8-event-type path string, counted
+    corpus-wide — the "what do sessions actually look like" report next
+    to q85's fixed funnel (q85 asks "how far along MY funnel"; this asks
+    "which funnels exist").
+
+    Shape: ONE user-keyed exchange carries the lag window, the running
+    session sum, and the per-session path build (array_sort over the
+    collected (ts, event_id, type) structs — partial aggregation ships
+    task slices); then one path-keyed count with map-side combine and a
+    TakeOrderedAndProject top-k. Paths truncate at 8 steps so the group
+    key is bounded regardless of session length.
+    """
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id", "event_id", "ts", "event_type"
+    )
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    wf = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    prev_ts = F.lag("ts").over(w)
+    new_sess = F.when(
+        prev_ts.isNull()
+        | ((F.col("ts").cast("long") - prev_ts.cast("long")) > 1800),
+        1,
+    ).otherwise(0)
+    sess = ev.withColumn("new_sess", new_sess).withColumn(
+        "session_id", F.sum("new_sess").over(wf).cast("long")
+    )
+    paths = (
+        sess.groupBy("user_id", "session_id")
+        .agg(
+            F.array_sort(
+                F.collect_list(
+                    F.struct(
+                        F.unix_micros("ts").alias("t"),
+                        F.col("event_id").alias("i"),
+                        F.col("event_type").alias("e"),
+                    )
+                )
+            ).alias("evs")
+        )
+        .select(
+            F.concat_ws(
+                ">", F.slice(F.transform("evs", lambda x: x["e"]), 1, 8)
+            ).alias("path")
+        )
+    )
+    counts = paths.groupBy("path").agg(
+        F.count(F.lit(1)).cast("long").alias("n_sessions")
+    )
+    # top-k as orderBy+limit -> TakeOrderedAndProject: per-partition heaps
+    # merged on the driver, never a single-partition rank window (the path
+    # space is |event_types|^8-bounded, not corpus-bounded, but still
+    # nothing one task should sort alone)
+    return counts.orderBy(F.col("n_sessions").desc(), "path").limit(20)

@@ -259,3 +259,15 @@ def test_zscore_windows_share_one_exchange(spark, sf_dir):
     assert "Join" not in plan
     assert len(re.findall(r"^\(\d+\) Scan parquet", plan, re.M)) == 1
     assert len(re.findall(r"^\(\d+\) Exchange", plan, re.M)) <= 2
+
+
+def test_session_paths_topk_is_take_ordered(spark, sf_dir):
+    """q93's final top-20 must plan as TakeOrderedAndProject (distributed
+    per-partition heaps), never a single-partition rank window over the
+    path-count frame."""
+    import re
+
+    plan = _plan(load_all()["q93_session_paths"].fn(spark, sf_dir))
+    assert "TakeOrderedAndProject" in plan
+    assert not re.findall(r"Exchange SinglePartition.*\n.*Window", plan)
+    assert "partial_" in plan
