@@ -46,6 +46,40 @@ def exact_dedup(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -
     return df.join(survivors, id_col, "inner")
 
 
+def snapshot_diff(
+    old: DataFrame,
+    new: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Corpus snapshot diff: per document id, whether it was ``added``,
+    ``removed``, ``changed`` (same id, different content), or
+    ``unchanged`` between two corpus versions — the ingest-monitoring
+    report every incremental pipeline runs before reprocessing (how much
+    downstream work did this delta actually create?), and the input to
+    "reprocess only added+changed".
+
+    Shape: each side is reduced to ``(id, md5(text))`` BEFORE the join —
+    the full-outer join shuffles 8-byte-ish fingerprints keyed by id,
+    never document bodies (the :func:`canonical_pick` discipline applied
+    to diffing); content comparison is one fingerprint equality. Returns
+    ``(id_col, status)`` for every id in either snapshot.
+    """
+    o = old.select(F.col(id_col), F.md5(F.col(text_col)).alias("__fp_old"))
+    n = new.select(F.col(id_col), F.md5(F.col(text_col)).alias("__fp_new"))
+    return (
+        o.join(n, id_col, "full_outer")
+        .select(
+            id_col,
+            F.when(F.col("__fp_old").isNull(), F.lit("added"))
+            .when(F.col("__fp_new").isNull(), F.lit("removed"))
+            .when(F.col("__fp_old") != F.col("__fp_new"), F.lit("changed"))
+            .otherwise(F.lit("unchanged"))
+            .alias("status"),
+        )
+    )
+
+
 def canonical_pick(
     df: DataFrame,
     order_by: list,

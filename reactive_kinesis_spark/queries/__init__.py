@@ -43,7 +43,7 @@ def query(name: str, oracle: str | None = None):
 
 
 #: Driver-visibility rotation (round 5). The driver's correctness run samples
-#: the FIRST 50 registry entries; with 83 oracle-backed queries, 33 must sit
+#: the FIRST 50 registry entries; with 84 oracle-backed queries, 34 must sit
 #: past the window each round. Policy: the least-driver-certified queries get
 #: the visible slots, so no oracle query goes more than ~2 rounds without
 #: driver re-certification. This round the two pools SWAP (the round-4
@@ -91,6 +91,7 @@ _PROMOTED = (
     "q91_feature_hashing",
     "q92_centroid_similarity",
     "q93_session_paths",
+    "q94_snapshot_diff",
 )
 _DEMOTED = (
     "q60_dedup_clusters",
@@ -116,7 +117,7 @@ _DEMOTED = (
     "q57_map_functions",
     "q58_compound_subqueries",
     "q59_range_frame_window",
-    # demoted mid-session to make window room for q84-q93 (all ten below
+    # demoted mid-session to make window room for q84-q94 (all eleven below
     # are r4-certified rows+schema+hash and stay locally oracle-checked)
     "q09_window_analytic",
     "q26_quality_scores",
@@ -128,6 +129,7 @@ _DEMOTED = (
     "q39_sliding_window",
     "q41_interval_self_join",
     "q53_nullsafe_join",
+    "q40_salted_agg",
 )
 
 

@@ -1463,3 +1463,47 @@ def q92_centroid_similarity(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("label_1", "label_2")
     )
+
+
+@query(
+    "q94_snapshot_diff",
+    oracle="""
+    WITH old AS (
+        SELECT doc_id, md5(text) AS fp FROM documents WHERE doc_id % 20 != 0
+    ),
+    new AS (
+        SELECT doc_id,
+               md5(CASE WHEN doc_id % 20 = 5 THEN upper(text) ELSE text END)
+                   AS fp
+        FROM documents WHERE doc_id % 20 != 19
+    )
+    SELECT status, CAST(COUNT(*) AS BIGINT) AS n_docs FROM (
+        SELECT COALESCE(old.doc_id, new.doc_id) AS doc_id,
+               CASE WHEN old.fp IS NULL THEN 'added'
+                    WHEN new.fp IS NULL THEN 'removed'
+                    WHEN old.fp != new.fp THEN 'changed'
+                    ELSE 'unchanged' END AS status
+        FROM old FULL OUTER JOIN new ON old.doc_id = new.doc_id
+    )
+    GROUP BY status
+    ORDER BY status
+    """,
+)
+def q94_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ingest-delta report: added/removed/changed/unchanged counts between
+    two corpus snapshots (derived deterministically from the documents
+    table: 5% removed, 5% added, 5% content-rewritten). Fingerprints are
+    computed per side BEFORE the full-outer join, so the shuffle carries
+    (id, md5) pairs, never bodies. See operators.dedup.snapshot_diff."""
+    docs = load_table(spark, sf_dir, "documents")
+    old = docs.where(F.col("doc_id") % 20 != 0)
+    new = docs.where(F.col("doc_id") % 20 != 19).withColumn(
+        "text",
+        F.when(F.col("doc_id") % 20 == 5, F.upper("text")).otherwise(F.col("text")),
+    )
+    return (
+        D.snapshot_diff(old, new)
+        .groupBy("status")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_docs"))
+        .orderBy("status")
+    )

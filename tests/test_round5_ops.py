@@ -292,3 +292,12 @@ def test_profile_table_counts_nulls_and_distincts_exactly(spark):
     assert (prof["id"].min_value, prof["id"].max_value) == ("1", "5")
     assert prof["tag"].n_nulls == 2 and prof["tag"].n_distinct == 2
     assert (prof["tag"].min_value, prof["tag"].max_value) == ("a", "b")
+
+
+def test_snapshot_diff_statuses(spark):
+    from reactive_kinesis_spark.operators.dedup import snapshot_diff
+
+    old = _docs(spark, [(1, "s", "a", 1), (2, "s", "b", 1), (3, "s", "c", 1)])
+    new = _docs(spark, [(2, "s", "b", 1), (3, "s", "C2", 2), (4, "s", "d", 1)])
+    out = {r.doc_id: r.status for r in snapshot_diff(old, new).collect()}
+    assert out == {1: "removed", 2: "unchanged", 3: "changed", 4: "added"}
