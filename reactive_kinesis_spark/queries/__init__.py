@@ -49,13 +49,15 @@ def query(name: str, oracle: str | None = None):
 #: driver re-certification. This round the two pools SWAP (the round-4
 #: VERDICT's explicit ask): _PROMOTED = the fifteen queries demoted in round
 #: 4, whose last driver certification is rounds 1-3 (q11-q16 only r3), PLUS
-#: the eight brand-new never-certified round-5 queries (q75-q80, q82, q83)
-#: — they take slots 0-22. _DEMOTED = the fifteen queries promoted in round
-#: 4, each freshly certified in CORRECTNESS_r04 (rows+schema+hash), plus
-#: eight r4-certified mid-tier queries (q48/q49/q52/q54/q56-q59) rotated out
-#: to make room for the new ones; all remain fully oracle-checked locally
-#: every session (tests/test_oracle_parity.py). The remaining 27 middle-tier
-#: queries were all certified in r4 and keep their in-window slots.
+#: every brand-new never-certified round-5 query (q75-q80, q82-q94).
+#: _DEMOTED = the fifteen queries promoted in round 4, each freshly
+#: certified in CORRECTNESS_r04 (rows+schema+hash), plus enough
+#: r4-certified mid-tier queries to keep the window at exactly 50 as the
+#: new q84-q94 entries landed; all demoted queries remain fully
+#: oracle-checked locally every session (tests/test_oracle_parity.py, plus
+#: this session's full-registry sweeps at sf0.01 AND sf0.1). The remaining
+#: middle-tier queries were all certified in r4 and keep their in-window
+#: slots.
 _PROMOTED = (
     "q02_filter_project",
     "q03_join_agg_topk",
