@@ -937,3 +937,45 @@ def feature_hash(
         dw.groupBy(F.col(id_col), dim.alias("dim"))
         .agg(F.sum("tf").cast("long").alias("weight"))
     )
+
+
+def blocklist_stats(
+    df: DataFrame,
+    blocklist: tuple[str, ...],
+    text_col: str = "text",
+    group_col: str = "source",
+) -> DataFrame:
+    """Safety/blocklist gating report: per ``group_col`` group, how many
+    documents contain at least one blocklisted TERM (exact whole-token
+    match against the tokenized text — not substring, so "class" never
+    trips a "ass" entry) and the resulting block rate — the monitoring
+    face of the curation filter (compose ``where(NOT hit)`` with the same
+    predicate to actually drop).
+
+    Pure narrow ops: one projected split per doc, one ``arrays_overlap``
+    against the broadcast-literal blocklist (term lists are KB-sized;
+    they ride the plan as a literal array, no join), then a group-keyed
+    partial+final count. ``block_rate`` is one IEEE division of exact
+    int64s. Returns ``(group_col, n_docs, n_blocked, block_rate)``.
+    """
+    if not blocklist:
+        raise ValueError("blocklist must be non-empty")
+    hit = F.arrays_overlap(
+        tokens(text_col), F.array(*[F.lit(w) for w in blocklist])
+    )
+    return (
+        df.select(group_col, hit.alias("__hit"))
+        .groupBy(group_col)
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.sum(F.when(F.col("__hit"), 1).otherwise(0)).cast("long").alias("n_blocked"),
+        )
+        .select(
+            group_col,
+            "n_docs",
+            "n_blocked",
+            (F.col("n_blocked").cast("double") / F.col("n_docs").cast("double")).alias(
+                "block_rate"
+            ),
+        )
+    )

@@ -1507,3 +1507,32 @@ def q94_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).cast("long").alias("n_docs"))
         .orderBy("status")
     )
+
+
+@query(
+    "q95_blocklist_stats",
+    oracle="""
+    SELECT source,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(CASE WHEN len(list_intersect(
+                    string_split(text, ' '), ['error', 'slow', 'null']
+                )) > 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_blocked,
+           CAST(CAST(SUM(CASE WHEN len(list_intersect(
+                    string_split(text, ' '), ['error', 'slow', 'null']
+                )) > 0 THEN 1 ELSE 0 END) AS BIGINT) AS DOUBLE)
+               / CAST(CAST(COUNT(*) AS BIGINT) AS DOUBLE) AS block_rate
+    FROM documents
+    GROUP BY source
+    ORDER BY source
+    """,
+)
+def q95_blocklist_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Blocklist gating report: per-source count and rate of documents
+    containing any blocklisted term as an exact whole token — the
+    monitoring face of safety/keyword filtering (whole-token semantics,
+    never substring). Narrow arrays_overlap against a broadcast-literal
+    term list, one group-keyed count. See operators.text.blocklist_stats."""
+    docs = load_table(spark, sf_dir, "documents")
+    return T.blocklist_stats(docs, blocklist=("error", "slow", "null")).orderBy(
+        "source"
+    )
