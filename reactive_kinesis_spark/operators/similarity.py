@@ -183,11 +183,6 @@ def _cosine_scores_numpy(
             "the query side is collected to the driver and must stay small — "
             "raise max_query_rows deliberately or swap corpus/queries"
         )
-    q_ids = np.array([r[0] for r in q_rows], dtype="int64")
-    q_mat = np.array([list(r[1]) for r in q_rows], dtype="float64")
-    # per-query norms with the same sequential fold order
-    q_norm = np.sqrt(_seq_sqnorm(q_mat))
-
     out_schema = StructType(
         [
             StructField("query_id", LongType()),
@@ -195,6 +190,12 @@ def _cosine_scores_numpy(
             StructField("cosine_sim", DoubleType()),
         ]
     )
+    if not q_rows:  # no queries -> no neighbors, well-typed empty result
+        return corpus.sparkSession.createDataFrame([], out_schema)
+    q_ids = np.array([r[0] for r in q_rows], dtype="int64")
+    q_mat = np.array([list(r[1]) for r in q_rows], dtype="float64")
+    # per-query norms with the same sequential fold order
+    q_norm = np.sqrt(_seq_sqnorm(q_mat))
 
     def score(batches: Iterator) -> Iterator:
         import pandas as pd
@@ -543,6 +544,18 @@ def _ivf_candidates(
     train_rows = (
         corpus.orderBy(id_col).limit(train_sample).select(vec_col).collect()
     )
+    if not train_rows:  # empty corpus -> nothing to quantize, no candidates
+        eq = queries.select(
+            F.col(id_col).alias("query_id"), F.col(vec_col).alias("__qvec")
+        ).limit(0)
+        ec = corpus.select(
+            F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("__cvec")
+        ).limit(0)
+        return (
+            eq.crossJoin(ec)
+            .withColumn("__qnorm", F.lit(0.0))
+            .withColumn("__cnorm", F.lit(0.0))
+        )
     cents = _train_centroids(
         np.array([list(r[0]) for r in train_rows], dtype="float64"), n_cells
     )
@@ -721,7 +734,13 @@ def pca_fit(
     import numpy as np
     import pandas as pd
 
-    dim = len(df.select(vec_col).first()[0])
+    first = df.select(vec_col).first()
+    if first is None or first[0] is None:
+        raise ValueError(
+            "pca_fit requires a non-empty corpus with non-null vectors — "
+            "there is no basis to fit on zero rows"
+        )
+    dim = len(first[0])
 
     def partial_moments(batches):
         for pdf in batches:

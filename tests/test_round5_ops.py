@@ -301,3 +301,36 @@ def test_snapshot_diff_statuses(spark):
     new = _docs(spark, [(2, "s", "b", 1), (3, "s", "C2", 2), (4, "s", "d", 1)])
     out = {r.doc_id: r.status for r in snapshot_diff(old, new).collect()}
     assert out == {1: "removed", 2: "unchanged", 3: "changed", 4: "added"}
+
+
+def test_every_query_survives_empty_tables(spark, sf_dir, tmp_path):
+    """Degenerate-input robustness: every registered query over ZERO-row
+    copies of all ten tables must either produce a well-formed (possibly
+    empty) result or raise the one documented fit-requires-data error
+    (pca_fit) — never an internal IndexError/TypeError from a driver-side
+    numeric path (the three empty-corpus crashes this test was built on:
+    cosine_topk's query collect, IVF's k-means training block, pca_fit's
+    dimension probe)."""
+    dst = str(tmp_path / "sf_empty")
+    import os
+
+    os.makedirs(dst)
+    for t in [
+        "region", "nation", "customer", "supplier", "part",
+        "orders", "lineitem", "events", "documents", "embeddings",
+    ]:
+        spark.read.parquet(f"{sf_dir}/{t}.parquet").limit(0).write.parquet(
+            f"{dst}/{t}.parquet"
+        )
+    from reactive_kinesis_spark.queries import load_all
+
+    failures = []
+    for name, qd in load_all().items():
+        try:
+            assert qd.fn(spark, dst).count() >= 0
+        except ValueError as e:
+            if "pca_fit requires" not in str(e):
+                failures.append(f"{name}: ValueError: {e}")
+        except Exception as e:  # noqa: BLE001 — collect, report all at once
+            failures.append(f"{name}: {type(e).__name__}: {e}")
+    assert not failures, "\n".join(failures)
