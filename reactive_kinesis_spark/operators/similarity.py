@@ -82,6 +82,17 @@ def _apply_preset(kind: str, preset: str | None, params: dict) -> dict:
     return {**params, **chosen}
 
 
+def valid_vectors(df: DataFrame, vec_col: str) -> DataFrame:
+    """Exclude rows whose vector is NULL or empty — the ingest contract of
+    every numeric operator in this module (a vector store refuses such
+    rows at write time; here they are filtered at operator entry, a
+    narrow codegen predicate). Exposed so callers can count/route the
+    rejects first: ``df.subtract(valid_vectors(df, col))`` or an
+    ``isNull | size==0`` filter gives the reject stream."""
+    c = F.col(vec_col)
+    return df.where(c.isNotNull() & (F.size(c) > 0))
+
+
 def _seq_dot(mat, vec):
     """Sequential-order dot products of every row of ``mat`` with ``vec``:
     bit-identical to a left fold ``acc + (x*y)`` (Spark ``aggregate`` and
@@ -135,6 +146,8 @@ def cosine_topk(
     instead of OOMing the driver at 100 TB. Raise the cap deliberately if
     you really have more queries — or swap the sides.
     """
+    corpus = valid_vectors(corpus, vec_col)
+    queries = valid_vectors(queries, vec_col)
     if strategy == "sql":
         q = queries.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("__qvec"))
         c = corpus.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("__cvec"))
@@ -297,6 +310,7 @@ def _banded_signatures(
     here, sequential-fold order), so downstream cosine re-ranking is ONE
     dot fold per candidate pair instead of three (dot + two per-pair norm
     recomputations)."""
+    df = valid_vectors(df, vec_col)
     import numpy as np
 
     bits_per_band = n_planes // bands
@@ -534,6 +548,8 @@ def _ivf_candidates(
     """
     import numpy as np
 
+    corpus = valid_vectors(corpus, vec_col)
+    queries = valid_vectors(queries, vec_col)
     if not 0 < train_sample <= 1 << 17:
         raise ValueError(
             f"train_sample={train_sample} outside (0, {1 << 17}]: the k-means "
@@ -734,6 +750,7 @@ def pca_fit(
     import numpy as np
     import pandas as pd
 
+    df = valid_vectors(df, vec_col)
     first = df.select(vec_col).first()
     if first is None or first[0] is None:
         raise ValueError(
@@ -810,6 +827,7 @@ def pca_project(
     import numpy as np
     import pandas as pd
 
+    df = valid_vectors(df, vec_col)
     w = np.asarray(components, dtype="float64")
     mu = np.asarray(mean, dtype="float64")
     if whiten:

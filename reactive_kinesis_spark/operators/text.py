@@ -830,6 +830,10 @@ def weighted_sample(
 
     if k < 1:
         raise ValueError(f"need k >= 1, got {k}")
+    # A-ES requires strictly positive weights: a row with NULL/0/negative
+    # weight has zero inclusion probability by contract and is excluded
+    # (ln(u)/0 would otherwise divide by zero under ANSI mode)
+    df = df.where(F.col(weight_col).isNotNull() & (F.col(weight_col) > 0))
     u = (
         F.conv(F.substring(F.md5(F.col(id_col).cast("string")), 1, 8), 16, 10).cast(
             "double"

@@ -907,8 +907,9 @@ def _enrich_doc(row: dict) -> dict:
     the payload size and a normalized tag the way a metadata service would."""
     return {
         "doc_id": row["doc_id"],
-        "fetched_chars": len(row["text"]),
-        "lang_tag": row["lang"].upper(),
+        # null-propagate like the SQL the oracle runs (length(NULL) IS NULL)
+        "fetched_chars": len(row["text"]) if row["text"] is not None else None,
+        "lang_tag": row["lang"].upper() if row["lang"] is not None else None,
     }
 
 
@@ -1285,6 +1286,7 @@ def q83_chunking(spark: SparkSession, sf_dir: str) -> DataFrame:
                        doc_id
                ) AS INT) AS rn
         FROM documents
+        WHERE n_chars IS NOT NULL AND n_chars > 0
     )
     WHERE rn <= 5
     ORDER BY source, rn

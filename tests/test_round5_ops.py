@@ -334,3 +334,56 @@ def test_every_query_survives_empty_tables(spark, sf_dir, tmp_path):
         except Exception as e:  # noqa: BLE001 — collect, report all at once
             failures.append(f"{name}: {type(e).__name__}: {e}")
     assert not failures, "\n".join(failures)
+
+
+def test_every_query_survives_null_injection(spark, sf_dir, tmp_path):
+    """Degenerate-VALUE robustness: inject null/empty text, null
+    lang/source, null/empty embeddings, and a fully-null event row, then
+    run every registered query. Operators must apply their documented
+    ingest contracts (similarity.valid_vectors excludes null/empty
+    vectors; weighted_sample excludes non-positive weights; map_async
+    callables null-propagate) instead of dying inside Arrow/numpy."""
+    import shutil
+
+    dst = str(tmp_path / "sf_nulls")
+    import os
+
+    os.makedirs(dst)
+    for t in ["region", "nation", "customer", "supplier", "part", "orders", "lineitem"]:
+        src = f"{sf_dir}/{t}.parquet"
+        if os.path.isdir(src):
+            shutil.copytree(src, f"{dst}/{t}.parquet")
+        else:
+            shutil.copy(src, f"{dst}/{t}.parquet")
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    extra = spark.createDataFrame(
+        [
+            (900001, None, "en", "s1", None),
+            (900002, "", "en", "s1", 0),
+            (900003, "plain text", None, None, 10),
+        ],
+        schema="doc_id long, text string, lang string, source string, n_chars int",
+    )
+    docs.unionByName(extra.select(docs.columns)).write.parquet(f"{dst}/documents.parquet")
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    eextra = spark.createDataFrame(
+        [(900001, None, None), (900002, [], 0)],
+        schema="vec_id long, embedding array<float>, label int",
+    )
+    emb.unionByName(eextra.select(emb.columns)).write.parquet(f"{dst}/embeddings.parquet")
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    eev = spark.createDataFrame(
+        [(900001, None, 1, None, None, None)],
+        schema="event_id long, ts timestamp, user_id long, event_type string, value double, props string",
+    )
+    ev.unionByName(eev.select(ev.columns)).write.parquet(f"{dst}/events.parquet")
+
+    from reactive_kinesis_spark.queries import load_all
+
+    failures = []
+    for name, qd in load_all().items():
+        try:
+            assert qd.fn(spark, dst).count() >= 0
+        except Exception as e:  # noqa: BLE001 — collect, report all at once
+            failures.append(f"{name}: {type(e).__name__}: {e}")
+    assert not failures, "\n".join(failures)
