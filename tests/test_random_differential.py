@@ -2,7 +2,7 @@
 are documents/events/embeddings is re-checked against DuckDB on SEEDED
 random corpora with shapes the fixed testdata never exercises — exact
 duplicate docs, single-word docs, hot-word concentration, idle and
-hyperactive users, duplicate timestamps. The fixed-corpus parity suite
+hyperactive users, duplicate timestamps, multi-byte UTF-8 tokens. The fixed-corpus parity suite
 proves the engines agree on one dataset; this proves the agreement is a
 property of the queries, not the data (the q52 empty-list break was
 exactly a data-shape hole)."""
@@ -24,6 +24,9 @@ _TPCH = (
 _WORDS = [
     "alpha", "beta", "gamma", "delta", "the", "a", "of", "scan", "table",
     "x1", "y2", "z3", "hot",
+    # multi-byte UTF-8: pins char-vs-byte length semantics, UTF-8 md5,
+    # and tokenizer/regex behavior across engines
+    "café", "日本語", "emoji😀", "мир",
 ]
 _LANGS = ["en", "de", "fr"]
 _SOURCES = ["web", "books", "code"]
