@@ -1538,3 +1538,73 @@ def q95_blocklist_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     return T.blocklist_stats(docs, blocklist=("error", "slow", "null")).orderBy(
         "source"
     )
+
+
+def _training_prep_sql() -> str:
+    return f"""
+    WITH t AS (
+        SELECT doc_id, source, lang, text, n_chars,
+               CAST(len(string_split(text, ' ')) AS DOUBLE) AS nt,
+               CAST(len(list_distinct(string_split(text, ' '))) AS DOUBLE) AS nd,
+               CAST(len(list_filter(string_split(text, ' '),
+                    w -> list_contains(['the','a','of','and','in'], w))) AS DOUBLE) AS ns,
+               {_lang_score_sel()}
+        FROM documents
+    ),
+    scored AS (
+        SELECT doc_id, source, text, n_chars FROM t
+        WHERE {_QUALITY_SQL} >= CAST(0.5 AS DOUBLE)
+          AND {_lang_case()} = lang
+    ),
+    kept AS (
+        SELECT doc_id, source, text FROM (
+            SELECT doc_id, source, text,
+                   ROW_NUMBER() OVER (
+                       PARTITION BY md5(text) ORDER BY n_chars DESC, doc_id
+                   ) AS rn
+            FROM scored
+        ) WHERE rn = 1
+    ),
+    w AS (SELECT doc_id, source, string_split(text, ' ') AS words FROM kept),
+    chunks AS (
+        SELECT doc_id, source,
+               CAST(LEAST(64, len(words) - s) AS BIGINT) AS n_chunk_tokens
+        FROM w, UNNEST(range(0, GREATEST(len(words), 1), 48)) AS u(s)
+        WHERE s = 0 OR s - 48 + 64 < len(words)
+    )
+    SELECT source,
+           CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n_docs,
+           CAST(COUNT(*) AS BIGINT) AS n_chunks,
+           CAST(SUM(n_chunk_tokens) AS BIGINT) AS chunk_tokens
+    FROM chunks
+    GROUP BY source
+    ORDER BY source
+    """
+
+
+@query("q96_training_prep", oracle=_training_prep_sql())
+def q96_training_prep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The round-5 operators composed end-to-end into training-example
+    prep: quality-score + language-agreement gates (fused into the scan)
+    → best-copy canonical pick per exact-duplicate group (md5-keyed, keep
+    the longest) → fixed-window chunking with stride (narrow, zero-shuffle
+    per survivor) → per-source example counts and chunk-token totals.
+    Everything JVM built-ins; the only wide stages are the fingerprint
+    pick and one doc-keyed join re-attaching source to chunks."""
+    docs = load_table(spark, sf_dir, "documents")
+    scored = docs.where(
+        (T.quality_score("text") >= F.lit(0.5))
+        & (T.predict_lang("text") == F.col("lang"))
+    )
+    kept = D.canonical_pick(scored, order_by=[F.col("n_chars").desc()])
+    chunks = T.chunk_documents(kept, chunk_tokens=64, stride=48)
+    return (
+        chunks.join(kept.select("doc_id", "source"), "doc_id")
+        .groupBy("source")
+        .agg(
+            F.count_distinct("doc_id").cast("long").alias("n_docs"),
+            F.count(F.lit(1)).cast("long").alias("n_chunks"),
+            F.sum("n_chunk_tokens").cast("long").alias("chunk_tokens"),
+        )
+        .orderBy("source")
+    )

@@ -271,3 +271,13 @@ def test_session_paths_topk_is_take_ordered(spark, sf_dir):
     assert "TakeOrderedAndProject" in plan
     assert not re.findall(r"Exchange SinglePartition.*\n.*Window", plan)
     assert "partial_" in plan
+
+
+def test_training_prep_is_udf_free(spark, sf_dir):
+    """q96's whole gate->pick->chunk->aggregate composition must stay in
+    JVM built-ins (no Python boundary, no cartesian), with the quality and
+    language gates fused below the fingerprint pick."""
+    plan = _plan(load_all()["q96_training_prep"].fn(spark, sf_dir))
+    assert "InPandas" not in plan and "PythonUDF" not in plan
+    assert "CartesianProduct" not in plan
+    assert "partial_" in plan
