@@ -519,3 +519,116 @@ def q93_session_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
     # space is |event_types|^8-bounded, not corpus-bounded, but still
     # nothing one task should sort alone)
     return counts.orderBy(F.col("n_sessions").desc(), "path").limit(20)
+
+
+def resample_ffill(
+    ev: DataFrame,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    value_col: str = "value",
+    step: str = "1 hour",
+) -> DataFrame:
+    """Resample an irregular per-entity time series onto a regular grid
+    with forward fill — the gap-filling step dashboards and feature
+    pipelines need (Spark has no native ``resample``; pandas' is
+    single-node). For each entity: one row per ``step`` between its first
+    and last observation, carrying the last-observed value at or before
+    that grid point, plus whether the point was observed or filled.
+
+    Spark-first shape: ONE entity-keyed exchange serves everything — the
+    per-bucket "closing" observation (a bucket-keyed aggregate choosing
+    the max-(ts, id) row), the per-entity bounds, the grid explosion
+    (``sequence`` + ``explode``, narrow, grid rows are generated in the
+    task that owns the entity), the grid⋈observed join, and the
+    forward-fill window (``last(ignorenulls)`` over rows-unbounded-
+    preceding). Grid size per entity = span/step — bound the span
+    upstream for entities with years of history at minute grain.
+    """
+    hour = F.date_trunc("hour", F.col(ts_col)) if step == "1 hour" else None
+    if hour is None:
+        raise ValueError("resample_ffill currently supports step='1 hour'")
+    ev2 = ev.select(
+        F.col(user_col),
+        hour.alias("bucket"),
+        F.col(ts_col),
+        F.col("event_id"),
+        F.col(value_col),
+    )
+    w_close = Window.partitionBy(user_col, "bucket").orderBy(
+        F.col(ts_col).desc(), F.col("event_id").desc()
+    )
+    hourly = (
+        ev2.withColumn("rn", F.row_number().over(w_close))
+        .where(F.col("rn") == 1)
+        .select(user_col, "bucket", F.col(value_col).alias("v"))
+    )
+    grid = (
+        ev2.groupBy(user_col)
+        .agg(F.min("bucket").alias("h0"), F.max("bucket").alias("h1"))
+        .select(
+            user_col,
+            F.explode(
+                F.sequence("h0", "h1", F.expr(f"INTERVAL {step}"))
+            ).alias("bucket"),
+        )
+    )
+    w_ff = (
+        Window.partitionBy(user_col)
+        .orderBy("bucket")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        grid.join(hourly, [user_col, "bucket"], "left")
+        .select(
+            user_col,
+            "bucket",
+            F.last("v", ignorenulls=True).over(w_ff).alias("value_ff"),
+            F.col("v").isNotNull().alias("observed"),
+        )
+    )
+
+
+@query(
+    "q97_resample_ffill",
+    oracle="""
+    WITH ev AS (
+        SELECT user_id, date_trunc('hour', ts) AS bucket, ts, event_id, value
+        FROM events WHERE user_id < 10
+    ),
+    hourly AS (
+        SELECT user_id, bucket, value AS v FROM (
+            SELECT user_id, bucket, value,
+                   ROW_NUMBER() OVER (
+                       PARTITION BY user_id, bucket
+                       ORDER BY ts DESC, event_id DESC
+                   ) AS rn
+            FROM ev
+        ) WHERE rn = 1
+    ),
+    bounds AS (
+        SELECT user_id, MIN(bucket) AS h0, MAX(bucket) AS h1
+        FROM ev GROUP BY user_id
+    ),
+    grid AS (
+        SELECT user_id,
+               unnest(generate_series(h0, h1, INTERVAL 1 HOUR)) AS bucket
+        FROM bounds
+    )
+    SELECT g.user_id, g.bucket,
+           last_value(h.v IGNORE NULLS) OVER (
+               PARTITION BY g.user_id ORDER BY g.bucket
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+           ) AS value_ff,
+           h.v IS NOT NULL AS observed
+    FROM grid g LEFT JOIN hourly h
+      ON h.user_id = g.user_id AND h.bucket = g.bucket
+    ORDER BY g.user_id, g.bucket
+    """,
+)
+def q97_resample_ffill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-series resampling: users 0-9's event values forward-filled
+    onto each user's hourly grid (observed flag distinguishes real points
+    from fills) — the gap-filling primitive next to q19's as-of join (as-of
+    aligns two series; this regularizes one). See :func:`resample_ffill`."""
+    ev = load_table(spark, sf_dir, "events").where(F.col("user_id") < 10)
+    return resample_ffill(ev).orderBy("user_id", "bucket")
