@@ -43,13 +43,13 @@ def query(name: str, oracle: str | None = None):
 
 
 #: Driver-visibility rotation (round 5). The driver's correctness run samples
-#: the FIRST 50 registry entries; with 87 oracle-backed queries, 37 must sit
+#: the FIRST 50 registry entries; with 88 oracle-backed queries, 38 must sit
 #: past the window each round. Policy: the least-driver-certified queries get
 #: the visible slots, so no oracle query goes more than ~2 rounds without
 #: driver re-certification. This round the two pools SWAP (the round-4
 #: VERDICT's explicit ask): _PROMOTED = the fifteen queries demoted in round
 #: 4, whose last driver certification is rounds 1-3 (q11-q16 only r3), PLUS
-#: every brand-new never-certified round-5 query (q75-q80, q82-q97).
+#: every brand-new never-certified round-5 query (q75-q80, q82-q98).
 #: _DEMOTED = the fifteen queries promoted in round 4, each freshly
 #: certified in CORRECTNESS_r04 (rows+schema+hash), plus enough
 #: r4-certified mid-tier queries to keep the window at exactly 50 as the
@@ -97,6 +97,7 @@ _PROMOTED = (
     "q95_blocklist_stats",
     "q96_training_prep",
     "q97_resample_ffill",
+    "q98_cohort_retention",
 )
 _DEMOTED = (
     "q60_dedup_clusters",
@@ -122,7 +123,7 @@ _DEMOTED = (
     "q57_map_functions",
     "q58_compound_subqueries",
     "q59_range_frame_window",
-    # demoted mid-session to make window room for q84-q97 (all fourteen below
+    # demoted mid-session to make window room for q84-q98 (all fifteen below
     # are r4-certified rows+schema+hash and stay locally oracle-checked)
     "q09_window_analytic",
     "q26_quality_scores",
@@ -138,6 +139,7 @@ _DEMOTED = (
     "q31_embedding_centroids",
     "q28_lang_id",
     "q25_text_stats_by_lang",
+    "q17_events_hourly_window",
 )
 
 

@@ -632,3 +632,77 @@ def q97_resample_ffill(spark: SparkSession, sf_dir: str) -> DataFrame:
     aligns two series; this regularizes one). See :func:`resample_ffill`."""
     ev = load_table(spark, sf_dir, "events").where(F.col("user_id") < 10)
     return resample_ffill(ev).orderBy("user_id", "bucket")
+
+
+@query(
+    "q98_cohort_retention",
+    oracle="""
+    WITH cohorts AS (
+        SELECT user_id, date_trunc('week', MIN(ts)) AS cohort_week
+        FROM events GROUP BY user_id
+    ),
+    activity AS (
+        SELECT DISTINCT user_id, date_trunc('week', ts) AS week FROM events
+    ),
+    sizes AS (
+        SELECT cohort_week, CAST(COUNT(*) AS BIGINT) AS cohort_size
+        FROM cohorts GROUP BY cohort_week
+    ),
+    ret AS (
+        SELECT c.cohort_week,
+               CAST(date_diff('day', c.cohort_week, a.week) / 7 AS INT)
+                   AS week_offset,
+               CAST(COUNT(DISTINCT a.user_id) AS BIGINT) AS n_active
+        FROM activity a JOIN cohorts c USING (user_id)
+        GROUP BY c.cohort_week, week_offset
+    )
+    SELECT r.cohort_week, r.week_offset, s.cohort_size, r.n_active,
+           CAST(r.n_active AS DOUBLE) / CAST(s.cohort_size AS DOUBLE)
+               AS retention_rate
+    FROM ret r JOIN sizes s USING (cohort_week)
+    ORDER BY r.cohort_week, r.week_offset
+    """,
+)
+def q98_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohort retention matrix: users grouped by first-activity week, and
+    for each (cohort, week-offset) the count and share of the cohort still
+    active — the product-analytics staple next to q85's funnel and q93's
+    paths. Week offsets are exact integer day-diffs / 7; the rate is one
+    IEEE division of int64s.
+
+    Shape: a user-keyed aggregate builds cohorts, the distinct
+    (user, week) activity reuses the same user-keyed exchange for the
+    cohort join, then one (cohort, offset)-keyed count; cohort sizes ride
+    a window-free broadcast-sized join (weeks are bounded by calendar
+    time, not corpus size)."""
+    ev = load_table(spark, sf_dir, "events").select("user_id", "ts")
+    cohorts = ev.groupBy("user_id").agg(
+        F.date_trunc("week", F.min("ts")).alias("cohort_week")
+    )
+    activity = ev.select(
+        "user_id", F.date_trunc("week", "ts").alias("week")
+    ).distinct()
+    sizes = cohorts.groupBy("cohort_week").agg(
+        F.count(F.lit(1)).cast("long").alias("cohort_size")
+    )
+    ret = (
+        activity.join(cohorts, "user_id")
+        .groupBy(
+            "cohort_week",
+            (F.datediff("week", "cohort_week") / 7).cast("int").alias("week_offset"),
+        )
+        .agg(F.count_distinct("user_id").cast("long").alias("n_active"))
+    )
+    return (
+        ret.join(F.broadcast(sizes), "cohort_week")
+        .select(
+            "cohort_week",
+            "week_offset",
+            "cohort_size",
+            "n_active",
+            (
+                F.col("n_active").cast("double") / F.col("cohort_size").cast("double")
+            ).alias("retention_rate"),
+        )
+        .orderBy("cohort_week", "week_offset")
+    )
