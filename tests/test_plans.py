@@ -281,3 +281,40 @@ def test_training_prep_is_udf_free(spark, sf_dir):
     assert "InPandas" not in plan and "PythonUDF" not in plan
     assert "CartesianProduct" not in plan
     assert "partial_" in plan
+
+
+def test_runtime_bloom_filter_arms_on_selective_joins(spark, sf_dir):
+    """The session enables runtime Bloom-filter join pruning
+    (spark.sql.optimizer.runtime.bloomFilter.enabled) — at 100 TB a
+    selective dimension filter then prunes the fact scan BEFORE the
+    shuffle via might_contain. Locally the probe side is far below the
+    10 GB application-side threshold, so Spark correctly leaves it
+    dormant; this pin lowers the thresholds and asserts the rewrite
+    actually fires (a silent upstream default flip would otherwise go
+    unnoticed until a cluster run)."""
+    from pyspark.sql import functions as F
+
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet").where(
+        F.col("o_totalprice") > 400000
+    )
+    assert spark.conf.get("spark.sql.optimizer.runtime.bloomFilter.enabled") == "true"
+    old_bc = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        spark.conf.set(
+            "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold",
+            "0",
+        )
+        j = (
+            li.join(orders, li.l_orderkey == orders.o_orderkey)
+            .groupBy()
+            .agg(F.sum("l_quantity"))
+        )
+        plan = _plan(j)
+        assert "might_contain" in plan and "bloom_filter_agg" in plan
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old_bc)
+        spark.conf.unset(
+            "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold"
+        )
