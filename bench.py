@@ -179,24 +179,55 @@ def main() -> None:
 
     m = re.search(r"sf([0-9.]+)", SF_DIR)
     sf = float(m.group(1).rstrip(".")) if m else None
-    print(
-        json.dumps(
-            {
-                "metric": "headline_queries_total",
-                "value": round(total, 3),
-                "unit": "sec",
-                "queries": timings,
-                "sweep": sweep,
-                "errors": errors,
-                "sf": sf,
-                "runs": N_RUNS,
-                "skew": skew,
-                "streaming": streaming,
-                "streaming_file_paged": streaming_file_paged,
-                "streaming_replay": streaming_replay,
-            }
-        )
-    )
+    # Round-5 postmortem: the driver keeps only a TAIL window of stdout, and
+    # the single full JSON line (headline + 69-query sweep + skew + 3
+    # streaming legs) grew past it — BENCH_r05.json captured `parsed: null`
+    # and the round's headline signal was lost. Capture-proofing: the FULL
+    # payload goes to BENCH_full.json on disk; stdout carries exactly ONE
+    # compact line (headline total + per-query medians + leg rates + errors,
+    # ~2 KB) printed LAST so tail-truncation can never eat it.
+    full = {
+        "metric": "headline_queries_total",
+        "value": round(total, 3),
+        "unit": "sec",
+        "queries": timings,
+        "sweep": sweep,
+        "errors": errors,
+        "sf": sf,
+        "runs": N_RUNS,
+        "skew": skew,
+        "streaming": streaming,
+        "streaming_file_paged": streaming_file_paged,
+        "streaming_replay": streaming_replay,
+    }
+    full_path = os.path.join(os.path.dirname(os.path.abspath(__file__)), "BENCH_full.json")
+    try:
+        with open(full_path, "w") as f:
+            json.dump(full, f, indent=1)
+        print(f"# full payload (incl. {len(sweep)}-query sweep): {full_path}", file=sys.stderr)
+    except OSError as exc:
+        print(f"# could not write {full_path}: {exc}", file=sys.stderr)
+
+    def _rate(leg: dict) -> float | None:
+        v = leg.get("msgs_per_sec") if isinstance(leg, dict) else None
+        return round(v) if isinstance(v, (int, float)) else None
+
+    compact = {
+        "metric": "headline_queries_total",
+        "value": round(total, 3),
+        "unit": "sec",
+        "queries": timings,
+        "errors": errors,
+        "sf": sf,
+        "runs": N_RUNS,
+        "sweep_total_sec": round(sum(sweep.values()), 3) if sweep else None,
+        "sweep_n": len(sweep),
+        "streaming_msgs_per_sec": _rate(streaming),
+        "streaming_file_paged_msgs_per_sec": _rate(streaming_file_paged),
+        "streaming_replay_msgs_per_sec": _rate(streaming_replay),
+        "full_payload": "BENCH_full.json",
+    }
+    print(json.dumps(compact))
 
 
 def _skew_leg(

@@ -184,23 +184,44 @@ def profile_table(df: DataFrame, cols: list[str]) -> DataFrame:
     ``approx_count_distinct`` — one line, same plan minus the Expand.
     min/max aggregate in NATIVE column order, then cast to string for the
     uniform row shape (casting before the agg would compare '100' < '48').
+
+    Identifier-safe by construction: the frame is positionally renamed
+    (``toDF``) to ``__c0..__cN`` before any aggregation, so source column
+    names never enter Catalyst's name resolver (which dot-parses even
+    ``df[name]`` lookups) and reach the output only as ``F.lit`` string
+    literals; internal aggregate aliases are positional too. A column
+    named ``it's a.b`` or ``weird-col`` profiles fine (raw f-string
+    splicing into ``selectExpr`` mis-parsed on quotes/spaces/dots/hyphens).
     """
+    pos = {c: i for i, c in reversed(list(enumerate(df.columns)))}
+    missing = [c for c in cols if c not in pos]
+    if missing:
+        raise ValueError(f"profile_table: columns not in frame: {missing}")
+    safe = df.toDF(*[f"__c{i}" for i in range(len(df.columns))])
     aggs = [F.count(F.lit(1)).cast("long").alias("__n")]
-    for c in cols:
+    for i, c in enumerate(cols):
+        src = F.col(f"__c{pos[c]}")
         aggs += [
-            F.count(c).cast("long").alias(f"__nn_{c}"),
-            F.count_distinct(F.col(c)).cast("long").alias(f"__nd_{c}"),
-            F.min(c).cast("string").alias(f"__min_{c}"),
-            F.max(c).cast("string").alias(f"__max_{c}"),
+            F.count(src).cast("long").alias(f"__nn_{i}"),
+            F.count_distinct(src).cast("long").alias(f"__nd_{i}"),
+            F.min(src).cast("string").alias(f"__min_{i}"),
+            F.max(src).cast("string").alias(f"__max_{i}"),
         ]
-    one = df.agg(*aggs)
-    stack_args = ", ".join(
-        f"'{c}', __n - __nn_{c}, __nd_{c}, __min_{c}, __max_{c}" for c in cols
-    )
-    return one.selectExpr(
-        "__n AS n_rows",
-        f"stack({len(cols)}, {stack_args}) AS "
-        "(col_name, n_nulls, n_distinct, min_value, max_value)",
+    one = safe.agg(*aggs)
+    stack_args: list = []
+    for i, c in enumerate(cols):
+        stack_args += [
+            F.lit(c),
+            F.col("__n") - F.col(f"__nn_{i}"),
+            F.col(f"__nd_{i}"),
+            F.col(f"__min_{i}"),
+            F.col(f"__max_{i}"),
+        ]
+    return one.select(
+        F.col("__n").alias("n_rows"),
+        F.stack(F.lit(len(cols)), *stack_args).alias(
+            "col_name", "n_nulls", "n_distinct", "min_value", "max_value"
+        ),
     ).select("col_name", "n_rows", "n_nulls", "n_distinct", "min_value", "max_value")
 
 

@@ -64,16 +64,32 @@ def snapshot_diff(
     never document bodies (the :func:`canonical_pick` discipline applied
     to diffing); content comparison is one fingerprint equality. Returns
     ``(id_col, status)`` for every id in either snapshot.
+
+    Presence is carried through the join as EXPLICIT literal markers
+    (``__in_old``/``__in_new``), never inferred from fingerprint
+    NULL-ness: ``md5(NULL) IS NULL``, so a NULL-text row present only in
+    the old snapshot would otherwise be misreported as ``added``. The
+    content comparison is null-safe (``eqNullSafe``), so two NULL-text
+    versions of the same id compare ``unchanged`` and a NULL→non-NULL
+    rewrite is ``changed``.
     """
-    o = old.select(F.col(id_col), F.md5(F.col(text_col)).alias("__fp_old"))
-    n = new.select(F.col(id_col), F.md5(F.col(text_col)).alias("__fp_new"))
+    o = old.select(
+        F.col(id_col),
+        F.md5(F.col(text_col)).alias("__fp_old"),
+        F.lit(True).alias("__in_old"),
+    )
+    n = new.select(
+        F.col(id_col),
+        F.md5(F.col(text_col)).alias("__fp_new"),
+        F.lit(True).alias("__in_new"),
+    )
     return (
         o.join(n, id_col, "full_outer")
         .select(
             id_col,
-            F.when(F.col("__fp_old").isNull(), F.lit("added"))
-            .when(F.col("__fp_new").isNull(), F.lit("removed"))
-            .when(F.col("__fp_old") != F.col("__fp_new"), F.lit("changed"))
+            F.when(F.col("__in_old").isNull(), F.lit("added"))
+            .when(F.col("__in_new").isNull(), F.lit("removed"))
+            .when(~F.col("__fp_old").eqNullSafe(F.col("__fp_new")), F.lit("changed"))
             .otherwise(F.lit("unchanged"))
             .alias("status"),
         )
@@ -104,18 +120,30 @@ def canonical_pick(
 
     Returns one row per distinct text: the surviving row's ``id_col``,
     the preference columns, and ``group_size``.
+
+    NULL-text rows are NOT duplicates of each other (``md5(NULL)`` is
+    NULL, which would otherwise collapse them into one window group and
+    silently drop all but one): each NULL-text row gets a per-id
+    sentinel fingerprint, so it forms its own group of size 1 and always
+    survives. Internal columns use collision-safe ``__``-prefixed names;
+    ``group_size`` is the documented output column (a pre-existing
+    ``group_size`` input column is replaced, by contract).
     """
     from pyspark.sql import Window
 
-    fp = F.md5(F.col(text_col)).alias("__fp")
+    # md5 hex is [0-9a-f]{32}; the ':'-bearing sentinel can never collide.
+    fp = F.when(
+        F.col(text_col).isNull(),
+        F.concat(F.lit("null:"), F.col(id_col).cast("string")),
+    ).otherwise(F.md5(F.col(text_col))).alias("__fp")
     w = Window.partitionBy("__fp")
     rank_w = w.orderBy(*order_by, F.col(id_col))
     return (
         df.select(id_col, *[c for c in df.columns if c != id_col], fp)
-        .withColumn("rn", F.row_number().over(rank_w))
+        .withColumn("__rn", F.row_number().over(rank_w))
         .withColumn("group_size", F.count(F.lit(1)).over(w).cast("long"))
-        .where(F.col("rn") == 1)
-        .drop("rn", "__fp")
+        .where(F.col("__rn") == 1)
+        .drop("__rn", "__fp")
     )
 
 

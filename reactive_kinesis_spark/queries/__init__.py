@@ -42,64 +42,20 @@ def query(name: str, oracle: str | None = None):
     return deco
 
 
-#: Driver-visibility rotation (round 5). The driver's correctness run samples
+#: Driver-visibility rotation (round 6). The driver's correctness run samples
 #: the FIRST 50 registry entries; with 88 oracle-backed queries, 38 must sit
 #: past the window each round. Policy: the least-driver-certified queries get
 #: the visible slots, so no oracle query goes more than ~2 rounds without
-#: driver re-certification. This round the two pools SWAP (the round-4
-#: VERDICT's explicit ask): _PROMOTED = the fifteen queries demoted in round
-#: 4, whose last driver certification is rounds 1-3 (q11-q16 only r3), PLUS
-#: every brand-new never-certified round-5 query (q75-q80, q82-q98).
-#: _DEMOTED = the fifteen queries promoted in round 4, each freshly
-#: certified in CORRECTNESS_r04 (rows+schema+hash), plus enough
-#: r4-certified mid-tier queries to keep the window at exactly 50 as the
-#: new q84-q94 entries landed; all demoted queries remain fully
-#: oracle-checked locally every session (tests/test_oracle_parity.py, plus
-#: this session's full-registry sweeps at sf0.01 AND sf0.1). The remaining
-#: middle-tier queries were all certified in r4 and keep their in-window
-#: slots.
+#: driver re-certification. This round the two pools SWAP BACK (the round-5
+#: VERDICT's explicit ask #3): _PROMOTED = the 38 queries demoted in round 5,
+#: whose last driver certification is CORRECTNESS_r04 (2 rounds stale by
+#: now). _DEMOTED = the 38 queries promoted in round 5, each freshly
+#: certified in CORRECTNESS_r05 (rows+schema+hash). The 12 middle-tier
+#: queries (q01 q04 q08 q19 q20 q21 q22 q29 q37 q45 q50 q51) keep their
+#: in-window slots and were also r5-certified. All demoted queries remain
+#: fully oracle-checked locally every session (tests/test_oracle_parity.py
+#: runs the ENTIRE registry against DuckDB at sf0.01).
 _PROMOTED = (
-    "q02_filter_project",
-    "q03_join_agg_topk",
-    "q05_anti_join",
-    "q07_semi_join",
-    "q12_set_ops",
-    "q13_scalar_functions",
-    "q14_date_functions",
-    "q15_distinct_agg",
-    "q16_part_supplier_join",
-    "q18_events_json_props",
-    "q44_deterministic_sample",
-    "q47_having",
-    "q06_outer_join_histogram",
-    "q10_rollup",
-    "q11_cube",
-    "q75_rare_word_scoring",
-    "q76_characteristic_terms",
-    "q77_source_overlap",
-    "q78_event_transitions",
-    "q79_temperature_weights",
-    "q80_incremental_dedup",
-    "q82_heavy_hitters",
-    "q83_chunking",
-    # round-5 session additions — never driver-certified, take window slots
-    "q84_weighted_sample",
-    "q85_event_funnel",
-    "q86_robust_outliers",
-    "q87_surprisal_scoring",
-    "q88_canonical_pick",
-    "q89_table_profile",
-    "q90_zscore_normalize",
-    "q91_feature_hashing",
-    "q92_centroid_similarity",
-    "q93_session_paths",
-    "q94_snapshot_diff",
-    "q95_blocklist_stats",
-    "q96_training_prep",
-    "q97_resample_ffill",
-    "q98_cohort_retention",
-)
-_DEMOTED = (
     "q60_dedup_clusters",
     "q61_curation_pipeline",
     "q62_token_packing",
@@ -123,8 +79,6 @@ _DEMOTED = (
     "q57_map_functions",
     "q58_compound_subqueries",
     "q59_range_frame_window",
-    # demoted mid-session to make window room for q84-q98 (all fifteen below
-    # are r4-certified rows+schema+hash and stay locally oracle-checked)
     "q09_window_analytic",
     "q26_quality_scores",
     "q27_fingerprint_stats",
@@ -140,6 +94,46 @@ _DEMOTED = (
     "q28_lang_id",
     "q25_text_stats_by_lang",
     "q17_events_hourly_window",
+)
+_DEMOTED = (
+    "q02_filter_project",
+    "q03_join_agg_topk",
+    "q05_anti_join",
+    "q07_semi_join",
+    "q12_set_ops",
+    "q13_scalar_functions",
+    "q14_date_functions",
+    "q15_distinct_agg",
+    "q16_part_supplier_join",
+    "q18_events_json_props",
+    "q44_deterministic_sample",
+    "q47_having",
+    "q06_outer_join_histogram",
+    "q10_rollup",
+    "q11_cube",
+    "q75_rare_word_scoring",
+    "q76_characteristic_terms",
+    "q77_source_overlap",
+    "q78_event_transitions",
+    "q79_temperature_weights",
+    "q80_incremental_dedup",
+    "q82_heavy_hitters",
+    "q83_chunking",
+    "q84_weighted_sample",
+    "q85_event_funnel",
+    "q86_robust_outliers",
+    "q87_surprisal_scoring",
+    "q88_canonical_pick",
+    "q89_table_profile",
+    "q90_zscore_normalize",
+    "q91_feature_hashing",
+    "q92_centroid_similarity",
+    "q93_session_paths",
+    "q94_snapshot_diff",
+    "q95_blocklist_stats",
+    "q96_training_prep",
+    "q97_resample_ffill",
+    "q98_cohort_retention",
 )
 
 

@@ -1347,10 +1347,16 @@ def q87_surprisal_scoring(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT doc_id, n_chars, group_size FROM (
         SELECT doc_id, n_chars,
                ROW_NUMBER() OVER (
-                   PARTITION BY md5(text) ORDER BY n_chars DESC, doc_id
+                   PARTITION BY CASE WHEN text IS NULL
+                                     THEN 'null:' || CAST(doc_id AS VARCHAR)
+                                     ELSE md5(text) END
+                   ORDER BY n_chars DESC, doc_id
                ) AS rn,
-               CAST(COUNT(*) OVER (PARTITION BY md5(text)) AS BIGINT)
-                   AS group_size
+               CAST(COUNT(*) OVER (
+                   PARTITION BY CASE WHEN text IS NULL
+                                     THEN 'null:' || CAST(doc_id AS VARCHAR)
+                                     ELSE md5(text) END
+               ) AS BIGINT) AS group_size
         FROM documents
     )
     WHERE rn = 1
@@ -1471,19 +1477,21 @@ def q92_centroid_similarity(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q94_snapshot_diff",
     oracle="""
     WITH old AS (
-        SELECT doc_id, md5(text) AS fp FROM documents WHERE doc_id % 20 != 0
+        SELECT doc_id, md5(text) AS fp, TRUE AS in_old
+        FROM documents WHERE doc_id % 20 != 0
     ),
     new AS (
         SELECT doc_id,
                md5(CASE WHEN doc_id % 20 = 5 THEN upper(text) ELSE text END)
-                   AS fp
+                   AS fp,
+               TRUE AS in_new
         FROM documents WHERE doc_id % 20 != 19
     )
     SELECT status, CAST(COUNT(*) AS BIGINT) AS n_docs FROM (
         SELECT COALESCE(old.doc_id, new.doc_id) AS doc_id,
-               CASE WHEN old.fp IS NULL THEN 'added'
-                    WHEN new.fp IS NULL THEN 'removed'
-                    WHEN old.fp != new.fp THEN 'changed'
+               CASE WHEN old.in_old IS NULL THEN 'added'
+                    WHEN new.in_new IS NULL THEN 'removed'
+                    WHEN old.fp IS DISTINCT FROM new.fp THEN 'changed'
                     ELSE 'unchanged' END AS status
         FROM old FULL OUTER JOIN new ON old.doc_id = new.doc_id
     )
