@@ -10,8 +10,12 @@ consumer/ConsumerProcessingManager.scala:100-121, reference.conf:479-487).
 Architecture: a :class:`SimpleDataSourceStreamReader` — Spark 4's
 driver-side streaming reader. That choice is deliberate, not a shortcut:
 
-* the KCL worker IS a single polling process per application instance; a
-  driver-side poll loop with per-shard cursors is the faithful analog;
+* the KCL worker IS a single polling process per application instance —
+  one thread per shard (consumer/KinesisConsumer.scala:207-226); the
+  driver-side poll loop fans GetRecords out over a bounded thread pool
+  (``pollConcurrency``, default 8) with per-shard cursors, so batch
+  latency stays near-flat as shard count grows instead of serializing one
+  network round-trip per shard;
 * Kinesis shard read caps (2 MB/s, 5 reads/s per shard) bound any single
   consumer far below driver capacity, so executor-parallel GetRecords buys
   nothing on one stream — the scale path for replay/backfill is the
@@ -30,7 +34,9 @@ leave the page cap at the 10k default with availableNow.
 Options (case-insensitive): ``streamName`` (required), ``startingPosition``
 (5 positions, default trim_horizon) + ``startingTimestamp`` /
 ``startingSequenceNumber``, ``maxRecordsPerBatch`` (per shard per
-micro-batch, default 10_000 = kcl.maxRecords), ``shards`` (explicit subset
+micro-batch, default 10_000 = kcl.maxRecords), ``pollConcurrency`` (max
+concurrent per-shard GetRecords polls per batch, default 8; 1 = strictly
+sequential), ``shards`` (explicit subset
 — the L1 shard-assignment analog), ``deaggregate`` (true = KCL-style KPL
 deaggregation with sub-sequence numbers), ``transport`` (factory name,
 default ``boto3``) + ``region``/``endpointUrl``/``profile``.
@@ -159,6 +165,14 @@ class _LiveStreamReader(SimpleDataSourceStreamReader):
         if position.endswith("_sequence_number") and self._sequence_number is None:
             raise ValueError(f"startingPosition={position} requires startingSequenceNumber")
         self._max_records = int(options.get("maxrecordsperbatch", 10_000))
+        # Bounded thread-pool fan-out over shards per micro-batch (the
+        # reference runs one worker per shard, KinesisConsumer.scala:207-226).
+        # Sequential polling serializes one GetRecords round-trip per shard
+        # per batch — fine at 4 shards, a driver-side latency wall at 500.
+        # Each shard is polled by exactly ONE task per batch, so per-shard
+        # order and the per-shard iterator/closed-shard caches stay
+        # single-writer; boto3 clients are documented thread-safe.
+        self._poll_concurrency = max(1, int(options.get("pollconcurrency", 8)))
         self._deaggregate = str(options.get("deaggregate", "false")).lower() == "true"
         shards_opt = options.get("shards")
         self._shard_subset = (
@@ -305,7 +319,7 @@ class _LiveStreamReader(SimpleDataSourceStreamReader):
 
     def read(self, start: dict) -> Tuple[Iterator[Tuple], dict]:
         end = dict(start)
-        batch: list[Tuple] = []
+        plan: list[tuple[str, str, str, str | None]] = []
         for sid in self._shards():
             raw = start.get(sid)
             if sid in self._closed_shards:
@@ -325,14 +339,45 @@ class _LiveStreamReader(SimpleDataSourceStreamReader):
             # (fresh-app semantics, no pre-query replay under latest).
             known_at_start = sid in getattr(self, "_initial_listing", set())
             override = "trim_horizon" if raw is None and not known_at_start else None
-            rows, new_last = self._poll(
-                sid, last, max_records=self._max_records, position=override
-            )
+            plan.append((sid, first, last, override))
+        batch: list[Tuple] = []
+        # results consumed in plan (= shard-listing) order regardless of
+        # poll completion order → batch assembly stays deterministic
+        for (sid, first, _last, _ovr), (rows, new_last) in zip(
+            plan, self._poll_all(plan)
+        ):
             batch.extend(rows)
             if rows and not first:
                 first = rows[0][3]  # first sequence number ever delivered
             end[sid] = self._enc(first, new_last)
         return iter(batch), end
+
+    def _poll_all(
+        self, plan: list[tuple[str, str, str, str | None]]
+    ) -> list[tuple[list[Tuple], str]]:
+        """One ``_poll`` per planned shard, fanned out over a bounded
+        thread pool (``pollConcurrency``); order of results == order of
+        ``plan``. Each shard is handled by exactly one task, so the
+        per-shard mutable state (``_latest_iters[sid]``,
+        ``_closed_shards.add``) has a single writer; a worker exception
+        fails the batch (Spark retries the trigger), matching the
+        sequential path's semantics."""
+
+        def one(item: tuple[str, str, str, str | None]) -> tuple[list[Tuple], str]:
+            sid, _first, last, override = item
+            return self._poll(
+                sid, last, max_records=self._max_records, position=override
+            )
+
+        if len(plan) <= 1 or self._poll_concurrency <= 1:
+            return [one(item) for item in plan]
+        from concurrent.futures import ThreadPoolExecutor
+
+        with ThreadPoolExecutor(
+            max_workers=min(self._poll_concurrency, len(plan)),
+            thread_name_prefix="kinesis-live-poll",
+        ) as pool:
+            return list(pool.map(one, plan))
 
     def readBetweenOffsets(self, start: dict, end: dict) -> Iterator[Tuple]:
         """Deterministic replay of a committed-offset range after restart:
