@@ -37,7 +37,10 @@ Options (case-insensitive): ``streamName`` (required), ``startingPosition``
 micro-batch, default 10_000 = kcl.maxRecords), ``pollConcurrency`` (max
 concurrent per-shard GetRecords polls per batch, default 8; 1 = strictly
 sequential), ``shards`` (explicit subset
-— the L1 shard-assignment analog), ``deaggregate`` (true = KCL-style KPL
+— the L1 shard-assignment analog), ``leaseDir`` + ``workerId`` +
+``failoverTimeMillis`` (automatic lease coordination between N concurrent
+consumers — heartbeats, cooperative rebalance, dead-worker takeover from
+the lease checkpoint; see :mod:`.lease`), ``deaggregate`` (true = KCL-style KPL
 deaggregation with sub-sequence numbers), ``transport`` (factory name,
 default ``boto3``) + ``region``/``endpointUrl``/``profile``.
 
@@ -182,6 +185,26 @@ class _LiveStreamReader(SimpleDataSourceStreamReader):
         )
         factory_name = str(options.get("transport", "boto3"))
         self._transport = _resolve_transport_factory(factory_name)(options)
+        # Lease coordination (L1 full): with `leaseDir` set, N concurrent
+        # queries against one stream split shards automatically, release
+        # cooperatively on rebalance, and take over a dead worker's shards
+        # (with its last committed position) after `failoverTimeMillis` —
+        # the KCL lease-table analog (reference.conf:489-512). See
+        # streaming/lease.py for the protocol and its guarantees.
+        lease_dir = options.get("leasedir")
+        if lease_dir:
+            import uuid
+
+            from reactive_kinesis_spark.streaming.lease import LeaseCoordinator
+
+            self._lease = LeaseCoordinator(
+                str(lease_dir),
+                str(options.get("workerid") or f"worker-{uuid.uuid4().hex[:12]}"),
+                int(options.get("failovertimemillis", 10_000)),
+            )
+        else:
+            self._lease = None
+        self._lease_ckpts: dict[str, str] = {}
         # LATEST before the first record: keep the live iterator across
         # polls (in-memory only) — a fresh LATEST iterator each batch would
         # skip records arriving between polls. After a crash-restart the
@@ -216,10 +239,10 @@ class _LiveStreamReader(SimpleDataSourceStreamReader):
             shards = list(self._shard_subset)
         lineage = getattr(self._transport, "shard_parents", None)
         if lineage is None:
-            return shards
+            return self._lease_filter(shards)
         parents = lineage(self._stream)
         listed = set(parents)
-        return [
+        shards = [
             sid
             for sid in shards
             if all(
@@ -227,6 +250,17 @@ class _LiveStreamReader(SimpleDataSourceStreamReader):
                 for p in parents.get(sid, [])
             )
         ]
+        return self._lease_filter(shards)
+
+    def _lease_filter(self, shards: list[str]) -> list[str]:
+        """With a coordinator: heartbeat + release/acquire, then keep only
+        the shards this worker owns this batch; their lease checkpoints
+        (another worker's last committed position, for takeovers) are
+        stashed for :meth:`read`."""
+        if self._lease is None:
+            return shards
+        self._lease_ckpts = self._lease.sync(shards)
+        return [sid for sid in shards if sid in self._lease_ckpts]
 
     # -- record conversion -------------------------------------------------
 
@@ -315,12 +349,32 @@ class _LiveStreamReader(SimpleDataSourceStreamReader):
         # offsets (a gated child of a pre-closed parent); shards absent
         # here are true mid-stream arrivals and read from trim_horizon
         self._initial_listing = set(self._transport.list_shards(self._stream))
-        return {sid: "" for sid in self._shards()}
+        owned = {sid: "" for sid in self._shards()}
+        if self._lease is not None:
+            # a fresh query has no committed positions; anything withheld
+            # here releases at the lease's recorded checkpoint
+            self._lease.release_pending({})
+        return owned
 
     def read(self, start: dict) -> Tuple[Iterator[Tuple], dict]:
         end = dict(start)
+        shards = self._shards()
+        if self._lease is not None:
+            # Lease bookkeeping happens at READ-time, not commit-time:
+            # Spark defers a source's commit callback until the next
+            # data-bearing batch, so on a quiet stream commit may never
+            # fire. `start` is durable here (micro-batches are serial:
+            # the previous batch is sunk and WAL'd before the next read
+            # is planned), so it is the correct position to both stamp
+            # on released shards (cooperative handover, second half) and
+            # record as the takeover checkpoint for shards still owned.
+            committed = {sid: self._dec(raw)[1] for sid, raw in start.items()}
+            self._lease.release_pending(committed)
+            self._lease.record_checkpoints(
+                {sid: committed.get(sid, "") for sid in shards}
+            )
         plan: list[tuple[str, str, str, str | None]] = []
-        for sid in self._shards():
+        for sid in shards:
             raw = start.get(sid)
             if sid in self._closed_shards:
                 # drained to shard end — nothing more can arrive; keep the
@@ -338,7 +392,21 @@ class _LiveStreamReader(SimpleDataSourceStreamReader):
             # behind an unfinished parent keeps the configured position
             # (fresh-app semantics, no pre-query replay under latest).
             known_at_start = sid in getattr(self, "_initial_listing", set())
-            override = "trim_horizon" if raw is None and not known_at_start else None
+            # Lease takeover: resume AFTER the max of this query's own
+            # offset and the lease checkpoint (the previous owner's last
+            # committed position) — never behind a position another worker
+            # already delivered, whether the shard is new to this query
+            # (raw is None) or returning after a rebalance round-trip.
+            ckpt = self._lease_ckpts.get(sid, "")
+            if ckpt:
+                from reactive_kinesis_spark.streaming.lease import seq_max
+
+                last = seq_max(last, ckpt)
+            override = (
+                "trim_horizon"
+                if raw is None and not last and not known_at_start
+                else None
+            )
             plan.append((sid, first, last, override))
         batch: list[Tuple] = []
         # results consumed in plan (= shard-listing) order regardless of
@@ -419,9 +487,15 @@ class _LiveStreamReader(SimpleDataSourceStreamReader):
             yield from rows
 
     def commit(self, end: dict) -> None:
-        # Spark's offset log IS the durable position (the lease-table
-        # analog) — nothing to persist transport-side.
-        pass
+        # Spark's offset log IS this query's durable position; with a
+        # lease coordinator the committed positions are ALSO written to
+        # the lease table so another worker's takeover resumes after them
+        # (KCL checkpoint-on-lease semantics).
+        if self._lease is not None:
+            for sid, raw in end.items():
+                _, last = self._dec(raw)
+                if last:
+                    self._lease.record_checkpoint(sid, last)
 
 
 class KinesisLiveDataSource(DataSource):
