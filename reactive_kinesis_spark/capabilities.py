@@ -32,7 +32,8 @@ def transform_with_state() -> tuple[bool, str]:
         return (
             False,
             "transformWithStateInPandas requires the 'protobuf' package for "
-            "its state-server protocol (pip install protobuf); "
+            "its state-server protocol (pip install "
+            "'reactive-kinesis-spark[tws]', or plain protobuf); "
             "applyInPandasWithState covers the same semantics without it",
         )
     return True, "transformWithStateInPandas available"

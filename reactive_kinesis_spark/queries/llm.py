@@ -386,6 +386,38 @@ def q38_embedding_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query("q100_ann_lsh_recall")  # rows-only: approximate by design
+def q100_ann_lsh_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """q30's recall-first twin: the same LSH banding ANN at the measured
+    ≥0.93-recall operating point (``ANN_PRESETS['lsh']['recall']``, 16
+    planes × 8 two-bit bands) — recall 0.97 at ≈0.89·N candidates on the
+    worst-case near-random geometry, recall 1.0 on clustered corpora
+    (RECALL.json). Exposed as its own registry entry so the preset is one
+    name away for users, with the candidate-fraction cost on record."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.where(F.col("vec_id") < 100)
+    return (
+        S.ann_lsh_topk(emb, queries, "vec_id", "embedding", k=5, preset="recall")
+        .select("query_id", "neighbor_id", "cosine_sim", "rn")
+        .orderBy("query_id", "rn")
+    )
+
+
+@query("q101_ann_ivf_recall")  # rows-only: approximate by design
+def q101_ann_ivf_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """q38's recall-first twin: IVF ANN at the measured ≥0.93-recall
+    operating point (``ANN_PRESETS['ivf']['recall']``, 16 cells × 12
+    probes) — recall 0.94 at ≈0.76·N candidates near-random, 1.0
+    clustered (RECALL.json)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.where(F.col("vec_id") < 100)
+    return (
+        S.ivf_topk(emb, queries, "vec_id", "embedding", k=5, preset="recall")
+        .select("query_id", "neighbor_id", "cosine_sim", "rn")
+        .orderBy("query_id", "rn")
+    )
+
+
 @query("q42_embedding_neardup")  # rows-only: LSH candidate set by design
 def q42_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding-cosine near-duplicate pairs via hyperplane LSH bucketing +

@@ -318,3 +318,36 @@ def test_runtime_bloom_filter_arms_on_selective_joins(spark, sf_dir):
         spark.conf.unset(
             "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold"
         )
+
+
+def test_resample_ffill_is_join_bounded_and_udf_free(spark, sf_dir):
+    """q97/q99: the whole resample — closing-row window, per-entity bounds,
+    grid explosion, grid-join, forward-fill window — must stay in JVM
+    built-ins with a bounded exchange budget (entity-keyed + bucket-keyed +
+    final sort; a regression that re-scans per stage or drops to Python
+    would show here first). The grid explosion itself must be narrow
+    (Generate above the bounds agg, not a join)."""
+    import re
+
+    for q in ("q97_resample_ffill", "q99_resample_daily"):
+        plan = _plan(load_all()[q].fn(spark, sf_dir))
+        assert "InPandas" not in plan and "PythonUDF" not in plan
+        assert "CartesianProduct" not in plan
+        assert len(re.findall(r"^\(\d+\) Exchange", plan, re.M)) <= 4
+        assert len(re.findall(r"^\(\d+\) Scan parquet", plan, re.M)) <= 2
+        assert "Generate" in plan  # sequence+explode grid, generated in-task
+        # the user_id < N residual reaches both parquet scans
+        assert plan.count("PushedFilters: [IsNotNull(user_id)") >= 1
+
+
+def test_cohort_retention_broadcasts_sizes(spark, sf_dir):
+    """q98: cohort sizes (calendar-bounded, tiny) must join broadcast —
+    the retention matrix never shuffles on cohort_week for that join — and
+    every aggregate keeps its map-side partial."""
+    plan = _plan(load_all()["q98_cohort_retention"].fn(spark, sf_dir))
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+    assert "partial_" in plan
+    import re
+
+    assert len(re.findall(r"^\(\d+\) Exchange", plan, re.M)) <= 7

@@ -125,10 +125,18 @@ def test_recall_preset_hits_090_on_near_random_data(spark, sf_dir):
     path = os.path.join(os.path.dirname(os.path.dirname(__file__)), "RECALL.json")
     with open(path) as fh:
         art = json.load(fh)
-    for key in ("lsh_testdata_recall_preset", "ivf_testdata_recall_preset"):
+    for key in (
+        "lsh_testdata_recall_preset",
+        "ivf_testdata_recall_preset",
+        "lsh_clustered_recall_preset",
+        "ivf_clustered_recall_preset",
+    ):
         assert art[key]["recall"] >= 0.9, (key, art[key])
         # the cost side of the contract is recorded, not hidden
         assert 0 < art[key]["candidate_fraction"] <= 1
+    # both presets on both geometries are on record
+    for key in ("lsh_clustered", "ivf_clustered", "lsh_testdata", "ivf_testdata"):
+        assert "recall" in art[key], key
 
     emb = load_table(spark, sf_dir, "embeddings")
     queries = emb.where(F.col("vec_id") < 50)
