@@ -983,3 +983,204 @@ def blocklist_stats(
             ),
         )
     )
+
+
+def bm25_scoring(
+    df: DataFrame,
+    query_terms: list[str],
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Quantized BM25 relevance of every document against a fixed query —
+    the retrieval scorer a RAG-curation pass runs over the corpus (k1=1.2,
+    b=0.75, the Robertson defaults). Like :func:`surprisal_scoring`, the
+    score is quantized to EXACT integer arithmetic so it is bit-identical
+    across engines, hardware, and summation order — no libm, no float
+    accumulation:
+
+    * idf is floor-log2 bits: ``(length(bin(N)) - 1) - (length(bin(df)) - 1)``
+      — the integer skeleton of ``log(N/df)``;
+    * the tf-saturation factor ``tf·(k1+1) / (tf + k1·(1-b+b·dl/avgdl))``
+      is evaluated in scaled integers: avgdl quantized to millitokens
+      (``1000·T div N``), the denominator to milliunits, the factor to
+      micro-units — three integer floor-divisions, each deterministic.
+
+    ``score_micro`` = Σ over matched query terms of
+    ``idf_bits · sat_micro`` (int64). Overflow-safe while
+    ``2.2e9 · max_tf < 2^63`` and ``1000·T < 2^63`` — i.e. corpus token
+    counts up to ~9e15 (petascale); past that, widen the three scaled
+    products to DECIMAL(38,0) (plan shape unchanged).
+
+    Shape: :func:`doc_word_counts` once; doc lengths re-aggregated from it
+    (id-keyed, already combined); per-term document frequencies only for
+    the query terms (a handful of rows — broadcast); corpus totals
+    re-aggregated from the doc-length frame (doc-count-sized) and attached
+    as a broadcast single-row frame. The corpus-sized frames are keyed by
+    id or word throughout; nothing vocabulary- or corpus-sized is ever
+    collected. Returns ``(id_col, n_terms, score_micro)`` for documents
+    matching ≥1 query term.
+    """
+    if not query_terms:
+        raise ValueError("query_terms must be non-empty")
+    dw = doc_word_counts(df, text_col, id_col)
+    dl = dw.groupBy(id_col).agg(F.sum("tf").cast("long").alias("dl"))
+    totals = dl.agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("dl").cast("long").alias("t"),
+    )
+    terms = F.array(*[F.lit(w) for w in query_terms])
+    dfreq = (
+        dw.where(F.array_contains(terms, F.col("word")))
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).cast("long").alias("df_t"))
+    )
+    log2 = lambda c: (F.length(F.bin(c)) - 1).cast("long")  # noqa: E731
+    matched = (
+        dw.join(F.broadcast(dfreq), "word")
+        .join(dl, id_col)
+        .crossJoin(F.broadcast(totals))
+    )
+    adl_milli = F.expr("1000 * t div n")
+    scored = matched.select(
+        F.col(id_col),
+        (log2(F.col("n")) - log2(F.col("df_t"))).alias("__idf_bits"),
+        F.col("tf"),
+        F.col("dl"),
+        adl_milli.alias("__adl_milli"),
+    ).select(
+        F.col(id_col),
+        "__idf_bits",
+        F.expr(
+            "2200000000 * tf div (1000 * tf + 300 + (900000 * dl div __adl_milli))"
+        ).alias("__sat_micro"),
+    )
+    return (
+        scored.groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_terms"),
+            F.sum(F.col("__idf_bits") * F.col("__sat_micro"))
+            .cast("long")
+            .alias("score_micro"),
+        )
+    )
+
+
+def tf_cosine_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    max_df: int = 50,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """Document-pair cosine similarity over exact term-frequency vectors,
+    with inverted-index blocking — the sparse-vector twin of q42's dense
+    embedding near-dup: candidate pairs are docs sharing ≥1 DISCRIMINATIVE
+    term (corpus document frequency ≤ ``max_df``; ubiquitous terms carry
+    no pairing signal and would otherwise make the index quadratic — the
+    same df-cap discipline as the n-gram Jaccard join), scored by cosine
+    over their FULL tf vectors, kept at ``cosine ≥ threshold``.
+
+    Bit-exact across engines: the dot product and squared norms are int64
+    sums; ``sqrt`` and one division/multiplication are IEEE
+    correctly-rounded, so no float summation order exists anywhere.
+
+    Shape: :func:`doc_word_counts` once → (a) per-doc squared norms
+    (id-keyed agg), (b) the df-capped inverted index (word-keyed self-join
+    emitting candidate id pairs, ordered id1 < id2, deduped), (c) the dot
+    product = word-keyed self-join of tf rows semi-joined to candidates,
+    aggregated per pair. Exchanges are word- or pair-keyed only; the
+    candidate count is bounded by Σ_w df_w² over rare words, never N².
+    Returns ``(id_1, id_2, cosine_tf)``.
+    """
+    dw = doc_word_counts(df, text_col, id_col).select(
+        F.col(id_col).alias("__id"), "word", "tf"
+    )
+    norms = dw.groupBy("__id").agg(
+        F.sum(F.col("tf") * F.col("tf")).cast("long").alias("__sq")
+    )
+    rare = (
+        dw.groupBy("word")
+        .agg(F.count(F.lit(1)).cast("long").alias("__df"))
+        .where(F.col("__df") <= max_df)
+        .select("word")
+    )
+    idx = dw.join(rare, "word").select("word", F.col("__id"))
+    cands = (
+        idx.alias("a")
+        .join(idx.alias("b"), "word")
+        .where(F.col("a.__id") < F.col("b.__id"))
+        .select(F.col("a.__id").alias("id_1"), F.col("b.__id").alias("id_2"))
+        .distinct()
+    )
+    dots = (
+        dw.alias("x")
+        .join(dw.alias("y"), "word")
+        .where(F.col("x.__id") < F.col("y.__id"))
+        .select(
+            F.col("x.__id").alias("id_1"),
+            F.col("y.__id").alias("id_2"),
+            (F.col("x.tf") * F.col("y.tf")).alias("__p"),
+        )
+        .join(cands, ["id_1", "id_2"])
+        .groupBy("id_1", "id_2")
+        .agg(F.sum("__p").cast("long").alias("__dot"))
+    )
+    return (
+        dots.join(norms.select(F.col("__id").alias("id_1"), F.col("__sq").alias("__sq1")), "id_1")
+        .join(norms.select(F.col("__id").alias("id_2"), F.col("__sq").alias("__sq2")), "id_2")
+        .select(
+            "id_1",
+            "id_2",
+            (
+                F.col("__dot").cast("double")
+                / (
+                    F.sqrt(F.col("__sq1").cast("double"))
+                    * F.sqrt(F.col("__sq2").cast("double"))
+                )
+            ).alias("cosine_tf"),
+        )
+        .where(F.col("cosine_tf") >= threshold)
+    )
+
+
+def edit_distance_pairs(
+    df: DataFrame,
+    name_col: str,
+    id_col: str,
+    block_col: Column | str,
+    max_distance: int = 3,
+) -> DataFrame:
+    """Fuzzy string-similarity join: pairs of rows whose ``name_col``
+    values are within ``max_distance`` Levenshtein edits, found via
+    blocking — the entity-resolution primitive (typo'd product names,
+    near-identical titles) that must never run as an N² cross join.
+
+    ``block_col`` is the blocking key (e.g. a token, a phonetic code, a
+    length band — compose several for tighter blocks): only pairs sharing
+    a block are compared, so cost is Σ_b |block_b|², bounded by the
+    blocking discipline, not corpus size. The Levenshtein evaluation uses
+    Spark's bounded form (``levenshtein(l, r, threshold)``) so each
+    comparison early-exits at ``max_distance+1`` — O(d·min(len)) per pair
+    instead of O(len²). Distances are exact integers; no float anywhere.
+
+    Returns ``(id_1, id_2, name_1, name_2, distance)`` with id_1 < id_2.
+    """
+    b = F.col(block_col) if isinstance(block_col, str) else block_col
+    side = df.select(
+        F.col(id_col).alias("__id"), F.col(name_col).alias("__name"), b.alias("__blk")
+    )
+    return (
+        side.alias("a")
+        .join(side.alias("b"), "__blk")
+        .where(F.col("a.__id") < F.col("b.__id"))
+        .select(
+            F.col("a.__id").alias("id_1"),
+            F.col("b.__id").alias("id_2"),
+            F.col("a.__name").alias("name_1"),
+            F.col("b.__name").alias("name_2"),
+            F.levenshtein(F.col("a.__name"), F.col("b.__name"), max_distance).alias(
+                "distance"
+            ),
+        )
+        .where((F.col("distance") >= 0) & (F.col("distance") <= max_distance))
+    )

@@ -56,6 +56,13 @@ def query(name: str, oracle: str | None = None):
 #: fully oracle-checked locally every session (tests/test_oracle_parity.py
 #: runs the ENTIRE registry against DuckDB at sf0.01).
 _PROMOTED = (
+    # round-6 additions — never driver-certified, so they take visible
+    # slots first (same rule that promoted the round-5 additions last round)
+    "q102_bm25_scoring",
+    "q103_tf_cosine_pairs",
+    "q104_seasonal_anomaly",
+    "q105_trend_slope",
+    "q106_name_edit_join",
     "q60_dedup_clusters",
     "q61_curation_pipeline",
     "q62_token_packing",
@@ -157,6 +164,7 @@ def load_all() -> dict[str, QueryDef]:
     from reactive_kinesis_spark.queries import (  # noqa: F401
         advanced,
         events,
+        graph,
         llm,
         multimodal,
         relational,

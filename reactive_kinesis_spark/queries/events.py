@@ -801,3 +801,209 @@ def q98_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("cohort_week", "week_offset")
     )
+
+
+def seasonal_anomalies(
+    ev: DataFrame,
+    key_col: str = "event_type",
+    ts_col: str = "ts",
+    value_col: str = "value",
+    n_sigma: float = 2.0,
+) -> DataFrame:
+    """Seasonal-baseline anomaly detection: each observation is compared
+    against the mean/σ of its OWN seasonal slot — (key, hour-of-day) — and
+    flagged when it deviates more than ``n_sigma`` standard deviations.
+    The time-series counterpart of q86's global MAD outliers: a value
+    that's normal at peak hour is anomalous at 3am, which a global
+    baseline can't see.
+
+    Null values are excluded up front (the baseline and the flags both
+    contract on non-null observations). Deterministic across engines: the
+    two moments ride exact DECIMAL(38,6) sums, the variance is composed
+    with one fixed expression order (``E[x²] − mean²``, clamped at 0
+    before the IEEE ``sqrt``), so mean/σ are bit-identical.
+
+    Shape (the q90 discipline): ONE (key, hour)-keyed exchange serves
+    both moment windows and the per-row deviation test — no join-back, no
+    second scan. Returns only the anomalous rows
+    ``(event_id, key, hod, value, slot_mean, slot_sigma, slot_n)``.
+    """
+    dec = "decimal(38,6)"
+    v = F.col(value_col)
+    base = ev.where(v.isNotNull()).select(
+        "event_id",
+        F.col(key_col).alias("key"),
+        F.hour(ts_col).cast("int").alias("hod"),
+        v.alias("value"),
+    )
+    w = Window.partitionBy("key", "hod")
+    n = F.count("value").over(w)
+    mean = F.sum(F.col("value").cast(dec)).over(w).cast("double") / n
+    ex2 = (
+        F.sum((F.col("value") * F.col("value")).cast(dec)).over(w).cast("double") / n
+    )
+    var = F.greatest(ex2 - mean * mean, F.lit(0.0))
+    sigma = F.sqrt(var)
+    return (
+        base.select(
+            "event_id",
+            "key",
+            "hod",
+            "value",
+            mean.alias("slot_mean"),
+            sigma.alias("slot_sigma"),
+            n.cast("long").alias("slot_n"),
+        )
+        .where(F.abs(F.col("value") - F.col("slot_mean")) > n_sigma * F.col("slot_sigma"))
+    )
+
+
+@query(
+    "q104_seasonal_anomaly",
+    oracle="""
+    WITH base AS (
+        SELECT event_id, event_type AS key, CAST(hour(ts) AS INT) AS hod, value
+        FROM events WHERE value IS NOT NULL
+    ),
+    scored AS (
+        SELECT event_id, key, hod, value,
+               CAST(SUM(CAST(value AS DECIMAL(38,6))) OVER w AS DOUBLE)
+                   / COUNT(value) OVER w AS slot_mean,
+               CAST(SUM(CAST(value * value AS DECIMAL(38,6))) OVER w AS DOUBLE)
+                   / COUNT(value) OVER w AS ex2,
+               CAST(COUNT(value) OVER w AS BIGINT) AS slot_n
+        FROM base
+        WINDOW w AS (PARTITION BY key, hod)
+    )
+    SELECT event_id, key, hod, value, slot_mean,
+           sqrt(GREATEST(ex2 - slot_mean * slot_mean, 0.0)) AS slot_sigma,
+           slot_n
+    FROM scored
+    WHERE abs(value - slot_mean) > 2.0 * sqrt(GREATEST(ex2 - slot_mean * slot_mean, 0.0))
+    ORDER BY event_id
+    """,
+)
+def q104_seasonal_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Events deviating >2σ from their (event_type, hour-of-day) seasonal
+    baseline — the slot-conditional anomaly detector next to q86's global
+    MAD outliers. See :func:`seasonal_anomalies`."""
+    ev = load_table(spark, sf_dir, "events")
+    return seasonal_anomalies(ev).orderBy("event_id")
+
+
+def trend_slopes(
+    ev: DataFrame,
+    key_col: str = "user_id",
+    ts_col: str = "ts",
+    value_col: str = "value",
+) -> DataFrame:
+    """Per-key least-squares trend of ``value`` over time — the
+    "is this metric drifting" primitive (slope per user/sensor/source) in
+    engine-exact form. Equivalent to SQL ``regr_slope``, but quantized to
+    EXACT integer moment sums (the surprisal/BM25 discipline) so results
+    are bit-identical across engines, hardware, and summation order —
+    built-in ``regr_slope`` accumulates doubles in partition order, and
+    even DECIMAL-sum formulations diverge cross-engine once the cast of
+    an arbitrary product double to DECIMAL has to round (measured: Spark
+    and DuckDB land on different sides of a scale-6 rounding boundary).
+
+    Quantization contract: x = milli-hours since the key's FIRST
+    observation (``(ms − min_ms) div 3600`` — exact integer, 3.6 s
+    resolution), y = value at centi-resolution (``round(100·y)``). The
+    four moment sums Σx Σy Σxy Σx² are int64-exact and < 2^53 while
+    per-key spans stay under ~1 month × ~10⁴ observations (past that,
+    coarsen the quantization; plan shape unchanged). The finish is pure
+    IEEE arithmetic on exactly-representable integers — identical in
+    any IEEE-754 engine:
+    ``slope = (Sxy − Sx·Sy/n) / (Sxx − Sx²/n)``, rescaled to value
+    units per hour; ``intercept`` is the fitted value at the key's first
+    observation. Null values excluded up front; zero-x-variance keys
+    dropped (a vertical line has no slope).
+
+    Shape: ONE key-keyed exchange — the min window and the final
+    aggregation share the partitioning (the q90 discipline). Returns
+    ``(key, n, slope_per_hour, intercept)``.
+    """
+    base = ev.where(F.col(value_col).isNotNull()).select(
+        F.col(key_col).alias("key"),
+        F.unix_millis(ts_col).alias("ms"),
+        F.col(value_col).alias("y"),
+    )
+    w = Window.partitionBy("key")
+    quant = base.select(
+        "key",
+        F.expr("(ms - MIN(ms) OVER (PARTITION BY key)) div 3600").alias("xq"),
+        F.round(F.col("y") * 100, 0).cast("long").alias("yq"),
+    )
+    agg = quant.groupBy("key").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("xq").cast("long").alias("__sx"),
+        F.sum("yq").cast("long").alias("__sy"),
+        F.sum(F.col("xq") * F.col("yq")).cast("long").alias("__sxy"),
+        F.sum(F.col("xq") * F.col("xq")).cast("long").alias("__sxx"),
+    )
+    nd = F.col("n").cast("double")
+    sx, sy = F.col("__sx").cast("double"), F.col("__sy").cast("double")
+    sxy, sxx = F.col("__sxy").cast("double"), F.col("__sxx").cast("double")
+    num = sxy - sx * sy / nd
+    den = sxx - sx * sx / nd
+    # units: yq per xq = centi-value per milli-hour -> value/hour = ×10
+    slope = num / den * F.lit(10.0)
+    # fitted value at x=0 (the key's first observation), in value units
+    intercept = sy / nd / F.lit(100.0) - slope * (sx / nd / F.lit(1000.0))
+    return (
+        agg.where(den != F.lit(0.0))
+        .select(
+            "key",
+            "n",
+            slope.alias("slope_per_hour"),
+            intercept.alias("intercept"),
+        )
+    )
+
+
+@query(
+    "q105_trend_slope",
+    oracle="""
+    WITH base AS (
+        SELECT user_id AS key, epoch_ms(ts) AS ms, value AS y
+        FROM events WHERE value IS NOT NULL
+    ),
+    quant AS (
+        SELECT key,
+               (ms - MIN(ms) OVER (PARTITION BY key)) // 3600 AS xq,
+               CAST(round(y * 100, 0) AS BIGINT) AS yq
+        FROM base
+    ),
+    agg AS (
+        SELECT key,
+               CAST(COUNT(*) AS BIGINT) AS n,
+               CAST(SUM(xq) AS BIGINT) AS sx,
+               CAST(SUM(yq) AS BIGINT) AS sy,
+               CAST(SUM(xq * yq) AS BIGINT) AS sxy,
+               CAST(SUM(xq * xq) AS BIGINT) AS sxx
+        FROM quant GROUP BY key
+    ),
+    fit AS (
+        SELECT key, n,
+               (CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE) / CAST(n AS DOUBLE))
+                   / (CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE) / CAST(n AS DOUBLE))
+                   * 10.0 AS slope_per_hour,
+               CAST(sx AS DOUBLE) / CAST(n AS DOUBLE) AS sxn,
+               CAST(sy AS DOUBLE) / CAST(n AS DOUBLE) AS syn,
+               CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE) / CAST(n AS DOUBLE) AS den
+        FROM agg
+    )
+    SELECT key, n, slope_per_hour,
+           syn / 100.0 - slope_per_hour * (sxn / 1000.0) AS intercept
+    FROM fit WHERE den <> 0.0
+    ORDER BY key
+    """,
+)
+def q105_trend_slope(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user least-squares value-over-time trend (slope per hour +
+    intercept at first observation), from exact decimal sums of centered
+    products — the drift detector next to q104's slot anomalies. See
+    :func:`trend_slopes`."""
+    ev = load_table(spark, sf_dir, "events")
+    return trend_slopes(ev).orderBy("key")

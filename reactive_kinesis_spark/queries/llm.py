@@ -1648,3 +1648,94 @@ def q96_training_prep(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source")
     )
+
+
+@query(
+    "q102_bm25_scoring",
+    oracle="""
+    WITH words AS (
+        SELECT doc_id, unnest(string_split(text, ' ')) AS word FROM documents
+    ),
+    dw AS (
+        SELECT doc_id, word, CAST(COUNT(*) AS BIGINT) AS tf
+        FROM words GROUP BY doc_id, word
+    ),
+    dl AS (SELECT doc_id, CAST(SUM(tf) AS BIGINT) AS dl FROM dw GROUP BY doc_id),
+    totals AS (
+        SELECT CAST(COUNT(*) AS BIGINT) AS n, CAST(SUM(dl) AS BIGINT) AS t FROM dl
+    ),
+    dfreq AS (
+        SELECT word, CAST(COUNT(*) AS BIGINT) AS df_t FROM dw
+        WHERE word IN ('dup', 'vector', 'spark') GROUP BY word
+    )
+    SELECT d.doc_id,
+           CAST(COUNT(*) AS BIGINT) AS n_terms,
+           CAST(SUM( ((length(bin(n)) - 1) - (length(bin(df_t)) - 1))
+                 * (2200000000 * tf
+                    // (1000 * tf + 300 + (900000 * l.dl // (1000 * t // n)))) )
+               AS BIGINT) AS score_micro
+    FROM dw d JOIN dfreq USING (word) JOIN dl l USING (doc_id) CROSS JOIN totals
+    GROUP BY d.doc_id
+    ORDER BY score_micro DESC, d.doc_id
+    LIMIT 100
+    """,
+)
+def q102_bm25_scoring(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-100 documents by quantized BM25 relevance for a 3-term query
+    (one rare, two mid-frequency terms) — integer-exact retrieval scoring
+    (floor-log2 idf, milli/micro-scaled saturation; no libm, no float
+    summation). See :func:`operators.text.bm25_scoring`."""
+    docs = load_table(spark, sf_dir, "documents")
+    return (
+        T.bm25_scoring(docs, ["dup", "vector", "spark"])
+        .orderBy(F.col("score_micro").desc(), "doc_id")
+        .limit(100)
+    )
+
+
+@query(
+    "q103_tf_cosine_pairs",
+    oracle="""
+    WITH words AS (
+        SELECT doc_id, unnest(string_split(text, ' ')) AS word FROM documents
+    ),
+    dw AS (
+        SELECT doc_id, word, CAST(COUNT(*) AS BIGINT) AS tf
+        FROM words GROUP BY doc_id, word
+    ),
+    norms AS (
+        SELECT doc_id, CAST(SUM(tf * tf) AS BIGINT) AS sq FROM dw GROUP BY doc_id
+    ),
+    rare AS (
+        SELECT word FROM (SELECT word, COUNT(*) AS c FROM dw GROUP BY word)
+        WHERE c <= 50
+    ),
+    cands AS (
+        SELECT DISTINCT a.doc_id AS id_1, b.doc_id AS id_2
+        FROM dw a JOIN rare USING (word) JOIN dw b USING (word)
+        WHERE a.doc_id < b.doc_id
+    ),
+    dots AS (
+        SELECT x.doc_id AS id_1, y.doc_id AS id_2,
+               CAST(SUM(x.tf * y.tf) AS BIGINT) AS dot
+        FROM dw x JOIN dw y USING (word)
+             JOIN cands ON x.doc_id = cands.id_1 AND y.doc_id = cands.id_2
+        GROUP BY 1, 2
+    )
+    SELECT id_1, id_2,
+           CAST(dot AS DOUBLE)
+               / (sqrt(CAST(n1.sq AS DOUBLE)) * sqrt(CAST(n2.sq AS DOUBLE)))
+               AS cosine_tf
+    FROM dots JOIN norms n1 ON id_1 = n1.doc_id JOIN norms n2 ON id_2 = n2.doc_id
+    WHERE CAST(dot AS DOUBLE)
+              / (sqrt(CAST(n1.sq AS DOUBLE)) * sqrt(CAST(n2.sq AS DOUBLE))) >= 0.5
+    ORDER BY id_1, id_2
+    """,
+)
+def q103_tf_cosine_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Document pairs with tf-vector cosine ≥ 0.5, candidates blocked by
+    shared discriminative terms (corpus df ≤ 50) — the sparse-vector twin
+    of q42's embedding near-dup, bit-exact (integer dot/norms, IEEE sqrt
+    and division only). See :func:`operators.text.tf_cosine_pairs`."""
+    docs = load_table(spark, sf_dir, "documents")
+    return T.tf_cosine_pairs(docs, max_df=50, threshold=0.5).orderBy("id_1", "id_2")

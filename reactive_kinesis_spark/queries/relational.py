@@ -688,3 +688,44 @@ def q37_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("band_id")
     )
+
+
+@query(
+    "q106_name_edit_join",
+    oracle="""
+    SELECT a.p_partkey AS id_1, b.p_partkey AS id_2,
+           a.p_name AS name_1, b.p_name AS name_2,
+           CAST(levenshtein(a.p_name, b.p_name) AS BIGINT) AS distance
+    FROM part a
+    JOIN part b
+      ON string_split(a.p_name, ' ')[2] = string_split(b.p_name, ' ')[2]
+     AND a.p_partkey < b.p_partkey
+    WHERE a.p_partkey < 500 AND b.p_partkey < 500
+      AND levenshtein(a.p_name, b.p_name) <= 2
+    ORDER BY id_1, id_2
+    """,
+)
+def q106_name_edit_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fuzzy self-join: part-name pairs within 2 Levenshtein edits,
+    blocked on the name's noun token so cost is per-block quadratic, never
+    corpus-quadratic (at 100 TB compose tighter blocks: noun + length
+    band + brand). Spark evaluates the bounded form
+    ``levenshtein(l, r, threshold)`` — each comparison early-exits at
+    distance 3. See :func:`operators.text.edit_distance_pairs`."""
+    from reactive_kinesis_spark.operators.text import edit_distance_pairs
+
+    part = load_table(spark, sf_dir, "part").where(F.col("p_partkey") < 500)
+    return (
+        edit_distance_pairs(
+            part,
+            "p_name",
+            "p_partkey",
+            F.split(F.col("p_name"), " ").getItem(1),
+            max_distance=2,
+        )
+        .select(
+            "id_1", "id_2", "name_1", "name_2",
+            F.col("distance").cast("long").alias("distance"),
+        )
+        .orderBy("id_1", "id_2")
+    )

@@ -1,0 +1,102 @@
+"""PageRank contract tests: numpy power-iteration differential (the
+oracle for the iterative tier — same dangling-mass-dropped semantics),
+determinism, and structural invariants."""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from reactive_kinesis_spark.operators.graph import pagerank
+
+
+def _edges(spark, pairs):
+    return spark.createDataFrame(pairs, schema="src string, dst string")
+
+
+def _numpy_pagerank(pairs, iterations, damping=0.85):
+    """Reference power iteration with the SAME semantics as the operator:
+    distinct edges, uniform init, dangling mass dropped."""
+    pairs = sorted(set(pairs))
+    nodes = sorted({s for s, _ in pairs} | {d for _, d in pairs})
+    idx = {n: i for i, n in enumerate(nodes)}
+    n = len(nodes)
+    out_deg = np.zeros(n)
+    for s, _ in pairs:
+        out_deg[idx[s]] += 1
+    r = np.full(n, 1.0 / n)
+    for _ in range(iterations):
+        mass = np.zeros(n)
+        for s, d in pairs:
+            mass[idx[d]] += r[idx[s]] / out_deg[idx[s]]
+        r = (1 - damping) / n + damping * mass
+    return dict(zip(nodes, r))
+
+
+PAIRS = [
+    ("a", "b"), ("b", "c"), ("c", "a"), ("a", "c"),
+    ("d", "a"), ("c", "d"), ("e", "a"),  # e: no inbound; sink-free core
+]
+
+
+def test_matches_numpy_power_iteration(spark):
+    got = {
+        r.node: r.rank
+        for r in pagerank(_edges(spark, PAIRS), iterations=8).collect()
+    }
+    want = _numpy_pagerank(PAIRS, iterations=8)
+    assert set(got) == set(want)
+    for node in want:
+        assert got[node] == pytest.approx(want[node], abs=1e-9), node
+
+
+def test_dangling_mass_is_dropped_not_crashed(spark):
+    # "z" has no outbound edge: its mass must drain, ranks sum < 1
+    pairs = [("a", "z"), ("a", "b"), ("b", "a")]
+    rows = pagerank(_edges(spark, pairs), iterations=5).collect()
+    total = sum(r.rank for r in rows)
+    want = _numpy_pagerank(pairs, iterations=5)
+    assert total < 1.0
+    for r in rows:
+        assert r.rank == pytest.approx(want[r.node], abs=1e-9)
+
+
+def test_symmetric_graph_conserves_mass(spark):
+    pairs = PAIRS + [(d, s) for s, d in PAIRS]
+    rows = pagerank(_edges(spark, pairs), iterations=6).collect()
+    assert sum(r.rank for r in rows) == pytest.approx(1.0, abs=1e-12)
+
+
+def test_multi_edges_collapse(spark):
+    once = pagerank(_edges(spark, PAIRS), iterations=4).collect()
+    dup = pagerank(_edges(spark, PAIRS + PAIRS), iterations=4).collect()
+    assert sorted((r.node, r.rank) for r in once) == sorted(
+        (r.node, r.rank) for r in dup
+    )
+
+
+def test_deterministic_across_runs_and_partitionings(spark):
+    e = _edges(spark, PAIRS)
+    a = sorted((r.node, r.rank) for r in pagerank(e, iterations=6).collect())
+    b = sorted(
+        (r.node, r.rank)
+        for r in pagerank(e.repartition(7, "dst"), iterations=6).collect()
+    )
+    assert a == b  # bit-identical, incl. float bits (decimal mass sums)
+
+
+def test_registry_query_runs_and_is_ranked(spark, sf_dir):
+    from reactive_kinesis_spark.queries import load_all
+
+    df = load_all()["q107_pagerank"].fn(spark, sf_dir)
+    rows = df.collect()
+    assert 0 < len(rows) <= 100
+    ranks = [r.rank for r in rows]
+    assert ranks == sorted(ranks, reverse=True)
+    assert all(r.rank > 0 for r in rows)
+
+
+def test_iterations_validated(spark):
+    with pytest.raises(ValueError, match="iterations"):
+        pagerank(_edges(spark, PAIRS), iterations=0)

@@ -351,3 +351,46 @@ def test_cohort_retention_broadcasts_sizes(spark, sf_dir):
     import re
 
     assert len(re.findall(r"^\(\d+\) Exchange", plan, re.M)) <= 7
+
+
+def test_seasonal_anomaly_and_trend_share_one_scan(spark, sf_dir):
+    """q104/q105: moment windows and the per-row test (q104) / final
+    aggregation (q105) must ride ONE events scan and the key-keyed
+    exchange — no join-back, no second corpus pass, no Python."""
+    import re
+
+    for q in ("q104_seasonal_anomaly", "q105_trend_slope"):
+        plan = _plan(load_all()[q].fn(spark, sf_dir))
+        assert "Join" not in plan
+        assert "InPandas" not in plan and "PythonUDF" not in plan
+        assert len(re.findall(r"^\(\d+\) Scan parquet", plan, re.M)) == 1
+        assert len(re.findall(r"^\(\d+\) Exchange", plan, re.M)) <= 2
+        # null values are filtered AT the scan, not post-shuffle
+        assert "PushedFilters: [IsNotNull(value)" in plan
+
+
+def test_bm25_is_topk_and_jvm_only(spark, sf_dir):
+    """q102: integer-quantized BM25 must stay in JVM built-ins with the
+    final top-100 planned as TakeOrderedAndProject (per-partition heaps),
+    and every aggregate keeping its map-side partial."""
+    plan = _plan(load_all()["q102_bm25_scoring"].fn(spark, sf_dir))
+    assert "TakeOrderedAndProject" in plan
+    assert "InPandas" not in plan and "PythonUDF" not in plan
+    assert "CartesianProduct" not in plan
+    assert "partial_" in plan
+
+
+def test_tf_cosine_and_edit_join_never_go_quadratic(spark, sf_dir):
+    """q103/q106: the similarity joins must plan as equi-joins on the
+    blocking keys (word / noun token) — a cartesian anywhere means the
+    candidate discipline broke."""
+    import re
+
+    for q in ("q103_tf_cosine_pairs", "q106_name_edit_join"):
+        plan = _plan(load_all()[q].fn(spark, sf_dir))
+        assert "CartesianProduct" not in plan
+        assert "BroadcastNestedLoopJoin" not in plan
+        assert "InPandas" not in plan and "PythonUDF" not in plan
+    # q106 additionally: one block-keyed exchange serves the self-join
+    plan = _plan(load_all()["q106_name_edit_join"].fn(spark, sf_dir))
+    assert len(re.findall(r"^\(\d+\) Exchange", plan, re.M)) <= 2

@@ -1,0 +1,148 @@
+"""Contract tests for the round-6 scoring/similarity operators: BM25,
+tf-cosine pairs, edit-distance blocking join, seasonal anomalies, trend
+slopes — semantic edge cases the DuckDB parity sweep can't see."""
+
+from __future__ import annotations
+
+import datetime
+
+import pytest
+from pyspark.sql import functions as F
+
+from reactive_kinesis_spark.operators.text import (
+    bm25_scoring,
+    edit_distance_pairs,
+    tf_cosine_pairs,
+)
+from reactive_kinesis_spark.queries.events import seasonal_anomalies, trend_slopes
+
+
+def _docs(spark, rows):
+    return spark.createDataFrame(rows, schema="doc_id long, text string")
+
+
+class TestBM25:
+    def test_rarer_term_scores_higher(self, spark):
+        # "rare" appears in 1 of 8 docs, "common" in all 8; equal tf and dl
+        rows = [(i, "common pad pad") for i in range(7)]
+        rows += [(7, "rare pad pad")]
+        df = _docs(spark, rows)
+        out = {
+            r.doc_id: r.score_micro
+            for r in bm25_scoring(df, ["rare", "common"]).collect()
+        }
+        assert out[7] > out[0] > 0
+
+    def test_doc_without_query_terms_excluded(self, spark):
+        df = _docs(spark, [(1, "alpha beta"), (2, "gamma delta")])
+        got = bm25_scoring(df, ["alpha"]).collect()
+        assert [r.doc_id for r in got] == [1]
+
+    def test_tf_saturates(self, spark):
+        # same dl; tf 1 vs 5 vs 25: gains must shrink (BM25's whole point)
+        mk = lambda n: " ".join(["term"] * n + ["pad"] * (25 - n))  # noqa: E731
+        df = _docs(spark, [(1, mk(1)), (2, mk(5)), (3, mk(25)), (4, "pad " * 24 + "x")])
+        s = {r.doc_id: r.score_micro for r in bm25_scoring(df, ["term"]).collect()}
+        assert s[1] < s[2] < s[3]
+        assert (s[2] - s[1]) > (s[3] - s[2])
+
+    def test_empty_query_raises(self, spark):
+        with pytest.raises(ValueError, match="query_terms"):
+            bm25_scoring(_docs(spark, [(1, "a")]), [])
+
+
+class TestTfCosinePairs:
+    def test_identical_docs_cosine_one(self, spark):
+        df = _docs(spark, [(1, "a b b c"), (2, "a b b c"), (3, "z z z")])
+        got = tf_cosine_pairs(df, max_df=10, threshold=0.99).collect()
+        assert [(r.id_1, r.id_2) for r in got] == [(1, 2)]
+        # sqrt(s)*sqrt(s) != s in floats: exactly-1 is approx, not bitwise
+        assert got[0].cosine_tf == pytest.approx(1.0, abs=1e-12)
+
+    def test_df_cap_blocks_ubiquitous_terms(self, spark):
+        # docs share only "the" (df=3 > cap 2): no candidate pair at all
+        df = _docs(spark, [(1, "the x"), (2, "the y"), (3, "the z")])
+        assert tf_cosine_pairs(df, max_df=2, threshold=0.0).count() == 0
+
+    def test_dot_counts_all_shared_words_not_just_rare(self, spark):
+        # candidates via rare "q"; cosine must still include common "a"
+        df = _docs(spark, [(1, "q a a"), (2, "q a a"), (3, "a a a"), (4, "a b c")])
+        got = tf_cosine_pairs(df, max_df=2, threshold=0.0).collect()
+        assert [(r.id_1, r.id_2) for r in got] == [(1, 2)]
+        assert got[0].cosine_tf == pytest.approx(1.0, abs=1e-12)  # identical vectors
+
+
+class TestEditDistancePairs:
+    def test_blocking_and_bound(self, spark):
+        df = spark.createDataFrame(
+            [(1, "red widget", "widget"), (2, "red wodget", "wodget"),
+             (3, "red widgets", "widget"), (4, "blue widget", "widget")],
+            schema="id long, name string, blk string",
+        )
+        got = edit_distance_pairs(df, "name", "id", "blk", max_distance=2).collect()
+        pairs = {(r.id_1, r.id_2): r.distance for r in got}
+        # 2 is in a different block: never compared despite distance 1
+        assert (1, 2) not in pairs
+        assert pairs[(1, 3)] == 1  # widget vs widgets
+        assert (1, 4) not in pairs  # red vs blue = 3 edits, over the bound
+        assert all(0 <= d <= 2 for d in pairs.values())
+
+    def test_threshold_early_exit_rows_are_dropped(self, spark):
+        df = spark.createDataFrame(
+            [(1, "aaaaaa", "b"), (2, "zzzzzz", "b")],
+            schema="id long, name string, blk string",
+        )
+        assert edit_distance_pairs(df, "name", "id", "blk", max_distance=2).count() == 0
+
+
+class TestSeasonalAnomalies:
+    def _ev(self, spark, rows):
+        return spark.createDataFrame(
+            rows, schema="event_id long, event_type string, ts timestamp, value double"
+        )
+
+    def test_planted_outlier_found_in_its_slot_only(self, spark):
+        t0 = datetime.datetime(2026, 1, 1, 3, 0, 0)
+        rows = [(i, "view", t0 + datetime.timedelta(days=i), 10.0) for i in range(20)]
+        rows += [(100, "view", t0 + datetime.timedelta(days=20), 500.0)]
+        # same values at a different hour: their slot is clean
+        t1 = datetime.datetime(2026, 1, 1, 14, 0, 0)
+        rows += [(200 + i, "view", t1 + datetime.timedelta(days=i), 10.0) for i in range(5)]
+        got = seasonal_anomalies(self._ev(spark, rows)).collect()
+        assert [r.event_id for r in got] == [100]
+        assert got[0].hod == 3 and got[0].slot_n == 21
+
+    def test_nulls_excluded_from_baseline_and_flags(self, spark):
+        t0 = datetime.datetime(2026, 1, 1, 9, 0, 0)
+        rows = [(1, "a", t0, 1.0), (2, "a", t0, None), (3, "a", t0, 1.0)]
+        got = seasonal_anomalies(self._ev(spark, rows)).collect()
+        assert got == []  # constant slot, null ignored, nothing flagged
+
+
+class TestTrendSlopes:
+    def _ev(self, spark, rows):
+        return spark.createDataFrame(
+            rows, schema="user_id long, ts timestamp, value double"
+        )
+
+    def test_recovers_exact_line(self, spark):
+        t0 = datetime.datetime(2026, 1, 1)
+        # y = 5 + 2.5 * hours
+        rows = [(1, t0 + datetime.timedelta(hours=h), 5.0 + 2.5 * h) for h in range(10)]
+        got = trend_slopes(self._ev(spark, rows)).collect()
+        assert len(got) == 1
+        assert got[0].slope_per_hour == pytest.approx(2.5, abs=1e-9)
+        assert got[0].intercept == pytest.approx(5.0, abs=1e-6)
+
+    def test_zero_x_variance_key_dropped(self, spark):
+        t0 = datetime.datetime(2026, 1, 1)
+        rows = [(1, t0, 1.0), (1, t0, 2.0)]  # same timestamp twice
+        assert trend_slopes(self._ev(spark, rows)).count() == 0
+
+    def test_null_values_excluded(self, spark):
+        t0 = datetime.datetime(2026, 1, 1)
+        rows = [(1, t0 + datetime.timedelta(hours=h), float(h)) for h in range(5)]
+        rows += [(1, t0 + datetime.timedelta(hours=99), None)]
+        got = trend_slopes(self._ev(spark, rows)).collect()
+        assert got[0].n == 5
+        assert got[0].slope_per_hour == pytest.approx(1.0, abs=1e-9)
