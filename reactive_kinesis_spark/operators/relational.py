@@ -98,3 +98,35 @@ def range_join(
     dimension); otherwise fall back to a shuffled cross+filter."""
     r = F.broadcast(right) if broadcast_right else right
     return left.join(r, condition, how)
+
+
+def merge_upsert(
+    target: DataFrame,
+    updates: DataFrame,
+    key_cols: list[str],
+    broadcast_updates: bool = True,
+) -> DataFrame:
+    """MERGE-INTO semantics as a DataFrame transform: rows from ``updates``
+    win on matching keys (UPDATE), unmatched update rows are kept (INSERT),
+    unmatched target rows pass through unchanged. The batch upsert every
+    incremental-ingest pipeline needs (the dedup twin is
+    :func:`operators.dedup.incremental_dedup`, which drops instead of
+    replacing); compose with ``io.write_batch``/``write_bucketed`` to
+    persist.
+
+    Duplicate keys WITHIN ``updates`` are a caller bug this operator does
+    not resolve (use :func:`operators.dedup.canonical_pick` first) — both
+    copies land in the output exactly as MERGE would reject them.
+
+    100 TB shape: ONE left-anti join (target minus updated keys) + a
+    union. The target is never aggregated or windowed — the delta is the
+    small side, broadcast by default so the 100 TB target does not
+    shuffle at all; set ``broadcast_updates=False`` for giant deltas and
+    let AQE pick (with a bucketed target the anti join is shuffle-free
+    either way). Schemas must match (unionByName, no missing columns).
+    """
+    if not key_cols:
+        raise ValueError("key_cols must be non-empty")
+    u = F.broadcast(updates) if broadcast_updates else updates
+    kept = target.join(u.select(*key_cols), key_cols, "left_anti")
+    return kept.unionByName(updates)

@@ -1071,6 +1071,7 @@ def tf_cosine_pairs(
     id_col: str = "doc_id",
     max_df: int = 50,
     threshold: float = 0.5,
+    word_counts: DataFrame | None = None,
 ) -> DataFrame:
     """Document-pair cosine similarity over exact term-frequency vectors,
     with inverted-index blocking — the sparse-vector twin of q42's dense
@@ -1091,10 +1092,20 @@ def tf_cosine_pairs(
     aggregated per pair. Exchanges are word- or pair-keyed only; the
     candidate count is bounded by Σ_w df_w² over rare words, never N².
     Returns ``(id_1, id_2, cosine_tf)``.
+
+    The declarative plan re-derives ``doc_word_counts`` per branch (each
+    feeding a different-keyed aggregate) — harmless at test scale, but at
+    100 TB that's several corpus scans. Pass ``word_counts`` = a
+    materialized ``doc_word_counts(df)`` (ideally ``write_bucketed`` by
+    word, the q22/q23 recipe) and every branch reads the compact
+    (id, word, tf) frame instead; results are identical.
     """
-    dw = doc_word_counts(df, text_col, id_col).select(
-        F.col(id_col).alias("__id"), "word", "tf"
+    base = (
+        word_counts
+        if word_counts is not None
+        else doc_word_counts(df, text_col, id_col)
     )
+    dw = base.select(F.col(id_col).alias("__id"), "word", "tf")
     norms = dw.groupBy("__id").agg(
         F.sum(F.col("tf") * F.col("tf")).cast("long").alias("__sq")
     )

@@ -63,6 +63,8 @@ _PROMOTED = (
     "q104_seasonal_anomaly",
     "q105_trend_slope",
     "q106_name_edit_join",
+    "q108_merge_upsert",
+    "q109_scd2_intervals",
     "q60_dedup_clusters",
     "q61_curation_pipeline",
     "q62_token_packing",

@@ -830,7 +830,7 @@ def seasonal_anomalies(
     """
     dec = "decimal(38,6)"
     v = F.col(value_col)
-    base = ev.where(v.isNotNull()).select(
+    base = ev.where(v.isNotNull() & F.col(ts_col).isNotNull()).select(
         "event_id",
         F.col(key_col).alias("key"),
         F.hour(ts_col).cast("int").alias("hod"),
@@ -863,7 +863,7 @@ def seasonal_anomalies(
     oracle="""
     WITH base AS (
         SELECT event_id, event_type AS key, CAST(hour(ts) AS INT) AS hod, value
-        FROM events WHERE value IS NOT NULL
+        FROM events WHERE value IS NOT NULL AND ts IS NOT NULL
     ),
     scored AS (
         SELECT event_id, key, hod, value,
@@ -924,7 +924,9 @@ def trend_slopes(
     aggregation share the partitioning (the q90 discipline). Returns
     ``(key, n, slope_per_hour, intercept)``.
     """
-    base = ev.where(F.col(value_col).isNotNull()).select(
+    base = ev.where(
+        F.col(value_col).isNotNull() & F.col(ts_col).isNotNull()
+    ).select(
         F.col(key_col).alias("key"),
         F.unix_millis(ts_col).alias("ms"),
         F.col(value_col).alias("y"),
@@ -967,7 +969,7 @@ def trend_slopes(
     oracle="""
     WITH base AS (
         SELECT user_id AS key, epoch_ms(ts) AS ms, value AS y
-        FROM events WHERE value IS NOT NULL
+        FROM events WHERE value IS NOT NULL AND ts IS NOT NULL
     ),
     quant AS (
         SELECT key,
@@ -1007,3 +1009,148 @@ def q105_trend_slope(spark: SparkSession, sf_dir: str) -> DataFrame:
     :func:`trend_slopes`."""
     ev = load_table(spark, sf_dir, "events")
     return trend_slopes(ev).orderBy("key")
+
+
+def scd2_intervals(
+    ev: DataFrame,
+    key_col: str = "user_id",
+    state_col: str = "event_type",
+    ts_col: str = "ts",
+    tiebreak_col: str = "event_id",
+) -> DataFrame:
+    """Slowly-changing-dimension (type 2) interval history from an event
+    log: for each key, the timeline of ``state_col`` values collapsed into
+    ``(key, state, valid_from, valid_to)`` rows — consecutive repeats of
+    the same state merge into one interval, ``valid_to`` is NULL for the
+    current state. The versioned-dimension builder every warehouse
+    ingest needs, as a pure window computation (no self-join, no MERGE
+    machinery).
+
+    Total order within a key is ``(ts, tiebreak)`` so equal-timestamp
+    events resolve deterministically; rows with a NULL timestamp or
+    tiebreak are excluded up front (engines disagree on NULL sort
+    placement, so they cannot participate in an ordered timeline).
+    Shape: ONE key-keyed exchange
+    serves both windows — ``lag`` to detect state changes, ``lead``
+    (after the change filter) to close each interval at the next change's
+    start. Change detection is null-safe (``<=>``), so NULL states form
+    intervals like any other value.
+    """
+    w = Window.partitionBy(key_col).orderBy(ts_col, tiebreak_col)
+    changes = (
+        ev.where(F.col(ts_col).isNotNull() & F.col(tiebreak_col).isNotNull())
+        .select(
+            F.col(key_col).alias("key"),
+            F.col(state_col).alias("state"),
+            F.col(ts_col).alias("__ts"),
+            F.col(tiebreak_col).alias("__tie"),
+        )
+        .withColumn("__prev", F.lag("state").over(
+            Window.partitionBy("key").orderBy("__ts", "__tie")
+        ))
+        .withColumn("__first", F.row_number().over(
+            Window.partitionBy("key").orderBy("__ts", "__tie")
+        ) == 1)
+        .where(F.col("__first") | ~F.col("state").eqNullSafe(F.col("__prev")))
+    )
+    w2 = Window.partitionBy("key").orderBy("__ts", "__tie")
+    return changes.select(
+        "key",
+        "state",
+        F.col("__ts").alias("valid_from"),
+        F.lead("__ts").over(w2).alias("valid_to"),
+    )
+
+
+@query(
+    "q109_scd2_intervals",
+    oracle="""
+    WITH ordered AS (
+        SELECT user_id AS key, event_type AS state, ts, event_id,
+               lag(event_type) OVER w AS prev,
+               ROW_NUMBER() OVER w AS rn
+        FROM events
+        WHERE ts IS NOT NULL AND event_id IS NOT NULL
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ),
+    changes AS (
+        SELECT key, state, ts, event_id FROM ordered
+        WHERE rn = 1 OR state IS DISTINCT FROM prev
+    )
+    SELECT key, state, ts AS valid_from,
+           lead(ts) OVER (PARTITION BY key ORDER BY ts, event_id) AS valid_to
+    FROM changes
+    ORDER BY key, valid_from, state
+    """,
+)
+def q109_scd2_intervals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Type-2 SCD interval history of each user's event_type state —
+    consecutive repeats collapsed, open interval for the current state.
+    See :func:`scd2_intervals`."""
+    ev = load_table(spark, sf_dir, "events")
+    return scd2_intervals(ev).orderBy("key", "valid_from", "state")
+
+
+def seasonal_baseline(
+    ev: DataFrame,
+    key_col: str = "event_type",
+    ts_col: str = "ts",
+    value_col: str = "value",
+) -> DataFrame:
+    """The (key, hour-of-day) slot baseline of :func:`seasonal_anomalies`
+    as a standalone aggregate — same exact-decimal moments, same clamped
+    variance, identical bits — so it can be computed in batch and joined
+    against a LIVE stream (:func:`flag_against_baseline`): the
+    train-offline / score-online split. Returns
+    ``(key, hod, slot_mean, slot_sigma, slot_n)``.
+    """
+    dec = "decimal(38,6)"
+    v = F.col(value_col)
+    agg = (
+        ev.where(v.isNotNull() & F.col(ts_col).isNotNull())
+        .groupBy(
+            F.col(key_col).alias("key"),
+            F.hour(ts_col).cast("int").alias("hod"),
+        )
+        .agg(
+            F.count(value_col).alias("__n"),
+            F.sum(v.cast(dec)).cast("double").alias("__s1"),
+            F.sum((v * v).cast(dec)).cast("double").alias("__s2"),
+        )
+    )
+    mean = F.col("__s1") / F.col("__n")
+    ex2 = F.col("__s2") / F.col("__n")
+    return agg.select(
+        "key",
+        "hod",
+        mean.alias("slot_mean"),
+        F.sqrt(F.greatest(ex2 - mean * mean, F.lit(0.0))).alias("slot_sigma"),
+        F.col("__n").cast("long").alias("slot_n"),
+    )
+
+
+def flag_against_baseline(
+    ev: DataFrame,
+    baseline: DataFrame,
+    key_col: str = "event_type",
+    ts_col: str = "ts",
+    value_col: str = "value",
+    n_sigma: float = 2.0,
+) -> DataFrame:
+    """Score observations against a precomputed :func:`seasonal_baseline`
+    — works UNCHANGED under ``readStream`` (the join is stream–static,
+    fully streamable in append mode; the baseline broadcasts, so the
+    stream never shuffles). Batch form on the same frame reproduces
+    :func:`seasonal_anomalies` exactly. Returns the anomalous rows with
+    the same columns as :func:`seasonal_anomalies`.
+    """
+    v = F.col(value_col)
+    base = ev.where(v.isNotNull() & F.col(ts_col).isNotNull()).select(
+        "event_id",
+        F.col(key_col).alias("key"),
+        F.hour(ts_col).cast("int").alias("hod"),
+        v.alias("value"),
+    )
+    return base.join(F.broadcast(baseline), ["key", "hod"]).where(
+        F.abs(F.col("value") - F.col("slot_mean")) > n_sigma * F.col("slot_sigma")
+    ).select("event_id", "key", "hod", "value", "slot_mean", "slot_sigma", "slot_n")

@@ -729,3 +729,52 @@ def q106_name_edit_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("id_1", "id_2")
     )
+
+
+@query(
+    "q108_merge_upsert",
+    oracle="""
+    WITH updates AS (
+        SELECT c_custkey, c_name, c_nationkey,
+               c_acctbal + 1000.0 AS c_acctbal,
+               'UPDATED' AS c_mktsegment
+        FROM customer WHERE c_custkey < 50
+        UNION ALL
+        SELECT c_custkey + 1000000, c_name, c_nationkey, c_acctbal,
+               'NEW' AS c_mktsegment
+        FROM customer WHERE c_custkey < 10
+    )
+    SELECT c_custkey, c_name, c_nationkey, c_acctbal, c_mktsegment
+    FROM customer c
+    WHERE NOT EXISTS (SELECT 1 FROM updates u WHERE u.c_custkey = c.c_custkey)
+    UNION ALL
+    SELECT c_custkey, c_name, c_nationkey, c_acctbal, c_mktsegment FROM updates
+    ORDER BY c_custkey, c_mktsegment
+    """,
+)
+def q108_merge_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MERGE INTO as a transform: a derived delta (50 account updates + 10
+    inserts) upserted into customer — updates win on key, target passes
+    through otherwise, delta broadcast so the (at scale, 100 TB) target
+    never shuffles. See :func:`operators.relational.merge_upsert`."""
+    from reactive_kinesis_spark.operators.relational import merge_upsert
+
+    cust = load_table(spark, sf_dir, "customer")
+    updates = (
+        cust.where(F.col("c_custkey") < 50)
+        .select(
+            "c_custkey", "c_name", "c_nationkey",
+            (F.col("c_acctbal") + 1000.0).alias("c_acctbal"),
+            F.lit("UPDATED").alias("c_mktsegment"),
+        )
+        .unionByName(
+            cust.where(F.col("c_custkey") < 10).select(
+                (F.col("c_custkey") + 1000000).alias("c_custkey"),
+                "c_name", "c_nationkey", "c_acctbal",
+                F.lit("NEW").alias("c_mktsegment"),
+            )
+        )
+    )
+    return merge_upsert(cust, updates, ["c_custkey"]).orderBy(
+        "c_custkey", "c_mktsegment"
+    )

@@ -394,3 +394,28 @@ def test_tf_cosine_and_edit_join_never_go_quadratic(spark, sf_dir):
     # q106 additionally: one block-keyed exchange serves the self-join
     plan = _plan(load_all()["q106_name_edit_join"].fn(spark, sf_dir))
     assert len(re.findall(r"^\(\d+\) Exchange", plan, re.M)) <= 2
+
+
+def test_merge_upsert_broadcasts_the_delta(spark, sf_dir):
+    """q108: MERGE semantics must plan as ONE broadcast anti join + union —
+    the (at scale, 100 TB) target never shuffles for the merge; a
+    SortMergeJoin here means the broadcast contract broke."""
+    import re
+
+    plan = _plan(load_all()["q108_merge_upsert"].fn(spark, sf_dir))
+    assert "BroadcastHashJoin" in plan and "LeftAnti" in plan
+    assert "SortMergeJoin" not in plan
+    assert "Union" in plan
+    # no exchange on the kept-target branch (only the final sort may shuffle)
+    assert len(re.findall(r"^\(\d+\) Exchange", plan, re.M)) <= 1
+
+
+def test_scd2_windows_share_one_exchange(spark, sf_dir):
+    """q109: lag-change-detect and lead-interval-close must ride ONE
+    key-keyed exchange — no join, no second scan."""
+    import re
+
+    plan = _plan(load_all()["q109_scd2_intervals"].fn(spark, sf_dir))
+    assert "Join" not in plan
+    assert len(re.findall(r"^\(\d+\) Scan parquet", plan, re.M)) == 1
+    assert len(re.findall(r"^\(\d+\) Exchange", plan, re.M)) <= 2

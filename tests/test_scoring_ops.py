@@ -146,3 +146,163 @@ class TestTrendSlopes:
         got = trend_slopes(self._ev(spark, rows)).collect()
         assert got[0].n == 5
         assert got[0].slope_per_hour == pytest.approx(1.0, abs=1e-9)
+
+
+class TestMergeUpsert:
+    def _t(self, spark, rows):
+        return spark.createDataFrame(rows, schema="k long, v string")
+
+    def test_update_insert_passthrough(self, spark):
+        from reactive_kinesis_spark.operators.relational import merge_upsert
+
+        target = self._t(spark, [(1, "a"), (2, "b"), (3, "c")])
+        updates = self._t(spark, [(2, "B!"), (9, "new")])
+        got = sorted(
+            (r.k, r.v) for r in merge_upsert(target, updates, ["k"]).collect()
+        )
+        assert got == [(1, "a"), (2, "B!"), (3, "c"), (9, "new")]
+
+    def test_empty_updates_is_identity(self, spark):
+        from reactive_kinesis_spark.operators.relational import merge_upsert
+
+        target = self._t(spark, [(1, "a")])
+        got = merge_upsert(target, target.limit(0), ["k"]).collect()
+        assert [(r.k, r.v) for r in got] == [(1, "a")]
+
+    def test_empty_keys_raise(self, spark):
+        from reactive_kinesis_spark.operators.relational import merge_upsert
+
+        t = self._t(spark, [(1, "a")])
+        with pytest.raises(ValueError, match="key_cols"):
+            merge_upsert(t, t, [])
+
+
+class TestScd2Intervals:
+    def _ev(self, spark, rows):
+        return spark.createDataFrame(
+            rows, schema="event_id long, user_id long, ts timestamp, event_type string"
+        )
+
+    def test_collapses_runs_and_chains_intervals(self, spark):
+        from reactive_kinesis_spark.queries.events import scd2_intervals
+
+        t0 = datetime.datetime(2026, 1, 1)
+        h = datetime.timedelta(hours=1)
+        rows = [
+            (1, 1, t0 + 0 * h, "view"),
+            (2, 1, t0 + 1 * h, "view"),   # repeat: collapsed
+            (3, 1, t0 + 2 * h, "click"),
+            (4, 1, t0 + 3 * h, "view"),   # back to view: NEW interval
+        ]
+        got = sorted(
+            (r.state, r.valid_from, r.valid_to)
+            for r in scd2_intervals(self._ev(spark, rows)).collect()
+        )
+        assert got == [
+            ("click", t0 + 2 * h, t0 + 3 * h),
+            ("view", t0, t0 + 2 * h),
+            ("view", t0 + 3 * h, None),  # current state: open interval
+        ]
+
+    def test_null_state_forms_interval(self, spark):
+        from reactive_kinesis_spark.queries.events import scd2_intervals
+
+        t0 = datetime.datetime(2026, 1, 1)
+        h = datetime.timedelta(hours=1)
+        rows = [(1, 1, t0, None), (2, 1, t0 + h, None), (3, 1, t0 + 2 * h, "x")]
+        got = sorted(
+            ((r.state or ""), r.valid_from)
+            for r in scd2_intervals(self._ev(spark, rows)).collect()
+        )
+        assert got == [("", t0), ("x", t0 + 2 * h)]
+
+    def test_equal_ts_resolved_by_tiebreak(self, spark):
+        from reactive_kinesis_spark.queries.events import scd2_intervals
+
+        t0 = datetime.datetime(2026, 1, 1)
+        rows = [(2, 1, t0, "b"), (1, 1, t0, "a")]  # same ts: event_id orders
+        got = scd2_intervals(self._ev(spark, rows)).collect()
+        by_state = {r.state: r for r in got}
+        assert by_state["a"].valid_to == t0  # a closed by b at the same ts
+        assert by_state["b"].valid_to is None
+
+
+def test_tf_cosine_accepts_materialized_word_counts(spark, tmp_path):
+    """The 100 TB seam: feeding a persisted doc_word_counts frame must give
+    byte-identical results to the inline derivation."""
+    from reactive_kinesis_spark.operators.text import doc_word_counts
+
+    df = _docs(spark, [(1, "q a a"), (2, "q a a b"), (3, "a a a"), (4, "z q")])
+    inline = sorted(map(tuple, tf_cosine_pairs(df, max_df=3, threshold=0.0).collect()))
+    path = str(tmp_path / "dw.parquet")
+    doc_word_counts(df).write.parquet(path)
+    fed = sorted(
+        map(
+            tuple,
+            tf_cosine_pairs(
+                df, max_df=3, threshold=0.0,
+                word_counts=spark.read.parquet(path),
+            ).collect(),
+        )
+    )
+    assert inline == fed and len(inline) > 0
+
+
+class TestStreamingAnomalyTwin:
+    """seasonal_baseline + flag_against_baseline = the train-offline /
+    score-online split of seasonal_anomalies; the batch composition must
+    reproduce the one-pass operator exactly, and the scoring side must run
+    unchanged under readStream (stream-static broadcast join)."""
+
+    def _rows(self):
+        t0 = datetime.datetime(2026, 1, 1, 3, 0, 0)
+        rows = [(i, "view", t0 + datetime.timedelta(days=i), 10.0) for i in range(20)]
+        rows += [(100, "view", t0 + datetime.timedelta(days=20), 500.0)]
+        return rows
+
+    def _ev(self, spark, rows):
+        return spark.createDataFrame(
+            rows, schema="event_id long, event_type string, ts timestamp, value double"
+        )
+
+    def test_batch_composition_matches_one_pass_operator(self, spark):
+        from reactive_kinesis_spark.queries.events import (
+            flag_against_baseline,
+            seasonal_baseline,
+        )
+
+        ev = self._ev(spark, self._rows())
+        one_pass = sorted(map(tuple, seasonal_anomalies(ev).collect()))
+        split = sorted(
+            map(tuple, flag_against_baseline(ev, seasonal_baseline(ev)).collect())
+        )
+        assert one_pass == split and len(split) == 1
+
+    def test_scoring_runs_under_readstream(self, spark, tmp_path):
+        from reactive_kinesis_spark.queries.events import (
+            flag_against_baseline,
+            seasonal_baseline,
+        )
+
+        ev = self._ev(spark, self._rows())
+        baseline = seasonal_baseline(ev)  # "trained" offline, static side
+        src = str(tmp_path / "stream_src")
+        ev.write.parquet(src)
+        stream = (
+            spark.readStream.schema(
+                "event_id long, event_type string, ts timestamp, value double"
+            )
+            .parquet(src)
+        )
+        flagged = flag_against_baseline(stream, baseline)
+        assert flagged.isStreaming
+        q = (
+            flagged.writeStream.format("memory")
+            .queryName("anomaly_twin")
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(60)
+        got = spark.sql("SELECT event_id FROM anomaly_twin").collect()
+        assert [r.event_id for r in got] == [100]
