@@ -28,6 +28,7 @@ def pagerank(
     iterations: int = 10,
     damping: float = 0.85,
     checkpoint_every: int = 3,
+    assume_distinct: bool = False,
 ) -> DataFrame:
     """Fixed-iteration PageRank over an edge list — the canonical
     "importance by random walk" score for entity graphs (co-purchase,
@@ -57,9 +58,11 @@ def pagerank(
     """
     if iterations < 1:
         raise ValueError("iterations must be >= 1")
-    e = edges.select(
-        F.col(src_col).alias("src"), F.col(dst_col).alias("dst")
-    ).distinct()
+    e = edges.select(F.col(src_col).alias("src"), F.col(dst_col).alias("dst"))
+    if not assume_distinct:
+        # multi-edges would multiply contributions; skip the (full-edge-list
+        # shuffle) dedup only when the producer guarantees distinctness
+        e = e.distinct()
     # the loop-invariant frames are materialized ONCE (localCheckpoint also
     # cuts their lineage out of every iteration's plan): nodes, the node
     # count (a single-row frame, broadcast into each round — never a

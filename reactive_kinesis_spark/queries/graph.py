@@ -46,7 +46,7 @@ def q107_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     :func:`operators.graph.pagerank`."""
     edges = copurchase_edges(spark, sf_dir)
     return (
-        pagerank(edges, iterations=6)
+        pagerank(edges, iterations=6, assume_distinct=True)
         .orderBy(F.col("rank").desc(), "node")
         .limit(100)
     )
