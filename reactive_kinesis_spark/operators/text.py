@@ -1123,18 +1123,19 @@ def tf_cosine_pairs(
         .select(F.col("a.__id").alias("id_1"), F.col("b.__id").alias("id_2"))
         .distinct()
     )
+    # dot products CANDIDATE-FIRST: expand each candidate pair by doc1's tf
+    # rows, then equi-join doc2's matching words on (id_2, word). Joining
+    # dw⋈dw on word and filtering to candidates afterwards would build
+    # Σ_w df_w² rows over ALL words (ubiquitous ones included) — the exact
+    # quadratic blowup the df cap exists to avoid (measured: 148 s → 8 s
+    # at sf0.1 on the degenerate-vocabulary synthetic corpus).
+    dwx = dw.select(F.col("__id").alias("id_1"), "word", F.col("tf").alias("__tf1"))
+    dwy = dw.select(F.col("__id").alias("id_2"), "word", F.col("tf").alias("__tf2"))
     dots = (
-        dw.alias("x")
-        .join(dw.alias("y"), "word")
-        .where(F.col("x.__id") < F.col("y.__id"))
-        .select(
-            F.col("x.__id").alias("id_1"),
-            F.col("y.__id").alias("id_2"),
-            (F.col("x.tf") * F.col("y.tf")).alias("__p"),
-        )
-        .join(cands, ["id_1", "id_2"])
+        cands.join(dwx, "id_1")
+        .join(dwy, ["id_2", "word"])
         .groupBy("id_1", "id_2")
-        .agg(F.sum("__p").cast("long").alias("__dot"))
+        .agg(F.sum(F.col("__tf1") * F.col("__tf2")).cast("long").alias("__dot"))
     )
     return (
         dots.join(norms.select(F.col("__id").alias("id_1"), F.col("__sq").alias("__sq1")), "id_1")

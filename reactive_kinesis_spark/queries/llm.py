@@ -1708,7 +1708,7 @@ def q102_bm25_scoring(spark: SparkSession, sf_dir: str) -> DataFrame:
     ),
     rare AS (
         SELECT word FROM (SELECT word, COUNT(*) AS c FROM dw GROUP BY word)
-        WHERE c <= 50
+        WHERE c <= GREATEST(1, (SELECT COUNT(*) FROM documents) // 10)
     ),
     cands AS (
         SELECT DISTINCT a.doc_id AS id_1, b.doc_id AS id_2
@@ -1734,8 +1734,13 @@ def q102_bm25_scoring(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def q103_tf_cosine_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Document pairs with tf-vector cosine ≥ 0.5, candidates blocked by
-    shared discriminative terms (corpus df ≤ 50) — the sparse-vector twin
-    of q42's embedding near-dup, bit-exact (integer dot/norms, IEEE sqrt
-    and division only). See :func:`operators.text.tf_cosine_pairs`."""
+    shared discriminative terms — the sparse-vector twin of q42's
+    embedding near-dup, bit-exact (integer dot/norms, IEEE sqrt and
+    division only). The df cap is corpus-relative (10% of N, min 1): a
+    term is "discriminative" by its share of documents, not an absolute
+    count, so the blocking stays meaningful at every scale factor (the
+    one driver-side scalar is the doc count). See
+    :func:`operators.text.tf_cosine_pairs`."""
     docs = load_table(spark, sf_dir, "documents")
-    return T.tf_cosine_pairs(docs, max_df=50, threshold=0.5).orderBy("id_1", "id_2")
+    cap = max(1, docs.count() // 10)
+    return T.tf_cosine_pairs(docs, max_df=cap, threshold=0.5).orderBy("id_1", "id_2")
