@@ -135,6 +135,95 @@ def write_range_layout(
     write_batch(out, path, fmt=fmt, mode=mode, **options)
 
 
+def write_zorder_layout(
+    df: DataFrame,
+    path: str,
+    cols: list[str],
+    *,
+    bits: int = 8,
+    files: int | None = None,
+    fmt: str = "parquet",
+    mode: str = "overwrite",
+    **options: str,
+) -> None:
+    """Write ``df`` Z-order-clustered on 2-4 numeric/timestamp columns:
+    each row's columns are quantized to ``bits``-bit buckets over the
+    observed [min, max], the bucket bits are interleaved into one Morton
+    key, and the data is range-partitioned + sorted on that key.
+
+    This is the MULTI-dimensional layout lever: :func:`write_range_layout`
+    gives tight footer bands on ONE key (a second-column predicate then
+    prunes nothing, because every file spans that column's full range);
+    the Z-curve's locality gives every file a bounded band on EVERY
+    clustered column at once, so predicates on any of them — alone or
+    combined — skip files and row groups. The classic trade: per-column
+    bands are a few times wider than a dedicated single-column sort would
+    give, in exchange for pruning working on all d dimensions
+    (``tests/test_joins_skew_io.py`` pins both effects structurally from
+    the parquet footers).
+
+    Quantization is EQUI-DEPTH: each column is bucketed by its own approx
+    quantiles (one bounded driver-side probe of 2^bits − 1 boundaries per
+    column), so buckets hold equal row mass and the interleaved key's
+    high bits discriminate even on heavy-tailed columns — min/max-linear
+    bucketing would map a skewed column's entire mass into a few low
+    buckets and its Z-bits would never reach the file boundaries (the
+    same reason equi-depth histograms beat equi-width ones for
+    selectivity). NULLs bucket to 0 and cluster in the lowest files. The
+    per-row bucket lookup is one JVM ``aggregate`` fold over the literal
+    boundary array (no UDF, no join), and the interleave is pure bit
+    arithmetic; the Z-exchange is paid once at write time, amortized over
+    every later scan, exactly the bucketing trade.
+    """
+    if not 2 <= len(cols) <= 4:
+        raise ValueError("write_zorder_layout needs 2-4 cluster columns")
+    if not 1 <= bits <= 12:
+        raise ValueError("bits must be in [1, 12]")
+    n_buckets = 1 << bits
+    d = len(cols)
+    dbl = df.select(*[F.col(c).cast("double").alias(f"__q{i}") for i, c in enumerate(cols)])
+    probs = [k / n_buckets for k in range(1, n_buckets)]
+    quantiles = dbl.approxQuantile([f"__q{i}" for i in range(d)], probs, 0.001)
+    z = F.lit(0).cast("long")
+    for i, c in enumerate(cols):
+        bounds = sorted(set(quantiles[i])) if quantiles[i] else []
+        if not bounds:
+            bucket = F.lit(0).cast("long")  # constant/all-null column: no signal
+        else:
+            # bucket = #boundaries <= value: an O(2^bits) JVM fold per row,
+            # paid once at layout time
+            arr = F.array(*[F.lit(b) for b in bounds])
+            v = F.col(c).cast("double")
+            depth = F.coalesce(
+                F.aggregate(
+                    arr,
+                    F.lit(0).cast("long"),
+                    lambda acc, b: acc
+                    + F.when(v >= b, F.lit(1).cast("long")).otherwise(
+                        F.lit(0).cast("long")
+                    ),
+                ),
+                F.lit(0).cast("long"),
+            )
+            # low-cardinality columns dedupe to few boundaries; rescale the
+            # depth onto the full bit range so the HIGH interleave bits (the
+            # ones file boundaries cut on) still discriminate
+            bucket = F.floor(
+                depth * F.lit(n_buckets - 1) / F.lit(len(bounds))
+            ).cast("long")
+        for j in range(bits):
+            bit = F.shiftright(bucket, j).bitwiseAND(F.lit(1))
+            z = z.bitwiseOR(F.shiftleft(bit, j * d + i))
+    n = files or int(df.sparkSession.conf.get("spark.sql.shuffle.partitions"))
+    out = (
+        df.withColumn("__z", z)
+        .repartitionByRange(n, "__z")
+        .sortWithinPartitions("__z")
+        .drop("__z")
+    )
+    write_batch(out, path, fmt=fmt, mode=mode, **options)
+
+
 def read_table(spark: SparkSession, table_name: str) -> DataFrame:
     """Catalog-table scan — bucketing metadata (bucket count/columns) rides
     along, letting Catalyst elide the shuffle in bucket-aligned joins."""

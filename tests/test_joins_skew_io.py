@@ -448,3 +448,79 @@ def test_range_layout_files_carry_tight_bands(spark, tmp_path, sf_dir):
 
     # round-trip correctness: the layout rewrite loses no rows
     assert spark.read.parquet(ranged).count() == n
+
+
+def test_zorder_layout_prunes_on_every_clustered_dimension(spark, tmp_path, sf_dir):
+    """write_zorder_layout must give every file a bounded footer band on
+    BOTH clustered columns — so single-column probes on EITHER dimension
+    skip files — where the 1-D range layout prunes only its own key and a
+    second-column probe hits every file. Bands are asserted structurally
+    from the parquet footers (what file skipping actually reads). The
+    probe on `value` uses its MASS quartile (the column is heavy-tailed;
+    equi-depth bucketing is exactly why the high Z-bits still
+    discriminate there)."""
+    import os
+
+    import pyarrow.parquet as pq
+
+    from reactive_kinesis_spark import io as rio
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet").select(
+        "event_id", "user_id", "value"
+    )
+    zp, rp = str(tmp_path / "z"), str(tmp_path / "r")
+    rio.write_zorder_layout(ev, zp, ["user_id", "value"], files=16)
+    rio.write_range_layout(ev, rp, ["user_id"], files=16)
+
+    def bands(path, colname):
+        out = []
+        for f in sorted(os.listdir(path)):
+            if not f.endswith(".parquet"):
+                continue
+            md = pq.ParquetFile(os.path.join(path, f)).metadata
+            idx = {
+                md.row_group(0).column(k).path_in_schema: k
+                for k in range(md.row_group(0).num_columns)
+            }[colname]
+            lo = min(
+                md.row_group(g).column(idx).statistics.min
+                for g in range(md.num_row_groups)
+            )
+            hi = max(
+                md.row_group(g).column(idx).statistics.max
+                for g in range(md.num_row_groups)
+            )
+            out.append((lo, hi))
+        return out
+
+    u_hi = ev.agg(F.max("user_id")).collect()[0][0]
+    v_q1 = ev.approxQuantile("value", [0.25], 0.01)[0]
+    uq = (0, u_hi // 4)
+    vq = (float("-inf"), v_q1)
+    hit = lambda b, q: not (b[1] < q[0] or b[0] > q[1])  # noqa: E731
+
+    zu, zv = bands(zp, "user_id"), bands(zp, "value")
+    ru, rv = bands(rp, "user_id"), bands(rp, "value")
+    # range partitioning may merge files when the key has few distinct
+    # values at tiny SF; assert against the actual file counts
+    assert len(zu) >= 12 and len(ru) >= 12
+    # z-order: BOTH dimensions prune (a quartile probe skips >= 1/4 of files)
+    assert sum(hit(b, uq) for b in zu) <= 0.75 * len(zu)
+    assert sum(hit(b, vq) for b in zv) <= 0.75 * len(zv)
+    # 1-D range layout: its own key prunes harder, the other not at all
+    assert sum(hit(b, uq) for b in ru) <= 0.45 * len(ru)
+    assert sum(hit(b, vq) for b in rv) >= 0.9 * len(rv)
+    # data fidelity
+    assert spark.read.parquet(zp).count() == ev.count()
+
+
+def test_zorder_layout_validates_inputs(spark, tmp_path, sf_dir):
+    from reactive_kinesis_spark import io as rio
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    import pytest
+
+    with pytest.raises(ValueError, match="2-4 cluster columns"):
+        rio.write_zorder_layout(ev, str(tmp_path / "x"), ["user_id"])
+    with pytest.raises(ValueError, match="bits"):
+        rio.write_zorder_layout(ev, str(tmp_path / "x"), ["user_id", "value"], bits=20)
