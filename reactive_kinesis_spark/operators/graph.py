@@ -29,6 +29,7 @@ def pagerank(
     damping: float = 0.85,
     checkpoint_every: int = 3,
     assume_distinct: bool = False,
+    weight_col: str | None = None,
 ) -> DataFrame:
     """Fixed-iteration PageRank over an edge list — the canonical
     "importance by random walk" score for entity graphs (co-purchase,
@@ -41,6 +42,14 @@ def pagerank(
     a per-iteration global scalar, a driver round-trip this operator
     deliberately avoids; feed symmetric edges if the graph must be
     walk-complete. Multi-edges are collapsed up front.
+
+    ``weight_col`` makes the walk WEIGHTED: a node's outbound mass splits
+    proportionally to edge weight (``w / Σ_out w``) instead of uniformly
+    — co-purchase counts, link frequencies, similarity scores. Weights
+    must be non-negative; zero-total-weight nodes behave as dangling.
+    With ``weight_col`` multi-edge dedup is skipped (duplicate (src, dst)
+    rows are the caller's aggregation decision — pre-sum them into the
+    weight instead).
 
     Determinism: per-node inbound mass is summed in DECIMAL(38,18)
     (exact, order-independent) so the result is bit-stable across
@@ -58,11 +67,23 @@ def pagerank(
     """
     if iterations < 1:
         raise ValueError("iterations must be >= 1")
-    e = edges.select(F.col(src_col).alias("src"), F.col(dst_col).alias("dst"))
-    if not assume_distinct:
-        # multi-edges would multiply contributions; skip the (full-edge-list
-        # shuffle) dedup only when the producer guarantees distinctness
-        e = e.distinct()
+    if weight_col is not None:
+        e = edges.select(
+            F.col(src_col).alias("src"),
+            F.col(dst_col).alias("dst"),
+            F.col(weight_col).cast("double").alias("w"),
+        ).where(F.col("w") > 0)
+    else:
+        e = edges.select(
+            F.col(src_col).alias("src"),
+            F.col(dst_col).alias("dst"),
+            F.lit(1.0).alias("w"),
+        )
+        if not assume_distinct:
+            # multi-edges would multiply contributions; skip the
+            # (full-edge-list shuffle) dedup only when the producer
+            # guarantees distinctness
+            e = e.dropDuplicates(["src", "dst"])
     # the loop-invariant frames are materialized ONCE (localCheckpoint also
     # cuts their lineage out of every iteration's plan): nodes, the node
     # count (a single-row frame, broadcast into each round — never a
@@ -76,7 +97,9 @@ def pagerank(
     n_total = nodes.agg(
         F.count(F.lit(1)).cast("long").alias("n")
     ).localCheckpoint(eager=True)
-    deg = e.groupBy("src").agg(F.count(F.lit(1)).cast("long").alias("out_deg"))
+    deg = e.groupBy("src").agg(
+        F.sum(F.col("w").cast(_RANK_DEC)).cast("double").alias("out_w")
+    )
     ed = e.join(deg, "src").localCheckpoint(eager=True)
     teleport = (1.0 - damping) / F.col("n").cast("double")
     ranks = (
@@ -89,7 +112,7 @@ def pagerank(
             ed.join(ranks.withColumnRenamed("node", "src"), "src")
             .select(
                 F.col("dst").alias("node"),
-                (F.col("rank") / F.col("out_deg").cast("double")).alias("__c"),
+                (F.col("rank") * F.col("w") / F.col("out_w")).alias("__c"),
             )
             .groupBy("node")
             .agg(F.sum(F.col("__c").cast(_RANK_DEC)).cast("double").alias("__mass"))

@@ -100,3 +100,62 @@ def test_registry_query_runs_and_is_ranked(spark, sf_dir):
 def test_iterations_validated(spark):
     with pytest.raises(ValueError, match="iterations"):
         pagerank(_edges(spark, PAIRS), iterations=0)
+
+
+def _numpy_pagerank_weighted(triples, iterations, damping=0.85):
+    nodes = sorted({s for s, _, _ in triples} | {d for _, d, _ in triples})
+    idx = {n: i for i, n in enumerate(nodes)}
+    n = len(nodes)
+    out_w = np.zeros(n)
+    for s, _, w in triples:
+        out_w[idx[s]] += w
+    r = np.full(n, 1.0 / n)
+    for _ in range(iterations):
+        mass = np.zeros(n)
+        for s, d, w in triples:
+            mass[idx[d]] += r[idx[s]] * w / out_w[idx[s]]
+        r = (1 - damping) / n + damping * mass
+    return dict(zip(nodes, r))
+
+
+def test_weighted_matches_numpy(spark):
+    triples = [
+        ("a", "b", 3.0), ("a", "c", 1.0), ("b", "a", 2.0),
+        ("c", "a", 1.0), ("c", "b", 5.0),
+    ]
+    df = spark.createDataFrame(triples, schema="src string, dst string, w double")
+    got = {
+        r.node: r.rank
+        for r in pagerank(df, iterations=8, weight_col="w").collect()
+    }
+    want = _numpy_pagerank_weighted(triples, iterations=8)
+    for node in want:
+        assert got[node] == pytest.approx(want[node], abs=1e-9), node
+    # the 3:1 outbound split must actually matter: b gets more of a's mass
+    assert got["b"] > got["c"]
+
+
+def test_uniform_weights_equal_unweighted(spark):
+    df = spark.createDataFrame(
+        [(s, d, 1.0) for s, d in PAIRS], schema="src string, dst string, w double"
+    )
+    unweighted = sorted(
+        (r.node, r.rank) for r in pagerank(_edges(spark, PAIRS), iterations=5).collect()
+    )
+    weighted = sorted(
+        (r.node, r.rank)
+        for r in pagerank(df, iterations=5, weight_col="w").collect()
+    )
+    assert unweighted == weighted  # bit-identical incl. float bits
+
+
+def test_nonpositive_weights_dropped(spark):
+    df = spark.createDataFrame(
+        [("a", "b", 1.0), ("a", "c", 0.0), ("b", "a", -2.0), ("c", "a", 1.0)],
+        schema="src string, dst string, w double",
+    )
+    got = {r.node: r.rank for r in pagerank(df, iterations=4, weight_col="w").collect()}
+    # only a->b and c->a survive; b is dangling, c gets teleport only
+    want = _numpy_pagerank_weighted([("a", "b", 1.0), ("c", "a", 1.0)], iterations=4)
+    for node in want:
+        assert got[node] == pytest.approx(want[node], abs=1e-9)
