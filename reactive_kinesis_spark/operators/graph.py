@@ -131,3 +131,145 @@ def pagerank(
         if (i + 1) % checkpoint_every == 0 or i == iterations - 1:
             ranks = ranks.localCheckpoint(eager=True)
     return ranks
+
+
+def cooccurrence_edges(
+    df: DataFrame,
+    group_col: str,
+    item_col: str,
+    max_group_size: int | None = None,
+) -> DataFrame:
+    """Project a bipartite (group, item) relation onto item–item edges:
+    one edge per unordered item pair sharing at least one group, with
+    ``weight`` = number of shared groups. The similarity-graph builder
+    behind co-purchase / co-supply / co-click graphs (reference analog:
+    none — engine-side graph prep for the iterative tier).
+
+    Scale shape: pair generation is QUADRATIC in group size, so hub
+    groups (a part supplied by thousands of suppliers, a token in every
+    document) must be capped — ``max_group_size`` DROPS groups larger
+    than the cap before any pair is emitted, the same discipline as the
+    near-dup operators' document-frequency caps (a hub group's pairs are
+    the least informative and the most expensive). Pairs are generated
+    JVM-side from each group's sorted item array (one Catalyst
+    ``transform``/``slice`` expansion, no self-join), so the whole
+    projection is TWO exchanges: group-keyed collect, pair-keyed count.
+
+    Output: ``(a, b, weight)`` with ``a < b`` (canonical undirected),
+    distinct pairs, NULL groups/items dropped.
+    """
+    grouped = (
+        df.where(F.col(group_col).isNotNull() & F.col(item_col).isNotNull())
+        .groupBy(F.col(group_col).alias("__g"))
+        .agg(F.sort_array(F.collect_set(F.col(item_col))).alias("__items"))
+        .where(F.size("__items") >= 2)
+    )
+    if max_group_size is not None:
+        grouped = grouped.where(F.size("__items") <= int(max_group_size))
+    pairs = grouped.select(
+        F.explode(
+            F.expr(
+                "flatten(transform(__items, (x, i) -> "
+                "transform(slice(__items, i + 2, size(__items)), "
+                "y -> struct(x AS a, y AS b))))"
+            )
+        ).alias("__p")
+    )
+    return pairs.groupBy(
+        F.col("__p.a").alias("a"), F.col("__p.b").alias("b")
+    ).agg(F.count(F.lit(1)).cast("long").alias("weight"))
+
+
+def triangle_stats(
+    edges: DataFrame,
+    src_col: str = "src",
+    dst_col: str = "dst",
+    assume_canonical: bool = False,
+) -> DataFrame:
+    """Per-node triangle count + degree + local clustering coefficient
+    over an undirected edge list — the local-density companion to
+    :func:`pagerank`'s global importance.
+
+    Algorithm: DEGREE-ORDERED orientation (each undirected edge points
+    from the endpoint with the smaller ``(degree, id)`` to the larger),
+    then wedges are built only between a node's ORIENTED out-neighbors
+    and closed against the oriented edge set — the classic
+    MapReduce/dataflow triangle scheme. Orientation bounds every node's
+    out-degree by O(sqrt(m)) regardless of how skewed the real degree
+    distribution is, so the wedge stage never explodes on hub nodes —
+    the property that makes this survive a power-law graph at 100 TB
+    (plain neighbor-pairing is quadratic in the hub's degree). Each
+    triangle is found exactly once, at its lowest-(degree, id) corner.
+
+    ``assume_canonical=True`` skips the canonicalization shuffle when
+    the producer (e.g. :func:`cooccurrence_edges`) already guarantees
+    distinct ``src < dst`` rows with no self-loops.
+
+    Output: ``(node, degree, triangles, clustering_coeff)`` for every
+    node with at least one edge; ``clustering_coeff`` is the one IEEE
+    division ``2·triangles / (degree·(degree−1))`` of exact int64s
+    (0.0 for degree-1 nodes), bit-identical across engines.
+    """
+    e = edges.select(F.col(src_col).alias("u"), F.col(dst_col).alias("v"))
+    if not assume_canonical:
+        e = (
+            e.where(F.col("u") != F.col("v"))
+            .select(
+                F.least("u", "v").alias("u"), F.greatest("u", "v").alias("v")
+            )
+            .distinct()
+        )
+    deg = (
+        e.select(F.col("u").alias("node"))
+        .unionAll(e.select(F.col("v").alias("node")))
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).cast("long").alias("degree"))
+    )
+    ed = (
+        e.join(deg.withColumnRenamed("node", "u"), "u")
+        .withColumnRenamed("degree", "du")
+        .join(
+            deg.select(F.col("node").alias("v"), F.col("degree").alias("dv")),
+            "v",
+        )
+    )
+    fwd = (F.col("du") < F.col("dv")) | (
+        (F.col("du") == F.col("dv")) & (F.col("u") < F.col("v"))
+    )
+    oriented = ed.select(
+        F.when(fwd, F.col("u")).otherwise(F.col("v")).alias("a"),
+        F.when(fwd, F.col("v")).otherwise(F.col("u")).alias("b"),
+        F.when(fwd, F.col("dv")).otherwise(F.col("du")).alias("db"),
+    )
+    o1 = oriented.alias("o1")
+    o2 = oriented.alias("o2")
+    wedges = o1.join(
+        o2,
+        (F.col("o1.a") == F.col("o2.a"))
+        & (
+            F.struct(F.col("o1.db"), F.col("o1.b"))
+            < F.struct(F.col("o2.db"), F.col("o2.b"))
+        ),
+    ).select(
+        F.col("o1.a").alias("c0"),
+        F.col("o1.b").alias("c1"),
+        F.col("o2.b").alias("c2"),
+    )
+    closing = oriented.select(
+        F.col("a").alias("c1"), F.col("b").alias("c2")
+    )
+    tri_nodes = (
+        wedges.join(closing, ["c1", "c2"])
+        .select(F.explode(F.array("c0", "c1", "c2")).alias("node"))
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).cast("long").alias("triangles"))
+    )
+    return deg.join(tri_nodes, "node", "left").select(
+        "node",
+        "degree",
+        F.coalesce(F.col("triangles"), F.lit(0).cast("long")).alias("triangles"),
+        F.when(F.col("degree") >= 2, (
+            (F.lit(2) * F.coalesce(F.col("triangles"), F.lit(0))).cast("double")
+            / (F.col("degree") * (F.col("degree") - F.lit(1))).cast("double")
+        )).otherwise(F.lit(0.0)).alias("clustering_coeff"),
+    )

@@ -59,6 +59,8 @@ _PROMOTED = (
     # round-6 additions — never driver-certified, so they take visible
     # slots first (same rule that promoted the round-5 additions last round)
     "q102_bm25_scoring",
+    "q110_cooccurrence_pairs",
+    "q111_triangle_stats",
     "q103_tf_cosine_pairs",
     "q104_seasonal_anomaly",
     "q105_trend_slope",

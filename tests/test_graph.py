@@ -159,3 +159,98 @@ def test_nonpositive_weights_dropped(spark):
     want = _numpy_pagerank_weighted([("a", "b", 1.0), ("c", "a", 1.0)], iterations=4)
     for node in want:
         assert got[node] == pytest.approx(want[node], abs=1e-9)
+
+
+# ---------------------------------------------------------------------------
+# cooccurrence_edges / triangle_stats
+# ---------------------------------------------------------------------------
+
+from reactive_kinesis_spark.operators.graph import cooccurrence_edges, triangle_stats  # noqa: E402
+
+
+def test_cooccurrence_projection_weights_and_cap(spark):
+    rows = [
+        # group 1: items a,b,c  -> ab ac bc
+        (1, "a"), (1, "b"), (1, "c"), (1, "a"),  # dup (1,a) must not double-count
+        # group 2: items a,b    -> ab (weight 2 total for ab)
+        (2, "a"), (2, "b"),
+        # group 3: hub group of 4 items, dropped by cap=3
+        (3, "w"), (3, "x"), (3, "y"), (3, "z"),
+        # group 4: singleton — no pairs
+        (4, "q"),
+        # nulls dropped
+        (None, "a"), (5, None),
+    ]
+    df = spark.createDataFrame(rows, schema="g long, item string")
+    got = {
+        (r.a, r.b): r.weight
+        for r in cooccurrence_edges(df, "g", "item", max_group_size=3).collect()
+    }
+    assert got == {("a", "b"): 2, ("a", "c"): 1, ("b", "c"): 1}
+
+
+def test_cooccurrence_canonical_order(spark):
+    df = spark.createDataFrame([(1, 9), (1, 3), (1, 7)], schema="g long, item long")
+    rows = cooccurrence_edges(df, "g", "item").collect()
+    assert all(r.a < r.b for r in rows)
+    assert len(rows) == 3
+
+
+def _tri(spark, pairs):
+    return spark.createDataFrame(pairs, schema="src string, dst string")
+
+
+def test_triangle_stats_known_graph(spark):
+    # K4 minus edge (c,d): triangles abc and abd; a,b in 2 each, c,d in 1
+    pairs = [("a", "b"), ("a", "c"), ("a", "d"), ("b", "c"), ("b", "d")]
+    got = {
+        r.node: (r.degree, r.triangles, r.clustering_coeff)
+        for r in triangle_stats(_tri(spark, pairs)).collect()
+    }
+    assert got["a"] == (3, 2, 2 * 2 / (3 * 2))
+    assert got["b"] == (3, 2, 2 * 2 / (3 * 2))
+    assert got["c"] == (2, 1, 1.0)
+    assert got["d"] == (2, 1, 1.0)
+
+
+def test_triangle_stats_canonicalizes_input(spark):
+    # duplicate edges, reversed direction, and a self-loop must not change
+    # the count: one triangle abc
+    pairs = [
+        ("a", "b"), ("b", "a"), ("b", "c"), ("c", "a"), ("a", "a"), ("a", "b"),
+    ]
+    got = {r.node: r.triangles for r in triangle_stats(_tri(spark, pairs)).collect()}
+    assert got == {"a": 1, "b": 1, "c": 1}
+
+
+def test_triangle_stats_triangle_free(spark):
+    # star graph: no triangles, hub degree 3, coefficient 0.0 everywhere
+    pairs = [("h", "a"), ("h", "b"), ("h", "c")]
+    got = {
+        r.node: (r.degree, r.triangles, r.clustering_coeff)
+        for r in triangle_stats(_tri(spark, pairs)).collect()
+    }
+    assert got["h"] == (3, 0, 0.0)
+    assert got["a"] == (1, 0, 0.0)
+
+
+def test_triangle_stats_matches_bruteforce_random(spark):
+    import itertools, random
+    rng = random.Random(20260814)
+    nodes = list(range(24))
+    edges = [
+        (u, v) for u, v in itertools.combinations(nodes, 2) if rng.random() < 0.3
+    ]
+    adj = {n: set() for n in nodes}
+    for u, v in edges:
+        adj[u].add(v); adj[v].add(u)
+    want = {}
+    for n in nodes:
+        t = sum(
+            1 for x, y in itertools.combinations(sorted(adj[n]), 2) if y in adj[x]
+        )
+        if adj[n]:
+            want[n] = (len(adj[n]), t)
+    df = spark.createDataFrame(edges, schema="src long, dst long")
+    got = {r.node: (r.degree, r.triangles) for r in triangle_stats(df).collect()}
+    assert got == want
