@@ -1,0 +1,151 @@
+"""Declarative data-quality constraint checking (Deequ-style).
+
+A large-scale training-data pipeline gates every ingest batch on a
+constraint suite — completeness, uniqueness, domain bounds, referential
+integrity — and the whole point at 100 TB is that the suite must NOT cost
+one scan per check. This module folds every row-level and uniqueness
+check into ONE full-scan aggregate (each check is a conditional count;
+uniqueness is ``count(col) − count_distinct(col)`` in the same pass), and
+only referential-integrity checks pay their own (anti-)join. A 12-check
+suite on a 100 TB table is one scan + one map-side-combined agg, not 12.
+
+Reference analog: none (the reference is a stream connector); this is the
+engine-side admission-control surface its DLQ/tolerance layer
+(streaming/tolerance.py) feeds into.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterable, Mapping, Sequence
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+_RESULT_COLS = ("check_name", "column_name", "total", "violations", "passed")
+
+
+def check_constraints(
+    df: DataFrame,
+    *,
+    not_null: Iterable[str] = (),
+    unique: Iterable[str | Sequence[str]] = (),
+    ranges: Mapping[str, tuple] | None = None,
+    accepted: Mapping[str, Iterable] | None = None,
+    patterns: Mapping[str, str] | None = None,
+    foreign_keys: Iterable[tuple[str, DataFrame, str]] = (),
+) -> DataFrame:
+    """Run a constraint suite over ``df`` and return one row per check:
+    ``(check_name, column_name, total, violations, passed)``.
+
+    * ``not_null``: columns that must be non-null.
+    * ``unique``: columns (or column tuples) whose non-null values must
+      be distinct; violations = surplus rows beyond the distinct count.
+      (Rows with a NULL in any key column are ignored, matching
+      ``count_distinct`` semantics — pair with ``not_null`` to forbid.)
+    * ``ranges``: ``{col: (lo, hi)}`` inclusive bounds; either side may
+      be None for a one-sided bound. NULLs never violate (that's
+      ``not_null``'s job) — same for ``accepted`` and ``patterns``.
+    * ``accepted``: ``{col: allowed_values}``.
+    * ``patterns``: ``{col: regex}`` (full-match via ``rlike``).
+    * ``foreign_keys``: ``(col, dim_df, dim_col)`` triples; violations =
+      non-null values with no match in the dimension. The only checks
+      that cost a join (left-anti against the distinct dimension keys —
+      broadcast when small, shuffle otherwise; Catalyst/AQE decides).
+
+    All non-FK checks share ONE aggregate over a single scan of ``df``.
+    Deterministic: every metric is an exact integer count.
+    """
+    ranges = dict(ranges or {})
+    accepted = dict(accepted or {})
+    patterns = dict(patterns or {})
+
+    def _viol(cond: Column) -> Column:
+        # count of rows violating `cond` — total on empty input (sum of an
+        # empty frame is NULL; a zero-row table violates nothing)
+        return F.coalesce(F.sum(F.when(cond, 1).otherwise(0)), F.lit(0)).cast("long")
+
+    aggs: list[Column] = [F.count(F.lit(1)).cast("long").alias("__total")]
+    specs: list[tuple[str, str, str]] = []  # (check_name, column_name, agg alias)
+
+    def _add(check: str, column: str, agg: Column) -> None:
+        alias = f"__v{len(specs)}"
+        aggs.append(agg.alias(alias))
+        specs.append((check, column, alias))
+
+    for c in not_null:
+        _add("not_null", c, _viol(F.col(c).isNull()))
+    for key in unique:
+        cols = [key] if isinstance(key, str) else list(key)
+        # count of rows where ALL key cols are non-null, minus the distinct
+        # key count — both computed in the shared agg pass
+        all_nn = F.col(cols[0]).isNotNull()
+        for c in cols[1:]:
+            all_nn = all_nn & F.col(c).isNotNull()
+        non_null = F.coalesce(
+            F.sum(F.when(all_nn, 1).otherwise(0)), F.lit(0)
+        ).cast("long")
+        _add(
+            "unique",
+            ",".join(cols),
+            (non_null - F.count_distinct(*[F.col(c) for c in cols])).cast("long"),
+        )
+    for c, (lo, hi) in ranges.items():
+        bad = F.lit(False)
+        if lo is not None:
+            bad = bad | (F.col(c) < F.lit(lo))
+        if hi is not None:
+            bad = bad | (F.col(c) > F.lit(hi))
+        _add("range", c, _viol(F.col(c).isNotNull() & bad))
+    for c, vals in accepted.items():
+        _add(
+            "accepted_values",
+            c,
+            _viol(F.col(c).isNotNull() & ~F.col(c).isin(list(vals))),
+        )
+    for c, rx in patterns.items():
+        _add("pattern", c, _viol(F.col(c).isNotNull() & ~F.col(c).rlike(rx)))
+
+    one = df.agg(*aggs)
+    rows = F.array(
+        *[
+            F.struct(
+                F.lit(check).alias("check_name"),
+                F.lit(column).alias("column_name"),
+                F.col("__total").alias("total"),
+                F.col(alias).alias("violations"),
+            )
+            for check, column, alias in specs
+        ]
+    )
+    out = one.select(F.explode(rows).alias("c")).select(
+        "c.check_name",
+        "c.column_name",
+        "c.total",
+        "c.violations",
+        (F.col("c.violations") == 0).alias("passed"),
+    )
+
+    total_frame = one.select(F.col("__total").alias("total"))
+    for col, dim_df, dim_col in foreign_keys:
+        missing = (
+            df.select(F.col(col))
+            .where(F.col(col).isNotNull())
+            .join(
+                dim_df.select(F.col(dim_col).alias(col)).distinct(),
+                col,
+                "left_anti",
+            )
+            .agg(F.count(F.lit(1)).cast("long").alias("violations"))
+        )
+        fk = (
+            total_frame.crossJoin(F.broadcast(missing))
+            .select(
+                F.lit("foreign_key").alias("check_name"),
+                F.lit(col).alias("column_name"),
+                "total",
+                "violations",
+                (F.col("violations") == 0).alias("passed"),
+            )
+        )
+        out = out.unionAll(fk)
+    return out

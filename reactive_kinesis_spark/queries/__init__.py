@@ -61,6 +61,7 @@ _PROMOTED = (
     "q102_bm25_scoring",
     "q110_cooccurrence_pairs",
     "q111_triangle_stats",
+    "q112_quality_checks",
     "q103_tf_cosine_pairs",
     "q104_seasonal_anomaly",
     "q105_trend_slope",
@@ -171,6 +172,7 @@ def load_all() -> dict[str, QueryDef]:
         graph,
         llm,
         multimodal,
+        quality,
         relational,
     )
 

@@ -1,0 +1,90 @@
+"""Data-quality gate queries — the constraint-suite surface.
+
+The batch admission-control companion to the streaming tolerance layer
+(reference: reactive-kinesis's per-record skip/DLQ semantics,
+``streaming/tolerance.py``): a pipeline validates each ingest snapshot
+with a declarative check suite before it is allowed downstream.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from reactive_kinesis_spark.operators.quality import check_constraints
+from reactive_kinesis_spark.queries import query
+from reactive_kinesis_spark.tables import load_table
+
+
+@query(
+    "q112_quality_checks",
+    oracle="""
+    WITH t AS (SELECT CAST(COUNT(*) AS BIGINT) AS total FROM orders),
+    checks AS (
+      SELECT 'not_null' AS check_name, 'o_orderkey' AS column_name, t.total,
+             (SELECT CAST(COALESCE(SUM(CASE WHEN o_orderkey IS NULL THEN 1 ELSE 0 END), 0) AS BIGINT) FROM orders) AS violations
+      FROM t
+      UNION ALL
+      SELECT 'not_null', 'o_custkey', t.total,
+             (SELECT CAST(COALESCE(SUM(CASE WHEN o_custkey IS NULL THEN 1 ELSE 0 END), 0) AS BIGINT) FROM orders)
+      FROM t
+      UNION ALL
+      SELECT 'not_null', 'o_orderdate', t.total,
+             (SELECT CAST(COALESCE(SUM(CASE WHEN o_orderdate IS NULL THEN 1 ELSE 0 END), 0) AS BIGINT) FROM orders)
+      FROM t
+      UNION ALL
+      SELECT 'unique', 'o_orderkey', t.total,
+             (SELECT CAST(COUNT(o_orderkey) - COUNT(DISTINCT o_orderkey) AS BIGINT) FROM orders)
+      FROM t
+      UNION ALL
+      SELECT 'range', 'o_totalprice', t.total,
+             (SELECT CAST(COALESCE(SUM(CASE WHEN o_totalprice IS NOT NULL
+                          AND (o_totalprice < 0.0 OR o_totalprice > 200000.0)
+                          THEN 1 ELSE 0 END), 0) AS BIGINT) FROM orders)
+      FROM t
+      UNION ALL
+      SELECT 'accepted_values', 'o_orderstatus', t.total,
+             (SELECT CAST(COALESCE(SUM(CASE WHEN o_orderstatus IS NOT NULL
+                          AND o_orderstatus NOT IN ('O','F','P')
+                          THEN 1 ELSE 0 END), 0) AS BIGINT) FROM orders)
+      FROM t
+      UNION ALL
+      SELECT 'pattern', 'o_orderpriority', t.total,
+             (SELECT CAST(COALESCE(SUM(CASE WHEN o_orderpriority IS NOT NULL
+                          AND NOT regexp_matches(o_orderpriority, '^[1-5]-')
+                          THEN 1 ELSE 0 END), 0) AS BIGINT) FROM orders)
+      FROM t
+      UNION ALL
+      SELECT 'foreign_key', 'o_custkey', t.total,
+             (SELECT CAST(COUNT(*) AS BIGINT) FROM orders o
+              WHERE o.o_custkey IS NOT NULL
+                AND NOT EXISTS (SELECT 1 FROM customer c
+                                WHERE c.c_custkey = o.o_custkey))
+      FROM t
+    )
+    SELECT check_name, column_name, total, violations,
+           violations = 0 AS passed
+    FROM checks
+    ORDER BY check_name, column_name
+    """,
+)
+def q112_quality_checks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Constraint-suite gate over ``orders``: completeness, key
+    uniqueness, domain bounds, accepted values, format pattern, and
+    referential integrity against ``customer`` — 7 row-level checks in
+    ONE full-scan aggregate plus one anti-join for the FK (see
+    :func:`operators.quality.check_constraints`). The range check's
+    200 000 bound is deliberately tight so ``violations > 0`` exercises
+    the metric path, not just the all-green path."""
+    orders = load_table(spark, sf_dir, "orders")
+    customer = load_table(spark, sf_dir, "customer")
+    out = check_constraints(
+        orders,
+        not_null=("o_orderkey", "o_custkey", "o_orderdate"),
+        unique=("o_orderkey",),
+        ranges={"o_totalprice": (0.0, 200000.0)},
+        accepted={"o_orderstatus": ("O", "F", "P")},
+        patterns={"o_orderpriority": "^[1-5]-"},
+        foreign_keys=[("o_custkey", customer, "c_custkey")],
+    )
+    return out.orderBy("check_name", "column_name")
