@@ -846,3 +846,58 @@ def pca_project(
     return df.select(id_col, vec_col).mapInPandas(
         project, f"{id_col} long, projection array<double>"
     )
+
+
+def rrf_fuse(
+    rankings: list[tuple[str, DataFrame]],
+    id_col: str = "doc_id",
+    rank_col: str = "rank",
+    k: int = 60,
+) -> DataFrame:
+    """Reciprocal-rank fusion of N retrieval rankings — the standard
+    score-free way to combine heterogeneous retrievers (BM25 + dense ANN
+    + recency): ``rrf = Σ_systems 1 / (k + rank_system)``, with absent
+    items contributing 0 for that system.
+
+    Each input is ``(system_name, frame)`` where the frame carries
+    ``(id_col, rank_col)`` with ranks 1..N — produced upstream by a
+    DISTRIBUTED top-k (``orderBy().limit()`` → TakeOrderedAndProject)
+    followed by a row_number over the bounded result, never by a global
+    row_number over the corpus. Because inputs are bounded candidate
+    lists, the N-way outer join here is small by construction — at
+    100 TB the expensive part is the retrievers, not the fusion.
+
+    Output: ``(id_col, rrf_score, rank_<system>...)`` with absent ranks
+    as 0. ``rrf_score`` is a fixed-shape sum of single IEEE divisions of
+    exact ints — bit-identical across engines and partitionings.
+    """
+    if len(rankings) < 2:
+        raise ValueError("rrf_fuse needs at least two rankings")
+    frames = []
+    names = []
+    for name, df in rankings:
+        names.append(name)
+        frames.append(
+            df.select(
+                F.col(id_col),
+                F.col(rank_col).cast("long").alias(f"rank_{name}"),
+            )
+        )
+    out = frames[0]
+    for f in frames[1:]:
+        out = out.join(f, id_col, "full_outer")
+    score = None
+    for name in names:
+        term = F.when(
+            F.col(f"rank_{name}").isNotNull(),
+            F.lit(1.0) / (F.lit(k) + F.col(f"rank_{name}")).cast("double"),
+        ).otherwise(F.lit(0.0))
+        score = term if score is None else score + term
+    return out.select(
+        id_col,
+        score.alias("rrf_score"),
+        *[
+            F.coalesce(F.col(f"rank_{n}"), F.lit(0).cast("long")).alias(f"rank_{n}")
+            for n in names
+        ],
+    )

@@ -62,6 +62,8 @@ _PROMOTED = (
     "q110_cooccurrence_pairs",
     "q111_triangle_stats",
     "q112_quality_checks",
+    "q113_winsorize",
+    "q114_rrf_fusion",
     "q103_tf_cosine_pairs",
     "q104_seasonal_anomaly",
     "q105_trend_slope",

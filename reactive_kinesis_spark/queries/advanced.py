@@ -20,7 +20,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from reactive_kinesis_spark.functions import davg_sql, dsum, dsum_sql
+from reactive_kinesis_spark.functions import davg, davg_sql, dsum, dsum_sql
 from reactive_kinesis_spark.queries import query
 from reactive_kinesis_spark.tables import load_table
 
@@ -853,3 +853,81 @@ def q90_zscore_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_chars",
         ((F.col("n_chars").cast("double") - sx / nd) / F.sqrt(var)).alias("z"),
     ).orderBy("doc_id")
+
+
+@query(
+    "q113_winsorize",
+    oracle="""
+    WITH v AS (SELECT event_type, value FROM events WHERE value IS NOT NULL),
+    q AS (
+        SELECT event_type,
+               CAST(quantile_cont(value, 0.05) AS DOUBLE) AS p_lo,
+               CAST(quantile_cont(value, 0.95) AS DOUBLE) AS p_hi
+        FROM v GROUP BY event_type
+    ),
+    c AS (
+        SELECT v.event_type, v.value, q.p_lo, q.p_hi,
+               LEAST(GREATEST(v.value, q.p_lo), q.p_hi) AS wv
+        FROM v JOIN q USING (event_type)
+    )
+    SELECT event_type,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           MIN(p_lo) AS p_lo,
+           MIN(p_hi) AS p_hi,
+           CAST(SUM(CAST(value AS DECIMAL(38,6))) AS DOUBLE) / COUNT(value)
+               AS mean_raw,
+           CAST(SUM(CAST(wv AS DECIMAL(38,6))) AS DOUBLE) / COUNT(wv)
+               AS mean_winsor,
+           CAST(SUM(CASE WHEN value < p_lo THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_clamped_low,
+           CAST(SUM(CASE WHEN value > p_hi THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_clamped_high
+    FROM c GROUP BY event_type ORDER BY event_type
+    """,
+)
+def q113_winsorize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-group winsorization report: clamp event values at the exact
+    5th/95th percentile of their event_type and compare raw vs winsorized
+    means — the tail-robust feature-scaling step (reward clipping, outlier
+    capping) a training pipeline runs before normalization. The mean shift
+    quantifies how much tail mass the clamp removed.
+
+    Shape: ONE event_type-keyed exchange — both percentile windows, the
+    clamp, and the final group-by all ride the same partitioning (the
+    q86/q90 window-over-one-exchange discipline; the oracle's
+    aggregate-join-back form scans twice). Means go through the exact
+    DECIMAL(38,6) policy; the clamp itself is least/greatest of doubles —
+    bit-identical in both engines. Same bounded-strata contract as every
+    exact per-group percentile (q73's approx_percentile is the unbounded
+    fallback).
+    """
+    ev = (
+        load_table(spark, sf_dir, "events")
+        .select("event_type", "value")
+        .where(F.col("value").isNotNull())
+    )
+    w = Window.partitionBy("event_type")
+    c = (
+        ev.withColumn("p_lo", F.percentile("value", F.lit(0.05)).over(w))
+        .withColumn("p_hi", F.percentile("value", F.lit(0.95)).over(w))
+        .withColumn(
+            "wv", F.least(F.greatest(F.col("value"), F.col("p_lo")), F.col("p_hi"))
+        )
+    )
+    return (
+        c.groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n"),
+            F.min("p_lo").alias("p_lo"),
+            F.min("p_hi").alias("p_hi"),
+            davg("value", "mean_raw"),
+            davg("wv", "mean_winsor"),
+            F.sum(F.when(F.col("value") < F.col("p_lo"), 1).otherwise(0))
+            .cast("long")
+            .alias("n_clamped_low"),
+            F.sum(F.when(F.col("value") > F.col("p_hi"), 1).otherwise(0))
+            .cast("long")
+            .alias("n_clamped_high"),
+        )
+        .orderBy("event_type")
+    )

@@ -1744,3 +1744,95 @@ def q103_tf_cosine_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     cap = max(1, docs.count() // 10)
     return T.tf_cosine_pairs(docs, max_df=cap, threshold=0.5).orderBy("id_1", "id_2")
+
+
+@query(
+    "q114_rrf_fusion",
+    oracle="""
+    WITH words AS (
+        SELECT doc_id, unnest(string_split(text, ' ')) AS word FROM documents
+    ),
+    dw AS (
+        SELECT doc_id, word, CAST(COUNT(*) AS BIGINT) AS tf
+        FROM words GROUP BY doc_id, word
+    ),
+    dl AS (SELECT doc_id, CAST(SUM(tf) AS BIGINT) AS dl FROM dw GROUP BY doc_id),
+    totals AS (
+        SELECT CAST(COUNT(*) AS BIGINT) AS n, CAST(SUM(dl) AS BIGINT) AS t FROM dl
+    ),
+    dfreq AS (
+        SELECT word, CAST(COUNT(*) AS BIGINT) AS df_t FROM dw
+        WHERE word IN ('dup', 'vector', 'spark') GROUP BY word
+    ),
+    bm AS (
+        SELECT d.doc_id,
+               CAST(SUM( ((length(bin(n)) - 1) - (length(bin(df_t)) - 1))
+                     * (2200000000 * tf
+                        // (1000 * tf + 300 + (900000 * l.dl // (1000 * t // n)))) )
+                   AS BIGINT) AS score_micro
+        FROM dw d JOIN dfreq USING (word) JOIN dl l USING (doc_id) CROSS JOIN totals
+        GROUP BY d.doc_id
+        ORDER BY score_micro DESC, d.doc_id LIMIT 200
+    ),
+    bmr AS (
+        SELECT doc_id,
+               ROW_NUMBER() OVER (ORDER BY score_micro DESC, doc_id) AS r
+        FROM bm
+    ),
+    ln AS (
+        SELECT doc_id, n_chars FROM documents
+        ORDER BY n_chars DESC, doc_id LIMIT 200
+    ),
+    lnr AS (
+        SELECT doc_id,
+               ROW_NUMBER() OVER (ORDER BY n_chars DESC, doc_id) AS r
+        FROM ln
+    )
+    SELECT COALESCE(b.doc_id, l.doc_id) AS doc_id,
+           (CASE WHEN b.r IS NOT NULL
+                 THEN CAST(1 AS DOUBLE) / CAST(60 + b.r AS DOUBLE)
+                 ELSE 0.0 END
+          + CASE WHEN l.r IS NOT NULL
+                 THEN CAST(1 AS DOUBLE) / CAST(60 + l.r AS DOUBLE)
+                 ELSE 0.0 END) AS rrf_score,
+           CAST(COALESCE(b.r, 0) AS BIGINT) AS rank_bm25,
+           CAST(COALESCE(l.r, 0) AS BIGINT) AS rank_length
+    FROM bmr b FULL OUTER JOIN lnr l ON b.doc_id = l.doc_id
+    ORDER BY rrf_score DESC, doc_id LIMIT 100
+    """,
+)
+def q114_rrf_fusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reciprocal-rank fusion of two retrievers over the documents table —
+    BM25 keyword relevance (q102's scorer) fused with a length-prior
+    ranking — the standard hybrid-retrieval combiner (RRF, k=60). Each
+    ranking is cut to its top-200 by a DISTRIBUTED top-k
+    (TakeOrderedAndProject) first; rank assignment and the outer-join
+    fusion then run on the bounded candidate lists, so the single-
+    partition window never sees the corpus. ``rrf_score`` is a fixed-shape
+    sum of IEEE divisions of exact ints — bit-identical across engines.
+    See :func:`operators.similarity.rrf_fuse`."""
+    from pyspark.sql import Window
+
+    docs = load_table(spark, sf_dir, "documents")
+    bm = (
+        T.bm25_scoring(docs, ["dup", "vector", "spark"])
+        .orderBy(F.col("score_micro").desc(), "doc_id")
+        .limit(200)
+        .withColumn(
+            "rank",
+            F.row_number().over(
+                Window.orderBy(F.col("score_micro").desc(), "doc_id")
+            ),
+        )
+    )
+    ln = (
+        docs.select("doc_id", "n_chars")
+        .orderBy(F.col("n_chars").desc(), "doc_id")
+        .limit(200)
+        .withColumn(
+            "rank",
+            F.row_number().over(Window.orderBy(F.col("n_chars").desc(), "doc_id")),
+        )
+    )
+    fused = S.rrf_fuse([("bm25", bm), ("length", ln)], id_col="doc_id", k=60)
+    return fused.orderBy(F.col("rrf_score").desc(), "doc_id").limit(100)

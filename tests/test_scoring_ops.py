@@ -306,3 +306,62 @@ class TestStreamingAnomalyTwin:
         q.awaitTermination(60)
         got = spark.sql("SELECT event_id FROM anomaly_twin").collect()
         assert [r.event_id for r in got] == [100]
+
+
+class TestRRFFuse:
+    def _rk(self, spark, pairs):
+        return spark.createDataFrame(pairs, schema="doc_id long, rank long")
+
+    def test_two_way_fusion(self, spark):
+        from reactive_kinesis_spark.operators.similarity import rrf_fuse
+
+        a = self._rk(spark, [(1, 1), (2, 2), (3, 3)])
+        b = self._rk(spark, [(3, 1), (1, 2), (9, 3)])
+        out = {r.doc_id: r for r in rrf_fuse([("a", a), ("b", b)], k=10).collect()}
+        assert out[1].rrf_score == 1 / 11 + 1 / 12
+        assert out[3].rrf_score == 1 / 13 + 1 / 11
+        # absent from b -> only a's term; absent rank reported as 0
+        assert out[2].rrf_score == 1 / 12
+        assert (out[2].rank_a, out[2].rank_b) == (2, 0)
+        assert (out[9].rank_a, out[9].rank_b) == (0, 3)
+        assert set(out) == {1, 2, 3, 9}
+
+    def test_three_way_fusion_and_ordering(self, spark):
+        from reactive_kinesis_spark.operators.similarity import rrf_fuse
+
+        a = self._rk(spark, [(1, 1), (2, 2)])
+        b = self._rk(spark, [(2, 1), (1, 2)])
+        c = self._rk(spark, [(2, 1), (3, 2)])
+        out = {
+            r.doc_id: r.rrf_score
+            for r in rrf_fuse([("a", a), ("b", b), ("c", c)], k=0).collect()
+        }
+        # doc 2 wins: ranks (2,1,1) -> 1/2+1+1 vs doc 1 (1,2,-) -> 1+1/2
+        assert out[2] == pytest.approx(2.5)
+        assert out[1] == pytest.approx(1.5)
+        assert out[3] == pytest.approx(0.5)
+
+    def test_requires_two_rankings(self, spark):
+        from reactive_kinesis_spark.operators.similarity import rrf_fuse
+
+        with pytest.raises(ValueError, match="two rankings"):
+            rrf_fuse([("a", self._rk(spark, [(1, 1)]))])
+
+
+class TestWinsorize:
+    def test_clamp_bounds_and_counts(self, spark, sf_dir):
+        from reactive_kinesis_spark.queries import load_all
+
+        out = {
+            r.event_type: r
+            for r in load_all()["q113_winsorize"].fn(spark, sf_dir).collect()
+        }
+        for r in out.values():
+            assert r.p_lo <= r.p_hi
+            # winsorized mean sits inside the clamp bounds
+            assert r.p_lo <= r.mean_winsor <= r.p_hi
+            # ~5% clamped each side (exact percentile => at most 5% strictly
+            # outside each bound)
+            assert r.n_clamped_low <= r.n * 0.05 + 1
+            assert r.n_clamped_high <= r.n * 0.05 + 1
+            assert r.n_clamped_low > 0 or r.n < 40
