@@ -219,11 +219,18 @@ def triangle_stats(
             )
             .distinct()
         )
+    # The edge list and the two derived frames below are each referenced by
+    # SEVERAL join branches; Catalyst has no cross-branch common-subexpression
+    # reuse, so without eager materialization every branch would re-evaluate
+    # the whole upstream pipeline (the q77 lesson — measured 34 redundant
+    # scans on the co-supply graph). localCheckpoint also truncates lineage.
+    e = e.localCheckpoint(eager=True)
     deg = (
         e.select(F.col("u").alias("node"))
         .unionAll(e.select(F.col("v").alias("node")))
         .groupBy("node")
         .agg(F.count(F.lit(1)).cast("long").alias("degree"))
+        .localCheckpoint(eager=True)
     )
     ed = (
         e.join(deg.withColumnRenamed("node", "u"), "u")
@@ -240,7 +247,7 @@ def triangle_stats(
         F.when(fwd, F.col("u")).otherwise(F.col("v")).alias("a"),
         F.when(fwd, F.col("v")).otherwise(F.col("u")).alias("b"),
         F.when(fwd, F.col("dv")).otherwise(F.col("du")).alias("db"),
-    )
+    ).localCheckpoint(eager=True)
     o1 = oriented.alias("o1")
     o2 = oriented.alias("o2")
     wedges = o1.join(

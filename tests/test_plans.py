@@ -419,3 +419,56 @@ def test_scd2_windows_share_one_exchange(spark, sf_dir):
     assert "Join" not in plan
     assert len(re.findall(r"^\(\d+\) Scan parquet", plan, re.M)) == 1
     assert len(re.findall(r"^\(\d+\) Exchange", plan, re.M)) <= 2
+
+
+def test_cooccurrence_projection_is_two_exchanges_one_scan(spark, sf_dir):
+    """q110: the bipartite→pair projection must be collect + pair-count —
+    one scan, two exchanges, no self-join (pair expansion is a Catalyst
+    Generate, not a join)."""
+    import re
+
+    plan = _plan(load_all()["q110_cooccurrence_pairs"].fn(spark, sf_dir))
+    assert "Join" not in plan
+    assert len(re.findall(r"^\(\d+\) Scan parquet", plan, re.M)) == 1
+    assert len(re.findall(r"^\(\d+\) Exchange", plan, re.M)) <= 2
+    assert "Generate" in plan  # the transform/slice pair expansion
+
+
+def test_triangle_stats_materializes_shared_frames(spark, sf_dir):
+    """q111: every join branch must read the MATERIALIZED edge/degree/
+    oriented frames (ExistingRDD), never re-evaluate the co-supply
+    pipeline — and the wedge join must stay an equi-join (no nested
+    loop / cartesian fallback on the struct inequality)."""
+    import re
+
+    plan = _plan(load_all()["q111_triangle_stats"].fn(spark, sf_dir))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    # the lineitem pipeline runs once, inside the checkpoints; the final
+    # plan reads only materialized RDDs
+    assert len(re.findall(r"^\(\d+\) Scan parquet", plan, re.M)) == 0
+    assert len(re.findall(r"^\(\d+\) Scan ExistingRDD", plan, re.M)) >= 3
+
+
+def test_winsorize_rides_one_group_exchange(spark, sf_dir):
+    """q113: both percentile windows, the clamp, and the final aggregate
+    share ONE event_type-keyed exchange (the q86/q90 discipline); the
+    second exchange is only the 5-row final sort."""
+    import re
+
+    plan = _plan(load_all()["q113_winsorize"].fn(spark, sf_dir))
+    assert "Join" not in plan
+    assert len(re.findall(r"^\(\d+\) Scan parquet", plan, re.M)) == 1
+    assert len(re.findall(r"^\(\d+\) Exchange", plan, re.M)) <= 2
+
+
+def test_rrf_rankings_cut_by_distributed_topk(spark, sf_dir):
+    """q114: both retriever rankings must be cut by TakeOrderedAndProject
+    (distributed top-k) BEFORE any single-partition rank window — a
+    global row_number over the corpus would be the 100 TB failure mode."""
+    import re
+
+    plan = _plan(load_all()["q114_rrf_fusion"].fn(spark, sf_dir))
+    # two ranking cuts + the final top-100
+    assert len(re.findall(r"^\(\d+\) TakeOrderedAndProject", plan, re.M)) >= 3
+    assert "CartesianProduct" not in plan
