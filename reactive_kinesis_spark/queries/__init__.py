@@ -64,6 +64,7 @@ _PROMOTED = (
     "q112_quality_checks",
     "q113_winsorize",
     "q114_rrf_fusion",
+    "q115_label_propagation",
     "q103_tf_cosine_pairs",
     "q104_seasonal_anomaly",
     "q105_trend_slope",

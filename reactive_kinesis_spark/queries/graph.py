@@ -152,3 +152,58 @@ def q111_triangle_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     stats = triangle_stats(e, "a", "b", assume_canonical=True)
     return stats.orderBy(F.col("triangles").desc(), "node").limit(100)
+
+
+def _lpa_oracle_sql(iterations: int) -> str:
+    """Unrolled label-propagation oracle: fixed iterations make the
+    'iterative' algorithm a finite chain of CTEs — one count + one
+    per-node argmin per round (rank by count DESC, label ASC)."""
+    from reactive_kinesis_spark.queries.graph import _Q110_EDGES_SQL
+
+    parts = [
+        f"WITH {_Q110_EDGES_SQL},",
+        "thr AS (SELECT quantile_cont(CAST(weight AS DOUBLE), 0.9) AS q FROM pairs),",
+        "eg AS (SELECT s_a AS u, s_b AS v FROM pairs, thr",
+        "       WHERE CAST(weight AS DOUBLE) >= thr.q),",
+        "adj AS (SELECT u, v FROM eg UNION ALL SELECT v AS u, u AS v FROM eg),",
+        "l0 AS (SELECT DISTINCT u AS node, u AS label FROM adj),",
+    ]
+    for i in range(1, iterations + 1):
+        parts.append(
+            f"c{i} AS (SELECT a.u AS node, l.label, COUNT(*) AS cnt "
+            f"FROM adj a JOIN l{i - 1} l ON a.v = l.node GROUP BY 1, 2),"
+        )
+        parts.append(
+            f"l{i} AS (SELECT node, label FROM ("
+            f"SELECT node, label, ROW_NUMBER() OVER ("
+            f"PARTITION BY node ORDER BY cnt DESC, label ASC) AS rn FROM c{i}"
+            f") WHERE rn = 1),"
+        )
+    parts[-1] = parts[-1].rstrip(",")
+    parts.append(
+        f"SELECT node, label AS community FROM l{iterations} ORDER BY node"
+    )
+    return "\n".join(parts)
+
+
+@query("q115_label_propagation", oracle=_lpa_oracle_sql(4))
+def q115_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Community assignment for the top-decile co-supply graph by 4-round
+    deterministic label propagation (most-frequent neighbor label,
+    smallest-label tie-break). The fixed iteration count makes the
+    iterative dataflow SQL-expressible by UNROLLING — so unlike q107's
+    fixed point, this iterative query is fully hash-certified against
+    the DuckDB oracle. See :func:`operators.graph.label_propagation`."""
+    from reactive_kinesis_spark.operators.graph import label_propagation
+
+    edges = cosupply_pairs(spark, sf_dir)
+    thr = edges.agg(
+        F.expr("percentile(CAST(weight AS DOUBLE), 0.9D)").alias("__thr")
+    )
+    e = (
+        edges.crossJoin(F.broadcast(thr))
+        .where(F.col("weight").cast("double") >= F.col("__thr"))
+        .select("a", "b")
+    )
+    out = label_propagation(e, "a", "b", iterations=4, assume_canonical=True)
+    return out.select("node", F.col("label").alias("community")).orderBy("node")

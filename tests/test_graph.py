@@ -254,3 +254,70 @@ def test_triangle_stats_matches_bruteforce_random(spark):
     df = spark.createDataFrame(edges, schema="src long, dst long")
     got = {r.node: (r.degree, r.triangles) for r in triangle_stats(df).collect()}
     assert got == want
+
+
+# ---------------------------------------------------------------------------
+# label_propagation
+# ---------------------------------------------------------------------------
+
+from reactive_kinesis_spark.operators.graph import label_propagation  # noqa: E402
+
+
+def _python_lpa(edges, iterations):
+    """Reference implementation of the deterministic synchronous update:
+    most frequent neighbor label, ties -> smallest label."""
+    adj = {}
+    for u, v in edges:
+        if u == v:
+            continue
+        adj.setdefault(u, set()).add(v)
+        adj.setdefault(v, set()).add(u)
+    labels = {n: n for n in adj}
+    for _ in range(iterations):
+        new = {}
+        for n, nbrs in adj.items():
+            counts = {}
+            for m in nbrs:
+                lbl = labels[m]
+                counts[lbl] = counts.get(lbl, 0) + 1
+            new[n] = min(counts, key=lambda l: (-counts[l], l))
+        labels = new
+    return labels
+
+
+def test_lpa_two_cliques_with_bridge(spark):
+    pairs = [(1, 2), (1, 3), (2, 3), (4, 5), (4, 6), (5, 6), (3, 4)]
+    df = spark.createDataFrame(pairs, schema="src long, dst long")
+    got = {r.node: r.label for r in label_propagation(df, iterations=4).collect()}
+    assert got == _python_lpa(pairs, 4)
+    # the two triangles resolve to two distinct communities
+    assert got[1] == got[2] == got[3]
+    assert got[4] == got[5] == got[6]
+    assert got[1] != got[4]
+
+
+def test_lpa_matches_python_random(spark):
+    import itertools, random
+
+    rng = random.Random(7)
+    nodes = list(range(30))
+    pairs = [
+        (u, v) for u, v in itertools.combinations(nodes, 2) if rng.random() < 0.12
+    ]
+    df = spark.createDataFrame(pairs, schema="src long, dst long")
+    for iters in (1, 3, 5):
+        got = {
+            r.node: r.label
+            for r in label_propagation(df, iterations=iters).collect()
+        }
+        assert got == _python_lpa(pairs, iters), iters
+
+
+def test_lpa_canonicalizes_and_validates(spark):
+    df = spark.createDataFrame(
+        [(1, 2), (2, 1), (1, 1), (2, 3)], schema="src long, dst long"
+    )
+    got = {r.node: r.label for r in label_propagation(df, iterations=2).collect()}
+    assert got == _python_lpa([(1, 2), (2, 3)], 2)
+    with pytest.raises(ValueError, match="iterations"):
+        label_propagation(df, iterations=0)
