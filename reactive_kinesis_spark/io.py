@@ -366,3 +366,36 @@ def compact_files(
     spark.catalog.refreshByPath(path)
     after = file_stats(spark, path, fmt)
     return {"before": before, "after": after}
+
+
+def table_fingerprint(
+    df: DataFrame,
+    cols: list[str],
+    group_by: str | None = None,
+) -> DataFrame:
+    """Order-independent content fingerprint of a table (optionally per
+    group) — the cheap equality check for snapshot/migration validation:
+    two tables with equal ``(n_rows, fingerprint)`` are, up to a ~2⁻⁵⁶
+    per-row collision, identical multisets of rows on ``cols``. Because
+    the fingerprint is a SUM of per-row hashes it is partition-,
+    order-, and engine-independent (the same rows always sum to the same
+    value) and aggregates map-side — one scan, one (tiny) shuffle, no
+    sort. The portable-hash trick: 56 bits of md5 per row, summed as
+    DECIMAL(38,0) (exact for ~10²¹ rows).
+
+    Rows are canonicalized as ``col₁\\x1f col₂…`` with NULL → a sentinel
+    distinct from any value; pass only columns whose string form is
+    engine-portable (ints, strings, dates, timestamps — NOT doubles,
+    whose text rendering is engine-specific).
+    """
+    repr_ = F.concat_ws(
+        "\x1f", *[F.coalesce(F.col(c).cast("string"), F.lit("<NULL>")) for c in cols]
+    )
+    md5_hex = F.md5(repr_)
+    row_h = F.conv(F.substring(md5_hex, 1, 14), 16, 10).cast("long")
+    keys = [group_by] if group_by else []
+    agg = df.select(*keys, row_h.alias("__h")).groupBy(*keys).agg(
+        F.count(F.lit(1)).cast("long").alias("n_rows"),
+        F.sum(F.col("__h").cast("decimal(38,0)")).alias("fingerprint"),
+    )
+    return agg

@@ -1196,3 +1196,38 @@ def edit_distance_pairs(
         )
         .where((F.col("distance") >= 0) & (F.col("distance") <= max_distance))
     )
+
+
+def train_val_test_split(
+    df: DataFrame,
+    id_col: str,
+    train: float = 0.98,
+    val: float = 0.01,
+    buckets: int = 1000,
+) -> DataFrame:
+    """Deterministic hash-based train/val/test assignment — the split
+    every training pipeline needs to be STABLE across reruns, machines,
+    and engines: membership depends only on the row's id (56 md5 bits →
+    bucket in [0, buckets)), never on partitioning, sampling order, or a
+    seed table. Adding documents never moves existing ones between
+    splits (the holdout-contamination guarantee).
+
+    Appends ``split`` ∈ {'train','val','test'}: buckets
+    ``[0, train·buckets)`` → train, ``[…, (train+val)·buckets)`` → val,
+    rest → test. Narrow projection — zero shuffle, zero UDF.
+    """
+    if not 0 < train + val < 1:
+        raise ValueError("train + val must be in (0, 1)")
+    b = (
+        F.conv(F.substring(F.md5(F.col(id_col).cast("string")), 1, 14), 16, 10)
+        .cast("long")
+        % buckets
+    )
+    t_hi = int(train * buckets)
+    v_hi = int((train + val) * buckets)
+    return df.withColumn(
+        "split",
+        F.when(b < t_hi, F.lit("train"))
+        .when(b < v_hi, F.lit("val"))
+        .otherwise(F.lit("test")),
+    )

@@ -43,18 +43,23 @@ def query(name: str, oracle: str | None = None):
 
 
 #: Driver-visibility rotation (round 6). The driver's correctness run samples
-#: the FIRST 50 registry entries; with 88 oracle-backed queries, 38 must sit
-#: past the window each round. Policy: the least-driver-certified queries get
-#: the visible slots, so no oracle query goes more than ~2 rounds without
-#: driver re-certification. This round the two pools SWAP BACK (the round-5
-#: VERDICT's explicit ask #3): _PROMOTED = the 38 queries demoted in round 5,
-#: whose last driver certification is CORRECTNESS_r04 (2 rounds stale by
-#: now). _DEMOTED = the 38 queries promoted in round 5, each freshly
-#: certified in CORRECTNESS_r05 (rows+schema+hash). The 12 middle-tier
-#: queries (q01 q04 q08 q19 q20 q21 q22 q29 q37 q45 q50 q51) keep their
-#: in-window slots and were also r5-certified. All demoted queries remain
-#: fully oracle-checked locally every session (tests/test_oracle_parity.py
-#: runs the ENTIRE registry against DuckDB at sf0.01).
+#: the FIRST 50 registry entries; with 102 oracle-backed queries, the rest
+#: must sit past the window each round. Policy: the least-driver-certified
+#: queries get the visible slots, so no oracle query goes more than ~2 rounds
+#: without driver re-certification. This round the two pools SWAP BACK (the
+#: round-5 VERDICT's explicit ask #3): _PROMOTED = the round-6 additions
+#: (q102-q115, never driver-certified — they take slots first) plus the 38
+#: queries demoted in round 5, whose last driver certification is
+#: CORRECTNESS_r04 (2 rounds stale by now). _DEMOTED = the 38 queries
+#: promoted in round 5, each freshly certified in CORRECTNESS_r05
+#: (rows+schema+hash). The 12 middle-tier queries (q01 q04 q08 q19 q20 q21
+#: q22 q29 q37 q45 q50 q51, all r5-certified) fill any remaining window
+#: slots. _PROMOTED now slightly overflows the window (51 entries for 50
+#: slots — q74, alphabetically last, sits at slot 51); with 102 oracle
+#: queries and a 50-slot window, one 2-round-stale query per round is the
+#: floor. All demoted queries remain fully oracle-checked locally every
+#: session (tests/test_oracle_parity.py runs the ENTIRE registry against
+#: DuckDB at sf0.01).
 _PROMOTED = (
     # round-6 additions — never driver-certified, so they take visible
     # slots first (same rule that promoted the round-5 additions last round)
@@ -65,6 +70,8 @@ _PROMOTED = (
     "q113_winsorize",
     "q114_rrf_fusion",
     "q115_label_propagation",
+    "q116_table_fingerprint",
+    "q117_train_val_test",
     "q103_tf_cosine_pairs",
     "q104_seasonal_anomaly",
     "q105_trend_slope",

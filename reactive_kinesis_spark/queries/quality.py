@@ -88,3 +88,95 @@ def q112_quality_checks(spark: SparkSession, sf_dir: str) -> DataFrame:
         foreign_keys=[("o_custkey", customer, "c_custkey")],
     )
     return out.orderBy("check_name", "column_name")
+
+
+@query(
+    "q116_table_fingerprint",
+    oracle="""
+    SELECT o_orderstatus AS status,
+           CAST(COUNT(*) AS BIGINT) AS n_rows,
+           SUM(CAST(CAST(('0x' || substr(md5(
+               concat_ws(chr(31),
+                 coalesce(CAST(o_orderkey AS VARCHAR), '<NULL>'),
+                 coalesce(CAST(o_custkey AS VARCHAR), '<NULL>'),
+                 coalesce(CAST(o_orderdate AS VARCHAR), '<NULL>'))
+           ), 1, 14)) AS BIGINT) AS DECIMAL(38,0))) AS fingerprint
+    FROM orders
+    GROUP BY o_orderstatus
+    ORDER BY status
+    """,
+)
+def q116_table_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-status content fingerprint of the orders table — the
+    order-independent multiset hash (Σ of 56-bit md5 slices, exact
+    DECIMAL(38,0) sum) used to validate snapshot equality after a
+    migration/backfill without sorting or moving the data: one scan, one
+    map-side-combined agg. Engine-portable by construction (md5 and
+    decimal addition, not engine hash functions). See
+    :func:`io.table_fingerprint`."""
+    from reactive_kinesis_spark.io import table_fingerprint
+
+    orders = load_table(spark, sf_dir, "orders")
+    fp = table_fingerprint(
+        orders,
+        ["o_orderkey", "o_custkey", "o_orderdate"],
+        group_by="o_orderstatus",
+    )
+    return fp.select(
+        F.col("o_orderstatus").alias("status"), "n_rows", "fingerprint"
+    ).orderBy("status")
+
+
+@query(
+    "q117_train_val_test",
+    oracle="""
+    WITH s AS (
+        SELECT lang,
+               CASE
+                 WHEN (CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 14))
+                       AS BIGINT) % 1000) < 980 THEN 'train'
+                 WHEN (CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 14))
+                       AS BIGINT) % 1000) < 990 THEN 'val'
+                 ELSE 'test'
+               END AS split
+        FROM documents
+    ),
+    c AS (
+        SELECT lang, split, CAST(COUNT(*) AS BIGINT) AS n_docs
+        FROM s GROUP BY lang, split
+    )
+    SELECT lang, split, n_docs,
+           CAST(n_docs AS DOUBLE)
+             / CAST(SUM(n_docs) OVER (PARTITION BY lang) AS DOUBLE) AS frac
+    FROM c
+    ORDER BY lang, split
+    """,
+)
+def q117_train_val_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic 98/1/1 train/val/test assignment over documents,
+    reported per language — membership is a pure function of doc_id
+    (56 md5 bits → bucket), so reruns, engines, and partitionings agree
+    bit-for-bit and later ingests never move existing docs across the
+    holdout boundary. Zero-shuffle assignment; one count agg + a tiny
+    window for the fractions. See
+    :func:`operators.text.train_val_test_split`."""
+    from reactive_kinesis_spark.operators.text import train_val_test_split
+
+    from pyspark.sql import Window
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "lang")
+    c = (
+        train_val_test_split(docs, "doc_id", train=0.98, val=0.01)
+        .groupBy("lang", "split")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_docs"))
+    )
+    w = Window.partitionBy("lang")
+    return c.select(
+        "lang",
+        "split",
+        "n_docs",
+        (
+            F.col("n_docs").cast("double")
+            / F.sum("n_docs").over(w).cast("double")
+        ).alias("frac"),
+    ).orderBy("lang", "split")

@@ -110,3 +110,86 @@ def test_registry_query_shape(spark, sf_dir, ddb):
     assert list(sdf.columns) == list(ddf.columns)
     assert len(sdf) == len(ddf) == 8
     assert sorted(sdf["check_name"].unique()) == sorted(ddf["check_name"].unique())
+
+
+class TestTableFingerprint:
+    def test_order_and_partition_invariant(self, spark):
+        from reactive_kinesis_spark.io import table_fingerprint
+
+        rows = [(i, f"v{i}") for i in range(500)]
+        a = spark.createDataFrame(rows, "id long, v string").repartition(7)
+        b = spark.createDataFrame(list(reversed(rows)), "id long, v string").repartition(3)
+        fa = table_fingerprint(a, ["id", "v"]).collect()[0]
+        fb = table_fingerprint(b, ["id", "v"]).collect()[0]
+        assert (fa.n_rows, fa.fingerprint) == (fb.n_rows, fb.fingerprint) == (500, fb.fingerprint)
+
+    def test_detects_single_row_change(self, spark):
+        from reactive_kinesis_spark.io import table_fingerprint
+
+        rows = [(i, f"v{i}") for i in range(100)]
+        a = spark.createDataFrame(rows, "id long, v string")
+        mutated = [(i, "MUTATED" if i == 57 else f"v{i}") for i in range(100)]
+        b = spark.createDataFrame(mutated, "id long, v string")
+        fa = table_fingerprint(a, ["id", "v"]).collect()[0]
+        fb = table_fingerprint(b, ["id", "v"]).collect()[0]
+        assert fa.n_rows == fb.n_rows
+        assert fa.fingerprint != fb.fingerprint
+
+    def test_null_vs_sentinel_distinct(self, spark):
+        from reactive_kinesis_spark.io import table_fingerprint
+
+        a = spark.createDataFrame([(1, None)], "id long, v string")
+        b = spark.createDataFrame([(1, "<NULL>")], "id long, v string")
+        # the sentinel row and the NULL row hash identically by design
+        # (documented canonicalization) — but a different sentinel-free
+        # value must differ
+        c = spark.createDataFrame([(1, "x")], "id long, v string")
+        fa = table_fingerprint(a, ["id", "v"]).collect()[0].fingerprint
+        fc = table_fingerprint(c, ["id", "v"]).collect()[0].fingerprint
+        assert fa != fc
+
+    def test_grouped(self, spark):
+        from reactive_kinesis_spark.io import table_fingerprint
+
+        df = spark.createDataFrame(
+            [("a", 1), ("a", 2), ("b", 3)], "g string, x long"
+        )
+        out = {r.g: (r.n_rows, r.fingerprint) for r in
+               table_fingerprint(df, ["x"], group_by="g").collect()}
+        assert out["a"][0] == 2 and out["b"][0] == 1
+        assert out["a"][1] != out["b"][1]
+
+
+class TestTrainValTestSplit:
+    def test_membership_is_stable_under_ingest(self, spark):
+        from reactive_kinesis_spark.operators.text import train_val_test_split
+
+        small = spark.range(0, 1000).withColumnRenamed("id", "doc_id")
+        big = spark.range(0, 5000).withColumnRenamed("id", "doc_id")
+        s1 = {r.doc_id: r.split for r in train_val_test_split(small, "doc_id").collect()}
+        s2 = {r.doc_id: r.split for r in train_val_test_split(big, "doc_id").collect()}
+        # adding 4000 docs moves NO existing assignment
+        assert all(s2[k] == v for k, v in s1.items())
+
+    def test_proportions_roughly_hold(self, spark):
+        from reactive_kinesis_spark.operators.text import train_val_test_split
+
+        df = spark.range(0, 20000).withColumnRenamed("id", "doc_id")
+        counts = dict(
+            (r.split, r.c)
+            for r in train_val_test_split(df, "doc_id", train=0.8, val=0.1)
+            .groupBy("split").agg(F.count(F.lit(1)).alias("c")).collect()
+        )
+        n = sum(counts.values())
+        assert n == 20000
+        assert abs(counts["train"] / n - 0.8) < 0.02
+        assert abs(counts["val"] / n - 0.1) < 0.02
+        assert abs(counts["test"] / n - 0.1) < 0.02
+
+    def test_invalid_fractions_rejected(self, spark):
+        import pytest
+        from reactive_kinesis_spark.operators.text import train_val_test_split
+
+        df = spark.range(5).withColumnRenamed("id", "doc_id")
+        with pytest.raises(ValueError, match="train"):
+            train_val_test_split(df, "doc_id", train=0.99, val=0.02)
