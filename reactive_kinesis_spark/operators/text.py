@@ -1231,3 +1231,77 @@ def train_val_test_split(
         .when(b < v_hi, F.lit("val"))
         .otherwise(F.lit("test")),
     )
+
+
+def sorted_neighborhood_pairs(
+    df: DataFrame,
+    sort_col: str,
+    id_col: str,
+    block_expr: Column,
+    window: int = 2,
+    max_distance: int | None = None,
+) -> DataFrame:
+    """Sorted-neighborhood candidate generation for entity resolution —
+    the OTHER classic blocking scheme next to
+    :func:`edit_distance_pairs`' equality blocks: sort records within a
+    block and compare each record only to its next ``window`` neighbors
+    in sort order. Robust where equality blocking is brittle (typos in
+    the block key move a record a few positions, not into a different
+    block), at the price of missing pairs that sort far apart —
+    production ER runs BOTH and unions the candidates (multi-pass SN).
+
+    Scale shape: ONE block-keyed exchange; the sort is per-block (window
+    ``partitionBy(block) orderBy(sort, id)``), never global — the
+    textbook single-sort formulation would funnel the corpus through one
+    partition. Each record emits ≤ ``window`` pairs, so the candidate
+    set is O(n·window) by construction. Pairs that straddle block
+    boundaries are missed — the documented multi-pass tradeoff.
+
+    Output: ``(id_1, id_2, name_1, name_2, distance)`` (distance =
+    Levenshtein; rows filtered to ``<= max_distance`` when given, using
+    Spark's bounded early-exit form).
+    """
+    from pyspark.sql import Window
+
+    if window < 1:
+        raise ValueError("window must be >= 1")
+    w = Window.partitionBy("__blk").orderBy(sort_col, id_col)
+    s = df.select(
+        F.col(id_col), F.col(sort_col), block_expr.alias("__blk")
+    )
+    neighbors = F.array(
+        *[
+            F.struct(
+                F.lead(id_col, k).over(w).alias("id"),
+                F.lead(sort_col, k).over(w).alias("name"),
+            )
+            for k in range(1, window + 1)
+        ]
+    )
+    with_nbrs = s.select(
+        F.col(id_col).alias("id_1"),
+        F.col(sort_col).alias("name_1"),
+        neighbors.alias("__ns"),
+    )
+    pairs = (
+        with_nbrs.select("id_1", "name_1", F.explode("__ns").alias("__n"))
+        .where(F.col("__n.id").isNotNull())
+        .select(
+            "id_1",
+            F.col("__n.id").alias("id_2"),
+            "name_1",
+            F.col("__n.name").alias("name_2"),
+        )
+    )
+    if max_distance is not None:
+        dist = F.levenshtein("name_1", "name_2", max_distance)
+        pairs = (
+            pairs.withColumn("distance", dist.cast("long"))
+            .where(F.col("distance") >= 0)
+            .where(F.col("distance") <= max_distance)
+        )
+    else:
+        pairs = pairs.withColumn(
+            "distance", F.levenshtein("name_1", "name_2").cast("long")
+        )
+    return pairs

@@ -72,6 +72,8 @@ _PROMOTED = (
     "q115_label_propagation",
     "q116_table_fingerprint",
     "q117_train_val_test",
+    "q118_sorted_neighborhood",
+    "q119_equidepth_histogram",
     "q103_tf_cosine_pairs",
     "q104_seasonal_anomaly",
     "q105_trend_slope",

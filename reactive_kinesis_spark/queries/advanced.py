@@ -931,3 +931,63 @@ def q113_winsorize(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type")
     )
+
+
+@query(
+    "q119_equidepth_histogram",
+    oracle="""
+    WITH cuts AS (
+        SELECT quantile_cont(l_extendedprice,
+                   [0.125, 0.25, 0.375, 0.5, 0.625, 0.75, 0.875]) AS c
+        FROM lineitem
+    ),
+    b AS (
+        SELECT 1 + len(list_filter(cuts.c, x -> l_extendedprice > x)) AS bucket,
+               l_extendedprice AS v
+        FROM lineitem, cuts
+    )
+    SELECT CAST(bucket AS BIGINT) AS bucket,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           MIN(v) AS lo, MAX(v) AS hi
+    FROM b GROUP BY bucket ORDER BY bucket
+    """,
+)
+def q119_equidepth_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Equi-depth (equal-frequency) 8-bucket histogram of
+    ``l_extendedprice`` — the optimizer-stats / drift-monitoring summary
+    — computed the SCALABLE way: one aggregate finds the 7 exact
+    percentile boundaries, then a broadcast of those 7 doubles + a
+    Catalyst higher-order fold assigns buckets in a second narrow pass.
+    No ``ntile``: the textbook global-ntile formulation funnels the
+    entire table through a single-partition sort, the canonical 100 TB
+    failure mode. Two scans, two tiny shuffles, zero sorts of the data.
+    """
+    li = load_table(spark, sf_dir, "lineitem").select(
+        F.col("l_extendedprice").alias("v")
+    )
+    cuts = li.agg(
+        F.expr(
+            "percentile(v, array(0.125D, 0.25D, 0.375D, 0.5D, "
+            "0.625D, 0.75D, 0.875D))"
+        ).alias("c")
+    )
+    b = li.crossJoin(F.broadcast(cuts)).select(
+        (
+            F.lit(1)
+            + F.aggregate(
+                F.col("c"),
+                F.lit(0),
+                lambda acc, x: acc + F.when(F.col("v") > x, 1).otherwise(0),
+            )
+        ).cast("long").alias("bucket"),
+        "v",
+    )
+    return (
+        b.groupBy("bucket")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n"),
+            F.min("v").alias("lo"),
+            F.max("v").alias("hi"),
+        )
+        .orderBy("bucket")
+    )

@@ -778,3 +778,51 @@ def q108_merge_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
     return merge_upsert(cust, updates, ["c_custkey"]).orderBy(
         "c_custkey", "c_mktsegment"
     )
+
+
+@query(
+    "q118_sorted_neighborhood",
+    oracle="""
+    WITH p AS (
+        SELECT p_partkey, p_name, string_split(p_name, ' ')[1] AS blk
+        FROM part WHERE p_partkey < 2000
+    ),
+    s AS (
+        SELECT p_partkey, p_name,
+               LEAD(p_name, 1) OVER w AS n1, LEAD(p_partkey, 1) OVER w AS i1,
+               LEAD(p_name, 2) OVER w AS n2, LEAD(p_partkey, 2) OVER w AS i2
+        FROM p WINDOW w AS (PARTITION BY blk ORDER BY p_name, p_partkey)
+    ),
+    pairs AS (
+        SELECT p_partkey AS id_1, i1 AS id_2, p_name AS name_1, n1 AS name_2
+        FROM s WHERE i1 IS NOT NULL
+        UNION ALL
+        SELECT p_partkey, i2, p_name, n2 FROM s WHERE i2 IS NOT NULL
+    )
+    SELECT id_1, id_2, name_1, name_2,
+           CAST(levenshtein(name_1, name_2) AS BIGINT) AS distance
+    FROM pairs
+    WHERE levenshtein(name_1, name_2) <= 6
+    ORDER BY id_1, id_2
+    """,
+)
+def q118_sorted_neighborhood(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Entity-resolution candidates by sorted-neighborhood blocking: parts
+    sorted within their leading-token block, each compared to its next 2
+    neighbors, kept within 6 edits — the complementary blocking pass to
+    q106's equality blocks (multi-pass ER unions both). One block-keyed
+    exchange, O(n·window) candidates by construction, bounded-early-exit
+    Levenshtein. See :func:`operators.text.sorted_neighborhood_pairs`."""
+    from reactive_kinesis_spark.operators.text import sorted_neighborhood_pairs
+
+    part = load_table(spark, sf_dir, "part").where(F.col("p_partkey") < 2000)
+    return sorted_neighborhood_pairs(
+        part,
+        "p_name",
+        "p_partkey",
+        F.split(F.col("p_name"), " ").getItem(0),
+        window=2,
+        max_distance=6,
+    ).select(
+        "id_1", "id_2", "name_1", "name_2", "distance"
+    ).orderBy("id_1", "id_2")

@@ -365,3 +365,71 @@ class TestWinsorize:
             assert r.n_clamped_low <= r.n * 0.05 + 1
             assert r.n_clamped_high <= r.n * 0.05 + 1
             assert r.n_clamped_low > 0 or r.n < 40
+
+
+class TestSortedNeighborhood:
+    def _parts(self, spark, rows):
+        return spark.createDataFrame(rows, schema="id long, name string")
+
+    def test_adjacent_pairs_within_block(self, spark):
+        from reactive_kinesis_spark.operators.text import sorted_neighborhood_pairs
+
+        rows = [(1, "aa x"), (2, "ab x"), (3, "ac x"), (4, "zz y")]
+        out = sorted_neighborhood_pairs(
+            self._parts(spark, rows), "name", "id",
+            F.split(F.col("name"), " ").getItem(1), window=2,
+        ).collect()
+        got = {(r.id_1, r.id_2) for r in out}
+        # block "x": sorted aa<ab<ac -> (1,2),(1,3),(2,3); block "y": alone
+        assert got == {(1, 2), (1, 3), (2, 3)}
+
+    def test_block_boundaries_isolate(self, spark):
+        from reactive_kinesis_spark.operators.text import sorted_neighborhood_pairs
+
+        rows = [(1, "aa p"), (2, "aa q")]
+        out = sorted_neighborhood_pairs(
+            self._parts(spark, rows), "name", "id",
+            F.split(F.col("name"), " ").getItem(1), window=3,
+        ).collect()
+        assert out == []  # different blocks -> never compared
+
+    def test_distance_threshold_early_exit(self, spark):
+        from reactive_kinesis_spark.operators.text import sorted_neighborhood_pairs
+
+        rows = [(1, "abcdef g"), (2, "abcxef g"), (3, "zzzzzz g")]
+        out = {
+            (r.id_1, r.id_2): r.distance
+            for r in sorted_neighborhood_pairs(
+                self._parts(spark, rows), "name", "id",
+                F.split(F.col("name"), " ").getItem(1),
+                window=2, max_distance=2,
+            ).collect()
+        }
+        assert out == {(1, 2): 1}  # zzzzzz is adjacent but beyond 2 edits
+
+    def test_window_validated(self, spark):
+        import pytest
+        from reactive_kinesis_spark.operators.text import sorted_neighborhood_pairs
+
+        with pytest.raises(ValueError, match="window"):
+            sorted_neighborhood_pairs(
+                self._parts(spark, [(1, "a b")]), "name", "id",
+                F.lit("x"), window=0,
+            )
+
+
+class TestEquidepthHistogram:
+    def test_buckets_partition_the_table(self, spark, sf_dir):
+        from reactive_kinesis_spark.queries import load_all
+        from reactive_kinesis_spark.tables import load_table
+
+        rows = load_all()["q119_equidepth_histogram"].fn(spark, sf_dir).collect()
+        total = load_table(spark, sf_dir, "lineitem").count()
+        assert sum(r.n for r in rows) == total
+        assert [r.bucket for r in rows] == sorted(r.bucket for r in rows)
+        # equi-depth: every bucket within 2x of the ideal eighth
+        ideal = total / 8
+        assert all(0.5 * ideal <= r.n <= 2 * ideal for r in rows)
+        # bucket ranges are ordered and non-overlapping
+        for a, b in zip(rows, rows[1:]):
+            assert a.hi <= b.lo
