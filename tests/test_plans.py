@@ -472,3 +472,69 @@ def test_rrf_rankings_cut_by_distributed_topk(spark, sf_dir):
     # two ranking cuts + the final top-100
     assert len(re.findall(r"^\(\d+\) TakeOrderedAndProject", plan, re.M)) >= 3
     assert "CartesianProduct" not in plan
+
+
+def test_lpa_rounds_read_materialized_frames(spark, sf_dir):
+    """q115: each propagation round must join against the MATERIALIZED
+    adjacency (ExistingRDD), never re-derive the co-supply pipeline; the
+    final-round plan is one join + count + argmin on a handful of
+    exchanges."""
+    import re
+
+    plan = _plan(load_all()["q115_label_propagation"].fn(spark, sf_dir))
+    assert "CartesianProduct" not in plan
+    assert len(re.findall(r"^\(\d+\) Scan parquet", plan, re.M)) == 0
+    assert len(re.findall(r"^\(\d+\) Scan ExistingRDD", plan, re.M)) >= 1
+    assert len(re.findall(r"^\(\d+\) Exchange", plan, re.M)) <= 3
+
+
+def test_fingerprint_is_one_scan_map_side_combined(spark, sf_dir):
+    """q116: the multiset hash must be one scan + partial/final agg —
+    the decimal sum combines map-side, so a 100 TB audit moves only
+    per-group partials."""
+    import re
+
+    plan = _plan(load_all()["q116_table_fingerprint"].fn(spark, sf_dir))
+    assert "Join" not in plan
+    assert len(re.findall(r"^\(\d+\) Scan parquet", plan, re.M)) == 1
+    assert plan.count("HashAggregate") >= 2
+    assert "partial_" in plan
+
+
+def test_split_assignment_is_narrow(spark, sf_dir):
+    """q117: split assignment itself must add NO exchange — the only
+    shuffles are the (lang, split) count agg and the tiny fraction
+    window."""
+    import re
+
+    plan = _plan(load_all()["q117_train_val_test"].fn(spark, sf_dir))
+    assert "Join" not in plan
+    assert len(re.findall(r"^\(\d+\) Scan parquet", plan, re.M)) == 1
+    assert len(re.findall(r"^\(\d+\) Exchange", plan, re.M)) <= 3
+
+
+def test_sorted_neighborhood_is_one_block_exchange(spark, sf_dir):
+    """q118: per-block windows on ONE block-keyed exchange — the global-
+    sort formulation of sorted-neighborhood (single partition) must never
+    appear; candidates come from a Generate, not a join."""
+    import re
+
+    plan = _plan(load_all()["q118_sorted_neighborhood"].fn(spark, sf_dir))
+    assert "Join" not in plan
+    assert len(re.findall(r"^\(\d+\) Scan parquet", plan, re.M)) == 1
+    assert len(re.findall(r"^\(\d+\) Exchange", plan, re.M)) <= 2
+    assert "Generate" in plan
+    # the window exchange is block-keyed (hashpartitioning), never global
+    assert "SinglePartition" not in plan
+
+
+def test_histogram_never_sorts_the_table(spark, sf_dir):
+    """q119: equi-depth buckets come from percentile boundaries + a
+    broadcast HOF assignment — two scans, one 1-row broadcast, and NO
+    window/ntile over the data."""
+    import re
+
+    plan = _plan(load_all()["q119_equidepth_histogram"].fn(spark, sf_dir))
+    assert "Window" not in plan  # no global ntile
+    assert len(re.findall(r"^\(\d+\) Scan parquet", plan, re.M)) == 2
+    assert len(re.findall(r"^\(\d+\) BroadcastNestedLoopJoin", plan, re.M)) == 1
