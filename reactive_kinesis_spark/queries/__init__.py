@@ -54,10 +54,10 @@ def query(name: str, oracle: str | None = None):
 #: promoted in round 5, each freshly certified in CORRECTNESS_r05
 #: (rows+schema+hash). The 12 middle-tier queries (q01 q04 q08 q19 q20 q21
 #: q22 q29 q37 q45 q50 q51, all r5-certified) fill any remaining window
-#: slots. _PROMOTED now slightly overflows the window (51 entries for 50
-#: slots — q74, alphabetically last, sits at slot 51); with 102 oracle
-#: queries and a 50-slot window, one 2-round-stale query per round is the
-#: floor. All demoted queries remain fully oracle-checked locally every
+#: slots. _PROMOTED now overflows the window (55 entries for 50 slots —
+#: the alphabetically-last r4-certified five sit just past it); with 106
+#: oracle queries and a 50-slot window, a handful of 2-round-stale
+#: queries per round is the floor. All demoted queries remain fully oracle-checked locally every
 #: session (tests/test_oracle_parity.py runs the ENTIRE registry against
 #: DuckDB at sf0.01).
 _PROMOTED = (
