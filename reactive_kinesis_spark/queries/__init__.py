@@ -74,6 +74,7 @@ _PROMOTED = (
     "q117_train_val_test",
     "q118_sorted_neighborhood",
     "q119_equidepth_histogram",
+    "q120_pit_join",
     "q103_tf_cosine_pairs",
     "q104_seasonal_anomaly",
     "q105_trend_slope",

@@ -1154,3 +1154,88 @@ def flag_against_baseline(
     return base.join(F.broadcast(baseline), ["key", "hod"]).where(
         F.abs(F.col("value") - F.col("slot_mean")) > n_sigma * F.col("slot_sigma")
     ).select("event_id", "key", "hod", "value", "slot_mean", "slot_sigma", "slot_n")
+
+
+@query(
+    "q120_pit_join",
+    oracle=f"""
+    WITH ordered AS (
+        SELECT user_id AS key, event_type AS state, ts, event_id,
+               lag(event_type) OVER w AS prev,
+               ROW_NUMBER() OVER w AS rn
+        FROM events
+        WHERE ts IS NOT NULL AND event_id IS NOT NULL
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ),
+    changes AS (
+        SELECT key, state, ts AS valid_from FROM ordered
+        WHERE rn = 1 OR state IS DISTINCT FROM prev
+    ),
+    versions AS (
+        SELECT key, valid_from, MAX(state) AS state
+        FROM changes GROUP BY key, valid_from
+    ),
+    facts AS (
+        SELECT user_id AS key, event_id,
+               ts + INTERVAL 30 MINUTE AS fts, value
+        FROM events WHERE ts IS NOT NULL AND event_id IS NOT NULL
+    ),
+    j AS (
+        SELECT f.event_id, f.value, v.state,
+               ROW_NUMBER() OVER (
+                   PARTITION BY f.event_id ORDER BY v.valid_from DESC
+               ) AS rn
+        FROM facts f JOIN versions v
+          ON f.key = v.key AND v.valid_from <= f.fts
+    )
+    SELECT state,
+           CAST(COUNT(*) AS BIGINT) AS n_facts,
+           {davg_sql('value', 'avg_value')}
+    FROM j WHERE rn = 1
+    GROUP BY state ORDER BY state
+    """,
+)
+def q120_pit_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Point-in-time join — the feature-store-correctness query: each
+    fact (an event observed 30 minutes after its timestamp) is joined to
+    the dimension version that was CURRENT at observation time, never a
+    later one (no feature leakage). Composition of two engine
+    primitives: :func:`scd2_intervals` builds the version history,
+    :func:`operators.relational.asof_join` resolves each fact with ONE
+    key-keyed shuffle (union+window — never the O(n·m) interval join the
+    oracle runs). Versions are pre-deduped to unique (key, valid_from)
+    (max-state, deterministic) per the as-of contract. Exact-decimal
+    means."""
+    from reactive_kinesis_spark.functions import davg
+
+    ev = load_table(spark, sf_dir, "events").where(
+        F.col("ts").isNotNull() & F.col("event_id").isNotNull()
+    )
+    dim = (
+        scd2_intervals(ev)
+        .groupBy("key", "valid_from")
+        .agg(F.max("state").alias("state"))
+    )
+    facts = ev.select(
+        F.col("user_id").alias("key"),
+        "event_id",
+        (F.col("ts") + F.expr("INTERVAL 30 MINUTES")).alias("fts"),
+        "value",
+    )
+    pit = asof_join(
+        facts,
+        dim,
+        key="key",
+        right_key="key",
+        left_time="fts",
+        right_time="valid_from",
+        right_value_cols=["state"],
+    )
+    return (
+        pit.groupBy("state")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_facts"),
+            davg("value", "avg_value"),
+        )
+        .orderBy("state")
+    )

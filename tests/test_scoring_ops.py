@@ -433,3 +433,44 @@ class TestEquidepthHistogram:
         # bucket ranges are ordered and non-overlapping
         for a, b in zip(rows, rows[1:]):
             assert a.hi <= b.lo
+
+
+class TestPITJoin:
+    def test_no_feature_leakage(self, spark):
+        """A fact observed just before a dimension change must see the OLD
+        state; just after, the NEW state — the PIT guarantee."""
+        import datetime as dt
+        from reactive_kinesis_spark.operators.relational import asof_join
+        from reactive_kinesis_spark.queries.events import scd2_intervals
+
+        t = dt.datetime(2024, 1, 1)
+        ev = spark.createDataFrame(
+            [
+                (1, t, 7, "bronze", 0.0, None),
+                (2, t + dt.timedelta(hours=2), 7, "gold", 0.0, None),
+            ],
+            schema="event_id long, ts timestamp, user_id long, "
+                   "event_type string, value double, props string",
+        )
+        dim = (
+            scd2_intervals(ev)
+            .groupBy("key", "valid_from")
+            .agg(F.max("state").alias("state"))
+        )
+        facts = spark.createDataFrame(
+            [
+                (100, 7, t + dt.timedelta(hours=1, minutes=59)),
+                (101, 7, t + dt.timedelta(hours=2)),
+                (102, 7, t + dt.timedelta(hours=3)),
+            ],
+            schema="fid long, key long, fts timestamp",
+        )
+        out = {
+            r.fid: r.state
+            for r in asof_join(
+                facts, dim, key="key", right_key="key",
+                left_time="fts", right_time="valid_from",
+                right_value_cols=["state"],
+            ).collect()
+        }
+        assert out == {100: "bronze", 101: "gold", 102: "gold"}
