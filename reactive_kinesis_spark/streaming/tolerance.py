@@ -105,3 +105,64 @@ def tolerant_foreach_batch(
                 df.unpersist()
 
     return run
+
+
+class QualityGateError(RuntimeError):
+    """A micro-batch failed the constraint suite and halt_on_fail is set."""
+
+    def __init__(self, batch_id: int, failed_checks: list):
+        self.batch_id = batch_id
+        self.failed_checks = failed_checks
+        names = ", ".join(
+            f"{r['check_name']}({r['column_name']})={r['violations']}"
+            for r in failed_checks
+        )
+        super().__init__(f"batch {batch_id} failed quality gate: {names}")
+
+
+def quality_gate_foreach_batch(
+    checks: dict,
+    process: Callable[[DataFrame, int], None],
+    quarantine: Callable[[DataFrame, int], None] | None = None,
+    halt_on_fail: bool = False,
+    on_report: Callable[[list, int], None] | None = None,
+) -> Callable[[DataFrame, int], None]:
+    """Batch-level admission control: run the declarative constraint
+    suite (:func:`operators.quality.check_constraints`; ``checks`` are
+    its keyword arguments) on every micro-batch and gate the WHOLE batch
+    — the coarse-grained companion to :func:`tolerant_foreach_batch`'s
+    per-record skip/DLQ (reference analog: the tolerance layer halts on
+    exceeded per-record failure rates; this halts/quarantines on suite
+    failures like schema regressions or broken referential integrity,
+    which are batch-shaped, not record-shaped).
+
+    On a failing suite: raise :class:`QualityGateError` if
+    ``halt_on_fail`` (stops the query — operator intervention), else
+    route the batch to ``quarantine`` (or drop it if None). ``on_report``
+    receives the full check report (a tiny list — one row per check) for
+    every batch, pass/fail — the metrics feed.
+
+    The batch is persisted across the two consumptions (check pass +
+    sink) so the source isn't re-read.
+    """
+
+    def run(batch_df: DataFrame, batch_id: int) -> None:
+        from reactive_kinesis_spark.operators.quality import check_constraints
+
+        pinned = batch_df.persist()
+        try:
+            report = [r.asDict() for r in check_constraints(pinned, **checks).collect()]
+            if on_report is not None:
+                on_report(report, batch_id)
+            failed = [r for r in report if not r["passed"]]
+            if failed:
+                if halt_on_fail:
+                    raise QualityGateError(batch_id, failed)
+                if quarantine is not None:
+                    quarantine(pinned, batch_id)
+                return
+            process(pinned, batch_id)
+        finally:
+            pinned.unpersist()
+
+    return run

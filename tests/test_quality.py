@@ -193,3 +193,69 @@ class TestTrainValTestSplit:
         df = spark.range(5).withColumnRenamed("id", "doc_id")
         with pytest.raises(ValueError, match="train"):
             train_val_test_split(df, "doc_id", train=0.99, val=0.02)
+
+
+class TestQualityGate:
+    def _gate(self, **kw):
+        from reactive_kinesis_spark.streaming.tolerance import (
+            quality_gate_foreach_batch,
+        )
+
+        return quality_gate_foreach_batch(**kw)
+
+    def test_clean_batch_passes_through(self, spark):
+        seen = []
+        run = self._gate(
+            checks={"not_null": ("id",)},
+            process=lambda df, bid: seen.append((bid, df.count())),
+        )
+        run(spark.createDataFrame([(1,), (2,)], "id long"), 7)
+        assert seen == [(7, 2)]
+
+    def test_failing_batch_quarantined_not_processed(self, spark):
+        processed, quarantined, reports = [], [], []
+        run = self._gate(
+            checks={"not_null": ("id",)},
+            process=lambda df, bid: processed.append(bid),
+            quarantine=lambda df, bid: quarantined.append((bid, df.count())),
+            on_report=lambda rep, bid: reports.append(rep),
+        )
+        run(spark.createDataFrame([(1,), (None,)], "id long"), 3)
+        assert processed == []
+        assert quarantined == [(3, 2)]  # the WHOLE batch moves
+        assert any(not r["passed"] for r in reports[0])
+
+    def test_halt_on_fail_raises(self, spark):
+        import pytest
+        from reactive_kinesis_spark.streaming.tolerance import QualityGateError
+
+        run = self._gate(
+            checks={"ranges": {"v": (0.0, 1.0)}},
+            process=lambda df, bid: None,
+            halt_on_fail=True,
+        )
+        with pytest.raises(QualityGateError, match="range"):
+            run(spark.createDataFrame([(5.0,)], "v double"), 1)
+
+    def test_streaming_end_to_end(self, spark, tmp_path):
+        src = str(tmp_path / "src")
+        spark.createDataFrame(
+            [(1, "a"), (2, "b")], "id long, s string"
+        ).write.parquet(src)
+        good, reports = [], []
+        run = self._gate(
+            checks={"not_null": ("id",), "unique": ("id",)},
+            process=lambda df, bid: good.append(df.count()),
+            on_report=lambda rep, bid: reports.append((bid, len(rep))),
+        )
+        q = (
+            spark.readStream.schema("id long, s string")
+            .parquet(src)
+            .writeStream.foreachBatch(run)
+            .option("checkpointLocation", str(tmp_path / "ckpt"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+        assert good == [2]
+        assert reports and reports[0][1] == 2  # both checks reported
