@@ -54,8 +54,8 @@ def query(name: str, oracle: str | None = None):
 #: promoted in round 5, each freshly certified in CORRECTNESS_r05
 #: (rows+schema+hash). The 12 middle-tier queries (q01 q04 q08 q19 q20 q21
 #: q22 q29 q37 q45 q50 q51, all r5-certified) fill any remaining window
-#: slots. _PROMOTED now overflows the window (55 entries for 50 slots —
-#: the alphabetically-last r4-certified five sit just past it); with 106
+#: slots. _PROMOTED now overflows the window (56 entries for 50 slots —
+#: the alphabetically-last r4-certified six sit just past it); with 107
 #: oracle queries and a 50-slot window, a handful of 2-round-stale
 #: queries per round is the floor. All demoted queries remain fully oracle-checked locally every
 #: session (tests/test_oracle_parity.py runs the ENTIRE registry against

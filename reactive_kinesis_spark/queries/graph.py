@@ -207,3 +207,33 @@ def q115_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     out = label_propagation(e, "a", "b", iterations=4, assume_canonical=True)
     return out.select("node", F.col("label").alias("community")).orderBy("node")
+
+
+@query("q121_weighted_pagerank")  # rows-only: iterative fixed point (q107 twin)
+def q121_weighted_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-100 nodes by EDGE-WEIGHTED PageRank over the customer↔supplier
+    graph — outbound mass splits by order-count weight (w/Σw) instead of
+    uniformly, the walk a recommender actually wants (a supplier you
+    ordered from 50 times pulls 50× the mass of a one-off). Same
+    deterministic decimal-mass loop as q107; weights pre-aggregated into
+    the edge list per the ``weight_col`` contract. Correctness: numpy
+    power-iteration differential (uniform AND weighted) in
+    tests/test_graph.py."""
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
+    orders = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    pairs = (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .groupBy(
+            F.concat(F.lit("c"), F.col("o_custkey")).alias("c"),
+            F.concat(F.lit("s"), F.col("l_suppkey")).alias("s"),
+        )
+        .agg(F.count(F.lit(1)).cast("double").alias("w"))
+    )
+    edges = pairs.select(
+        F.col("c").alias("src"), F.col("s").alias("dst"), "w"
+    ).unionAll(pairs.select(F.col("s").alias("src"), F.col("c").alias("dst"), "w"))
+    return (
+        pagerank(edges, iterations=6, weight_col="w")
+        .orderBy(F.col("rank").desc(), "node")
+        .limit(100)
+    )
