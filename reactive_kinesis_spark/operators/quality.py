@@ -21,9 +21,6 @@ from collections.abc import Iterable, Mapping, Sequence
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-_RESULT_COLS = ("check_name", "column_name", "total", "violations", "passed")
-
-
 def check_constraints(
     df: DataFrame,
     *,

@@ -1214,7 +1214,10 @@ def train_val_test_split(
 
     Appends ``split`` ∈ {'train','val','test'}: buckets
     ``[0, train·buckets)`` → train, ``[…, (train+val)·buckets)`` → val,
-    rest → test. Narrow projection — zero shuffle, zero UDF.
+    rest → test. NULL ids fall through to 'test' (the conservative side:
+    never into training data); enforce non-null ids upstream with
+    quality.check_constraints if that matters. Narrow projection — zero
+    shuffle, zero UDF.
     """
     if not 0 < train + val < 1:
         raise ValueError("train + val must be in (0, 1)")
