@@ -224,3 +224,150 @@ def with_media_meta(
             F.lit(None).cast("long").alias("duration_ms"),
         ),
     )
+
+
+def raw_gray8_decoder(blob: bytes) -> tuple[int, int, int, bytes]:
+    """Trivial codec for PRE-DECODED media: the blob already is a 64-byte
+    8×8 single-channel pixel buffer (the shape a feature store would keep
+    after thumbnailing upstream). Also the workers-importable controlled
+    codec for perceptual-hash tests."""
+    return 8, 8, 1, blob
+
+
+PHASH_SCHEMA = StructType(
+    [StructField("media_id", LongType()), StructField("phash", LongType())]
+)
+
+
+def perceptual_hash(
+    df: DataFrame,
+    decoder: Decoder | None = None,
+    id_col: str = "media_id",
+    media_col: str = "media",
+) -> DataFrame:
+    """64-bit average-hash (aHash) per media blob: decode → grayscale →
+    8×8 block-mean downsample → threshold at the mean → one bit per cell.
+    The standard cheap perceptual fingerprint: re-encodes, resizes, and
+    small edits move a few bits; unrelated images differ in ~32. Narrow
+    Arrow ``mapInPandas`` — same codec-injection contract as
+    :func:`decode_media` (NULL blob → NULL hash).
+    """
+    if decoder is None:
+        raise NotImplementedError(
+            "no media decoder available in this environment — inject one "
+            "(e.g. Pillow-based) or use multimodal.fake_decoder in tests"
+        )
+
+    def run(batches: Iterator) -> Iterator:
+        import numpy as np
+        import pandas as pd
+
+        def ahash(blob: bytes) -> int:
+            w, h, c, pixels = decoder(blob)
+            a = np.frombuffer(bytes(pixels), dtype=np.uint8).astype(np.float64)
+            a = a[: w * h * c].reshape(h, w, c).mean(axis=2)  # grayscale
+            # 8×8 nearest-neighbor resample — total for ANY w,h (block-mean
+            # grids produce empty slices when the image is smaller than
+            # 8×8, which NaN-collapses the hash)
+            yi = np.minimum(((np.arange(8) + 0.5) * h / 8).astype(int), h - 1)
+            xi = np.minimum(((np.arange(8) + 0.5) * w / 8).astype(int), w - 1)
+            cells = a[np.ix_(yi, xi)]
+            bits = (cells >= cells.mean()).flatten()
+            v = 0
+            for b in bits:
+                v = (v << 1) | int(b)
+            # two's-complement into int64
+            return v - (1 << 64) if v >= (1 << 63) else v
+
+        for pdf in batches:
+            rows = []
+            for r in pdf.itertuples(index=False):
+                raw = getattr(r, media_col)
+                rows.append(
+                    (
+                        getattr(r, id_col),
+                        None if raw is None else ahash(bytes(raw)),
+                    )
+                )
+            yield pd.DataFrame(rows, columns=["media_id", "phash"])
+
+    return df.select(id_col, media_col).mapInPandas(run, PHASH_SCHEMA)
+
+
+def phash_neardup_pairs(
+    df: DataFrame,
+    decoder: Decoder | None = None,
+    max_hamming: int = 3,
+    bands: int = 4,
+    id_col: str = "media_id",
+    media_col: str = "media",
+) -> DataFrame:
+    """Image near-duplicate pairs by banded perceptual hash — the
+    multimodal twin of the SimHash text pipeline (operators/dedup.py):
+    two blobs within ``max_hamming`` bits of aHash distance must agree
+    EXACTLY on at least one of ``bands`` disjoint hash segments
+    (pigeonhole: requires ``bands > max_hamming``), so candidates come
+    from ``bands`` cheap equality bucket-joins — never an all-pairs
+    comparison — and only candidates pay the exact popcount check.
+
+    Scale shape: hashes are 8 bytes/blob (the blobs themselves never
+    shuffle); each band join is an equality shuffle on (band, value);
+    verification is ``bit_count(xor)`` JVM-side. Hub buckets (a constant
+    band value shared by everything, e.g. letterboxed black frames) are
+    the df-cap analog — cap with ``max_bucket`` upstream if observed.
+
+    Output: ``(id_1, id_2, hamming)``, id_1 < id_2, distinct.
+    """
+    if bands <= max_hamming:
+        raise ValueError(
+            f"pigeonhole needs bands > max_hamming (got {bands} <= {max_hamming})"
+        )
+    if 64 % bands != 0:
+        raise ValueError("bands must divide 64")
+    width = 64 // bands
+    hashes = perceptual_hash(
+        df, decoder=decoder, id_col=id_col, media_col=media_col
+    ).where(F.col("phash").isNotNull())
+    mask = (1 << width) - 1
+    banded = hashes.select(
+        "media_id",
+        "phash",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band"),
+                        F.shiftrightunsigned(F.col("phash"), b * width)
+                        .bitwiseAND(F.lit(mask))
+                        .alias("val"),
+                    )
+                    for b in range(bands)
+                ]
+            )
+        ).alias("bv"),
+    ).select("media_id", "phash", "bv.band", "bv.val")
+    a = banded.alias("a")
+    b = banded.alias("b")
+    cands = (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.val") == F.col("b.val"))
+            & (F.col("a.media_id") < F.col("b.media_id")),
+        )
+        .select(
+            F.col("a.media_id").alias("id_1"),
+            F.col("b.media_id").alias("id_2"),
+            F.col("a.phash").alias("h1"),
+            F.col("b.phash").alias("h2"),
+        )
+        .dropDuplicates(["id_1", "id_2"])
+    )
+    return (
+        cands.withColumn(
+            "hamming",
+            F.expr("bit_count(h1 ^ h2)").cast("long"),
+        )
+        .where(F.col("hamming") <= max_hamming)
+        .select("id_1", "id_2", "hamming")
+    )

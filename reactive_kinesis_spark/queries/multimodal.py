@@ -127,3 +127,28 @@ def q34_media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(dot, 6).alias("self_dot"),
         F.size("embedding").alias("dim"),
     ).orderBy("media_id")
+
+
+@query("q122_media_phash_neardup")  # rows-only: sha-derived aHash, not portable SQL
+def q122_media_phash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Image near-duplicate pairs over the media corpus by banded 64-bit
+    perceptual hash (aHash, 4×16-bit pigeonhole bands, Hamming ≤ 3) — the
+    multimodal twin of the SimHash text pipeline: blobs never shuffle
+    (8-byte hashes do), candidates come from band-equality bucket joins,
+    only candidates pay the exact popcount. A 10% re-ingest of the corpus under fresh ids provides the duplicate
+    mass; with the deterministic fake codec those cross-copies land at
+    Hamming 0 (sha-avalanche pixels have no near-miss regime — a real
+    codec supplies the 1-3-bit band). See
+    :func:`operators.multimodal.phash_neardup_pairs`."""
+    base = _media_frame(spark, sf_dir)
+    # simulate a partial re-ingest: 10% of the corpus re-appears under new
+    # media_ids (same bytes — a re-uploaded image). The pipeline's job is
+    # to find exactly those cross-copy pairs.
+    reingest = base.where(F.col("media_id") % 10 == 0).withColumn(
+        "media_id", F.col("media_id") + F.lit(10_000_000)
+    )
+    media = base.unionByName(reingest)
+    return (
+        M.phash_neardup_pairs(media, decoder=M.fake_decoder)
+        .orderBy("id_1", "id_2")
+    )

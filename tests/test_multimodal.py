@@ -72,3 +72,90 @@ def test_frame_sample_explodes_by_duration(spark):
     assert len(by_id[2]) == 1
     assert sorted(r.frame_idx for r in by_id[1]) == list(range(5))
     assert all(len(r.frame) > 0 for r in out)
+
+
+# ---------------------------------------------------------------------------
+# perceptual-hash near-dup
+# ---------------------------------------------------------------------------
+
+
+def _gray8(vals):
+    """64 grayscale bytes as a raw 8x8x1 'image' blob."""
+    return bytes(vals)
+
+
+def _identity_decoder():
+    # package-level codec: importable on executors (a module-local function
+    # would pickle by reference to the unimportable test module)
+    from reactive_kinesis_spark.operators.multimodal import raw_gray8_decoder
+
+    return raw_gray8_decoder
+
+
+class TestPhashNearDup:
+    def _frame(self, spark, blobs):
+        from reactive_kinesis_spark.operators.multimodal import with_media_meta
+
+        df = spark.createDataFrame(
+            [(i, b) for i, b in enumerate(blobs)], "media_id long, media binary"
+        )
+        return df
+
+    def test_controlled_hamming_threshold(self, spark):
+        from reactive_kinesis_spark.operators.multimodal import phash_neardup_pairs
+
+        base = [200] * 32 + [10] * 32          # bits: 32 ones then 32 zeros
+        near = list(base); near[0], near[32] = 10, 200   # flip 2 bits
+        far = [200 if i % 2 else 10 for i in range(64)]  # ~32 bits away
+        df = self._frame(spark, [_gray8(base), _gray8(near), _gray8(far)])
+        out = {
+            (r.id_1, r.id_2): r.hamming
+            for r in phash_neardup_pairs(
+                df, decoder=_identity_decoder(), max_hamming=3
+            ).collect()
+        }
+        assert out == {(0, 1): 2}
+
+    def test_exact_duplicates_hamming_zero(self, spark):
+        from reactive_kinesis_spark.operators.multimodal import phash_neardup_pairs
+
+        b = _gray8(list(range(64)))
+        out = phash_neardup_pairs(
+            self._frame(spark, [b, b]), decoder=_identity_decoder()
+        ).collect()
+        assert [(r.id_1, r.id_2, r.hamming) for r in out] == [(0, 1, 0)]
+
+    def test_null_blob_skipped(self, spark):
+        from reactive_kinesis_spark.operators.multimodal import phash_neardup_pairs
+
+        df = spark.createDataFrame(
+            [(0, _gray8([1] * 64)), (1, None)], "media_id long, media binary"
+        )
+        assert phash_neardup_pairs(df, decoder=_identity_decoder()).collect() == []
+
+    def test_banding_validated(self, spark):
+        import pytest
+        from reactive_kinesis_spark.operators.multimodal import phash_neardup_pairs
+
+        df = self._frame(spark, [_gray8([0] * 64)])
+        with pytest.raises(ValueError, match="pigeonhole"):
+            phash_neardup_pairs(df, decoder=_identity_decoder(), bands=3, max_hamming=3)
+        with pytest.raises(ValueError, match="divide"):
+            phash_neardup_pairs(df, decoder=_identity_decoder(), bands=5, max_hamming=2)
+
+    def test_registry_recovers_reingested_copies(self, spark, sf_dir):
+        from reactive_kinesis_spark.queries import load_all
+        from reactive_kinesis_spark.tables import load_table
+
+        rows = load_all()["q122_media_phash_neardup"].fn(spark, sf_dir).collect()
+        expected = {
+            (r.doc_id, r.doc_id + 10_000_000)
+            for r in load_table(spark, sf_dir, "documents")
+            .where(F.col("doc_id") % 10 == 0)
+            .select("doc_id")
+            .collect()
+        }
+        got = {(r.id_1, r.id_2) for r in rows if r.hamming == 0}
+        # every re-ingested copy is recovered (chance band collisions may
+        # add pairs at hamming<=3 but never hide a true duplicate)
+        assert expected <= got
