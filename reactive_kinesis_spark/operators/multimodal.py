@@ -325,9 +325,15 @@ def phash_neardup_pairs(
     if 64 % bands != 0:
         raise ValueError("bands must divide 64")
     width = 64 // bands
-    hashes = perceptual_hash(
-        df, decoder=decoder, id_col=id_col, media_col=media_col
-    ).where(F.col("phash").isNotNull())
+    hashes = (
+        perceptual_hash(df, decoder=decoder, id_col=id_col, media_col=media_col)
+        .where(F.col("phash").isNotNull())
+        # both sides of the band self-join reference this frame — without
+        # eager materialization every branch would re-decode and re-hash
+        # the blobs (the q111 cross-branch-CSE lesson, here with Python
+        # decode cost attached)
+        .localCheckpoint(eager=True)
+    )
     mask = (1 << width) - 1
     banded = hashes.select(
         "media_id",
