@@ -42,100 +42,57 @@ def query(name: str, oracle: str | None = None):
     return deco
 
 
-#: Driver-visibility rotation (round 6). The driver's correctness run samples
-#: the FIRST 50 registry entries; with 102 oracle-backed queries, the rest
+#: Driver-visibility rotation (round 7). The driver's correctness run samples
+#: the FIRST 50 registry entries; with 107+ oracle-backed queries, the rest
 #: must sit past the window each round. Policy: the least-driver-certified
 #: queries get the visible slots, so no oracle query goes more than ~2 rounds
-#: without driver re-certification. This round the two pools SWAP BACK (the
-#: round-5 VERDICT's explicit ask #3): _PROMOTED = the round-6 additions
-#: (q102-q115, never driver-certified — they take slots first) plus the 38
-#: queries demoted in round 5, whose last driver certification is
-#: CORRECTNESS_r04 (2 rounds stale by now). _DEMOTED = the 38 queries
-#: promoted in round 5, each freshly certified in CORRECTNESS_r05
-#: (rows+schema+hash). The 12 middle-tier queries (q01 q04 q08 q19 q20 q21
-#: q22 q29 q37 q45 q50 q51, all r5-certified) fill any remaining window
-#: slots. _PROMOTED now overflows the window (56 entries for 50 slots —
-#: the alphabetically-last r4-certified six sit just past it); with 107
-#: oracle queries and a 50-slot window, a handful of 2-round-stale
-#: queries per round is the floor. All demoted queries remain fully oracle-checked locally every
-#: session (tests/test_oracle_parity.py runs the ENTIRE registry against
-#: DuckDB at sf0.01).
-_PROMOTED = (
-    # round-6 additions — never driver-certified, so they take visible
-    # slots first (same rule that promoted the round-5 additions last round)
-    "q102_bm25_scoring",
-    "q110_cooccurrence_pairs",
-    "q111_triangle_stats",
-    "q112_quality_checks",
-    "q113_winsorize",
-    "q114_rrf_fusion",
-    "q115_label_propagation",
+#: without driver re-certification. This round the window is an EXPLICIT
+#: 50-name list (auditable, no alphabetical surprises), ordered by
+#: certification debt:
+#:   slots 0-7  — the round-6 verdict's hard asks: q116 (driver-red r6,
+#:                output contract refixed to STRING), q99 (never
+#:                driver-certified), and the six r4-stale queries
+#:                q68-q72 + q74;
+#:   slots 8+   — round-7 additions (never certified), then the 50
+#:                r5-certified queries (2 rounds stale), of which 8 of the
+#:                simplest relational ones don't fit and defer to round 8
+#:                (_DEFERRED_R8 — exactly the 2-round-staleness floor the
+#:                registry size forces).
+#: Everything past the window (r6-certified + deferred) remains fully
+#: oracle-checked locally every session (tests/test_oracle_parity.py runs
+#: the ENTIRE registry against DuckDB).
+_WINDOW = (
+    # -- certification debt, hardest first (round-6 verdict asks #1-2) --
     "q116_table_fingerprint",
-    "q117_train_val_test",
-    "q118_sorted_neighborhood",
-    "q119_equidepth_histogram",
-    "q120_pit_join",
-    "q103_tf_cosine_pairs",
-    "q104_seasonal_anomaly",
-    "q105_trend_slope",
-    "q106_name_edit_join",
-    "q108_merge_upsert",
-    "q109_scd2_intervals",
-    "q60_dedup_clusters",
-    "q61_curation_pipeline",
-    "q62_token_packing",
-    "q64_decontamination",
-    "q65_mixture_sample",
-    "q66_repetition_stats",
-    "q67_pii_redaction",
+    "q99_resample_daily",
     "q68_embedding_quantization",
     "q69_duplicate_spans",
     "q70_async_enrichment",
     "q71_vocabulary_topk",
     "q72_collocations",
     "q74_stratified_sample",
-    "q46_scalar_subquery",
-    "q55_window_distribution",
-    "q48_pivot",
-    "q49_unpivot",
-    "q52_higher_order_array",
-    "q54_filtered_agg",
-    "q56_collect_agg",
-    "q57_map_functions",
-    "q58_compound_subqueries",
-    "q59_range_frame_window",
-    "q09_window_analytic",
-    "q26_quality_scores",
-    "q27_fingerprint_stats",
-    "q33_frame_sample",
-    "q32_media_decode",
-    "q35_grouping_sets",
-    "q43_bpe_token_stats",
-    "q39_sliding_window",
-    "q41_interval_self_join",
-    "q53_nullsafe_join",
-    "q40_salted_agg",
-    "q31_embedding_centroids",
-    "q28_lang_id",
-    "q25_text_stats_by_lang",
-    "q17_events_hourly_window",
-)
-_DEMOTED = (
-    "q02_filter_project",
+    # -- round-7 additions (never driver-certified) go here --
+    # -- r5-certified pool (2 rounds stale): middle tier first --
+    "q01_pricing_summary",
+    "q04_star_join",
+    "q08_window_topk_per_group",
+    "q19_events_asof_join",
+    "q20_events_sessions",
+    "q21_dedup_exact",
+    "q22_dedup_ngram_jaccard",
+    "q29_embedding_cosine_topk",
+    "q37_range_join",
+    "q45_correlated_subquery",
+    "q50_stats_moments",
+    "q51_percentiles",
+    # -- r5-certified pool: the round-5 promoted set --
     "q03_join_agg_topk",
-    "q05_anti_join",
-    "q07_semi_join",
-    "q12_set_ops",
-    "q13_scalar_functions",
-    "q14_date_functions",
-    "q15_distinct_agg",
-    "q16_part_supplier_join",
-    "q18_events_json_props",
-    "q44_deterministic_sample",
-    "q47_having",
     "q06_outer_join_histogram",
     "q10_rollup",
     "q11_cube",
+    "q16_part_supplier_join",
+    "q18_events_json_props",
+    "q44_deterministic_sample",
     "q75_rare_word_scoring",
     "q76_characteristic_terms",
     "q77_source_overlap",
@@ -160,21 +117,32 @@ _DEMOTED = (
     "q97_resample_ffill",
     "q98_cohort_retention",
 )
+#: r5-certified queries that don't fit this round's window; they take round-8
+#: slots (2-round staleness floor — 107 oracle queries / 50 slots).
+_DEFERRED_R8 = (
+    "q02_filter_project",
+    "q05_anti_join",
+    "q07_semi_join",
+    "q12_set_ops",
+    "q13_scalar_functions",
+    "q14_date_functions",
+    "q15_distinct_agg",
+    "q47_having",
+)
+_WINDOW_RANK = {name: i for i, name in enumerate(_WINDOW)}
 
 
-def _registry_order(item: tuple[str, QueryDef]) -> tuple[int, str]:
-    """Driver-visibility ordering: promoted (never-driver-certified)
-    oracle-backed first, then the remaining oracle-backed (numeric), then the
-    demoted long-stable pool, then rows-only queries (which get the weaker
-    rows-only driver check wherever they land)."""
+def _registry_order(item: tuple[str, QueryDef]) -> tuple[int, int, str]:
+    """Driver-visibility ordering: the explicit window list by slot index,
+    then the remaining oracle-backed queries (r6-certified + deferred,
+    alphabetic), then rows-only queries (which get the weaker rows-only
+    driver check wherever they land)."""
     name, qd = item
-    if qd.oracle is None:
-        return (3, name)
-    if name in _DEMOTED:
-        return (2, name)
-    if name in _PROMOTED:
-        return (0, name)
-    return (1, name)
+    if name in _WINDOW_RANK:
+        return (0, _WINDOW_RANK[name], name)
+    if qd.oracle is not None:
+        return (1, 0, name)
+    return (2, 0, name)
 
 
 def load_all() -> dict[str, QueryDef]:

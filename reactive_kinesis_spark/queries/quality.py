@@ -95,12 +95,12 @@ def q112_quality_checks(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     SELECT o_orderstatus AS status,
            CAST(COUNT(*) AS BIGINT) AS n_rows,
-           SUM(CAST(CAST(('0x' || substr(md5(
+           CAST(SUM(CAST(CAST(('0x' || substr(md5(
                concat_ws(chr(31),
                  coalesce(CAST(o_orderkey AS VARCHAR), '<NULL>'),
                  coalesce(CAST(o_custkey AS VARCHAR), '<NULL>'),
                  coalesce(CAST(o_orderdate AS VARCHAR), '<NULL>'))
-           ), 1, 14)) AS BIGINT) AS DECIMAL(38,0))) AS fingerprint
+           ), 1, 14)) AS BIGINT) AS DECIMAL(38,0))) AS VARCHAR) AS fingerprint
     FROM orders
     GROUP BY o_orderstatus
     ORDER BY status
@@ -112,7 +112,11 @@ def q116_table_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     DECIMAL(38,0) sum) used to validate snapshot equality after a
     migration/backfill without sorting or moving the data: one scan, one
     map-side-combined agg. Engine-portable by construction (md5 and
-    decimal addition, not engine hash functions). See
+    decimal addition, not engine hash functions). The fingerprint is
+    emitted as STRING: the exact DECIMAL(38,0) sum exceeds int64, and
+    pandas renders wide decimals engine-dependently (DuckDB → float64,
+    Spark → Decimal), so the query's output contract is the decimal's
+    canonical string rendering — identical from both engines. See
     :func:`io.table_fingerprint`."""
     from reactive_kinesis_spark.io import table_fingerprint
 
@@ -123,7 +127,9 @@ def q116_table_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
         group_by="o_orderstatus",
     )
     return fp.select(
-        F.col("o_orderstatus").alias("status"), "n_rows", "fingerprint"
+        F.col("o_orderstatus").alias("status"),
+        "n_rows",
+        F.col("fingerprint").cast("string").alias("fingerprint"),
     ).orderBy("status")
 
 

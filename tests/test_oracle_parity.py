@@ -28,6 +28,44 @@ def test_rows_only_query_runs(spark, sf_dir, name):
     assert len(df.columns) > 0
 
 
+@pytest.mark.parametrize("name", _ORACLE_BACKED)
+def test_output_types_driver_portable(spark, sf_dir, name):
+    """Registry convention (round-6 verdict): oracle-backed queries must
+    not emit columns whose pandas rendering is engine-dependent. DuckDB's
+    ``fetchdf`` renders DECIMAL wider than int64 as float64 while Spark's
+    ``toPandas`` yields exact ``Decimal`` objects, so the driver's
+    value-hash diverges on *representation* even when values are
+    identical (q116, round 6). Reject DECIMAL precision > 18 anywhere in
+    the output schema, including nested in arrays/maps/structs — render
+    such values as STRING (canonical decimal string) instead."""
+    from pyspark.sql import types as T
+
+    def walk(dt):
+        if isinstance(dt, T.DecimalType):
+            yield dt
+        elif isinstance(dt, T.ArrayType):
+            yield from walk(dt.elementType)
+        elif isinstance(dt, T.MapType):
+            yield from walk(dt.keyType)
+            yield from walk(dt.valueType)
+        elif isinstance(dt, T.StructType):
+            for f in dt.fields:
+                yield from walk(f.dataType)
+
+    qd = _REGISTRY[name]
+    schema = qd.fn(spark, sf_dir).schema
+    wide = [
+        (f.name, str(f.dataType))
+        for f in schema.fields
+        for d in walk(f.dataType)
+        if d.precision > 18
+    ]
+    assert not wide, (
+        f"{name} emits driver-unportable wide decimals {wide}; cast to "
+        "STRING (or split into int64 limbs) in both Spark and the oracle"
+    )
+
+
 def test_q52_oracle_parity_on_degenerate_embeddings(spark, sf_dir, tmp_path):
     """Round-2 advice: q52 passed only because the data has no empty/NULL
     embeddings (DuckDB ``list_reduce`` ERRORS on an empty list; the
