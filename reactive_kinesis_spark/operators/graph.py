@@ -30,6 +30,7 @@ def pagerank(
     checkpoint_every: int = 3,
     assume_distinct: bool = False,
     weight_col: str | None = None,
+    symmetric: bool = False,
 ) -> DataFrame:
     """Fixed-iteration PageRank over an edge list — the canonical
     "importance by random walk" score for entity graphs (co-purchase,
@@ -51,6 +52,16 @@ def pagerank(
     rows are the caller's aggregation decision — pre-sum them into the
     weight instead).
 
+    ``symmetric=True`` is the caller's guarantee that every edge's
+    reverse is also present (an undirected graph fed as both directions —
+    the co-purchase/co-click shape). Then the src key set IS the node
+    set and every node receives inbound mass, so the node frame, its
+    union-distinct setup shuffle, and the per-iteration left join against
+    it all disappear: setup is one degree aggregate + one join, and each
+    round is exactly one join + one aggregation. Results are
+    bit-identical to the general path on any symmetric input (pinned by
+    tests/test_graph.py).
+
     Determinism: per-node inbound mass is summed in DECIMAL(38,18)
     (exact, order-independent) so the result is bit-stable across
     partitionings, retries, and AQE re-plans — the property the engine's
@@ -63,7 +74,12 @@ def pagerank(
     broadcast single-row frame). ``localCheckpoint`` every
     ``checkpoint_every`` rounds truncates lineage so plan size and
     scheduler overhead stay O(1) in ``iterations`` — without it the DAG
-    doubles per round. Returns ``(node, rank)``.
+    doubles per round. Intermediate-round checkpoints are LAZY
+    (``eager=False``): they still truncate lineage and cache on first
+    evaluation, but don't force a blocking job per checkpoint, so the
+    whole fixed-iteration loop executes as ONE submitted job — the LPA
+    unrolling lesson (SCALING.md: eager per-round barriers measured
+    9.6 s vs 4.4 s unrolled on the same graph). Returns ``(node, rank)``.
     """
     if iterations < 1:
         raise ValueError("iterations must be >= 1")
@@ -85,27 +101,41 @@ def pagerank(
             # guarantees distinctness
             e = e.dropDuplicates(["src", "dst"])
     # the loop-invariant frames are materialized ONCE (localCheckpoint also
-    # cuts their lineage out of every iteration's plan): nodes, the node
-    # count (a single-row frame, broadcast into each round — never a
-    # driver collect), and the out-degree-annotated edges
-    nodes = (
-        e.select(F.col("src").alias("node"))
-        .union(e.select(F.col("dst").alias("node")))
-        .distinct()
-        .localCheckpoint(eager=True)
-    )
-    n_total = nodes.agg(
-        F.count(F.lit(1)).cast("long").alias("n")
-    ).localCheckpoint(eager=True)
+    # cuts their lineage out of every iteration's plan): the degree frame,
+    # the node count (a single-row frame, broadcast into each round —
+    # never a driver collect), and the out-degree-annotated edges
     deg = e.groupBy("src").agg(
         F.sum(F.col("w").cast(_RANK_DEC)).cast("double").alias("out_w")
     )
-    ed = e.join(deg, "src").localCheckpoint(eager=True)
+    if symmetric:
+        # src key set == node set; no separate node frame needed —
+        # checkpoint deg (it now feeds nodes, n_total, AND ed). LAZY:
+        # the whole setup then fuses into the single loop job instead of
+        # three blocking barrier jobs (measured ~20% of q107 at sf0.1);
+        # the checkpoint still caches on first evaluation and truncates
+        # lineage for every later reference.
+        deg = deg.localCheckpoint(eager=False)
+        nodes = deg.select(F.col("src").alias("node"))
+        n_total = nodes.agg(
+            F.count(F.lit(1)).cast("long").alias("n")
+        ).localCheckpoint(eager=False)
+        ed = e.join(deg, "src").localCheckpoint(eager=False)
+    else:
+        nodes = (
+            e.select(F.col("src").alias("node"))
+            .union(e.select(F.col("dst").alias("node")))
+            .distinct()
+            .localCheckpoint(eager=True)
+        )
+        n_total = nodes.agg(
+            F.count(F.lit(1)).cast("long").alias("n")
+        ).localCheckpoint(eager=True)
+        ed = e.join(deg, "src").localCheckpoint(eager=True)
     teleport = (1.0 - damping) / F.col("n").cast("double")
-    ranks = (
-        nodes.crossJoin(F.broadcast(n_total))
-        .select("node", (F.lit(1.0) / F.col("n").cast("double")).alias("rank"))
-        .localCheckpoint(eager=True)
+    # initial ranks derive from the checkpointed frames by one broadcast
+    # crossJoin — one plan step, nothing worth a barrier
+    ranks = nodes.crossJoin(F.broadcast(n_total)).select(
+        "node", (F.lit(1.0) / F.col("n").cast("double")).alias("rank")
     )
     for i in range(iterations):
         contribs = (
@@ -117,19 +147,27 @@ def pagerank(
             .groupBy("node")
             .agg(F.sum(F.col("__c").cast(_RANK_DEC)).cast("double").alias("__mass"))
         )
-        ranks = (
-            nodes.join(contribs, "node", "left")
-            .crossJoin(F.broadcast(n_total))
-            .select(
+        if symmetric:
+            # every node has an inbound edge (its own reverse), so the
+            # aggregation output already covers the full node set
+            ranks = contribs.crossJoin(F.broadcast(n_total)).select(
                 "node",
-                (
-                    teleport
-                    + F.lit(damping) * F.coalesce(F.col("__mass"), F.lit(0.0))
-                ).alias("rank"),
+                (teleport + F.lit(damping) * F.col("__mass")).alias("rank"),
             )
-        )
-        if (i + 1) % checkpoint_every == 0 or i == iterations - 1:
-            ranks = ranks.localCheckpoint(eager=True)
+        else:
+            ranks = (
+                nodes.join(contribs, "node", "left")
+                .crossJoin(F.broadcast(n_total))
+                .select(
+                    "node",
+                    (
+                        teleport
+                        + F.lit(damping) * F.coalesce(F.col("__mass"), F.lit(0.0))
+                    ).alias("rank"),
+                )
+            )
+        if (i + 1) % checkpoint_every == 0 and (i + 1) < iterations:
+            ranks = ranks.localCheckpoint(eager=False)
     return ranks
 
 
@@ -346,5 +384,5 @@ def label_propagation(
             .select("node", F.col("m.l").alias("label"))
         )
         if (_i + 1) % checkpoint_every == 0 and (_i + 1) < iterations:
-            labels = labels.localCheckpoint(eager=True)
+            labels = labels.localCheckpoint(eager=False)
     return labels

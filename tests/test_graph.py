@@ -321,3 +321,47 @@ def test_lpa_canonicalizes_and_validates(spark):
     assert got == _python_lpa([(1, 2), (2, 3)], 2)
     with pytest.raises(ValueError, match="iterations"):
         label_propagation(df, iterations=0)
+
+
+def test_symmetric_fast_path_bit_identical(spark):
+    """``symmetric=True`` (no node frame, no per-round left join) must be
+    bit-identical to the general path on any symmetric edge list —
+    uniform and weighted."""
+    import random
+
+    rnd = random.Random(7)
+    und = set()
+    while len(und) < 400:
+        u, v = rnd.randrange(80), rnd.randrange(80)
+        if u != v:
+            und.add((min(u, v), max(u, v)))
+    sym = sorted(und | {(v, u) for u, v in und})
+    e = spark.createDataFrame(sym, "src int, dst int")
+    a = {r.node: r.rank for r in pagerank(e, iterations=5, assume_distinct=True).collect()}
+    b = {
+        r.node: r.rank
+        for r in pagerank(
+            e, iterations=5, assume_distinct=True, symmetric=True
+        ).collect()
+    }
+    assert a == b
+    ew = e.withColumn("w", (F.col("src") % 5 + 1).cast("double"))
+    aw = {r.node: r.rank for r in pagerank(ew, iterations=5, weight_col="w").collect()}
+    bw = {
+        r.node: r.rank
+        for r in pagerank(ew, iterations=5, weight_col="w", symmetric=True).collect()
+    }
+    assert aw == bw
+
+
+def test_copurchase_node_labels_roundtrip(spark):
+    """q107/q121 compute on numeric even/odd node ids and reapply the
+    public ``c<key>``/``s<key>`` labels at output — the label expression
+    must invert the namespacing exactly."""
+    from reactive_kinesis_spark.queries.graph import _node_label
+
+    df = spark.createDataFrame(
+        [(2 * 123,), (2 * 456 + 1,), (0,), (2 * 10**12 + 1,)], "node long"
+    )
+    got = [r.lbl for r in df.select(_node_label("node").alias("lbl")).collect()]
+    assert got == ["c123", "s456", "c0", "s1000000000000"]
