@@ -301,6 +301,7 @@ def phash_neardup_pairs(
     bands: int = 4,
     id_col: str = "media_id",
     media_col: str = "media",
+    max_bucket: int | None = None,
 ) -> DataFrame:
     """Image near-duplicate pairs by banded perceptual hash — the
     multimodal twin of the SimHash text pipeline (operators/dedup.py):
@@ -313,8 +314,15 @@ def phash_neardup_pairs(
     Scale shape: hashes are 8 bytes/blob (the blobs themselves never
     shuffle); each band join is an equality shuffle on (band, value);
     verification is ``bit_count(xor)`` JVM-side. Hub buckets (a constant
-    band value shared by everything, e.g. letterboxed black frames) are
-    the df-cap analog — cap with ``max_bucket`` upstream if observed.
+    band value shared by everything — letterboxed black frames, solid
+    slides) are the df-cap analog: a bucket of size k emits k²/2
+    candidates, so ``max_bucket`` DROPS (band, value) buckets larger
+    than the cap before the self-join — candidate count is then bounded
+    by ``bands · Σ_buckets min(k, max_bucket)²`` regardless of corpus
+    degeneracy. The cost is recall only on pairs whose ONLY agreeing
+    band is a hub value — exactly the least informative agreement (the
+    same trade the near-dup text operators make with their
+    document-frequency caps).
 
     Output: ``(id_1, id_2, hamming)``, id_1 < id_2, distinct.
     """
@@ -352,6 +360,18 @@ def phash_neardup_pairs(
             )
         ).alias("bv"),
     ).select("media_id", "phash", "bv.band", "bv.val")
+    if max_bucket is not None:
+        # one (band, val)-keyed count + filter before the self-join; the
+        # window-free two-step (count frame joined back) keeps it a plain
+        # aggregate, broadcastable when the surviving bucket list is small
+        sizes = banded.groupBy("band", "val").agg(
+            F.count(F.lit(1)).alias("__n")
+        )
+        banded = (
+            banded.join(sizes, ["band", "val"])
+            .where(F.col("__n") <= int(max_bucket))
+            .drop("__n")
+        )
     a = banded.alias("a")
     b = banded.alias("b")
     cands = (

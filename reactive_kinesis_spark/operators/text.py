@@ -1072,6 +1072,7 @@ def tf_cosine_pairs(
     max_df: int = 50,
     threshold: float = 0.5,
     word_counts: DataFrame | None = None,
+    max_df_denom: int | None = None,
 ) -> DataFrame:
     """Document-pair cosine similarity over exact term-frequency vectors,
     with inverted-index blocking — the sparse-vector twin of q42's dense
@@ -1099,6 +1100,13 @@ def tf_cosine_pairs(
     materialized ``doc_word_counts(df)`` (ideally ``write_bucketed`` by
     word, the q22/q23 recipe) and every branch reads the compact
     (id, word, tf) frame instead; results are identical.
+
+    ``max_df_denom`` makes the cap CORPUS-RELATIVE and IN-PLAN:
+    ``max(1, N div max_df_denom)`` where N = the corpus row count,
+    computed as a broadcast single-row frame inside the same plan (the
+    pagerank ``n_total`` pattern) — no driver-side ``.count()``, so no
+    separate full pass over the corpus before the query proper. When
+    set, ``max_df`` is ignored.
     """
     base = (
         word_counts
@@ -1109,12 +1117,22 @@ def tf_cosine_pairs(
     norms = dw.groupBy("__id").agg(
         F.sum(F.col("tf") * F.col("tf")).cast("long").alias("__sq")
     )
-    rare = (
-        dw.groupBy("word")
-        .agg(F.count(F.lit(1)).cast("long").alias("__df"))
-        .where(F.col("__df") <= max_df)
-        .select("word")
+    dfreq = dw.groupBy("word").agg(
+        F.count(F.lit(1)).cast("long").alias("__df")
     )
+    if max_df_denom is not None:
+        cap = df.agg(
+            F.expr(
+                f"greatest(CAST(1 AS BIGINT), count(1) DIV {int(max_df_denom)})"
+            ).alias("__cap")
+        )
+        rare = (
+            dfreq.crossJoin(F.broadcast(cap))
+            .where(F.col("__df") <= F.col("__cap"))
+            .select("word")
+        )
+    else:
+        rare = dfreq.where(F.col("__df") <= max_df).select("word")
     idx = dw.join(rare, "word").select("word", F.col("__id"))
     cands = (
         idx.alias("a")

@@ -1738,12 +1738,14 @@ def q103_tf_cosine_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     embedding near-dup, bit-exact (integer dot/norms, IEEE sqrt and
     division only). The df cap is corpus-relative (10% of N, min 1): a
     term is "discriminative" by its share of documents, not an absolute
-    count, so the blocking stays meaningful at every scale factor (the
-    one driver-side scalar is the doc count). See
-    :func:`operators.text.tf_cosine_pairs`."""
+    count, so the blocking stays meaningful at every scale factor — and
+    the cap is computed IN-PLAN (broadcast single-row count frame, the
+    pagerank n_total pattern): no driver-side ``.count()``, no separate
+    pass over the corpus. See :func:`operators.text.tf_cosine_pairs`."""
     docs = load_table(spark, sf_dir, "documents")
-    cap = max(1, docs.count() // 10)
-    return T.tf_cosine_pairs(docs, max_df=cap, threshold=0.5).orderBy("id_1", "id_2")
+    return T.tf_cosine_pairs(docs, max_df_denom=10, threshold=0.5).orderBy(
+        "id_1", "id_2"
+    )
 
 
 @query(

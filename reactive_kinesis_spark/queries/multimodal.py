@@ -152,3 +152,33 @@ def q122_media_phash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
         M.phash_neardup_pairs(media, decoder=M.fake_decoder)
         .orderBy("id_1", "id_2")
     )
+
+
+@query("q123_media_phash_capped")  # rows-only: sha-derived aHash, not portable SQL
+def q123_media_phash_capped(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """q122 under corpus degeneracy: 5% of the media rows are replaced by
+    one CONSTANT blob (the letterboxed-black-frame scenario — every such
+    row agrees on every hash band), and ``max_bucket=16`` drops those hub
+    buckets before the band self-join, so candidate count stays bounded
+    by ``bands · Σ min(k, 16)²`` instead of the hub's k²/2 blowup (16 is
+    below the hub size at every test scale factor; legitimate duplicate
+    buckets have size ~2). The
+    genuine 10% re-ingest pairs still surface through their (non-hub)
+    bands; the constant-frame pairs — the least informative duplicates —
+    are the ones traded away, exactly like the text near-dup operators'
+    document-frequency caps. See
+    :func:`operators.multimodal.phash_neardup_pairs` (``max_bucket``)."""
+    base = _media_frame(spark, sf_dir).withColumn(
+        "media",
+        F.when(
+            F.col("media_id") % 20 == 7, F.lit(b"\x00" * 256).cast("binary")
+        ).otherwise(F.col("media")),
+    )
+    reingest = base.where(F.col("media_id") % 10 == 0).withColumn(
+        "media_id", F.col("media_id") + F.lit(10_000_000)
+    )
+    media = base.unionByName(reingest)
+    return (
+        M.phash_neardup_pairs(media, decoder=M.fake_decoder, max_bucket=16)
+        .orderBy("id_1", "id_2")
+    )

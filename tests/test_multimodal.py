@@ -159,3 +159,77 @@ class TestPhashNearDup:
         # every re-ingested copy is recovered (chance band collisions may
         # add pairs at hamming<=3 but never hide a true duplicate)
         assert expected <= got
+
+
+class TestPhashMaxBucket:
+    def _frame(self, spark, blobs):
+        return spark.createDataFrame(
+            [(i, b) for i, b in enumerate(blobs)], "media_id long, media binary"
+        )
+
+    def test_constant_band_corpus_bounded(self, spark):
+        """All-black-thumbnail corpus: every blob agrees on every band
+        (one hub bucket per band). With max_bucket below the corpus size
+        the hub buckets are dropped BEFORE the self-join — zero
+        candidates, zero pairs — instead of n²/2 comparisons."""
+        from reactive_kinesis_spark.operators.multimodal import phash_neardup_pairs
+
+        black = _gray8([0] * 64)
+        df = self._frame(spark, [black] * 200)
+        out = phash_neardup_pairs(
+            df, decoder=_identity_decoder(), max_bucket=50
+        ).collect()
+        assert out == []
+        # uncapped control on a small slice: the hub emits its quadratic
+        # pair set (3 blobs -> 3 pairs)
+        out2 = phash_neardup_pairs(
+            self._frame(spark, [black] * 3), decoder=_identity_decoder()
+        ).collect()
+        assert len(out2) == 3
+
+    def test_cap_preserves_nonhub_pairs(self, spark):
+        """Hub bucket dropped, but a genuine near-dup pair whose bands are
+        NOT hub values still surfaces."""
+        from reactive_kinesis_spark.operators.multimodal import phash_neardup_pairs
+
+        black = _gray8([0] * 64)
+        base = [200] * 32 + [10] * 32
+        near = list(base); near[0], near[32] = 10, 200  # 2 bits away
+        df = self._frame(spark, [black] * 40 + [_gray8(base), _gray8(near)])
+        out = {
+            (r.id_1, r.id_2): r.hamming
+            for r in phash_neardup_pairs(
+                df, decoder=_identity_decoder(), max_hamming=3, max_bucket=8
+            ).collect()
+        }
+        assert out == {(40, 41): 2}
+
+    def test_q123_capped_registry_query(self, spark, sf_dir):
+        """The capped registry variant: constant-frame hub pairs are
+        dropped; the re-ingest pairs of non-degenerate docs survive."""
+        from pyspark.sql import functions as F
+
+        from reactive_kinesis_spark.queries import load_all
+        from reactive_kinesis_spark.tables import load_table
+
+        rows = load_all()["q123_media_phash_capped"].fn(spark, sf_dir).collect()
+        got0 = {(r.id_1, r.id_2) for r in rows if r.hamming == 0}
+        doc_ids = [
+            r.doc_id
+            for r in load_table(spark, sf_dir, "documents")
+            .select("doc_id").collect()
+        ]
+        # re-ingested non-degenerate docs must be recovered
+        expected = {
+            (d, d + 10_000_000)
+            for d in doc_ids
+            if d % 10 == 0 and d % 20 != 7
+        }
+        assert expected <= got0
+        # no pair of two distinct constant-frame originals survives the cap
+        # (their only agreement is the hub value in every band)
+        degen = {d for d in doc_ids if d % 20 == 7}
+        assert not any(
+            a in degen and b in degen and a != b and b < 10_000_000
+            for a, b in got0
+        )
