@@ -7,10 +7,14 @@ rebalance intervals; proven live in
 ``it/.../ConsumerProcessingManagerIntegrationSpec.scala:33-69``). Until
 round 6 the engine's analog was *manual*: a static ``shards=`` split per
 query, takeover = a human starting a replacement query. This module closes
-that gap with a small file-based protocol that N independent streaming
-queries run against a shared directory (posix/NFS/HDFS-mounted — the
-lease-table analog; swap the directory for a Delta/JDBC table by
-reimplementing the 3 read/write helpers).
+that gap with a small protocol that N independent streaming queries run
+against a shared :class:`LeaseStore` — a 4-primitive key-document table
+(read/write/list/delete, each atomic last-writer-wins). Two backends ship:
+:class:`FileLeaseStore` (a shared posix/NFS/HDFS directory, atomic rename)
+and :class:`SqliteLeaseStore` (a transactional database file — the
+JDBC-lease-table analog; a production Postgres/MySQL/Delta backend is the
+same 4 methods over its own transaction primitive). Both pass the identical
+protocol test suite (tests/test_lease.py is parameterized over backends).
 
 Protocol (everything is crash-safe last-writer-wins via atomic rename):
 
@@ -70,22 +74,145 @@ def seq_max(a: str, b: str) -> str:
     return a if _seq_key(a) >= _seq_key(b) else b
 
 
-def _atomic_write_json(path: str, payload: dict) -> None:
-    tmp = f"{path}.tmp.{os.getpid()}"
-    with open(tmp, "w") as fh:
-        json.dump(payload, fh)
-    os.replace(tmp, path)  # atomic on posix/HDFS
+class LeaseStore:
+    """Backend seam: an atomic key-document table with two namespaces
+    (``workers``, ``leases``). Every method must be safe under concurrent
+    writers from DIFFERENT PROCESSES/HOSTS; ``write`` is last-writer-wins
+    and must never expose a torn document to a concurrent ``read``. A
+    backend that can't guarantee that (e.g. plain object-store PUTs with
+    read-modify-write races) must not be used for lease coordination."""
+
+    def read(self, kind: str, name: str) -> dict | None:
+        raise NotImplementedError
+
+    def write(self, kind: str, name: str, payload: dict) -> None:
+        raise NotImplementedError
+
+    def list(self, kind: str) -> list[str]:
+        raise NotImplementedError
+
+    def delete(self, kind: str, name: str) -> None:
+        raise NotImplementedError
 
 
-def _read_json(path: str) -> dict | None:
-    """None on missing or torn reads (a concurrent writer between create
-    and replace) — callers treat unreadable as absent and retry next
-    batch rather than crash the query."""
-    try:
-        with open(path) as fh:
-            return json.load(fh)
-    except (OSError, json.JSONDecodeError):
-        return None
+class FileLeaseStore(LeaseStore):
+    """Shared-directory backend: one JSON file per document, atomic via
+    ``os.replace`` (posix/NFS/HDFS — NOT plain object stores, which lack
+    atomic rename; use :class:`SqliteLeaseStore` or a JDBC analog there)."""
+
+    def __init__(self, path: str):
+        self._root = path
+        for kind in ("workers", "leases"):
+            os.makedirs(os.path.join(path, kind), exist_ok=True)
+
+    def _path(self, kind: str, name: str) -> str:
+        return os.path.join(self._root, kind, f"{name}.json")
+
+    def read(self, kind: str, name: str) -> dict | None:
+        # None on missing or torn reads (a concurrent writer between
+        # create and replace) — callers treat unreadable as absent and
+        # retry next batch rather than crash the query
+        try:
+            with open(self._path(kind, name)) as fh:
+                return json.load(fh)
+        except (OSError, json.JSONDecodeError):
+            return None
+
+    def write(self, kind: str, name: str, payload: dict) -> None:
+        path = self._path(kind, name)
+        tmp = f"{path}.tmp.{os.getpid()}"
+        with open(tmp, "w") as fh:
+            json.dump(payload, fh)
+        os.replace(tmp, path)  # atomic on posix/HDFS
+
+    def list(self, kind: str) -> list[str]:
+        try:
+            names = os.listdir(os.path.join(self._root, kind))
+        except OSError:
+            return []
+        return sorted(
+            n[: -len(".json")]
+            for n in names
+            if n.endswith(".json") and ".tmp." not in n
+        )
+
+    def delete(self, kind: str, name: str) -> None:
+        try:
+            os.remove(self._path(kind, name))
+        except OSError:
+            pass
+
+
+class SqliteLeaseStore(LeaseStore):
+    """Transactional-table backend (the KCL's DynamoDB / a JDBC lease
+    table, in stdlib form): one ``docs(kind, name, payload)`` table,
+    ``INSERT OR REPLACE`` per write, WAL mode + busy timeout for
+    cross-process concurrency. A connection per operation keeps the store
+    fork-safe (sqlite connections must not cross ``fork``) — lease traffic
+    is a handful of tiny rows per micro-batch, so connection cost is
+    irrelevant. Production swap: same four methods over Postgres/MySQL
+    (or a Delta table with conditional update)."""
+
+    def __init__(self, db_path: str):
+        self._db = db_path
+        with self._conn() as con:
+            con.execute(
+                "CREATE TABLE IF NOT EXISTS docs ("
+                " kind TEXT NOT NULL, name TEXT NOT NULL, payload TEXT NOT NULL,"
+                " PRIMARY KEY (kind, name))"
+            )
+
+    def _conn(self):
+        import sqlite3
+
+        con = sqlite3.connect(self._db, timeout=30.0)
+        con.execute("PRAGMA journal_mode=WAL")
+        con.execute("PRAGMA busy_timeout=30000")
+        return con
+
+    def read(self, kind: str, name: str) -> dict | None:
+        with self._conn() as con:
+            row = con.execute(
+                "SELECT payload FROM docs WHERE kind=? AND name=?", (kind, name)
+            ).fetchone()
+        if row is None:
+            return None
+        try:
+            return json.loads(row[0])
+        except json.JSONDecodeError:
+            return None
+
+    def write(self, kind: str, name: str, payload: dict) -> None:
+        with self._conn() as con:
+            con.execute(
+                "INSERT OR REPLACE INTO docs (kind, name, payload) VALUES (?,?,?)",
+                (kind, name, json.dumps(payload)),
+            )
+
+    def list(self, kind: str) -> list[str]:
+        with self._conn() as con:
+            rows = con.execute(
+                "SELECT name FROM docs WHERE kind=? ORDER BY name", (kind,)
+            ).fetchall()
+        return [r[0] for r in rows]
+
+    def delete(self, kind: str, name: str) -> None:
+        with self._conn() as con:
+            con.execute("DELETE FROM docs WHERE kind=? AND name=?", (kind, name))
+
+
+def resolve_store(path_or_store) -> LeaseStore:
+    """``LeaseStore`` passthrough; ``sqlite:<file>`` / ``*.db`` / ``*.sqlite``
+    strings → :class:`SqliteLeaseStore`; any other string → a shared
+    directory (:class:`FileLeaseStore`)."""
+    if isinstance(path_or_store, LeaseStore):
+        return path_or_store
+    s = str(path_or_store)
+    if s.startswith("sqlite:"):
+        return SqliteLeaseStore(s[len("sqlite:") :])
+    if s.endswith((".db", ".sqlite")):
+        return SqliteLeaseStore(s)
+    return FileLeaseStore(s)
 
 
 class LeaseCoordinator:
@@ -97,17 +224,14 @@ class LeaseCoordinator:
 
     def __init__(
         self,
-        path: str,
+        path: str | LeaseStore,
         worker_id: str,
         failover_time_millis: int = 10_000,
         clock_ms: Callable[[], int] | None = None,
     ):
         if not worker_id or "/" in worker_id:
             raise ValueError(f"invalid worker_id {worker_id!r}")
-        self._workers_dir = os.path.join(path, "workers")
-        self._leases_dir = os.path.join(path, "leases")
-        os.makedirs(self._workers_dir, exist_ok=True)
-        os.makedirs(self._leases_dir, exist_ok=True)
+        self._store = resolve_store(path)
         self.worker_id = worker_id
         self.failover_time_millis = int(failover_time_millis)
         self._clock_ms = clock_ms or (lambda: int(time.time() * 1000))
@@ -118,22 +242,17 @@ class LeaseCoordinator:
     # -- heartbeats --------------------------------------------------------
 
     def heartbeat(self) -> None:
-        _atomic_write_json(
-            os.path.join(self._workers_dir, f"{self.worker_id}.json"),
-            {"ts_ms": self._clock_ms()},
-        )
+        self._store.write("workers", self.worker_id, {"ts_ms": self._clock_ms()})
 
     def live_workers(self) -> list[str]:
         now = self._clock_ms()
         live = []
-        for name in os.listdir(self._workers_dir):
-            if not name.endswith(".json") or ".tmp." in name:
-                continue
-            payload = _read_json(os.path.join(self._workers_dir, name))
+        for name in self._store.list("workers"):
+            payload = self._store.read("workers", name)
             if payload is None:
                 continue
             if now - int(payload.get("ts_ms", 0)) <= self.failover_time_millis:
-                live.append(name[: -len(".json")])
+                live.append(name)
         return sorted(live)
 
     # -- assignment --------------------------------------------------------
@@ -149,15 +268,13 @@ class LeaseCoordinator:
 
     # -- leases ------------------------------------------------------------
 
-    def _lease_path(self, shard: str) -> str:
-        return os.path.join(self._leases_dir, f"{shard}.json")
-
     def _read_lease(self, shard: str) -> dict | None:
-        return _read_json(self._lease_path(shard))
+        return self._store.read("leases", shard)
 
     def _write_lease(self, shard: str, owner: str, checkpoint: str, released: bool) -> None:
-        _atomic_write_json(
-            self._lease_path(shard),
+        self._store.write(
+            "leases",
+            shard,
             {"owner": owner, "checkpoint": checkpoint, "released": released},
         )
 
@@ -188,14 +305,8 @@ class LeaseCoordinator:
         release every held lease, so successors recompute the assignment
         without this worker and take over immediately instead of waiting
         out the failover timeout."""
-        try:
-            os.remove(os.path.join(self._workers_dir, f"{self.worker_id}.json"))
-        except OSError:
-            pass
-        for name in os.listdir(self._leases_dir):
-            if not name.endswith(".json") or ".tmp." in name:
-                continue
-            shard = name[: -len(".json")]
+        self._store.delete("workers", self.worker_id)
+        for shard in self._store.list("leases"):
             lease = self._read_lease(shard)
             if lease and lease.get("owner") == self.worker_id and not lease.get("released"):
                 self._write_lease(
