@@ -485,15 +485,21 @@ def test_multiprocess_kill9_failover_no_loss_no_dup(tmp_path, lease_path):
             env=env,
         )
 
-    def seen(w: str) -> dict[str, set]:
-        by_shard: dict[str, set] = {}
+    def deliveries(w: str) -> list[tuple[str, str]]:
+        out = []
         try:
             with open(sinks[w]) as fh:
                 for line in fh:
                     sid, seq = json.loads(line)
-                    by_shard.setdefault(sid, set()).add(seq)
+                    out.append((sid, seq))
         except OSError:
             pass
+        return out
+
+    def seen(w: str) -> dict[str, set]:
+        by_shard: dict[str, set] = {}
+        for sid, seq in deliveries(w):
+            by_shard.setdefault(sid, set()).add(seq)
         return by_shard
 
     def union_count() -> int:
@@ -552,22 +558,29 @@ def test_multiprocess_kill9_failover_no_loss_no_dup(tmp_path, lease_path):
         ), "B never took over the dead worker's shards"
         assert wait_until(lambda: all(owner(s) == "b" for s in shard_ids))
 
-        got_a, got_b = seen("a"), seen("b")
-        # single ownership under real concurrency: no record seen twice
-        for sid in set(got_a) & set(got_b):
-            assert not (got_a[sid] & got_b[sid]), sid
+        # EXACTLY-ONCE across the whole run (the kill happened at a
+        # committed-quiescent point, so even the at-least-once failover
+        # window is empty): every record delivered exactly once, counting
+        # multiplicity across BOTH workers' full delivery logs — this
+        # subsumes both "no dual ownership" (a record polled by two
+        # workers would appear twice) and "takeover resumed after the
+        # victim's committed positions" (a rewind would re-deliver
+        # phase-1). Note B may legitimately own an a-steady-state shard
+        # during the startup race, so per-shard-per-worker assertions
+        # would be wrong; the multiset is the real invariant.
+        all_deliveries = deliveries("a") + deliveries("b")
+        from collections import Counter
+
+        counts = Counter(all_deliveries)
+        dups = {k: c for k, c in counts.items() if c > 1}
+        assert not dups, f"records delivered more than once: {dups}"
         # no loss: union is exactly phase-1 everywhere + phase-2 on a_shards
         union: dict[str, set] = {}
-        for src in (got_a, got_b):
-            for sid, seqs in src.items():
-                union.setdefault(sid, set()).update(seqs)
+        for sid, seq in all_deliveries:
+            union.setdefault(sid, set()).add(seq)
         for sid in shard_ids:
             hi = 15 if sid in a_shards else 10
             assert union[sid] == {f"{i:020d}" for i in range(hi)}, sid
-        # takeover resumed after A's committed positions: B never
-        # re-delivered A's committed phase-1 records
-        for sid in a_shards:
-            assert not (got_b.get(sid, set()) & {f"{i:020d}" for i in range(10)}), sid
     finally:
         for p in (pa, pb):
             if p.poll() is None:
