@@ -901,3 +901,108 @@ def rrf_fuse(
             for n in names
         ],
     )
+
+
+def kmeans_assign(
+    vectors: DataFrame,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    k: int = 8,
+    iterations: int = 2,
+) -> DataFrame:
+    """Deterministic distributed Lloyd k-means over an embedding column —
+    the corpus-clustering primitive a curation pipeline uses for topic
+    balancing, mixture design, and cluster-stratified dedup/sampling.
+    (The numpy ``_train_centroids`` above serves the IVF index from a
+    driver-side SAMPLE; this is the full-corpus dataflow variant: nothing
+    is ever collected.)
+
+    Deterministic by construction — same input ⇒ same bits, across
+    engines, partitionings, and retries:
+
+    * seeding: the ``k`` vectors with the smallest ``id_col`` (cid = rank
+      among them), not random;
+    * assignment: squared-L2 argmin, ties to the smallest cid; distances
+      are sequential left-folds over the dimensions (``zip_with`` +
+      ``aggregate``), the same addition order DuckDB's ``list_reduce``
+      uses, so they're bit-identical cross-engine (the q52 parity
+      pattern);
+    * update: per-dimension mean through the exact DECIMAL(38,6) sum
+      (:func:`functions.davg`) — aggregation order irrelevant;
+    * a cluster that loses every member drops out (documented edge; with
+      real data and smallest-cid tie-breaking this is a pathological
+      input, and determinism is preserved either way).
+
+    The fixed iteration count makes the loop SQL-expressible by unrolling
+    (the q115 label-propagation precedent), so the whole iterative
+    algorithm is hash-certifiable against a DuckDB oracle.
+
+    100 TB shape: per round, assignment is one k-row broadcast crossJoin
+    (k·N narrow rows, no shuffle) + one id-keyed argmin aggregate; the
+    update is one posexplode (N·dim narrow rows) + one (cid, pos)-keyed
+    aggregate + a k·dim-row array rebuild. Centroid frames (k rows) are
+    lazily checkpointed per round — lineage stays O(1) in iterations.
+    Returns the FINAL assignment ``(id, cluster, dist)``.
+    """
+    if k < 1 or iterations < 0:
+        raise ValueError("k >= 1 and iterations >= 0 required")
+    from pyspark.sql import Window
+
+    from reactive_kinesis_spark.functions import davg
+
+    v = vectors.select(
+        F.col(id_col).alias("__id"), F.col(vec_col).alias("__vec")
+    ).where(F.col("__vec").isNotNull() & (F.size("__vec") > 0))
+    cents = (
+        v.orderBy("__id")
+        .limit(k)
+        .select(
+            (F.row_number().over(Window.orderBy("__id")) - 1).alias("cid"),
+            F.transform("__vec", lambda x: x.cast("double")).alias("cent"),
+        )
+        .localCheckpoint(eager=False)
+    )
+
+    def assign(c: DataFrame) -> DataFrame:
+        d = v.crossJoin(F.broadcast(c)).select(
+            "__id",
+            "cid",
+            F.aggregate(
+                F.zip_with(
+                    "__vec",
+                    "cent",
+                    lambda x, cc: (x.cast("double") - cc) * (x.cast("double") - cc),
+                ),
+                F.lit(0.0),
+                lambda acc, val: acc + val,
+            ).alias("dist"),
+        )
+        return (
+            d.groupBy("__id")
+            .agg(F.min(F.struct(F.col("dist"), F.col("cid"))).alias("m"))
+            .select(
+                "__id",
+                F.col("m.cid").alias("cluster"),
+                F.col("m.dist").alias("dist"),
+            )
+        )
+
+    for _ in range(iterations):
+        a = assign(cents)
+        cents = (
+            a.join(v, "__id")
+            .select(F.col("cluster").alias("cid"), F.posexplode("__vec").alias("pos", "x"))
+            .groupBy("cid", "pos")
+            .agg(davg(F.col("x").cast("double"), "m"))
+            .groupBy("cid")
+            .agg(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("pos", "m"))),
+                    lambda s: s["m"],
+                ).alias("cent")
+            )
+            .localCheckpoint(eager=False)
+        )
+    return assign(cents).select(
+        F.col("__id").alias(id_col), "cluster", "dist"
+    )

@@ -71,7 +71,8 @@ _WINDOW = (
     "q71_vocabulary_topk",
     "q72_collocations",
     "q74_stratified_sample",
-    # -- round-7 additions (never driver-certified) go here --
+    # -- round-7 additions (never driver-certified) --
+    "q124_kmeans_clusters",
     # -- r5-certified pool (2 rounds stale): middle tier first --
     "q01_pricing_summary",
     "q04_star_join",
@@ -115,11 +116,11 @@ _WINDOW = (
     "q95_blocklist_stats",
     "q96_training_prep",
     "q97_resample_ffill",
-    "q98_cohort_retention",
 )
 #: r5-certified queries that don't fit this round's window; they take round-8
-#: slots (2-round staleness floor — 107 oracle queries / 50 slots).
+#: slots (2-round staleness floor — 108 oracle queries / 50 slots).
 _DEFERRED_R8 = (
+    "q98_cohort_retention",
     "q02_filter_project",
     "q05_anti_join",
     "q07_semi_join",

@@ -11,6 +11,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from reactive_kinesis_spark import functions as NF
 from reactive_kinesis_spark.functions import davg_sql, dsum, dsum_sql
 from reactive_kinesis_spark.operators import dedup as D
 from reactive_kinesis_spark.operators import similarity as S
@@ -1838,3 +1839,81 @@ def q114_rrf_fusion(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     fused = S.rrf_fuse([("bm25", bm), ("length", ln)], id_col="doc_id", k=60)
     return fused.orderBy(F.col("rrf_score").desc(), "doc_id").limit(100)
+
+
+def _kmeans_oracle_sql(k: int, iterations: int) -> str:
+    """Unrolled Lloyd k-means oracle (the q115 LPA precedent: a fixed
+    iteration count turns the iterative algorithm into a finite CTE
+    chain). Distances are the same sequential left-fold DuckDB
+    ``list_reduce`` / Spark ``aggregate`` both use (q52 parity pattern);
+    centroid means go through the shared DECIMAL(38,6) path."""
+    from reactive_kinesis_spark.functions import davg_sql, dsum_sql
+
+    def dist_cte(n: int, cents: str) -> list[str]:
+        return [
+            f"d{n} AS (SELECT v.vec_id, c.cid,",
+            "  list_reduce(list_transform(range(1, 1 + len(v.embedding)),",
+            "    i -> (CAST(v.embedding[i] AS DOUBLE) - c.cent[i])",
+            "       * (CAST(v.embedding[i] AS DOUBLE) - c.cent[i])),",
+            "    (a, b) -> a + b) AS dist",
+            f"  FROM v CROSS JOIN {cents} c),",
+            f"a{n} AS (SELECT vec_id, cid AS cluster, dist FROM",
+            "  (SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id",
+            f"     ORDER BY dist, cid) AS rn FROM d{n}) WHERE rn = 1),",
+        ]
+
+    parts = [
+        "WITH v AS (SELECT vec_id, embedding FROM embeddings",
+        "  WHERE embedding IS NOT NULL AND len(embedding) > 0),",
+        "c0 AS (SELECT ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS cid,",
+        "  list_transform(embedding, x -> CAST(x AS DOUBLE)) AS cent",
+        f"  FROM (SELECT * FROM v ORDER BY vec_id LIMIT {k})),",
+    ]
+    for i in range(1, iterations + 1):
+        parts += dist_cte(i, f"c{i - 1}")
+        parts += [
+            f"u{i} AS (SELECT a.cluster AS cid, p.pos,",
+            f"  {davg_sql('CAST(p.x AS DOUBLE)', 'm')}",
+            f"  FROM a{i} a JOIN v USING (vec_id),",
+            "  LATERAL (SELECT unnest(v.embedding) AS x,",
+            "           generate_subscripts(v.embedding, 1) AS pos) p",
+            "  GROUP BY a.cluster, p.pos),",
+            f"c{i} AS (SELECT cid, array_agg(m ORDER BY pos) AS cent",
+            f"  FROM u{i} GROUP BY cid),",
+        ]
+    final = iterations + 1
+    parts += dist_cte(final, f"c{iterations}")
+    parts[-1] = parts[-1].rstrip(",")
+    parts += [
+        f"SELECT cluster, CAST(COUNT(*) AS BIGINT) AS n_vecs,",
+        f"  {dsum_sql('dist', 'inertia')},",
+        f"  {davg_sql('dist', 'avg_dist')}",
+        f"FROM a{final} GROUP BY cluster ORDER BY cluster",
+    ]
+    return "\n".join(parts)
+
+
+@query("q124_kmeans_clusters", oracle=_kmeans_oracle_sql(k=8, iterations=2))
+def q124_kmeans_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-cluster size, inertia, and mean squared distance after
+    2-round deterministic Lloyd k-means (k=8) over the embeddings corpus
+    — the corpus-clustering primitive for topic balancing, mixture
+    design, and cluster-stratified sampling. Fully distributed (k-row
+    broadcast assignment, decimal-exact centroid means, no collects) and,
+    because the iteration count is fixed, fully HASH-CERTIFIED against an
+    unrolled DuckDB oracle — an iterative ML loop under the same
+    certification bar as the relational tier (the q115 precedent). See
+    :func:`operators.similarity.kmeans_assign`."""
+    from reactive_kinesis_spark.operators.similarity import kmeans_assign
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    a = kmeans_assign(emb, "embedding", "vec_id", k=8, iterations=2)
+    return (
+        a.groupBy("cluster")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_vecs"),
+            NF.dsum("dist", "inertia"),
+            NF.davg("dist", "avg_dist"),
+        )
+        .orderBy("cluster")
+    )

@@ -2,6 +2,7 @@
 
 from __future__ import annotations
 
+import pytest
 from pyspark.sql import functions as F
 
 from reactive_kinesis_spark.operators import similarity as S
@@ -229,3 +230,111 @@ def test_pca_projection_deterministic_across_runs(spark, sf_dir):
     assert np.allclose(
         [r.projection for r in a], [r.projection for r in b], atol=1e-9
     )
+
+
+class TestKmeansAssign:
+    """Deterministic Lloyd k-means: numpy differential (same seeding,
+    same argmin tie-break, per-dimension means), determinism across
+    partitionings, and edge validation."""
+
+    def _numpy_kmeans(self, vecs: dict, k: int, iterations: int):
+        import numpy as np
+
+        ids = sorted(vecs)
+
+        def f64(v):
+            # the Spark column is array<float>: values round-trip through
+            # float32 before the double-precision distance math
+            return np.asarray(v, dtype=np.float32).astype(np.float64)
+
+        cents = {c: f64(vecs[i]) for c, i in enumerate(ids[:k])}
+
+        def assign(cs):
+            out = {}
+            for i in ids:
+                x = f64(vecs[i])
+                best = min(
+                    ((float(((x - c) ** 2).sum()), cid) for cid, c in cs.items())
+                )
+                out[i] = (best[1], best[0])
+            return out
+
+        def davg(column):
+            # mirror functions.davg: each double quantized to DECIMAL(38,6)
+            # (HALF_UP), summed exactly, sum cast to double, then / count
+            from decimal import ROUND_HALF_UP, Decimal
+
+            q = Decimal("0.000001")
+            s = sum(Decimal(float(x)).quantize(q, ROUND_HALF_UP) for x in column)
+            return float(s) / len(column)
+
+        for _ in range(iterations):
+            a = assign(cents)
+            new = {}
+            for cid in set(c for c, _ in a.values()):
+                members = [f64(vecs[i]) for i in ids if a[i][0] == cid]
+                new[cid] = np.asarray(
+                    [davg([m[d] for m in members]) for d in range(len(members[0]))]
+                )
+            cents = new
+        return assign(cents)
+
+    def _df(self, spark, vecs):
+        return spark.createDataFrame(
+            [(i, [float(x) for x in v]) for i, v in sorted(vecs.items())],
+            "vec_id long, embedding array<float>",
+        )
+
+    def test_matches_numpy_differential(self, spark):
+        import random
+
+        from reactive_kinesis_spark.operators.similarity import kmeans_assign
+
+        rnd = random.Random(11)
+        vecs = {i: [rnd.uniform(-1, 1) for _ in range(8)] for i in range(60)}
+        got = {
+            r.vec_id: (r.cluster, r.dist)
+            for r in kmeans_assign(self._df(spark, vecs), k=4, iterations=3).collect()
+        }
+        want = self._numpy_kmeans(vecs, k=4, iterations=3)
+        assert set(got) == set(want)
+        for i in want:
+            assert got[i][0] == want[i][0], i
+            assert got[i][1] == pytest.approx(want[i][1], abs=1e-9), i
+
+    def test_deterministic_across_partitionings(self, spark):
+        import random
+
+        from reactive_kinesis_spark.operators.similarity import kmeans_assign
+
+        rnd = random.Random(3)
+        vecs = {i: [rnd.uniform(-1, 1) for _ in range(6)] for i in range(40)}
+        base = self._df(spark, vecs)
+        a = sorted(
+            (r.vec_id, r.cluster, r.dist)
+            for r in kmeans_assign(base.repartition(1), k=3, iterations=2).collect()
+        )
+        b = sorted(
+            (r.vec_id, r.cluster, r.dist)
+            for r in kmeans_assign(base.repartition(16, "vec_id"), k=3, iterations=2).collect()
+        )
+        assert a == b  # bit-identical, incl. the double dists
+
+    def test_null_and_empty_vectors_dropped(self, spark):
+        from reactive_kinesis_spark.operators.similarity import kmeans_assign
+
+        df = spark.createDataFrame(
+            [(0, [1.0, 0.0]), (1, [0.9, 0.1]), (2, None), (3, [])],
+            "vec_id long, embedding array<float>",
+        )
+        out = kmeans_assign(df, k=2, iterations=1).collect()
+        assert sorted(r.vec_id for r in out) == [0, 1]
+
+    def test_validates_params(self, spark):
+        from reactive_kinesis_spark.operators.similarity import kmeans_assign
+
+        df = spark.createDataFrame([(0, [1.0])], "vec_id long, embedding array<float>")
+        with pytest.raises(ValueError):
+            kmeans_assign(df, k=0)
+        with pytest.raises(ValueError):
+            kmeans_assign(df, iterations=-1)
