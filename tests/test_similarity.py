@@ -338,3 +338,80 @@ class TestKmeansAssign:
             kmeans_assign(df, k=0)
         with pytest.raises(ValueError):
             kmeans_assign(df, iterations=-1)
+
+
+class TestIvfPersistedIndex:
+    """Build-once/probe-many IVF: the persisted index must agree with the
+    in-memory ivf_topk bit-for-bit (same training, same assignment, same
+    re-rank), and probing must physically skip unprobed cell partitions."""
+
+    def _corpus(self, spark, sf_dir):
+        return load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+
+    def test_matches_inmemory_ivf_topk(self, spark, sf_dir, tmp_path):
+        from reactive_kinesis_spark.operators.similarity import (
+            ivf_build_index,
+            ivf_query_index,
+            ivf_topk,
+        )
+
+        corpus = self._corpus(spark, sf_dir)
+        queries = corpus.where(F.col("vec_id") % 50 == 0)
+        idx = str(tmp_path / "ivf")
+        ivf_build_index(corpus, idx, n_cells=8, train_sample=512)
+        got = sorted(
+            (r.query_id, r.neighbor_id, r.cosine_sim, r.rn)
+            for r in ivf_query_index(
+                spark, idx, queries, k=5, n_probe=3
+            ).collect()
+        )
+        want = sorted(
+            (r.query_id, r.neighbor_id, r.cosine_sim, r.rn)
+            for r in ivf_topk(
+                corpus, queries, k=5, n_cells=8, n_probe=3, train_sample=512
+            ).collect()
+        )
+        assert got == want and len(got) > 0
+
+    def test_probe_prunes_cell_partitions(self, spark, sf_dir, tmp_path):
+        """The postings join must carry a dynamic-partition-pruning
+        subquery on `cell` (broadcast probe side), and the files actually
+        read must span only the probed cells — never the whole index."""
+        from reactive_kinesis_spark.operators.similarity import (
+            ivf_build_index,
+            ivf_query_index,
+        )
+
+        corpus = self._corpus(spark, sf_dir)
+        queries = corpus.where(F.col("vec_id") == 0)  # ONE query, 2 probes
+        idx = str(tmp_path / "ivf")
+        ivf_build_index(corpus, idx, n_cells=8, train_sample=512)
+        out = ivf_query_index(spark, idx, queries, k=3, n_probe=2)
+        plan = out._jdf.queryExecution().executedPlan().toString()
+        assert "dynamicpruning" in plan.lower(), plan[:2000]
+        # physical check: candidate rows come from <= n_probe cells
+        from reactive_kinesis_spark.operators.similarity import _seq_sqnorm  # noqa: F401
+
+        tagged = spark.read.parquet(f"{idx}/postings").select(
+            "id", F.input_file_name().alias("f")
+        )
+        probed_files = {
+            r.f
+            for r in tagged.join(
+                out.select(F.col("neighbor_id").alias("id")), "id", "left_semi"
+            ).collect()
+        }
+        cells = {f.split("cell=")[1].split("/")[0] for f in probed_files}
+        assert len(cells) <= 2, cells
+
+    def test_build_validates(self, spark, sf_dir, tmp_path):
+        from reactive_kinesis_spark.operators.similarity import ivf_build_index
+
+        empty = self._corpus(spark, sf_dir).limit(0)
+        with pytest.raises(ValueError, match="empty corpus"):
+            ivf_build_index(empty, str(tmp_path / "i1"))
+        with pytest.raises(ValueError, match="n_cells"):
+            ivf_build_index(
+                self._corpus(spark, sf_dir), str(tmp_path / "i2"),
+                n_cells=64, train_sample=32,
+            )
