@@ -31,6 +31,7 @@ def pagerank(
     assume_distinct: bool = False,
     weight_col: str | None = None,
     symmetric: bool = False,
+    quantize: float | None = None,
 ) -> DataFrame:
     """Fixed-iteration PageRank over an edge list — the canonical
     "importance by random walk" score for entity graphs (co-purchase,
@@ -66,6 +67,19 @@ def pagerank(
     (exact, order-independent) so the result is bit-stable across
     partitionings, retries, and AQE re-plans — the property the engine's
     six-seed differential harness asserts for every registered query.
+
+    ``quantize`` upgrades within-engine determinism to CROSS-ENGINE
+    bit-equality: each contribution is floor-quantized to integer
+    micro-units (``floor(contrib · quantize)``, summed in DECIMAL(38,0))
+    before the mass sum. The plain decimal path is bit-stable per engine
+    but a double→DECIMAL(38,18) cast rounds HALF_UP in Spark and
+    HALF_EVEN elsewhere, so engines can differ in the final ulp; floor of
+    an identical double is identical everywhere. ``quantize=1e15``
+    perturbs each contribution by < 1e-15 (ranks shift ~1e-11 over 6
+    rounds — far inside the numpy differential's 1e-9 pin) and is what
+    lets q107/q121 run under FULL hash certification against unrolled
+    DuckDB oracles. Still order-independent: the summands are exact
+    integers.
 
     100 TB shape: the per-iteration dataflow is one src-keyed equi-join
     (ranks ⋈ out-degree-annotated edges) and one dst-keyed aggregation —
@@ -138,15 +152,28 @@ def pagerank(
         "node", (F.lit(1.0) / F.col("n").cast("double")).alias("rank")
     )
     for i in range(iterations):
-        contribs = (
-            ed.join(ranks.withColumnRenamed("node", "src"), "src")
-            .select(
-                F.col("dst").alias("node"),
-                (F.col("rank") * F.col("w") / F.col("out_w")).alias("__c"),
+        joined = ed.join(ranks.withColumnRenamed("node", "src"), "src")
+        contrib = F.col("rank") * F.col("w") / F.col("out_w")
+        if quantize is not None:
+            q = float(quantize)
+            contribs = (
+                joined.select(
+                    F.col("dst").alias("node"),
+                    F.floor(contrib * F.lit(q)).cast("decimal(38,0)").alias("__cq"),
+                )
+                .groupBy("node")
+                .agg(
+                    (F.sum("__cq").cast("double") / F.lit(q)).alias("__mass")
+                )
             )
-            .groupBy("node")
-            .agg(F.sum(F.col("__c").cast(_RANK_DEC)).cast("double").alias("__mass"))
-        )
+        else:
+            contribs = (
+                joined.select(F.col("dst").alias("node"), contrib.alias("__c"))
+                .groupBy("node")
+                .agg(
+                    F.sum(F.col("__c").cast(_RANK_DEC)).cast("double").alias("__mass")
+                )
+            )
         if symmetric:
             # every node has an inbound edge (its own reverse), so the
             # aggregation output already covers the full node set

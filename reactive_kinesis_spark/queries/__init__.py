@@ -71,8 +71,10 @@ _WINDOW = (
     "q71_vocabulary_topk",
     "q72_collocations",
     "q74_stratified_sample",
-    # -- round-7 additions (never driver-certified) --
+    # -- round-7 additions (never driver-certified as oracle queries) --
     "q124_kmeans_clusters",
+    "q107_pagerank",
+    "q121_weighted_pagerank",
     # -- r5-certified pool (2 rounds stale): middle tier first --
     "q01_pricing_summary",
     "q04_star_join",
@@ -114,12 +116,12 @@ _WINDOW = (
     "q93_session_paths",
     "q94_snapshot_diff",
     "q95_blocklist_stats",
-    "q96_training_prep",
-    "q97_resample_ffill",
 )
 #: r5-certified queries that don't fit this round's window; they take round-8
-#: slots (2-round staleness floor — 108 oracle queries / 50 slots).
+#: slots (2-round staleness floor — 110 oracle queries / 50 slots).
 _DEFERRED_R8 = (
+    "q96_training_prep",
+    "q97_resample_ffill",
     "q98_cohort_retention",
     "q02_filter_project",
     "q05_anti_join",

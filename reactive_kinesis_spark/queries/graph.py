@@ -80,17 +80,77 @@ def copurchase_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("q107_pagerank")  # rows-only: iterative fixed point, no portable SQL form
+def _pagerank_oracle_sql(
+    iterations: int = 6, damping: float = 0.85, weighted: bool = False
+) -> str:
+    """Unrolled PageRank oracle over the co-purchase graph — the LAST
+    iterative tier member to reach full hash certification (q115/q124
+    precedent). Three cross-engine exactness rules, each found by
+    measurement:
+
+    * mass sums are floor-quantized integer micro-units (DECIMAL(38,0)):
+      the plain double→DECIMAL(38,18) cast rounds HALF_UP in Spark and
+      HALF_EVEN in DuckDB — observed 1-ulp rank diffs on ~60% of nodes;
+    * every float literal is ``CAST('<python repr>' AS DOUBLE)``: DuckDB
+      parses ``0.85``/``1.0 - 0.85`` as exact DECIMALs (teleport becomes
+      exactly 0.15, not the double 0.15000000000000002);
+    * expression shapes mirror the operator's evaluation order
+      (``teleport + damping · (sum/Q)``).
+    """
+    tele = repr(1.0 - damping)
+    damp = repr(damping)
+    w_expr = "w" if weighted else "CAST(1.0 AS DOUBLE)"
+    parts = [
+        "WITH pairs AS (",
+        "  SELECT o_custkey * 2 AS c, l_suppkey * 2 + 1 AS s,",
+        "         CAST(COUNT(*) AS DOUBLE) AS w",
+        "  FROM lineitem JOIN orders ON l_orderkey = o_orderkey GROUP BY 1, 2),",
+        f"e AS (SELECT c AS src, s AS dst, {w_expr} AS w FROM pairs",
+        f"      UNION ALL SELECT s AS src, c AS dst, {w_expr} AS w FROM pairs),",
+        "deg AS (SELECT src, CAST(SUM(CAST(w AS DECIMAL(38,18))) AS DOUBLE)",
+        "        AS out_w FROM e GROUP BY src),",
+        "nn AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM deg),",
+        "r0 AS (SELECT src AS node,",
+        "       CAST(1.0 AS DOUBLE) / CAST(nn.n AS DOUBLE) AS rank FROM deg, nn),",
+    ]
+    for i in range(1, iterations + 1):
+        parts += [
+            f"r{i} AS (",
+            "  SELECT e.dst AS node,",
+            f"    CAST('{tele}' AS DOUBLE) / CAST(nn.n AS DOUBLE)",
+            f"    + CAST('{damp}' AS DOUBLE)",
+            "      * (CAST(SUM(CAST(FLOOR(r.rank * e.w / d.out_w",
+            "           * CAST(1e15 AS DOUBLE)) AS DECIMAL(38,0))) AS DOUBLE)",
+            "         / CAST(1e15 AS DOUBLE)) AS rank",
+            f"  FROM e JOIN r{i - 1} r ON e.src = r.node",
+            "  JOIN deg d ON e.src = d.src CROSS JOIN nn",
+            "  GROUP BY e.dst, nn.n),",
+        ]
+    parts[-1] = parts[-1].rstrip(",")
+    parts += [
+        "SELECT CASE WHEN node % 2 = 0 THEN 'c' || CAST(node // 2 AS VARCHAR)",
+        "            ELSE 's' || CAST(node // 2 AS VARCHAR) END AS node, rank",
+        f"FROM r{iterations} ORDER BY rank DESC, 1 LIMIT 100",
+    ]
+    return "\n".join(parts)
+
+
+@query("q107_pagerank", oracle=_pagerank_oracle_sql(6, 0.85, weighted=False))
 def q107_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Top-100 nodes of the customer↔supplier co-purchase graph by
     6-iteration PageRank — the iterative-dataflow tier next to q60's
-    connected components. Deterministic (decimal mass sums) and fully
-    distributed (no collects; lineage truncated per 3 rounds). The edge
-    list is symmetric by construction, so the ``symmetric=True`` fast
-    path applies (no node frame, no per-round left join). See
-    :func:`operators.graph.pagerank`."""
+    connected components. Deterministic (quantized integer mass sums) and
+    fully distributed (no collects; lineage truncated per 3 rounds). The
+    edge list is symmetric by construction, so the ``symmetric=True``
+    fast path applies (no node frame, no per-round left join). As of
+    round 7 the fixed point is HASH-CERTIFIED against an unrolled DuckDB
+    oracle (``quantize=1e15`` makes the mass sums cross-engine exact —
+    see :func:`_pagerank_oracle_sql`); the numpy power-iteration
+    differential in tests/test_graph.py independently pins the math."""
     edges = copurchase_edges(spark, sf_dir)
-    ranks = pagerank(edges, iterations=6, assume_distinct=True, symmetric=True)
+    ranks = pagerank(
+        edges, iterations=6, assume_distinct=True, symmetric=True, quantize=1e15
+    )
     return (
         ranks.select(_node_label("node").alias("node"), "rank")
         .orderBy(F.col("rank").desc(), "node")
@@ -268,7 +328,7 @@ def q115_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("node", F.col("label").alias("community")).orderBy("node")
 
 
-@query("q121_weighted_pagerank")  # rows-only: iterative fixed point (q107 twin)
+@query("q121_weighted_pagerank", oracle=_pagerank_oracle_sql(6, 0.85, weighted=True))
 def q121_weighted_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Top-100 nodes by EDGE-WEIGHTED PageRank over the customer↔supplier
     graph — outbound mass splits by order-count weight (w/Σw) instead of
@@ -277,13 +337,14 @@ def q121_weighted_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     deterministic decimal-mass loop as q107; weights pre-aggregated into
     the edge list per the ``weight_col`` contract (shared materialized
     pair frame with q107 — see :func:`copurchase_pairs_weighted`).
-    Correctness: numpy power-iteration differential (uniform AND
-    weighted) in tests/test_graph.py."""
+    HASH-CERTIFIED against the weighted unrolled oracle (round 7); the
+    numpy power-iteration differential in tests/test_graph.py
+    independently pins the math."""
     pairs = copurchase_pairs_weighted(spark, sf_dir)
     edges = pairs.select(
         F.col("c").alias("src"), F.col("s").alias("dst"), "w"
     ).unionAll(pairs.select(F.col("s").alias("src"), F.col("c").alias("dst"), "w"))
-    ranks = pagerank(edges, iterations=6, weight_col="w", symmetric=True)
+    ranks = pagerank(edges, iterations=6, weight_col="w", symmetric=True, quantize=1e15)
     return (
         ranks.select(_node_label("node").alias("node"), "rank")
         .orderBy(F.col("rank").desc(), "node")
