@@ -365,3 +365,44 @@ def test_copurchase_node_labels_roundtrip(spark):
     )
     got = [r.lbl for r in df.select(_node_label("node").alias("lbl")).collect()]
     assert got == ["c123", "s456", "c0", "s1000000000000"]
+
+
+def test_quantized_pagerank_close_to_exact_and_deterministic(spark):
+    """quantize=1e15 (the cross-engine certification mode q107/q121 run
+    under) may perturb each contribution by < 1e-15 — ranks must stay
+    within the numpy differential's own 1e-9 bar of the plain decimal
+    path, and remain bit-deterministic across partitionings."""
+    import random
+
+    rnd = random.Random(5)
+    und = set()
+    while len(und) < 300:
+        u, v = rnd.randrange(60), rnd.randrange(60)
+        if u != v:
+            und.add((min(u, v), max(u, v)))
+    sym = sorted(und | {(v, u) for u, v in und})
+    e = spark.createDataFrame(sym, "src int, dst int")
+    plain = {
+        r.node: r.rank
+        for r in pagerank(e, iterations=6, assume_distinct=True, symmetric=True).collect()
+    }
+    quant = {
+        r.node: r.rank
+        for r in pagerank(
+            e, iterations=6, assume_distinct=True, symmetric=True, quantize=1e15
+        ).collect()
+    }
+    assert set(plain) == set(quant)
+    for n in plain:
+        assert quant[n] == pytest.approx(plain[n], abs=1e-9), n
+    quant2 = {
+        r.node: r.rank
+        for r in pagerank(
+            e.repartition(16, "src"),
+            iterations=6,
+            assume_distinct=True,
+            symmetric=True,
+            quantize=1e15,
+        ).collect()
+    }
+    assert quant == quant2  # bit-identical across partitionings
