@@ -75,6 +75,7 @@ _WINDOW = (
     "q124_kmeans_clusters",
     "q107_pagerank",
     "q121_weighted_pagerank",
+    "q125_snapshot_drift",
     # -- r5-certified pool (2 rounds stale): middle tier first --
     "q01_pricing_summary",
     "q04_star_join",
@@ -115,11 +116,11 @@ _WINDOW = (
     "q92_centroid_similarity",
     "q93_session_paths",
     "q94_snapshot_diff",
-    "q95_blocklist_stats",
 )
 #: r5-certified queries that don't fit this round's window; they take round-8
-#: slots (2-round staleness floor — 110 oracle queries / 50 slots).
+#: slots (2-round staleness floor — 111 oracle queries / 50 slots).
 _DEFERRED_R8 = (
+    "q95_blocklist_stats",
     "q96_training_prep",
     "q97_resample_ffill",
     "q98_cohort_retention",

@@ -186,3 +186,54 @@ def q117_train_val_test(spark: SparkSession, sf_dir: str) -> DataFrame:
             / F.sum("n_docs").over(w).cast("double")
         ).alias("frac"),
     ).orderBy("lang", "split")
+
+
+@query(
+    "q125_snapshot_drift",
+    oracle="""
+    WITH ref AS (SELECT o_totalprice AS v FROM orders
+                 WHERE o_orderdate < TIMESTAMP '1998-01-01' AND o_totalprice IS NOT NULL),
+    cur AS (SELECT o_totalprice AS v FROM orders
+            WHERE o_orderdate >= TIMESTAMP '1998-01-01' AND o_totalprice IS NOT NULL),
+    cuts AS (SELECT quantile_cont(v,
+                 [0.125, 0.25, 0.375, 0.5, 0.625, 0.75, 0.875]) AS c FROM ref),
+    rb AS (SELECT 1 + len(list_filter(cuts.c, x -> v > x)) AS bucket FROM ref, cuts),
+    cb AS (SELECT 1 + len(list_filter(cuts.c, x -> v > x)) AS bucket FROM cur, cuts),
+    rc AS (SELECT bucket, CAST(COUNT(*) AS BIGINT) AS ref_n FROM rb GROUP BY bucket),
+    cc AS (SELECT bucket, CAST(COUNT(*) AS BIGINT) AS cur_n FROM cb GROUP BY bucket),
+    tot AS (SELECT (SELECT CAST(COUNT(*) AS BIGINT) FROM ref) AS ref_total,
+                   (SELECT CAST(COUNT(*) AS BIGINT) FROM cur) AS cur_total),
+    j AS (
+      SELECT CAST(rc.bucket AS BIGINT) AS bucket, rc.ref_n,
+             COALESCE(cc.cur_n, 0) AS cur_n,
+             CAST(rc.ref_n AS DOUBLE) / CAST(tot.ref_total AS DOUBLE) AS ref_frac,
+             CAST(COALESCE(cc.cur_n, 0) AS DOUBLE) / CAST(tot.cur_total AS DOUBLE)
+                 AS cur_frac,
+             tot.cur_total
+      FROM rc LEFT JOIN cc ON rc.bucket = cc.bucket CROSS JOIN tot
+    )
+    SELECT bucket, ref_n, cur_n, ref_frac, cur_frac,
+           ABS(ref_frac - cur_frac) * CAST(0.5 AS DOUBLE) AS tvd_contrib,
+           CASE WHEN ref_frac * CAST(cur_total AS DOUBLE) > 0 THEN
+             (CAST(cur_n AS DOUBLE) - ref_frac * CAST(cur_total AS DOUBLE))
+             * (CAST(cur_n AS DOUBLE) - ref_frac * CAST(cur_total AS DOUBLE))
+             / (ref_frac * CAST(cur_total AS DOUBLE))
+           END AS chi2_contrib
+    FROM j ORDER BY bucket
+    """,
+)
+def q125_snapshot_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Order-price distribution drift between the pre-1998 reference
+    snapshot and the 1998+ current snapshot: equi-depth boundaries from
+    the REFERENCE, per-bucket total-variation and chi-square
+    contributions — the between-ingest data-drift gate (sum
+    ``tvd_contrib``/``chi2_contrib`` and alarm over a threshold).
+    Transcendental-free (no PSI/KL ln), so the whole report is
+    hash-certified. See :func:`operators.quality.distribution_drift`."""
+    from reactive_kinesis_spark.operators.quality import distribution_drift
+
+    orders = load_table(spark, sf_dir, "orders")
+    cutoff = F.lit("1998-01-01").cast("timestamp")
+    ref = orders.where(F.col("o_orderdate") < cutoff).select("o_totalprice")
+    cur = orders.where(F.col("o_orderdate") >= cutoff).select("o_totalprice")
+    return distribution_drift(ref, cur, "o_totalprice", buckets=8)

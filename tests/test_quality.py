@@ -2,6 +2,7 @@
 
 from __future__ import annotations
 
+import pytest
 from pyspark.sql import functions as F
 
 from reactive_kinesis_spark.operators.quality import check_constraints
@@ -259,3 +260,40 @@ class TestQualityGate:
         q.awaitTermination(120)
         assert good == [2]
         assert reports and reports[0][1] == 2  # both checks reported
+
+
+class TestDistributionDrift:
+    def _df(self, spark, values):
+        return spark.createDataFrame([(float(v),) for v in values], "v double")
+
+    def test_identical_snapshots_zero_drift(self, spark):
+        from reactive_kinesis_spark.operators.quality import distribution_drift
+
+        vals = [float(i) for i in range(400)]
+        ref, cur = self._df(spark, vals), self._df(spark, vals)
+        rows = distribution_drift(ref, cur, "v", buckets=8).collect()
+        assert [r.bucket for r in rows] == list(range(1, 9))
+        assert all(r.tvd_contrib == 0.0 for r in rows)
+        assert all(r.chi2_contrib == 0.0 for r in rows)
+        assert all(r.ref_frac == r.cur_frac for r in rows)
+
+    def test_shifted_snapshot_detected(self, spark):
+        from reactive_kinesis_spark.operators.quality import distribution_drift
+
+        ref = self._df(spark, range(400))
+        cur = self._df(spark, [v + 300 for v in range(400)])  # hard right shift
+        rows = distribution_drift(ref, cur, "v", buckets=8).collect()
+        tvd = sum(r.tvd_contrib for r in rows)
+        assert tvd > 0.3, tvd
+        # emptied buckets stay on the spine with cur_n = 0
+        assert any(r.cur_n == 0 for r in rows)
+        # fractions are proper distributions
+        assert sum(r.ref_frac for r in rows) == pytest.approx(1.0)
+        assert sum(r.cur_frac for r in rows) == pytest.approx(1.0)
+
+    def test_validates_buckets(self, spark):
+        from reactive_kinesis_spark.operators.quality import distribution_drift
+
+        df = self._df(spark, range(10))
+        with pytest.raises(ValueError, match="buckets"):
+            distribution_drift(df, df, "v", buckets=1)
