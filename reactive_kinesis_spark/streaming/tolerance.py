@@ -166,3 +166,97 @@ def quality_gate_foreach_batch(
             pinned.unpersist()
 
     return run
+
+
+class DriftGateError(RuntimeError):
+    """A micro-batch's value distribution drifted past the TVD threshold
+    and halt_on_drift is set."""
+
+    def __init__(self, batch_id: int, tvd: float, threshold: float):
+        self.batch_id = batch_id
+        self.tvd = tvd
+        self.threshold = threshold
+        super().__init__(
+            f"batch {batch_id} drifted: TVD {tvd:.4f} > threshold {threshold:.4f}"
+        )
+
+
+def drift_gate_foreach_batch(
+    reference_cuts: list,
+    reference_fracs: list,
+    value_col: str,
+    process: Callable[[DataFrame, int], None],
+    threshold: float = 0.2,
+    quarantine: Callable[[DataFrame, int], None] | None = None,
+    halt_on_drift: bool = False,
+    on_report: Callable[[dict, int], None] | None = None,
+    min_rows: int = 1,
+) -> Callable[[DataFrame, int], None]:
+    """Streaming data-drift gate — the micro-batch twin of
+    :func:`operators.quality.distribution_drift` (q125), split the same
+    way as the anomaly tier's batch-baseline → stream-scorer pair: the
+    expensive reference profile (equi-depth ``reference_cuts`` boundaries
+    + ``reference_fracs`` bucket fractions, from
+    ``distribution_drift``'s ref side or a profiling batch job) is
+    computed ONCE offline; each micro-batch then pays one narrow
+    bucket-assignment pass + one tiny count aggregate, and its
+    total-variation distance against the reference decides admission.
+    The stream side never shuffles more than ``len(cuts)+1`` count rows.
+
+    Gate semantics mirror :func:`quality_gate_foreach_batch`:
+    ``TVD > threshold`` ⇒ raise :class:`DriftGateError` if
+    ``halt_on_drift`` (operator intervention), else ``quarantine`` (or
+    drop). ``on_report`` receives ``{"tvd": .., "n": .., "fracs": [..]}``
+    every batch — the metrics feed. Batches with fewer than ``min_rows``
+    non-null values pass through ungated (a 3-row batch's empirical
+    distribution is noise, not drift).
+    """
+    if len(reference_fracs) != len(reference_cuts) + 1:
+        raise ValueError(
+            f"need len(cuts)+1 fractions: {len(reference_cuts)} cuts, "
+            f"{len(reference_fracs)} fracs"
+        )
+    if not 0 < threshold <= 1:
+        raise ValueError(f"threshold must be in (0, 1]: {threshold}")
+    cuts = [float(c) for c in reference_cuts]
+    fracs = [float(f) for f in reference_fracs]
+
+    def run(batch_df: DataFrame, batch_id: int) -> None:
+        from pyspark.sql import functions as F
+
+        pinned = batch_df.persist()
+        try:
+            v = pinned.select(F.col(value_col).alias("v")).where(
+                F.col("v").isNotNull()
+            )
+            bucket = F.lit(0)
+            for c in cuts:
+                bucket = bucket + F.when(F.col("v") > F.lit(c), 1).otherwise(0)
+            counts = {
+                r["bucket"]: r["n"]
+                for r in v.select(bucket.alias("bucket"))
+                .groupBy("bucket")
+                .agg(F.count(F.lit(1)).alias("n"))
+                .collect()
+            }
+            n = sum(counts.values())
+            if n < min_rows:
+                if on_report is not None:
+                    on_report({"tvd": None, "n": n, "fracs": None}, batch_id)
+                process(pinned, batch_id)
+                return
+            cur = [counts.get(b, 0) / n for b in range(len(fracs))]
+            tvd = 0.5 * sum(abs(p - q) for p, q in zip(fracs, cur))
+            if on_report is not None:
+                on_report({"tvd": tvd, "n": n, "fracs": cur}, batch_id)
+            if tvd > threshold:
+                if halt_on_drift:
+                    raise DriftGateError(batch_id, tvd, threshold)
+                if quarantine is not None:
+                    quarantine(pinned, batch_id)
+                return
+            process(pinned, batch_id)
+        finally:
+            pinned.unpersist()
+
+    return run

@@ -297,3 +297,97 @@ class TestDistributionDrift:
         df = self._df(spark, range(10))
         with pytest.raises(ValueError, match="buckets"):
             distribution_drift(df, df, "v", buckets=1)
+
+
+class TestDriftGate:
+    """Streaming twin of distribution_drift: per-micro-batch TVD against
+    a frozen reference profile (batch-baseline -> stream-scorer split)."""
+
+    CUTS = [2.0, 4.0, 6.0]          # 4 buckets
+    FRACS = [0.25, 0.25, 0.25, 0.25]
+
+    def _gate(self, **kw):
+        from reactive_kinesis_spark.streaming.tolerance import (
+            drift_gate_foreach_batch,
+        )
+
+        kw.setdefault("reference_cuts", self.CUTS)
+        kw.setdefault("reference_fracs", self.FRACS)
+        kw.setdefault("value_col", "v")
+        return drift_gate_foreach_batch(**kw)
+
+    def _df(self, spark, values):
+        return spark.createDataFrame([(float(v),) for v in values], "v double")
+
+    def test_in_distribution_batch_passes(self, spark):
+        seen, reports = [], []
+        run = self._gate(
+            process=lambda df, bid: seen.append((bid, df.count())),
+            on_report=lambda rep, bid: reports.append(rep),
+        )
+        run(self._df(spark, [1, 3, 5, 7] * 10), 4)  # exactly 1/4 per bucket
+        assert seen == [(4, 40)]
+        assert reports[0]["tvd"] == 0.0 and reports[0]["n"] == 40
+
+    def test_drifted_batch_quarantined(self, spark):
+        processed, quarantined, reports = [], [], []
+        run = self._gate(
+            process=lambda df, bid: processed.append(bid),
+            quarantine=lambda df, bid: quarantined.append((bid, df.count())),
+            on_report=lambda rep, bid: reports.append(rep),
+            threshold=0.2,
+        )
+        run(self._df(spark, [7.5] * 40), 9)  # everything in the top bucket
+        assert processed == []
+        assert quarantined == [(9, 40)]
+        assert reports[0]["tvd"] == pytest.approx(0.75)
+
+    def test_halt_on_drift_raises(self, spark):
+        from reactive_kinesis_spark.streaming.tolerance import DriftGateError
+
+        run = self._gate(process=lambda df, bid: None, halt_on_drift=True)
+        with pytest.raises(DriftGateError, match="drifted"):
+            run(self._df(spark, [0.0] * 30), 2)
+
+    def test_tiny_batch_passes_ungated(self, spark):
+        seen, reports = [], []
+        run = self._gate(
+            process=lambda df, bid: seen.append(bid),
+            on_report=lambda rep, bid: reports.append(rep),
+            min_rows=10,
+        )
+        run(self._df(spark, [7.5, 7.5]), 1)  # would drift, but n < min_rows
+        assert seen == [1]
+        assert reports[0]["tvd"] is None and reports[0]["n"] == 2
+
+    def test_validates_shape(self, spark):
+        from reactive_kinesis_spark.streaming.tolerance import (
+            drift_gate_foreach_batch,
+        )
+
+        with pytest.raises(ValueError, match="fractions"):
+            drift_gate_foreach_batch([1.0], [0.5], "v", lambda d, b: None)
+        with pytest.raises(ValueError, match="threshold"):
+            drift_gate_foreach_batch(
+                [1.0], [0.5, 0.5], "v", lambda d, b: None, threshold=0.0
+            )
+
+    def test_streaming_end_to_end(self, spark, tmp_path):
+        src = str(tmp_path / "src")
+        self._df(spark, [1, 3, 5, 7] * 5).write.parquet(src)
+        good, reports = [], []
+        run = self._gate(
+            process=lambda df, bid: good.append(df.count()),
+            on_report=lambda rep, bid: reports.append(rep),
+        )
+        q = (
+            spark.readStream.schema("v double")
+            .parquet(src)
+            .writeStream.foreachBatch(run)
+            .option("checkpointLocation", str(tmp_path / "ckpt"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+        assert good == [20]
+        assert reports and reports[0]["tvd"] == 0.0
