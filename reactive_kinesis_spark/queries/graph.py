@@ -350,3 +350,57 @@ def q121_weighted_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("rank").desc(), "node")
         .limit(100)
     )
+
+
+def _bfs_oracle_sql(max_hops: int) -> str:
+    """Unrolled multi-source BFS oracle: min-distance propagation is a
+    finite CTE chain for fixed ``max_hops`` (each round: settled ∪
+    neighbors+1, per-node MIN). Different physical shape from the
+    engine's frontier BFS — deliberately: the oracle states the
+    semantics, the operator picks the scale-safe plan. Integer hops ⇒
+    bit-equal without any quantization tricks."""
+    parts = [
+        "WITH pairs AS (",
+        "  SELECT DISTINCT o_custkey * 2 AS c, l_suppkey * 2 + 1 AS s",
+        "  FROM lineitem JOIN orders ON l_orderkey = o_orderkey),",
+        "adj AS (SELECT c AS u, s AS v FROM pairs",
+        "        UNION ALL SELECT s AS u, c AS v FROM pairs),",
+        "d0 AS (SELECT DISTINCT c AS node, 0 AS hops FROM pairs WHERE c % 500 = 0),",
+    ]
+    for i in range(1, max_hops + 1):
+        parts.append(
+            f"d{i} AS (SELECT node, MIN(hops) AS hops FROM ("
+            f"SELECT node, hops FROM d{i - 1} "
+            f"UNION ALL SELECT a.v AS node, d.hops + 1 AS hops "
+            f"FROM adj a JOIN d{i - 1} d ON a.u = d.node"
+            f") GROUP BY node),"
+        )
+    parts[-1] = parts[-1].rstrip(",")
+    parts.append(
+        "SELECT CASE WHEN node % 2 = 0 THEN 'c' || CAST(node // 2 AS VARCHAR)"
+        " ELSE 's' || CAST(node // 2 AS VARCHAR) END AS node,"
+        f" CAST(hops AS BIGINT) AS hops FROM d{max_hops} ORDER BY hops, node"
+    )
+    return "\n".join(parts)
+
+
+@query("q126_bfs_hops", oracle=_bfs_oracle_sql(3))
+def q126_bfs_hops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hop distance of every customer/supplier from the seed customers
+    (custkey ≡ 0 mod 250) through the co-purchase graph, capped at 3
+    hops — the reachability / blast-radius query (which entities does a
+    quarantined seed set touch within k relationship hops). Frontier
+    BFS (see :func:`operators.graph.bfs_distances`); HASH-CERTIFIED
+    against an unrolled min-propagation oracle — integer distances need
+    no quantization. Shares the materialized co-purchase pair frame
+    with q107/q121."""
+    from reactive_kinesis_spark.operators.graph import bfs_distances
+
+    pairs = copurchase_pairs_weighted(spark, sf_dir)
+    edges = pairs.select(F.col("c").alias("src"), F.col("s").alias("dst"))
+    seeds = pairs.select(F.col("c").alias("node")).where(F.col("node") % 500 == 0)
+    dist = bfs_distances(edges, seeds, max_hops=3, undirected=True)
+    return (
+        dist.select(_node_label("node").alias("node"), "hops")
+        .orderBy("hops", "node")
+    )

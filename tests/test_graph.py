@@ -406,3 +406,64 @@ def test_quantized_pagerank_close_to_exact_and_deterministic(spark):
         ).collect()
     }
     assert quant == quant2  # bit-identical across partitionings
+
+
+# ---------------------------------------------------------------- BFS
+
+
+def test_bfs_basic_path_and_unreachable(spark):
+    from reactive_kinesis_spark.operators.graph import bfs_distances
+
+    # path 1-2-3-4-5, isolated component 8-9
+    e = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (4, 5), (8, 9)], "src long, dst long"
+    )
+    seeds = spark.createDataFrame([(1,)], "node long")
+    got = {r.node: r.hops for r in bfs_distances(e, seeds, max_hops=3).collect()}
+    assert got == {1: 0, 2: 1, 3: 2, 4: 3}  # 5 beyond cap, 8/9 unreachable
+
+
+def test_bfs_multi_source_takes_min(spark):
+    from reactive_kinesis_spark.operators.graph import bfs_distances
+
+    e = spark.createDataFrame([(1, 2), (2, 3), (3, 4)], "src long, dst long")
+    seeds = spark.createDataFrame([(1,), (4,)], "node long")
+    got = {r.node: r.hops for r in bfs_distances(e, seeds, max_hops=3).collect()}
+    assert got == {1: 0, 4: 0, 2: 1, 3: 1}
+
+
+def test_bfs_directed_respects_edge_direction(spark):
+    from reactive_kinesis_spark.operators.graph import bfs_distances
+
+    e = spark.createDataFrame([(1, 2), (3, 2)], "src long, dst long")
+    seeds = spark.createDataFrame([(1,)], "node long")
+    got = {
+        r.node: r.hops
+        for r in bfs_distances(e, seeds, max_hops=2, undirected=False).collect()
+    }
+    assert got == {1: 0, 2: 1}  # 3 only reaches 2, never reached from 1
+
+
+def test_bfs_early_exit_matches_full_unroll(spark):
+    from reactive_kinesis_spark.operators.graph import bfs_distances
+
+    e = spark.createDataFrame([(1, 2), (2, 3)], "src long, dst long")
+    seeds = spark.createDataFrame([(1,)], "node long")
+    full = {
+        r.node: r.hops
+        for r in bfs_distances(e, seeds, max_hops=10, early_exit=False).collect()
+    }
+    fast = {
+        r.node: r.hops
+        for r in bfs_distances(e, seeds, max_hops=10, early_exit=True).collect()
+    }
+    assert full == fast == {1: 0, 2: 1, 3: 2}
+
+
+def test_bfs_validates_hops(spark):
+    from reactive_kinesis_spark.operators.graph import bfs_distances
+
+    e = spark.createDataFrame([(1, 2)], "src long, dst long")
+    seeds = spark.createDataFrame([(1,)], "node long")
+    with pytest.raises(ValueError):
+        bfs_distances(e, seeds, max_hops=-1)
