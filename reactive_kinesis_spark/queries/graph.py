@@ -404,3 +404,44 @@ def q126_bfs_hops(spark: SparkSession, sf_dir: str) -> DataFrame:
         dist.select(_node_label("node").alias("node"), "hops")
         .orderBy("hops", "node")
     )
+
+
+_Q127_ORACLE = """
+WITH bi AS (SELECT DISTINCT l_orderkey AS b, l_partkey AS i FROM lineitem),
+n AS (SELECT COUNT(DISTINCT b) AS n FROM bi),
+ic AS (SELECT i, CAST(COUNT(*) AS BIGINT) AS cnt FROM bi GROUP BY i),
+pc AS (SELECT x.i AS pa, y.i AS pb, CAST(COUNT(*) AS BIGINT) AS pair_count
+       FROM bi x JOIN bi y ON x.b = y.b AND x.i < y.i
+       GROUP BY pa, pb),
+pf AS (SELECT * FROM pc WHERE pair_count >= 2),
+dir AS (SELECT pa AS antecedent, pb AS consequent, pair_count FROM pf
+        UNION ALL
+        SELECT pb AS antecedent, pa AS consequent, pair_count FROM pf)
+SELECT d.antecedent, d.consequent, d.pair_count,
+       d.pair_count / n.n AS support,
+       d.pair_count / ia.cnt AS confidence,
+       (d.pair_count * n.n) / (ia.cnt * ib.cnt) AS lift
+FROM dir d
+JOIN ic ia ON d.antecedent = ia.i
+JOIN ic ib ON d.consequent = ib.i
+CROSS JOIN n
+ORDER BY lift DESC, antecedent, consequent LIMIT 100
+"""
+
+
+@query("q127_association_rules", oracle=_Q127_ORACLE)
+def q127_association_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-100 part→part association rules by lift over order baskets —
+    the market-basket mining query (support / confidence / lift from
+    exact basket counts). Every metric is one IEEE division of
+    int64-exact values, so the whole report hash-certifies with no
+    quantization; the pair frame is pruned by ``min_pair_count`` BEFORE
+    the item-count joins and the basket total enters as a broadcast
+    single-row frame. See :func:`operators.mining.association_rules`."""
+    from reactive_kinesis_spark.operators.mining import association_rules
+
+    li = load_table(spark, sf_dir, "lineitem")
+    rules = association_rules(li, "l_orderkey", "l_partkey", min_pair_count=2)
+    return rules.orderBy(
+        F.col("lift").desc(), "antecedent", "consequent"
+    ).limit(100)
