@@ -1239,3 +1239,127 @@ def q120_pit_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("state")
     )
+
+
+def cusum_changepoints(
+    df: DataFrame,
+    group_cols: list[str],
+    order_col: str,
+    value_col: str,
+) -> DataFrame:
+    """Single change-point detection per group over an ordered integer
+    series — the max-CUSUM-deviation statistic (the counting-process
+    form of a Pettitt/KS split test): for a series x_1..x_m the
+    candidate split i maximizes ``D_i = |m·S_i − i·S_m|`` (S = prefix
+    sum), i.e. "where does the cumulative curve bow furthest from the
+    straight line". The "did behavior shift, and when" primitive next
+    to q104's slot anomalies and q105's trends — a level shift that a
+    global mean or a linear trend both blur out.
+
+    Exactness contract: ``value_col`` must be integer-exact (counts, or
+    pre-quantized values — the trend_slopes discipline); then D_i,
+    prefix sums, and totals are all int64 arithmetic, and the reported
+    ``cusum_stat = D/(m·S_m)``, ``mean_before = S_i/i``,
+    ``mean_after = (S_m−S_i)/(m−i)`` are single IEEE divisions of
+    exactly-representable integers — bit-identical across engines with
+    no quantization tricks. Splits are interior only (``i < m``: both
+    sides non-empty, no division-by-zero edge); ties on D break to the
+    EARLIEST split; single-row groups are dropped (no interior split).
+
+    Shape: ONE group-keyed exchange serves the prefix-sum window, the
+    row-number, and the group totals; the argmax is a struct-min
+    aggregate on the same partitioning — no join-back, no second
+    shuffle (the q90 discipline). ``order_col`` must be unique within a
+    group (pre-bucketed series).
+
+    Returns ``(*group_cols, change_point, cusum_stat, mean_before,
+    mean_after)``.
+    """
+    w_seq = Window.partitionBy(*group_cols).orderBy(order_col)
+    w_cum = w_seq.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    w_all = Window.partitionBy(*group_cols)
+    cur = df.select(
+        *group_cols,
+        F.col(order_col).alias("__t"),
+        F.sum(F.col(value_col).cast("long")).over(w_cum).alias("__cum"),
+        F.row_number().over(w_seq).cast("long").alias("__i"),
+        F.sum(F.col(value_col).cast("long")).over(w_all).alias("__total"),
+        F.count(F.lit(1)).over(w_all).cast("long").alias("__m"),
+    )
+    cand = cur.where(F.col("__i") < F.col("__m")).withColumn(
+        "__d",
+        F.abs(F.col("__m") * F.col("__cum") - F.col("__i") * F.col("__total")),
+    )
+    best = cand.groupBy(*group_cols).agg(
+        F.min(
+            F.struct(
+                (-F.col("__d")).alias("nd"),
+                F.col("__t").alias("t"),
+                F.col("__cum").alias("cum"),
+                F.col("__i").alias("i"),
+                F.col("__total").alias("total"),
+                F.col("__m").alias("m"),
+            )
+        ).alias("__b")
+    )
+    b = F.col("__b")
+    return best.select(
+        *group_cols,
+        b["t"].alias("change_point"),
+        ((-b["nd"]) / (b["m"] * b["total"])).alias("cusum_stat"),
+        (b["cum"] / b["i"]).alias("mean_before"),
+        ((b["total"] - b["cum"]) / (b["m"] - b["i"])).alias("mean_after"),
+    )
+
+
+@query(
+    "q128_cusum_changepoint",
+    oracle="""
+    WITH daily AS (
+        SELECT event_type, user_id % 25 AS cohort, date_trunc('day', ts) AS day,
+               CAST(COUNT(*) AS BIGINT) AS x
+        FROM events GROUP BY event_type, cohort, day
+    ),
+    c AS (
+        SELECT event_type, cohort, day,
+               CAST(SUM(x) OVER wc AS BIGINT) AS cum,
+               CAST(ROW_NUMBER() OVER ws AS BIGINT) AS i,
+               CAST(SUM(x) OVER wa AS BIGINT) AS total,
+               CAST(COUNT(*) OVER wa AS BIGINT) AS m
+        FROM daily
+        WINDOW ws AS (PARTITION BY event_type, cohort ORDER BY day),
+               wc AS (PARTITION BY event_type, cohort ORDER BY day
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+               wa AS (PARTITION BY event_type, cohort)
+    ),
+    cand AS (
+        SELECT *, ABS(m * cum - i * total) AS d FROM c WHERE i < m
+    ),
+    r AS (
+        SELECT *, ROW_NUMBER() OVER (
+            PARTITION BY event_type, cohort ORDER BY d DESC, day ASC) AS rn
+        FROM cand
+    )
+    SELECT event_type, cohort, day AS change_point,
+           d / (m * total) AS cusum_stat,
+           cum / i AS mean_before,
+           (total - cum) / (m - i) AS mean_after
+    FROM r WHERE rn = 1
+    ORDER BY event_type, cohort
+    """,
+)
+def q128_cusum_changepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-(event_type, user-cohort) change-point over daily event
+    counts: the day where the cumulative count curve bows furthest from
+    uniform, with before/after daily means — "which cohorts shifted
+    behavior, and when". Integer CUSUM arithmetic end-to-end, so the
+    report hash-certifies with no quantization. See
+    :func:`cusum_changepoints`."""
+    ev = load_table(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        "event_type",
+        (F.col("user_id") % 25).alias("cohort"),
+        F.date_trunc("day", "ts").alias("day"),
+    ).agg(F.count(F.lit(1)).cast("long").alias("x"))
+    out = cusum_changepoints(daily, ["event_type", "cohort"], "day", "x")
+    return out.orderBy("event_type", "cohort")
