@@ -484,3 +484,76 @@ def bfs_distances(
         visited = visited.unionAll(new)
         frontier = new.select("node")
     return visited
+
+
+def link_prediction_jaccard(
+    edges: DataFrame,
+    src_col: str = "src",
+    dst_col: str = "dst",
+    max_center_degree: int | None = None,
+    assume_canonical: bool = False,
+) -> DataFrame:
+    """Neighbor-Jaccard link prediction over an undirected edge list:
+    score every NON-adjacent node pair that shares at least one
+    neighbor by ``|N(a)∩N(b)| / |N(a)∪N(b)|`` — the classic
+    common-neighbors recommender ("suppliers that co-supply with the
+    same peers but never directly", "users two hops apart").
+
+    Shape: the wedge stage is :func:`cooccurrence_edges` over the
+    adjacency list viewed as a (center, neighbor) bipartite relation —
+    JVM-side per-center pair expansion, TWO exchanges, and hub wedge
+    centers droppable via ``max_center_degree`` BEFORE any pair exists
+    (a hub's wedges are quadratic in its degree and the least
+    informative — the same cap discipline as the near-dup band caps).
+    Existing edges leave by ONE anti-join on the canonical pair key;
+    degrees join back on node id. With a cap set, ``common_neighbors``
+    counts only shared neighbors of capped degree — stated semantics,
+    not an approximation of the uncapped count (mirror the cap in any
+    oracle).
+
+    Exactness: counts are int64; the Jaccard is one IEEE division of
+    exact integers — bit-identical across engines, no quantization.
+
+    Returns ``(a, b, common_neighbors, degree_a, degree_b, jaccard)``
+    with ``a < b``.
+    """
+    e = edges.select(F.col(src_col).alias("u"), F.col(dst_col).alias("v"))
+    if not assume_canonical:
+        e = (
+            e.where(F.col("u") != F.col("v"))
+            .select(F.least("u", "v").alias("u"), F.greatest("u", "v").alias("v"))
+            .distinct()
+        )
+    e = e.localCheckpoint(eager=False)
+    adj = e.unionAll(e.select(F.col("v").alias("u"), F.col("u").alias("v")))
+    deg = adj.groupBy(F.col("u").alias("node")).agg(
+        F.count(F.lit(1)).cast("long").alias("degree")
+    )
+    wedges = cooccurrence_edges(
+        adj.select(F.col("u").alias("w"), F.col("v").alias("x")),
+        "w",
+        "x",
+        max_group_size=max_center_degree,
+    ).select("a", "b", F.col("weight").cast("long").alias("common_neighbors"))
+    cand = wedges.join(e, (wedges.a == e.u) & (wedges.b == e.v), "left_anti")
+    return (
+        cand.join(
+            deg.select(F.col("node").alias("a"), F.col("degree").alias("degree_a")),
+            "a",
+        )
+        .join(
+            deg.select(F.col("node").alias("b"), F.col("degree").alias("degree_b")),
+            "b",
+        )
+        .select(
+            "a",
+            "b",
+            "common_neighbors",
+            "degree_a",
+            "degree_b",
+            (
+                F.col("common_neighbors")
+                / (F.col("degree_a") + F.col("degree_b") - F.col("common_neighbors"))
+            ).alias("jaccard"),
+        )
+    )

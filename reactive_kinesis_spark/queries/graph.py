@@ -445,3 +445,46 @@ def q127_association_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
     return rules.orderBy(
         F.col("lift").desc(), "antecedent", "consequent"
     ).limit(100)
+
+
+_Q129_ORACLE = f"""
+WITH {_Q110_EDGES_SQL},
+eg AS (SELECT s_a AS a, s_b AS b FROM pairs),
+adj AS (SELECT a AS u, b AS v FROM eg UNION ALL SELECT b AS u, a AS v FROM eg),
+deg AS (SELECT u AS node, CAST(COUNT(*) AS BIGINT) AS degree FROM adj GROUP BY u),
+centers AS (SELECT node FROM deg WHERE degree <= 64),
+adjc AS (SELECT adj.u, adj.v FROM adj JOIN centers ON adj.u = centers.node),
+wedges AS (
+  SELECT x.v AS a, y.v AS b, CAST(COUNT(*) AS BIGINT) AS common_neighbors
+  FROM adjc x JOIN adjc y ON x.u = y.u AND x.v < y.v
+  GROUP BY a, b),
+cand AS (
+  SELECT w.* FROM wedges w LEFT JOIN eg ON w.a = eg.a AND w.b = eg.b
+  WHERE eg.a IS NULL)
+SELECT c.a, c.b, c.common_neighbors,
+       da.degree AS degree_a, db.degree AS degree_b,
+       c.common_neighbors / (da.degree + db.degree - c.common_neighbors)
+           AS jaccard
+FROM cand c
+JOIN deg da ON c.a = da.node
+JOIN deg db ON c.b = db.node
+ORDER BY jaccard DESC, a, b LIMIT 100
+"""
+
+
+@query("q129_link_prediction", oracle=_Q129_ORACLE)
+def q129_link_prediction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-100 predicted co-supply links: non-adjacent supplier pairs
+    ranked by neighbor-Jaccard ("co-supplies with the same peers but
+    never shares a part directly") — the recommender query over the
+    graph tier. Wedge centers capped at degree 64 (stated semantics,
+    mirrored in the oracle); exact-integer counts, one IEEE division —
+    hash-certified. Shares the materialized co-supply frame with
+    q110/q111/q115. See :func:`operators.graph.link_prediction_jaccard`."""
+    from reactive_kinesis_spark.operators.graph import link_prediction_jaccard
+
+    edges = cosupply_pairs(spark, sf_dir).select("a", "b")
+    out = link_prediction_jaccard(
+        edges, "a", "b", max_center_degree=64, assume_canonical=True
+    )
+    return out.orderBy(F.col("jaccard").desc(), "a", "b").limit(100)

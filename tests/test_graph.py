@@ -467,3 +467,51 @@ def test_bfs_validates_hops(spark):
     seeds = spark.createDataFrame([(1,)], "node long")
     with pytest.raises(ValueError):
         bfs_distances(e, seeds, max_hops=-1)
+
+
+# ------------------------------------------------- link prediction
+
+
+def test_link_prediction_hand_checked(spark):
+    from reactive_kinesis_spark.operators.graph import link_prediction_jaccard
+
+    # square 1-2-3-4-1: each diagonal pair shares 2 neighbors, deg 2 each
+    e = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (4, 1)], "src long, dst long"
+    )
+    got = {(r.a, r.b): r for r in link_prediction_jaccard(e).collect()}
+    assert set(got) == {(1, 3), (2, 4)}  # existing edges excluded
+    r = got[(1, 3)]
+    assert r.common_neighbors == 2
+    assert r.degree_a == r.degree_b == 2
+    assert r.jaccard == 2 / (2 + 2 - 2)
+
+
+def test_link_prediction_excludes_adjacent_and_caps_centers(spark):
+    from reactive_kinesis_spark.operators.graph import link_prediction_jaccard
+
+    # star center 0 with leaves 1..5, plus edge 1-2.
+    e = spark.createDataFrame(
+        [(0, i) for i in range(1, 6)] + [(1, 2)], "src long, dst long"
+    )
+    got = {(r.a, r.b): r for r in link_prediction_jaccard(e).collect()}
+    # all leaf pairs except the adjacent (1,2) predicted via center 0
+    assert (1, 2) not in got
+    assert (3, 4) in got and got[(3, 4)].common_neighbors == 1
+    # capping below the hub degree (5) kills every wedge through 0:
+    # only center 1 and 2 (degree 2) survive; their shared pair (0, 2)/(0, 1)
+    # are existing edges -> no predictions at all
+    capped = link_prediction_jaccard(e, max_center_degree=2).collect()
+    assert capped == []
+
+
+def test_link_prediction_canonicalizes_messy_input(spark):
+    from reactive_kinesis_spark.operators.graph import link_prediction_jaccard
+
+    messy = spark.createDataFrame(
+        [(2, 1), (1, 2), (3, 2), (3, 3)], "src long, dst long"
+    )
+    clean = spark.createDataFrame([(1, 2), (2, 3)], "src long, dst long")
+    a = sorted(map(tuple, link_prediction_jaccard(messy).collect()))
+    b = sorted(map(tuple, link_prediction_jaccard(clean).collect()))
+    assert a == b == [(1, 3, 1, 1, 1, 1.0)]
