@@ -447,9 +447,10 @@ def q127_association_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).limit(100)
 
 
-_Q129_ORACLE = f"""
-WITH {_Q110_EDGES_SQL},
-eg AS (SELECT s_a AS a, s_b AS b FROM pairs),
+_Q129_ORACLE = """
+WITH cp AS (SELECT DISTINCT o_custkey * 2 AS c, l_suppkey * 2 + 1 AS s
+            FROM lineitem JOIN orders ON l_orderkey = o_orderkey),
+eg AS (SELECT LEAST(c, s) AS a, GREATEST(c, s) AS b FROM cp),
 adj AS (SELECT a AS u, b AS v FROM eg UNION ALL SELECT b AS u, a AS v FROM eg),
 deg AS (SELECT u AS node, CAST(COUNT(*) AS BIGINT) AS degree FROM adj GROUP BY u),
 centers AS (SELECT node FROM deg WHERE degree <= 64),
@@ -461,30 +462,54 @@ wedges AS (
 cand AS (
   SELECT w.* FROM wedges w LEFT JOIN eg ON w.a = eg.a AND w.b = eg.b
   WHERE eg.a IS NULL)
-SELECT c.a, c.b, c.common_neighbors,
+SELECT CASE WHEN c.a % 2 = 0 THEN 'c' || CAST(c.a // 2 AS VARCHAR)
+            ELSE 's' || CAST(c.a // 2 AS VARCHAR) END AS a,
+       CASE WHEN c.b % 2 = 0 THEN 'c' || CAST(c.b // 2 AS VARCHAR)
+            ELSE 's' || CAST(c.b // 2 AS VARCHAR) END AS b,
+       c.common_neighbors,
        da.degree AS degree_a, db.degree AS degree_b,
        c.common_neighbors / (da.degree + db.degree - c.common_neighbors)
            AS jaccard
 FROM cand c
 JOIN deg da ON c.a = da.node
 JOIN deg db ON c.b = db.node
-ORDER BY jaccard DESC, a, b LIMIT 100
+ORDER BY jaccard DESC, c.a, c.b LIMIT 100
 """
 
 
 @query("q129_link_prediction", oracle=_Q129_ORACLE)
 def q129_link_prediction(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Top-100 predicted co-supply links: non-adjacent supplier pairs
-    ranked by neighbor-Jaccard ("co-supplies with the same peers but
-    never shares a part directly") — the recommender query over the
-    graph tier. Wedge centers capped at degree 64 (stated semantics,
-    mirrored in the oracle); exact-integer counts, one IEEE division —
-    hash-certified. Shares the materialized co-supply frame with
-    q110/q111/q115. See :func:`operators.graph.link_prediction_jaccard`."""
+    """Top-100 predicted links in the co-purchase graph by
+    neighbor-Jaccard — in the bipartite customer↔supplier graph every
+    wedge joins two same-side nodes, so with hub supplier centers
+    dropped by the degree-64 cap this ranks SUPPLIER pairs by shared
+    customer base ("never sold to each other's accounts directly, but
+    serve the same buyers") — the recommender query over the graph
+    tier. The cap is stated semantics, mirrored in the oracle (its
+    co-supply twin is a COMPLETE graph at test SFs — zero non-adjacent
+    pairs, a vacuous target; the bipartite graph is where prediction
+    means something). Exact-integer counts, one IEEE division —
+    hash-certified. Shares the materialized co-purchase frame with
+    q107/q121/q126. See
+    :func:`operators.graph.link_prediction_jaccard`."""
     from reactive_kinesis_spark.operators.graph import link_prediction_jaccard
 
-    edges = cosupply_pairs(spark, sf_dir).select("a", "b")
-    out = link_prediction_jaccard(
-        edges, "a", "b", max_center_degree=64, assume_canonical=True
+    pairs = copurchase_pairs_weighted(spark, sf_dir)
+    # canonicalize a<b without the operator's distinct shuffle: (c, s)
+    # rows are already distinct and least/greatest is injective on them
+    edges = pairs.select(
+        F.least("c", "s").alias("src"), F.greatest("c", "s").alias("dst")
     )
-    return out.orderBy(F.col("jaccard").desc(), "a", "b").limit(100)
+    out = link_prediction_jaccard(edges, max_center_degree=64, assume_canonical=True)
+    return (
+        out.orderBy(F.col("jaccard").desc(), "a", "b")
+        .limit(100)
+        .select(
+            _node_label("a").alias("a"),
+            _node_label("b").alias("b"),
+            "common_neighbors",
+            "degree_a",
+            "degree_b",
+            "jaccard",
+        )
+    )
