@@ -991,3 +991,83 @@ def q119_equidepth_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("bucket")
     )
+
+
+def quantile_normalize(
+    df: DataFrame,
+    group_col: str,
+    value_col: str,
+    id_col: str,
+) -> DataFrame:
+    """Quantile normalization across groups: rank every row within its
+    group by ``(value, id)``, then replace the value with the MEAN of
+    the values holding that same rank across all groups — after which
+    every group shares one reference distribution (up to size
+    differences; ranks missing from shorter groups simply average over
+    the groups that have them — the standard deterministic treatment of
+    unequal sizes). The cross-source distribution aligner (batch-effect
+    removal for quality scores, per-source length bias, etc.).
+
+    Exactness: values must be integer-exact (or pre-quantized); the
+    reference value is then ``SUM(int64) / COUNT`` — one IEEE division
+    of exact integers, bit-identical everywhere with no decimal casts.
+    The unique ``id_col`` tie-break makes the within-group ranking
+    total, so ranks — and therefore every output bit — are
+    deterministic across partitionings and engines.
+
+    Shape: one group-keyed sort-window for ranks, one rank-keyed
+    aggregate for the reference, one rank-keyed join back — ranks are
+    dense and uniformly distributed by construction (no skew), and the
+    per-group sort is a partition-local sort after the one exchange,
+    never a global one.
+
+    Returns the input columns plus ``rank`` and ``normalized``.
+    """
+    w = Window.partitionBy(group_col).orderBy(value_col, id_col)
+    ranked = df.select(
+        id_col,
+        group_col,
+        value_col,
+        F.row_number().over(w).cast("long").alias("rank"),
+    )
+    ref = ranked.groupBy("rank").agg(
+        (F.sum(F.col(value_col).cast("long")) / F.count(F.lit(1))).alias(
+            "normalized"
+        )
+    )
+    return ranked.join(ref, "rank").select(
+        id_col, group_col, value_col, "rank", "normalized"
+    )
+
+
+@query(
+    "q130_quantile_normalize",
+    oracle="""
+    WITH ranked AS (
+        SELECT doc_id, source, n_chars,
+               CAST(ROW_NUMBER() OVER (
+                   PARTITION BY source ORDER BY n_chars, doc_id
+               ) AS BIGINT) AS rank
+        FROM documents
+    ),
+    ref AS (
+        SELECT rank,
+               CAST(SUM(n_chars) AS BIGINT) / CAST(COUNT(*) AS BIGINT)
+                   AS normalized
+        FROM ranked GROUP BY rank
+    )
+    SELECT r.doc_id, r.source, r.n_chars, r.rank, ref.normalized
+    FROM ranked r JOIN ref USING (rank)
+    ORDER BY r.doc_id
+    """,
+)
+def q130_quantile_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quantile-normalize document lengths across the 20 sources: each
+    doc's ``n_chars`` is replaced by the mean length at its within-source
+    rank, removing per-source length bias while preserving each source's
+    ordering — the cross-source distribution aligner before
+    length-balanced sampling. Integer sums, one IEEE division —
+    hash-certified. See :func:`quantile_normalize`."""
+    docs = _t(spark, sf_dir, "documents")
+    out = quantile_normalize(docs, "source", "n_chars", "doc_id")
+    return out.orderBy("doc_id")
