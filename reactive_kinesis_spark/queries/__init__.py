@@ -53,11 +53,12 @@ def query(name: str, oracle: str | None = None):
 #:                output contract refixed to STRING), q99 (never
 #:                driver-certified), and the six r4-stale queries
 #:                q68-q72 + q74;
-#:   slots 8+   — round-7 additions (never certified), then the 50
-#:                r5-certified queries (2 rounds stale), of which 8 of the
-#:                simplest relational ones don't fit and defer to round 8
-#:                (_DEFERRED_R8 — exactly the 2-round-staleness floor the
-#:                registry size forces).
+#:   slots 8+   — round-7 additions (never certified; q124-q130 incl. the
+#:                session-2 mining/BFS/changepoint/link-prediction/
+#:                quantile-normalize tier), then the r5-certified queries
+#:                (2 rounds stale), of which 13 don't fit and defer to
+#:                round 8 (_DEFERRED_R8 — exactly the 2-round-staleness
+#:                floor the registry size forces).
 #: Everything past the window (r6-certified + deferred) remains fully
 #: oracle-checked locally every session (tests/test_oracle_parity.py runs
 #: the ENTIRE registry against DuckDB).
@@ -76,6 +77,11 @@ _WINDOW = (
     "q107_pagerank",
     "q121_weighted_pagerank",
     "q125_snapshot_drift",
+    "q126_bfs_hops",
+    "q127_association_rules",
+    "q128_cusum_changepoint",
+    "q129_link_prediction",
+    "q130_quantile_normalize",
     # -- r5-certified pool (2 rounds stale): middle tier first --
     "q01_pricing_summary",
     "q04_star_join",
@@ -111,15 +117,15 @@ _WINDOW = (
     "q87_surprisal_scoring",
     "q88_canonical_pick",
     "q89_table_profile",
+)
+#: r5-certified queries that don't fit this round's window; they take round-8
+#: slots (2-round staleness floor — 111 oracle queries / 50 slots).
+_DEFERRED_R8 = (
     "q90_zscore_normalize",
     "q91_feature_hashing",
     "q92_centroid_similarity",
     "q93_session_paths",
     "q94_snapshot_diff",
-)
-#: r5-certified queries that don't fit this round's window; they take round-8
-#: slots (2-round staleness floor — 111 oracle queries / 50 slots).
-_DEFERRED_R8 = (
     "q95_blocklist_stats",
     "q96_training_prep",
     "q97_resample_ffill",
