@@ -1071,3 +1071,106 @@ def q130_quantile_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _t(spark, sf_dir, "documents")
     out = quantile_normalize(docs, "source", "n_chars", "doc_id")
     return out.orderBy("doc_id")
+
+
+def gini_concentration(
+    df: DataFrame,
+    group_col: str,
+    value_col: str,
+    id_col: str,
+) -> DataFrame:
+    """Per-group Gini coefficient of an integer measure — the
+    inequality/concentration audit (is one source dominating the
+    corpus, one customer dominating a nation's order volume, one
+    cluster absorbing the dataset). 0 = perfectly even, → 1 =
+    concentrated in one member.
+
+    Formula: with within-group values sorted ascending (ties broken by
+    ``id_col`` — the rank must be total for determinism),
+    ``G = 2·Σ(i·xᵢ) / (n·Σx) − (n+1)/n``. Both terms are single IEEE
+    divisions of int64-exact sums, so the result is bit-identical
+    across engines — the integer-division certification class (q127/
+    q128/q130). Zero-total groups are dropped (Gini undefined).
+
+    Shape: ONE group-keyed exchange — the rank window and the moment
+    aggregation share the partitioning. Returns ``(*group, n, total,
+    gini)``.
+    """
+    w = Window.partitionBy(group_col).orderBy(value_col, id_col)
+    ranked = df.select(
+        group_col,
+        F.col(value_col).cast("long").alias("__x"),
+        F.row_number().over(w).cast("long").alias("__i"),
+    )
+    agg = ranked.groupBy(group_col).agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("__x").cast("long").alias("total"),
+        F.sum(F.col("__i") * F.col("__x")).cast("long").alias("__a"),
+    )
+    return agg.where(F.col("total") > 0).select(
+        group_col,
+        "n",
+        "total",
+        (
+            (F.lit(2) * F.col("__a")) / (F.col("n") * F.col("total"))
+            - (F.col("n") + F.lit(1)) / F.col("n")
+        ).alias("gini"),
+    )
+
+
+@query(
+    "q131_gini_concentration",
+    oracle="""
+    WITH vol AS (
+        SELECT c.c_nationkey, o.o_custkey, CAST(COUNT(*) AS BIGINT) AS x
+        FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+        GROUP BY c.c_nationkey, o.o_custkey
+    ),
+    ranked AS (
+        SELECT c_nationkey,
+               x AS __x,
+               CAST(ROW_NUMBER() OVER (
+                   PARTITION BY c_nationkey ORDER BY x, o_custkey
+               ) AS BIGINT) AS __i
+        FROM vol
+    ),
+    agg AS (
+        SELECT c_nationkey,
+               CAST(COUNT(*) AS BIGINT) AS n,
+               CAST(SUM(__x) AS BIGINT) AS total,
+               CAST(SUM(__i * __x) AS BIGINT) AS a
+        FROM ranked GROUP BY c_nationkey
+    )
+    SELECT nt.n_name AS nation, agg.n, agg.total,
+           (2 * a) / (n * total) - (n + 1) / n AS gini
+    FROM agg JOIN nation nt ON agg.c_nationkey = nt.n_nationkey
+    WHERE total > 0
+    ORDER BY nation
+    """,
+)
+def q131_gini_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-nation Gini coefficient of customer order-count concentration
+    — "is this market's volume spread across its customers or owned by
+    a few" — the inequality audit a mixture-design / source-balancing
+    pass runs on corpus shares. Exact integer moments, two IEEE
+    divisions — hash-certified. See :func:`gini_concentration`."""
+    orders = _t(spark, sf_dir, "orders")
+    cust = _t(spark, sf_dir, "customer")
+    nation = _t(spark, sf_dir, "nation")
+    vol = (
+        orders.join(
+            F.broadcast(cust.select("c_custkey", "c_nationkey")),
+            orders.o_custkey == cust.c_custkey,
+        )
+        .groupBy("c_nationkey", "o_custkey")
+        .agg(F.count(F.lit(1)).cast("long").alias("x"))
+    )
+    g = gini_concentration(vol, "c_nationkey", "x", "o_custkey")
+    return (
+        g.join(
+            F.broadcast(nation.select("n_nationkey", "n_name")),
+            g.c_nationkey == F.col("n_nationkey"),
+        )
+        .select(F.col("n_name").alias("nation"), "n", "total", "gini")
+        .orderBy("nation")
+    )

@@ -1363,3 +1363,93 @@ def q128_cusum_changepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).agg(F.count(F.lit(1)).cast("long").alias("x"))
     out = cusum_changepoints(daily, ["event_type", "cohort"], "day", "x")
     return out.orderBy("event_type", "cohort")
+
+
+@query(
+    "q132_attribution",
+    oracle="""
+    WITH o AS (
+        SELECT user_id, event_type, epoch_us(ts) AS us,
+               last_value(CASE WHEN event_type <> 'purchase'
+                               THEN event_type END IGNORE NULLS)
+                   OVER w AS source,
+               last_value(CASE WHEN event_type <> 'purchase'
+                               THEN epoch_us(ts) END IGNORE NULLS)
+                   OVER w AS src_us
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+    ),
+    attr AS (
+        SELECT source, us - src_us AS lag_us
+        FROM o
+        WHERE event_type = 'purchase' AND source IS NOT NULL
+          AND us - src_us <= 3600000000
+    ),
+    agg AS (
+        SELECT source, CAST(COUNT(*) AS BIGINT) AS n_attributed,
+               CAST(SUM(lag_us) AS BIGINT) AS sum_lag_us
+        FROM attr GROUP BY source
+    )
+    SELECT source, n_attributed,
+           n_attributed / CAST(SUM(n_attributed) OVER () AS BIGINT) AS share,
+           sum_lag_us / (n_attributed * 1000000) AS avg_lag_sec
+    FROM agg ORDER BY source
+    """,
+)
+def q132_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Last-touch conversion attribution: each purchase is credited to
+    the user's most recent NON-purchase event within the preceding
+    hour; report per-source conversion counts, share of attributed
+    purchases, and mean source→purchase latency — the marketing/funnel
+    companion to q85's ordered funnel and q78's transitions.
+
+    Exactness: the "most recent prior touch" is one ``last(...,
+    ignorenulls)`` over a ``(ts, event_id)``-ordered frame ending at 1
+    PRECEDING (the unique event_id tie-break makes the frame order
+    total); lags live in integer microseconds; share and mean latency
+    are single IEEE divisions of int64-exact counts/sums — the
+    integer-division certification class. The share denominator is a
+    window sum over the handful of grouped rows — no second scan, no
+    driver scalar.
+
+    Shape: ONE user-keyed sort-window exchange + one small aggregate."""
+    ev = load_table(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    non_purchase = F.when(
+        F.col("event_type") != "purchase", F.col("event_type")
+    )
+    non_purchase_us = F.when(
+        F.col("event_type") != "purchase", F.unix_micros("ts")
+    )
+    o = ev.select(
+        "event_type",
+        F.unix_micros("ts").alias("us"),
+        F.last(non_purchase, ignorenulls=True).over(w).alias("source"),
+        F.last(non_purchase_us, ignorenulls=True).over(w).alias("src_us"),
+    )
+    attr = o.where(
+        (F.col("event_type") == "purchase")
+        & F.col("source").isNotNull()
+        & (F.col("us") - F.col("src_us") <= 3600 * 1000 * 1000)
+    ).select("source", (F.col("us") - F.col("src_us")).alias("lag_us"))
+    agg = attr.groupBy("source").agg(
+        F.count(F.lit(1)).cast("long").alias("n_attributed"),
+        F.sum("lag_us").cast("long").alias("sum_lag_us"),
+    )
+    w_all = Window.partitionBy()
+    return agg.select(
+        "source",
+        "n_attributed",
+        (
+            F.col("n_attributed")
+            / F.sum("n_attributed").over(w_all).cast("long")
+        ).alias("share"),
+        (F.col("sum_lag_us") / (F.col("n_attributed") * 1000000)).alias(
+            "avg_lag_sec"
+        ),
+    ).orderBy("source")

@@ -34,3 +34,70 @@ def test_quantile_normalize_tie_break_is_total(spark):
     df = spark.createDataFrame(rows, "g string, id long, v long")
     ranks = {r.id: r.rank for r in quantile_normalize(df, "g", "v", "id").collect()}
     assert ranks[1] == 1 and ranks[2] == 2 and ranks[9] == 1
+
+
+# ---------------------------------------------------------------- gini
+
+
+def test_gini_even_distribution_is_zero(spark):
+    from reactive_kinesis_spark.queries.advanced import gini_concentration
+
+    rows = [("g", i, 10) for i in range(4)]
+    df = spark.createDataFrame(rows, "grp string, id long, x long")
+    got = gini_concentration(df, "grp", "x", "id").collect()[0]
+    assert got.gini == 0.0 and got.n == 4 and got.total == 40
+
+
+def test_gini_total_concentration_approaches_one(spark):
+    from reactive_kinesis_spark.queries.advanced import gini_concentration
+
+    # one member owns everything: G = (n-1)/n
+    rows = [("g", 1, 0), ("g", 2, 0), ("g", 3, 0), ("g", 4, 100)]
+    df = spark.createDataFrame(rows, "grp string, id long, x long")
+    got = gini_concentration(df, "grp", "x", "id").collect()[0]
+    assert got.gini == 3 / 4
+
+
+def test_gini_zero_total_group_dropped(spark):
+    from reactive_kinesis_spark.queries.advanced import gini_concentration
+
+    rows = [("z", 1, 0), ("z", 2, 0), ("a", 1, 5)]
+    df = spark.createDataFrame(rows, "grp string, id long, x long")
+    got = {r.grp for r in gini_concentration(df, "grp", "x", "id").collect()}
+    assert got == {"a"}
+
+
+# ---------------------------------------------------------- attribution
+
+
+def test_attribution_last_touch_within_window(spark):
+    import datetime as dt
+
+    from reactive_kinesis_spark.queries import load_all
+
+    t0 = dt.datetime(2024, 1, 1, 12, 0, 0)
+
+    def ev(i, user, typ, sec):
+        return (i, t0 + dt.timedelta(seconds=sec), user, typ, 1.0, "{}")
+
+    rows = [
+        ev(1, 1, "click", 0),
+        ev(2, 1, "view", 10),     # last touch before first purchase
+        ev(3, 1, "purchase", 20),
+        ev(4, 1, "purchase", 25),  # attributed to the same view (still <=1h)
+        ev(5, 2, "click", 0),
+        ev(6, 2, "purchase", 4000),  # beyond 1h -> unattributed
+        ev(7, 3, "purchase", 0),     # no prior touch -> unattributed
+    ]
+    df = spark.createDataFrame(
+        rows, "event_id long, ts timestamp, user_id long, event_type string, value double, props string"
+    )
+    import tempfile
+
+    with tempfile.TemporaryDirectory() as d:
+        df.write.parquet(f"{d}/events.parquet")
+        out = {r.source: r for r in load_all()["q132_attribution"].fn(spark, d).collect()}
+    assert set(out) == {"view"}
+    assert out["view"].n_attributed == 2
+    assert out["view"].share == 1.0
+    assert out["view"].avg_lag_sec == (10 + 15) / 2
