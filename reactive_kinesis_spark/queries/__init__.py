@@ -84,6 +84,8 @@ _WINDOW = (
     "q130_quantile_normalize",
     "q131_gini_concentration",
     "q132_attribution",
+    "q133_lorenz_deciles",
+    "q134_interarrival_burstiness",
     # -- r5-certified pool (2 rounds stale): middle tier first --
     "q01_pricing_summary",
     "q04_star_join",
@@ -115,12 +117,12 @@ _WINDOW = (
     "q83_chunking",
     "q84_weighted_sample",
     "q85_event_funnel",
-    "q86_robust_outliers",
-    "q87_surprisal_scoring",
 )
 #: r5-certified queries that don't fit this round's window; they take round-8
 #: slots (2-round staleness floor — 111 oracle queries / 50 slots).
 _DEFERRED_R8 = (
+    "q86_robust_outliers",
+    "q87_surprisal_scoring",
     "q88_canonical_pick",
     "q89_table_profile",
     "q90_zscore_normalize",

@@ -1174,3 +1174,107 @@ def q131_gini_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.col("n_name").alias("nation"), "n", "total", "gini")
         .orderBy("nation")
     )
+
+
+@query(
+    "q133_lorenz_deciles",
+    oracle="""
+    WITH vol AS (
+        SELECT c.c_nationkey, o.o_custkey, CAST(COUNT(*) AS BIGINT) AS x
+        FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+        GROUP BY c.c_nationkey, o.o_custkey
+    ),
+    ranked AS (
+        SELECT c_nationkey, x,
+               CAST(ROW_NUMBER() OVER (
+                   PARTITION BY c_nationkey ORDER BY x, o_custkey
+               ) AS BIGINT) AS i,
+               CAST(COUNT(*) OVER (PARTITION BY c_nationkey) AS BIGINT) AS n,
+               CAST(SUM(x) OVER (PARTITION BY c_nationkey) AS BIGINT) AS total,
+               CAST(SUM(x) OVER (PARTITION BY c_nationkey ORDER BY x, o_custkey
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+                   AS cum
+        FROM vol
+    ),
+    dec AS (
+        SELECT c_nationkey,
+               CAST(CEIL((10 * i) / CAST(n AS DOUBLE)) AS BIGINT) AS decile,
+               i, n, total, cum
+        FROM ranked
+    ),
+    top_of_decile AS (
+        SELECT c_nationkey, decile, n, total, cum,
+               ROW_NUMBER() OVER (PARTITION BY c_nationkey, decile
+                                  ORDER BY i DESC) AS rn
+        FROM dec
+    )
+    SELECT nt.n_name AS nation, t.decile,
+           t.cum AS cum_orders, t.total AS total_orders,
+           t.cum / t.total AS cum_share
+    FROM top_of_decile t JOIN nation nt ON t.c_nationkey = nt.n_nationkey
+    WHERE t.rn = 1
+    ORDER BY nation, decile
+    """,
+)
+def q133_lorenz_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-nation Lorenz curve at decile resolution: cumulative share of
+    order volume held by the bottom 10%/20%/…/100% of customers — the
+    curve whose area deficit q131's Gini summarizes, at the granularity
+    a balance dashboard actually plots. Deciles come from the rank
+    window itself (``ceil(10·i/n)`` — NEVER a global ntile sort); the
+    decile's representative row is its highest-ranked member (one
+    struct-max per (nation, decile)). Integer prefix sums, one IEEE
+    division — hash-certified.
+
+    Shape: ONE nation-keyed exchange for all four windows, one small
+    aggregate, one broadcast nation join."""
+    orders = _t(spark, sf_dir, "orders")
+    cust = _t(spark, sf_dir, "customer")
+    nation = _t(spark, sf_dir, "nation")
+    vol = (
+        orders.join(
+            F.broadcast(cust.select("c_custkey", "c_nationkey")),
+            orders.o_custkey == cust.c_custkey,
+        )
+        .groupBy("c_nationkey", "o_custkey")
+        .agg(F.count(F.lit(1)).cast("long").alias("x"))
+    )
+    w_seq = Window.partitionBy("c_nationkey").orderBy("x", "o_custkey")
+    w_all = Window.partitionBy("c_nationkey")
+    ranked = vol.select(
+        "c_nationkey",
+        F.row_number().over(w_seq).cast("long").alias("i"),
+        F.count(F.lit(1)).over(w_all).cast("long").alias("n"),
+        F.sum("x").over(w_all).cast("long").alias("total"),
+        F.sum("x")
+        .over(w_seq.rowsBetween(Window.unboundedPreceding, Window.currentRow))
+        .cast("long")
+        .alias("cum"),
+    ).withColumn(
+        "decile",
+        F.ceil((F.lit(10) * F.col("i")) / F.col("n").cast("double")).cast("long"),
+    )
+    top = ranked.groupBy("c_nationkey", "decile").agg(
+        F.max(
+            F.struct(
+                F.col("i").alias("i"),
+                F.col("n").alias("n"),
+                F.col("total").alias("total"),
+                F.col("cum").alias("cum"),
+            )
+        ).alias("__t")
+    )
+    return (
+        top.join(
+            F.broadcast(nation.select("n_nationkey", "n_name")),
+            top.c_nationkey == F.col("n_nationkey"),
+        )
+        .select(
+            F.col("n_name").alias("nation"),
+            "decile",
+            F.col("__t.cum").alias("cum_orders"),
+            F.col("__t.total").alias("total_orders"),
+            (F.col("__t.cum") / F.col("__t.total")).alias("cum_share"),
+        )
+        .orderBy("nation", "decile")
+    )

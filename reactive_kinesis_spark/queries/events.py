@@ -1453,3 +1453,93 @@ def q132_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
             "avg_lag_sec"
         ),
     ).orderBy("source")
+
+
+@query(
+    "q134_interarrival_burstiness",
+    oracle="""
+    WITH seq AS (
+        SELECT user_id, epoch_us(ts) AS us,
+               lag(epoch_us(ts)) OVER (PARTITION BY user_id
+                                       ORDER BY ts, event_id) AS prev_us
+        FROM events
+    ),
+    gaps AS (
+        SELECT user_id, (us - prev_us) // 1000000 AS d
+        FROM seq WHERE prev_us IS NOT NULL
+    ),
+    agg AS (
+        SELECT user_id,
+               CAST(COUNT(*) AS BIGINT) AS n,
+               CAST(SUM(d) AS BIGINT) AS sd,
+               CAST(SUM(d * d) AS BIGINT) AS sdd
+        FROM gaps GROUP BY user_id
+    ),
+    m AS (
+        SELECT user_id, n,
+               sd / n AS mean_gap_sec,
+               sqrt(GREATEST(
+                   (n * sdd - sd * sd) / (CAST(n AS DOUBLE) * n), 0.0))
+                   AS sigma_gap_sec
+        FROM agg WHERE n >= 2
+    )
+    SELECT user_id, n, mean_gap_sec, sigma_gap_sec,
+           (sigma_gap_sec - mean_gap_sec) / (sigma_gap_sec + mean_gap_sec)
+               AS burstiness
+    FROM m
+    ORDER BY user_id
+    """,
+)
+def q134_interarrival_burstiness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user inter-arrival burstiness ``B = (σ−μ)/(σ+μ)`` over
+    whole-second event gaps — the traffic-shape profiler (−1 = metro-
+    nome, 0 = Poisson, →1 = bursty) behind rate-limit tuning and bot
+    detection; the arrival-process companion to q105's value trends.
+
+    Exactness: gaps are integer seconds (floored micros — identical
+    floor everywhere); Σd and Σd² are int64-exact, so the mean is one
+    integer division and the variance is the single expression
+    ``(n·Σd² − (Σd)²)/(n·n)`` on exactly-representable doubles, clamped
+    at 0 before the IEEE sqrt (the q104 discipline). Requires n ≥ 2
+    gaps; ``(ts, event_id)`` ordering is total.
+
+    Shape: ONE user-keyed sort-window exchange; the lag, the gap
+    filter, and the moment aggregation all ride it."""
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = ev.select(
+        "user_id",
+        F.unix_micros("ts").alias("us"),
+        F.lag(F.unix_micros("ts")).over(w).alias("prev_us"),
+    )
+    gaps = seq.where(F.col("prev_us").isNotNull()).select(
+        "user_id",
+        ((F.col("us") - F.col("prev_us")) / F.lit(1000000))
+        .cast("long")
+        .alias("d"),
+    )
+    agg = gaps.groupBy("user_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("d").cast("long").alias("sd"),
+        F.sum(F.col("d") * F.col("d")).cast("long").alias("sdd"),
+    )
+    nd = F.col("n").cast("double")
+    mean = F.col("sd") / F.col("n")
+    var = (F.col("n") * F.col("sdd") - F.col("sd") * F.col("sd")) / (nd * F.col("n"))
+    sigma = F.sqrt(F.greatest(var, F.lit(0.0)))
+    m = agg.where(F.col("n") >= 2).select(
+        "user_id",
+        "n",
+        mean.alias("mean_gap_sec"),
+        sigma.alias("sigma_gap_sec"),
+    )
+    return m.select(
+        "user_id",
+        "n",
+        "mean_gap_sec",
+        "sigma_gap_sec",
+        (
+            (F.col("sigma_gap_sec") - F.col("mean_gap_sec"))
+            / (F.col("sigma_gap_sec") + F.col("mean_gap_sec"))
+        ).alias("burstiness"),
+    ).orderBy("user_id")

@@ -101,3 +101,59 @@ def test_attribution_last_touch_within_window(spark):
     assert out["view"].n_attributed == 2
     assert out["view"].share == 1.0
     assert out["view"].avg_lag_sec == (10 + 15) / 2
+
+
+# --------------------------------------------------------------- lorenz
+
+
+def test_lorenz_deciles_monotone_and_terminal(spark, sf_dir):
+    from reactive_kinesis_spark.queries import load_all
+
+    rows = load_all()["q133_lorenz_deciles"].fn(spark, sf_dir).collect()
+    assert rows
+    by_nation = {}
+    for r in rows:
+        by_nation.setdefault(r.nation, []).append(r)
+    for nation, rs in by_nation.items():
+        rs = sorted(rs, key=lambda r: r.decile)
+        shares = [r.cum_share for r in rs]
+        assert shares == sorted(shares), nation  # Lorenz curve is monotone
+        assert rs[-1].decile == 10 and rs[-1].cum_share == 1.0, nation
+        # bottom deciles never hold more than their population share
+        for r in rs:
+            assert r.cum_share <= r.decile / 10 + 1e-12, (nation, r.decile)
+
+
+# ----------------------------------------------------------- burstiness
+
+
+def test_burstiness_metronome_is_minus_one_and_range(spark, sf_dir):
+    import datetime as dt
+    import tempfile
+
+    from reactive_kinesis_spark.queries import load_all
+
+    t0 = dt.datetime(2024, 1, 1)
+    rows = []
+    eid = 0
+    # user 1: perfectly regular 60s gaps -> sigma=0 -> B = -1
+    for k in range(5):
+        eid += 1
+        rows.append((eid, t0 + dt.timedelta(seconds=60 * k), 1, "click", 1.0, "{}"))
+    # user 2: bursty (tiny gaps then a huge one)
+    for sec in (0, 1, 2, 100000):
+        eid += 1
+        rows.append((eid, t0 + dt.timedelta(seconds=sec), 2, "click", 1.0, "{}"))
+    # user 3: single event -> dropped (no gaps)
+    rows.append((999, t0, 3, "click", 1.0, "{}"))
+    df = spark.createDataFrame(
+        rows, "event_id long, ts timestamp, user_id long, event_type string, value double, props string"
+    )
+    with tempfile.TemporaryDirectory() as d:
+        df.write.parquet(f"{d}/events.parquet")
+        out = {r.user_id: r for r in
+               load_all()["q134_interarrival_burstiness"].fn(spark, d).collect()}
+    assert set(out) == {1, 2}
+    assert out[1].sigma_gap_sec == 0.0 and out[1].burstiness == -1.0
+    assert out[1].mean_gap_sec == 60.0
+    assert 0.0 < out[2].burstiness < 1.0  # bursty user trends positive
