@@ -207,7 +207,16 @@ def test_oracle_parity_on_random_corpora(spark, tmp_path, seed):
         failures = []
         for name in names:
             try:
-                compare(reg[name].fn(spark, dst), con, reg[name].oracle)
+                # require_rows=False: on RANDOM corpora an empty result is
+                # a legitimate outcome (no near-dups, no contamination hits);
+                # the non-degeneracy guard is a REAL-SF registry convention,
+                # enforced by tests/test_oracle_parity.py
+                compare(
+                    reg[name].fn(spark, dst),
+                    con,
+                    reg[name].oracle,
+                    require_rows=False,
+                )
             except Exception as e:  # noqa: BLE001 — collect, report all at once
                 failures.append(f"{name}: {type(e).__name__}: {str(e)[:300]}")
         assert not failures, "\n".join(failures)
