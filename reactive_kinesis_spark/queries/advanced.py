@@ -1278,3 +1278,145 @@ def q133_lorenz_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("nation", "decile")
     )
+
+
+def _quintile_map(counts: DataFrame, val_col: str, ascending: bool) -> DataFrame:
+    """Tie-stable quintile assignment over a per-VALUE count frame.
+
+    ``counts`` has one row per distinct metric value (``val_col``,
+    ``c`` = customers at that value). The cumulative count over the
+    value order gives F(v)·n, and the quintile is the pure-integer
+    ceiling ``(5·cum + n − 1) div n`` — every customer sharing a value
+    lands in the same quintile (unlike ``ntile``, which splits ties by
+    arbitrary row order and is NOT cross-engine stable), and the window
+    runs over the distinct-VALUE frame, whose size is bounded by the
+    metric's integer domain (days / order counts / currency ranges),
+    not by the row count — the q133 "never a global ntile sort" rule.
+    """
+    order = F.col(val_col).asc() if ascending else F.col(val_col).desc()
+    w_cum = Window.orderBy(order).rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    w_all = Window.partitionBy()
+    return counts.select(
+        val_col,
+        F.sum("c").over(w_cum).cast("long").alias("cum"),
+        F.sum("c").over(w_all).cast("long").alias("n"),
+    ).select(
+        val_col,
+        F.expr("CAST((5 * cum + n - 1) DIV n AS BIGINT)").alias("__q"),
+    )
+
+
+@query(
+    "q135_rfm_segments",
+    oracle="""
+    WITH anchor AS (SELECT MAX(CAST(o_orderdate AS DATE)) AS ad FROM orders),
+    m AS (
+        SELECT o_custkey,
+               CAST(date_diff('day', MAX(CAST(o_orderdate AS DATE)),
+                              (SELECT ad FROM anchor)) AS BIGINT) AS rec,
+               CAST(COUNT(*) AS BIGINT) AS freq,
+               CAST(SUM(CAST(FLOOR(o_totalprice) AS BIGINT)) AS BIGINT)
+                   AS mon_units
+        FROM orders GROUP BY o_custkey
+    ),
+    mk AS (SELECT *, mon_units // 1000 AS mon_k FROM m),
+    rq AS (
+        SELECT rec, (5 * cum + n - 1) // n AS __q FROM (
+            SELECT rec,
+                   SUM(c) OVER (ORDER BY rec
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
+                   SUM(c) OVER () AS n
+            FROM (SELECT rec, CAST(COUNT(*) AS BIGINT) AS c FROM mk GROUP BY rec)
+        )
+    ),
+    fq AS (
+        SELECT freq, (5 * cum + n - 1) // n AS __q FROM (
+            SELECT freq,
+                   SUM(c) OVER (ORDER BY freq DESC
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
+                   SUM(c) OVER () AS n
+            FROM (SELECT freq, CAST(COUNT(*) AS BIGINT) AS c FROM mk GROUP BY freq)
+        )
+    ),
+    mq AS (
+        SELECT mon_k, (5 * cum + n - 1) // n AS __q FROM (
+            SELECT mon_k,
+                   SUM(c) OVER (ORDER BY mon_k DESC
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
+                   SUM(c) OVER () AS n
+            FROM (SELECT mon_k, CAST(COUNT(*) AS BIGINT) AS c FROM mk GROUP BY mon_k)
+        )
+    )
+    SELECT CAST(rq.__q AS BIGINT) AS r_q,
+           CAST(fq.__q AS BIGINT) AS f_q,
+           CAST(mq.__q AS BIGINT) AS m_q,
+           CAST(COUNT(*) AS BIGINT) AS n_customers,
+           CAST(SUM(mk.freq) AS BIGINT) AS total_orders,
+           CAST(SUM(mk.mon_units) AS BIGINT) AS total_mon_units,
+           SUM(mk.rec) / COUNT(*) AS avg_recency_days
+    FROM mk
+    JOIN rq USING (rec) JOIN fq USING (freq) JOIN mq USING (mon_k)
+    GROUP BY r_q, f_q, m_q
+    ORDER BY r_q, f_q, m_q
+    """,
+)
+def q135_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RFM segmentation: each purchasing customer scored into quintiles
+    of Recency (days since last order, 1 = most recent), Frequency
+    (order count, 1 = most frequent) and Monetary (lifetime whole-unit
+    spend, 1 = highest), then the 125-cell segment grid summarized —
+    the audience-picking table behind "lapsed big spenders" campaigns
+    and, in corpus terms, the source-freshness/volume/value mix audit.
+
+    Exactness: all three metrics are integers (day diffs, counts,
+    floored currency units), quintiles are pure integer ceilings, and
+    the only double is the final ``Σrec/n`` IEEE division —
+    hash-certified with no quantization.
+
+    Shape: facts reduce to one row per customer FIRST (one shuffle);
+    the three quintile maps are windows over distinct-VALUE frames
+    (bounded by the metric's integer domain, not the customer count —
+    monetary is bucketed to thousands for exactly this reason) and
+    broadcast back. No global per-row ntile sort anywhere."""
+    orders = _t(spark, sf_dir, "orders")
+    anchor = orders.agg(F.max(F.to_date("o_orderdate")).alias("ad"))
+    m = (
+        orders.groupBy("o_custkey")
+        .agg(
+            F.max(F.to_date("o_orderdate")).alias("last_d"),
+            F.count(F.lit(1)).cast("long").alias("freq"),
+            F.sum(F.floor("o_totalprice").cast("long")).cast("long").alias("mon_units"),
+        )
+        .crossJoin(F.broadcast(anchor))
+        .select(
+            "o_custkey",
+            F.datediff("ad", "last_d").cast("long").alias("rec"),
+            "freq",
+            "mon_units",
+            F.expr("CAST(mon_units DIV 1000 AS BIGINT)").alias("mon_k"),
+        )
+    )
+    rq = _quintile_map(
+        m.groupBy("rec").agg(F.count(F.lit(1)).cast("long").alias("c")), "rec", True
+    ).withColumnRenamed("__q", "r_q")
+    fq = _quintile_map(
+        m.groupBy("freq").agg(F.count(F.lit(1)).cast("long").alias("c")), "freq", False
+    ).withColumnRenamed("__q", "f_q")
+    mq = _quintile_map(
+        m.groupBy("mon_k").agg(F.count(F.lit(1)).cast("long").alias("c")), "mon_k", False
+    ).withColumnRenamed("__q", "m_q")
+    scored = (
+        m.join(F.broadcast(rq), "rec")
+        .join(F.broadcast(fq), "freq")
+        .join(F.broadcast(mq), "mon_k")
+    )
+    return (
+        scored.groupBy("r_q", "f_q", "m_q")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_customers"),
+            F.sum("freq").cast("long").alias("total_orders"),
+            F.sum("mon_units").cast("long").alias("total_mon_units"),
+            (F.sum("rec") / F.count(F.lit(1))).alias("avg_recency_days"),
+        )
+        .orderBy("r_q", "f_q", "m_q")
+    )

@@ -1543,3 +1543,57 @@ def q134_interarrival_burstiness(spark: SparkSession, sf_dir: str) -> DataFrame:
             / (F.col("sigma_gap_sec") + F.col("mean_gap_sec"))
         ).alias("burstiness"),
     ).orderBy("user_id")
+
+
+@query(
+    "q136_ewma_smoothing",
+    oracle="""
+    SELECT user_id,
+           CAST(COUNT(*) AS BIGINT) AS n_events,
+           list_reduce(
+               list_prepend(CAST('0.0' AS DOUBLE),
+                            list(value ORDER BY ts, event_id)),
+               (acc, x) -> CAST('0.3' AS DOUBLE) * x
+                           + CAST('0.7' AS DOUBLE) * acc
+           ) AS ewma
+    FROM events
+    GROUP BY user_id
+    ORDER BY user_id
+    """,
+)
+def q136_ewma_smoothing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user exponentially-weighted moving average of event values
+    (α = 0.3, zero-seeded) — the "current level" smoother behind
+    alerting baselines and engagement scores, and the sequential
+    companion to q104's seasonal means: order matters, so no
+    commutative aggregate can express it.
+
+    Exactness: the q52 sequential-left-fold rule — Spark
+    ``F.aggregate(array_sort(collect_list(...)), 0.0, acc·0.7 + x·0.3)``
+    and DuckDB ``list_reduce(list_prepend(0.0, list(... ORDER BY ...)))``
+    execute the SAME chain of IEEE mul/adds in the same order, so the
+    doubles are bit-identical with no quantization. Float constants go
+    through CAST('…' AS DOUBLE) (DuckDB parses bare literals as exact
+    DECIMAL — the q107 teleport lesson). The ``(ts, event_id)`` sort key
+    is total, so the fold order is unambiguous in both engines.
+
+    Shape: ONE user-keyed shuffle; each user's history folds inside its
+    own array (bounded per-key state, the q93 session-paths caveat — a
+    100 TB deployment caps or windows the per-key history; the
+    streaming twin is an ``applyInPandasWithState`` running level)."""
+    ev = load_table(spark, sf_dir, "events")
+    alpha, beta = F.lit(0.3), F.lit(0.7)
+    return (
+        ev.groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_events"),
+            F.aggregate(
+                F.array_sort(
+                    F.collect_list(F.struct("ts", "event_id", "value"))
+                ),
+                F.lit(0.0),
+                lambda acc, s: alpha * s["value"] + beta * acc,
+            ).alias("ewma"),
+        )
+        .orderBy("user_id")
+    )
