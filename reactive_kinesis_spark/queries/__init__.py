@@ -88,6 +88,8 @@ _WINDOW = (
     "q134_interarrival_burstiness",
     "q135_rfm_segments",
     "q136_ewma_smoothing",
+    "q137_ks_test",
+    "q138_calibration_bins",
     # -- r5-certified pool (2 rounds stale): middle tier first --
     "q01_pricing_summary",
     "q04_star_join",
@@ -115,8 +117,6 @@ _WINDOW = (
     "q78_event_transitions",
     "q79_temperature_weights",
     "q80_incremental_dedup",
-    "q82_heavy_hitters",
-    "q83_chunking",
 )
 #: r5-certified queries that don't fit this round's window; they take round-8
 #: slots (2-round staleness floor — 111 oracle queries / 50 slots).
@@ -142,6 +142,8 @@ _DEFERRED_R8 = (
     "q14_date_functions",
     "q15_distinct_agg",
     "q47_having",
+    "q82_heavy_hitters",
+    "q83_chunking",
     "q84_weighted_sample",
     "q85_event_funnel",
 )

@@ -1597,3 +1597,113 @@ def q136_ewma_smoothing(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("user_id")
     )
+
+
+@query(
+    "q137_ks_test",
+    oracle="""
+    WITH cnt AS (
+        SELECT value AS v, event_type AS t, CAST(COUNT(*) AS BIGINT) AS c
+        FROM events GROUP BY v, t
+    ),
+    grid AS (
+        SELECT vals.v, types.t, COALESCE(cnt.c, 0) AS c
+        FROM (SELECT DISTINCT v FROM cnt) vals
+        CROSS JOIN (SELECT DISTINCT t FROM cnt) types
+        LEFT JOIN cnt ON cnt.v = vals.v AND cnt.t = types.t
+    ),
+    cum AS (
+        SELECT v, t,
+               CAST(SUM(c) OVER (PARTITION BY t ORDER BY v
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                   AS BIGINT) AS cum_t,
+               CAST(SUM(c) OVER (PARTITION BY t) AS BIGINT) AS n_t
+        FROM grid
+    ),
+    cumall AS (
+        SELECT v,
+               CAST(SUM(ca) OVER (ORDER BY v
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                   AS BIGINT) AS cum_all,
+               CAST(SUM(ca) OVER () AS BIGINT) AS n_all
+        FROM (SELECT v, CAST(SUM(c) AS BIGINT) AS ca FROM cnt GROUP BY v)
+    )
+    SELECT cum.t AS event_type, cum.n_t AS n,
+           CAST(cumall.n_all - cum.n_t AS BIGINT) AS n_rest,
+           MAX(ABS(cum.cum_t / cum.n_t
+                   - (cumall.cum_all - cum.cum_t)
+                     / (cumall.n_all - cum.n_t))) AS ks_d
+    FROM cum JOIN cumall ON cum.v = cumall.v
+    GROUP BY cum.t, cum.n_t, cumall.n_all
+    ORDER BY event_type
+    """,
+)
+def q137_ks_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact one-vs-rest two-sample Kolmogorov–Smirnov distance per
+    event type: does this type's value distribution differ from the
+    rest of the traffic? — the distribution-shift tripwire behind
+    segment drift review, and the nonparametric companion to q125's
+    binned TVD/chi-square (KS needs no binning choice).
+
+    Exactness: the empirical CDFs are ratios of integer cumulative
+    counts; each candidate D is two IEEE divisions and a subtraction
+    on exactly-representable int64 values, and MAX over doubles is
+    order-independent — hash-certified with no quantization.
+
+    Shape: events reduce to per-(value, type) counts FIRST (one
+    shuffle); the step grid is distinct-values × types (bounded by the
+    VALUE DOMAIN × a handful of types, not the event count — the q135
+    distinct-value-frame rule), the per-type CDF windows partition by
+    type, and the pooled-CDF window runs over the distinct-value frame
+    only. The rest-CDF comes from (pooled − type), so one grid pass
+    serves every type simultaneously."""
+    ev = load_table(spark, sf_dir, "events")
+    cnt = (
+        ev.groupBy(F.col("value").alias("v"), F.col("event_type").alias("t"))
+        .agg(F.count(F.lit(1)).cast("long").alias("c"))
+    )
+    vals = cnt.select("v").distinct()
+    types = cnt.select("t").distinct()
+    grid = (
+        vals.crossJoin(F.broadcast(types))
+        .join(cnt, ["v", "t"], "left")
+        .select("v", "t", F.coalesce("c", F.lit(0)).alias("c"))
+    )
+    w_t = (
+        Window.partitionBy("t")
+        .orderBy("v")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    cum = grid.select(
+        "v",
+        "t",
+        F.sum("c").over(w_t).cast("long").alias("cum_t"),
+        F.sum("c").over(Window.partitionBy("t")).cast("long").alias("n_t"),
+    )
+    valtot = cnt.groupBy("v").agg(F.sum("c").cast("long").alias("ca"))
+    w_all = Window.orderBy("v").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    cumall = valtot.select(
+        "v",
+        F.sum("ca").over(w_all).cast("long").alias("cum_all"),
+        F.sum("ca").over(Window.partitionBy()).cast("long").alias("n_all"),
+    )
+    d = (
+        cum.join(cumall, "v")
+        .select(
+            "t",
+            "n_t",
+            (F.col("n_all") - F.col("n_t")).cast("long").alias("n_rest"),
+            F.abs(
+                F.col("cum_t") / F.col("n_t")
+                - (F.col("cum_all") - F.col("cum_t"))
+                / (F.col("n_all") - F.col("n_t"))
+            ).alias("d"),
+        )
+    )
+    return (
+        d.groupBy(F.col("t").alias("event_type"), F.col("n_t").alias("n"), "n_rest")
+        .agg(F.max("d").alias("ks_d"))
+        .orderBy("event_type")
+    )

@@ -237,3 +237,85 @@ def q125_snapshot_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     ref = orders.where(F.col("o_orderdate") < cutoff).select("o_totalprice")
     cur = orders.where(F.col("o_orderdate") >= cutoff).select("o_totalprice")
     return distribution_drift(ref, cur, "o_totalprice", buckets=8)
+
+
+@query(
+    "q138_calibration_bins",
+    oracle="""
+    WITH t AS (
+        SELECT doc_id, n_chars,
+               CAST(len(string_split(text, ' ')) AS DOUBLE) AS nt,
+               CAST(len(list_distinct(string_split(text, ' '))) AS DOUBLE) AS nd,
+               CAST(len(list_filter(string_split(text, ' '),
+                    w -> list_contains(['the','a','of','and','in'], w)))
+                    AS DOUBLE) AS ns
+        FROM documents
+    ),
+    scored AS (
+        SELECT doc_id,
+               CAST(0.4 AS DOUBLE) * least(CAST(1.0 AS DOUBLE), nt / CAST(100.0 AS DOUBLE))
+               + CAST(0.3 AS DOUBLE) * (nd / nt)
+               + CAST(0.3 AS DOUBLE) * least(CAST(1.0 AS DOUBLE), CAST(4.0 AS DOUBLE) * (ns / nt))
+                   AS score,
+               CASE WHEN n_chars >= 300 THEN 1 ELSE 0 END AS pos
+        FROM t
+    )
+    SELECT CAST(least(9, CAST(FLOOR(score * CAST(10.0 AS DOUBLE)) AS BIGINT))
+                AS BIGINT) AS bin,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(pos) AS BIGINT) AS n_pos,
+           CAST(SUM(pos) AS BIGINT) / CAST(COUNT(*) AS BIGINT) AS pos_rate,
+           (CAST(SUM(CAST(FLOOR(score * CAST('1000000000000.0' AS DOUBLE))
+                          AS BIGINT)) AS BIGINT) / CAST(COUNT(*) AS BIGINT))
+               / CAST('1000000000000.0' AS DOUBLE) AS mean_score
+    FROM scored
+    GROUP BY bin
+    ORDER BY bin
+    """,
+)
+def q138_calibration_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Score-calibration (reliability) table: the q26 heuristic quality
+    score binned into deciles, with each bin's observed positive rate
+    (label = long document, ``n_chars ≥ 300``) beside its mean
+    predicted score — the table a calibration curve / ECE audit plots
+    before a learned quality filter's threshold is trusted at corpus
+    scale.
+
+    Exactness: the score is the q26-certified deterministic double;
+    the bin is ``least(9, floor(10·score))`` (floor of an identical
+    double is identical everywhere); the positive rate is one integer
+    division; the mean score goes through the q102 floor-quantization
+    rule (pico-unit integer sums — never a fold-order-dependent
+    SUM(DOUBLE), never a decimal cast of an arbitrary double).
+
+    Shape: one narrow scan computing the score per document, one
+    10-ary groupBy — a single map-side-combinable aggregation."""
+    import reactive_kinesis_spark.operators.text as T
+
+    docs = load_table(spark, sf_dir, "documents")
+    scored = docs.select(
+        T.quality_score("text").alias("score"),
+        F.when(F.col("n_chars") >= 300, F.lit(1)).otherwise(F.lit(0)).alias("pos"),
+    )
+    binned = scored.select(
+        F.least(
+            F.lit(9), F.floor(F.col("score") * F.lit(10.0)).cast("long")
+        ).cast("long").alias("bin"),
+        "pos",
+        F.floor(F.col("score") * F.lit(1000000000000.0)).cast("long").alias("score_p"),
+    )
+    return (
+        binned.groupBy("bin")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.sum("pos").cast("long").alias("n_pos"),
+            (F.sum("pos").cast("long") / F.count(F.lit(1)).cast("long")).alias(
+                "pos_rate"
+            ),
+            (
+                (F.sum("score_p").cast("long") / F.count(F.lit(1)).cast("long"))
+                / F.lit(1000000000000.0)
+            ).alias("mean_score"),
+        )
+        .orderBy("bin")
+    )
