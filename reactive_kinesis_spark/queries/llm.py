@@ -1917,3 +1917,100 @@ def q124_kmeans_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("cluster")
     )
+
+
+@query(
+    "q139_countmin_sketch",
+    oracle="""
+    WITH tok AS (
+        SELECT unnest(string_split(text, ' ')) AS token FROM documents
+    ),
+    hashed AS (
+        SELECT token, j,
+               CAST(('0x' || substr(md5(CAST(j AS VARCHAR) || ':' || token), 1, 8))
+                    AS BIGINT) % 512 AS bucket
+        FROM tok, UNNEST([0, 1, 2, 3]) AS u(j)
+    ),
+    cms AS (
+        SELECT j, bucket, CAST(COUNT(*) AS BIGINT) AS c
+        FROM hashed GROUP BY j, bucket
+    ),
+    top AS (
+        SELECT token, CAST(COUNT(*) AS BIGINT) AS exact_count
+        FROM tok GROUP BY token
+        ORDER BY exact_count DESC, token LIMIT 20
+    ),
+    probe AS (
+        SELECT t.token, t.exact_count, u.j,
+               CAST(('0x' || substr(md5(CAST(u.j AS VARCHAR) || ':' || t.token), 1, 8))
+                    AS BIGINT) % 512 AS bucket
+        FROM top t, UNNEST([0, 1, 2, 3]) AS u(j)
+    )
+    SELECT p.token, p.exact_count,
+           CAST(MIN(cms.c) AS BIGINT) AS cms_estimate,
+           CAST(MIN(cms.c) - p.exact_count AS BIGINT) AS overestimate
+    FROM probe p JOIN cms ON p.j = cms.j AND p.bucket = cms.bucket
+    GROUP BY p.token, p.exact_count
+    ORDER BY p.exact_count DESC, p.token
+    """,
+)
+def q139_countmin_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-min sketch (d = 4 rows × w = 512 buckets) over the corpus
+    token stream, audited against exact counts for the top-20 tokens —
+    the fixed-memory frequency sketch a 100 TB pipeline keeps when the
+    exact q71 vocabulary is too wide, with the overestimate column
+    exposing the sketch's one-sided error (CMS never undercounts).
+
+    Exactness: bucket assignment is the engine-portable md5-prefix
+    draw (``int(md5(j ':' token)[:8], 16) % 512`` — the q44/q91 hash
+    rule), so both engines build the IDENTICAL sketch; counts, mins
+    and the error column are all integers — hash-certified, no floats
+    anywhere.
+
+    Shape: the sketch is a ≤ 2,048-cell aggregate with map-side
+    combine (hot tokens pre-sum per task — a skewed word never owns a
+    reducer, the q71 posture); the probe side replays the same four
+    hashes for the top-k tokens and broadcast-joins the tiny sketch.
+    The sketch frame is mergeable across corpus shards by
+    construction (cell-wise +), which is what makes it a streaming/
+    union-friendly summary at scale."""
+    docs = load_table(spark, sf_dir, "documents")
+    tok = docs.select(F.explode(F.split("text", " ")).alias("token"))
+    js = spark.range(4).select(F.col("id").cast("int").alias("j"))
+    bucket = (
+        F.conv(
+            F.substring(
+                F.md5(F.concat(F.col("j").cast("string"), F.lit(":"), F.col("token"))),
+                1,
+                8,
+            ),
+            16,
+            10,
+        )
+        .cast("long")
+        % 512
+    )
+    cms = (
+        tok.crossJoin(F.broadcast(js))
+        .select("j", bucket.alias("bucket"))
+        .groupBy("j", "bucket")
+        .agg(F.count(F.lit(1)).cast("long").alias("c"))
+    )
+    top = (
+        tok.groupBy("token")
+        .agg(F.count(F.lit(1)).cast("long").alias("exact_count"))
+        .orderBy(F.desc("exact_count"), "token")
+        .limit(20)
+    )
+    probe = top.crossJoin(F.broadcast(js)).select(
+        "token", "exact_count", "j", bucket.alias("bucket")
+    )
+    return (
+        probe.join(F.broadcast(cms), ["j", "bucket"])
+        .groupBy("token", "exact_count")
+        .agg(
+            F.min("c").cast("long").alias("cms_estimate"),
+            (F.min("c") - F.col("exact_count")).cast("long").alias("overestimate"),
+        )
+        .orderBy(F.desc("exact_count"), "token")
+    )
