@@ -1,0 +1,152 @@
+"""Continuous rollup (streaming materialized view): end-to-end stream
+maintenance, exactly-once under foreachBatch replay, watermarked
+compaction."""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from reactive_kinesis_spark.streaming.rollup import (
+    RollupSpec,
+    compact_rollup,
+    continuous_rollup,
+    read_rollup,
+)
+
+SCHEMA = T.StructType(
+    [
+        T.StructField("k", T.StringType()),
+        T.StructField("v", T.LongType()),
+    ]
+)
+
+SPEC = RollupSpec(keys=("k",), sums=("v",), mins=("v",), maxs=("v",))
+
+
+def _write_chunk(spark, in_dir: str, rows, chunk: str) -> None:
+    spark.createDataFrame(rows, SCHEMA).coalesce(1).write.mode("overwrite").parquet(
+        os.path.join(in_dir, chunk)
+    )
+
+
+def _snapshot(spark, out_dir: str):
+    return {
+        (r["k"]): (r["n"], r["sum_v"], r["min_v"], r["max_v"])
+        for r in read_rollup(spark, out_dir, SPEC).collect()
+    }
+
+
+def _run_stream(spark, in_dir: str, out_dir: str, ckpt: str) -> None:
+    stream = (
+        spark.readStream.schema(SCHEMA)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(in_dir + "/*")
+    )
+    q = (
+        stream.writeStream.foreachBatch(continuous_rollup(out_dir, SPEC))
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+
+
+def test_continuous_rollup_matches_batch_aggregate(spark, tmp_path):
+    in_dir, out_dir, ckpt = (
+        str(tmp_path / "in"),
+        str(tmp_path / "roll"),
+        str(tmp_path / "ckpt"),
+    )
+    _write_chunk(spark, in_dir, [("a", 1), ("b", 10), ("a", 3)], "c0")
+    _write_chunk(spark, in_dir, [("b", 5), ("c", 7)], "c1")
+    _write_chunk(spark, in_dir, [("a", -2), ("c", 7), ("c", 1)], "c2")
+    _run_stream(spark, in_dir, out_dir, ckpt)
+
+    got = _snapshot(spark, out_dir)
+    want_df = (
+        spark.read.parquet(*[os.path.join(in_dir, c) for c in ("c0", "c1", "c2")])
+        .groupBy("k")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n"),
+            F.sum("v").alias("sum_v"),
+            F.min("v").alias("min_v"),
+            F.max("v").alias("max_v"),
+        )
+    )
+    want = {r["k"]: (r["n"], r["sum_v"], r["min_v"], r["max_v"]) for r in want_df.collect()}
+    assert got == want
+    assert got["a"] == (3, 2, -2, 3)
+
+
+def test_replayed_batch_does_not_double_count(spark, tmp_path):
+    in_dir, out_dir, ckpt = (
+        str(tmp_path / "in"),
+        str(tmp_path / "roll"),
+        str(tmp_path / "ckpt"),
+    )
+    _write_chunk(spark, in_dir, [("a", 1), ("a", 2)], "c0")
+    _run_stream(spark, in_dir, out_dir, ckpt)
+    before = _snapshot(spark, out_dir)
+
+    # crash-replay: Structured Streaming re-invokes foreachBatch with the
+    # SAME batchId and the same data — the delta must overwrite itself
+    writer = continuous_rollup(out_dir, SPEC)
+    batch_df = spark.read.parquet(os.path.join(in_dir, "c0"))
+    writer(batch_df, 0)
+    writer(batch_df, 0)
+    assert _snapshot(spark, out_dir) == before
+
+
+def test_compaction_preserves_results_and_advances_watermark(spark, tmp_path):
+    in_dir, out_dir, ckpt = (
+        str(tmp_path / "in"),
+        str(tmp_path / "roll"),
+        str(tmp_path / "ckpt"),
+    )
+    _write_chunk(spark, in_dir, [("a", 1), ("b", 2)], "c0")
+    _write_chunk(spark, in_dir, [("a", 4)], "c1")
+    _run_stream(spark, in_dir, out_dir, ckpt)
+    before = _snapshot(spark, out_dir)
+
+    stats = compact_rollup(spark, out_dir, SPEC)
+    assert stats["folded_batches"] >= 1
+    assert _snapshot(spark, out_dir) == before
+    # idempotent: nothing fresh left to fold
+    assert compact_rollup(spark, out_dir, SPEC)["folded_batches"] == 0
+
+    # post-compaction batches keep merging on top of the new base
+    _write_chunk(spark, in_dir, [("b", -1), ("d", 9)], "c2")
+    _run_stream(spark, in_dir, out_dir, ckpt)
+    after = _snapshot(spark, out_dir)
+    assert after["d"] == (1, 9, 9, 9)
+    assert after["b"] == (2, 1, -1, 2)
+    assert after["a"] == before["a"]
+
+
+def test_folded_delta_below_watermark_is_ignored_even_if_left_behind(
+    spark, tmp_path
+):
+    """Crash between base swap and delta GC must not double-count: readers
+    filter deltas by the base watermark."""
+    import shutil
+
+    in_dir, out_dir, ckpt = (
+        str(tmp_path / "in"),
+        str(tmp_path / "roll"),
+        str(tmp_path / "ckpt"),
+    )
+    _write_chunk(spark, in_dir, [("a", 5)], "c0")
+    _run_stream(spark, in_dir, out_dir, ckpt)
+    # preserve the delta, compact, then restore the folded delta (simulating
+    # a GC crash) — the snapshot must not change
+    delta0 = os.path.join(out_dir, "deltas", "_batch_id=0")
+    saved = str(tmp_path / "saved_delta")
+    shutil.copytree(delta0, saved)
+    compact_rollup(spark, out_dir, SPEC)
+    before = _snapshot(spark, out_dir)
+    shutil.copytree(saved, delta0)
+    spark.catalog.refreshByPath(os.path.join(out_dir, "deltas"))
+    assert _snapshot(spark, out_dir) == before
