@@ -557,3 +557,95 @@ def link_prediction_jaccard(
             ).alias("jaccard"),
         )
     )
+
+
+def hits(
+    edges: DataFrame,
+    src_col: str = "src",
+    dst_col: str = "dst",
+    iterations: int = 2,
+    quantize: float = 1e15,
+    checkpoint_every: int = 3,
+    assume_distinct: bool = False,
+) -> tuple[DataFrame, DataFrame]:
+    """HITS (hubs & authorities) over a directed edge list — the mutual-
+    reinforcement companion to :func:`pagerank`: a good hub points at
+    good authorities, a good authority is pointed at by good hubs. On a
+    bipartite relation (supplier→part, user→item, page→cited-doc) the
+    two sides get separately meaningful scores where a single PageRank
+    would mix them.
+
+    Semantics: classic Kleinberg updates with L1 normalization each
+    half-step — ``h(s) = Σ_{s→p} a(p)`` then ``h ← h/Σh``, and
+    symmetrically for authorities. Nodes with no outbound edges get no
+    hub score; no inbound, no authority score (they contribute nothing
+    and would be exact zeros).
+
+    Determinism & cross-engine exactness: every sum — per-node AND the
+    global normalizer — is the pagerank ``quantize`` rule (floor to
+    integer micro-units, summed in DECIMAL(38,0), one IEEE division
+    back): order-independent within an engine, bit-identical across
+    engines, which is what lets the fixed point run under full hash
+    certification against an unrolled SQL oracle (q140). The
+    normalizer is carried as a broadcast single-row frame — never a
+    driver collect.
+
+    100 TB shape: per half-step ONE node-keyed equi-join + ONE
+    node-keyed aggregation + one tiny global aggregate — the same
+    exchange pattern as pagerank, alternating between the src and dst
+    key; lineage is truncated lazily every ``checkpoint_every``
+    half-steps (the LPA lesson — no eager barriers inside the loop).
+
+    Returns ``(hubs, authorities)`` as ``(node, score)`` frames.
+    """
+    if iterations < 1:
+        raise ValueError("iterations must be >= 1")
+    q = float(quantize)
+    e = edges.select(F.col(src_col).alias("src"), F.col(dst_col).alias("dst"))
+    if not assume_distinct:
+        e = e.dropDuplicates(["src", "dst"])
+    e = e.localCheckpoint(eager=False)
+
+    def _qsum(col: str):
+        return (
+            F.sum(F.floor(F.col(col) * F.lit(q)).cast("decimal(38,0)")).cast(
+                "double"
+            )
+            / F.lit(q)
+        )
+
+    auth = (
+        e.select(F.col("dst").alias("node"))
+        .distinct()
+        .select("node", F.lit(1.0).alias("score"))
+    )
+    hubs = None
+    steps = 0
+    for _ in range(iterations):
+        h_raw = (
+            e.join(auth.withColumnRenamed("node", "dst"), "dst")
+            .groupBy("src")
+            .agg(_qsum("score").alias("raw"))
+        )
+        h_tot = h_raw.agg(_qsum("raw").alias("tot"))
+        hubs = h_raw.crossJoin(F.broadcast(h_tot)).select(
+            F.col("src").alias("node"),
+            (F.col("raw") / F.col("tot")).alias("score"),
+        )
+        steps += 1
+        if steps % checkpoint_every == 0:
+            hubs = hubs.localCheckpoint(eager=False)
+        a_raw = (
+            e.join(hubs.withColumnRenamed("node", "src"), "src")
+            .groupBy("dst")
+            .agg(_qsum("score").alias("raw"))
+        )
+        a_tot = a_raw.agg(_qsum("raw").alias("tot"))
+        auth = a_raw.crossJoin(F.broadcast(a_tot)).select(
+            F.col("dst").alias("node"),
+            (F.col("raw") / F.col("tot")).alias("score"),
+        )
+        steps += 1
+        if steps % checkpoint_every == 0:
+            auth = auth.localCheckpoint(eager=False)
+    return hubs, auth

@@ -91,6 +91,7 @@ _WINDOW = (
     "q137_ks_test",
     "q138_calibration_bins",
     "q139_countmin_sketch",
+    "q140_hits_scores",
     # -- r5-certified pool (2 rounds stale): middle tier first --
     "q01_pricing_summary",
     "q04_star_join",
@@ -116,7 +117,6 @@ _WINDOW = (
     "q76_characteristic_terms",
     "q77_source_overlap",
     "q78_event_transitions",
-    "q79_temperature_weights",
 )
 #: r5-certified queries that don't fit this round's window; they take round-8
 #: slots (2-round staleness floor — 111 oracle queries / 50 slots).
@@ -142,6 +142,7 @@ _DEFERRED_R8 = (
     "q14_date_functions",
     "q15_distinct_agg",
     "q47_having",
+    "q79_temperature_weights",
     "q80_incremental_dedup",
     "q82_heavy_hitters",
     "q83_chunking",

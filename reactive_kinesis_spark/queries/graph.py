@@ -513,3 +513,102 @@ def q129_link_prediction(spark: SparkSession, sf_dir: str) -> DataFrame:
             "jaccard",
         )
     )
+
+
+def _hits_oracle_sql(iterations: int = 2, top_k: int = 25) -> str:
+    """Unrolled HITS oracle over the supplier→part bipartite graph.
+
+    Same three exactness rules as :func:`_pagerank_oracle_sql`: every
+    sum (per-node and the L1 normalizer) floor-quantizes to integer
+    micro-units in DECIMAL(38,0); scores then differ from exact HITS
+    by < 1e-12 but are bit-identical across engines; the SELECT shapes
+    mirror the operator's evaluation order (``raw / tot``)."""
+    qz = "CAST(1e15 AS DOUBLE)"
+
+    def qsum(expr: str) -> str:
+        return (
+            f"CAST(SUM(CAST(FLOOR({expr} * {qz}) AS DECIMAL(38,0))) AS DOUBLE)"
+            f" / {qz}"
+        )
+
+    parts = [
+        "WITH e AS (SELECT DISTINCT l_suppkey AS src, l_partkey AS dst",
+        "           FROM lineitem),",
+        "a0 AS (SELECT dst AS node, CAST(1.0 AS DOUBLE) AS score",
+        "       FROM (SELECT DISTINCT dst FROM e)),",
+    ]
+    prev_a = "a0"
+    for i in range(1, iterations + 1):
+        parts += [
+            f"h{i}r AS (SELECT e.src, {qsum('a.score')} AS raw",
+            f"  FROM e JOIN {prev_a} a ON e.dst = a.node GROUP BY e.src),",
+            f"h{i}t AS (SELECT {qsum('raw')} AS tot FROM h{i}r),",
+            f"h{i} AS (SELECT src AS node, raw / tot AS score",
+            f"  FROM h{i}r, h{i}t),",
+            f"a{i}r AS (SELECT e.dst, {qsum('h.score')} AS raw",
+            f"  FROM e JOIN h{i} h ON e.src = h.node GROUP BY e.dst),",
+            f"a{i}t AS (SELECT {qsum('raw')} AS tot FROM a{i}r),",
+            f"a{i} AS (SELECT dst AS node, raw / tot AS score",
+            f"  FROM a{i}r, a{i}t),",
+        ]
+        prev_a = f"a{i}"
+    parts[-1] = parts[-1].rstrip(",")
+    n = iterations
+    parts += [
+        "SELECT side, node, score FROM (",
+        "  SELECT 'hub' AS side, 'S' || CAST(node AS VARCHAR) AS node, score",
+        f"  FROM h{n} ORDER BY score DESC, node LIMIT {top_k}",
+        ") UNION ALL",
+        "SELECT side, node, score FROM (",
+        "  SELECT 'auth' AS side, 'P' || CAST(node AS VARCHAR) AS node, score",
+        f"  FROM a{n} ORDER BY score DESC, node LIMIT {top_k}",
+        ")",
+        "ORDER BY side, score DESC, node",
+    ]
+    return "\n".join(parts)
+
+
+@query("q140_hits_scores", oracle=_hits_oracle_sql(2, 25))
+def q140_hits_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HITS hubs & authorities on the supplier→part supply graph:
+    suppliers that stock the widely-sourced parts (hubs) and parts
+    carried by the broadest suppliers (authorities) — the second
+    certified iterative family next to PageRank (q107/q121), exercising
+    the OTHER fixed-point shape: alternating bipartite half-steps with
+    a global L1 normalizer per half-step, carried as a broadcast
+    single-row frame (never a driver collect).
+
+    Hash-certified against a fully unrolled 2-iteration DuckDB oracle
+    (:func:`_hits_oracle_sql`); every mass and normalizer sum uses the
+    pagerank ``quantize=1e15`` integer-micro-unit rule, so Spark and
+    DuckDB reach bit-identical scores. See
+    :func:`reactive_kinesis_spark.operators.graph.hits` for the 100 TB
+    exchange pattern."""
+    from reactive_kinesis_spark.operators.graph import hits
+
+    li = load_table(spark, sf_dir, "lineitem").select("l_suppkey", "l_partkey")
+    hubs, auths = hits(
+        li, src_col="l_suppkey", dst_col="l_partkey", iterations=2, quantize=1e15
+    )
+    # tie-break on the LABEL string (the oracle's ORDER BY key): at tiny
+    # SFs every score can tie, and 'P100' < 'P11' lexicographically —
+    # ordering by the numeric id first picks a different top-k set
+    top_h = (
+        hubs.select(
+            F.lit("hub").alias("side"),
+            F.concat(F.lit("S"), F.col("node").cast("string")).alias("node"),
+            "score",
+        )
+        .orderBy(F.col("score").desc(), "node")
+        .limit(25)
+    )
+    top_a = (
+        auths.select(
+            F.lit("auth").alias("side"),
+            F.concat(F.lit("P"), F.col("node").cast("string")).alias("node"),
+            "score",
+        )
+        .orderBy(F.col("score").desc(), "node")
+        .limit(25)
+    )
+    return top_h.unionByName(top_a).orderBy("side", F.col("score").desc(), "node")

@@ -515,3 +515,65 @@ def test_link_prediction_canonicalizes_messy_input(spark):
     a = sorted(map(tuple, link_prediction_jaccard(messy).collect()))
     b = sorted(map(tuple, link_prediction_jaccard(clean).collect()))
     assert a == b == [(1, 3, 1, 1, 1, 1.0)]
+
+
+# ---------------------------------------------------------------- HITS
+
+
+def _numpy_hits(pairs, iterations):
+    """Reference HITS with the operator's exact semantics: distinct
+    edges, authorities init 1.0, L1 normalization after each half-step,
+    hub scores only for src nodes / authority scores only for dst
+    nodes. No quantization — the operator's 1e15 floor perturbs scores
+    by < 1e-12, inside the differential tolerance."""
+    pairs = sorted(set(pairs))
+    srcs = sorted({s for s, _ in pairs})
+    dsts = sorted({d for _, d in pairs})
+    a = {d: 1.0 for d in dsts}
+    h = None
+    for _ in range(iterations):
+        h = {s: sum(a[d] for s2, d in pairs if s2 == s) for s in srcs}
+        tot = sum(h.values())
+        h = {s: v / tot for s, v in h.items()}
+        a = {d: sum(h[s] for s, d2 in pairs if d2 == d) for d in dsts}
+        tot = sum(a.values())
+        a = {d: v / tot for d, v in a.items()}
+    return h, a
+
+
+HITS_PAIRS = [
+    ("s1", "p1"), ("s1", "p2"), ("s1", "p3"),
+    ("s2", "p2"), ("s2", "p3"),
+    ("s3", "p3"), ("s3", "p4"),
+    ("s4", "p1"),
+]
+
+
+def test_hits_matches_numpy(spark):
+    from reactive_kinesis_spark.operators.graph import hits
+
+    hubs, auths = hits(_edges(spark, HITS_PAIRS), iterations=3)
+    got_h = {r.node: r.score for r in hubs.collect()}
+    got_a = {r.node: r.score for r in auths.collect()}
+    want_h, want_a = _numpy_hits(HITS_PAIRS, iterations=3)
+    assert set(got_h) == set(want_h) and set(got_a) == set(want_a)
+    for k in want_h:
+        assert got_h[k] == pytest.approx(want_h[k], abs=1e-9), k
+    for k in want_a:
+        assert got_a[k] == pytest.approx(want_a[k], abs=1e-9), k
+    # L1 normalized (up to quantization): each side sums to ~1
+    assert sum(got_h.values()) == pytest.approx(1.0, abs=1e-9)
+    assert sum(got_a.values()) == pytest.approx(1.0, abs=1e-9)
+
+
+def test_hits_multi_edges_collapse_and_validation(spark):
+    from reactive_kinesis_spark.operators.graph import hits
+
+    dup = HITS_PAIRS + [("s1", "p1"), ("s1", "p1")]
+    hubs, _ = hits(_edges(spark, dup), iterations=2)
+    hubs_clean, _ = hits(_edges(spark, HITS_PAIRS), iterations=2)
+    got = {r.node: r.score for r in hubs.collect()}
+    want = {r.node: r.score for r in hubs_clean.collect()}
+    assert got == want
+    with pytest.raises(ValueError):
+        hits(_edges(spark, HITS_PAIRS), iterations=0)
