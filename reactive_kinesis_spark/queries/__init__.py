@@ -92,6 +92,9 @@ _WINDOW = (
     "q138_calibration_bins",
     "q139_countmin_sketch",
     "q140_hits_scores",
+    "q141_simpson_diversity",
+    "q142_ab_ztest",
+    "q143_mannwhitney_u",
     # -- r5-certified pool (2 rounds stale): middle tier first --
     "q01_pricing_summary",
     "q04_star_join",
@@ -114,9 +117,6 @@ _WINDOW = (
     "q18_events_json_props",
     "q44_deterministic_sample",
     "q75_rare_word_scoring",
-    "q76_characteristic_terms",
-    "q77_source_overlap",
-    "q78_event_transitions",
 )
 #: r5-certified queries that don't fit this round's window; they take round-8
 #: slots (2-round staleness floor — 111 oracle queries / 50 slots).
@@ -142,6 +142,9 @@ _DEFERRED_R8 = (
     "q14_date_functions",
     "q15_distinct_agg",
     "q47_having",
+    "q76_characteristic_terms",
+    "q77_source_overlap",
+    "q78_event_transitions",
     "q79_temperature_weights",
     "q80_incremental_dedup",
     "q82_heavy_hitters",

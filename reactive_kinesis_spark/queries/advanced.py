@@ -1420,3 +1420,186 @@ def q135_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("r_q", "f_q", "m_q")
     )
+
+
+@query(
+    "q142_ab_ztest",
+    oracle="""
+    WITH g AS (
+        SELECT CAST(user_id % 2 AS BIGINT) AS cohort,
+               CAST(COUNT(*) AS BIGINT) AS n,
+               CAST(SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+                    AS BIGINT) AS x
+        FROM events GROUP BY cohort
+    ),
+    w AS (
+        SELECT MAX(CASE WHEN cohort = 0 THEN n END) AS n0,
+               MAX(CASE WHEN cohort = 0 THEN x END) AS x0,
+               MAX(CASE WHEN cohort = 1 THEN n END) AS n1,
+               MAX(CASE WHEN cohort = 1 THEN x END) AS x1
+        FROM g
+    )
+    SELECT n0, x0, n1, x1,
+           x0 / n0 AS p0,
+           x1 / n1 AS p1,
+           (x1 / n1 - x0 / n0)
+             / SQRT(((x0 + x1) / (n0 + n1))
+                    * (CAST('1.0' AS DOUBLE) - (x0 + x1) / (n0 + n1))
+                    * (CAST('1.0' AS DOUBLE) / n0
+                       + CAST('1.0' AS DOUBLE) / n1)) AS z
+    FROM w
+    """,
+)
+def q142_ab_ztest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-proportion z-test on an A/B split (cohort = ``user_id % 2``;
+    conversion = purchase share of events): the experiment read-out
+    every product analytics stack runs, and the template for holdout-
+    vs-treatment corpus comparisons (filter on/off, source swapped).
+
+    Exactness: the four inputs are int64 counts; every derived term is
+    a fixed expression tree of IEEE divisions/multiplications and ONE
+    correctly-rounded SQRT, mirrored token-for-token in the oracle —
+    hash-certified, no quantization. Float literals go through
+    CAST('…' AS DOUBLE) (DuckDB's bare-literal DECIMAL rule).
+
+    Shape: one map-side-combinable 2-group aggregate, one single-row
+    pivot. Nothing shuffles but 2 rows."""
+    ev = _t(spark, sf_dir, "events")
+    g = ev.groupBy((F.col("user_id") % 2).cast("long").alias("cohort")).agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum(F.when(F.col("event_type") == "purchase", 1).otherwise(0))
+        .cast("long")
+        .alias("x"),
+    )
+    w = g.agg(
+        F.max(F.when(F.col("cohort") == 0, F.col("n"))).alias("n0"),
+        F.max(F.when(F.col("cohort") == 0, F.col("x"))).alias("x0"),
+        F.max(F.when(F.col("cohort") == 1, F.col("n"))).alias("n1"),
+        F.max(F.when(F.col("cohort") == 1, F.col("x"))).alias("x1"),
+    )
+    pp = (F.col("x0") + F.col("x1")) / (F.col("n0") + F.col("n1"))
+    return w.select(
+        "n0",
+        "x0",
+        "n1",
+        "x1",
+        (F.col("x0") / F.col("n0")).alias("p0"),
+        (F.col("x1") / F.col("n1")).alias("p1"),
+        (
+            (F.col("x1") / F.col("n1") - F.col("x0") / F.col("n0"))
+            / F.sqrt(
+                pp
+                * (F.lit(1.0) - pp)
+                * (F.lit(1.0) / F.col("n0") + F.lit(1.0) / F.col("n1"))
+            )
+        ).alias("z"),
+    )
+
+
+@query(
+    "q143_mannwhitney_u",
+    oracle="""
+    WITH s AS (
+        SELECT value AS v,
+               CAST(SUM(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END)
+                    AS BIGINT) AS ca,
+               CAST(SUM(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END)
+                    AS BIGINT) AS cb
+        FROM events WHERE event_type IN ('click', 'view')
+        GROUP BY value
+    ),
+    r AS (
+        SELECT ca, cb, ca + cb AS t,
+               CAST(COALESCE(SUM(ca + cb) OVER (ORDER BY v
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                   AS BIGINT) AS before
+        FROM s
+    ),
+    agg AS (
+        SELECT CAST(SUM(ca) AS BIGINT) AS na,
+               CAST(SUM(cb) AS BIGINT) AS nb,
+               CAST(SUM(ca * (2 * before + t + 1)) AS BIGINT) AS ra2,
+               CAST(SUM(t * t * t - t) AS BIGINT) AS ties3
+        FROM r
+    )
+    SELECT na, nb,
+           (ra2 - na * (na + 1)) / CAST('2.0' AS DOUBLE) AS u,
+           na * nb / CAST('2.0' AS DOUBLE) AS mu,
+           ((ra2 - na * (na + 1)) / CAST('2.0' AS DOUBLE)
+            - na * nb / CAST('2.0' AS DOUBLE))
+             / SQRT((CAST(na AS DOUBLE) * nb / CAST('12.0' AS DOUBLE))
+                    * ((na + nb + 1)
+                       - ties3
+                         / (CAST(na + nb AS DOUBLE) * (na + nb - 1)))) AS z
+    FROM agg
+    """,
+)
+def q143_mannwhitney_u(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mann–Whitney U test (click vs view event values) with the full
+    tie correction — the rank-based "did the distribution shift"
+    companion to q137's KS: U is location-sensitive where KS is
+    shape-sensitive, and rank statistics survive outliers that wreck
+    the q50 moment tests.
+
+    Exactness: midranks are avoided entirely — the DOUBLED rank sum
+    ``ra2 = Σ ca·(2·before + t + 1)`` is pure int64 (before = items
+    below the tie group, t = tie size), so U = (ra2 − na(na+1))/2 is
+    ONE division of exact integers; the tie term Σ(t³−t) is int64; z
+    is a fixed IEEE expression tree ending in one correctly-rounded
+    SQRT. Hash-certified with no quantization anywhere.
+
+    Shape: events reduce to per-distinct-value tie counts first (one
+    shuffle); the prefix-sum window runs over the distinct-value frame
+    (bounded by the value domain — the q135/q137 rule), then ONE
+    scalar aggregate. Nothing is ever collected."""
+    ev = _t(spark, sf_dir, "events")
+    s = (
+        ev.where(F.col("event_type").isin("click", "view"))
+        .groupBy(F.col("value").alias("v"))
+        .agg(
+            F.sum(F.when(F.col("event_type") == "click", 1).otherwise(0))
+            .cast("long")
+            .alias("ca"),
+            F.sum(F.when(F.col("event_type") == "view", 1).otherwise(0))
+            .cast("long")
+            .alias("cb"),
+        )
+    )
+    w = Window.orderBy("v").rowsBetween(Window.unboundedPreceding, -1)
+    r = s.select(
+        "ca",
+        "cb",
+        (F.col("ca") + F.col("cb")).alias("t"),
+        F.coalesce(F.sum(F.col("ca") + F.col("cb")).over(w), F.lit(0))
+        .cast("long")
+        .alias("before"),
+    )
+    agg = r.agg(
+        F.sum("ca").cast("long").alias("na"),
+        F.sum("cb").cast("long").alias("nb"),
+        F.sum(
+            F.col("ca") * (F.lit(2) * F.col("before") + F.col("t") + F.lit(1))
+        )
+        .cast("long")
+        .alias("ra2"),
+        F.sum(F.col("t") * F.col("t") * F.col("t") - F.col("t"))
+        .cast("long")
+        .alias("ties3"),
+    )
+    u = (F.col("ra2") - F.col("na") * (F.col("na") + 1)) / F.lit(2.0)
+    mu = F.col("na") * F.col("nb") / F.lit(2.0)
+    nn = F.col("na") + F.col("nb")
+    sigma = F.sqrt(
+        (F.col("na").cast("double") * F.col("nb") / F.lit(12.0))
+        * (
+            (nn + F.lit(1))
+            - F.col("ties3") / (nn.cast("double") * (nn - F.lit(1)))
+        )
+    )
+    return agg.select(
+        "na",
+        "nb",
+        u.alias("u"),
+        mu.alias("mu"),
+        ((u - mu) / sigma).alias("z"),
+    )

@@ -2014,3 +2014,53 @@ def q139_countmin_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy(F.desc("exact_count"), "token")
     )
+
+
+@query(
+    "q141_simpson_diversity",
+    oracle="""
+    WITH c AS (
+        SELECT source, lang, CAST(COUNT(*) AS BIGINT) AS ci
+        FROM documents GROUP BY source, lang
+    )
+    SELECT source,
+           CAST(SUM(ci) AS BIGINT) AS n_docs,
+           CAST(COUNT(*) AS BIGINT) AS n_langs,
+           CAST('1.0' AS DOUBLE)
+             - CAST(SUM(ci * ci) AS BIGINT)
+               / CAST(SUM(ci) * SUM(ci) AS BIGINT) AS simpson_diversity
+    FROM c
+    GROUP BY source
+    ORDER BY source
+    """,
+)
+def q141_simpson_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source Simpson diversity of the language mix
+    (``D = 1 − Σ(cᵢ/n)²`` — the probability two random docs differ in
+    language): the mixture-balance score a multilingual corpus audit
+    tracks per source. Chosen over Shannon entropy DELIBERATELY: the
+    semantics are equivalent for balance-monitoring, but Simpson is
+    pure integer moments + one IEEE division — Shannon needs ``ln``,
+    and JVM ``Math.log`` disagrees with libm in the last ulp on ~3% of
+    inputs (measured this round, 539/20k — see SCALING.md), so an
+    ln-based metric can never be hash-certified.
+
+    Shape: one (source, lang) count, one source-keyed reduce — two
+    map-side-combinable aggregations, no windows, no joins."""
+    docs = load_table(spark, sf_dir, "documents")
+    c = docs.groupBy("source", "lang").agg(
+        F.count(F.lit(1)).cast("long").alias("ci")
+    )
+    return (
+        c.groupBy("source")
+        .agg(
+            F.sum("ci").cast("long").alias("n_docs"),
+            F.count(F.lit(1)).cast("long").alias("n_langs"),
+            (
+                F.lit(1.0)
+                - F.sum(F.col("ci") * F.col("ci")).cast("long")
+                / (F.sum("ci") * F.sum("ci")).cast("long")
+            ).alias("simpson_diversity"),
+        )
+        .orderBy("source")
+    )
