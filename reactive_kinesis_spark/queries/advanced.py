@@ -1395,6 +1395,12 @@ def q135_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
             "mon_units",
             F.expr("CAST(mon_units DIV 1000 AS BIGINT)").alias("mon_k"),
         )
+        # materialize ONCE (lazily): the three quintile maps and the final
+        # scored join all derive from this frame — without the checkpoint
+        # each branch re-runs the orders scan + customer reduce (measured:
+        # 8 parquet scans in the plan; at 100 TB that is five passes over
+        # the fact table instead of one)
+        .localCheckpoint(eager=False)
     )
     rq = _quintile_map(
         m.groupBy("rec").agg(F.count(F.lit(1)).cast("long").alias("c")), "rec", True

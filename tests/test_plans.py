@@ -611,3 +611,72 @@ def test_quantile_normalize_has_no_global_sort_before_ranks(spark, sf_dir):
     assert "CartesianProduct" not in plan
     assert "rangepartitioning(doc_id" in plan.replace(" ", "").lower() or \
         "rangepartitioning" in plan.lower()  # final orderBy only
+
+
+def test_rfm_quintile_maps_join_broadcast_only(spark, sf_dir):
+    """q135: the three quintile maps are tiny distinct-value frames —
+    every join back to the per-customer frame must be broadcast (never a
+    customer-keyed shuffle), aggregates keep map-side partials, and the
+    plan stays pure JVM."""
+    import re
+
+    plan = _plan(load_all()["q135_rfm_segments"].fn(spark, sf_dir))
+    assert "InPandas" not in plan and "PythonUDF" not in plan
+    assert plan.count("BroadcastHashJoin") >= 3
+    assert "SortMergeJoin" not in plan and "ShuffledHashJoin" not in plan
+    assert "CartesianProduct" not in plan
+    assert "partial_" in plan
+    # the per-customer frame is checkpointed once; the three quintile maps
+    # and the segment reduce all read the materialized frame — the final
+    # plan re-scans NO parquet (the orders scan ran inside the checkpoint)
+    assert len(re.findall(r"^\(\d+\) Scan parquet", plan, re.M)) == 0
+    assert len(re.findall(r"^\(\d+\) Scan ExistingRDD", plan, re.M)) >= 1
+
+
+def test_ks_grid_joins_stay_on_small_frames(spark, sf_dir):
+    """q137: the step grid is distinct-values x types — the type frame
+    must broadcast into the grid build, and no Python/cartesian anywhere
+    (the one BroadcastNestedLoop IS the bounded 5-row type cross)."""
+    plan = _plan(load_all()["q137_ks_test"].fn(spark, sf_dir))
+    assert "InPandas" not in plan and "PythonUDF" not in plan
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
+
+
+def test_countmin_sketch_combines_map_side(spark, sf_dir):
+    """q139: both the sketch build and the exact top-k must keep their
+    map-side partial aggregates (a hot token pre-sums per task), the
+    4-row hash-seed frame and the <=2,048-cell sketch must broadcast,
+    and the top-k must plan as TakeOrderedAndProject."""
+    plan = _plan(load_all()["q139_countmin_sketch"].fn(spark, sf_dir))
+    assert "InPandas" not in plan and "PythonUDF" not in plan
+    assert "partial_count" in plan
+    assert "TakeOrderedAndProject" in plan
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_hits_normalizers_are_broadcast_not_collected(spark, sf_dir):
+    """q140: each L1 normalizer is a single-row aggregate carried as a
+    broadcast frame — the plan must show broadcast joins and no
+    cartesian products; the per-half-step mass sums keep their map-side
+    decimal partials."""
+    plan = _plan(load_all()["q140_hits_scores"].fn(spark, sf_dir))
+    assert "InPandas" not in plan and "PythonUDF" not in plan
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
+    assert "partial_sum" in plan
+
+
+def test_stat_tests_are_scalar_aggregates(spark, sf_dir):
+    """q142/q143: the test statistics are one map-side-combinable reduce
+    (plus, for U, one distinct-value window) — no joins, no Python, at
+    most the group + window exchanges."""
+    import re
+
+    for q in ("q142_ab_ztest", "q143_mannwhitney_u"):
+        plan = _plan(load_all()[q].fn(spark, sf_dir))
+        assert "InPandas" not in plan and "PythonUDF" not in plan
+        assert "Join" not in plan
+        assert len(re.findall(r"^\(\d+\) Scan parquet", plan, re.M)) == 1
+        assert "partial_" in plan
