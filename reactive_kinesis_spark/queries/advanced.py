@@ -1448,11 +1448,17 @@ def q135_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT n0, x0, n1, x1,
            x0 / n0 AS p0,
            x1 / n1 AS p1,
-           (x1 / n1 - x0 / n0)
+           CASE WHEN SQRT(((x0 + x1) / (n0 + n1))
+                    * (CAST('1.0' AS DOUBLE) - (x0 + x1) / (n0 + n1))
+                    * (CAST('1.0' AS DOUBLE) / n0
+                       + CAST('1.0' AS DOUBLE) / n1))
+                     > CAST('0.0' AS DOUBLE)
+           THEN (x1 / n1 - x0 / n0)
              / SQRT(((x0 + x1) / (n0 + n1))
                     * (CAST('1.0' AS DOUBLE) - (x0 + x1) / (n0 + n1))
                     * (CAST('1.0' AS DOUBLE) / n0
-                       + CAST('1.0' AS DOUBLE) / n1)) AS z
+                       + CAST('1.0' AS DOUBLE) / n1))
+           ELSE CAST('nan' AS DOUBLE) END AS z
     FROM w
     """,
 )
@@ -1484,6 +1490,14 @@ def q142_ab_ztest(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.max(F.when(F.col("cohort") == 1, F.col("x"))).alias("x1"),
     )
     pp = (F.col("x0") + F.col("x1")) / (F.col("n0") + F.col("n1"))
+    # Pooled p ∈ {0, 1} (nobody or everybody converted) collapses the
+    # standard error to exactly 0 → ANSI DIVIDE_BY_ZERO; gate and return
+    # NaN (oracle mirrors with CASE WHEN ... 'nan').
+    se = F.sqrt(
+        pp
+        * (F.lit(1.0) - pp)
+        * (F.lit(1.0) / F.col("n0") + F.lit(1.0) / F.col("n1"))
+    )
     return w.select(
         "n0",
         "x0",
@@ -1491,14 +1505,12 @@ def q142_ab_ztest(spark: SparkSession, sf_dir: str) -> DataFrame:
         "x1",
         (F.col("x0") / F.col("n0")).alias("p0"),
         (F.col("x1") / F.col("n1")).alias("p1"),
-        (
-            (F.col("x1") / F.col("n1") - F.col("x0") / F.col("n0"))
-            / F.sqrt(
-                pp
-                * (F.lit(1.0) - pp)
-                * (F.lit(1.0) / F.col("n0") + F.lit(1.0) / F.col("n1"))
-            )
-        ).alias("z"),
+        F.when(
+            se > F.lit(0.0),
+            (F.col("x1") / F.col("n1") - F.col("x0") / F.col("n0")) / se,
+        )
+        .otherwise(F.lit(float("nan")))
+        .alias("z"),
     )
 
 
@@ -1531,12 +1543,18 @@ def q142_ab_ztest(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT na, nb,
            (ra2 - na * (na + 1)) / CAST('2.0' AS DOUBLE) AS u,
            na * nb / CAST('2.0' AS DOUBLE) AS mu,
-           ((ra2 - na * (na + 1)) / CAST('2.0' AS DOUBLE)
+           CASE WHEN SQRT((CAST(na AS DOUBLE) * nb / CAST('12.0' AS DOUBLE))
+                    * ((na + nb + 1)
+                       - ties3
+                         / (CAST(na + nb AS DOUBLE) * (na + nb - 1))))
+                     > CAST('0.0' AS DOUBLE)
+           THEN ((ra2 - na * (na + 1)) / CAST('2.0' AS DOUBLE)
             - na * nb / CAST('2.0' AS DOUBLE))
              / SQRT((CAST(na AS DOUBLE) * nb / CAST('12.0' AS DOUBLE))
                     * ((na + nb + 1)
                        - ties3
-                         / (CAST(na + nb AS DOUBLE) * (na + nb - 1)))) AS z
+                         / (CAST(na + nb AS DOUBLE) * (na + nb - 1))))
+           ELSE CAST('nan' AS DOUBLE) END AS z
     FROM agg
     """,
 )
@@ -1602,10 +1620,16 @@ def q143_mannwhitney_u(spark: SparkSession, sf_dir: str) -> DataFrame:
             - F.col("ties3") / (nn.cast("double") * (nn - F.lit(1)))
         )
     )
+    # Degenerate inputs (every observation tied, or one sample empty)
+    # collapse the tie-corrected variance to exactly 0; ANSI mode would
+    # raise DIVIDE_BY_ZERO, so gate the division and return the
+    # documented NaN z (oracle mirrors with CASE WHEN ... 'nan').
     return agg.select(
         "na",
         "nb",
         u.alias("u"),
         mu.alias("mu"),
-        ((u - mu) / sigma).alias("z"),
+        F.when(sigma > F.lit(0.0), (u - mu) / sigma)
+        .otherwise(F.lit(float("nan")))
+        .alias("z"),
     )

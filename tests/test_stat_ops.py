@@ -207,7 +207,7 @@ def test_rfm_quintiles_are_tie_stable_and_bounded(spark, sf_dir):
     counts = spark.createDataFrame(
         [(10, 6), (20, 1), (30, 1), (40, 1), (50, 1)], "v long, c long"
     )
-    m = {r.v: r.__q for r in _quintile_map(counts, "v", True).collect()}
+    m = {r.v: r["__q"] for r in _quintile_map(counts, "v", True).collect()}
     # the 6-way tie at v=10 fills quintiles 1-3 entirely → all land in q3
     assert m[10] == 3 and m[50] == 5
     assert sorted(m) == [10, 20, 30, 40, 50]
