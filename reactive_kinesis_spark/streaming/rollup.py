@@ -3,25 +3,29 @@ aggregates.
 
 The batch+streaming answer to "keep a keyed summary table continuously
 up to date": every micro-batch folds its rows into per-key PARTIAL
-aggregates (count / sum / min / max — the mergeable algebra), the
-partials are persisted exactly-once, and readers (or a downstream
-dashboard query) merge base + deltas into the final measures on scan.
-This is the hypertable / continuous-aggregate pattern re-expressed on
-Structured Streaming primitives, and the maintenance story mirrors
-``io.compact_files``: deltas accumulate one tiny pre-aggregated
-partition per micro-batch, and :func:`compact_rollup` periodically
-folds them into the bucketed base.
+aggregates (count / sum / min / max / HLL sketch — the mergeable
+algebra), the partials are persisted exactly-once, and readers (or a
+downstream dashboard query) merge base + deltas into the final measures
+on scan. This is the hypertable / continuous-aggregate pattern
+re-expressed on Structured Streaming primitives, and the maintenance
+story mirrors ``io.compact_files``: deltas accumulate one tiny
+pre-aggregated partition per micro-batch, and :func:`compact_rollup`
+periodically folds them into the base.
 
 Exactly-once: Structured Streaming replays ``foreachBatch`` with the
 SAME batchId after a crash, so each delta is written under a
 ``_batch_id=<id>`` partition with dynamic-partition overwrite — a
 replay overwrites its own previous (possibly partial) attempt instead
 of double-counting (the ``sink.idempotent_foreach_batch`` rule).
-Compaction writes a new base embedding a high-water batch id
-(``_meta.json`` inside the base dir, swapped atomically WITH the data)
-and readers ignore deltas at or below the watermark — so a crash
-between base swap and delta cleanup cannot double-count either; the
-leftover deltas are lazily garbage-collected on the next compaction.
+Compaction writes a brand-new versioned base dir (data + embedded
+``_meta.json`` watermark) and flips ONE manifest file to it with an
+atomic ``os.replace`` — readers see either the old base+deltas or the
+new base, never a half state, and a crash at ANY point leaves a valid
+manifest pointing at a complete base. Delta partitions at or below the
+watermark are ignored by readers, so a crash between manifest flip and
+delta cleanup cannot double-count either; leftovers (deltas and
+superseded base versions) are lazily garbage-collected on the next
+compaction.
 
 100 TB shape: the streaming side never holds state (no
 state-store blowup — the "state" IS the table); each delta is a
@@ -29,7 +33,11 @@ per-key aggregate of one micro-batch (map-side combined, tiny); the
 read-side merge is one groupBy over base ∪ fresh deltas, and after
 compaction the base can be bucketed by key so the merge is
 shuffle-free. avg is derived at read time from (sum, count) — only
-mergeable partials are ever stored.
+mergeable partials are ever stored. Distinct counts — the one classic
+aggregate the count/sum/min/max algebra cannot express — are carried
+as Apache DataSketches HLL partials (``hll_sketch_agg`` binaries,
+merged with ``hll_union_agg``), the same merge-tree trick at sketch
+precision instead of exact.
 
 Reference parity: reactive-kinesis has no aggregate maintenance at
 all (consumers process record-by-record; any rollup is the user's
@@ -48,6 +56,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 _META = "_meta.json"
+_MANIFEST = "_current.json"
 
 
 @dataclass(frozen=True)
@@ -60,18 +69,29 @@ class RollupSpec:
     Sums should be integer-typed or pre-quantized by the caller: a
     float sum's value depends on fold order, which a merge tree does
     not fix (the engine-wide exactness rule).
+
+    ``approx_distincts`` columns are carried as DataSketches HLL
+    partials (``hll_<c>``, binary): micro-batches sketch their rows,
+    merges union the sketches (``hll_union_agg``), and the finalized
+    read derives ``approx_nd_<c> = hll_sketch_estimate(...)``. The
+    sketch union is associative/commutative, so the streamed estimate
+    is the same sketch a single batch pass would build.
     """
 
     keys: tuple[str, ...]
     sums: tuple[str, ...] = ()
     mins: tuple[str, ...] = ()
     maxs: tuple[str, ...] = ()
+    approx_distincts: tuple[str, ...] = ()
 
     def partial_aggs(self) -> list:
         aggs = [F.count(F.lit(1)).cast("long").alias("n")]
         aggs += [F.sum(c).alias(f"sum_{c}") for c in self.sums]
         aggs += [F.min(c).alias(f"min_{c}") for c in self.mins]
         aggs += [F.max(c).alias(f"max_{c}") for c in self.maxs]
+        aggs += [
+            F.hll_sketch_agg(c).alias(f"hll_{c}") for c in self.approx_distincts
+        ]
         return aggs
 
     def merge_aggs(self) -> list:
@@ -79,11 +99,27 @@ class RollupSpec:
         aggs += [F.sum(f"sum_{c}").alias(f"sum_{c}") for c in self.sums]
         aggs += [F.min(f"min_{c}").alias(f"min_{c}") for c in self.mins]
         aggs += [F.max(f"max_{c}").alias(f"max_{c}") for c in self.maxs]
+        aggs += [
+            F.hll_union_agg(f"hll_{c}").alias(f"hll_{c}")
+            for c in self.approx_distincts
+        ]
         return aggs
 
 
-def _paths(out_dir: str) -> tuple[str, str]:
-    return os.path.join(out_dir, "base"), os.path.join(out_dir, "deltas")
+def _delta_dir(out_dir: str) -> str:
+    return os.path.join(out_dir, "deltas")
+
+
+def _current_base(out_dir: str) -> str | None:
+    """Resolve the live base dir via the manifest (atomic pointer); a
+    legacy un-versioned ``base/`` dir (pre-manifest layout) is honored
+    for back-compat."""
+    manifest = os.path.join(out_dir, _MANIFEST)
+    if os.path.exists(manifest):
+        with open(manifest, encoding="utf-8") as fh:
+            return os.path.join(out_dir, json.load(fh)["base"])
+    legacy = os.path.join(out_dir, "base")
+    return legacy if os.path.exists(legacy) else None
 
 
 def _has_deltas(delta_dir: str) -> bool:
@@ -95,7 +131,9 @@ def _has_deltas(delta_dir: str) -> bool:
     return any(e.startswith("_batch_id=") for e in os.listdir(delta_dir))
 
 
-def _watermark(base_dir: str) -> int:
+def _watermark(base_dir: str | None) -> int:
+    if base_dir is None:
+        return -1
     meta = os.path.join(base_dir, _META)
     if os.path.exists(meta):
         with open(meta, encoding="utf-8") as fh:
@@ -115,7 +153,7 @@ def continuous_rollup(out_dir: str, spec: RollupSpec):
              .option("checkpointLocation", ckpt).start())
     """
 
-    _, delta_dir = _paths(out_dir)
+    delta_dir = _delta_dir(out_dir)
 
     def write(batch_df: DataFrame, batch_id: int) -> None:
         spark = batch_df.sparkSession
@@ -136,39 +174,70 @@ def continuous_rollup(out_dir: str, spec: RollupSpec):
     return write
 
 
-def read_rollup(spark: SparkSession, out_dir: str, spec: RollupSpec) -> DataFrame:
-    """Merge base + fresh deltas into the current rollup: one groupBy on
-    the keys over pre-aggregated partials. Deltas at or below the base's
-    high-water batch id are ignored (they are already folded in)."""
-    base_dir, delta_dir = _paths(out_dir)
+def _merge(spark: SparkSession, spec: RollupSpec, base_dir, deltas) -> DataFrame:
     frames = []
-    if os.path.exists(base_dir):
+    if base_dir is not None:
         frames.append(
             spark.read.parquet(base_dir).withColumn("_batch_id", F.lit(-1))
         )
-    if _has_deltas(delta_dir):
-        wm = _watermark(base_dir)
-        deltas = spark.read.parquet(delta_dir)
-        frames.append(deltas.where(F.col("_batch_id") > F.lit(wm)))
+    if deltas is not None:
+        frames.append(deltas)
     if not frames:
-        raise FileNotFoundError(f"no rollup state at {out_dir}")
+        raise FileNotFoundError("no rollup state to merge")
     all_parts = frames[0]
     for f in frames[1:]:
         all_parts = all_parts.unionByName(f)
     return all_parts.groupBy(*spec.keys).agg(*spec.merge_aggs())
 
 
+def read_rollup(
+    spark: SparkSession,
+    out_dir: str,
+    spec: RollupSpec,
+    finalize: bool = True,
+) -> DataFrame:
+    """Merge base + fresh deltas into the current rollup: one groupBy on
+    the keys over pre-aggregated partials. Deltas at or below the base's
+    high-water batch id are ignored (they are already folded in).
+
+    ``finalize=True`` derives ``approx_nd_<c>`` distinct-count estimates
+    from the merged HLL partials and drops the binary sketch columns;
+    ``finalize=False`` keeps the raw mergeable partials (what compaction
+    persists as the next base)."""
+    base_dir = _current_base(out_dir)
+    delta_dir = _delta_dir(out_dir)
+    deltas = None
+    if _has_deltas(delta_dir):
+        wm = _watermark(base_dir)
+        deltas = spark.read.parquet(delta_dir).where(F.col("_batch_id") > F.lit(wm))
+    if base_dir is None and deltas is None:
+        raise FileNotFoundError(f"no rollup state at {out_dir}")
+    merged = _merge(spark, spec, base_dir, deltas)
+    if finalize and spec.approx_distincts:
+        for c in spec.approx_distincts:
+            merged = merged.withColumn(
+                f"approx_nd_{c}", F.hll_sketch_estimate(f"hll_{c}")
+            ).drop(f"hll_{c}")
+    return merged
+
+
 def compact_rollup(spark: SparkSession, out_dir: str, spec: RollupSpec) -> dict:
     """Fold every fresh delta into the base and advance the watermark.
 
-    The new base (data + ``_meta.json`` watermark) is staged into a
-    sibling dir and swapped in with one atomic rename, so readers see
-    either the old base+deltas or the new base — never a half state.
-    Delta partitions at or below the new watermark are then deleted;
-    if that cleanup is interrupted, readers still ignore them via the
-    watermark and the next compaction finishes the job.
+    Crash-safe against a LIVE stream: the set of delta batch ids is
+    listed ONCE and the merge is pinned to exactly that set with an
+    ``isin`` filter — a delta committed mid-compaction is excluded from
+    the new base AND stays above its watermark, so it is never dropped
+    or double-counted. The new base (data + ``_meta.json`` watermark)
+    is written to a fresh versioned dir and published by atomically
+    replacing the one manifest file (``os.replace``); there is no
+    window with no live base. Folded deltas and superseded base
+    versions are then deleted; if that cleanup is interrupted, readers
+    still ignore them via the watermark/manifest and the next
+    compaction finishes the job.
     """
-    base_dir, delta_dir = _paths(out_dir)
+    base_dir = _current_base(out_dir)
+    delta_dir = _delta_dir(out_dir)
     if not _has_deltas(delta_dir):
         return {"folded_batches": 0}
     deltas = spark.read.parquet(delta_dir)
@@ -177,20 +246,37 @@ def compact_rollup(spark: SparkSession, out_dir: str, spec: RollupSpec) -> dict:
     batch_ids = [r[0] for r in fresh.select("_batch_id").distinct().collect()]
     if not batch_ids:
         return {"folded_batches": 0}
-    merged = read_rollup(spark, out_dir, spec)
-    tmp = base_dir.rstrip("/") + "._compact_tmp"
-    merged.write.mode("overwrite").parquet(tmp)
-    with open(os.path.join(tmp, _META), "w", encoding="utf-8") as fh:
-        json.dump({"max_batch_id": max(batch_ids)}, fh)
-    old = base_dir.rstrip("/") + "._compact_old"
-    if os.path.exists(base_dir):
-        os.rename(base_dir, old)
-    os.rename(tmp, base_dir)
-    shutil.rmtree(old, ignore_errors=True)
-    spark.catalog.refreshByPath(base_dir)
-    # lazy GC of folded delta partitions (safe: watermark already advanced)
+    new_wm = max(batch_ids)
+    # pin the merge to the listed batch set — a concurrent writer's new
+    # delta (id > new_wm) must not be folded under this watermark
+    pinned = deltas.where(F.col("_batch_id").isin(batch_ids))
+    merged = _merge(spark, spec, base_dir, pinned)
+    new_base_name = f"base_v{new_wm}"
+    new_base = os.path.join(out_dir, new_base_name)
+    merged.write.mode("overwrite").parquet(new_base)
+    with open(os.path.join(new_base, _META), "w", encoding="utf-8") as fh:
+        json.dump({"max_batch_id": new_wm}, fh)
+    # publish: one atomic manifest replace — never a state with no base
+    manifest = os.path.join(out_dir, _MANIFEST)
+    tmp_manifest = manifest + ".tmp"
+    with open(tmp_manifest, "w", encoding="utf-8") as fh:
+        json.dump({"base": new_base_name, "max_batch_id": new_wm}, fh)
+    os.replace(tmp_manifest, manifest)
+    spark.catalog.refreshByPath(new_base)
+    # lazy GC (safe: manifest already flipped, watermark already advanced)
+    if base_dir is not None and os.path.abspath(base_dir) != os.path.abspath(
+        new_base
+    ):
+        shutil.rmtree(base_dir, ignore_errors=True)
+    for entry in os.listdir(out_dir):
+        if (
+            entry.startswith("base_v")
+            and entry != new_base_name
+            or entry == "base"
+        ):
+            shutil.rmtree(os.path.join(out_dir, entry), ignore_errors=True)
     for bid in batch_ids:
         shutil.rmtree(
             os.path.join(delta_dir, f"_batch_id={bid}"), ignore_errors=True
         )
-    return {"folded_batches": len(batch_ids), "watermark": max(batch_ids)}
+    return {"folded_batches": len(batch_ids), "watermark": new_wm}

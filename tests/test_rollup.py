@@ -150,3 +150,123 @@ def test_folded_delta_below_watermark_is_ignored_even_if_left_behind(
     shutil.copytree(saved, delta0)
     spark.catalog.refreshByPath(os.path.join(out_dir, "deltas"))
     assert _snapshot(spark, out_dir) == before
+
+
+def test_rollup_hll_distinct_measure_matches_single_pass_sketch(spark, tmp_path):
+    """Stream-merged HLL partials must equal the sketch a single batch
+    pass builds over the union (merge-invariance), and at this size the
+    sketch is exact — equal to COUNT(DISTINCT)."""
+    in_dir, out_dir, ckpt = (
+        str(tmp_path / "in"),
+        str(tmp_path / "roll"),
+        str(tmp_path / "ckpt"),
+    )
+    spec = RollupSpec(keys=("k",), sums=("v",), approx_distincts=("v",))
+    _write_chunk(spark, in_dir, [("a", 1), ("a", 2), ("b", 10)], "c0")
+    _write_chunk(spark, in_dir, [("a", 2), ("a", 3), ("b", 10)], "c1")
+    _write_chunk(spark, in_dir, [("a", 1), ("b", 11), ("b", 12)], "c2")
+    stream = (
+        spark.readStream.schema(SCHEMA)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(in_dir + "/*")
+    )
+    q = (
+        stream.writeStream.foreachBatch(continuous_rollup(out_dir, spec))
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+
+    got = {
+        r["k"]: r["approx_nd_v"]
+        for r in read_rollup(spark, out_dir, spec).collect()
+    }
+    union = spark.read.parquet(
+        *[os.path.join(in_dir, c) for c in ("c0", "c1", "c2")]
+    )
+    single_pass = {
+        r["k"]: r["e"]
+        for r in union.groupBy("k")
+        .agg(F.hll_sketch_estimate(F.hll_sketch_agg("v")).alias("e"))
+        .collect()
+    }
+    exact = {
+        r["k"]: r["d"]
+        for r in union.groupBy("k")
+        .agg(F.countDistinct("v").alias("d"))
+        .collect()
+    }
+    assert got == single_pass == exact == {"a": 3, "b": 3}
+
+    # the HLL partial survives compaction (merged base stays mergeable)
+    compact_rollup(spark, out_dir, spec)
+    assert {
+        r["k"]: r["approx_nd_v"]
+        for r in read_rollup(spark, out_dir, spec).collect()
+    } == got
+
+
+def test_interrupted_publish_leaves_old_state_live(spark, tmp_path):
+    """A crash AFTER the new base dir is written but BEFORE the manifest
+    flip must leave readers on the old base+deltas (no half state), and
+    the next compaction must finish the job."""
+    import json as _json
+
+    in_dir, out_dir, ckpt = (
+        str(tmp_path / "in"),
+        str(tmp_path / "roll"),
+        str(tmp_path / "ckpt"),
+    )
+    _write_chunk(spark, in_dir, [("a", 1), ("b", 2)], "c0")
+    _run_stream(spark, in_dir, out_dir, ckpt)
+    before = _snapshot(spark, out_dir)
+
+    # simulate the orphaned half-publish: a stray versioned base with a
+    # watermark meta, but no manifest pointing at it
+    stray = os.path.join(out_dir, "base_v99")
+    os.makedirs(stray)
+    with open(os.path.join(stray, "_meta.json"), "w") as fh:
+        _json.dump({"max_batch_id": 99}, fh)
+
+    assert _snapshot(spark, out_dir) == before  # readers unaffected
+    stats = compact_rollup(spark, out_dir, SPEC)
+    assert stats["folded_batches"] >= 1
+    assert _snapshot(spark, out_dir) == before
+    assert not os.path.exists(stray)  # superseded versions GC'd
+
+
+def test_legacy_unversioned_base_layout_still_reads(spark, tmp_path):
+    """Pre-manifest rollups used a bare ``base/`` dir — they must stay
+    readable and upgrade to the manifest layout on the next compaction."""
+    import json as _json
+
+    in_dir, out_dir, ckpt = (
+        str(tmp_path / "in"),
+        str(tmp_path / "roll"),
+        str(tmp_path / "ckpt"),
+    )
+    _write_chunk(spark, in_dir, [("a", 1), ("b", 2)], "c0")
+    _run_stream(spark, in_dir, out_dir, ckpt)
+
+    # hand-build the legacy layout: fold delta 0 into out/base + meta
+    legacy = os.path.join(out_dir, "base")
+    deltas = spark.read.parquet(os.path.join(out_dir, "deltas"))
+    deltas.drop("_batch_id").write.mode("overwrite").parquet(legacy)
+    with open(os.path.join(legacy, "_meta.json"), "w") as fh:
+        _json.dump({"max_batch_id": 0}, fh)
+    import shutil as _shutil
+
+    _shutil.rmtree(os.path.join(out_dir, "deltas"))
+
+    before = _snapshot(spark, out_dir)
+    assert before["a"] == (1, 1, 1, 1)
+
+    _write_chunk(spark, in_dir, [("a", 4)], "c1")
+    _run_stream(spark, in_dir, out_dir, ckpt)
+    assert _snapshot(spark, out_dir)["a"] == (2, 5, 1, 4)
+    stats = compact_rollup(spark, out_dir, SPEC)
+    assert stats["folded_batches"] == 1
+    assert os.path.exists(os.path.join(out_dir, "_current.json"))
+    assert not os.path.exists(legacy)  # legacy dir GC'd after upgrade
+    assert _snapshot(spark, out_dir)["a"] == (2, 5, 1, 4)
