@@ -317,8 +317,9 @@ def phash_neardup_pairs(
     band value shared by everything — letterboxed black frames, solid
     slides) are the df-cap analog: a bucket of size k emits k²/2
     candidates, so ``max_bucket`` DROPS (band, value) buckets larger
-    than the cap before the self-join — candidate count is then bounded
-    by ``bands · Σ_buckets min(k, max_bucket)²`` regardless of corpus
+    than the cap ENTIRELY (contribution 0, not a truncated sample)
+    before the self-join — candidate count is then bounded by
+    ``bands · Σ_{buckets with k ≤ max_bucket} k²`` regardless of corpus
     degeneracy. The cost is recall only on pairs whose ONLY agreeing
     band is a hub value — exactly the least informative agreement (the
     same trade the near-dup text operators make with their

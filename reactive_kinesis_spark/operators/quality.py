@@ -173,10 +173,16 @@ def distribution_drift(
     doubles broadcast into two narrow bucket-assignment passes (the q119
     no-global-sort discipline), one tiny count aggregate per snapshot,
     totals as broadcast single-row frames (in-plan, never a driver
-    collect). The reference side is the bucket spine (equi-depth ⇒ every
-    bucket populated); a bucket the current snapshot emptied shows
-    ``cur_n = 0``. Returns ``(bucket, ref_n, cur_n, ref_frac, cur_frac,
-    tvd_contrib, chi2_contrib)``.
+    collect). The spine is the STATIC bucket range ``1..buckets`` (a
+    ``buckets``-row frame, broadcast), not the reference's observed
+    buckets: a degenerate reference (heavy ties collapse the percentile
+    cuts) leaves buckets it never populates, and current-snapshot mass
+    landing there is exactly the most extreme drift — it must
+    contribute to ``tvd_contrib`` (``ref_n = 0``), not vanish in a left
+    join. ``chi2_contrib`` is NULL for those rows (expected count 0 ⇒
+    the Pearson term is undefined; TVD carries the signal). Output is
+    always exactly ``buckets`` rows. Returns ``(bucket, ref_n, cur_n,
+    ref_frac, cur_frac, tvd_contrib, chi2_contrib)``.
     """
     if buckets < 2:
         raise ValueError("buckets must be >= 2")
@@ -209,9 +215,13 @@ def distribution_drift(
     )
     rtot = rv.agg(F.count(F.lit(1)).cast("long").alias("ref_total"))
     ctot = cv.agg(F.count(F.lit(1)).cast("long").alias("cur_total"))
+    spine = ref.sparkSession.range(1, buckets + 1).select(
+        F.col("id").cast("long").alias("bucket")
+    )
     joined = (
-        rc.join(cc, "bucket", "left")
-        .na.fill({"cur_n": 0})
+        spine.join(F.broadcast(rc), "bucket", "left")
+        .join(F.broadcast(cc), "bucket", "left")
+        .na.fill({"ref_n": 0, "cur_n": 0})
         .crossJoin(F.broadcast(rtot))
         .crossJoin(F.broadcast(ctot))
     )

@@ -201,16 +201,19 @@ def q117_train_val_test(spark: SparkSession, sf_dir: str) -> DataFrame:
     cb AS (SELECT 1 + len(list_filter(cuts.c, x -> v > x)) AS bucket FROM cur, cuts),
     rc AS (SELECT bucket, CAST(COUNT(*) AS BIGINT) AS ref_n FROM rb GROUP BY bucket),
     cc AS (SELECT bucket, CAST(COUNT(*) AS BIGINT) AS cur_n FROM cb GROUP BY bucket),
+    spine AS (SELECT CAST(unnest([1,2,3,4,5,6,7,8]) AS BIGINT) AS bucket),
     tot AS (SELECT (SELECT CAST(COUNT(*) AS BIGINT) FROM ref) AS ref_total,
                    (SELECT CAST(COUNT(*) AS BIGINT) FROM cur) AS cur_total),
     j AS (
-      SELECT CAST(rc.bucket AS BIGINT) AS bucket, rc.ref_n,
+      SELECT spine.bucket, COALESCE(rc.ref_n, 0) AS ref_n,
              COALESCE(cc.cur_n, 0) AS cur_n,
-             CAST(rc.ref_n AS DOUBLE) / CAST(tot.ref_total AS DOUBLE) AS ref_frac,
+             CAST(COALESCE(rc.ref_n, 0) AS DOUBLE)
+                 / CAST(tot.ref_total AS DOUBLE) AS ref_frac,
              CAST(COALESCE(cc.cur_n, 0) AS DOUBLE) / CAST(tot.cur_total AS DOUBLE)
                  AS cur_frac,
              tot.cur_total
-      FROM rc LEFT JOIN cc ON rc.bucket = cc.bucket CROSS JOIN tot
+      FROM spine LEFT JOIN rc ON spine.bucket = rc.bucket
+                 LEFT JOIN cc ON spine.bucket = cc.bucket CROSS JOIN tot
     )
     SELECT bucket, ref_n, cur_n, ref_frac, cur_frac,
            ABS(ref_frac - cur_frac) * CAST(0.5 AS DOUBLE) AS tvd_contrib,

@@ -155,12 +155,17 @@ class SqliteLeaseStore(LeaseStore):
 
     def __init__(self, db_path: str):
         self._db = db_path
-        with self._conn() as con:
-            con.execute(
-                "CREATE TABLE IF NOT EXISTS docs ("
-                " kind TEXT NOT NULL, name TEXT NOT NULL, payload TEXT NOT NULL,"
-                " PRIMARY KEY (kind, name))"
-            )
+        con = self._conn()
+        try:
+            with con:
+                con.execute(
+                    "CREATE TABLE IF NOT EXISTS docs ("
+                    " kind TEXT NOT NULL, name TEXT NOT NULL,"
+                    " payload TEXT NOT NULL,"
+                    " PRIMARY KEY (kind, name))"
+                )
+        finally:
+            con.close()
 
     def _conn(self):
         import sqlite3
@@ -171,10 +176,18 @@ class SqliteLeaseStore(LeaseStore):
         return con
 
     def read(self, kind: str, name: str) -> dict | None:
-        with self._conn() as con:
-            row = con.execute(
-                "SELECT payload FROM docs WHERE kind=? AND name=?", (kind, name)
-            ).fetchone()
+        # `with con:` only scopes the transaction — close() must be
+        # explicit or file descriptors / WAL handles leak per heartbeat
+        # on runtimes without eager refcount finalization
+        con = self._conn()
+        try:
+            with con:
+                row = con.execute(
+                    "SELECT payload FROM docs WHERE kind=? AND name=?",
+                    (kind, name),
+                ).fetchone()
+        finally:
+            con.close()
         if row is None:
             return None
         try:
@@ -183,22 +196,37 @@ class SqliteLeaseStore(LeaseStore):
             return None
 
     def write(self, kind: str, name: str, payload: dict) -> None:
-        with self._conn() as con:
-            con.execute(
-                "INSERT OR REPLACE INTO docs (kind, name, payload) VALUES (?,?,?)",
-                (kind, name, json.dumps(payload)),
-            )
+        con = self._conn()
+        try:
+            with con:
+                con.execute(
+                    "INSERT OR REPLACE INTO docs (kind, name, payload)"
+                    " VALUES (?,?,?)",
+                    (kind, name, json.dumps(payload)),
+                )
+        finally:
+            con.close()
 
     def list(self, kind: str) -> list[str]:
-        with self._conn() as con:
-            rows = con.execute(
-                "SELECT name FROM docs WHERE kind=? ORDER BY name", (kind,)
-            ).fetchall()
+        con = self._conn()
+        try:
+            with con:
+                rows = con.execute(
+                    "SELECT name FROM docs WHERE kind=? ORDER BY name", (kind,)
+                ).fetchall()
+        finally:
+            con.close()
         return [r[0] for r in rows]
 
     def delete(self, kind: str, name: str) -> None:
-        with self._conn() as con:
-            con.execute("DELETE FROM docs WHERE kind=? AND name=?", (kind, name))
+        con = self._conn()
+        try:
+            with con:
+                con.execute(
+                    "DELETE FROM docs WHERE kind=? AND name=?", (kind, name)
+                )
+        finally:
+            con.close()
 
 
 def resolve_store(path_or_store) -> LeaseStore:

@@ -298,6 +298,25 @@ class TestDistributionDrift:
         with pytest.raises(ValueError, match="buckets"):
             distribution_drift(df, df, "v", buckets=1)
 
+    def test_degenerate_reference_still_sees_cur_only_mass(self, spark):
+        """A constant reference collapses every percentile cut to the same
+        value — buckets the reference never populates must still report
+        current-snapshot mass (the most extreme drift), on the static
+        spine, not vanish in a join."""
+        from reactive_kinesis_spark.operators.quality import distribution_drift
+
+        ref = self._df(spark, [5.0] * 100)          # all cuts collapse to 5.0
+        cur = self._df(spark, [50.0] * 100)         # all mass above every cut
+        rows = distribution_drift(ref, cur, "v", buckets=8).collect()
+        by_bucket = {r.bucket: r for r in rows}
+        assert sorted(by_bucket) == list(range(1, 9))  # full spine, always
+        # ref: v > 5.0 is false for every cut → bucket 1; cur: all 7 cuts
+        # below → bucket 8, which the reference left empty
+        assert (by_bucket[1].ref_n, by_bucket[1].cur_n) == (100, 0)
+        assert (by_bucket[8].ref_n, by_bucket[8].cur_n) == (0, 100)
+        assert sum(r.tvd_contrib for r in rows) == pytest.approx(1.0)
+        assert by_bucket[8].chi2_contrib is None  # expected 0 ⇒ undefined
+
 
 class TestDriftGate:
     """Streaming twin of distribution_drift: per-micro-batch TVD against
