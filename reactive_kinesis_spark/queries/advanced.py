@@ -1539,23 +1539,24 @@ def q142_ab_ztest(spark: SparkSession, sf_dir: str) -> DataFrame:
                CAST(SUM(ca * (2 * before + t + 1)) AS BIGINT) AS ra2,
                CAST(SUM(t * t * t - t) AS BIGINT) AS ties3
         FROM r
+    ),
+    sig AS (
+        SELECT na, nb, ra2,
+               SQRT((CAST(na AS DOUBLE) * nb / CAST('12.0' AS DOUBLE))
+                    * ((na + nb + 1)
+                       - CASE WHEN na + nb > 1 THEN ties3
+                           / (CAST(na + nb AS DOUBLE) * (na + nb - 1))
+                         ELSE CAST('0.0' AS DOUBLE) END)) AS sigma
+        FROM agg
     )
     SELECT na, nb,
            (ra2 - na * (na + 1)) / CAST('2.0' AS DOUBLE) AS u,
            na * nb / CAST('2.0' AS DOUBLE) AS mu,
-           CASE WHEN SQRT((CAST(na AS DOUBLE) * nb / CAST('12.0' AS DOUBLE))
-                    * ((na + nb + 1)
-                       - ties3
-                         / (CAST(na + nb AS DOUBLE) * (na + nb - 1))))
-                     > CAST('0.0' AS DOUBLE)
+           CASE WHEN sigma > CAST('0.0' AS DOUBLE)
            THEN ((ra2 - na * (na + 1)) / CAST('2.0' AS DOUBLE)
-            - na * nb / CAST('2.0' AS DOUBLE))
-             / SQRT((CAST(na AS DOUBLE) * nb / CAST('12.0' AS DOUBLE))
-                    * ((na + nb + 1)
-                       - ties3
-                         / (CAST(na + nb AS DOUBLE) * (na + nb - 1))))
+            - na * nb / CAST('2.0' AS DOUBLE)) / sigma
            ELSE CAST('nan' AS DOUBLE) END AS z
-    FROM agg
+    FROM sig
     """,
 )
 def q143_mannwhitney_u(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1613,12 +1614,16 @@ def q143_mannwhitney_u(spark: SparkSession, sf_dir: str) -> DataFrame:
     u = (F.col("ra2") - F.col("na") * (F.col("na") + 1)) / F.lit(2.0)
     mu = F.col("na") * F.col("nb") / F.lit(2.0)
     nn = F.col("na") + F.col("nb")
+    # nn = 1 (a single observation) zeroes the tie-term denominator;
+    # the leading na·nb factor is 0 there anyway, so the guarded 0 is
+    # value-transparent for every non-degenerate input
+    tie_term = F.when(
+        nn > F.lit(1),
+        F.col("ties3") / (nn.cast("double") * (nn - F.lit(1))),
+    ).otherwise(F.lit(0.0))
     sigma = F.sqrt(
         (F.col("na").cast("double") * F.col("nb") / F.lit(12.0))
-        * (
-            (nn + F.lit(1))
-            - F.col("ties3") / (nn.cast("double") * (nn - F.lit(1)))
-        )
+        * ((nn + F.lit(1)) - tie_term)
     )
     # Degenerate inputs (every observation tied, or one sample empty)
     # collapse the tie-corrected variance to exactly 0; ANSI mode would

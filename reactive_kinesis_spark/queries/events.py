@@ -1264,7 +1264,9 @@ def cusum_changepoints(
     exactly-representable integers — bit-identical across engines with
     no quantization tricks. Splits are interior only (``i < m``: both
     sides non-empty, no division-by-zero edge); ties on D break to the
-    EARLIEST split; single-row groups are dropped (no interior split).
+    EARLIEST split; single-row groups are dropped (no interior split);
+    a group whose values sum to exactly 0 reports a NULL ``cusum_stat``
+    (the m·S_m normalizer vanishes — undefined, not "no change").
 
     Shape: ONE group-keyed exchange serves the prefix-sum window, the
     row-number, and the group totals; the argmax is a struct-min
@@ -1303,10 +1305,15 @@ def cusum_changepoints(
         ).alias("__b")
     )
     b = F.col("__b")
+    # a group whose values sum to exactly 0 has no normalizer for the
+    # statistic (m·S_m = 0 ⇒ ANSI DIVIDE_BY_ZERO): NULL — undefined,
+    # not "no change" (with signed values D can be nonzero at S_m = 0)
     return best.select(
         *group_cols,
         b["t"].alias("change_point"),
-        ((-b["nd"]) / (b["m"] * b["total"])).alias("cusum_stat"),
+        F.when(
+            b["total"] != 0, (-b["nd"]) / (b["m"] * b["total"])
+        ).alias("cusum_stat"),
         (b["cum"] / b["i"]).alias("mean_before"),
         ((b["total"] - b["cum"]) / (b["m"] - b["i"])).alias("mean_after"),
     )
@@ -1341,7 +1348,7 @@ def cusum_changepoints(
         FROM cand
     )
     SELECT event_type, cohort, day AS change_point,
-           d / (m * total) AS cusum_stat,
+           CASE WHEN total <> 0 THEN d / (m * total) END AS cusum_stat,
            cum / i AS mean_before,
            (total - cum) / (m - i) AS mean_after
     FROM r WHERE rn = 1
@@ -1484,8 +1491,9 @@ def q132_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM agg WHERE n >= 2
     )
     SELECT user_id, n, mean_gap_sec, sigma_gap_sec,
-           (sigma_gap_sec - mean_gap_sec) / (sigma_gap_sec + mean_gap_sec)
-               AS burstiness
+           CASE WHEN sigma_gap_sec + mean_gap_sec > CAST('0.0' AS DOUBLE)
+           THEN (sigma_gap_sec - mean_gap_sec) / (sigma_gap_sec + mean_gap_sec)
+           ELSE CAST('nan' AS DOUBLE) END AS burstiness
     FROM m
     ORDER BY user_id
     """,
@@ -1533,15 +1541,21 @@ def q134_interarrival_burstiness(spark: SparkSession, sf_dir: str) -> DataFrame:
         mean.alias("mean_gap_sec"),
         sigma.alias("sigma_gap_sec"),
     )
+    # All-zero gaps (every event in the same second) collapse σ+μ to
+    # exactly 0 — 0/0 would raise under ANSI; the indeterminate B is
+    # reported as NaN (the q142/q143 degenerate convention).
     return m.select(
         "user_id",
         "n",
         "mean_gap_sec",
         "sigma_gap_sec",
-        (
+        F.when(
+            F.col("sigma_gap_sec") + F.col("mean_gap_sec") > F.lit(0.0),
             (F.col("sigma_gap_sec") - F.col("mean_gap_sec"))
-            / (F.col("sigma_gap_sec") + F.col("mean_gap_sec"))
-        ).alias("burstiness"),
+            / (F.col("sigma_gap_sec") + F.col("mean_gap_sec")),
+        )
+        .otherwise(F.lit(float("nan")))
+        .alias("burstiness"),
     ).orderBy("user_id")
 
 
@@ -1634,6 +1648,7 @@ def q136_ewma_smoothing(spark: SparkSession, sf_dir: str) -> DataFrame:
                    - (cumall.cum_all - cum.cum_t)
                      / (cumall.n_all - cum.n_t))) AS ks_d
     FROM cum JOIN cumall ON cum.v = cumall.v
+    WHERE cumall.n_all > cum.n_t
     GROUP BY cum.t, cum.n_t, cumall.n_all
     ORDER BY event_type
     """,
@@ -1648,7 +1663,9 @@ def q137_ks_test(spark: SparkSession, sf_dir: str) -> DataFrame:
     Exactness: the empirical CDFs are ratios of integer cumulative
     counts; each candidate D is two IEEE divisions and a subtraction
     on exactly-representable int64 values, and MAX over doubles is
-    order-independent — hash-certified with no quantization.
+    order-independent — hash-certified with no quantization. A type
+    that constitutes the ENTIRE corpus has an empty rest-sample (KS
+    undefined, and 0/0 raises under ANSI) — such types are dropped.
 
     Shape: events reduce to per-(value, type) counts FIRST (one
     shuffle); the step grid is distinct-values × types (bounded by the
@@ -1691,6 +1708,9 @@ def q137_ks_test(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     d = (
         cum.join(cumall, "v")
+        # a type that IS the whole corpus has no rest-sample to compare
+        # against (n_rest = 0 ⇒ 0/0 under ANSI) — KS is undefined, drop it
+        .where(F.col("n_all") > F.col("n_t"))
         .select(
             "t",
             "n_t",
