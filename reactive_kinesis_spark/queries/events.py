@@ -1592,9 +1592,12 @@ def q136_ewma_smoothing(spark: SparkSession, sf_dir: str) -> DataFrame:
     is total, so the fold order is unambiguous in both engines.
 
     Shape: ONE user-keyed shuffle; each user's history folds inside its
-    own array (bounded per-key state, the q93 session-paths caveat — a
-    100 TB deployment caps or windows the per-key history; the
-    streaming twin is an ``applyInPandasWithState`` running level)."""
+    own array (the q93 session-paths caveat — a 100 TB deployment runs
+    the BOUNDED-STATE streaming twin continuously instead:
+    :func:`reactive_kinesis_spark.streaming.windows.ewma_running_level`,
+    two numbers of state per key via ``applyInPandasWithState``,
+    stream≡batch bit-equality tested — and keeps this batch form for
+    backfill/audit)."""
     ev = load_table(spark, sf_dir, "events")
     alpha, beta = F.lit(0.3), F.lit(0.7)
     return (

@@ -253,3 +253,83 @@ def stateful_running_count_tws(
         outputMode="Update",
         timeMode="None",
     )
+
+
+def ewma_running_level(
+    df: DataFrame,
+    key_col: str = "user_id",
+    value_col: str = "value",
+    order_cols: tuple = ("ts", "event_id"),
+    alpha: float = 0.3,
+    watermark: str | None = None,
+    ts_col: str = "ts",
+) -> DataFrame:
+    """Streaming twin of the batch q136 EWMA (``queries/events.py``):
+    per-key exponentially-weighted running level via
+    ``applyInPandasWithState`` — state is TWO numbers per key
+    ``(n_events, level)``, not the full history the batch query folds
+    inside one ``collect_list`` array. This is the bounded-state form
+    the 100 TB deployment runs continuously; the batch query is the
+    backfill/audit twin.
+
+    Bit-exactness contract: within a micro-batch rows fold in
+    ``order_cols`` order; ACROSS micro-batches the fold order is
+    arrival order, so stream ≡ batch (bit-identical doubles — the fold
+    is the same chain of IEEE ``alpha·x + (1−alpha)·acc`` the JVM-side
+    ``F.aggregate`` executes) holds exactly when each key's rows arrive
+    in nondecreasing ``order_cols`` order across batches — the per-shard
+    ordering the source layer guarantees (``streaming/ordering.py``,
+    reference ConsumerWorkerSpec ordering semantics). Out-of-order
+    delivery degrades gracefully to "EWMA in arrival order" (the usual
+    streaming-smoother semantics), it never crashes or double-counts.
+
+    Output (update mode): one ``(key, n_events, ewma)`` row per key per
+    micro-batch — the row with the highest ``n_events`` per key is the
+    current level (``n_events`` is monotone per key).
+    """
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+    from pyspark.sql.types import DoubleType, LongType, StructField, StructType
+
+    key_type = df.schema[key_col].dataType
+    out_schema = StructType(
+        [
+            StructField(key_col, key_type),
+            StructField("n_events", LongType()),
+            StructField("ewma", DoubleType()),
+        ]
+    )
+    state_schema = StructType(
+        [
+            StructField("n", LongType()),
+            StructField("level", DoubleType()),
+        ]
+    )
+    a = float(alpha)
+    b = 1.0 - a
+    ordering = list(order_cols)
+
+    def update(key, pdfs, state: "GroupState"):
+        import pandas as pd
+
+        n, level = state.get if state.exists else (0, 0.0)
+        for pdf in pdfs:
+            if len(pdf):
+                pdf = pdf.sort_values(ordering)
+                for x in pdf[value_col]:
+                    level = a * float(x) + b * level
+                n += len(pdf)
+        state.update((n, level))
+        yield pd.DataFrame({key_col: [key[0]], "n_events": [n], "ewma": [level]})
+
+    stream = (
+        df.withWatermark(ts_col, watermark)
+        if watermark is not None and df.isStreaming
+        else df
+    )
+    return stream.groupBy(key_col).applyInPandasWithState(
+        update,
+        outputStructType=out_schema,
+        stateStructType=state_schema,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

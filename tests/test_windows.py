@@ -200,3 +200,70 @@ def test_transform_with_state_matches_applyinpandas(spark, tmp_path):
         assert last == {"0": 20, "1": 20}
     finally:
         spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+
+
+def test_ewma_running_level_stream_equals_batch(spark, tmp_path):
+    """The bounded-state streaming EWMA must reproduce the batch q136
+    fold BIT-identically when each key's rows arrive in order across
+    micro-batches (the per-shard ordering guarantee)."""
+    import datetime
+    import os
+
+    from reactive_kinesis_spark.queries import load_all
+    from reactive_kinesis_spark.streaming.windows import ewma_running_level
+
+    t0 = dt.datetime(2024, 1, 1)
+    schema = (
+        "event_id bigint, ts timestamp, user_id bigint, event_type string,"
+        " value double, props string"
+    )
+    in_dir = str(tmp_path / "in")
+    rows = []
+    i = 0
+    # 3 users, values designed to exercise the fold (negatives, repeats)
+    for chunk in range(3):
+        chunk_rows = []
+        for u in (1, 2, 3):
+            for j in range(4):
+                chunk_rows.append(
+                    (
+                        i,
+                        t0 + datetime.timedelta(seconds=i),
+                        u,
+                        "click",
+                        float((i * 7919) % 101) - 50.0,
+                        "{}",
+                    )
+                )
+                i += 1
+        rows.append(chunk_rows)
+        spark.createDataFrame(chunk_rows, schema).coalesce(1).write.mode(
+            "append"
+        ).parquet(os.path.join(in_dir, "events.parquet"))
+
+    # batch twin over the union, through the registry
+    batch = {
+        r.user_id: (r.n_events, r.ewma)
+        for r in load_all()["q136_ewma_smoothing"]
+        .fn(spark, in_dir)
+        .collect()
+    }
+
+    stream_src = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(os.path.join(in_dir, "events.parquet"))
+    )
+    out = _drain(
+        spark,
+        ewma_running_level(stream_src),
+        tmp_path,
+        "ewma_lvl",
+        output_mode="update",
+    ).collect()
+    final = {}
+    for r in out:  # n_events is monotone per key: keep the furthest state
+        if r.user_id not in final or r.n_events > final[r.user_id][0]:
+            final[r.user_id] = (r.n_events, r.ewma)
+    assert final == batch  # == on floats: bit-identity, not approx
+    assert all(n == 12 for n, _ in final.values())
