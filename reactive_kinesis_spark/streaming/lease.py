@@ -9,12 +9,16 @@ round 6 the engine's analog was *manual*: a static ``shards=`` split per
 query, takeover = a human starting a replacement query. This module closes
 that gap with a small protocol that N independent streaming queries run
 against a shared :class:`LeaseStore` — a 4-primitive key-document table
-(read/write/list/delete, each atomic last-writer-wins). Two backends ship:
-:class:`FileLeaseStore` (a shared posix/NFS/HDFS directory, atomic rename)
-and :class:`SqliteLeaseStore` (a transactional database file — the
+(read/write/list/delete, each atomic last-writer-wins). Three backends
+ship: :class:`FileLeaseStore` (a shared posix/NFS/HDFS directory, atomic
+rename), :class:`SqliteLeaseStore` (a transactional database file — the
 JDBC-lease-table analog; a production Postgres/MySQL/Delta backend is the
-same 4 methods over its own transaction primitive). Both pass the identical
-protocol test suite (tests/test_lease.py is parameterized over backends).
+same 4 methods over its own transaction primitive), and
+:class:`CasLeaseStore` (the object-store path: a conditional-write
+version-CAS over the :class:`ConditionalKV` seam — DynamoDB
+ConditionExpression, S3 If-Match, GCS generation preconditions). All pass
+the identical protocol test suite (tests/test_lease.py is parameterized
+over backends, including the multi-process SIGKILL failover e2e).
 
 Protocol (everything is crash-safe last-writer-wins via atomic rename):
 
@@ -229,15 +233,176 @@ class SqliteLeaseStore(LeaseStore):
             con.close()
 
 
+class ConditionalKV:
+    """Substrate seam for :class:`CasLeaseStore`: a versioned KV with ONE
+    atomic primitive — conditional create/replace at an expected version
+    (compare-and-swap). This is the contract object stores and KV
+    services actually offer where posix rename doesn't exist:
+    DynamoDB ``PutItem`` + ``ConditionExpression`` on a version
+    attribute (the KCL's own lease-table mechanism), S3 conditional
+    writes (``If-Match``/``If-None-Match`` ETag preconditions), GCS
+    ``ifGenerationMatch``, etcd/ZooKeeper versioned set. Implement these
+    four methods over any of them and the lease protocol runs unchanged.
+    """
+
+    def get(self, key: str) -> tuple[dict | None, int]:
+        """(document, version); (None, 0) when absent."""
+        raise NotImplementedError
+
+    def put_if(self, key: str, value: dict, expected_version: int) -> bool:
+        """Install ``value`` as ``expected_version + 1`` iff the current
+        version is exactly ``expected_version`` (0 = must not exist).
+        Atomic across processes/hosts; False on a lost race."""
+        raise NotImplementedError
+
+    def delete(self, key: str) -> None:
+        raise NotImplementedError
+
+    def list(self, prefix: str) -> list[str]:
+        raise NotImplementedError
+
+
+class FileConditionalKV(ConditionalKV):
+    """Posix emulation of a conditional-write object store, for tests and
+    shared-filesystem deployments: each document is a directory of
+    immutable version files ``v<version>.json``, and the CAS primitive is
+    ``os.link`` — creating the next version's link fails with EEXIST iff
+    another writer installed that version first, which is exactly the
+    conditional-create semantics of the cloud substrates listed on
+    :class:`ConditionalKV` (no locks, no lock-staleness problem, safe
+    under SIGKILL at any instruction). Superseded versions are garbage-
+    collected opportunistically after a successful CAS (the newest two
+    are kept so an in-flight reader never loses the file under it)."""
+
+    def __init__(self, root: str):
+        self._root = root
+        os.makedirs(root, exist_ok=True)
+
+    def _dir(self, key: str) -> str:
+        return os.path.join(self._root, key)
+
+    @staticmethod
+    def _ver(fname: str) -> int:
+        return int(fname[1 : -len(".json")])
+
+    def _versions(self, key: str) -> list[int]:
+        try:
+            names = os.listdir(self._dir(key))
+        except OSError:
+            return []
+        out = []
+        for n in names:
+            if n.startswith("v") and n.endswith(".json"):
+                try:
+                    out.append(self._ver(n))
+                except ValueError:
+                    continue
+        return sorted(out)
+
+    def get(self, key: str) -> tuple[dict | None, int]:
+        # newest-first: a version file can vanish mid-read only if TWO
+        # newer versions landed since we listed — fall back to them
+        for v in reversed(self._versions(key)):
+            try:
+                with open(os.path.join(self._dir(key), f"v{v}.json")) as fh:
+                    return json.load(fh), v
+            except (OSError, json.JSONDecodeError):
+                continue
+        return None, 0
+
+    def put_if(self, key: str, value: dict, expected_version: int) -> bool:
+        d = self._dir(key)
+        os.makedirs(d, exist_ok=True)
+        current = self._versions(key)
+        if (current[-1] if current else 0) != expected_version:
+            return False  # cheap pre-check; the link below is the arbiter
+        tmp = os.path.join(d, f".tmp.{os.getpid()}.{id(value)}.{time.time_ns()}")
+        with open(tmp, "w") as fh:
+            json.dump(value, fh)
+        target = os.path.join(d, f"v{expected_version + 1}.json")
+        try:
+            os.link(tmp, target)  # atomic conditional create: the CAS
+        except FileExistsError:
+            return False
+        finally:
+            try:
+                os.remove(tmp)
+            except OSError:
+                pass
+        for v in current[:-1]:  # GC all but the two newest versions
+            try:
+                os.remove(os.path.join(d, f"v{v}.json"))
+            except OSError:
+                pass
+        return True
+
+    def delete(self, key: str) -> None:
+        import shutil
+
+        shutil.rmtree(self._dir(key), ignore_errors=True)
+
+    def list(self, prefix: str) -> list[str]:
+        base = os.path.join(self._root, prefix)
+        try:
+            names = os.listdir(base)
+        except OSError:
+            return []
+        return sorted(
+            n
+            for n in names
+            if self._versions(os.path.join(prefix, n))
+        )
+
+
+class CasLeaseStore(LeaseStore):
+    """Object-store backend: the lease protocol over a conditional-write
+    KV (:class:`ConditionalKV` — DynamoDB version-CAS, S3 If-Match, GCS
+    generation preconditions). ``write`` is a read-CAS retry loop: fetch
+    the current version, conditionally install the successor, retry on a
+    lost race — last-writer-wins is preserved (every retry re-reads),
+    and a concurrent reader only ever sees a complete installed version,
+    never a torn document. This is the deployment path where neither a
+    posix rename (:class:`FileLeaseStore`) nor a transactional database
+    (:class:`SqliteLeaseStore`) is available — i.e. plain S3/GCS/DynamoDB
+    — closing the round-7 "both shipped backends need a posix
+    filesystem" gap."""
+
+    def __init__(self, kv: ConditionalKV):
+        self._kv = kv
+
+    @staticmethod
+    def _key(kind: str, name: str) -> str:
+        return os.path.join(kind, name)
+
+    def read(self, kind: str, name: str) -> dict | None:
+        return self._kv.get(self._key(kind, name))[0]
+
+    def write(self, kind: str, name: str, payload: dict) -> None:
+        key = self._key(kind, name)
+        while True:
+            _, ver = self._kv.get(key)
+            if self._kv.put_if(key, payload, ver):
+                return
+
+    def list(self, kind: str) -> list[str]:
+        return self._kv.list(kind)
+
+    def delete(self, kind: str, name: str) -> None:
+        self._kv.delete(self._key(kind, name))
+
+
 def resolve_store(path_or_store) -> LeaseStore:
     """``LeaseStore`` passthrough; ``sqlite:<file>`` / ``*.db`` / ``*.sqlite``
-    strings → :class:`SqliteLeaseStore`; any other string → a shared
-    directory (:class:`FileLeaseStore`)."""
+    strings → :class:`SqliteLeaseStore`; ``cas:<dir>`` → the conditional-
+    write backend over :class:`FileConditionalKV`; any other string → a
+    shared directory (:class:`FileLeaseStore`)."""
     if isinstance(path_or_store, LeaseStore):
         return path_or_store
     s = str(path_or_store)
     if s.startswith("sqlite:"):
         return SqliteLeaseStore(s[len("sqlite:") :])
+    if s.startswith("cas:"):
+        return CasLeaseStore(FileConditionalKV(s[len("cas:") :]))
     if s.endswith((".db", ".sqlite")):
         return SqliteLeaseStore(s)
     return FileLeaseStore(s)

@@ -28,14 +28,17 @@ class FakeClock:
         self.now += ms
 
 
-@pytest.fixture(params=["dir", "sqlite"])
+@pytest.fixture(params=["dir", "sqlite", "cas"])
 def lease_path(tmp_path, request):
-    """Every protocol test runs against BOTH LeaseStore backends: the
-    shared-directory store (atomic rename) and the sqlite store (the
-    JDBC-lease-table analog) — the backend seam must not change any
-    protocol behavior."""
+    """Every protocol test runs against ALL LeaseStore backends: the
+    shared-directory store (atomic rename), the sqlite store (the
+    JDBC-lease-table analog), and the conditional-write CAS store (the
+    DynamoDB/S3-preconditions analog) — the backend seam must not
+    change any protocol behavior."""
     if request.param == "sqlite":
         return str(tmp_path / "leases.db")
+    if request.param == "cas":
+        return "cas:" + str(tmp_path / "leases_cas")
     return str(tmp_path / "leases")
 
 
@@ -586,3 +589,65 @@ def test_multiprocess_kill9_failover_no_loss_no_dup(tmp_path, lease_path):
             if p.poll() is None:
                 p.kill()
                 p.wait(timeout=10)
+
+
+def test_cas_kv_conditional_create_is_exclusive(tmp_path):
+    """The CAS primitive itself: two writers at the same expected version
+    — exactly one wins; the loser's retry (at the NEW version) wins."""
+    from reactive_kinesis_spark.streaming.lease import FileConditionalKV
+
+    kv = FileConditionalKV(str(tmp_path / "kv"))
+    assert kv.get("leases/s0") == (None, 0)
+    assert kv.put_if("leases/s0", {"owner": "a"}, 0) is True
+    # a concurrent writer that read version 0 must lose
+    assert kv.put_if("leases/s0", {"owner": "b"}, 0) is False
+    assert kv.get("leases/s0") == ({"owner": "a"}, 1)
+    # retry at the observed version succeeds (the CasLeaseStore loop)
+    assert kv.put_if("leases/s0", {"owner": "b"}, 1) is True
+    assert kv.get("leases/s0") == ({"owner": "b"}, 2)
+    assert kv.list("leases") == ["s0"]
+    kv.delete("leases/s0")
+    assert kv.get("leases/s0") == (None, 0)
+    assert kv.list("leases") == []
+
+
+def test_cas_kv_multiprocess_contention(tmp_path):
+    """True cross-process CAS: N processes each try to append their id
+    via read-CAS-retry; every append must survive (no lost updates —
+    the property a plain object-store PUT cannot give)."""
+    import subprocess
+    import sys
+
+    root = str(tmp_path / "kv")
+    script = (
+        "import sys\n"
+        "from reactive_kinesis_spark.streaming.lease import FileConditionalKV\n"
+        "kv = FileConditionalKV(sys.argv[1])\n"
+        "me = sys.argv[2]\n"
+        "for i in range(20):\n"
+        "    while True:\n"
+        "        doc, ver = kv.get('k/counter')\n"
+        "        doc = doc or {'appends': []}\n"
+        "        doc['appends'] = doc['appends'] + [f'{me}:{i}']\n"
+        "        if kv.put_if('k/counter', doc, ver):\n"
+        "            break\n"
+    )
+    import os as _os
+    import pathlib
+
+    env = dict(_os.environ)
+    env["PYTHONPATH"] = str(pathlib.Path(__file__).parent.parent)
+    procs = [
+        subprocess.Popen([sys.executable, "-c", script, root, w], env=env)
+        for w in ("a", "b", "c")
+    ]
+    for p in procs:
+        assert p.wait(timeout=60) == 0
+
+    from reactive_kinesis_spark.streaming.lease import FileConditionalKV
+
+    doc, ver = FileConditionalKV(root).get("k/counter")
+    assert ver == 60  # one version per successful CAS
+    assert sorted(doc["appends"]) == sorted(
+        f"{w}:{i}" for w in ("a", "b", "c") for i in range(20)
+    )
