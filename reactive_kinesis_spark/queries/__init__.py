@@ -42,85 +42,40 @@ def query(name: str, oracle: str | None = None):
     return deco
 
 
-#: Driver-visibility rotation (round 7). The driver's correctness run samples
-#: the FIRST 50 registry entries; with 107+ oracle-backed queries, the rest
+#: Driver-visibility rotation (round 8). The driver's correctness run samples
+#: the FIRST 50 registry entries; with 133 oracle-backed queries, the rest
 #: must sit past the window each round. Policy: the least-driver-certified
-#: queries get the visible slots, so no oracle query goes more than ~2 rounds
-#: without driver re-certification. This round the window is an EXPLICIT
-#: 50-name list (auditable, no alphabetical surprises), ordered by
-#: certification debt:
-#:   slots 0-7  — the round-6 verdict's hard asks: q116 (driver-red r6,
-#:                output contract refixed to STRING), q99 (never
-#:                driver-certified), and the six r4-stale queries
-#:                q68-q72 + q74;
-#:   slots 8+   — round-7 additions (never certified; q124-q130 incl. the
-#:                session-2 mining/BFS/changepoint/link-prediction/
-#:                quantile-normalize tier), then the r5-certified queries
-#:                (2 rounds stale), of which 13 don't fit and defer to
-#:                round 8 (_DEFERRED_R8 — exactly the 2-round-staleness
-#:                floor the registry size forces).
-#: Everything past the window (r6-certified + deferred) remains fully
-#: oracle-checked locally every session (tests/test_oracle_parity.py runs
-#: the ENTIRE registry against DuckDB).
+#: queries get the visible slots — never-certified first, then queries whose
+#: CODE OR ORACLE CHANGED since their last green row (a stale green row
+#: proves the old query, not this one), then by staleness. This round:
+#:   slots 0-3   — round-8 additions (model-evaluation tier, never
+#:                 certified): q144-q147;
+#:   slots 4-9   — changed in round 8 (degenerate-input guards touched both
+#:                 engine and oracle expressions): q125, q128, q134, q137,
+#:                 q142, q143 — all r7-green, re-certified as changed;
+#:   slots 10-39 — _DEFERRED_R8 from round 7 (r5-certified, now 3 rounds
+#:                 stale — the oldest rows in the ledger, all 30);
+#:   slots 40-49 — the 10 alphabetically-first r6-certified queries; the
+#:                 other 39 defer to round 9 (_DEFERRED_R9 — the 133/50
+#:                 rotation math makes a ≤3-round staleness floor the best
+#:                 achievable).
+#: Everything past the window remains fully oracle-checked locally every
+#: session (tests/test_oracle_parity.py runs the ENTIRE registry against
+#: DuckDB).
 _WINDOW = (
-    # -- certification debt, hardest first (round-6 verdict asks #1-2) --
-    "q116_table_fingerprint",
-    "q99_resample_daily",
-    "q68_embedding_quantization",
-    "q69_duplicate_spans",
-    "q70_async_enrichment",
-    "q71_vocabulary_topk",
-    "q72_collocations",
-    "q74_stratified_sample",
-    # -- round-7 additions (never driver-certified as oracle queries) --
-    "q124_kmeans_clusters",
-    "q107_pagerank",
-    "q121_weighted_pagerank",
+    # -- round-8 additions (never driver-certified) --
+    "q144_roc_auc",
+    "q145_threshold_sweep",
+    "q146_cohens_kappa",
+    "q147_cumulative_gains",
+    # -- changed in round 8 (degenerate guards; re-certify) --
     "q125_snapshot_drift",
-    "q126_bfs_hops",
-    "q127_association_rules",
     "q128_cusum_changepoint",
-    "q129_link_prediction",
-    "q130_quantile_normalize",
-    "q131_gini_concentration",
-    "q132_attribution",
-    "q133_lorenz_deciles",
     "q134_interarrival_burstiness",
-    "q135_rfm_segments",
-    "q136_ewma_smoothing",
     "q137_ks_test",
-    "q138_calibration_bins",
-    "q139_countmin_sketch",
-    "q140_hits_scores",
-    "q141_simpson_diversity",
     "q142_ab_ztest",
     "q143_mannwhitney_u",
-    # -- r5-certified pool (2 rounds stale): middle tier first --
-    "q01_pricing_summary",
-    "q04_star_join",
-    "q08_window_topk_per_group",
-    "q19_events_asof_join",
-    "q20_events_sessions",
-    "q21_dedup_exact",
-    "q22_dedup_ngram_jaccard",
-    "q29_embedding_cosine_topk",
-    "q37_range_join",
-    "q45_correlated_subquery",
-    "q50_stats_moments",
-    "q51_percentiles",
-    # -- r5-certified pool: the round-5 promoted set --
-    "q03_join_agg_topk",
-    "q06_outer_join_histogram",
-    "q10_rollup",
-    "q11_cube",
-    "q16_part_supplier_join",
-    "q18_events_json_props",
-    "q44_deterministic_sample",
-    "q75_rare_word_scoring",
-)
-#: r5-certified queries that don't fit this round's window; they take round-8
-#: slots (2-round staleness floor — 111 oracle queries / 50 slots).
-_DEFERRED_R8 = (
+    # -- _DEFERRED_R8 (r5-certified, oldest debt) --
     "q86_robust_outliers",
     "q87_surprisal_scoring",
     "q88_canonical_pick",
@@ -151,6 +106,60 @@ _DEFERRED_R8 = (
     "q83_chunking",
     "q84_weighted_sample",
     "q85_event_funnel",
+    # -- r6-certified, alphabetically first 11 --
+    "q09_window_analytic",
+    "q102_bm25_scoring",
+    "q103_tf_cosine_pairs",
+    "q104_seasonal_anomaly",
+    "q105_trend_slope",
+    "q106_name_edit_join",
+    "q108_merge_upsert",
+    "q109_scd2_intervals",
+    "q110_cooccurrence_pairs",
+    "q111_triangle_stats",
+)
+#: r6-certified queries that don't fit this round's window; they take
+#: round-9 slots (the 133-oracle/50-slot rotation's staleness floor).
+_DEFERRED_R9 = (
+    "q112_quality_checks",
+    "q113_winsorize",
+    "q114_rrf_fusion",
+    "q115_label_propagation",
+    "q117_train_val_test",
+    "q118_sorted_neighborhood",
+    "q119_equidepth_histogram",
+    "q120_pit_join",
+    "q17_events_hourly_window",
+    "q25_text_stats_by_lang",
+    "q26_quality_scores",
+    "q27_fingerprint_stats",
+    "q28_lang_id",
+    "q31_embedding_centroids",
+    "q32_media_decode",
+    "q33_frame_sample",
+    "q35_grouping_sets",
+    "q39_sliding_window",
+    "q40_salted_agg",
+    "q41_interval_self_join",
+    "q43_bpe_token_stats",
+    "q46_scalar_subquery",
+    "q48_pivot",
+    "q49_unpivot",
+    "q52_higher_order_array",
+    "q53_nullsafe_join",
+    "q54_filtered_agg",
+    "q55_window_distribution",
+    "q56_collect_agg",
+    "q57_map_functions",
+    "q58_compound_subqueries",
+    "q59_range_frame_window",
+    "q60_dedup_clusters",
+    "q61_curation_pipeline",
+    "q62_token_packing",
+    "q64_decontamination",
+    "q65_mixture_sample",
+    "q66_repetition_stats",
+    "q67_pii_redaction",
 )
 _WINDOW_RANK = {name: i for i, name in enumerate(_WINDOW)}
 

@@ -322,3 +322,456 @@ def q138_calibration_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("bin")
     )
+
+
+# --------------------------------------------------------------------------
+# Model-evaluation tier (round 8): the labeling-QA readouts a training
+# pipeline runs on a learned (or heuristic) quality filter before trusting
+# it at corpus scale — ROC AUC, threshold sweep, inter-rater agreement,
+# cumulative gains. All four share the q138 setup (q26-certified score,
+# long-document label) and live in the integer-division certification
+# class: int64-exact counts/rank-sums, fixed IEEE division trees, NaN on
+# the documented degenerate shapes (the q142/q143 convention), mirrored
+# token-for-token in the oracles.
+# --------------------------------------------------------------------------
+
+_SCORED_DOCS_SQL = """
+    t AS (
+        SELECT doc_id, source, n_chars,
+               CAST(len(string_split(text, ' ')) AS DOUBLE) AS nt,
+               CAST(len(list_distinct(string_split(text, ' '))) AS DOUBLE) AS nd,
+               CAST(len(list_filter(string_split(text, ' '),
+                    w -> list_contains(['the','a','of','and','in'], w)))
+                    AS DOUBLE) AS ns
+        FROM documents
+    ),
+    scored AS (
+        SELECT doc_id, source,
+               CAST(0.4 AS DOUBLE) * least(CAST(1.0 AS DOUBLE), nt / CAST(100.0 AS DOUBLE))
+               + CAST(0.3 AS DOUBLE) * (nd / nt)
+               + CAST(0.3 AS DOUBLE) * least(CAST(1.0 AS DOUBLE), CAST(4.0 AS DOUBLE) * (ns / nt))
+                   AS score,
+               CASE WHEN n_chars >= 300 THEN 1 ELSE 0 END AS pos
+        FROM t
+    )
+"""
+
+
+def _scored_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, source, score, pos): the q26-certified heuristic quality
+    score and the long-document label — the shared input of the
+    evaluation tier (same construction q138 certifies)."""
+    import reactive_kinesis_spark.operators.text as T
+
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        "source",
+        T.quality_score("text").alias("score"),
+        F.when(F.col("n_chars") >= 300, F.lit(1)).otherwise(F.lit(0)).alias("pos"),
+    )
+
+
+@query(
+    "q144_roc_auc",
+    oracle="""
+    WITH """ + _SCORED_DOCS_SQL + """,
+    s AS (
+        SELECT source, score AS v,
+               CAST(SUM(pos) AS BIGINT) AS ca,
+               CAST(SUM(1 - pos) AS BIGINT) AS cb
+        FROM scored GROUP BY source, score
+    ),
+    r AS (
+        SELECT source, ca, cb, ca + cb AS t,
+               CAST(COALESCE(SUM(ca + cb) OVER (PARTITION BY source ORDER BY v
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                   AS BIGINT) AS before
+        FROM s
+    ),
+    agg AS (
+        SELECT source,
+               CAST(SUM(ca) AS BIGINT) AS n_pos,
+               CAST(SUM(cb) AS BIGINT) AS n_neg,
+               CAST(SUM(ca * (2 * before + t + 1)) AS BIGINT) AS ra2
+        FROM r GROUP BY source
+    )
+    SELECT source, n_pos, n_neg,
+           CASE WHEN n_pos > 0 AND n_neg > 0
+           THEN (ra2 - n_pos * (n_pos + 1))
+                / (CAST('2.0' AS DOUBLE) * n_pos * n_neg)
+           ELSE CAST('nan' AS DOUBLE) END AS auc
+    FROM agg ORDER BY source
+    """,
+)
+def q144_roc_auc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source ROC AUC of the heuristic quality score against the
+    long-document label — THE threshold-free ranking readout for a
+    corpus filter (AUC = P(random positive outranks random negative),
+    ties at half credit), and the probabilistic identity behind q143:
+    AUC = U/(n₊·n₋).
+
+    Exactness: the q143 doubled-rank-sum trick — ``ra2 = Σ ca·(2·before
+    + t + 1)`` over per-distinct-score tie groups is pure int64 and
+    already carries tie groups at exactly half credit, so
+    ``AUC = (ra2 − n₊(n₊+1)) / (2·n₊·n₋)`` is ONE IEEE division of
+    exact integers. A source with only one class has no ranking to
+    score — AUC is NaN (degenerate-input discipline, guarded in-plan).
+
+    Shape: documents reduce to per-(source, distinct-score) tie counts
+    first; the prefix window and both aggregates ride ONE source-keyed
+    exchange. Nothing is collected."""
+    from pyspark.sql import Window
+
+    scored = _scored_docs(spark, sf_dir)
+    s = scored.groupBy("source", F.col("score").alias("v")).agg(
+        F.sum("pos").cast("long").alias("ca"),
+        F.sum(F.lit(1) - F.col("pos")).cast("long").alias("cb"),
+    )
+    w = (
+        Window.partitionBy("source")
+        .orderBy("v")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    r = s.select(
+        "source",
+        "ca",
+        "cb",
+        (F.col("ca") + F.col("cb")).alias("t"),
+        F.coalesce(F.sum(F.col("ca") + F.col("cb")).over(w), F.lit(0))
+        .cast("long")
+        .alias("before"),
+    )
+    agg = r.groupBy("source").agg(
+        F.sum("ca").cast("long").alias("n_pos"),
+        F.sum("cb").cast("long").alias("n_neg"),
+        F.sum(F.col("ca") * (F.lit(2) * F.col("before") + F.col("t") + F.lit(1)))
+        .cast("long")
+        .alias("ra2"),
+    )
+    return agg.select(
+        "source",
+        "n_pos",
+        "n_neg",
+        F.when(
+            (F.col("n_pos") > 0) & (F.col("n_neg") > 0),
+            (F.col("ra2") - F.col("n_pos") * (F.col("n_pos") + 1))
+            / (F.lit(2.0) * F.col("n_pos") * F.col("n_neg")),
+        )
+        .otherwise(F.lit(float("nan")))
+        .alias("auc"),
+    ).orderBy("source")
+
+
+@query(
+    "q145_threshold_sweep",
+    oracle="""
+    WITH """ + _SCORED_DOCS_SQL + """,
+    b AS (
+        SELECT CAST(least(19, CAST(FLOOR(score * CAST('20.0' AS DOUBLE))
+                       AS BIGINT)) AS BIGINT) AS bin, pos
+        FROM scored
+    ),
+    cnt AS (
+        SELECT bin, CAST(COUNT(*) AS BIGINT) AS n,
+               CAST(SUM(pos) AS BIGINT) AS npos
+        FROM b GROUP BY bin
+    ),
+    spine AS (SELECT CAST(unnest(range(0, 20)) AS BIGINT) AS bin),
+    j AS (
+        SELECT spine.bin, COALESCE(cnt.n, 0) AS n, COALESCE(cnt.npos, 0) AS npos
+        FROM spine LEFT JOIN cnt ON spine.bin = cnt.bin
+    ),
+    c AS (
+        SELECT bin,
+               CAST(SUM(npos) OVER (ORDER BY bin DESC
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                   AS BIGINT) AS tp,
+               CAST(SUM(n) OVER (ORDER BY bin DESC
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                   AS BIGINT) AS pp,
+               CAST(SUM(npos) OVER () AS BIGINT) AS total_pos,
+               CAST(SUM(n) OVER () AS BIGINT) AS total
+        FROM j
+    )
+    SELECT bin, bin / CAST('20.0' AS DOUBLE) AS threshold,
+           tp, pp - tp AS fp,
+           total_pos - tp AS fn,
+           (total - total_pos) - (pp - tp) AS tn,
+           CASE WHEN pp > 0 THEN tp / CAST(pp AS DOUBLE)
+                ELSE CAST('nan' AS DOUBLE) END AS prec,
+           CASE WHEN total_pos > 0 THEN tp / CAST(total_pos AS DOUBLE)
+                ELSE CAST('nan' AS DOUBLE) END AS rec,
+           CASE WHEN 2 * tp + (pp - tp) + (total_pos - tp) > 0
+                THEN CAST('2.0' AS DOUBLE) * tp
+                     / (2 * tp + (pp - tp) + (total_pos - tp))
+                ELSE CAST('nan' AS DOUBLE) END AS f1
+    FROM c ORDER BY bin
+    """,
+)
+def q145_threshold_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Precision/recall/F1 sweep of the quality filter over the 20-step
+    threshold grid ``k/20`` — the operating-point table a pipeline owner
+    reads to pick the filter cutoff (q138 tells you the score is
+    calibrated; this tells you what each cutoff costs in recall).
+
+    Exactness: ``floor(score·20) ≥ k ⇔ score ≥ k/20`` exactly (floor
+    vs integer), so each threshold's confusion matrix is four int64
+    suffix/total sums over a STATIC 20-bin spine (the q125 degenerate-
+    reference rule: empty bins stay on the grid); precision / recall /
+    F1 are single guarded IEEE divisions — NaN where the denominator
+    is empty (nothing predicted positive / no positives at all).
+
+    Shape: one 20-ary count aggregate, then windows over the 20-row
+    spine — sub-kilobyte past the first reduce at any corpus size."""
+    from pyspark.sql import Window
+
+    scored = _scored_docs(spark, sf_dir)
+    b = scored.select(
+        F.least(F.lit(19), F.floor(F.col("score") * F.lit(20.0)).cast("long"))
+        .cast("long")
+        .alias("bin"),
+        "pos",
+    )
+    cnt = b.groupBy("bin").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("pos").cast("long").alias("npos"),
+    )
+    spine = spark.range(0, 20).select(F.col("id").cast("long").alias("bin"))
+    j = spine.join(F.broadcast(cnt), "bin", "left").na.fill({"n": 0, "npos": 0})
+    w_desc = Window.orderBy(F.col("bin").desc()).rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    w_all = Window.partitionBy()
+    c = j.select(
+        "bin",
+        F.sum("npos").over(w_desc).cast("long").alias("tp"),
+        F.sum("n").over(w_desc).cast("long").alias("pp"),
+        F.sum("npos").over(w_all).cast("long").alias("total_pos"),
+        F.sum("n").over(w_all).cast("long").alias("total"),
+    )
+    fp = F.col("pp") - F.col("tp")
+    fn = F.col("total_pos") - F.col("tp")
+    return c.select(
+        "bin",
+        (F.col("bin") / F.lit(20.0)).alias("threshold"),
+        "tp",
+        fp.alias("fp"),
+        fn.alias("fn"),
+        ((F.col("total") - F.col("total_pos")) - fp).alias("tn"),
+        F.when(F.col("pp") > 0, F.col("tp") / F.col("pp").cast("double"))
+        .otherwise(F.lit(float("nan")))
+        .alias("prec"),
+        F.when(
+            F.col("total_pos") > 0,
+            F.col("tp") / F.col("total_pos").cast("double"),
+        )
+        .otherwise(F.lit(float("nan")))
+        .alias("rec"),
+        F.when(
+            F.lit(2) * F.col("tp") + fp + fn > 0,
+            F.lit(2.0) * F.col("tp") / (F.lit(2) * F.col("tp") + fp + fn),
+        )
+        .otherwise(F.lit(float("nan")))
+        .alias("f1"),
+    ).orderBy("bin")
+
+
+@query(
+    "q146_cohens_kappa",
+    oracle="""
+    WITH """ + _SCORED_DOCS_SQL + """,
+    rated AS (
+        SELECT source,
+               CASE WHEN score >= CAST('0.5' AS DOUBLE) THEN 1 ELSE 0 END AS r1,
+               pos AS r2
+        FROM scored
+    ),
+    g AS (
+        SELECT source,
+               CAST(COUNT(*) AS BIGINT) AS n,
+               CAST(SUM(r1 * r2) AS BIGINT) AS n11,
+               CAST(SUM(r1 * (1 - r2)) AS BIGINT) AS n10,
+               CAST(SUM((1 - r1) * r2) AS BIGINT) AS n01,
+               CAST(SUM((1 - r1) * (1 - r2)) AS BIGINT) AS n00
+        FROM rated GROUP BY source
+    ),
+    k AS (
+        SELECT source, n, n11, n00,
+               (n11 + n00) / CAST(n AS DOUBLE) AS po,
+               ((n11 + n10) / CAST(n AS DOUBLE))
+                   * ((n11 + n01) / CAST(n AS DOUBLE))
+               + ((n01 + n00) / CAST(n AS DOUBLE))
+                   * ((n10 + n00) / CAST(n AS DOUBLE)) AS pe
+        FROM g
+    )
+    SELECT source, n AS n_docs, n11 AS n_both_pos, n00 AS n_both_neg, po, pe,
+           CASE WHEN CAST('1.0' AS DOUBLE) - pe > CAST('0.0' AS DOUBLE)
+                THEN (po - pe) / (CAST('1.0' AS DOUBLE) - pe)
+                ELSE CAST('nan' AS DOUBLE) END AS kappa
+    FROM k ORDER BY source
+    """,
+)
+def q146_cohens_kappa(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source Cohen's kappa between two deterministic raters — the
+    score-threshold rater (``score ≥ 0.5``) and the label rater
+    (``n_chars ≥ 300``): chance-corrected agreement, the
+    inter-annotator-consistency readout a labeling-QA pass runs before
+    trusting weak labels (raw agreement ``po`` flatters imbalanced
+    corpora; kappa doesn't).
+
+    Exactness: the 2×2 confusion cells are int64; ``po``/``pe`` are
+    fixed IEEE trees of single divisions by n (divide-THEN-multiply, so
+    nothing overflows int64 at any corpus size); kappa is one guarded
+    division — NaN when chance agreement is total (``pe = 1``: both
+    raters constant, the degenerate shape).
+
+    Shape: one source-keyed map-side-combinable aggregate; no windows,
+    no joins."""
+    scored = _scored_docs(spark, sf_dir)
+    rated = scored.select(
+        "source",
+        F.when(F.col("score") >= F.lit(0.5), F.lit(1)).otherwise(F.lit(0)).alias("r1"),
+        F.col("pos").alias("r2"),
+    )
+    g = rated.groupBy("source").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum(F.col("r1") * F.col("r2")).cast("long").alias("n11"),
+        F.sum(F.col("r1") * (F.lit(1) - F.col("r2"))).cast("long").alias("n10"),
+        F.sum((F.lit(1) - F.col("r1")) * F.col("r2")).cast("long").alias("n01"),
+        F.sum((F.lit(1) - F.col("r1")) * (F.lit(1) - F.col("r2")))
+        .cast("long")
+        .alias("n00"),
+    )
+    nd = F.col("n").cast("double")
+    po = (F.col("n11") + F.col("n00")) / nd
+    pe = ((F.col("n11") + F.col("n10")) / nd) * (
+        (F.col("n11") + F.col("n01")) / nd
+    ) + ((F.col("n01") + F.col("n00")) / nd) * ((F.col("n10") + F.col("n00")) / nd)
+    k = g.select(
+        "source",
+        F.col("n").alias("n_docs"),
+        F.col("n11").alias("n_both_pos"),
+        F.col("n00").alias("n_both_neg"),
+        po.alias("po"),
+        pe.alias("pe"),
+    )
+    return k.select(
+        "source",
+        "n_docs",
+        "n_both_pos",
+        "n_both_neg",
+        "po",
+        "pe",
+        F.when(
+            F.lit(1.0) - F.col("pe") > F.lit(0.0),
+            (F.col("po") - F.col("pe")) / (F.lit(1.0) - F.col("pe")),
+        )
+        .otherwise(F.lit(float("nan")))
+        .alias("kappa"),
+    ).orderBy("source")
+
+
+@query(
+    "q147_cumulative_gains",
+    oracle="""
+    WITH """ + _SCORED_DOCS_SQL + """,
+    b AS (
+        SELECT CAST(least(9, CAST(FLOOR(score * CAST('10.0' AS DOUBLE))
+                       AS BIGINT)) AS BIGINT) AS bin, pos
+        FROM scored
+    ),
+    cnt AS (
+        SELECT bin, CAST(COUNT(*) AS BIGINT) AS n,
+               CAST(SUM(pos) AS BIGINT) AS npos
+        FROM b GROUP BY bin
+    ),
+    spine AS (SELECT CAST(unnest(range(0, 10)) AS BIGINT) AS bin),
+    j AS (
+        SELECT spine.bin, COALESCE(cnt.n, 0) AS n, COALESCE(cnt.npos, 0) AS npos
+        FROM spine LEFT JOIN cnt ON spine.bin = cnt.bin
+    ),
+    c AS (
+        SELECT bin, n, npos,
+               CAST(SUM(n) OVER (ORDER BY bin DESC
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                   AS BIGINT) AS cum_docs,
+               CAST(SUM(npos) OVER (ORDER BY bin DESC
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                   AS BIGINT) AS cum_pos,
+               CAST(SUM(n) OVER () AS BIGINT) AS total_docs,
+               CAST(SUM(npos) OVER () AS BIGINT) AS total_pos
+        FROM j
+    )
+    SELECT bin, n AS n_docs, npos AS n_pos, cum_docs, cum_pos,
+           CASE WHEN total_pos > 0 THEN cum_pos / CAST(total_pos AS DOUBLE)
+                ELSE CAST('nan' AS DOUBLE) END AS gain,
+           CASE WHEN cum_docs > 0 AND total_pos > 0
+                THEN (cum_pos / CAST(cum_docs AS DOUBLE))
+                     / (total_pos / CAST(total_docs AS DOUBLE))
+                ELSE CAST('nan' AS DOUBLE) END AS lift
+    FROM c ORDER BY bin
+    """,
+)
+def q147_cumulative_gains(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cumulative-gains / lift table over the score deciles (highest
+    decile first): "keeping only the top-k score bins, what fraction of
+    the positives do we keep, and at what lift over random" — the
+    data-selection readout behind every score-ranked corpus-pruning
+    decision, and the ranked companion to q138's calibration bins.
+
+    Exactness: the decile is the q138 floor bin; cumulative and total
+    counts are int64 window sums over a STATIC 10-bin spine; gain and
+    lift are guarded single/two-step IEEE divisions — NaN until the
+    running prefix contains a document (empty top bins) or when the
+    corpus has no positives at all.
+
+    Shape: one 10-ary count aggregate, windows over the 10-row spine."""
+    from pyspark.sql import Window
+
+    scored = _scored_docs(spark, sf_dir)
+    b = scored.select(
+        F.least(F.lit(9), F.floor(F.col("score") * F.lit(10.0)).cast("long"))
+        .cast("long")
+        .alias("bin"),
+        "pos",
+    )
+    cnt = b.groupBy("bin").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("pos").cast("long").alias("npos"),
+    )
+    spine = spark.range(0, 10).select(F.col("id").cast("long").alias("bin"))
+    j = spine.join(F.broadcast(cnt), "bin", "left").na.fill({"n": 0, "npos": 0})
+    w_desc = Window.orderBy(F.col("bin").desc()).rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    w_all = Window.partitionBy()
+    c = j.select(
+        "bin",
+        F.col("n").alias("n_docs"),
+        F.col("npos").alias("n_pos"),
+        F.sum("n").over(w_desc).cast("long").alias("cum_docs"),
+        F.sum("npos").over(w_desc).cast("long").alias("cum_pos"),
+        F.sum("n").over(w_all).cast("long").alias("total_docs"),
+        F.sum("npos").over(w_all).cast("long").alias("total_pos"),
+    )
+    return c.select(
+        "bin",
+        "n_docs",
+        "n_pos",
+        "cum_docs",
+        "cum_pos",
+        F.when(
+            F.col("total_pos") > 0,
+            F.col("cum_pos") / F.col("total_pos").cast("double"),
+        )
+        .otherwise(F.lit(float("nan")))
+        .alias("gain"),
+        F.when(
+            (F.col("cum_docs") > 0) & (F.col("total_pos") > 0),
+            (F.col("cum_pos") / F.col("cum_docs").cast("double"))
+            / (F.col("total_pos") / F.col("total_docs").cast("double")),
+        )
+        .otherwise(F.lit(float("nan")))
+        .alias("lift"),
+    ).orderBy("bin")

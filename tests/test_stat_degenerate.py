@@ -35,6 +35,10 @@ _DOC_QUERIES = [
     "q130_quantile_normalize",
     "q138_calibration_bins",
     "q141_simpson_diversity",
+    "q144_roc_auc",
+    "q145_threshold_sweep",
+    "q146_cohens_kappa",
+    "q147_cumulative_gains",
 ]
 
 
@@ -118,7 +122,13 @@ def test_doc_query_survives_degenerate_corpus(spark, tmp_path, qname, shape):
     rows = _REG[qname].fn(spark, str(tmp_path)).collect()
     assert isinstance(rows, list)
     if shape == "empty":
-        assert rows == []
+        if qname == "q145_threshold_sweep":
+            # static-spine report: the full grid survives, all-zero counts
+            assert len(rows) == 20 and all(r.tp == 0 for r in rows)
+        elif qname == "q147_cumulative_gains":
+            assert len(rows) == 10 and all(r.cum_docs == 0 for r in rows)
+        else:
+            assert rows == []
 
 
 # ------------------------------------------------- pinned degenerate values
