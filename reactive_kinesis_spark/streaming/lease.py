@@ -300,15 +300,25 @@ class FileConditionalKV(ConditionalKV):
         return sorted(out)
 
     def get(self, key: str) -> tuple[dict | None, int]:
-        # newest-first: a version file can vanish mid-read only if TWO
-        # newer versions landed since we listed — fall back to them
-        for v in reversed(self._versions(key)):
-            try:
-                with open(os.path.join(self._dir(key), f"v{v}.json")) as fh:
-                    return json.load(fh), v
-            except (OSError, json.JSONDecodeError):
-                continue
-        return None, 0
+        # newest-first. A listed version file can vanish mid-read when
+        # concurrent CAS writes land after our listing: the GC keeps only
+        # the two newest versions, so the vanished ones are exactly the
+        # OLDER entries of our stale listing — falling back within the
+        # same listing can therefore exhaust without the document ever
+        # being absent. When every listed version fails to open, RE-LIST
+        # and try again: a fresh listing always contains the currently
+        # installed newest version (version files are immutable once
+        # linked). An empty fresh listing means genuinely absent/deleted.
+        while True:
+            versions = self._versions(key)
+            for v in reversed(versions):
+                try:
+                    with open(os.path.join(self._dir(key), f"v{v}.json")) as fh:
+                        return json.load(fh), v
+                except (OSError, json.JSONDecodeError):
+                    continue
+            if not versions:
+                return None, 0
 
     def put_if(self, key: str, value: dict, expected_version: int) -> bool:
         d = self._dir(key)

@@ -231,10 +231,13 @@ def compact_rollup(spark: SparkSession, out_dir: str, spec: RollupSpec) -> dict:
     or double-counted. The new base (data + ``_meta.json`` watermark)
     is written to a fresh versioned dir and published by atomically
     replacing the one manifest file (``os.replace``); there is no
-    window with no live base. Folded deltas and superseded base
-    versions are then deleted; if that cleanup is interrupted, readers
-    still ignore them via the watermark/manifest and the next
-    compaction finishes the job.
+    window with no live base. Cleanup is DEFERRED one compaction: the
+    just-superseded base and the just-folded deltas survive until the
+    next compaction so an in-flight reader that resolved the old
+    manifest never loses files mid-scan; only state superseded at least
+    one compaction ago is deleted here. If cleanup is interrupted,
+    readers still ignore leftovers via the watermark/manifest and the
+    next compaction finishes the job.
     """
     base_dir = _current_base(out_dir)
     delta_dir = _delta_dir(out_dir)
@@ -263,20 +266,31 @@ def compact_rollup(spark: SparkSession, out_dir: str, spec: RollupSpec) -> dict:
         json.dump({"base": new_base_name, "max_batch_id": new_wm}, fh)
     os.replace(tmp_manifest, manifest)
     spark.catalog.refreshByPath(new_base)
-    # lazy GC (safe: manifest already flipped, watermark already advanced)
-    if base_dir is not None and os.path.abspath(base_dir) != os.path.abspath(
-        new_base
-    ):
-        shutil.rmtree(base_dir, ignore_errors=True)
+    # Lazy GC with a ONE-COMPACTION grace window: a reader that resolved
+    # the OLD manifest moments before the flip may still be mid-scan over
+    # old base + its fresh deltas — deleting either right now could yank
+    # parquet files from under that scan (FileNotFoundError). So this
+    # compaction keeps (a) the just-superseded base and (b) the deltas it
+    # just folded (wm < id <= new_wm), and deletes only state superseded
+    # at least one compaction AGO: bases that are neither current nor
+    # previous, and deltas at or below the PREVIOUS watermark. The next
+    # compaction finishes the job — exactly the "readers see either the
+    # old base+deltas or the new base" contract, now for live readers too.
+    keep_bases = {new_base_name}
+    if base_dir is not None:
+        keep_bases.add(os.path.basename(os.path.abspath(base_dir)))
     for entry in os.listdir(out_dir):
         if (
-            entry.startswith("base_v")
-            and entry != new_base_name
-            or entry == "base"
-        ):
+            entry.startswith("base_v") or entry == "base"
+        ) and entry not in keep_bases:
             shutil.rmtree(os.path.join(out_dir, entry), ignore_errors=True)
-    for bid in batch_ids:
-        shutil.rmtree(
-            os.path.join(delta_dir, f"_batch_id={bid}"), ignore_errors=True
-        )
+    for entry in os.listdir(delta_dir):
+        if not entry.startswith("_batch_id="):
+            continue
+        try:
+            bid = int(entry.split("=", 1)[1])
+        except ValueError:
+            continue
+        if bid <= wm:  # folded into the PREVIOUS base — no reader needs it
+            shutil.rmtree(os.path.join(delta_dir, entry), ignore_errors=True)
     return {"folded_batches": len(batch_ids), "watermark": new_wm}

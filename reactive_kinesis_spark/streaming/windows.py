@@ -312,12 +312,19 @@ def ewma_running_level(
         import pandas as pd
 
         n, level = state.get if state.exists else (0, 0.0)
-        for pdf in pdfs:
-            if len(pdf):
-                pdf = pdf.sort_values(ordering)
-                for x in pdf[value_col]:
-                    level = a * float(x) + b * level
-                n += len(pdf)
+        # applyInPandasWithState splits one key's micro-batch rows into
+        # multiple Arrow chunks (spark.sql.execution.arrow.maxRecordsPerBatch,
+        # default 10k). The within-micro-batch ordering contract is over the
+        # WHOLE micro-batch, so concatenate every chunk first and sort ONCE —
+        # sorting each chunk independently would fold out-of-order rows that
+        # straddle a chunk boundary in the wrong order.
+        chunks = [pdf for pdf in pdfs if len(pdf)]
+        if chunks:
+            batch = pd.concat(chunks) if len(chunks) > 1 else chunks[0]
+            batch = batch.sort_values(ordering)
+            for x in batch[value_col]:
+                level = a * float(x) + b * level
+            n += len(batch)
         state.update((n, level))
         yield pd.DataFrame({key_col: [key[0]], "n_events": [n], "ewma": [level]})
 
