@@ -299,6 +299,12 @@ class FileConditionalKV(ConditionalKV):
                     continue
         return sorted(out)
 
+    # How many times get() re-lists after every listed version failed to
+    # open. Races with concurrent CAS+GC clear within one fresh listing;
+    # a version that is STILL unreadable after this many fresh listings
+    # is persistently broken (EACCES, corrupt FS), not racing.
+    _GET_RELIST_ATTEMPTS = 4
+
     def get(self, key: str) -> tuple[dict | None, int]:
         # newest-first. A listed version file can vanish mid-read when
         # concurrent CAS writes land after our listing: the GC keeps only
@@ -307,18 +313,29 @@ class FileConditionalKV(ConditionalKV):
         # same listing can therefore exhaust without the document ever
         # being absent. When every listed version fails to open, RE-LIST
         # and try again: a fresh listing always contains the currently
-        # installed newest version (version files are immutable once
-        # linked). An empty fresh listing means genuinely absent/deleted.
-        while True:
+        # installed newest version (version files are immutable and
+        # fsynced before they are linked). An empty fresh listing means
+        # genuinely absent/deleted. The re-list is BOUNDED: a version
+        # that persists across fresh listings yet never opens is not a
+        # race but a broken store (persistent EACCES, torn FS) — raise
+        # loudly rather than livelock the lease read path.
+        last_err: Exception | None = None
+        for _ in range(self._GET_RELIST_ATTEMPTS):
             versions = self._versions(key)
             for v in reversed(versions):
                 try:
                     with open(os.path.join(self._dir(key), f"v{v}.json")) as fh:
                         return json.load(fh), v
-                except (OSError, json.JSONDecodeError):
+                except (OSError, json.JSONDecodeError) as e:
+                    last_err = e
                     continue
             if not versions:
                 return None, 0
+        raise OSError(
+            f"conditional-kv get({key!r}): no listed version readable after "
+            f"{self._GET_RELIST_ATTEMPTS} fresh listings (versions persist "
+            f"but cannot be opened — store is corrupt or unreadable): {last_err}"
+        )
 
     def put_if(self, key: str, value: dict, expected_version: int) -> bool:
         d = self._dir(key)
@@ -329,6 +346,10 @@ class FileConditionalKV(ConditionalKV):
         tmp = os.path.join(d, f".tmp.{os.getpid()}.{id(value)}.{time.time_ns()}")
         with open(tmp, "w") as fh:
             json.dump(value, fh)
+            fh.flush()
+            os.fsync(fh.fileno())  # a linked version must be durably complete:
+            # get() treats "listed but unreadable" as store corruption, so a
+            # torn v<N>.json surviving a crash would be a false corruption alarm
         target = os.path.join(d, f"v{expected_version + 1}.json")
         try:
             os.link(tmp, target)  # atomic conditional create: the CAS

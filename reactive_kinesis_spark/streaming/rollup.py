@@ -242,12 +242,14 @@ def compact_rollup(spark: SparkSession, out_dir: str, spec: RollupSpec) -> dict:
     base_dir = _current_base(out_dir)
     delta_dir = _delta_dir(out_dir)
     if not _has_deltas(delta_dir):
+        _gc_superseded(out_dir, delta_dir, base_dir, _watermark(base_dir))
         return {"folded_batches": 0}
     deltas = spark.read.parquet(delta_dir)
     wm = _watermark(base_dir)
     fresh = deltas.where(F.col("_batch_id") > F.lit(wm))
     batch_ids = [r[0] for r in fresh.select("_batch_id").distinct().collect()]
     if not batch_ids:
+        _gc_superseded(out_dir, delta_dir, base_dir, wm)
         return {"folded_batches": 0}
     new_wm = max(batch_ids)
     # pin the merge to the listed batch set — a concurrent writer's new
@@ -276,14 +278,42 @@ def compact_rollup(spark: SparkSession, out_dir: str, spec: RollupSpec) -> dict:
     # previous, and deltas at or below the PREVIOUS watermark. The next
     # compaction finishes the job — exactly the "readers see either the
     # old base+deltas or the new base" contract, now for live readers too.
-    keep_bases = {new_base_name}
-    if base_dir is not None:
-        keep_bases.add(os.path.basename(os.path.abspath(base_dir)))
+    _gc_superseded(out_dir, delta_dir, base_dir, wm, also_keep=new_base_name)
+    return {"folded_batches": len(batch_ids), "watermark": new_wm}
+
+
+def _gc_superseded(
+    out_dir: str,
+    delta_dir: str,
+    current_base_dir: str | None,
+    wm: int,
+    also_keep: str | None = None,
+) -> None:
+    """Delete state superseded at least one compaction ago: every base
+    directory other than the kept ones and every delta partition with
+    ``_batch_id <= wm``. Called on EVERY :func:`compact_rollup` invocation
+    — including the idle early-return paths — so the grace window's
+    retained state ("survives until the next compaction") is actually
+    reclaimed once the stream goes quiet, instead of lingering until the
+    next batch of fresh deltas happens to arrive. On the folding path the
+    caller passes the PREVIOUS watermark and keeps both the new and the
+    just-superseded base; on the idle paths it passes the CURRENT
+    watermark and keeps only the current base — an idle call IS the "next
+    compaction" the grace window promises in-flight readers."""
+    if not os.path.isdir(out_dir):  # nothing ever written — nothing to GC
+        return
+    keep_bases = set()
+    if also_keep is not None:
+        keep_bases.add(also_keep)
+    if current_base_dir is not None:
+        keep_bases.add(os.path.basename(os.path.abspath(current_base_dir)))
     for entry in os.listdir(out_dir):
         if (
             entry.startswith("base_v") or entry == "base"
         ) and entry not in keep_bases:
             shutil.rmtree(os.path.join(out_dir, entry), ignore_errors=True)
+    if not os.path.isdir(delta_dir):
+        return
     for entry in os.listdir(delta_dir):
         if not entry.startswith("_batch_id="):
             continue
@@ -291,6 +321,5 @@ def compact_rollup(spark: SparkSession, out_dir: str, spec: RollupSpec) -> dict:
             bid = int(entry.split("=", 1)[1])
         except ValueError:
             continue
-        if bid <= wm:  # folded into the PREVIOUS base — no reader needs it
+        if bid <= wm:  # folded into a PUBLISHED base — no reader needs it
             shutil.rmtree(os.path.join(delta_dir, entry), ignore_errors=True)
-    return {"folded_batches": len(batch_ids), "watermark": new_wm}

@@ -321,7 +321,13 @@ def ewma_running_level(
         chunks = [pdf for pdf in pdfs if len(pdf)]
         if chunks:
             batch = pd.concat(chunks) if len(chunks) > 1 else chunks[0]
-            batch = batch.sort_values(ordering)
+            # kind="stable": pandas defaults to an unstable quicksort, so
+            # rows TIED on order_cols would fold in nondeterministic order
+            # (and after the concat above, tie groups can span the whole
+            # micro-batch). Stable sort pins ties to arrival order, which
+            # keeps the fold deterministic even when order_cols is not a
+            # total order per key.
+            batch = batch.sort_values(ordering, kind="stable")
             for x in batch[value_col]:
                 level = a * float(x) + b * level
             n += len(batch)

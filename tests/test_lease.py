@@ -651,3 +651,102 @@ def test_cas_kv_multiprocess_contention(tmp_path):
     assert sorted(doc["appends"]) == sorted(
         f"{w}:{i}" for w in ("a", "b", "c") for i in range(20)
     )
+
+
+def test_cas_kv_get_vanished_version_relists_to_installed_head(
+    tmp_path, monkeypatch
+):
+    """The round-9 race fix: when every version in a STALE listing has
+    been GC'd by concurrent CAS writes before we open it, get() must
+    re-list and return the currently installed head — never (None, 0)
+    for a document that exists."""
+    from reactive_kinesis_spark.streaming.lease import FileConditionalKV
+
+    kv = FileConditionalKV(str(tmp_path / "kv"))
+    for i in range(4):
+        assert kv.put_if("k/doc", {"n": i + 1}, i)
+    # put_if's GC keeps only the two newest versions (v3, v4)
+    real_versions = kv._versions
+    calls = {"n": 0}
+
+    def stale_then_real(key):
+        calls["n"] += 1
+        if calls["n"] == 1:
+            return [1, 2]  # a pre-GC listing: both files are gone by now
+        return real_versions(key)
+
+    monkeypatch.setattr(kv, "_versions", stale_then_real)
+    assert kv.get("k/doc") == ({"n": 4}, 4)
+    assert calls["n"] == 2  # exactly one re-list resolved the race
+
+
+def test_cas_kv_get_persistently_unreadable_version_raises_not_hangs(tmp_path):
+    """ADVICE r9: a version that PERSISTS across fresh listings yet never
+    opens (torn/empty file surviving a crash, EACCES) is a broken store,
+    not a race — get() must raise after bounded re-lists, not livelock."""
+    import os
+
+    import pytest as _pytest
+
+    from reactive_kinesis_spark.streaming.lease import FileConditionalKV
+
+    kv = FileConditionalKV(str(tmp_path / "kv"))
+    d = kv._dir("k/doc")
+    os.makedirs(d)
+    open(os.path.join(d, "v7.json"), "w").close()  # torn: zero bytes
+    with _pytest.raises(OSError, match="no listed version readable"):
+        kv.get("k/doc")
+
+
+def test_cas_lease_store_threaded_write_contention_no_torn_reads(tmp_path):
+    """r8 ask: two writers racing CasLeaseStore.write through the CAS
+    retry loop — every write lands as its own version (versions strictly
+    monotone, one per write), concurrent readers never observe a torn
+    document, and the final document is the last writer's payload."""
+    import threading
+
+    from reactive_kinesis_spark.streaming.lease import (
+        CasLeaseStore,
+        FileConditionalKV,
+    )
+
+    store = CasLeaseStore(FileConditionalKV(str(tmp_path / "kv")))
+    n_writes = 40
+    errors: list[str] = []
+    stop = threading.Event()
+
+    def writer(wid: str) -> None:
+        try:
+            for i in range(n_writes):
+                store.write("leases", "s0", {"owner": wid, "i": i})
+        except Exception as e:  # pragma: no cover - fail loudly
+            errors.append(f"writer {wid}: {e!r}")
+
+    def reader() -> None:
+        last_ver = 0
+        try:
+            while not stop.is_set():
+                doc, ver = store._kv.get("leases/s0")
+                if doc is not None and set(doc) != {"owner", "i"}:
+                    errors.append(f"torn read: {doc!r}")
+                    return
+                if ver < last_ver:
+                    errors.append(f"version went backwards: {last_ver}->{ver}")
+                    return
+                last_ver = ver
+        except Exception as e:  # pragma: no cover - fail loudly
+            errors.append(f"reader: {e!r}")
+
+    threads = [threading.Thread(target=writer, args=(w,)) for w in ("a", "b")]
+    rt = threading.Thread(target=reader)
+    rt.start()
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join(timeout=60)
+    stop.set()
+    rt.join(timeout=10)
+    assert errors == []
+    doc, ver = store._kv.get("leases/s0")
+    assert ver == 2 * n_writes  # one version per write: no lost updates
+    assert doc["i"] == n_writes - 1 and doc["owner"] in ("a", "b")

@@ -140,14 +140,24 @@ def test_folded_delta_below_watermark_is_ignored_even_if_left_behind(
     )
     _write_chunk(spark, in_dir, [("a", 5)], "c0")
     _run_stream(spark, in_dir, out_dir, ckpt)
-    # preserve the delta, compact, then restore the folded delta (simulating
-    # a GC crash) — the snapshot must not change
     delta0 = os.path.join(out_dir, "deltas", "_batch_id=0")
     saved = str(tmp_path / "saved_delta")
     shutil.copytree(delta0, saved)
     compact_rollup(spark, out_dir, SPEC)
     before = _snapshot(spark, out_dir)
-    shutil.copytree(saved, delta0)
+    # GC grace window: the compaction that folded _batch_id=0 KEEPS it
+    # (an in-flight reader that resolved the pre-flip manifest may still
+    # be scanning it) — readers ignore it via the watermark
+    assert os.path.exists(delta0)
+    assert _snapshot(spark, out_dir) == before
+    # a crash-restored copy of the folded delta is likewise ignored
+    shutil.copytree(saved, delta0, dirs_exist_ok=True)
+    spark.catalog.refreshByPath(os.path.join(out_dir, "deltas"))
+    assert _snapshot(spark, out_dir) == before
+    # the NEXT compaction (idle here — nothing fresh) finishes the job:
+    # the folded delta is below the published watermark, so it is GC'd
+    assert compact_rollup(spark, out_dir, SPEC)["folded_batches"] == 0
+    assert not os.path.exists(delta0)
     spark.catalog.refreshByPath(os.path.join(out_dir, "deltas"))
     assert _snapshot(spark, out_dir) == before
 
@@ -268,5 +278,49 @@ def test_legacy_unversioned_base_layout_still_reads(spark, tmp_path):
     stats = compact_rollup(spark, out_dir, SPEC)
     assert stats["folded_batches"] == 1
     assert os.path.exists(os.path.join(out_dir, "_current.json"))
-    assert not os.path.exists(legacy)  # legacy dir GC'd after upgrade
+    # the superseded legacy base survives the upgrade compaction — the
+    # one-compaction GC grace window covers a reader mid-scan on it
+    assert os.path.exists(legacy)
     assert _snapshot(spark, out_dir)["a"] == (2, 5, 1, 4)
+    # the next compaction reclaims it
+    assert compact_rollup(spark, out_dir, SPEC)["folded_batches"] == 0
+    assert not os.path.exists(legacy)  # legacy dir GC'd one compaction later
+    assert _snapshot(spark, out_dir)["a"] == (2, 5, 1, 4)
+
+
+def test_live_reader_survives_concurrent_compaction(spark, tmp_path):
+    """The grace window's reason for existing: a reader that resolved the
+    OLD manifest immediately before a compaction flips it must still be
+    able to finish its scan (the superseded base and its freshly-folded
+    deltas survive one compaction) — and sees the old-state answer, which
+    equals the new-state answer (compaction never changes results)."""
+    in_dir, out_dir, ckpt = (
+        str(tmp_path / "in"),
+        str(tmp_path / "roll"),
+        str(tmp_path / "ckpt"),
+    )
+    _write_chunk(spark, in_dir, [("a", 1), ("b", 2)], "c0")
+    _run_stream(spark, in_dir, out_dir, ckpt)
+    compact_rollup(spark, out_dir, SPEC)  # -> versioned base exists
+    _write_chunk(spark, in_dir, [("a", 4), ("c", 9)], "c1")
+    _run_stream(spark, in_dir, out_dir, ckpt)
+
+    # the "in-flight reader": plan + file listing resolved against the
+    # CURRENT (soon to be superseded) manifest, not yet executed
+    reader = read_rollup(spark, out_dir, SPEC)
+    want = {
+        "a": (2, 5, 1, 4),
+        "b": (1, 2, 2, 2),
+        "c": (1, 9, 9, 9),
+    }
+
+    stats = compact_rollup(spark, out_dir, SPEC)  # flips the manifest
+    assert stats["folded_batches"] >= 1
+
+    # the reader's pinned files must all still exist: no FileNotFoundError
+    got = {
+        r["k"]: (r["n"], r["sum_v"], r["min_v"], r["max_v"])
+        for r in reader.collect()
+    }
+    assert got == want
+    assert _snapshot(spark, out_dir) == want  # new-manifest readers agree

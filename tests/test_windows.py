@@ -267,3 +267,131 @@ def test_ewma_running_level_stream_equals_batch(spark, tmp_path):
             final[r.user_id] = (r.n_events, r.ewma)
     assert final == batch  # == on floats: bit-identity, not approx
     assert all(n == 12 for n, _ in final.values())
+
+
+def _ewma_fold(values, alpha=0.3):
+    """The documented fold, in pure Python — same IEEE double ops the
+    applyInPandasWithState update fn executes, so == is bit-identity."""
+    a = float(alpha)
+    b = 1.0 - a
+    level = 0.0
+    for x in values:
+        level = a * float(x) + b * level
+    return len(values), level
+
+
+def _ewma_rows(spark, tmp_path, chunks, name):
+    """Write each chunk as its own parquet file (one micro-batch each with
+    maxFilesPerTrigger=1); rows are (event_id, user_id, value) — arrival
+    order inside a micro-batch is the file row order (coalesce(1))."""
+    import os
+
+    schema = (
+        "event_id bigint, ts timestamp, user_id bigint, event_type string,"
+        " value double, props string"
+    )
+    t0 = dt.datetime(2024, 1, 1)
+    in_dir = str(tmp_path / f"in_{name}")
+    for rows in chunks:
+        full = [
+            (eid, t0 + dt.timedelta(seconds=eid), uid, "click", float(v), "{}")
+            for eid, uid, v in rows
+        ]
+        spark.createDataFrame(full, schema).coalesce(1).write.mode(
+            "append"
+        ).parquet(os.path.join(in_dir, "events.parquet"))
+    return (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(os.path.join(in_dir, "events.parquet"))
+    )
+
+
+def _ewma_final(rows):
+    final = {}
+    for r in rows:  # n_events is monotone per key: keep the furthest state
+        if r.user_id not in final or r.n_events > final[r.user_id][0]:
+            final[r.user_id] = (r.n_events, r.ewma)
+    return final
+
+
+def test_ewma_multi_chunk_arrow_batches_fold_in_order(spark, tmp_path):
+    """r9 regression: applyInPandasWithState splits one key's micro-batch
+    across Arrow chunks at spark.sql.execution.arrow.maxRecordsPerBatch.
+    With the boundary forced down to 2 rows and out-of-order rows that
+    straddle it, the fold must still equal the whole-micro-batch sorted
+    fold — sorting each chunk independently (the pre-fix behavior) would
+    fold eid 5 before eid 1 here."""
+    from reactive_kinesis_spark.streaming.windows import ewma_running_level
+
+    # one micro-batch; key 1's rows arrive shuffled: 5,1,4,2,6,3,7
+    order = [5, 1, 4, 2, 6, 3, 7]
+    vals = {e: float((e * 37) % 19) - 9.0 for e in order}
+    stream = _ewma_rows(
+        spark, tmp_path, [[(e, 1, vals[e]) for e in order]], "multichunk"
+    )
+    spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", "2")
+    try:
+        out = _drain(
+            spark,
+            ewma_running_level(stream),
+            tmp_path,
+            "ewma_chunks",
+            output_mode="update",
+        ).collect()
+    finally:
+        spark.conf.unset("spark.sql.execution.arrow.maxRecordsPerBatch")
+    want = {1: _ewma_fold([vals[e] for e in sorted(order)])}
+    assert _ewma_final(out) == want  # == on floats: bit-identity
+
+
+def test_ewma_out_of_order_across_batches_folds_in_arrival_order(
+    spark, tmp_path
+):
+    """r8 ask: rows for one key split across two micro-batches OUT of
+    global order. The documented contract (docstring 'degrades gracefully
+    to EWMA in arrival order') is batch-1's rows sorted, then batch-2's
+    rows sorted — NOT the global sort a batch backfill would use."""
+    from reactive_kinesis_spark.streaming.windows import ewma_running_level
+
+    b1 = [(10, 1, 4.0), (11, 1, -3.0)]  # later event-times arrive FIRST
+    b2 = [(3, 1, 7.5), (2, 1, 1.25)]  # earlier event-times arrive second
+    stream = _ewma_rows(spark, tmp_path, [b1, b2], "ooo")
+    out = _drain(
+        spark,
+        ewma_running_level(stream),
+        tmp_path,
+        "ewma_ooo",
+        output_mode="update",
+    ).collect()
+    # arrival-order fold: [4.0, -3.0] then [1.25, 7.5] (batch-2 sorted)
+    arrival = [4.0, -3.0, 1.25, 7.5]
+    assert _ewma_final(out) == {1: _ewma_fold(arrival)}
+    # and that is NOT the global event-time fold — the test discriminates
+    assert _ewma_fold(arrival) != _ewma_fold([1.25, 7.5, 4.0, -3.0])
+
+
+def test_ewma_ties_on_order_cols_fold_stably_in_arrival_order(spark, tmp_path):
+    """ADVICE r9: with order_cols that is NOT a total order (here just
+    ts, and every row shares one timestamp), tied rows must fold in
+    arrival order — the stable sort contract; an unstable quicksort makes
+    the fold nondeterministic."""
+    from reactive_kinesis_spark.streaming.windows import ewma_running_level
+
+    # order by the constant event_type column: every row ties, so the
+    # fold order is entirely the stable-sort tiebreak (arrival order)
+    vals = [2.0, -5.0, 11.0, 0.5, -1.0, 8.0]
+    rows = [(i, 1, v) for i, v in enumerate(vals)]
+    stream = _ewma_rows(spark, tmp_path, [rows], "ties")
+    spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", "2")
+    try:
+        out = _drain(
+            spark,
+            ewma_running_level(stream, order_cols=("event_type",)),
+            tmp_path,
+            "ewma_ties",
+            output_mode="update",
+        ).collect()
+    finally:
+        spark.conf.unset("spark.sql.execution.arrow.maxRecordsPerBatch")
+    assert _ewma_final(out) == {1: _ewma_fold(vals)}  # file/arrival order
