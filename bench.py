@@ -186,6 +186,19 @@ def main() -> None:
     # payload goes to BENCH_full.json on disk; stdout carries exactly ONE
     # compact line (headline total + per-query medians + leg rates + errors,
     # ~2 KB) printed LAST so tail-truncation can never eat it.
+    # machine-context fields (round-7 ask): without them a cross-round
+    # timing drift (e.g. round 8's 2.8x skew-leg anomaly, later shown to
+    # be environmental) cannot be adjudicated from the payload alone.
+    try:
+        load_1m, load_5m, load_15m = os.getloadavg()
+        machine = {
+            "loadavg_1m": round(load_1m, 2),
+            "loadavg_5m": round(load_5m, 2),
+            "loadavg_15m": round(load_15m, 2),
+            "cpu_count": os.cpu_count(),
+        }
+    except OSError:
+        machine = {"cpu_count": os.cpu_count()}
     full = {
         "metric": "headline_queries_total",
         "value": round(total, 3),
@@ -195,6 +208,7 @@ def main() -> None:
         "errors": errors,
         "sf": sf,
         "runs": N_RUNS,
+        "machine": machine,
         "skew": skew,
         "streaming": streaming,
         "streaming_file_paged": streaming_file_paged,
@@ -225,6 +239,7 @@ def main() -> None:
         "streaming_msgs_per_sec": _rate(streaming),
         "streaming_file_paged_msgs_per_sec": _rate(streaming_file_paged),
         "streaming_replay_msgs_per_sec": _rate(streaming_replay),
+        "machine": machine,
         "full_payload": "BENCH_full.json",
     }
     print(json.dumps(compact))

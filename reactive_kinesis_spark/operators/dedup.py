@@ -614,19 +614,40 @@ def dedup_clusters(
 # --------------------------------------------------------------------------
 
 
+def _seeded_hash(i: int, col: Column, hash_family: str) -> Column:
+    """One member of the k-hash family applied to ``col``.
+
+    ``"xxhash64"`` (default everywhere performance matters): JVM-native,
+    whole-stage-codegen'd, 64-bit. ``"md5"``: the engine-portable
+    construction ``int(md5('<i>:' || x)[:14], 16)`` — a 56-bit draw any
+    SQL engine reproduces verbatim (DuckDB:
+    ``CAST(('0x' || substr(md5(i || ':' || x), 1, 14)) AS BIGINT)``),
+    which is what lets the MinHash/SimHash queries be HASH-certified
+    against an independent oracle instead of rows-only checked. Both
+    families are uniform; the sketch quality is identical."""
+    if hash_family == "md5":
+        return F.conv(
+            F.substring(F.md5(F.concat(F.lit(f"{i}:"), col)), 1, 14), 16, 10
+        ).cast("long")
+    return F.xxhash64(F.lit(i), col)
+
+
 def minhash_signatures(
     sh: DataFrame,
     id_col: str = "doc_id",
     num_hashes: int = 64,
+    hash_family: str = "xxhash64",
 ) -> DataFrame:
     """k-min-hash signature per document from a ``(id, shingle)`` frame.
 
-    Each hash function is ``xxhash64(seed_i, shingle)``; the signature is k
-    exact MIN aggregations computed in one partial+final hash-agg pass —
-    map-side combine keeps shuffle volume at O(docs·k), not O(shingles·k).
+    Each hash function is ``hash_i(shingle)`` from :func:`_seeded_hash`
+    (seeded xxhash64 by default; the portable md5-prefix family for
+    oracle-certified runs); the signature is k exact MIN aggregations
+    computed in one partial+final hash-agg pass — map-side combine keeps
+    shuffle volume at O(docs·k), not O(shingles·k).
     """
     aggs = [
-        F.min(F.xxhash64(F.lit(i), F.col("shingle"))).alias(f"mh_{i}")
+        F.min(_seeded_hash(i, F.col("shingle"), hash_family)).alias(f"mh_{i}")
         for i in range(num_hashes)
     ]
     return sh.groupBy(id_col).agg(*aggs)
@@ -642,9 +663,18 @@ def minhash_lsh_pairs(
     threshold: float = 0.8,
     cache_shingles: bool = False,
     cache_registry: list | None = None,
+    hash_family: str = "xxhash64",
 ) -> DataFrame:
     """Near-duplicate pairs via MinHash banding, verified with exact
     n-gram Jaccard on the candidate set only.
+
+    ``hash_family="md5"`` switches the k-hash family to the portable
+    md5-prefix draw (see :func:`_seeded_hash`) and the band key from an
+    xxhash64 compression of the band's rows to their plain string concat
+    — every step then has a verbatim ANSI-SQL twin, making the whole
+    pipeline hash-certifiable against an independent engine. xxhash64
+    (default) stays the scale path: JVM-codegen'd hashing and fixed
+    8-byte band keys (see SCALING.md for the measured gap).
 
     With 64 hashes / 16 bands (4 rows per band) the S-curve crosses ~0.7 —
     recall at ``threshold=0.8`` is ≈1 while keeping candidates near-linear.
@@ -672,13 +702,23 @@ def minhash_lsh_pairs(
     sh = shingles(df, text_col, id_col, n)
     if cache_shingles:
         sh = _persist(sh, cache_registry)
-    sig = minhash_signatures(sh, id_col, num_hashes)
-    band_cols = [
-        F.xxhash64(*[F.col(f"mh_{b * rows_per_band + r}") for r in range(rows_per_band)]).alias(
-            f"band_{b}"
-        )
-        for b in range(bands)
-    ]
+    sig = minhash_signatures(sh, id_col, num_hashes, hash_family)
+    if hash_family == "md5":
+        # portable band key: the band's minhash values concatenated as a
+        # string — identical in any engine, no second hash to mirror
+        band_cols = [
+            F.concat_ws(
+                ",", *[F.col(f"mh_{b * rows_per_band + r}") for r in range(rows_per_band)]
+            ).alias(f"band_{b}")
+            for b in range(bands)
+        ]
+    else:
+        band_cols = [
+            F.xxhash64(*[F.col(f"mh_{b * rows_per_band + r}") for r in range(rows_per_band)]).alias(
+                f"band_{b}"
+            )
+            for b in range(bands)
+        ]
     banded = sig.select(
         F.col(id_col),
         F.explode(
@@ -727,20 +767,34 @@ def simhash(
     text_col: str = "text",
     id_col: str = "doc_id",
     bits: int = 64,
+    hash_family: str = "xxhash64",
 ) -> DataFrame:
-    """64-bit SimHash per document: per-bit vote over xxhash64(word) weighted
-    by term frequency; bit set iff the vote is positive.
+    """``bits``-wide SimHash per document: per-bit vote over hash(word)
+    weighted by term frequency; bit set iff the vote is positive.
 
-    Returned as ``(id, simhash_hi, simhash_lo)`` (two signed 32-bit halves,
-    avoiding 64-bit sign pitfalls in downstream banding).
+    Returned as ``(id, simhash_hi, simhash_lo)`` (two signed halves of
+    ``bits/2`` bits each, avoiding 64-bit sign pitfalls in downstream
+    banding).
 
-    Words are hashed to 64-bit longs BEFORE the term-frequency shuffle: the
-    votes depend only on ``xxhash64(word)``, so grouping by the hash is
+    Words are hashed to longs BEFORE the term-frequency shuffle: the
+    votes depend only on ``hash(word)``, so grouping by the hash is
     semantically identical while shuffling fixed 8-byte keys instead of
     strings (hash collisions merge tf of colliding words — their vote
     contribution is identical either way).
+
+    ``hash_family="md5"`` uses the engine-portable 56-bit md5-prefix word
+    hash (see :func:`_seeded_hash`; pair it with ``bits=56``) so the
+    signature — and everything banded from it — is reproducible verbatim
+    in ANSI SQL for oracle certification. xxhash64 + ``bits=64`` is the
+    scale default.
     """
-    hashes = F.transform(F.split(F.col(text_col), " "), lambda w: F.xxhash64(w))
+    if hash_family == "md5":
+        word_hash = lambda w: F.conv(  # noqa: E731
+            F.substring(F.md5(w), 1, 14), 16, 10
+        ).cast("long")
+    else:
+        word_hash = lambda w: F.xxhash64(w)  # noqa: E731
+    hashes = F.transform(F.split(F.col(text_col), " "), word_hash)
     words = (
         df.select(F.col(id_col), F.explode(hashes).alias("h"))
         .groupBy(id_col, "h")
@@ -776,10 +830,18 @@ def simhash_pairs(
     max_hamming: int = 3,
     cache_signatures: bool = True,
     cache_registry: list | None = None,
+    bits: int = 64,
+    hash_family: str = "xxhash64",
 ) -> DataFrame:
-    """Near-dup pairs with Hamming distance ≤ ``max_hamming`` over 64-bit
-    SimHash, found via the 4-chunk pigeonhole band join (any pair within
-    Hamming 3 must agree exactly on ≥1 of 4 16-bit chunks).
+    """Near-dup pairs with Hamming distance ≤ ``max_hamming`` over
+    ``bits``-wide SimHash, found via the 4-chunk pigeonhole band join
+    (any pair within Hamming 3 must agree exactly on ≥1 of 4 chunks of
+    ``bits/4`` bits — 16-bit chunks at the 64-bit default, 14-bit at the
+    md5 family's 56).
+
+    ``hash_family="md5"`` (with ``bits=56``) makes every step — word
+    hash, votes, halves, chunks, Hamming — expressible verbatim in ANSI
+    SQL; see :func:`simhash`.
 
     The signature frame is persisted before the banded self-join by
     default: the two join sides are aliases of the same subtree, and
@@ -787,9 +849,11 @@ def simhash_pairs(
     without the persist the full explode + 64-vote aggregation pipeline
     executes twice. Signatures are 3 longs per document — the persist is
     corpus-row-count sized, never token-sized."""
-    sig = simhash(df, text_col, id_col)
+    sig = simhash(df, text_col, id_col, bits=bits, hash_family=hash_family)
     if cache_signatures:
         sig = _persist(sig, cache_registry)
+    width = bits // 4  # 2 chunks per half
+    mask = (1 << width) - 1
     chunks = sig.select(
         F.col(id_col),
         "simhash_hi",
@@ -799,8 +863,8 @@ def simhash_pairs(
                 *[
                     F.struct(
                         F.lit(c).alias("chunk"),
-                        F.shiftright(F.col("simhash_lo" if c < 2 else "simhash_hi"), (c % 2) * 16)
-                        .bitwiseAND(F.lit(0xFFFF))
+                        F.shiftright(F.col("simhash_lo" if c < 2 else "simhash_hi"), (c % 2) * width)
+                        .bitwiseAND(F.lit(mask))
                         .alias("v"),
                     )
                     for c in range(4)

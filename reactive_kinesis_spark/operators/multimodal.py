@@ -264,15 +264,22 @@ def perceptual_hash(
 
         def ahash(blob: bytes) -> int:
             w, h, c, pixels = decoder(blob)
-            a = np.frombuffer(bytes(pixels), dtype=np.uint8).astype(np.float64)
-            a = a[: w * h * c].reshape(h, w, c).mean(axis=2)  # grayscale
+            a = np.frombuffer(bytes(pixels), dtype=np.uint8).astype(np.int64)
+            # grayscale as the exact per-pixel CHANNEL SUM (c·gray) — the
+            # ×c scale cancels out of the threshold below, and staying in
+            # integers makes the hash engine-portable: cell ≥ mean(cells)
+            # on c-channel means is exactly 64·g ≥ Σg on channel sums, no
+            # float rounding anywhere (this is what lets q122/q123 be
+            # hash-certified against an ANSI-SQL oracle)
+            g = a[: w * h * c].reshape(h, w, c).sum(axis=2)
             # 8×8 nearest-neighbor resample — total for ANY w,h (block-mean
             # grids produce empty slices when the image is smaller than
-            # 8×8, which NaN-collapses the hash)
-            yi = np.minimum(((np.arange(8) + 0.5) * h / 8).astype(int), h - 1)
-            xi = np.minimum(((np.arange(8) + 0.5) * w / 8).astype(int), w - 1)
-            cells = a[np.ix_(yi, xi)]
-            bits = (cells >= cells.mean()).flatten()
+            # 8×8, which NaN-collapses the hash); index math is pure
+            # integer: floor((2k+1)·dim/16), clamped
+            yi = np.minimum(((2 * np.arange(8) + 1) * h) // 16, h - 1)
+            xi = np.minimum(((2 * np.arange(8) + 1) * w) // 16, w - 1)
+            cells = g[np.ix_(yi, xi)]
+            bits = (64 * cells >= cells.sum()).flatten()
             v = 0
             for b in bits:
                 v = (v << 1) | int(b)

@@ -105,7 +105,11 @@ def salted_agg(
     3.0/5.2 s at 90%). On a real cluster the straggler is one core on one
     node while the rest of the fleet idles, and wall-clock follows the
     hot key's share; the salted plan removes that single-reducer dependency
-    at a bounded ~2x volume cost. SCALING.md carries the full table.
+    at a bounded ~2x volume cost. SCALING.md carries the full table, plus
+    the cross-round bench adjudication: the salted JOIN leg is at parity
+    with naive on local[32] (a one-round 2.8x gap proved environmental),
+    while the salted collect_list leg stays reliably SLOWER locally —
+    treat both as cluster remedies, not local wins.
     ``hot_keys`` requires a single grouping key (the common case); pass
     ``None`` to full-salt multi-key groupings.
     """

@@ -42,85 +42,34 @@ def query(name: str, oracle: str | None = None):
     return deco
 
 
-#: Driver-visibility rotation (round 8). The driver's correctness run samples
-#: the FIRST 50 registry entries; with 133 oracle-backed queries, the rest
+#: Driver-visibility rotation (round 10). The driver's correctness run samples
+#: the FIRST 50 registry entries; with 135 oracle-backed queries, the rest
 #: must sit past the window each round. Policy: the least-driver-certified
 #: queries get the visible slots — never-certified first, then queries whose
 #: CODE OR ORACLE CHANGED since their last green row (a stale green row
 #: proves the old query, not this one), then by staleness. This round:
-#:   slots 0-3   — round-8 additions (model-evaluation tier, never
-#:                 certified): q144-q147;
-#:   slots 4-9   — changed in round 8 (degenerate-input guards touched both
-#:                 engine and oracle expressions): q125, q128, q134, q137,
-#:                 q142, q143 — all r7-green, re-certified as changed;
-#:   slots 10-39 — _DEFERRED_R8 from round 7 (r5-certified, now 3 rounds
-#:                 stale — the oldest rows in the ledger, all 30);
-#:   slots 40-49 — the 10 alphabetically-first r6-certified queries; the
-#:                 other 39 defer to round 9 (_DEFERRED_R9 — the 133/50
-#:                 rotation math makes a ≤3-round staleness floor the best
-#:                 achievable).
+#:   slots 0-3   — round-10 oracle graduations (never hash-certified):
+#:                 q23/q24 (MinHash-LSH / SimHash via the portable
+#:                 md5-prefix hash family) and q122/q123 (perceptual-hash
+#:                 near-dup via the integer-exact aHash), each with a fully
+#:                 unrolled oracle;
+#:   slots 4-42  — the 39 _DEFERRED_R9 queries (r6-certified, 4 rounds
+#:                 stale after round 9 skipped the rotation — the oldest
+#:                 rows in the ledger, all of them);
+#:   slots 43-49 — the 7 alphabetically-first r7-certified queries; the
+#:                 other 37 r7-certified defer to round 11 (_DEFERRED_R11 —
+#:                 the 137-oracle/50-slot rotation math makes a ≈3-round
+#:                 staleness floor the best achievable).
 #: Everything past the window remains fully oracle-checked locally every
 #: session (tests/test_oracle_parity.py runs the ENTIRE registry against
 #: DuckDB).
 _WINDOW = (
-    # -- round-8 additions (never driver-certified) --
-    "q144_roc_auc",
-    "q145_threshold_sweep",
-    "q146_cohens_kappa",
-    "q147_cumulative_gains",
-    # -- changed in round 8 (degenerate guards; re-certify) --
-    "q125_snapshot_drift",
-    "q128_cusum_changepoint",
-    "q134_interarrival_burstiness",
-    "q137_ks_test",
-    "q142_ab_ztest",
-    "q143_mannwhitney_u",
-    # -- _DEFERRED_R8 (r5-certified, oldest debt) --
-    "q86_robust_outliers",
-    "q87_surprisal_scoring",
-    "q88_canonical_pick",
-    "q89_table_profile",
-    "q90_zscore_normalize",
-    "q91_feature_hashing",
-    "q92_centroid_similarity",
-    "q93_session_paths",
-    "q94_snapshot_diff",
-    "q95_blocklist_stats",
-    "q96_training_prep",
-    "q97_resample_ffill",
-    "q98_cohort_retention",
-    "q02_filter_project",
-    "q05_anti_join",
-    "q07_semi_join",
-    "q12_set_ops",
-    "q13_scalar_functions",
-    "q14_date_functions",
-    "q15_distinct_agg",
-    "q47_having",
-    "q76_characteristic_terms",
-    "q77_source_overlap",
-    "q78_event_transitions",
-    "q79_temperature_weights",
-    "q80_incremental_dedup",
-    "q82_heavy_hitters",
-    "q83_chunking",
-    "q84_weighted_sample",
-    "q85_event_funnel",
-    # -- r6-certified, alphabetically first 11 --
-    "q09_window_analytic",
-    "q102_bm25_scoring",
-    "q103_tf_cosine_pairs",
-    "q104_seasonal_anomaly",
-    "q105_trend_slope",
-    "q106_name_edit_join",
-    "q108_merge_upsert",
-    "q109_scd2_intervals",
-    "q110_cooccurrence_pairs",
-    "q111_triangle_stats",
-)
-#: r6-certified queries that don't fit this round's window; they take
-#: round-9 slots (the 133-oracle/50-slot rotation's staleness floor).
-_DEFERRED_R9 = (
+    # -- round-10 oracle graduations (never hash-certified) --
+    "q23_dedup_minhash_lsh",
+    "q24_dedup_simhash",
+    "q122_media_phash_neardup",
+    "q123_media_phash_capped",
+    # -- _DEFERRED_R9 (r6-certified, oldest debt — all 39) --
     "q112_quality_checks",
     "q113_winsorize",
     "q114_rrf_fusion",
@@ -160,6 +109,55 @@ _DEFERRED_R9 = (
     "q65_mixture_sample",
     "q66_repetition_stats",
     "q67_pii_redaction",
+    # -- r7-certified, alphabetically first 7 --
+    "q01_pricing_summary",
+    "q03_join_agg_topk",
+    "q04_star_join",
+    "q06_outer_join_histogram",
+    "q08_window_topk_per_group",
+    "q107_pagerank",
+    "q10_rollup",
+)
+#: r7-certified queries that don't fit this round's window; they take
+#: round-11 slots (the 135-oracle/50-slot rotation's staleness floor).
+_DEFERRED_R11 = (
+    "q116_table_fingerprint",
+    "q11_cube",
+    "q121_weighted_pagerank",
+    "q124_kmeans_clusters",
+    "q126_bfs_hops",
+    "q127_association_rules",
+    "q129_link_prediction",
+    "q130_quantile_normalize",
+    "q131_gini_concentration",
+    "q132_attribution",
+    "q133_lorenz_deciles",
+    "q135_rfm_segments",
+    "q136_ewma_smoothing",
+    "q138_calibration_bins",
+    "q139_countmin_sketch",
+    "q140_hits_scores",
+    "q141_simpson_diversity",
+    "q16_part_supplier_join",
+    "q18_events_json_props",
+    "q19_events_asof_join",
+    "q20_events_sessions",
+    "q21_dedup_exact",
+    "q22_dedup_ngram_jaccard",
+    "q29_embedding_cosine_topk",
+    "q37_range_join",
+    "q44_deterministic_sample",
+    "q45_correlated_subquery",
+    "q50_stats_moments",
+    "q51_percentiles",
+    "q68_embedding_quantization",
+    "q69_duplicate_spans",
+    "q70_async_enrichment",
+    "q71_vocabulary_topk",
+    "q72_collocations",
+    "q74_stratified_sample",
+    "q75_rare_word_scoring",
+    "q99_resample_daily",
 )
 _WINDOW_RANK = {name: i for i, name in enumerate(_WINDOW)}
 

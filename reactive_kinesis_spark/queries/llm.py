@@ -129,29 +129,178 @@ def q60_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     return D.dedup_clusters(pairs).orderBy("doc_id")
 
 
-@query("q23_dedup_minhash_lsh")  # rows-only: hash family not portable SQL
+# -- q23 oracle: the full MinHash+LSH pipeline unrolled in ANSI SQL.
+# Hash family = the portable md5-prefix draw (q139/q44/q91 rule):
+# hash_i(shingle) = CAST(('0x' || substr(md5('<i>:' || shingle), 1, 14))
+# AS BIGINT) — 56 uniform bits, reproduced verbatim by the Spark side
+# (operators/dedup._seeded_hash). Band key = plain string concat of the
+# band's 4 minhash values (no second hash to mirror).
+_MH_K, _MH_BANDS = 32, 8
+_MH_ROWS = _MH_K // _MH_BANDS
+_mh_mins = ",\n           ".join(
+    f"MIN(CAST(('0x' || substr(md5('{i}:' || shingle), 1, 14)) AS BIGINT)) AS mh_{i}"
+    for i in range(_MH_K)
+)
+_mh_bands = "\n        UNION ALL ".join(
+    "SELECT doc_id, {b} AS band, {key} AS bk FROM mh".format(
+        b=b,
+        key=" || ',' || ".join(
+            f"CAST(mh_{b * _MH_ROWS + r} AS VARCHAR)" for r in range(_MH_ROWS)
+        ),
+    )
+    for b in range(_MH_BANDS)
+)
+
+
+@query(
+    "q23_dedup_minhash_lsh",
+    oracle=f"""
+    WITH docs_w AS (
+        SELECT doc_id, string_split(text, ' ') AS words FROM documents
+        WHERE len(string_split(text, ' ')) >= 3
+    ),
+    sh AS (
+        SELECT DISTINCT doc_id, array_to_string(words[i:i+2], ' ') AS shingle
+        FROM docs_w, UNNEST(range(1, len(words)-1)) AS t(i)
+    ),
+    mh AS (
+        SELECT doc_id,
+           {_mh_mins}
+        FROM sh GROUP BY doc_id
+    ),
+    banded AS (
+        {_mh_bands}
+    ),
+    cand AS (
+        SELECT DISTINCT x.doc_id AS id_1, y.doc_id AS id_2
+        FROM banded x
+        JOIN banded y ON x.band = y.band AND x.bk = y.bk AND x.doc_id < y.doc_id
+    ),
+    sizes AS (SELECT doc_id, COUNT(*) AS n_sh FROM sh GROUP BY doc_id),
+    common AS (
+        SELECT c.id_1, c.id_2, COUNT(*) AS n_common
+        FROM cand c
+        JOIN sh a ON a.doc_id = c.id_1
+        JOIN sh b ON b.doc_id = c.id_2 AND b.shingle = a.shingle
+        GROUP BY c.id_1, c.id_2
+    )
+    SELECT c.id_1, c.id_2,
+           CAST(n_common AS DOUBLE)
+           / CAST(s1.n_sh + s2.n_sh - n_common AS DOUBLE) AS jaccard
+    FROM common c
+    JOIN sizes s1 ON s1.doc_id = c.id_1
+    JOIN sizes s2 ON s2.doc_id = c.id_2
+    WHERE CAST(n_common AS DOUBLE)
+          / CAST(s1.n_sh + s2.n_sh - n_common AS DOUBLE) >= CAST('0.8' AS DOUBLE)
+    ORDER BY id_1, id_2
+    """,
+)
 def q23_dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash+LSH near-dup pairs verified with exact Jaccard — the
     sub-quadratic 100 TB dedup path (cost O(docs·shingles) + O(candidates),
     never O(pairs)). 32 hashes / 8 bands × 4 rows: candidate recall ≈ 0.985
     at jaccard 0.8 (≈1 at the planted-duplicate 0.99 level) for half the
     hashing cost of the 64/16 default; output pairs are identical on this
-    corpus (measured) because candidates are exactly re-verified."""
+    corpus (measured) because candidates are exactly re-verified.
+
+    Hash-certified via ``hash_family="md5"``: both engines compute the
+    IDENTICAL 32 minhashes, band keys, candidate set, and Jaccard scores
+    (one IEEE division of exact ints). The xxhash64 family stays the
+    throughput path behind the same parameter (SCALING.md has the
+    measured delta)."""
     docs = load_table(spark, sf_dir, "documents")
     return (
         D.minhash_lsh_pairs(
-            docs, "text", "doc_id", n=3, num_hashes=32, bands=8, threshold=0.8
+            docs,
+            "text",
+            "doc_id",
+            n=3,
+            num_hashes=32,
+            bands=8,
+            threshold=0.8,
+            hash_family="md5",
         )
         .orderBy("id_1", "id_2")
     )
 
 
-@query("q24_dedup_simhash")  # rows-only: xxhash64 not portable SQL
+# -- q24 oracle: SimHash unrolled in ANSI SQL over the 56-bit md5-prefix
+# word hash (14 hex chars → BIGINT). 56 per-bit tf-weighted votes, two
+# 28-bit halves, 4×14-bit pigeonhole chunks, exact Hamming ≤ 3.
+_SH_BITS = 56
+_SH_HALF = _SH_BITS // 2
+_SH_WIDTH = _SH_BITS // 4
+_SH_MASK = (1 << _SH_WIDTH) - 1
+_sh_votes = ",\n           ".join(
+    f"SUM(CASE WHEN ((h >> {i}) & 1) = 1 THEN tf ELSE -tf END) AS v_{i}"
+    for i in range(_SH_BITS)
+)
+_sh_lo = " + ".join(
+    f"(CASE WHEN v_{i} > 0 THEN {1 << i} ELSE 0 END)" for i in range(_SH_HALF)
+)
+_sh_hi = " + ".join(
+    f"(CASE WHEN v_{i} > 0 THEN {1 << (i - _SH_HALF)} ELSE 0 END)"
+    for i in range(_SH_HALF, _SH_BITS)
+)
+
+
+@query(
+    "q24_dedup_simhash",
+    oracle=f"""
+    WITH w AS (
+        SELECT doc_id, unnest(string_split(text, ' ')) AS word FROM documents
+    ),
+    wh AS (
+        SELECT doc_id,
+               CAST(('0x' || substr(md5(word), 1, 14)) AS BIGINT) AS h,
+               CAST(COUNT(*) AS BIGINT) AS tf
+        FROM w GROUP BY doc_id, h
+    ),
+    voted AS (
+        SELECT doc_id,
+           {_sh_votes}
+        FROM wh GROUP BY doc_id
+    ),
+    sig AS (
+        SELECT doc_id,
+               CAST({_sh_hi} AS BIGINT) AS hi,
+               CAST({_sh_lo} AS BIGINT) AS lo
+        FROM voted
+    ),
+    chunks AS (
+        SELECT doc_id, hi, lo, 0 AS chunk, (lo >> 0) & {_SH_MASK} AS v FROM sig
+        UNION ALL
+        SELECT doc_id, hi, lo, 1, (lo >> {_SH_WIDTH}) & {_SH_MASK} FROM sig
+        UNION ALL
+        SELECT doc_id, hi, lo, 2, (hi >> 0) & {_SH_MASK} FROM sig
+        UNION ALL
+        SELECT doc_id, hi, lo, 3, (hi >> {_SH_WIDTH}) & {_SH_MASK} FROM sig
+    ),
+    cand AS (
+        SELECT DISTINCT x.doc_id AS id_1, y.doc_id AS id_2,
+               x.hi AS hi1, x.lo AS lo1, y.hi AS hi2, y.lo AS lo2
+        FROM chunks x
+        JOIN chunks y ON x.chunk = y.chunk AND x.v = y.v AND x.doc_id < y.doc_id
+    )
+    SELECT id_1, id_2,
+           CAST(bit_count(xor(hi1, hi2)) + bit_count(xor(lo1, lo2)) AS INT)
+             AS hamming
+    FROM cand
+    WHERE bit_count(xor(hi1, hi2)) + bit_count(xor(lo1, lo2)) <= 3
+    ORDER BY id_1, id_2
+    """,
+)
 def q24_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """SimHash-64 near-dup pairs (Hamming ≤ 3) via 4-chunk pigeonhole
-    banding."""
+    """SimHash near-dup pairs (Hamming ≤ 3) via 4-chunk pigeonhole
+    banding — hash-certified over the 56-bit md5-prefix word hash
+    (``hash_family="md5"``, ``bits=56``): votes, halves, chunks and
+    Hamming are all exact integers, so both engines produce the
+    identical pair set. The 64-bit xxhash64 family stays the throughput
+    path behind the same parameters."""
     docs = load_table(spark, sf_dir, "documents")
-    return D.simhash_pairs(docs, "text", "doc_id", max_hamming=3).orderBy("id_1", "id_2")
+    return D.simhash_pairs(
+        docs, "text", "doc_id", max_hamming=3, bits=56, hash_family="md5"
+    ).orderBy("id_1", "id_2")
 
 
 # --------------------------------------------------------------------------

@@ -1,0 +1,110 @@
+#!/usr/bin/env python
+"""End-of-round gate: run BEFORE the snapshot commit, never after.
+
+Exists because round 9 shipped a snapshot with a red test suite — nothing
+mechanical forced a full-suite run between "last code commit" and
+"end-of-round". This script is that mechanism. It:
+
+1. refuses to run on a dirty tree (commit your code first — the artifacts
+   this writes must be the ONLY diff, so the snapshot provably matches
+   what was tested);
+2. runs the full pytest suite, teeing the output to ``PYTEST_r{N}.txt``,
+   and FAILS on any test failure;
+3. regenerates ``PLANS.md`` via ``tools/plan_report.py`` (stdout only —
+   stderr must not leak into the file);
+4. cross-checks the registry count against the PLANS.md row count and the
+   README.md / COVERAGE.md "N registered / M oracle" literals, failing on
+   any disagreement (the drifting-docs failure mode of rounds 7-9).
+
+Usage: python tools/round_end.py <round_number>
+Exit 0 = the tree is snapshot-ready; commit the written artifacts.
+"""
+
+from __future__ import annotations
+
+import os
+import re
+import subprocess
+import sys
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, REPO)
+
+
+def fail(msg: str) -> None:
+    print(f"ROUND_END FAIL: {msg}", file=sys.stderr)
+    sys.exit(1)
+
+
+def main() -> None:
+    if len(sys.argv) != 2 or not sys.argv[1].isdigit():
+        fail("usage: python tools/round_end.py <round_number>")
+    rnd = int(sys.argv[1])
+
+    # 1. clean tree (untracked files are fine; modified/staged are not —
+    # the artifacts below must be the only diff the snapshot commit adds)
+    dirty = subprocess.run(
+        ["git", "status", "--porcelain", "--untracked-files=no"],
+        cwd=REPO,
+        capture_output=True,
+        text=True,
+        check=True,
+    ).stdout.strip()
+    if dirty:
+        fail(f"dirty tree — commit code changes first:\n{dirty}")
+
+    # 2. full suite -> PYTEST_r{N}.txt; red suite = hard stop
+    pytest_out = os.path.join(REPO, f"PYTEST_r{rnd:02d}.txt")
+    with open(pytest_out, "w", encoding="utf-8") as fh:
+        proc = subprocess.run(
+            [sys.executable, "-m", "pytest", "tests/", "-q"],
+            cwd=REPO,
+            stdout=fh,
+            stderr=subprocess.STDOUT,
+        )
+    tail = open(pytest_out, encoding="utf-8").read().strip().splitlines()
+    print("\n".join(tail[-5:]))
+    if proc.returncode != 0:
+        fail(f"pytest exit {proc.returncode} — see {pytest_out}; fix before snapshot")
+
+    # 3. PLANS.md — stdout IS the file; stderr stays on the console
+    plans = os.path.join(REPO, "PLANS.md")
+    with open(plans, "w", encoding="utf-8") as fh:
+        proc = subprocess.run(
+            [sys.executable, "tools/plan_report.py"], cwd=REPO, stdout=fh
+        )
+    if proc.returncode != 0:
+        fail("plan_report.py failed — PLANS.md is incomplete, do not commit it")
+
+    # 4. count consistency: registry vs PLANS.md vs README/COVERAGE literals
+    from reactive_kinesis_spark.queries import load_all
+
+    registry = load_all()
+    n_total = len(registry)
+    n_oracle = sum(1 for q in registry.values() if q.oracle)
+    plan_rows = sum(
+        1 for line in open(plans, encoding="utf-8") if re.match(r"^\| q", line)
+    )
+    if plan_rows != n_total:
+        fail(f"PLANS.md has {plan_rows} query rows; registry has {n_total}")
+    readme = open(os.path.join(REPO, "README.md"), encoding="utf-8").read()
+    if f"{n_total} queries, {n_oracle} with DuckDB oracles" not in readme:
+        fail(
+            f"README.md query-count literal is stale — expected "
+            f"'{n_total} queries, {n_oracle} with DuckDB oracles'"
+        )
+    coverage = open(os.path.join(REPO, "COVERAGE.md"), encoding="utf-8").read()
+    if f"{n_total} registered queries; {n_oracle} oracle-checked" not in coverage:
+        fail(
+            f"COVERAGE.md count literal is stale — expected "
+            f"'{n_total} registered queries; {n_oracle} oracle-checked'"
+        )
+    print(
+        f"ROUND_END OK: suite green, PLANS.md {plan_rows} rows, "
+        f"registry {n_total}/{n_oracle} matches README+COVERAGE. "
+        f"Commit PYTEST_r{rnd:02d}.txt and PLANS.md."
+    )
+
+
+if __name__ == "__main__":
+    main()
