@@ -1008,6 +1008,91 @@ def kmeans_assign(
     )
 
 
+def semantic_dedup(
+    vectors: DataFrame,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    k: int = 8,
+    iterations: int = 2,
+    threshold: float = 0.95,
+) -> DataFrame:
+    """Semantic deduplication (SemDeDup, Abbas et al. 2023,
+    arXiv:2303.09540): cluster the embedding corpus with deterministic
+    k-means, then compare pairs ONLY within a cluster and mark the
+    higher-id member of every pair whose cosine similarity is ≥
+    ``threshold`` as a semantic duplicate. This is the embedding-space
+    complement of MinHash near-dup (lexical overlap): paraphrases and
+    re-renders that share no shingles still collide in embedding space.
+
+    Determinism/certifiability: clustering is :func:`kmeans_assign`
+    (smallest-id seeding, fold-order-pinned distances, decimal-exact
+    means — the q124 contract); cosine is :func:`functions.vec_dot` over
+    per-member precomputed :func:`functions.vec_norm` — sequential
+    left-folds over the dimensions (bit-identical to DuckDB's
+    ``list_dot_product``, the certified q29 pattern) and ``sqrt`` / ``/``
+    are correctly-rounded IEEE ops — so the pair set, not just its count,
+    is bit-equal cross-engine.
+    The keep/drop rule (drop the larger id) is a total order — no
+    arbitrary winner.
+
+    100 TB shape: this is exactly why SemDeDup clusters first — the
+    quadratic pair stage runs per cluster, so cost is Σ|c|², not N².
+    ``k`` must scale with the corpus (k ≈ N / target_cluster_size, e.g.
+    ~100k clusters for billions of docs) to keep every cluster
+    pair-able; the self-join shuffles on ``cluster`` (one exchange each
+    side), squared norms are computed once per row BEFORE the join
+    (narrow), and the drop-set aggregation is keyed by (cluster, id) —
+    map-side combinable, never a driver collect.
+
+    Returns one row per cluster:
+    ``(cluster, n_vecs, n_dup_pairs, n_dropped, dup_cos_sum)`` where
+    ``n_dropped`` counts distinct dropped members and ``dup_cos_sum`` is
+    the exact-decimal sum of the flagged pairs' cosines (a value-level
+    fingerprint of the pair set, not just its cardinality).
+    """
+    from reactive_kinesis_spark.functions import dsum, vec_dot, vec_norm
+
+    v = vectors.select(
+        F.col(id_col).alias("__id"), F.col(vec_col).alias("__vec")
+    ).where(F.col("__vec").isNotNull() & (F.size("__vec") > 0))
+    members = (
+        kmeans_assign(vectors, vec_col, id_col, k=k, iterations=iterations)
+        .select(F.col(id_col).alias("__id"), "cluster")
+        .join(v, "__id")
+        .select("__id", "cluster", "__vec", vec_norm("__vec").alias("__nrm"))
+    )
+    x, y = members.alias("x"), members.alias("y")
+    dup = (
+        x.join(
+            y,
+            (F.col("x.cluster") == F.col("y.cluster"))
+            & (F.col("x.__id") < F.col("y.__id")),
+        )
+        .select(
+            F.col("x.cluster").alias("cluster"),
+            F.col("y.__id").alias("dropped_id"),
+            (
+                vec_dot(F.col("x.__vec"), F.col("y.__vec"))
+                / (F.col("x.__nrm") * F.col("y.__nrm"))
+            ).alias("cos"),
+        )
+        .where(F.col("cos") >= F.lit(threshold))
+    )
+    dup_agg = dup.groupBy("cluster").agg(
+        F.count(F.lit(1)).alias("__dup_pairs"),
+        F.countDistinct("dropped_id").alias("__dropped"),
+        dsum("cos", "__cos_sum"),
+    )
+    sizes = members.groupBy("cluster").agg(F.count(F.lit(1)).alias("n_vecs"))
+    return sizes.join(dup_agg, "cluster", "left").select(
+        "cluster",
+        "n_vecs",
+        F.coalesce(F.col("__dup_pairs"), F.lit(0)).cast("long").alias("n_dup_pairs"),
+        F.coalesce(F.col("__dropped"), F.lit(0)).cast("long").alias("n_dropped"),
+        F.coalesce(F.col("__cos_sum"), F.lit(0.0)).alias("dup_cos_sum"),
+    )
+
+
 # --------------------------------------------------------------------------
 # Persistent IVF index: build once, probe many
 # --------------------------------------------------------------------------

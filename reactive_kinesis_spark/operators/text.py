@@ -280,6 +280,95 @@ def repetition_stats(
     )
 
 
+def quality_rule_battery(
+    df: DataFrame,
+    text_col: str = "text",
+    group_col: str = "source",
+    min_words: int = 30,
+    max_words: int = 80,
+    min_mean_chars: int = 4,
+    max_mean_chars: int = 5,
+    min_distinct_stopwords: int = 2,
+    max_dup_word_pct: int = 60,
+) -> DataFrame:
+    """Gopher-style quality-rule GATE (Rae et al. 2021 App. A, the rule
+    battery every pre-training corpus passes through before tokenization) —
+    where q26 *scores* and q66 *measures*, this one *decides*: four
+    pass/fail rules per document, reported as a per-``group_col`` failure
+    breakdown so a curation run can see which source trips which rule.
+
+    Rules (each a PURE INTEGER comparison — the ratio thresholds are
+    cross-multiplied so no division, no float, ever enters a gate):
+
+    * ``fail_length``     — word count outside [min_words, max_words];
+    * ``fail_word_len``   — mean word length outside
+      [min_mean_chars, max_mean_chars]: ``min·n ≤ Σchars ≤ max·n``;
+    * ``fail_stopword``   — fewer than ``min_distinct_stopwords`` DISTINCT
+      quality stopwords present (the classic "not natural language" tell);
+    * ``fail_repetition`` — duplicate-word fraction above
+      ``max_dup_word_pct``%: ``100·(n − n_distinct) > pct·n``.
+
+    Output: ``(group_col, n_docs, fail_length, fail_word_len,
+    fail_stopword, fail_repetition, n_pass, pass_rate)`` — all counts
+    int64-exact, ``pass_rate`` one int/int IEEE division (the cheapest
+    certification class). A document may fail several rules; ``n_pass``
+    counts documents failing none.
+
+    100 TB shape: every signal is a narrow per-row projection (array ops
+    inside whole-stage codegen, no UDF); the only shuffle is the final
+    #sources-row group-by with map-side combine — cost is one pass over
+    the text bytes regardless of corpus size.
+    """
+    t = tokens(text_col)
+    stop_arr = F.array(*[F.lit(w) for w in QUALITY_STOPWORDS])
+    df = df.where(F.col(text_col).isNotNull())
+    sig = df.select(
+        F.col(group_col),
+        F.size(t).alias("n"),
+        F.size(F.array_distinct(t)).alias("nd"),
+        F.aggregate(
+            F.transform(t, lambda w: F.length(w)), F.lit(0), lambda a, x: a + x
+        ).alias("chars"),
+        F.size(
+            F.filter(F.array_distinct(t), lambda w: F.array_contains(stop_arr, w))
+        ).alias("nstop"),
+    )
+    f_len = (F.col("n") < min_words) | (F.col("n") > max_words)
+    f_wl = (F.col("chars") < min_mean_chars * F.col("n")) | (
+        F.col("chars") > max_mean_chars * F.col("n")
+    )
+    f_stop = F.col("nstop") < min_distinct_stopwords
+    f_rep = F.lit(100) * (F.col("n") - F.col("nd")) > F.lit(max_dup_word_pct) * F.col("n")
+    flags = sig.select(
+        group_col,
+        f_len.cast("long").alias("f1"),
+        f_wl.cast("long").alias("f2"),
+        f_stop.cast("long").alias("f3"),
+        f_rep.cast("long").alias("f4"),
+    )
+    return flags.groupBy(group_col).agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("f1").alias("fail_length"),
+        F.sum("f2").alias("fail_word_len"),
+        F.sum("f3").alias("fail_stopword"),
+        F.sum("f4").alias("fail_repetition"),
+        F.sum(
+            ((F.col("f1") + F.col("f2") + F.col("f3") + F.col("f4")) == 0).cast("long")
+        ).alias("n_pass"),
+    ).select(
+        group_col,
+        "n_docs",
+        "fail_length",
+        "fail_word_len",
+        "fail_stopword",
+        "fail_repetition",
+        "n_pass",
+        (F.col("n_pass").cast("double") / F.col("n_docs").cast("double")).alias(
+            "pass_rate"
+        ),
+    )
+
+
 #: PII patterns, written to parse identically under Java regex (Spark) and
 #: RE2 (DuckDB): no lookaround, no backreferences, POSIX-safe classes.
 PII_EMAIL_PATTERN = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
@@ -681,6 +770,64 @@ def temperature_weights(
         natural.alias("natural_share"),
         target.alias("target_share"),
         (target / natural).alias("oversample_factor"),
+    )
+
+
+def token_budget_allocation(
+    df: DataFrame,
+    text_col: str = "text",
+    group_col: str = "source",
+    budget_tokens: int = 110_000,
+    max_epochs: int = 4,
+) -> DataFrame:
+    """Token-budget allocation across sources — the step AFTER
+    :func:`temperature_weights`: given a global training-token budget,
+    turn the temperature target shares (alpha = 0.5 over per-source
+    TOKEN counts, not doc counts) into an executable plan — how many
+    tokens each source contributes, how many epochs (repeats) of it that
+    implies, and how much of its ask is forfeited when the repeat cap
+    bites (the "no source repeats more than E times" rule every
+    pre-training mix applies to avoid memorizing small sources).
+
+    Per group: ``avail_tokens`` (int64 whitespace-token sum),
+    ``target_share`` (sqrt-temperature share, decimal-snapped exact
+    denominator — the q79 numeric contract), ``alloc_tokens =
+    floor(budget · share)``, ``epochs = alloc / avail`` (one IEEE
+    division), ``granted_tokens = min(alloc, max_epochs · avail)`` and
+    ``shortfall_tokens = alloc − granted`` (pure ints).
+
+    100 TB shape: identical to :func:`temperature_weights` — the corpus
+    collapses to #sources rows in one map-side-combined aggregate and is
+    never shuffled; everything else runs on the tiny plan frame.
+    """
+    counts = df.where(F.col(text_col).isNotNull()).groupBy(group_col).agg(
+        F.sum(F.size(tokens(text_col)).cast("long")).alias("avail_tokens")
+    )
+    sq = F.sqrt(F.col("avail_tokens").cast("double")).cast("decimal(38,6)")
+    totals = counts.agg(F.sum(sq).cast("double").alias("__denom"))
+    share = sq.cast("double") / F.col("__denom")
+    alloc = F.floor(F.lit(float(budget_tokens)) * share).cast("long")
+    capped = F.least(F.col("alloc_tokens"), F.lit(max_epochs) * F.col("avail_tokens"))
+    return (
+        counts.crossJoin(F.broadcast(totals))
+        .select(
+            group_col,
+            "avail_tokens",
+            share.alias("target_share"),
+            alloc.alias("alloc_tokens"),
+        )
+        .select(
+            group_col,
+            "avail_tokens",
+            "target_share",
+            "alloc_tokens",
+            (
+                F.col("alloc_tokens").cast("double")
+                / F.col("avail_tokens").cast("double")
+            ).alias("epochs"),
+            capped.alias("granted_tokens"),
+            (F.col("alloc_tokens") - capped).alias("shortfall_tokens"),
+        )
     )
 
 

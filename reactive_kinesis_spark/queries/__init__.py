@@ -48,22 +48,28 @@ def query(name: str, oracle: str | None = None):
 #: queries get the visible slots — never-certified first, then queries whose
 #: CODE OR ORACLE CHANGED since their last green row (a stale green row
 #: proves the old query, not this one), then by staleness. This round:
-#:   slots 0-3   — round-10 oracle graduations (never hash-certified):
-#:                 q23/q24 (MinHash-LSH / SimHash via the portable
-#:                 md5-prefix hash family) and q122/q123 (perceptual-hash
-#:                 near-dup via the integer-exact aHash), each with a fully
-#:                 unrolled oracle;
-#:   slots 4-42  — the 39 _DEFERRED_R9 queries (r6-certified, 4 rounds
+#:   slots 0-6   — round-10 never-hash-certified queries: the three NEW
+#:                 round-10 operators (q148 SemDeDup, q149 quality-rule
+#:                 battery, q150 token-budget allocation) and the four
+#:                 oracle graduations — q23/q24 (MinHash-LSH / SimHash via
+#:                 the portable md5-prefix hash family) and q122/q123
+#:                 (perceptual-hash near-dup via the integer-exact aHash),
+#:                 each with a fully unrolled oracle;
+#:   slots 7-45  — the 39 _DEFERRED_R9 queries (r6-certified, 4 rounds
 #:                 stale after round 9 skipped the rotation — the oldest
 #:                 rows in the ledger, all of them);
-#:   slots 43-49 — the 7 alphabetically-first r7-certified queries; the
-#:                 other 37 r7-certified defer to round 11 (_DEFERRED_R11 —
-#:                 the 137-oracle/50-slot rotation math makes a ≈3-round
+#:   slots 46-49 — the 4 alphabetically-first r7-certified queries; the
+#:                 other 40 r7-certified defer to round 11 (_DEFERRED_R11 —
+#:                 the 140-oracle/50-slot rotation math makes a ≈3-round
 #:                 staleness floor the best achievable).
 #: Everything past the window remains fully oracle-checked locally every
 #: session (tests/test_oracle_parity.py runs the ENTIRE registry against
 #: DuckDB).
 _WINDOW = (
+    # -- round-10 new operators (never hash-certified) --
+    "q148_semantic_dedup",
+    "q149_quality_rule_battery",
+    "q150_token_budget",
     # -- round-10 oracle graduations (never hash-certified) --
     "q23_dedup_minhash_lsh",
     "q24_dedup_simhash",
@@ -109,18 +115,18 @@ _WINDOW = (
     "q65_mixture_sample",
     "q66_repetition_stats",
     "q67_pii_redaction",
-    # -- r7-certified, alphabetically first 7 --
+    # -- r7-certified, alphabetically first 4 --
     "q01_pricing_summary",
     "q03_join_agg_topk",
     "q04_star_join",
     "q06_outer_join_histogram",
-    "q08_window_topk_per_group",
-    "q107_pagerank",
-    "q10_rollup",
 )
 #: r7-certified queries that don't fit this round's window; they take
 #: round-11 slots (the 135-oracle/50-slot rotation's staleness floor).
 _DEFERRED_R11 = (
+    "q08_window_topk_per_group",
+    "q107_pagerank",
+    "q10_rollup",
     "q116_table_fingerprint",
     "q11_cube",
     "q121_weighted_pagerank",

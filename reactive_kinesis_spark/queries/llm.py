@@ -1990,13 +1990,16 @@ def q114_rrf_fusion(spark: SparkSession, sf_dir: str) -> DataFrame:
     return fused.orderBy(F.col("rrf_score").desc(), "doc_id").limit(100)
 
 
-def _kmeans_oracle_sql(k: int, iterations: int) -> str:
-    """Unrolled Lloyd k-means oracle (the q115 LPA precedent: a fixed
-    iteration count turns the iterative algorithm into a finite CTE
-    chain). Distances are the same sequential left-fold DuckDB
-    ``list_reduce`` / Spark ``aggregate`` both use (q52 parity pattern);
-    centroid means go through the shared DECIMAL(38,6) path."""
-    from reactive_kinesis_spark.functions import davg_sql, dsum_sql
+def _kmeans_assign_ctes(k: int, iterations: int) -> tuple[list[str], str]:
+    """The unrolled Lloyd k-means CTE chain shared by the q124 and q148
+    oracles: returns ``(parts, final)`` where ``parts`` is the WITH-chain
+    up to the final assignment CTE (trailing comma intact) and ``final``
+    is that CTE's name (``a{iterations+1}``, columns
+    ``vec_id/cluster/dist``). Distances are the same sequential
+    left-fold DuckDB ``list_reduce`` / Spark ``aggregate`` both use (q52
+    parity pattern); centroid means go through the shared DECIMAL(38,6)
+    path."""
+    from reactive_kinesis_spark.functions import davg_sql
 
     def dist_cte(n: int, cents: str) -> list[str]:
         return [
@@ -2032,12 +2035,56 @@ def _kmeans_oracle_sql(k: int, iterations: int) -> str:
         ]
     final = iterations + 1
     parts += dist_cte(final, f"c{iterations}")
+    return parts, f"a{final}"
+
+
+def _kmeans_oracle_sql(k: int, iterations: int) -> str:
+    """q124 oracle: per-cluster size/inertia over the unrolled k-means
+    assignment (see :func:`_kmeans_assign_ctes`)."""
+    from reactive_kinesis_spark.functions import davg_sql, dsum_sql
+
+    parts, final = _kmeans_assign_ctes(k, iterations)
     parts[-1] = parts[-1].rstrip(",")
     parts += [
         f"SELECT cluster, CAST(COUNT(*) AS BIGINT) AS n_vecs,",
         f"  {dsum_sql('dist', 'inertia')},",
         f"  {davg_sql('dist', 'avg_dist')}",
-        f"FROM a{final} GROUP BY cluster ORDER BY cluster",
+        f"FROM {final} GROUP BY cluster ORDER BY cluster",
+    ]
+    return "\n".join(parts)
+
+
+def _semdedup_oracle_sql(k: int, iterations: int, threshold: str) -> str:
+    """q148 oracle: the same unrolled k-means assignment, then the
+    within-cluster pair stage — ``list_dot_product`` on DOUBLE[] equals
+    the Spark ``zip_with``/``aggregate`` fold (the certified q29
+    pattern), ``sqrt`` and ``/`` are correctly-rounded IEEE ops, and the
+    flagged-pair cosine sum goes through the exact DECIMAL(38,6) path —
+    so counts AND values are bit-equal cross-engine."""
+    parts, final = _kmeans_assign_ctes(k, iterations)
+    parts += [
+        "m AS (SELECT a.vec_id, a.cluster,",
+        "  CAST(v.embedding AS DOUBLE[]) AS dv",
+        f"  FROM {final} a JOIN v USING (vec_id)),",
+        "nrm AS (SELECT vec_id, sqrt(list_dot_product(dv, dv)) AS nrm FROM m),",
+        "dup AS (SELECT x.cluster, y.vec_id AS dropped_id,",
+        "  list_dot_product(x.dv, y.dv) / (nx.nrm * ny.nrm) AS cos",
+        "  FROM m x JOIN m y ON x.cluster = y.cluster AND x.vec_id < y.vec_id",
+        "  JOIN nrm nx ON nx.vec_id = x.vec_id",
+        "  JOIN nrm ny ON ny.vec_id = y.vec_id",
+        "  WHERE list_dot_product(x.dv, y.dv) / (nx.nrm * ny.nrm)",
+        f"        >= CAST('{threshold}' AS DOUBLE)),",
+        "agg AS (SELECT cluster, CAST(COUNT(*) AS BIGINT) AS n_dup_pairs,",
+        "  CAST(COUNT(DISTINCT dropped_id) AS BIGINT) AS n_dropped,",
+        "  CAST(SUM(CAST(cos AS DECIMAL(38,6))) AS DOUBLE) AS dup_cos_sum",
+        "  FROM dup GROUP BY cluster),",
+        "sz AS (SELECT cluster, CAST(COUNT(*) AS BIGINT) AS n_vecs",
+        "  FROM m GROUP BY cluster)",
+        "SELECT sz.cluster, sz.n_vecs,",
+        "  COALESCE(agg.n_dup_pairs, 0) AS n_dup_pairs,",
+        "  COALESCE(agg.n_dropped, 0) AS n_dropped,",
+        "  COALESCE(agg.dup_cos_sum, CAST(0.0 AS DOUBLE)) AS dup_cos_sum",
+        "FROM sz LEFT JOIN agg USING (cluster) ORDER BY sz.cluster",
     ]
     return "\n".join(parts)
 
@@ -2066,6 +2113,125 @@ def q124_kmeans_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("cluster")
     )
+
+
+@query("q148_semantic_dedup", oracle=_semdedup_oracle_sql(k=8, iterations=2, threshold="0.3"))
+def q148_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup (Abbas et al. 2023): deterministic k-means over the
+    embedding corpus, then within-cluster cosine pairing — paraphrase-level
+    duplicates that share no shingles (invisible to q22/q23 lexical
+    near-dup) collide here. Per cluster: member count, flagged pair count,
+    distinct dropped members (larger id of each flagged pair), and the
+    exact-decimal sum of flagged cosines — a value-level fingerprint of the
+    pair set. Fully HASH-CERTIFIED: the k-means chain is the unrolled q124
+    oracle, the pair stage the certified q29 dot-product fold. Threshold
+    0.3 sits at the synthetic corpus's p99 within-cluster cosine (real
+    sentence-embedding pipelines run ~0.95); it is a parameter of
+    :func:`operators.similarity.semantic_dedup`. 100 TB: the cluster-first
+    design bounds the quadratic stage at Σ|c|² — k scales with N so
+    clusters stay pair-able; one cluster-keyed shuffle, norms precomputed
+    narrow, no collects."""
+    from reactive_kinesis_spark.operators.similarity import semantic_dedup
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    return semantic_dedup(
+        emb, "embedding", "vec_id", k=8, iterations=2, threshold=0.3
+    ).orderBy("cluster")
+
+
+def _quality_battery_oracle_sql() -> str:
+    """q149 oracle: the four integer gates cross-multiplied exactly as the
+    operator writes them — no division or float in any rule."""
+    stops = sorted(T.QUALITY_STOPWORDS)
+    stop_list = "[" + ", ".join(f"'{w}'" for w in stops) + "]"
+    return f"""
+    WITH s AS (
+      SELECT source, string_split(text, ' ') AS w
+      FROM documents WHERE text IS NOT NULL
+    ), sig AS (
+      SELECT source,
+        len(w) AS n,
+        len(list_distinct(w)) AS nd,
+        list_reduce(list_transform(w, x -> length(x)), (a, b) -> a + b) AS chars,
+        len(list_filter(list_distinct(w),
+            x -> list_contains({stop_list}, x))) AS nstop
+      FROM s
+    ), fl AS (
+      SELECT source,
+        CASE WHEN n < 30 OR n > 80 THEN 1 ELSE 0 END AS f1,
+        CASE WHEN chars < 4 * n OR chars > 5 * n THEN 1 ELSE 0 END AS f2,
+        CASE WHEN nstop < 2 THEN 1 ELSE 0 END AS f3,
+        CASE WHEN 100 * (n - nd) > 60 * n THEN 1 ELSE 0 END AS f4
+      FROM sig)
+    SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+      CAST(SUM(f1) AS BIGINT) AS fail_length,
+      CAST(SUM(f2) AS BIGINT) AS fail_word_len,
+      CAST(SUM(f3) AS BIGINT) AS fail_stopword,
+      CAST(SUM(f4) AS BIGINT) AS fail_repetition,
+      CAST(SUM(CASE WHEN f1 + f2 + f3 + f4 = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_pass,
+      CAST(SUM(CASE WHEN f1 + f2 + f3 + f4 = 0 THEN 1 ELSE 0 END) AS DOUBLE)
+        / COUNT(*) AS pass_rate
+    FROM fl GROUP BY source ORDER BY source
+    """
+
+
+@query("q149_quality_rule_battery", oracle=_quality_battery_oracle_sql())
+def q149_quality_rule_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style quality GATE battery (Rae et al. 2021 App. A): four
+    pass/fail rules per document — word-count bounds, mean-word-length
+    band, distinct-stopword presence, duplicate-word-fraction cap — each a
+    pure integer comparison (ratio thresholds cross-multiplied, so no
+    float ever enters a gate), reported as a per-source failure breakdown
+    plus pass rate. Where q26 scores and q66 measures, this one DECIDES —
+    the filter step a pre-training corpus passes through before
+    tokenization. Int64-exact counts + one int/int division: the cheapest
+    certification class. See :func:`operators.text.quality_rule_battery`
+    for the 100 TB shape (one narrow codegen pass, one #sources-row
+    map-side-combined group-by)."""
+    docs = load_table(spark, sf_dir, "documents")
+    return T.quality_rule_battery(docs, "text", "source").orderBy("source")
+
+
+def _token_budget_oracle_sql(budget: int, max_epochs: int) -> str:
+    """q150 oracle: sqrt-temperature shares with the decimal-snapped exact
+    denominator (q79 contract), then floor/least/minus pure-int plan
+    columns; ``epochs`` is the single int/int IEEE division."""
+    sq = "CAST(sqrt(CAST(avail_tokens AS DOUBLE)) AS DECIMAL(38,6))"
+    share = f"CAST({sq} AS DOUBLE) / t.denom"
+    return f"""
+    WITH c AS (
+      SELECT source, CAST(SUM(len(string_split(text, ' '))) AS BIGINT) AS avail_tokens
+      FROM documents WHERE text IS NOT NULL GROUP BY source
+    ), t AS (
+      SELECT CAST(SUM({sq}) AS DOUBLE) AS denom FROM c
+    ), a AS (
+      SELECT source, avail_tokens, {share} AS target_share,
+        CAST(FLOOR(CAST('{float(budget)!r}' AS DOUBLE) * ({share})) AS BIGINT)
+          AS alloc_tokens
+      FROM c, t)
+    SELECT source, avail_tokens, target_share, alloc_tokens,
+      CAST(alloc_tokens AS DOUBLE) / CAST(avail_tokens AS DOUBLE) AS epochs,
+      LEAST(alloc_tokens, {max_epochs} * avail_tokens) AS granted_tokens,
+      alloc_tokens - LEAST(alloc_tokens, {max_epochs} * avail_tokens)
+        AS shortfall_tokens
+    FROM a ORDER BY source
+    """
+
+
+@query("q150_token_budget", oracle=_token_budget_oracle_sql(110_000, 4))
+def q150_token_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-budget allocation plan: temperature shares (alpha = 0.5 over
+    per-source token counts) turned into an executable mix — allocated
+    tokens, implied epochs, and the shortfall when the max-4-epochs repeat
+    cap bites (14 of 20 sources at the driver SF, so both branches of the
+    cap are exercised). The decision layer between q79's shares and an
+    actual training run. Exact-decimal denominator, floor/least/minus int
+    plan columns, one IEEE division — hash-certified. See
+    :func:`operators.text.token_budget_allocation`."""
+    docs = load_table(spark, sf_dir, "documents")
+    return T.token_budget_allocation(
+        docs, "text", "source", budget_tokens=110_000, max_epochs=4
+    ).orderBy("source")
 
 
 @query(

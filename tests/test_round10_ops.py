@@ -1,0 +1,190 @@
+"""Round-10 operators: SemDeDup, quality-rule gate battery, token-budget
+allocation. Registry-wide oracle parity for q148/q149/q150 is covered by
+test_oracle_parity; these tests pin the operator-level semantics on
+crafted micro-inputs where the right answer is known by hand."""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import functions as F
+
+from reactive_kinesis_spark.operators.similarity import semantic_dedup
+from reactive_kinesis_spark.operators.text import (
+    quality_rule_battery,
+    token_budget_allocation,
+)
+
+# ---------------------------------------------------------- semantic_dedup
+
+
+def _vecs(spark, rows):
+    return spark.createDataFrame(
+        [(i, [float(x) for x in v]) for i, v in rows],
+        "vec_id long, embedding array<float>",
+    )
+
+
+def test_semdedup_flags_exact_duplicate_and_drops_larger_id(spark):
+    # ids 1/2 seed the two clusters; 3 is an exact copy of 1, 4 is nearly
+    # orthogonal noise in cluster 1's half-space, 5 joins cluster 2.
+    df = _vecs(
+        spark,
+        [
+            (1, (1.0, 0.0, 0.0)),
+            (2, (0.0, 1.0, 0.0)),
+            (3, (1.0, 0.0, 0.0)),
+            (4, (0.8, 0.0, 0.6)),
+            (5, (0.0, 0.9, 0.1)),
+        ],
+    )
+    out = {
+        r.cluster: r
+        for r in semantic_dedup(
+            df, k=2, iterations=1, threshold=0.995
+        ).collect()
+    }
+    sizes = sorted(r.n_vecs for r in out.values())
+    assert sizes == [2, 3]
+    big = next(r for r in out.values() if r.n_vecs == 3)
+    small = next(r for r in out.values() if r.n_vecs == 2)
+    # only the exact-duplicate pair (1,3) crosses 0.995 — the (2,5) pair
+    # sits at cos 0.9939, just below; id 3 is dropped
+    assert big.n_dup_pairs == 1 and big.n_dropped == 1
+    assert abs(big.dup_cos_sum - 1.0) < 1e-6
+    assert small.n_dup_pairs == 0 and small.n_dropped == 0
+    assert small.dup_cos_sum == 0.0
+
+
+def test_semdedup_threshold_zero_flags_every_nonnegative_pair(spark):
+    # all-nonnegative vectors => every within-cluster cosine >= 0, so at
+    # threshold 0 each cluster flags all C(n,2) pairs and drops n-1 members
+    df = _vecs(
+        spark,
+        [
+            (1, (1.0, 0.1)),
+            (2, (0.1, 1.0)),
+            (3, (1.0, 0.2)),
+            (4, (0.9, 0.1)),
+            (5, (0.2, 1.0)),
+            (6, (0.1, 0.9)),
+        ],
+    )
+    for r in semantic_dedup(df, k=2, iterations=1, threshold=0.0).collect():
+        n = r.n_vecs
+        assert r.n_dup_pairs == n * (n - 1) // 2
+        assert r.n_dropped == n - 1
+
+
+def test_semdedup_cluster_without_dups_still_reported(spark):
+    df = _vecs(spark, [(1, (1.0, 0.0)), (2, (0.0, 1.0))])
+    rows = semantic_dedup(df, k=2, iterations=0, threshold=0.5).collect()
+    assert len(rows) == 2
+    assert all(r.n_dup_pairs == 0 and r.dup_cos_sum == 0.0 for r in rows)
+
+
+# ---------------------------------------------------- quality_rule_battery
+
+
+def _doc(words):
+    return " ".join(words)
+
+
+def test_quality_battery_per_rule_failures(spark):
+    good = [f"wrd{i:02d}" for i in range(28)] + ["the", "and"]  # passes all
+    short = ["the", "and"] + [f"wrd{i:02d}" for i in range(8)]  # 10 words
+    nostop = [f"wrd{i:02d}" for i in range(30)]  # no stopwords
+    thin = ["abc"] * 0 + [f"ab{i}" for i in range(28)] + ["the", "and"]  # 3-char words
+    repet = ["wrd00"] * 26 + ["wrd01", "wrd02", "the", "and"]  # dup frac 25/30
+    rows = [
+        ("good", _doc(good)),
+        ("short", _doc(short)),
+        ("nostop", _doc(nostop)),
+        ("thin", _doc(thin)),
+        ("repet", _doc(repet)),
+    ]
+    df = spark.createDataFrame(rows, "source string, text string")
+    out = {r.source: r for r in quality_rule_battery(df).collect()}
+    g = out["good"]
+    assert (g.fail_length, g.fail_word_len, g.fail_stopword, g.fail_repetition) == (
+        0,
+        0,
+        0,
+        0,
+    )
+    assert g.n_pass == 1 and g.pass_rate == 1.0
+    assert out["short"].fail_length == 1
+    assert out["nostop"].fail_stopword == 1
+    assert out["thin"].fail_word_len == 1
+    assert out["repet"].fail_repetition == 1
+    # a failing doc is not counted as passing
+    for src in ("short", "nostop", "thin", "repet"):
+        assert out[src].n_pass == 0 and out[src].pass_rate == 0.0
+
+
+def test_quality_battery_word_len_bounds_are_inclusive(spark):
+    # both mean-word-length edges must PASS — the band is inclusive.
+    # lower edge: 30 words, chars = 6 (the+and) + 26*4 + 2*5 = 120 = 4*30
+    lo = ["the", "and"] + [f"wr{i:02d}" for i in range(26)] + ["wrdaa", "wrdbb"]
+    # upper edge: 30 words, chars = 6 + 24*5 + 4*6 = 150 = 5*30
+    hi = ["the", "and"] + [f"wd{i:03d}" for i in range(24)] + [
+        "wrdln0", "wrdln1", "wrdln2", "wrdln3"
+    ]
+    assert sum(map(len, lo)) == 120 and sum(map(len, hi)) == 150
+    df = spark.createDataFrame(
+        [("lo", _doc(lo)), ("hi", _doc(hi))], "source string, text string"
+    )
+    out = {r.source: r for r in quality_rule_battery(df).collect()}
+    assert out["lo"].fail_word_len == 0 and out["lo"].n_pass == 1
+    assert out["hi"].fail_word_len == 0 and out["hi"].n_pass == 1
+
+
+def test_quality_battery_null_text_excluded(spark):
+    df = spark.createDataFrame(
+        [("s", None), ("s", _doc([f"wrd{i:02d}" for i in range(28)] + ["the", "and"]))],
+        "source string, text string",
+    )
+    out = quality_rule_battery(df).collect()[0]
+    assert out.n_docs == 1 and out.n_pass == 1
+
+
+# -------------------------------------------------- token_budget_allocation
+
+
+def test_token_budget_allocation_shares_and_caps(spark):
+    # source a: 100 tokens, source b: 400 tokens => sqrt shares 10/30, 20/30
+    docs = [("a", _doc(["t"] * 50)), ("a", _doc(["t"] * 50)), ("b", _doc(["t"] * 400))]
+    df = spark.createDataFrame(docs, "source string, text string")
+    out = {
+        r.source: r
+        for r in token_budget_allocation(
+            df, budget_tokens=600, max_epochs=1
+        ).collect()
+    }
+    assert out["a"].avail_tokens == 100 and out["b"].avail_tokens == 400
+    # mirror the operator's float sequence exactly in python
+    share_a, share_b = 10.0 / 30.0, 20.0 / 30.0
+    assert out["a"].target_share == share_a
+    assert out["b"].target_share == share_b
+    alloc_a, alloc_b = math.floor(600.0 * share_a), math.floor(600.0 * share_b)
+    assert out["a"].alloc_tokens == alloc_a
+    assert out["b"].alloc_tokens == alloc_b
+    # epoch cap 1: source a is over-asked (alloc ~2x avail) and forfeits
+    assert out["a"].granted_tokens == 100
+    assert out["a"].shortfall_tokens == alloc_a - 100
+    assert out["b"].granted_tokens == alloc_b  # under cap: grant = ask
+    assert out["b"].shortfall_tokens == 0
+    assert out["a"].epochs == alloc_a / 100.0
+    assert out["b"].epochs == alloc_b / 400.0
+
+
+def test_token_budget_total_never_exceeds_budget(spark):
+    docs = [(f"s{i}", _doc(["t"] * (10 + 7 * i))) for i in range(6)]
+    df = spark.createDataFrame(docs, "source string, text string")
+    out = token_budget_allocation(df, budget_tokens=1000, max_epochs=3)
+    got = out.agg(
+        F.sum("alloc_tokens").alias("alloc"), F.sum("granted_tokens").alias("granted")
+    ).collect()[0]
+    # floor() per source guarantees sum(alloc) <= budget; the cap only shrinks
+    assert got.alloc <= 1000
+    assert got.granted <= got.alloc
