@@ -91,3 +91,93 @@ def association_rules(
             ).alias("lift"),
         )
     )
+
+
+def hll_cardinality(
+    df: DataFrame,
+    value_col: str,
+    group_col: str,
+    p: int = 8,
+) -> DataFrame:
+    """Engine-portable HyperLogLog — the certifiable complement of
+    ``approx_count_distinct`` (q36, whose HLL++ sketch is a Spark
+    internal no other engine can reproduce). Same md5-prefix 56-bit draw
+    as the q23/q139 portable sketch family, so any engine that can md5
+    builds the IDENTICAL register file and the IDENTICAL estimate — the
+    property that lets a 100 TB sketch be built by Spark, merged by a
+    warehouse, and audited by DuckDB.
+
+    Construction (Flajolet et al. 2007, raw estimator):
+
+    * ``h``      — 56-bit integer from ``md5(value)``'s first 14 hex chars;
+    * bucket     — ``h % m`` (``m = 2^p`` registers);
+    * rho        — leading-zero rank of the remaining ``56 - p`` bits
+      (computed EXACTLY via ``length(bin(rest))`` — no float log);
+    * register   — ``max(rho)`` per (group, bucket): integer max,
+      order- and partition-insensitive, mergeable across shards;
+    * estimate   — ``alpha_m · m² / Σ 2^(−reg)``. The harmonic sum is
+      kept as the EXACT INTEGER ``Σ 2^(R − reg)`` (``R = 57 − p``; at
+      p=8 the sum is ≤ 2^57, inside int64), absent buckets contributing
+      ``2^R`` each; the numerator ``alpha_m · m² · 2^R`` is one Python
+      double whose power-of-two scaling is exact — so the whole estimate
+      is a SINGLE IEEE division of two engine-identical values. No
+      small/large-range correction branches (they need ``ln``, which is
+      not correctly-rounded-portable); the raw estimator's bias at
+      n >> m is the documented trade.
+
+    Output per group: ``(group_col, used_buckets, max_rho,
+    hll_estimate, exact_distinct, rel_err)`` — the exact count rides
+    along as the audit column (same pattern as q139's count-min audit).
+
+    100 TB shape: the corpus collapses to ≤ m rows per group in ONE
+    map-side-combined (group, bucket) max-aggregate — register files,
+    not values, cross the wire; the exact-count audit column is the only
+    expensive leg and exists for certification, not production (drop it
+    and the whole plan is sketch-sized).
+    """
+    if not 4 <= p <= 12:
+        raise ValueError("p in [4, 12] (m = 16..4096 registers)")
+    m = 1 << p
+    rest_bits = 56 - p
+    rmax = rest_bits + 1
+    alpha = 0.7213 / (1.0 + 1.079 / m)
+    # alpha * m^2 * 2^R: power-of-two scaling of one double — exact
+    numerator = alpha * float(m) * float(m) * float(1 << rmax)
+    h = F.conv(
+        F.substring(F.md5(F.col(value_col).cast("string")), 1, 14), 16, 10
+    ).cast("long")
+    rest = F.shiftright(h, p)
+    rho = F.when(rest == 0, F.lit(rmax)).otherwise(
+        F.lit(rmax) - F.length(F.bin(rest))
+    )
+    regs = (
+        df.where(F.col(value_col).isNotNull())
+        .select(F.col(group_col), F.pmod(h, F.lit(m)).alias("__b"), rho.alias("__r"))
+        .groupBy(group_col, "__b")
+        .agg(F.max("__r").alias("__reg"))
+    )
+    sketch = regs.groupBy(group_col).agg(
+        F.count(F.lit(1)).alias("used_buckets"),
+        F.max("__reg").alias("max_rho"),
+        F.sum(
+            F.expr(f"shiftleft(CAST(1 AS BIGINT), CAST({rmax} - __reg AS INT))")
+        ).alias("__s_present"),
+    )
+    s_scaled = F.col("__s_present") + (F.lit(m) - F.col("used_buckets")) * F.lit(
+        1 << rmax
+    ).cast("long")
+    est = F.lit(numerator) / s_scaled.cast("double")
+    exact = df.where(F.col(value_col).isNotNull()).groupBy(group_col).agg(
+        F.countDistinct(value_col).alias("exact_distinct")
+    )
+    return sketch.join(exact, group_col).select(
+        group_col,
+        "used_buckets",
+        "max_rho",
+        est.alias("hll_estimate"),
+        "exact_distinct",
+        (
+            F.abs(est - F.col("exact_distinct").cast("double"))
+            / F.col("exact_distinct").cast("double")
+        ).alias("rel_err"),
+    )

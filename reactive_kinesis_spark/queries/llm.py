@@ -2234,6 +2234,71 @@ def q150_token_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("source")
 
 
+def _hll_oracle_sql(p: int) -> str:
+    """q151 oracle: the identical register file from the identical
+    md5-prefix draw, the harmonic sum as an exact integer, the estimate
+    one IEEE division (see operators.mining.hll_cardinality)."""
+    m = 1 << p
+    rmax = 56 - p + 1
+    alpha = 0.7213 / (1.0 + 1.079 / m)
+    numerator = alpha * float(m) * float(m) * float(1 << rmax)
+    return f"""
+    WITH h AS (
+      SELECT l_returnflag,
+        CAST(('0x' || substr(md5(CAST(l_orderkey AS VARCHAR)), 1, 14)) AS BIGINT) AS h
+      FROM lineitem WHERE l_orderkey IS NOT NULL
+    ), rho AS (
+      SELECT l_returnflag, h % {m} AS b,
+        CASE WHEN (h >> {p}) = 0 THEN {rmax}
+             ELSE {rmax} - length(bin(h >> {p})) END AS r
+      FROM h
+    ), regs AS (
+      SELECT l_returnflag, b, MAX(r) AS reg FROM rho GROUP BY l_returnflag, b
+    ), sk AS (
+      SELECT l_returnflag, CAST(COUNT(*) AS BIGINT) AS used_buckets,
+        CAST(MAX(reg) AS BIGINT) AS max_rho,
+        SUM(CAST(1 AS BIGINT) << CAST({rmax} - reg AS INT)) AS s_present
+      FROM regs GROUP BY l_returnflag
+    ), ex AS (
+      SELECT l_returnflag, CAST(COUNT(DISTINCT l_orderkey) AS BIGINT) AS exact_distinct
+      FROM lineitem WHERE l_orderkey IS NOT NULL GROUP BY l_returnflag
+    ), est AS (
+      SELECT sk.l_returnflag, used_buckets, max_rho, exact_distinct,
+        CAST('{numerator!r}' AS DOUBLE)
+          / CAST(s_present + ({m} - used_buckets) * (CAST(1 AS BIGINT) << {rmax})
+                 AS DOUBLE) AS hll_estimate
+      FROM sk JOIN ex ON sk.l_returnflag = ex.l_returnflag)
+    SELECT l_returnflag, used_buckets, max_rho, hll_estimate, exact_distinct,
+      abs(hll_estimate - CAST(exact_distinct AS DOUBLE))
+        / CAST(exact_distinct AS DOUBLE) AS rel_err
+    FROM est ORDER BY l_returnflag
+    """
+
+
+@query("q151_hll_portable", oracle=_hll_oracle_sql(p=8))
+def q151_hll_portable(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Engine-portable HyperLogLog cardinality next to the exact count —
+    the certifiable complement of q36's built-in HLL++ (whose sketch is a
+    Spark internal no oracle can reproduce). md5-prefix draw, exact
+    integer-max register file, harmonic sum kept as an exact int64, one
+    IEEE division for the estimate: the sketch AND the estimate are
+    bit-identical across engines, so the approximate operator itself is
+    hash-certified (the q139 count-min precedent, extended to
+    cardinality). See :func:`operators.mining.hll_cardinality`."""
+    from reactive_kinesis_spark.operators.mining import hll_cardinality
+
+    li = load_table(spark, sf_dir, "lineitem")
+    out = hll_cardinality(li, "l_orderkey", "l_returnflag", p=8)
+    return out.select(
+        "l_returnflag",
+        "used_buckets",
+        F.col("max_rho").cast("long").alias("max_rho"),
+        "hll_estimate",
+        "exact_distinct",
+        "rel_err",
+    ).orderBy("l_returnflag")
+
+
 @query(
     "q139_countmin_sketch",
     oracle="""

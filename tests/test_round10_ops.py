@@ -188,3 +188,48 @@ def test_token_budget_total_never_exceeds_budget(spark):
     # floor() per source guarantees sum(alloc) <= budget; the cap only shrinks
     assert got.alloc <= 1000
     assert got.granted <= got.alloc
+
+
+# ------------------------------------------------------- hll_cardinality
+
+
+def test_hll_single_value(spark):
+    from reactive_kinesis_spark.operators.mining import hll_cardinality
+
+    df = spark.createDataFrame([("g", "x")] * 5, "grp string, v string")
+    out = hll_cardinality(df, "v", "grp").collect()[0]
+    assert out.used_buckets == 1 and out.exact_distinct == 1
+
+
+def test_hll_estimate_within_tolerance(spark):
+    from reactive_kinesis_spark.operators.mining import hll_cardinality
+
+    df = spark.createDataFrame(
+        [("g", f"val{i}") for i in range(2000)], "grp string, v string"
+    )
+    out = hll_cardinality(df, "v", "grp").collect()[0]
+    assert out.exact_distinct == 2000
+    # raw estimator, m=256: 3 sigma ~ 3 * 1.04/sqrt(256) ~ 20%
+    assert out.rel_err < 0.20
+
+
+def test_hll_duplicates_do_not_move_the_estimate(spark):
+    from reactive_kinesis_spark.operators.mining import hll_cardinality
+
+    base = [("g", f"val{i}") for i in range(500)]
+    df1 = spark.createDataFrame(base, "grp string, v string")
+    df3 = spark.createDataFrame(base * 3, "grp string, v string")
+    e1 = hll_cardinality(df1, "v", "grp").collect()[0]
+    e3 = hll_cardinality(df3, "v", "grp").collect()[0]
+    assert e1.hll_estimate == e3.hll_estimate
+    assert e1.used_buckets == e3.used_buckets
+
+
+def test_hll_rejects_out_of_range_precision(spark):
+    import pytest
+
+    from reactive_kinesis_spark.operators.mining import hll_cardinality
+
+    df = spark.createDataFrame([("g", "x")], "grp string, v string")
+    with pytest.raises(ValueError, match="p in"):
+        hll_cardinality(df, "v", "grp", p=14)
