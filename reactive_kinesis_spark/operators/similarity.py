@@ -944,15 +944,70 @@ def kmeans_assign(
     lazily checkpointed per round — lineage stays O(1) in iterations.
     Returns the FINAL assignment ``(id, cluster, dist)``.
     """
+    v = _kmeans_prepare(vectors, vec_col, id_col)
+    cents = kmeans_centroids(vectors, vec_col, id_col, k=k, iterations=iterations)
+    return _kmeans_assign_to(v, cents).select(
+        F.col("__id").alias(id_col), "cluster", "dist"
+    )
+
+
+def _kmeans_prepare(vectors: DataFrame, vec_col: str, id_col: str) -> DataFrame:
+    """Normalized ``(__id, __vec)`` frame the k-means dataflow runs on."""
+    return vectors.select(
+        F.col(id_col).alias("__id"), F.col(vec_col).alias("__vec")
+    ).where(F.col("__vec").isNotNull() & (F.size("__vec") > 0))
+
+
+def _kmeans_assign_to(v: DataFrame, cents: DataFrame) -> DataFrame:
+    """Assign each ``(__id, __vec)`` row to its nearest centroid —
+    squared-L2 sequential left-fold, ties to the smallest cid (the
+    :func:`kmeans_assign` determinism contract). ``cents`` is a k-row
+    broadcast crossJoin: no shuffle of ``v``."""
+    d = v.crossJoin(F.broadcast(cents)).select(
+        "__id",
+        "cid",
+        F.aggregate(
+            F.zip_with(
+                "__vec",
+                "cent",
+                lambda x, cc: (x.cast("double") - cc) * (x.cast("double") - cc),
+            ),
+            F.lit(0.0),
+            lambda acc, val: acc + val,
+        ).alias("dist"),
+    )
+    return (
+        d.groupBy("__id")
+        .agg(F.min(F.struct(F.col("dist"), F.col("cid"))).alias("m"))
+        .select(
+            "__id",
+            F.col("m.cid").alias("cluster"),
+            F.col("m.dist").alias("dist"),
+        )
+    )
+
+
+def kmeans_centroids(
+    vectors: DataFrame,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    k: int = 8,
+    iterations: int = 2,
+) -> DataFrame:
+    """The FINAL centroid frame ``(cid, cent)`` of :func:`kmeans_assign`'s
+    deterministic Lloyd loop — exposed separately so a second corpus can
+    be assigned under centroids trained on the first (the
+    :func:`semantic_decontaminate` train/eval split, or any
+    fit-here/apply-there flow). Same seeding, distance, and decimal-mean
+    contract as :func:`kmeans_assign`; assigning the training corpus
+    under these centroids reproduces ``kmeans_assign`` bit-for-bit."""
     if k < 1 or iterations < 0:
         raise ValueError("k >= 1 and iterations >= 0 required")
     from pyspark.sql import Window
 
     from reactive_kinesis_spark.functions import davg
 
-    v = vectors.select(
-        F.col(id_col).alias("__id"), F.col(vec_col).alias("__vec")
-    ).where(F.col("__vec").isNotNull() & (F.size("__vec") > 0))
+    v = _kmeans_prepare(vectors, vec_col, id_col)
     cents = (
         v.orderBy("__id")
         .limit(k)
@@ -962,33 +1017,8 @@ def kmeans_assign(
         )
         .localCheckpoint(eager=False)
     )
-
-    def assign(c: DataFrame) -> DataFrame:
-        d = v.crossJoin(F.broadcast(c)).select(
-            "__id",
-            "cid",
-            F.aggregate(
-                F.zip_with(
-                    "__vec",
-                    "cent",
-                    lambda x, cc: (x.cast("double") - cc) * (x.cast("double") - cc),
-                ),
-                F.lit(0.0),
-                lambda acc, val: acc + val,
-            ).alias("dist"),
-        )
-        return (
-            d.groupBy("__id")
-            .agg(F.min(F.struct(F.col("dist"), F.col("cid"))).alias("m"))
-            .select(
-                "__id",
-                F.col("m.cid").alias("cluster"),
-                F.col("m.dist").alias("dist"),
-            )
-        )
-
     for _ in range(iterations):
-        a = assign(cents)
+        a = _kmeans_assign_to(v, cents)
         cents = (
             a.join(v, "__id")
             .select(F.col("cluster").alias("cid"), F.posexplode("__vec").alias("pos", "x"))
@@ -1003,9 +1033,7 @@ def kmeans_assign(
             )
             .localCheckpoint(eager=False)
         )
-    return assign(cents).select(
-        F.col("__id").alias(id_col), "cluster", "dist"
-    )
+    return cents
 
 
 def semantic_dedup(
@@ -1090,6 +1118,123 @@ def semantic_dedup(
         F.coalesce(F.col("__dup_pairs"), F.lit(0)).cast("long").alias("n_dup_pairs"),
         F.coalesce(F.col("__dropped"), F.lit(0)).cast("long").alias("n_dropped"),
         F.coalesce(F.col("__cos_sum"), F.lit(0.0)).alias("dup_cos_sum"),
+    )
+
+
+def semantic_decontaminate(
+    train: DataFrame,
+    evalset: DataFrame,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    k: int = 8,
+    iterations: int = 2,
+    threshold: float = 0.25,
+) -> DataFrame:
+    """Embedding-space decontamination — the cross-corpus form of
+    :func:`semantic_dedup`: find eval/benchmark items whose PARAPHRASES
+    live in the training corpus (lexical decontamination — q64's shingle
+    overlap — misses a reworded test question; embedding space doesn't).
+
+    Centroids are fit on TRAIN ONLY (:func:`kmeans_centroids`), then both
+    corpora are assigned under those frozen centroids and compared only
+    within a cluster — the same Σ|c|²-bounding trick as SemDeDup, with
+    the eval side typically tiny. Per flagged eval item:
+    ``(eval_id, cluster, n_train_hits, max_cos)`` where ``max_cos`` is an
+    order-insensitive exact MAX of fold-order-pinned cosines — so the hit
+    set AND the scores are bit-equal cross-engine (hash-certifiable by
+    the q148 construction).
+
+    A contaminated-eval report is the right output shape: the action is
+    "drop/flag these eval items (or their train hits)", and the caller
+    joins back by id. Eval items with no hit produce no row.
+
+    100 TB shape: train is scanned for the centroid fit and once for the
+    cluster-keyed pair join; the eval side is cluster-assigned and
+    broadcast-joinable when small. No collects, no Q×N cross join.
+    """
+    from reactive_kinesis_spark.functions import vec_dot, vec_norm
+
+    cents = kmeans_centroids(train, vec_col, id_col, k=k, iterations=iterations)
+    tv = _kmeans_prepare(train, vec_col, id_col)
+    ev = _kmeans_prepare(evalset, vec_col, id_col)
+
+    def members(v: DataFrame) -> DataFrame:
+        return (
+            _kmeans_assign_to(v, cents)
+            .select("__id", "cluster")
+            .join(v, "__id")
+            .select("__id", "cluster", "__vec", vec_norm("__vec").alias("__nrm"))
+        )
+
+    t, e = members(tv).alias("t"), members(ev).alias("e")
+    cos = vec_dot(F.col("e.__vec"), F.col("t.__vec")) / (
+        F.col("e.__nrm") * F.col("t.__nrm")
+    )
+    hits = (
+        e.join(t, F.col("e.cluster") == F.col("t.cluster"))
+        .select(
+            F.col("e.__id").alias("eval_id"),
+            F.col("e.cluster").alias("cluster"),
+            cos.alias("cos"),
+        )
+        .where(F.col("cos") >= F.lit(threshold))
+    )
+    return hits.groupBy("eval_id", "cluster").agg(
+        F.count(F.lit(1)).alias("n_train_hits"),
+        F.max("cos").alias("max_cos"),
+    )
+
+
+def hard_negative_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    label_col: str = "label",
+    k: int = 3,
+) -> DataFrame:
+    """Hard-negative mining for contrastive/metric learning: for each
+    query vector, the ``k`` MOST similar corpus vectors with a DIFFERENT
+    label — the near-boundary negatives that make a retriever's
+    contrastive loss informative (random negatives are trivially easy;
+    hard ones carry the gradient).
+
+    Same certified numeric core as :func:`cosine_topk`'s SQL strategy
+    (broadcast query block, :func:`functions.cosine_similarity` fold,
+    row_number top-k with the neighbor id as total tie-break) plus the
+    label-mismatch predicate applied BEFORE scoring — the corpus never
+    shuffles, and per corpus partition only k candidates per query
+    survive to the final window.
+
+    Returns ``(query_id, query_label, neighbor_id, neighbor_label,
+    cosine_sim, rn)``.
+    """
+    q = valid_vectors(queries, vec_col).select(
+        F.col(id_col).alias("query_id"),
+        F.col(label_col).alias("query_label"),
+        F.col(vec_col).alias("__qvec"),
+    )
+    c = valid_vectors(corpus, vec_col).select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col(label_col).alias("neighbor_label"),
+        F.col(vec_col).alias("__cvec"),
+    )
+    scored = (
+        c.crossJoin(F.broadcast(q))
+        .where(F.col("neighbor_label") != F.col("query_label"))
+        .select(
+            "query_id",
+            "query_label",
+            "neighbor_id",
+            "neighbor_label",
+            cosine_similarity("__qvec", "__cvec").alias("cosine_sim"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine_sim").desc(), "neighbor_id"
+    )
+    return scored.withColumn("rn", F.row_number().over(w).cast("int")).where(
+        F.col("rn") <= k
     )
 
 

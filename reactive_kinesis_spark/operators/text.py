@@ -773,6 +773,59 @@ def temperature_weights(
     )
 
 
+def oov_rate(
+    df: DataFrame,
+    text_col: str = "text",
+    group_col: str = "source",
+    vocab_size: int = 15,
+) -> DataFrame:
+    """Out-of-vocabulary rate per group against a corpus-derived top-K
+    vocabulary — the coverage-drift detector a tokenizer-bound pipeline
+    runs per source/snapshot: a source whose tokens increasingly fall
+    outside the reference vocabulary is drifting away from what the
+    tokenizer was fit on (new language, new domain, encoding rot).
+
+    Vocabulary = the ``vocab_size`` globally most frequent tokens, ties
+    broken by token text — fully deterministic, derived inside the same
+    plan (no driver collect). Per group: total token occurrences, OOV
+    occurrences, and ``oov_rate`` (one int/int IEEE division).
+
+    100 TB shape: one explode + two map-side-combined aggregates; the
+    vocabulary is ``LIMIT vocab_size`` of the global count (distributed
+    TakeOrdered, bounded by construction) and re-enters the plan as a
+    BROADCAST left-anti membership probe — the corpus token stream
+    never joins anything bigger than K rows.
+    """
+    tok = df.where(F.col(text_col).isNotNull()).select(
+        F.col(group_col), F.explode(tokens(text_col)).alias("token")
+    )
+    vocab = (
+        tok.groupBy("token")
+        .agg(F.count(F.lit(1)).alias("__c"))
+        .orderBy(F.col("__c").desc(), "token")
+        .limit(vocab_size)
+        .select("token", F.lit(1).alias("__in_vocab"))
+    )
+    return (
+        tok.join(F.broadcast(vocab), "token", "left")
+        .groupBy(group_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_tokens"),
+            F.sum(F.when(F.col("__in_vocab").isNull(), 1).otherwise(0)).alias(
+                "n_oov"
+            ),
+        )
+        .select(
+            group_col,
+            "n_tokens",
+            "n_oov",
+            (F.col("n_oov").cast("double") / F.col("n_tokens").cast("double")).alias(
+                "oov_rate"
+            ),
+        )
+    )
+
+
 def token_budget_allocation(
     df: DataFrame,
     text_col: str = "text",

@@ -48,20 +48,20 @@ def query(name: str, oracle: str | None = None):
 #: queries get the visible slots — never-certified first, then queries whose
 #: CODE OR ORACLE CHANGED since their last green row (a stale green row
 #: proves the old query, not this one), then by staleness. This round:
-#:   slots 0-7   — round-10 never-hash-certified queries: the four NEW
+#:   slots 0-10  — round-10 never-hash-certified queries: the seven NEW
 #:                 round-10 operators (q148 SemDeDup, q149 quality-rule
 #:                 battery, q150 token-budget allocation, q151 portable
-#:                 HLL) and the four
-#:                 oracle graduations — q23/q24 (MinHash-LSH / SimHash via
-#:                 the portable md5-prefix hash family) and q122/q123
-#:                 (perceptual-hash near-dup via the integer-exact aHash),
-#:                 each with a fully unrolled oracle;
-#:   slots 8-46  — the 39 _DEFERRED_R9 queries (r6-certified, 4 rounds
+#:                 HLL, q152 semantic decontamination, q153 OOV rate,
+#:                 q154 hard negatives) and the four oracle graduations —
+#:                 q23/q24 (MinHash-LSH / SimHash via the portable
+#:                 md5-prefix hash family) and q122/q123 (perceptual-hash
+#:                 near-dup via the integer-exact aHash), each with a
+#:                 fully unrolled oracle;
+#:   slots 11-49 — the 39 _DEFERRED_R9 queries (r6-certified, 4 rounds
 #:                 stale after round 9 skipped the rotation — the oldest
-#:                 rows in the ledger, all of them);
-#:   slots 47-49 — the 3 alphabetically-first r7-certified queries; the
-#:                 other 41 r7-certified defer to round 11 (_DEFERRED_R11 —
-#:                 the 141-oracle/50-slot rotation math makes a ≈3-round
+#:                 rows in the ledger, all of them). ALL 44 r7-certified
+#:                 queries defer to round 11 (_DEFERRED_R11 — the
+#:                 144-oracle/50-slot rotation math makes a ≈3-round
 #:                 staleness floor the best achievable).
 #: Everything past the window remains fully oracle-checked locally every
 #: session (tests/test_oracle_parity.py runs the ENTIRE registry against
@@ -72,6 +72,9 @@ _WINDOW = (
     "q149_quality_rule_battery",
     "q150_token_budget",
     "q151_hll_portable",
+    "q152_semantic_decontamination",
+    "q153_oov_rate",
+    "q154_hard_negatives",
     # -- round-10 oracle graduations (never hash-certified) --
     "q23_dedup_minhash_lsh",
     "q24_dedup_simhash",
@@ -117,14 +120,13 @@ _WINDOW = (
     "q65_mixture_sample",
     "q66_repetition_stats",
     "q67_pii_redaction",
-    # -- r7-certified, alphabetically first 3 --
-    "q01_pricing_summary",
-    "q03_join_agg_topk",
-    "q04_star_join",
 )
 #: r7-certified queries that don't fit this round's window; they take
 #: round-11 slots (the 135-oracle/50-slot rotation's staleness floor).
 _DEFERRED_R11 = (
+    "q01_pricing_summary",
+    "q03_join_agg_topk",
+    "q04_star_join",
     "q06_outer_join_histogram",
     "q08_window_topk_per_group",
     "q107_pagerank",

@@ -1990,12 +1990,15 @@ def q114_rrf_fusion(spark: SparkSession, sf_dir: str) -> DataFrame:
     return fused.orderBy(F.col("rrf_score").desc(), "doc_id").limit(100)
 
 
-def _kmeans_assign_ctes(k: int, iterations: int) -> tuple[list[str], str]:
-    """The unrolled Lloyd k-means CTE chain shared by the q124 and q148
-    oracles: returns ``(parts, final)`` where ``parts`` is the WITH-chain
-    up to the final assignment CTE (trailing comma intact) and ``final``
-    is that CTE's name (``a{iterations+1}``, columns
-    ``vec_id/cluster/dist``). Distances are the same sequential
+def _kmeans_assign_ctes(
+    k: int, iterations: int, extra_where: str = ""
+) -> tuple[list[str], str]:
+    """The unrolled Lloyd k-means CTE chain shared by the q124, q148 and
+    q152 oracles: returns ``(parts, final)`` where ``parts`` is the
+    WITH-chain up to the final assignment CTE (trailing comma intact) and
+    ``final`` is that CTE's name (``a{iterations+1}``, columns
+    ``vec_id/cluster/dist``). ``extra_where`` restricts the fit corpus
+    (q152 fits on train only). Distances are the same sequential
     left-fold DuckDB ``list_reduce`` / Spark ``aggregate`` both use (q52
     parity pattern); centroid means go through the shared DECIMAL(38,6)
     path."""
@@ -2016,7 +2019,7 @@ def _kmeans_assign_ctes(k: int, iterations: int) -> tuple[list[str], str]:
 
     parts = [
         "WITH v AS (SELECT vec_id, embedding FROM embeddings",
-        "  WHERE embedding IS NOT NULL AND len(embedding) > 0),",
+        f"  WHERE embedding IS NOT NULL AND len(embedding) > 0{extra_where}),",
         "c0 AS (SELECT ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS cid,",
         "  list_transform(embedding, x -> CAST(x AS DOUBLE)) AS cent",
         f"  FROM (SELECT * FROM v ORDER BY vec_id LIMIT {k})),",
@@ -2139,6 +2142,78 @@ def q148_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("cluster")
 
 
+def _semdecontam_oracle_sql(
+    k: int, iterations: int, threshold: str, eval_pred: str, train_pred: str
+) -> str:
+    """q152 oracle: the k-means chain fit on TRAIN only, the eval corpus
+    assigned under the frozen final centroids (same fold / same
+    ROW_NUMBER argmin tie-break), then the q148 pair stage across the
+    corpora. ``MAX(cos)`` is order-insensitive, so scores certify too."""
+    parts, final = _kmeans_assign_ctes(k, iterations, extra_where=f" AND {train_pred}")
+    cfinal = f"c{iterations}"
+    parts += [
+        "ve AS (SELECT vec_id, embedding FROM embeddings",
+        f"  WHERE embedding IS NOT NULL AND len(embedding) > 0 AND {eval_pred}),",
+        "de AS (SELECT v.vec_id, c.cid,",
+        "  list_reduce(list_transform(range(1, 1 + len(v.embedding)),",
+        "    i -> (CAST(v.embedding[i] AS DOUBLE) - c.cent[i])",
+        "       * (CAST(v.embedding[i] AS DOUBLE) - c.cent[i])),",
+        "    (a, b) -> a + b) AS dist",
+        f"  FROM ve v CROSS JOIN {cfinal} c),",
+        "ae AS (SELECT vec_id, cid AS cluster FROM",
+        "  (SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id",
+        "     ORDER BY dist, cid) AS rn FROM de) WHERE rn = 1),",
+        "mt AS (SELECT a.vec_id, a.cluster,",
+        "  CAST(v.embedding AS DOUBLE[]) AS dv",
+        f"  FROM {final} a JOIN v USING (vec_id)),",
+        "me AS (SELECT a.vec_id, a.cluster,",
+        "  CAST(v.embedding AS DOUBLE[]) AS dv",
+        "  FROM ae a JOIN ve v USING (vec_id)),",
+        "nt AS (SELECT vec_id, sqrt(list_dot_product(dv, dv)) AS nrm FROM mt),",
+        "ne AS (SELECT vec_id, sqrt(list_dot_product(dv, dv)) AS nrm FROM me),",
+        "hits AS (SELECT e.vec_id AS eval_id, e.cluster,",
+        "  list_dot_product(e.dv, t.dv) / (ne.nrm * nt.nrm) AS cos",
+        "  FROM me e JOIN mt t ON e.cluster = t.cluster",
+        "  JOIN ne ON ne.vec_id = e.vec_id",
+        "  JOIN nt ON nt.vec_id = t.vec_id",
+        "  WHERE list_dot_product(e.dv, t.dv) / (ne.nrm * nt.nrm)",
+        f"        >= CAST('{threshold}' AS DOUBLE))",
+        "SELECT eval_id, cluster, CAST(COUNT(*) AS BIGINT) AS n_train_hits,",
+        "  MAX(cos) AS max_cos",
+        "FROM hits GROUP BY eval_id, cluster ORDER BY eval_id",
+    ]
+    return "\n".join(parts)
+
+
+@query(
+    "q152_semantic_decontamination",
+    oracle=_semdecontam_oracle_sql(
+        k=8,
+        iterations=2,
+        threshold="0.3",
+        eval_pred="vec_id % 10 = 0",
+        train_pred="vec_id % 10 <> 0",
+    ),
+)
+def q152_semantic_decontamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-space decontamination: eval items (every 10th vector)
+    whose PARAPHRASES live in the training corpus — reworded test
+    questions that shingle-overlap decontamination (q64) cannot see.
+    Centroids are fit on train only, both corpora assigned under the
+    frozen centroids, pairs compared within clusters only (the SemDeDup
+    Σ|c|² bound); per flagged eval item the train-hit count and an exact
+    MAX cosine. Hash-certified end to end by the q148 construction. See
+    :func:`operators.similarity.semantic_decontaminate`."""
+    from reactive_kinesis_spark.operators.similarity import semantic_decontaminate
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    evalset = emb.where(F.col("vec_id") % 10 == 0)
+    train = emb.where(F.col("vec_id") % 10 != 0)
+    return semantic_decontaminate(
+        train, evalset, "embedding", "vec_id", k=8, iterations=2, threshold=0.3
+    ).orderBy("eval_id")
+
+
 def _quality_battery_oracle_sql() -> str:
     """q149 oracle: the four integer gates cross-multiplied exactly as the
     operator writes them — no division or float in any rule."""
@@ -2232,6 +2307,82 @@ def q150_token_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
     return T.token_budget_allocation(
         docs, "text", "source", budget_tokens=110_000, max_epochs=4
     ).orderBy("source")
+
+
+@query(
+    "q153_oov_rate",
+    oracle="""
+    WITH tok AS (
+      SELECT source, unnest(string_split(text, ' ')) AS token
+      FROM documents WHERE text IS NOT NULL
+    ), vocab AS (
+      SELECT token FROM (
+        SELECT token, COUNT(*) AS c FROM tok GROUP BY token
+        ORDER BY c DESC, token LIMIT 15)
+    ), agg AS (
+      SELECT source, CAST(COUNT(*) AS BIGINT) AS n_tokens,
+        CAST(SUM(CASE WHEN token IN (SELECT token FROM vocab)
+                      THEN 0 ELSE 1 END) AS BIGINT) AS n_oov
+      FROM tok GROUP BY source)
+    SELECT source, n_tokens, n_oov,
+      CAST(n_oov AS DOUBLE) / CAST(n_tokens AS DOUBLE) AS oov_rate
+    FROM agg ORDER BY source
+    """,
+)
+def q153_oov_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Out-of-vocabulary rate per source against the corpus top-15
+    vocabulary — the tokenizer coverage-drift detector (a source whose
+    token stream falls increasingly outside the reference vocabulary is
+    drifting from what the tokenizer was fit on). Vocabulary derived
+    in-plan (distributed TakeOrdered, deterministic count-then-token
+    order) and applied as a broadcast membership probe; int64-exact
+    counts + one IEEE division. See :func:`operators.text.oov_rate`."""
+    docs = load_table(spark, sf_dir, "documents")
+    return T.oov_rate(docs, "text", "source", vocab_size=15).orderBy("source")
+
+
+@query(
+    "q154_hard_negatives",
+    oracle="""
+    WITH q AS (
+      SELECT vec_id AS query_id, label AS query_label,
+             CAST(embedding AS DOUBLE[]) AS qv
+      FROM embeddings
+      WHERE vec_id < 50 AND embedding IS NOT NULL AND len(embedding) > 0
+    ), c AS (
+      SELECT vec_id AS neighbor_id, label AS neighbor_label,
+             CAST(embedding AS DOUBLE[]) AS cv
+      FROM embeddings WHERE embedding IS NOT NULL AND len(embedding) > 0
+    ), scored AS (
+      SELECT query_id, query_label, neighbor_id, neighbor_label,
+             list_dot_product(qv, cv)
+             / (sqrt(list_dot_product(qv, qv)) * sqrt(list_dot_product(cv, cv)))
+               AS cosine_sim
+      FROM c, q WHERE neighbor_label <> query_label
+    ), ranked AS (
+      SELECT *, CAST(ROW_NUMBER() OVER (
+        PARTITION BY query_id ORDER BY cosine_sim DESC, neighbor_id
+      ) AS INT) AS rn FROM scored
+    )
+    SELECT query_id, query_label, neighbor_id, neighbor_label, cosine_sim, rn
+    FROM ranked WHERE rn <= 3
+    ORDER BY query_id, rn
+    """,
+)
+def q154_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hard-negative mining for a 50-query block: per query, the 3 most
+    cosine-similar vectors with a DIFFERENT label — the near-boundary
+    negatives contrastive retriever training feeds on (random negatives
+    carry no gradient). Same certified numeric core and broadcast-query /
+    corpus-never-shuffles shape as q29, with the label-mismatch predicate
+    applied before scoring. See
+    :func:`operators.similarity.hard_negative_topk`."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries_blk = emb.where(F.col("vec_id") < 50)
+    return (
+        S.hard_negative_topk(emb, queries_blk, "vec_id", "embedding", "label", k=3)
+        .orderBy("query_id", "rn")
+    )
 
 
 def _hll_oracle_sql(p: int) -> str:

@@ -233,3 +233,115 @@ def test_hll_rejects_out_of_range_precision(spark):
     df = spark.createDataFrame([("g", "x")], "grp string, v string")
     with pytest.raises(ValueError, match="p in"):
         hll_cardinality(df, "v", "grp", p=14)
+
+
+# ----------------------------------------------------------------- oov_rate
+
+
+def test_oov_rate_against_hand_count(spark):
+    from reactive_kinesis_spark.operators.text import oov_rate
+
+    # global counts: aa x4, bb x3, cc x2, dd x1 -> vocab(2) = {aa, bb}
+    rows = [
+        ("s1", "aa aa bb cc"),
+        ("s1", "aa bb dd"),
+        ("s2", "aa bb cc"),
+    ]
+    df = spark.createDataFrame(rows, "source string, text string")
+    out = {r.source: r for r in oov_rate(df, vocab_size=2).collect()}
+    # s1: 7 tokens, oov = cc + dd = 2; s2: 3 tokens, oov = cc = 1
+    assert out["s1"].n_tokens == 7 and out["s1"].n_oov == 2
+    assert out["s2"].n_tokens == 3 and out["s2"].n_oov == 1
+    assert out["s1"].oov_rate == 2.0 / 7.0
+    assert out["s2"].oov_rate == 1.0 / 3.0
+
+
+def test_oov_rate_vocab_tie_breaks_on_token(spark):
+    from reactive_kinesis_spark.operators.text import oov_rate
+
+    # bb and cc tie at 2; vocab(2) = {aa, bb} (count desc, token asc)
+    df = spark.createDataFrame(
+        [("s", "aa aa aa bb bb cc cc")], "source string, text string"
+    )
+    out = oov_rate(df, vocab_size=2).collect()[0]
+    assert out.n_oov == 2  # the two cc occurrences
+
+
+# ------------------------------------------------------- hard_negative_topk
+
+
+def test_hard_negatives_exclude_same_label(spark):
+    from reactive_kinesis_spark.operators.similarity import hard_negative_topk
+
+    rows = [
+        (1, [1.0, 0.0], 0),
+        (2, [0.99, 0.1], 0),   # same label as 1: excluded despite cos~1
+        (3, [0.9, 0.3], 1),
+        (4, [0.0, 1.0], 1),
+        (5, [-1.0, 0.0], 2),
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>, label int")
+    q = df.where(F.col("vec_id") == 1)
+    got = hard_negative_topk(df, q, k=2).orderBy("rn").collect()
+    assert [r.neighbor_id for r in got] == [3, 4]  # 3 closest, then 4; 2 skipped
+    assert all(r.neighbor_label != r.query_label for r in got)
+    assert got[0].cosine_sim > got[1].cosine_sim
+
+
+# --------------------------------------------------- semantic_decontaminate
+
+
+def test_semantic_decontaminate_flags_paraphrase_hit(spark):
+    from reactive_kinesis_spark.operators.similarity import semantic_decontaminate
+
+    train = spark.createDataFrame(
+        [
+            (1, [1.0, 0.0]),
+            (2, [0.0, 1.0]),
+            (3, [0.98, 0.05]),   # near-copy of eval item 100
+        ],
+        "vec_id long, embedding array<float>",
+    )
+    evalset = spark.createDataFrame(
+        [
+            (100, [1.0, 0.0]),      # contaminated: ~identical to 1 and 3
+            (101, [-1.0, -1.0]),    # nothing similar in train
+        ],
+        "vec_id long, embedding array<float>",
+    )
+    got = {
+        r.eval_id: r
+        for r in semantic_decontaminate(
+            train, evalset, k=2, iterations=1, threshold=0.9
+        ).collect()
+    }
+    assert 100 in got and got[100].n_train_hits == 2
+    assert abs(got[100].max_cos - 1.0) < 1e-9  # exact self-match with train id 1
+    assert 101 not in got  # negative-direction vector: no row
+
+
+def test_kmeans_centroids_fit_apply_matches_kmeans_assign(spark, sf_dir):
+    """Regression for the round-10 fit/apply split: assigning the training
+    corpus under the exposed centroids must reproduce kmeans_assign
+    bit-for-bit (same clusters, same distances)."""
+    from reactive_kinesis_spark.operators.similarity import (
+        _kmeans_assign_to,
+        _kmeans_prepare,
+        kmeans_assign,
+        kmeans_centroids,
+    )
+    from reactive_kinesis_spark.tables import load_table
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    direct = {
+        r.vec_id: (r.cluster, r.dist)
+        for r in kmeans_assign(emb, k=4, iterations=1).collect()
+    }
+    cents = kmeans_centroids(emb, k=4, iterations=1)
+    split = {
+        r["__id"]: (r["cluster"], r["dist"])
+        for r in _kmeans_assign_to(
+            _kmeans_prepare(emb, "embedding", "vec_id"), cents
+        ).collect()
+    }
+    assert direct == split
