@@ -323,3 +323,63 @@ def _gc_superseded(
             continue
         if bid <= wm:  # folded into a PUBLISHED base — no reader needs it
             shutil.rmtree(os.path.join(delta_dir, entry), ignore_errors=True)
+
+
+# --------------------------------------------------------------------------
+# Continuous heavy hitters — a rollup-backed streaming top-k view
+# --------------------------------------------------------------------------
+
+
+def token_rollup_spec(token_col: str = "token") -> RollupSpec:
+    """Spec for a token-frequency rollup: one key, count-only measures —
+    the vocabulary ledger behind :func:`read_heavy_hitters`."""
+    return RollupSpec(keys=(token_col,))
+
+
+def continuous_heavy_hitters(out_dir: str, text_col: str = "text", token_col: str = "token"):
+    """``foreachBatch`` writer maintaining a continuously-updated token
+    frequency table from a TEXT stream — the streaming form of the q82
+    heavy-hitters scan: each micro-batch explodes its documents into
+    tokens and folds the counts into the rollup ledger (exactly-once
+    replay-overwrite, compactable, mergeable — all inherited from
+    :func:`continuous_rollup`).
+
+    Unlike a count-min sketch (q139), the rollup keeps EXACT counts at
+    per-token granularity; the trade is state linear in vocabulary size
+    — fine for word-like vocabularies (millions of keys = one small
+    table), wrong for unbounded keys (use the sketch then). At 100 TB
+    the delta written per micro-batch is the batch's OWN vocabulary
+    (map-side combined), not the corpus's.
+    """
+    spec = token_rollup_spec(token_col)
+    inner = continuous_rollup(out_dir, spec)
+
+    def write(batch_df: DataFrame, batch_id: int) -> None:
+        toks = batch_df.where(F.col(text_col).isNotNull()).select(
+            F.explode(F.split(F.col(text_col), " ")).alias(token_col)
+        )
+        inner(toks, batch_id)
+
+    return write
+
+
+def read_heavy_hitters(
+    spark: SparkSession,
+    out_dir: str,
+    k: int = 10,
+    token_col: str = "token",
+) -> DataFrame:
+    """Current top-``k`` tokens from a :func:`continuous_heavy_hitters`
+    ledger: merge base + fresh deltas (one groupBy over pre-aggregated
+    partials), then a bounded ``orderBy(n desc, token).limit(k)`` —
+    distributed TakeOrdered over the vocabulary table, never a global
+    sort of raw data. Deterministic: count desc, token asc total order.
+    The result equals the batch q82 answer over every row the stream has
+    committed — the stream≡batch contract, pinned by
+    ``tests/test_rollup.py``."""
+    merged = read_rollup(spark, out_dir, token_rollup_spec(token_col))
+    return (
+        merged.orderBy(F.col("n").desc(), token_col)
+        .limit(k)
+        .select(token_col, "n")
+    )

@@ -324,3 +324,69 @@ def test_live_reader_survives_concurrent_compaction(spark, tmp_path):
     }
     assert got == want
     assert _snapshot(spark, out_dir) == want  # new-manifest readers agree
+
+
+# ------------------------------------------------- continuous heavy hitters
+
+
+TEXT_SCHEMA = T.StructType([T.StructField("text", T.StringType())])
+
+
+def test_continuous_heavy_hitters_matches_batch_topk(spark, tmp_path):
+    """Stream a text corpus through the heavy-hitters rollup and check
+    the top-k view equals the batch explode/count/top-k over the same
+    rows (the stream≡batch contract), including the compaction path."""
+    from reactive_kinesis_spark.streaming.rollup import (
+        compact_rollup,
+        continuous_heavy_hitters,
+        read_heavy_hitters,
+        token_rollup_spec,
+    )
+
+    in_dir, out_dir, ckpt = (
+        str(tmp_path / "in"),
+        str(tmp_path / "hh"),
+        str(tmp_path / "ckpt"),
+    )
+    chunks = [
+        [("aa bb aa cc",), ("bb aa dd",)],
+        [("cc cc bb",), (None,), ("aa ee",)],
+        [("dd dd dd ee",)],
+    ]
+    for i, rows in enumerate(chunks):
+        spark.createDataFrame(rows, TEXT_SCHEMA).coalesce(1).write.mode(
+            "overwrite"
+        ).parquet(os.path.join(in_dir, f"c{i}"))
+    stream = (
+        spark.readStream.schema(TEXT_SCHEMA)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(in_dir + "/*")
+    )
+    q = (
+        stream.writeStream.foreachBatch(continuous_heavy_hitters(out_dir))
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+
+    batch = (
+        spark.read.parquet(*[os.path.join(in_dir, f"c{i}") for i in range(3)])
+        .where(F.col("text").isNotNull())
+        .select(F.explode(F.split("text", " ")).alias("token"))
+        .groupBy("token")
+        .agg(F.count(F.lit(1)).cast("long").alias("n"))
+        .orderBy(F.col("n").desc(), "token")
+        .limit(3)
+    )
+    want = [(r.token, r.n) for r in batch.collect()]
+    got = [(r.token, r.n) for r in read_heavy_hitters(spark, out_dir, k=3).collect()]
+    assert got == want
+    # aa x4, bb x3, cc x3, dd x4, ee x2 -> top3 = aa, dd, bb (count desc, tok asc)
+    assert got == [("aa", 4), ("dd", 4), ("bb", 3)]
+
+    # compaction folds the per-batch deltas and the view is unchanged
+    stats = compact_rollup(spark, out_dir, token_rollup_spec())
+    assert stats["folded_batches"] >= 1
+    after = [(r.token, r.n) for r in read_heavy_hitters(spark, out_dir, k=3).collect()]
+    assert after == want
