@@ -1121,6 +1121,64 @@ def semantic_dedup(
     )
 
 
+def pq_encode(
+    vectors: DataFrame,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    dim: int = 64,
+    m: int = 2,
+    k: int = 4,
+    iterations: int = 1,
+) -> DataFrame:
+    """Product quantization (Jégou et al. 2011): split each ``dim``-d
+    vector into ``m`` equal subvectors, fit an independent deterministic
+    k-means codebook (``k`` codewords) per subspace, and encode every
+    vector as its ``m`` nearest-codeword ids — the compressed
+    representation behind billion-scale ANN (``m·log2(k)`` bits per
+    vector instead of ``dim`` floats; asymmetric distances then come
+    from ``m`` table lookups instead of a ``dim``-wide fold). Extends
+    q68's SCALAR quantization (per-dimension buckets) with learned,
+    jointly-coded subspaces.
+
+    Determinism/certifiability: each subspace codebook is the
+    :func:`kmeans_assign` contract (smallest-id seeding, fold-order
+    pinned distances, decimal-exact means) over the SLICED vectors, and
+    the reconstruction error is the sum of the per-subspace squared
+    distances added in subspace order (a fixed-shape chain, not an
+    aggregation) — so codes AND errors are bit-equal cross-engine
+    (q155's unrolled per-subspace oracle chains).
+
+    Returns per vector: ``(id_col, code_0..code_{m-1}, recon_err)``.
+
+    100 TB shape: ``m`` independent k-row-broadcast assignment passes
+    over narrow sliced projections (no shuffle of the corpus), joined
+    back on the id — at scale the m passes share the one corpus scan
+    (same stage, column-pruned); codebooks are k·(dim/m) doubles each,
+    trivially broadcast.
+    """
+    if dim % m != 0:
+        raise ValueError(f"dim={dim} not divisible by m={m} subspaces")
+    sub = dim // m
+    v = _kmeans_prepare(vectors, vec_col, id_col).where(F.size("__vec") == dim)
+    out = None
+    for s in range(m):
+        sv = v.select("__id", F.slice("__vec", s * sub + 1, sub).alias("__sv"))
+        a = kmeans_assign(sv, "__sv", "__id", k=k, iterations=iterations).select(
+            F.col("__id"),
+            F.col("cluster").alias(f"code_{s}"),
+            F.col("dist").alias(f"__dist_{s}"),
+        )
+        out = a if out is None else out.join(a, "__id")
+    recon = F.col("__dist_0")
+    for s in range(1, m):
+        recon = recon + F.col(f"__dist_{s}")
+    return out.select(
+        F.col("__id").alias(id_col),
+        *[f"code_{s}" for s in range(m)],
+        recon.alias("recon_err"),
+    )
+
+
 def semantic_decontaminate(
     train: DataFrame,
     evalset: DataFrame,

@@ -1991,54 +1991,68 @@ def q114_rrf_fusion(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _kmeans_assign_ctes(
-    k: int, iterations: int, extra_where: str = ""
+    k: int,
+    iterations: int,
+    extra_where: str = "",
+    prefix: str = "",
+    vec_expr: str = "embedding",
+    leading_with: bool = True,
 ) -> tuple[list[str], str]:
-    """The unrolled Lloyd k-means CTE chain shared by the q124, q148 and
-    q152 oracles: returns ``(parts, final)`` where ``parts`` is the
-    WITH-chain up to the final assignment CTE (trailing comma intact) and
-    ``final`` is that CTE's name (``a{iterations+1}``, columns
-    ``vec_id/cluster/dist``). ``extra_where`` restricts the fit corpus
-    (q152 fits on train only). Distances are the same sequential
-    left-fold DuckDB ``list_reduce`` / Spark ``aggregate`` both use (q52
-    parity pattern); centroid means go through the shared DECIMAL(38,6)
-    path."""
+    """The unrolled Lloyd k-means CTE chain shared by the q124, q148,
+    q152 and q155 oracles: returns ``(parts, final)`` where ``parts`` is
+    the WITH-chain up to the final assignment CTE (trailing comma intact)
+    and ``final`` is that CTE's name (``{prefix}a{iterations+1}``,
+    columns ``vec_id/cluster/dist``). ``extra_where`` restricts the fit
+    corpus (q152 fits on train only); ``prefix``/``vec_expr``/
+    ``leading_with`` let several independent chains coexist in one query
+    over derived vector expressions (q155 runs one chain per PQ
+    subspace). All defaults reproduce the q124 oracle text byte for
+    byte. Distances are the same sequential left-fold DuckDB
+    ``list_reduce`` / Spark ``aggregate`` both use (q52 parity pattern);
+    centroid means go through the shared DECIMAL(38,6) path."""
     from reactive_kinesis_spark.functions import davg_sql
+
+    vname = f"{prefix}v"
+    vsel = "embedding" if vec_expr == "embedding" else f"{vec_expr} AS embedding"
+    vfrom = f"{vname} v" if prefix else "v"
+    ujoin = f"JOIN {vname} v USING" if prefix else "JOIN v USING"
+    lead = "WITH " if leading_with else ""
 
     def dist_cte(n: int, cents: str) -> list[str]:
         return [
-            f"d{n} AS (SELECT v.vec_id, c.cid,",
+            f"{prefix}d{n} AS (SELECT v.vec_id, c.cid,",
             "  list_reduce(list_transform(range(1, 1 + len(v.embedding)),",
             "    i -> (CAST(v.embedding[i] AS DOUBLE) - c.cent[i])",
             "       * (CAST(v.embedding[i] AS DOUBLE) - c.cent[i])),",
             "    (a, b) -> a + b) AS dist",
-            f"  FROM v CROSS JOIN {cents} c),",
-            f"a{n} AS (SELECT vec_id, cid AS cluster, dist FROM",
+            f"  FROM {vfrom} CROSS JOIN {cents} c),",
+            f"{prefix}a{n} AS (SELECT vec_id, cid AS cluster, dist FROM",
             "  (SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id",
-            f"     ORDER BY dist, cid) AS rn FROM d{n}) WHERE rn = 1),",
+            f"     ORDER BY dist, cid) AS rn FROM {prefix}d{n}) WHERE rn = 1),",
         ]
 
     parts = [
-        "WITH v AS (SELECT vec_id, embedding FROM embeddings",
+        f"{lead}{vname} AS (SELECT vec_id, {vsel} FROM embeddings",
         f"  WHERE embedding IS NOT NULL AND len(embedding) > 0{extra_where}),",
-        "c0 AS (SELECT ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS cid,",
+        f"{prefix}c0 AS (SELECT ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS cid,",
         "  list_transform(embedding, x -> CAST(x AS DOUBLE)) AS cent",
-        f"  FROM (SELECT * FROM v ORDER BY vec_id LIMIT {k})),",
+        f"  FROM (SELECT * FROM {vname} ORDER BY vec_id LIMIT {k})),",
     ]
     for i in range(1, iterations + 1):
-        parts += dist_cte(i, f"c{i - 1}")
+        parts += dist_cte(i, f"{prefix}c{i - 1}")
         parts += [
-            f"u{i} AS (SELECT a.cluster AS cid, p.pos,",
+            f"{prefix}u{i} AS (SELECT a.cluster AS cid, p.pos,",
             f"  {davg_sql('CAST(p.x AS DOUBLE)', 'm')}",
-            f"  FROM a{i} a JOIN v USING (vec_id),",
+            f"  FROM {prefix}a{i} a {ujoin} (vec_id),",
             "  LATERAL (SELECT unnest(v.embedding) AS x,",
             "           generate_subscripts(v.embedding, 1) AS pos) p",
             "  GROUP BY a.cluster, p.pos),",
-            f"c{i} AS (SELECT cid, array_agg(m ORDER BY pos) AS cent",
-            f"  FROM u{i} GROUP BY cid),",
+            f"{prefix}c{i} AS (SELECT cid, array_agg(m ORDER BY pos) AS cent",
+            f"  FROM {prefix}u{i} GROUP BY cid),",
         ]
     final = iterations + 1
-    parts += dist_cte(final, f"c{iterations}")
-    return parts, f"a{final}"
+    parts += dist_cte(final, f"{prefix}c{iterations}")
+    return parts, f"{prefix}a{final}"
 
 
 def _kmeans_oracle_sql(k: int, iterations: int) -> str:
@@ -2140,6 +2154,73 @@ def q148_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return semantic_dedup(
         emb, "embedding", "vec_id", k=8, iterations=2, threshold=0.3
     ).orderBy("cluster")
+
+
+def _pq_oracle_sql(dim: int, m: int, k: int, iterations: int) -> str:
+    """q155 oracle: one unrolled k-means chain per PQ subspace (prefixed
+    CTE names over sliced vector expressions), codes joined on vec_id,
+    reconstruction error as the fixed-order sum of per-subspace
+    distances, cell stats through the exact-decimal path."""
+    from reactive_kinesis_spark.functions import davg_sql, dsum_sql
+
+    sub = dim // m
+    parts: list[str] = []
+    finals: list[str] = []
+    for s in range(m):
+        chain, final = _kmeans_assign_ctes(
+            k,
+            iterations,
+            extra_where=f" AND len(embedding) = {dim}",
+            prefix=f"s{s}_",
+            vec_expr=f"embedding[{s * sub + 1}:{(s + 1) * sub}]",
+            leading_with=(s == 0),
+        )
+        parts += chain
+        finals.append(final)
+    code_cols = ", ".join(
+        f"a{s}.cluster AS code_{s}" for s in range(m)
+    )
+    recon = " + ".join(f"a{s}.dist" for s in range(m))
+    joins = f"FROM {finals[0]} a0" + "".join(
+        f" JOIN {finals[s]} a{s} USING (vec_id)" for s in range(1, m)
+    )
+    group = ", ".join(f"code_{s}" for s in range(m))
+    parts += [
+        f"enc AS (SELECT a0.vec_id, {code_cols},",
+        f"  {recon} AS recon_err",
+        f"  {joins})",
+        f"SELECT {group}, CAST(COUNT(*) AS BIGINT) AS n_vecs,",
+        f"  {dsum_sql('recon_err', 'err_sum')},",
+        f"  {davg_sql('recon_err', 'err_avg')}",
+        f"FROM enc GROUP BY {group} ORDER BY {group}",
+    ]
+    return "\n".join(parts)
+
+
+@query("q155_product_quantization", oracle=_pq_oracle_sql(dim=64, m=2, k=4, iterations=1))
+def q155_product_quantization(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product-quantization codebook fit + encode (Jégou et al. 2011):
+    two 32-d subspaces, 4 deterministic-k-means codewords each, every
+    vector encoded as its nearest codeword pair — the compressed
+    representation behind billion-scale ANN, extending q68's scalar
+    quantization with learned subspace codebooks. Reported per code cell:
+    occupancy and exact-decimal reconstruction-error stats. Fully
+    HASH-CERTIFIED: one unrolled k-means chain per subspace (prefixed
+    CTEs over sliced vectors), fixed-order error sum. See
+    :func:`operators.similarity.pq_encode`."""
+    from reactive_kinesis_spark.operators.similarity import pq_encode
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    pq = pq_encode(emb, "embedding", "vec_id", dim=64, m=2, k=4, iterations=1)
+    return (
+        pq.groupBy("code_0", "code_1")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_vecs"),
+            NF.dsum("recon_err", "err_sum"),
+            NF.davg("recon_err", "err_avg"),
+        )
+        .orderBy("code_0", "code_1")
+    )
 
 
 def _semdecontam_oracle_sql(

@@ -345,3 +345,69 @@ def test_kmeans_centroids_fit_apply_matches_kmeans_assign(spark, sf_dir):
         ).collect()
     }
     assert direct == split
+
+
+# ------------------------------------------------------------------ pq_encode
+
+
+def test_pq_encode_exact_codebook_member_has_zero_error(spark):
+    from reactive_kinesis_spark.operators.similarity import pq_encode
+
+    # iterations=0: codebooks are the slices of the two smallest ids.
+    # id 3 duplicates id 1 -> same codes, recon_err exactly 0.
+    rows = [
+        (1, [1.0, 0.0, 0.0, 1.0]),
+        (2, [0.0, 1.0, 1.0, 0.0]),
+        (3, [1.0, 0.0, 0.0, 1.0]),
+        (4, [0.9, 0.1, 0.2, 0.8]),
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    got = {
+        r.vec_id: r
+        for r in pq_encode(df, dim=4, m=2, k=2, iterations=0).collect()
+    }
+    assert got[1].recon_err == 0.0 and got[2].recon_err == 0.0
+    assert (got[3].code_0, got[3].code_1) == (got[1].code_0, got[1].code_1)
+    assert got[3].recon_err == 0.0
+    assert got[4].recon_err > 0.0
+    for r in got.values():
+        assert 0 <= r.code_0 < 2 and 0 <= r.code_1 < 2
+
+
+def test_pq_encode_matches_per_subspace_kmeans(spark, sf_dir):
+    """recon_err must be bit-equal to the sum (in subspace order) of the
+    per-subspace kmeans_assign distances over sliced vectors."""
+    from pyspark.sql import functions as FF
+
+    from reactive_kinesis_spark.operators.similarity import kmeans_assign, pq_encode
+    from reactive_kinesis_spark.tables import load_table
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    got = {
+        r.vec_id: (r.code_0, r.code_1, r.recon_err)
+        for r in pq_encode(emb, dim=64, m=2, k=4, iterations=1).collect()
+    }
+    parts = []
+    for s in range(2):
+        sv = emb.select(
+            "vec_id", FF.slice("embedding", s * 32 + 1, 32).alias("sv")
+        )
+        parts.append(
+            {
+                r.vec_id: (r.cluster, r.dist)
+                for r in kmeans_assign(sv, "sv", "vec_id", k=4, iterations=1).collect()
+            }
+        )
+    for vid, (c0, c1, err) in got.items():
+        assert parts[0][vid][0] == c0 and parts[1][vid][0] == c1
+        assert err == parts[0][vid][1] + parts[1][vid][1]
+
+
+def test_pq_encode_rejects_indivisible_dim(spark):
+    import pytest
+
+    from reactive_kinesis_spark.operators.similarity import pq_encode
+
+    df = spark.createDataFrame([(1, [1.0, 2.0, 3.0])], "vec_id long, embedding array<float>")
+    with pytest.raises(ValueError, match="not divisible"):
+        pq_encode(df, dim=3, m=2)
