@@ -1179,6 +1179,93 @@ def pq_encode(
     )
 
 
+def pq_adc_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    dim: int = 64,
+    m: int = 2,
+    k_codebook: int = 4,
+    iterations: int = 1,
+    k: int = 5,
+    max_query_rows: int = 65_536,
+) -> DataFrame:
+    """Asymmetric distance computation (ADC) over :func:`pq_encode` codes
+    — the search half of product quantization: the query stays
+    full-precision, the corpus is its code tuples, and the approximate
+    squared-L2 distance is ``Σ_s table_s[query][code_s]`` where each
+    table holds the query's exact distance to every codeword of subspace
+    ``s``. At 100 TB this is why PQ wins: the corpus-wide scan touches
+    ``m`` SMALL-INT codes per vector plus a broadcast (#queries ×
+    k_codebook × m)-entry lookup table — never the original floats.
+
+    Determinism/certifiability: codebooks and codes are the
+    :func:`pq_encode` contract; each table entry is the same pinned
+    squared-L2 fold; the ADC sum adds subspace terms in fixed order; the
+    final rank is ``(adc_dist asc, neighbor_id)`` — a total order. So
+    the approximate RESULT SET is bit-equal cross-engine (the q151/q139
+    "certify the approximation itself" discipline).
+
+    ``max_query_rows`` bounds the broadcast query block loudly (the
+    :func:`cosine_topk` guard). Returns
+    ``(query_id, neighbor_id, adc_dist, rn)``.
+    """
+    if dim % m != 0:
+        raise ValueError(f"dim={dim} not divisible by m={m} subspaces")
+    nq = queries.limit(max_query_rows + 1).count()
+    if nq > max_query_rows:
+        raise ValueError(
+            f"query block exceeds max_query_rows={max_query_rows}"
+        )
+    sub = dim // m
+    codes = pq_encode(
+        corpus, vec_col, id_col, dim=dim, m=m, k=k_codebook, iterations=iterations
+    )
+    cv = _kmeans_prepare(corpus, vec_col, id_col).where(F.size("__vec") == dim)
+    qv = _kmeans_prepare(queries, vec_col, id_col).where(F.size("__vec") == dim)
+    out = codes.select(F.col(id_col).alias("neighbor_id"), *[f"code_{s}" for s in range(m)])
+    for s in range(m):
+        cents = kmeans_centroids(
+            cv.select(
+                F.col("__id").alias(id_col),
+                F.slice("__vec", s * sub + 1, sub).alias("__sv"),
+            ),
+            "__sv",
+            id_col,
+            k=k_codebook,
+            iterations=iterations,
+        )
+        qslice = qv.select(
+            F.col("__id").alias("query_id"),
+            F.slice("__vec", s * sub + 1, sub).alias("__qs"),
+        )
+        table = qslice.crossJoin(F.broadcast(cents)).select(
+            "query_id",
+            F.col("cid").alias(f"code_{s}"),
+            F.aggregate(
+                F.zip_with(
+                    "__qs",
+                    "cent",
+                    lambda x, cc: (x.cast("double") - cc) * (x.cast("double") - cc),
+                ),
+                F.lit(0.0),
+                lambda acc, val: acc + val,
+            ).alias(f"__qd_{s}"),
+        )
+        on = [f"code_{s}"] if s == 0 else [f"code_{s}", "query_id"]
+        out = out.join(F.broadcast(table), on)
+    adc = F.col("__qd_0")
+    for s in range(1, m):
+        adc = adc + F.col(f"__qd_{s}")
+    w = Window.partitionBy("query_id").orderBy(F.col("adc_dist").asc(), "neighbor_id")
+    return (
+        out.select("query_id", "neighbor_id", adc.alias("adc_dist"))
+        .withColumn("rn", F.row_number().over(w).cast("int"))
+        .where(F.col("rn") <= k)
+    )
+
+
 def semantic_decontaminate(
     train: DataFrame,
     evalset: DataFrame,

@@ -48,22 +48,22 @@ def query(name: str, oracle: str | None = None):
 #: queries get the visible slots — never-certified first, then queries whose
 #: CODE OR ORACLE CHANGED since their last green row (a stale green row
 #: proves the old query, not this one), then by staleness. This round:
-#:   slots 0-11  — round-10 never-hash-certified queries: the eight NEW
+#:   slots 0-12  — round-10 never-hash-certified queries: the nine NEW
 #:                 round-10 operators (q148 SemDeDup, q149 quality-rule
 #:                 battery, q150 token-budget allocation, q151 portable
 #:                 HLL, q152 semantic decontamination, q153 OOV rate,
-#:                 q154 hard negatives, q155 product quantization) and
-#:                 the four oracle graduations — q23/q24 (MinHash-LSH /
-#:                 SimHash via the portable md5-prefix hash family) and
-#:                 q122/q123 (perceptual-hash near-dup via the
-#:                 integer-exact aHash), each with a fully unrolled
-#:                 oracle;
-#:   slots 12-49 — 38 of the 39 _DEFERRED_R9 queries (r6-certified, the
-#:                 oldest rows in the ledger); the 39th (q67, displaced
-#:                 by q155) heads _DEFERRED_R11 alongside ALL 44
-#:                 r7-certified queries (the 145-oracle/50-slot rotation
-#:                 math makes a ≈3-round staleness floor the best
-#:                 achievable).
+#:                 q154 hard negatives, q155 product quantization, q156
+#:                 PQ-ADC search) and the four oracle graduations —
+#:                 q23/q24 (MinHash-LSH / SimHash via the portable
+#:                 md5-prefix hash family) and q122/q123 (perceptual-hash
+#:                 near-dup via the integer-exact aHash), each with a
+#:                 fully unrolled oracle;
+#:   slots 13-49 — 37 of the 39 _DEFERRED_R9 queries (r6-certified, the
+#:                 oldest rows in the ledger); the other two (q66/q67,
+#:                 displaced by q155/q156) head _DEFERRED_R11 alongside
+#:                 ALL 44 r7-certified queries (the 146-oracle/50-slot
+#:                 rotation math makes a ≈3-round staleness floor the
+#:                 best achievable).
 #: Everything past the window remains fully oracle-checked locally every
 #: session (tests/test_oracle_parity.py runs the ENTIRE registry against
 #: DuckDB).
@@ -77,6 +77,7 @@ _WINDOW = (
     "q153_oov_rate",
     "q154_hard_negatives",
     "q155_product_quantization",
+    "q156_pq_adc_search",
     # -- round-10 oracle graduations (never hash-certified) --
     "q23_dedup_minhash_lsh",
     "q24_dedup_simhash",
@@ -120,11 +121,11 @@ _WINDOW = (
     "q62_token_packing",
     "q64_decontamination",
     "q65_mixture_sample",
-    "q66_repetition_stats",
 )
 #: r7-certified queries that don't fit this round's window; they take
 #: round-11 slots (the 135-oracle/50-slot rotation's staleness floor).
 _DEFERRED_R11 = (
+    "q66_repetition_stats",
     "q67_pii_redaction",
     "q01_pricing_summary",
     "q03_join_agg_topk",

@@ -2223,6 +2223,85 @@ def q155_product_quantization(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _pq_adc_oracle_sql(
+    dim: int, m: int, k_codebook: int, iterations: int, k: int, query_pred: str
+) -> str:
+    """q156 oracle: the q155 per-subspace chains give corpus codes AND
+    final codebooks; per-query distance tables are the same pinned
+    squared-L2 fold of the SLICED query against every codeword; ADC is
+    the fixed-order sum of table lookups, ranked (adc asc, neighbor)."""
+    sub = dim // m
+    parts: list[str] = []
+    finals: list[str] = []
+    for s in range(m):
+        chain, final = _kmeans_assign_ctes(
+            k_codebook,
+            iterations,
+            extra_where=f" AND len(embedding) = {dim}",
+            prefix=f"s{s}_",
+            vec_expr=f"embedding[{s * sub + 1}:{(s + 1) * sub}]",
+            leading_with=(s == 0),
+        )
+        parts += chain
+        finals.append(final)
+    for s in range(m):
+        lo, hi = s * sub + 1, (s + 1) * sub
+        parts += [
+            f"qv{s} AS (SELECT vec_id AS query_id, embedding[{lo}:{hi}] AS qs",
+            "  FROM embeddings WHERE embedding IS NOT NULL",
+            f"    AND len(embedding) = {dim} AND {query_pred}),",
+            f"t{s} AS (SELECT q.query_id, c.cid AS code_{s},",
+            "  list_reduce(list_transform(range(1, 1 + len(q.qs)),",
+            "    i -> (CAST(q.qs[i] AS DOUBLE) - c.cent[i])",
+            "       * (CAST(q.qs[i] AS DOUBLE) - c.cent[i])),",
+            f"    (a, b) -> a + b) AS qd_{s}",
+            f"  FROM qv{s} q CROSS JOIN s{s}_c{iterations} c),",
+        ]
+    code_cols = ", ".join(f"a{s}.cluster AS code_{s}" for s in range(m))
+    joins = f"FROM {finals[0]} a0" + "".join(
+        f" JOIN {finals[s]} a{s} USING (vec_id)" for s in range(1, m)
+    )
+    tjoins = "JOIN t0 USING (code_0)" + "".join(
+        f" JOIN t{s} USING (code_{s}, query_id)" for s in range(1, m)
+    )
+    adc = " + ".join(f"qd_{s}" for s in range(m))
+    parts += [
+        f"enc AS (SELECT a0.vec_id AS neighbor_id, {code_cols} {joins}),",
+        f"scored AS (SELECT query_id, neighbor_id, {adc} AS adc_dist",
+        f"  FROM enc {tjoins}),",
+        "ranked AS (SELECT *, CAST(ROW_NUMBER() OVER (",
+        "  PARTITION BY query_id ORDER BY adc_dist, neighbor_id) AS INT) AS rn",
+        "  FROM scored)",
+        f"SELECT query_id, neighbor_id, adc_dist, rn FROM ranked WHERE rn <= {k}",
+        "ORDER BY query_id, rn",
+    ]
+    return "\n".join(parts)
+
+
+@query(
+    "q156_pq_adc_search",
+    oracle=_pq_adc_oracle_sql(
+        dim=64, m=2, k_codebook=4, iterations=1, k=5, query_pred="vec_id < 20"
+    ),
+)
+def q156_pq_adc_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Asymmetric-distance PQ search (the q155 codes put to work): a
+    20-query block scans the corpus as 2 small-int codes per vector plus
+    a broadcast query×codeword lookup table — never the original floats —
+    and returns approximate top-5 neighbors. The approximation ITSELF is
+    hash-certified (codes, tables, fixed-order ADC sum, total-order
+    rank), the q139/q151 discipline. See
+    :func:`operators.similarity.pq_adc_topk`."""
+    from reactive_kinesis_spark.operators.similarity import pq_adc_topk
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries_blk = emb.where(F.col("vec_id") < 20)
+    return pq_adc_topk(
+        emb, queries_blk, "embedding", "vec_id",
+        dim=64, m=2, k_codebook=4, iterations=1, k=5,
+    ).orderBy("query_id", "rn")
+
+
 def _semdecontam_oracle_sql(
     k: int, iterations: int, threshold: str, eval_pred: str, train_pred: str
 ) -> str:

@@ -411,3 +411,88 @@ def test_pq_encode_rejects_indivisible_dim(spark):
     df = spark.createDataFrame([(1, [1.0, 2.0, 3.0])], "vec_id long, embedding array<float>")
     with pytest.raises(ValueError, match="not divisible"):
         pq_encode(df, dim=3, m=2)
+
+
+# ---------------------------------------------------------------- pq_adc_topk
+
+
+def test_pq_adc_codebook_member_query_ranks_itself_first(spark):
+    from reactive_kinesis_spark.operators.similarity import pq_adc_topk
+
+    rows = [
+        (1, [1.0, 0.0, 0.0, 1.0]),
+        (2, [0.0, 1.0, 1.0, 0.0]),
+        (3, [0.9, 0.1, 0.1, 0.9]),
+        (4, [0.1, 0.9, 0.8, 0.2]),
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    q = df.where(F.col("vec_id") == 1)
+    got = pq_adc_topk(
+        df, q, dim=4, m=2, k_codebook=2, iterations=0, k=4
+    ).orderBy("rn").collect()
+    # query 1 IS codeword 0 in both subspaces: ADC to itself is exactly 0,
+    # and to every vector sharing its codes is also 0 (id tie-break)
+    assert got[0].neighbor_id == 1 and got[0].adc_dist == 0.0
+    # ADC distances are non-decreasing in rank
+    dists = [r.adc_dist for r in got]
+    assert dists == sorted(dists)
+
+
+def test_pq_adc_matches_manual_table_sum(spark):
+    """ADC(q, x) must be bit-equal to qdist_0[code_0(x)] + qdist_1[code_1(x)]
+    computed independently from the exposed codebooks and codes."""
+    from reactive_kinesis_spark.operators.similarity import (
+        kmeans_centroids,
+        pq_adc_topk,
+        pq_encode,
+    )
+    from reactive_kinesis_spark.tables import load_table
+
+    emb = load_table(spark, "/root/testdata/sf0.001", "embeddings")
+    q = emb.where(F.col("vec_id") == 7)
+    got = {
+        r.neighbor_id: r.adc_dist
+        for r in pq_adc_topk(
+            emb, q, dim=64, m=2, k_codebook=4, iterations=1, k=3
+        ).collect()
+    }
+    codes = {
+        r.vec_id: (r.code_0, r.code_1)
+        for r in pq_encode(emb, dim=64, m=2, k=4, iterations=1).collect()
+    }
+    qrow = q.select("embedding").collect()[0][0]
+    tables = []
+    for s in range(2):
+        sv = emb.select("vec_id", F.slice("embedding", s * 32 + 1, 32).alias("sv"))
+        cents = {
+            r.cid: r.cent
+            for r in kmeans_centroids(sv, "sv", "vec_id", k=4, iterations=1).collect()
+        }
+        qs = [float(x) for x in qrow[s * 32 : (s + 1) * 32]]
+        tables.append(
+            {
+                cid: _fold_sq_dist(qs, cent)
+                for cid, cent in cents.items()
+            }
+        )
+    for nid, adc in got.items():
+        c0, c1 = codes[nid]
+        assert adc == tables[0][c0] + tables[1][c1]
+
+
+def _fold_sq_dist(q, cent):
+    acc = 0.0
+    for x, c in zip(q, cent):
+        acc = acc + (x - c) * (x - c)
+    return acc
+
+
+def test_pq_adc_query_block_guard(spark):
+    import pytest
+
+    from reactive_kinesis_spark.operators.similarity import pq_adc_topk
+
+    rows = [(i, [float(i), 0.0]) for i in range(10)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    with pytest.raises(ValueError, match="max_query_rows"):
+        pq_adc_topk(df, df, dim=2, m=1, k_codebook=2, max_query_rows=5)
