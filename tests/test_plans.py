@@ -680,3 +680,48 @@ def test_stat_tests_are_scalar_aggregates(spark, sf_dir):
         assert "Join" not in plan
         assert len(re.findall(r"^\(\d+\) Scan parquet", plan, re.M)) == 1
         assert "partial_" in plan
+
+
+def test_oov_vocab_probe_is_broadcast(spark, sf_dir):
+    """q153's vocabulary must re-enter the plan as a BROADCAST membership
+    probe with a bounded TakeOrdered feeding it — the corpus token stream
+    never shuffles to join a K-row frame."""
+    plan = _plan(load_all()["q153_oov_rate"].fn(spark, sf_dir))
+    assert "BroadcastHashJoin" in plan
+    assert "TakeOrderedAndProject" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_hard_negatives_query_block_is_broadcast(spark, sf_dir):
+    """q154: the query block broadcasts (BroadcastNestedLoopJoin over the
+    crossJoin) — the corpus side must not shuffle to score."""
+    plan = _plan(load_all()["q154_hard_negatives"].fn(spark, sf_dir))
+    assert "BroadcastNestedLoopJoin" in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_hll_collapses_to_register_file_before_the_group_merge(spark, sf_dir):
+    """q151: the corpus must collapse map-side — partial+final hash
+    aggregation on (group, bucket), never a raw-row shuffle."""
+    plan = _plan(load_all()["q151_hll_portable"].fn(spark, sf_dir))
+    assert plan.count("HashAggregate") >= 2 and "partial_" in plan
+
+
+def test_pq_adc_tables_are_broadcast(spark, sf_dir):
+    """q156: every per-subspace query table joins the code frame as a
+    BROADCAST — the code scan must never shuffle on code values."""
+    plan = _plan(load_all()["q156_pq_adc_search"].fn(spark, sf_dir))
+    assert plan.count("BroadcastHashJoin") >= 2  # one per subspace table
+    assert "CartesianProduct" not in plan
+
+
+def test_quality_battery_single_pass(spark, sf_dir):
+    """q149: one scan of documents, one partial+final group-by — no joins,
+    no windows, no second pass."""
+    plan = _plan(load_all()["q149_quality_rule_battery"].fn(spark, sf_dir))
+    assert "Join" not in plan and "Window" not in plan
+    # one scan node (formatted explain renders it in the tree AND the
+    # node-details section, hence <= 2 occurrences; a double-scan
+    # regression would show 4+)
+    assert 1 <= plan.count("Scan parquet") <= 2
+    assert plan.count("HashAggregate") >= 2 and "partial_" in plan
