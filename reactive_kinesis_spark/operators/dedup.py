@@ -653,6 +653,48 @@ def minhash_signatures(
     return sh.groupBy(id_col).agg(*aggs)
 
 
+def _band_candidates(
+    sig: DataFrame,
+    id_col: str,
+    num_hashes: int,
+    bands: int,
+    hash_family: str,
+) -> DataFrame:
+    """LSH banding over a :func:`minhash_signatures` frame → distinct
+    candidate pairs ``(id_1, id_2)`` with ``id_1 < id_2``. Band key:
+    plain string concat of the band's minhash values for the md5 family
+    (identical in any engine, no second hash to mirror), xxhash64
+    compression otherwise (fixed 8-byte keys — the scale path)."""
+    rows_per_band = num_hashes // bands
+    if hash_family == "md5":
+        band_cols = [
+            F.concat_ws(
+                ",", *[F.col(f"mh_{b * rows_per_band + r}") for r in range(rows_per_band)]
+            ).alias(f"band_{b}")
+            for b in range(bands)
+        ]
+    else:
+        band_cols = [
+            F.xxhash64(*[F.col(f"mh_{b * rows_per_band + r}") for r in range(rows_per_band)]).alias(
+                f"band_{b}"
+            )
+            for b in range(bands)
+        ]
+    banded = sig.select(
+        F.col(id_col),
+        F.explode(
+            F.array(*[F.struct(F.lit(b).alias("band"), band_cols[b].alias("h")) for b in range(bands)])
+        ).alias("bh"),
+    ).select(id_col, F.col("bh.band").alias("band"), F.col("bh.h").alias("h"))
+    return (
+        banded.alias("x")
+        .join(banded.alias("y"), ["band", "h"])
+        .where(F.col(f"x.{id_col}") < F.col(f"y.{id_col}"))
+        .select(F.col(f"x.{id_col}").alias("id_1"), F.col(f"y.{id_col}").alias("id_2"))
+        .distinct()
+    )
+
+
 def minhash_lsh_pairs(
     df: DataFrame,
     text_col: str = "text",
@@ -691,7 +733,6 @@ def minhash_lsh_pairs(
     entry, they do not leak new ones) and lives for the session —
     ``spark.catalog.clearCache()`` drops it early.
     """
-    rows_per_band = num_hashes // bands
     # NB: the shingle frame feeds three subtrees (signatures, sizes,
     # candidate verification) — see the cache_shingles docstring for the
     # recompute-vs-persist trade-off. (Also measured: folding the n_sh
@@ -703,35 +744,7 @@ def minhash_lsh_pairs(
     if cache_shingles:
         sh = _persist(sh, cache_registry)
     sig = minhash_signatures(sh, id_col, num_hashes, hash_family)
-    if hash_family == "md5":
-        # portable band key: the band's minhash values concatenated as a
-        # string — identical in any engine, no second hash to mirror
-        band_cols = [
-            F.concat_ws(
-                ",", *[F.col(f"mh_{b * rows_per_band + r}") for r in range(rows_per_band)]
-            ).alias(f"band_{b}")
-            for b in range(bands)
-        ]
-    else:
-        band_cols = [
-            F.xxhash64(*[F.col(f"mh_{b * rows_per_band + r}") for r in range(rows_per_band)]).alias(
-                f"band_{b}"
-            )
-            for b in range(bands)
-        ]
-    banded = sig.select(
-        F.col(id_col),
-        F.explode(
-            F.array(*[F.struct(F.lit(b).alias("band"), band_cols[b].alias("h")) for b in range(bands)])
-        ).alias("bh"),
-    ).select(id_col, F.col("bh.band").alias("band"), F.col("bh.h").alias("h"))
-    cand = (
-        banded.alias("x")
-        .join(banded.alias("y"), ["band", "h"])
-        .where(F.col(f"x.{id_col}") < F.col(f"y.{id_col}"))
-        .select(F.col(f"x.{id_col}").alias("id_1"), F.col(f"y.{id_col}").alias("id_2"))
-        .distinct()
-    )
+    cand = _band_candidates(sig, id_col, num_hashes, bands, hash_family)
     # verify candidates with exact Jaccard (intersection over union of shingles)
     sizes = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_sh"))
     a = sh.select(F.col(id_col).alias("id_1"), "shingle")
@@ -754,6 +767,76 @@ def minhash_lsh_pairs(
             ).alias("jaccard"),
         )
         .where(F.col("jaccard") >= threshold)
+    )
+
+
+def minhash_estimator_audit(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 3,
+    num_hashes: int = 32,
+    bands: int = 8,
+    hash_family: str = "md5",
+) -> DataFrame:
+    """Sketch-accuracy audit for the MinHash Jaccard ESTIMATOR (the
+    q139/q151 "expose the approximation's error" discipline applied to
+    q23's sketch): for every LSH candidate pair, the estimated Jaccard
+    (fraction of agreeing minhash components — what a pipeline that skips
+    exact verification would act on) next to the exact shingle Jaccard
+    and their absolute error. This is the measurement you run before
+    deciding a corpus can drop the exact-verification stage at 100 TB
+    (where re-reading shingles for every candidate is the expensive leg
+    and the estimator alone may be accurate enough).
+
+    Per pair: ``(id_1, id_2, est_jaccard, jaccard, abs_err)`` — both
+    ratios are single IEEE divisions of exact ints, the error one
+    subtraction + abs, so the audit itself is hash-certifiable. Pairs
+    with zero common shingles (possible only via a 56-bit hash
+    collision) are excluded by the inner verification join, identically
+    in both engines.
+
+    Scale shape = :func:`minhash_lsh_pairs` exactly (banding bounds the
+    pair set; signatures join back by id — k int columns per doc, no
+    shingle data), plus one k-column signature equality comparison per
+    candidate.
+    """
+    sh = shingles(df, text_col, id_col, n)
+    sig = minhash_signatures(sh, id_col, num_hashes, hash_family)
+    cand = _band_candidates(sig, id_col, num_hashes, bands, hash_family)
+    matches = None
+    for i in range(num_hashes):
+        term = (F.col(f"x.mh_{i}") == F.col(f"y.mh_{i}")).cast("int")
+        matches = term if matches is None else matches + term
+    est = (
+        cand.join(sig.alias("x"), F.col("id_1") == F.col(f"x.{id_col}"))
+        .join(sig.alias("y"), F.col("id_2") == F.col(f"y.{id_col}"))
+        .select("id_1", "id_2", matches.alias("n_match"))
+    )
+    sizes = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_sh"))
+    a = sh.select(F.col(id_col).alias("id_1"), "shingle")
+    b = sh.select(F.col(id_col).alias("id_2"), "shingle")
+    common = (
+        cand.join(a, "id_1")
+        .join(b, ["id_2", "shingle"])
+        .groupBy("id_1", "id_2")
+        .agg(F.count(F.lit(1)).alias("n_common"))
+    )
+    exact = F.col("n_common").cast("double") / (
+        F.col("n_1") + F.col("n_2") - F.col("n_common")
+    ).cast("double")
+    est_j = F.col("n_match").cast("double") / F.lit(float(num_hashes))
+    return (
+        common.join(sizes.withColumnsRenamed({id_col: "id_1", "n_sh": "n_1"}), "id_1")
+        .join(sizes.withColumnsRenamed({id_col: "id_2", "n_sh": "n_2"}), "id_2")
+        .join(est, ["id_1", "id_2"])
+        .select(
+            "id_1",
+            "id_2",
+            est_j.alias("est_jaccard"),
+            exact.alias("jaccard"),
+            F.abs(est_j - exact).alias("abs_err"),
+        )
     )
 
 

@@ -224,6 +224,81 @@ def q23_dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# -- q157 oracle: the q23 CTE chain up to candidates, then the ESTIMATOR
+# (fraction of agreeing minhash components) next to the exact Jaccard.
+_mh_match_sum = "\n         + ".join(
+    f"CASE WHEN x.mh_{i} = y.mh_{i} THEN 1 ELSE 0 END" for i in range(_MH_K)
+)
+
+
+@query(
+    "q157_minhash_estimator_audit",
+    oracle=f"""
+    WITH docs_w AS (
+        SELECT doc_id, string_split(text, ' ') AS words FROM documents
+        WHERE len(string_split(text, ' ')) >= 3
+    ),
+    sh AS (
+        SELECT DISTINCT doc_id, array_to_string(words[i:i+2], ' ') AS shingle
+        FROM docs_w, UNNEST(range(1, len(words)-1)) AS t(i)
+    ),
+    mh AS (
+        SELECT doc_id,
+           {_mh_mins}
+        FROM sh GROUP BY doc_id
+    ),
+    banded AS (
+        {_mh_bands}
+    ),
+    cand AS (
+        SELECT DISTINCT x.doc_id AS id_1, y.doc_id AS id_2
+        FROM banded x
+        JOIN banded y ON x.band = y.band AND x.bk = y.bk AND x.doc_id < y.doc_id
+    ),
+    est AS (
+        SELECT c.id_1, c.id_2,
+           ({_mh_match_sum}) AS n_match
+        FROM cand c
+        JOIN mh x ON x.doc_id = c.id_1
+        JOIN mh y ON y.doc_id = c.id_2
+    ),
+    sizes AS (SELECT doc_id, COUNT(*) AS n_sh FROM sh GROUP BY doc_id),
+    common AS (
+        SELECT c.id_1, c.id_2, COUNT(*) AS n_common
+        FROM cand c
+        JOIN sh a ON a.doc_id = c.id_1
+        JOIN sh b ON b.doc_id = c.id_2 AND b.shingle = a.shingle
+        GROUP BY c.id_1, c.id_2
+    )
+    SELECT c.id_1, c.id_2,
+           CAST(e.n_match AS DOUBLE) / CAST({_MH_K} AS DOUBLE) AS est_jaccard,
+           CAST(n_common AS DOUBLE)
+           / CAST(s1.n_sh + s2.n_sh - n_common AS DOUBLE) AS jaccard,
+           abs(CAST(e.n_match AS DOUBLE) / CAST({_MH_K} AS DOUBLE)
+               - CAST(n_common AS DOUBLE)
+                 / CAST(s1.n_sh + s2.n_sh - n_common AS DOUBLE)) AS abs_err
+    FROM common c
+    JOIN sizes s1 ON s1.doc_id = c.id_1
+    JOIN sizes s2 ON s2.doc_id = c.id_2
+    JOIN est e ON e.id_1 = c.id_1 AND e.id_2 = c.id_2
+    ORDER BY c.id_1, c.id_2
+    """,
+)
+def q157_minhash_estimator_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sketch-accuracy audit for the MinHash Jaccard estimator: every LSH
+    candidate pair with its estimated Jaccard (agreeing signature
+    fraction — what a verification-free pipeline would act on), the exact
+    shingle Jaccard, and the absolute error — the measurement that decides
+    whether a 100 TB dedup run can drop the exact-verification stage.
+    The q139/q151 "certify the approximation's error" discipline applied
+    to q23's sketch; every column a single IEEE division/subtraction of
+    exact ints. See :func:`operators.dedup.minhash_estimator_audit`."""
+    docs = load_table(spark, sf_dir, "documents")
+    return D.minhash_estimator_audit(
+        docs, "text", "doc_id", n=3, num_hashes=32, bands=8, hash_family="md5"
+    ).orderBy("id_1", "id_2")
+
+
 # -- q24 oracle: SimHash unrolled in ANSI SQL over the 56-bit md5-prefix
 # word hash (14 hex chars → BIGINT). 56 per-bit tf-weighted votes, two
 # 28-bit halves, 4×14-bit pigeonhole chunks, exact Hamming ≤ 3.

@@ -496,3 +496,37 @@ def test_pq_adc_query_block_guard(spark):
     df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
     with pytest.raises(ValueError, match="max_query_rows"):
         pq_adc_topk(df, df, dim=2, m=1, k_codebook=2, max_query_rows=5)
+
+
+# ------------------------------------------------- minhash_estimator_audit
+
+
+def test_minhash_audit_identical_docs_have_zero_error(spark):
+    from reactive_kinesis_spark.operators.dedup import minhash_estimator_audit
+
+    text = " ".join(f"w{i}" for i in range(20))
+    other = " ".join(f"v{i}" for i in range(20))
+    df = spark.createDataFrame(
+        [(1, text), (2, text), (3, other)], "doc_id long, text string"
+    )
+    rows = minhash_estimator_audit(df, num_hashes=16, bands=4).collect()
+    got = {(r.id_1, r.id_2): r for r in rows}
+    # identical docs: every minhash agrees and exact jaccard is 1
+    assert (1, 2) in got
+    r = got[(1, 2)]
+    assert r.est_jaccard == 1.0 and r.jaccard == 1.0 and r.abs_err == 0.0
+    # disjoint doc 3 shares no band with 1/2 (16 joint hash agreements
+    # would be needed); if it ever did collide, est/exact stay in [0,1]
+    for r in rows:
+        assert 0.0 <= r.est_jaccard <= 1.0 and 0.0 <= r.jaccard <= 1.0
+
+
+def test_minhash_audit_estimator_tracks_exact_on_corpus(spark, sf_dir):
+    from reactive_kinesis_spark.operators.dedup import minhash_estimator_audit
+    from reactive_kinesis_spark.tables import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    rows = minhash_estimator_audit(docs).collect()
+    assert rows, "corpus has planted near-dups; the audit must see candidates"
+    # 32-hash estimator: standard error ~ sqrt(J(1-J)/32) <= 0.09 — allow 3x
+    assert all(r.abs_err <= 0.27 for r in rows)
