@@ -1179,6 +1179,106 @@ def pq_encode(
     )
 
 
+#: Integer-scaled DCG discounts: round(1e6 / log2(rank+1)) for ranks 1..20.
+#: Precomputing the logs as INTEGER constants is what makes nDCG
+#: hash-certifiable — `log2` is not a correctly-rounded-portable operation,
+#: but a baked constant table is identical in any engine, and the scale
+#: factor cancels in the nDCG ratio (quantization error ≤ 1e-6 per term).
+DCG_DISCOUNTS_1E6: tuple[int, ...] = tuple(
+    round(1_000_000 / math.log2(r + 1)) for r in range(1, 21)
+)
+
+
+def retrieval_eval(
+    corpus: DataFrame,
+    queries: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    label_col: str = "label",
+    k: int = 10,
+) -> DataFrame:
+    """Retrieval-quality evaluation harness: run the exact cosine top-k
+    retriever for each query and score the ranking against label
+    relevance (a neighbor is relevant iff it shares the query's label) —
+    the recall@k / MRR / nDCG@k triple every retriever change is judged
+    by before it ships.
+
+    Determinism/certifiability: the ranking is :func:`cosine_topk`'s
+    certified contract; relevance and totals are exact ints; MRR and
+    recall are single IEEE divisions; DCG/IDCG use the integer-scaled
+    discount table :data:`DCG_DISCOUNTS_1E6` (the scale cancels in the
+    ratio), so ``ndcg = dcg_scaled / idcg_scaled`` is one division of two
+    exact int64 sums. No ``log`` is ever evaluated at query time.
+
+    Per query: ``(query_id, query_label, n_rel, hits_at_k, recall_at_k,
+    mrr, ndcg)`` where ``n_rel`` counts same-label corpus rows excluding
+    the query itself and ``idcg`` truncates at ``min(n_rel, k)``.
+    Queries whose label has no other member score 0 across the board
+    (stated edge; impossible on the test corpus).
+
+    100 TB shape: the retriever is the scale cost (corpus never
+    shuffles, see :func:`cosine_topk`); the scoring adds one broadcast
+    label-count join and one k-row-per-query aggregate.
+    """
+    if not 1 <= k <= len(DCG_DISCOUNTS_1E6):
+        raise ValueError(f"k in [1, {len(DCG_DISCOUNTS_1E6)}]")
+    disc = F.array(*[F.lit(d).cast("long") for d in DCG_DISCOUNTS_1E6[:k]])
+    prefix = [sum(DCG_DISCOUNTS_1E6[:m]) for m in range(1, k + 1)]
+    idcg_arr = F.array(*[F.lit(p).cast("long") for p in prefix])
+    ranked = cosine_topk(corpus, queries, id_col, vec_col, k=k)
+    qlab = queries.select(
+        F.col(id_col).alias("query_id"), F.col(label_col).alias("query_label")
+    )
+    clab = corpus.select(
+        F.col(id_col).alias("neighbor_id"), F.col(label_col).alias("neighbor_label")
+    )
+    lab_counts = corpus.groupBy(label_col).agg(F.count(F.lit(1)).alias("__lab_n"))
+    scored = (
+        ranked.join(qlab, "query_id")
+        .join(clab, "neighbor_id")
+        .select(
+            "query_id",
+            "query_label",
+            "rn",
+            (F.col("neighbor_label") == F.col("query_label")).alias("rel"),
+        )
+    )
+    per_q = scored.groupBy("query_id", "query_label").agg(
+        F.sum(F.when(F.col("rel"), 1).otherwise(0)).cast("long").alias("hits_at_k"),
+        F.min(F.when(F.col("rel"), F.col("rn"))).alias("__first_rel"),
+        F.sum(
+            F.when(F.col("rel"), F.element_at(disc, F.col("rn"))).otherwise(F.lit(0))
+        ).cast("long").alias("__dcg"),
+    )
+    out = per_q.join(
+        F.broadcast(lab_counts),
+        per_q.query_label == lab_counts[label_col],
+    ).select(
+        "query_id",
+        "query_label",
+        (F.col("__lab_n") - F.lit(1)).cast("long").alias("n_rel"),
+        "hits_at_k",
+        "__first_rel",
+        "__dcg",
+    )
+    idcg = F.element_at(idcg_arr, F.least(F.col("n_rel"), F.lit(k)).cast("int"))
+    return out.select(
+        "query_id",
+        "query_label",
+        "n_rel",
+        "hits_at_k",
+        F.when(F.col("n_rel") <= 0, F.lit(0.0))
+        .otherwise(F.col("hits_at_k").cast("double") / F.col("n_rel").cast("double"))
+        .alias("recall_at_k"),
+        F.when(F.col("__first_rel").isNull(), F.lit(0.0))
+        .otherwise(F.lit(1.0) / F.col("__first_rel").cast("double"))
+        .alias("mrr"),
+        F.when(F.col("n_rel") <= 0, F.lit(0.0))
+        .otherwise(F.col("__dcg").cast("double") / idcg.cast("double"))
+        .alias("ndcg"),
+    )
+
+
 def pq_adc_topk(
     corpus: DataFrame,
     queries: DataFrame,

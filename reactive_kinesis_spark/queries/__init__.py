@@ -48,21 +48,22 @@ def query(name: str, oracle: str | None = None):
 #: queries get the visible slots — never-certified first, then queries whose
 #: CODE OR ORACLE CHANGED since their last green row (a stale green row
 #: proves the old query, not this one), then by staleness. This round:
-#:   slots 0-13  — round-10 never-hash-certified queries: the ten NEW
+#:   slots 0-13  — round-10 never-hash-certified queries: the eleven NEW
 #:                 round-10 operators (q148 SemDeDup, q149 quality-rule
 #:                 battery, q150 token-budget allocation, q151 portable
 #:                 HLL, q152 semantic decontamination, q153 OOV rate,
 #:                 q154 hard negatives, q155 product quantization, q156
-#:                 PQ-ADC search, q157 MinHash estimator audit) and the
+#:                 PQ-ADC search, q157 MinHash estimator audit, q158
+#:                 retrieval eval) and the
 #:                 four oracle graduations — q23/q24 (MinHash-LSH /
 #:                 SimHash via the portable md5-prefix hash family) and
 #:                 q122/q123 (perceptual-hash near-dup via the
 #:                 integer-exact aHash), each with a fully unrolled
 #:                 oracle;
-#:   slots 14-49 — 36 of the 39 _DEFERRED_R9 queries (r6-certified, the
-#:                 oldest rows in the ledger); the other three (q65-q67,
-#:                 displaced by q155-q157) head _DEFERRED_R11 alongside
-#:                 ALL 44 r7-certified queries (the 147-oracle/50-slot
+#:   slots 15-49 — 35 of the 39 _DEFERRED_R9 queries (r6-certified, the
+#:                 oldest rows in the ledger); the other four (q64-q67,
+#:                 displaced by q155-q158) head _DEFERRED_R11 alongside
+#:                 ALL 44 r7-certified queries (the 148-oracle/50-slot
 #:                 rotation math makes a ≈3-round staleness floor the
 #:                 best achievable).
 #: Everything past the window remains fully oracle-checked locally every
@@ -80,6 +81,7 @@ _WINDOW = (
     "q155_product_quantization",
     "q156_pq_adc_search",
     "q157_minhash_estimator_audit",
+    "q158_retrieval_eval",
     # -- round-10 oracle graduations (never hash-certified) --
     "q23_dedup_minhash_lsh",
     "q24_dedup_simhash",
@@ -121,11 +123,11 @@ _WINDOW = (
     "q60_dedup_clusters",
     "q61_curation_pipeline",
     "q62_token_packing",
-    "q64_decontamination",
 )
 #: r7-certified queries that don't fit this round's window; they take
 #: round-11 slots (the 135-oracle/50-slot rotation's staleness floor).
 _DEFERRED_R11 = (
+    "q64_decontamination",
     "q65_mixture_sample",
     "q66_repetition_stats",
     "q67_pii_redaction",

@@ -2620,6 +2620,88 @@ def q154_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _retrieval_eval_oracle_sql(k: int, query_pred: str) -> str:
+    """q158 oracle: the certified q29 ranking chain with label relevance,
+    then recall@k / MRR / nDCG@k from exact ints and the integer-scaled
+    discount table (DCG_DISCOUNTS_1E6 — no log at query time)."""
+    from reactive_kinesis_spark.operators.similarity import DCG_DISCOUNTS_1E6
+
+    disc = "[" + ", ".join(str(d) for d in DCG_DISCOUNTS_1E6[:k]) + "]"
+    prefix = [sum(DCG_DISCOUNTS_1E6[:m]) for m in range(1, k + 1)]
+    idcg = "[" + ", ".join(str(p) for p in prefix) + "]"
+    return f"""
+    WITH q AS (
+      SELECT vec_id AS query_id, label AS query_label,
+             CAST(embedding AS DOUBLE[]) AS qv
+      FROM embeddings
+      WHERE embedding IS NOT NULL AND len(embedding) > 0 AND {query_pred}
+    ), c AS (
+      SELECT vec_id AS neighbor_id, label AS neighbor_label,
+             CAST(embedding AS DOUBLE[]) AS cv
+      FROM embeddings WHERE embedding IS NOT NULL AND len(embedding) > 0
+    ), scored AS (
+      SELECT query_id, query_label, neighbor_id, neighbor_label,
+             list_dot_product(qv, cv)
+             / (sqrt(list_dot_product(qv, qv)) * sqrt(list_dot_product(cv, cv)))
+               AS cosine_sim
+      FROM c, q WHERE query_id <> neighbor_id
+    ), ranked AS (
+      SELECT *, ROW_NUMBER() OVER (
+        PARTITION BY query_id ORDER BY cosine_sim DESC, neighbor_id) AS rn
+      FROM scored
+    ), topk AS (SELECT * FROM ranked WHERE rn <= {k}),
+    perq AS (
+      SELECT query_id, query_label,
+        CAST(SUM(CASE WHEN neighbor_label = query_label THEN 1 ELSE 0 END)
+             AS BIGINT) AS hits_at_k,
+        MIN(CASE WHEN neighbor_label = query_label THEN rn END) AS first_rel,
+        CAST(SUM(CASE WHEN neighbor_label = query_label
+                 THEN ({disc})[rn] ELSE 0 END) AS BIGINT) AS dcg
+      FROM topk GROUP BY query_id, query_label
+    ), lc AS (
+      SELECT label, CAST(COUNT(*) AS BIGINT) AS lab_n
+      FROM embeddings GROUP BY label
+    )
+    SELECT p.query_id, p.query_label,
+      lc.lab_n - 1 AS n_rel,
+      p.hits_at_k,
+      CASE WHEN lc.lab_n - 1 <= 0 THEN CAST(0.0 AS DOUBLE)
+           ELSE CAST(p.hits_at_k AS DOUBLE) / CAST(lc.lab_n - 1 AS DOUBLE)
+      END AS recall_at_k,
+      CASE WHEN p.first_rel IS NULL THEN CAST(0.0 AS DOUBLE)
+           ELSE CAST(1.0 AS DOUBLE) / CAST(p.first_rel AS DOUBLE)
+      END AS mrr,
+      CASE WHEN lc.lab_n - 1 <= 0 THEN CAST(0.0 AS DOUBLE)
+           ELSE CAST(p.dcg AS DOUBLE)
+                / CAST(({idcg})[LEAST(lc.lab_n - 1, {k})] AS DOUBLE)
+      END AS ndcg
+    FROM perq p JOIN lc ON lc.label = p.query_label
+    ORDER BY p.query_id
+    """
+
+
+@query(
+    "q158_retrieval_eval",
+    oracle=_retrieval_eval_oracle_sql(k=10, query_pred="vec_id < 50"),
+)
+def q158_retrieval_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Retrieval-quality evaluation for a 50-query block: the certified
+    exact cosine top-10 retriever scored against label relevance —
+    recall@10, MRR, and nDCG@10 per query, the triple every retriever
+    change is judged by. nDCG is hash-certifiable because the rank
+    discounts are a baked integer constant table (`log2` is not a
+    portable operation; a constant table is, and the scale cancels in the
+    ratio) — every metric ends as a single IEEE division of exact ints.
+    See :func:`operators.similarity.retrieval_eval`."""
+    from reactive_kinesis_spark.operators.similarity import retrieval_eval
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries_blk = emb.where(F.col("vec_id") < 50)
+    return retrieval_eval(emb, queries_blk, "vec_id", "embedding", "label", k=10).orderBy(
+        "query_id"
+    )
+
+
 def _hll_oracle_sql(p: int) -> str:
     """q151 oracle: the identical register file from the identical
     md5-prefix draw, the harmonic sum as an exact integer, the estimate

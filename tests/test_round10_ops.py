@@ -530,3 +530,61 @@ def test_minhash_audit_estimator_tracks_exact_on_corpus(spark, sf_dir):
     assert rows, "corpus has planted near-dups; the audit must see candidates"
     # 32-hash estimator: standard error ~ sqrt(J(1-J)/32) <= 0.09 — allow 3x
     assert all(r.abs_err <= 0.27 for r in rows)
+
+
+# ------------------------------------------------------------ retrieval_eval
+
+
+def test_retrieval_eval_perfect_retriever_scores_one(spark):
+    from reactive_kinesis_spark.operators.similarity import retrieval_eval
+
+    # two label pairs, same-label vectors nearly identical: each query's
+    # rank-1 neighbor is its twin -> recall/MRR/nDCG all exactly 1.0
+    rows = [
+        (1, [1.0, 0.0], 0),
+        (2, [0.99, 0.01], 0),
+        (3, [0.0, 1.0], 1),
+        (4, [0.01, 0.99], 1),
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>, label int")
+    out = {r.query_id: r for r in retrieval_eval(df, df, k=1).collect()}
+    for r in out.values():
+        assert r.n_rel == 1 and r.hits_at_k == 1
+        assert r.recall_at_k == 1.0 and r.mrr == 1.0 and r.ndcg == 1.0
+
+
+def test_retrieval_eval_irrelevant_topk_scores_zero(spark):
+    from reactive_kinesis_spark.operators.similarity import retrieval_eval
+
+    # query 1's nearest neighbor has the other label; its same-label twin
+    # is opposite in direction -> k=1 retrieval finds nothing relevant
+    rows = [
+        (1, [1.0, 0.0], 0),
+        (2, [0.99, 0.01], 1),
+        (3, [-1.0, 0.0], 0),
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>, label int")
+    q = df.where(F.col("vec_id") == 1)
+    r = retrieval_eval(df, q, k=1).collect()[0]
+    assert r.hits_at_k == 0 and r.mrr == 0.0 and r.ndcg == 0.0 and r.recall_at_k == 0.0
+
+
+def test_retrieval_eval_dcg_rank_position_matters(spark):
+    from reactive_kinesis_spark.operators.similarity import (
+        DCG_DISCOUNTS_1E6,
+        retrieval_eval,
+    )
+
+    # query 10: relevant twin sits at rank 2 behind an irrelevant rank 1
+    rows = [
+        (10, [1.0, 0.0, 0.0], 0),
+        (11, [0.99, 0.1, 0.0], 1),   # rank 1, wrong label
+        (12, [0.9, 0.0, 0.1], 0),    # rank 2, relevant
+        (13, [0.0, 1.0, 0.0], 1),
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>, label int")
+    q = df.where(F.col("vec_id") == 10)
+    r = retrieval_eval(df, q, k=2).collect()[0]
+    assert r.mrr == 0.5
+    # n_rel=1 -> idcg = d1; dcg = d2 -> ndcg = d2/d1 exactly
+    assert r.ndcg == DCG_DISCOUNTS_1E6[1] / DCG_DISCOUNTS_1E6[0]
