@@ -280,6 +280,51 @@ def repetition_stats(
     )
 
 
+def quality_rule_flags(
+    df: DataFrame,
+    text_col: str = "text",
+    group_col: str = "source",
+    min_words: int = 30,
+    max_words: int = 80,
+    min_mean_chars: int = 4,
+    max_mean_chars: int = 5,
+    min_distinct_stopwords: int = 2,
+    max_dup_word_pct: int = 60,
+) -> DataFrame:
+    """Per-DOCUMENT gate flags ``(group_col, f1..f4)`` (1 = rule failed)
+    — the row-level half of :func:`quality_rule_battery`, exposed so the
+    streaming ledger (``streaming.rollup.continuous_quality_battery``)
+    can fold raw flag rows into mergeable counts. Same integer-only
+    rules; see the battery docstring."""
+    t = tokens(text_col)
+    stop_arr = F.array(*[F.lit(w) for w in QUALITY_STOPWORDS])
+    df = df.where(F.col(text_col).isNotNull())
+    sig = df.select(
+        F.col(group_col),
+        F.size(t).alias("n"),
+        F.size(F.array_distinct(t)).alias("nd"),
+        F.aggregate(
+            F.transform(t, lambda w: F.length(w)), F.lit(0), lambda a, x: a + x
+        ).alias("chars"),
+        F.size(
+            F.filter(F.array_distinct(t), lambda w: F.array_contains(stop_arr, w))
+        ).alias("nstop"),
+    )
+    f_len = (F.col("n") < min_words) | (F.col("n") > max_words)
+    f_wl = (F.col("chars") < min_mean_chars * F.col("n")) | (
+        F.col("chars") > max_mean_chars * F.col("n")
+    )
+    f_stop = F.col("nstop") < min_distinct_stopwords
+    f_rep = F.lit(100) * (F.col("n") - F.col("nd")) > F.lit(max_dup_word_pct) * F.col("n")
+    return sig.select(
+        group_col,
+        f_len.cast("long").alias("f1"),
+        f_wl.cast("long").alias("f2"),
+        f_stop.cast("long").alias("f3"),
+        f_rep.cast("long").alias("f4"),
+    )
+
+
 def quality_rule_battery(
     df: DataFrame,
     text_col: str = "text",
@@ -319,32 +364,16 @@ def quality_rule_battery(
     #sources-row group-by with map-side combine — cost is one pass over
     the text bytes regardless of corpus size.
     """
-    t = tokens(text_col)
-    stop_arr = F.array(*[F.lit(w) for w in QUALITY_STOPWORDS])
-    df = df.where(F.col(text_col).isNotNull())
-    sig = df.select(
-        F.col(group_col),
-        F.size(t).alias("n"),
-        F.size(F.array_distinct(t)).alias("nd"),
-        F.aggregate(
-            F.transform(t, lambda w: F.length(w)), F.lit(0), lambda a, x: a + x
-        ).alias("chars"),
-        F.size(
-            F.filter(F.array_distinct(t), lambda w: F.array_contains(stop_arr, w))
-        ).alias("nstop"),
-    )
-    f_len = (F.col("n") < min_words) | (F.col("n") > max_words)
-    f_wl = (F.col("chars") < min_mean_chars * F.col("n")) | (
-        F.col("chars") > max_mean_chars * F.col("n")
-    )
-    f_stop = F.col("nstop") < min_distinct_stopwords
-    f_rep = F.lit(100) * (F.col("n") - F.col("nd")) > F.lit(max_dup_word_pct) * F.col("n")
-    flags = sig.select(
+    flags = quality_rule_flags(
+        df,
+        text_col,
         group_col,
-        f_len.cast("long").alias("f1"),
-        f_wl.cast("long").alias("f2"),
-        f_stop.cast("long").alias("f3"),
-        f_rep.cast("long").alias("f4"),
+        min_words=min_words,
+        max_words=max_words,
+        min_mean_chars=min_mean_chars,
+        max_mean_chars=max_mean_chars,
+        min_distinct_stopwords=min_distinct_stopwords,
+        max_dup_word_pct=max_dup_word_pct,
     )
     return flags.groupBy(group_col).agg(
         F.count(F.lit(1)).alias("n_docs"),

@@ -383,3 +383,57 @@ def read_heavy_hitters(
         .limit(k)
         .select(token_col, "n")
     )
+
+
+def continuous_quality_battery(out_dir: str, text_col: str = "text", source_col: str = "source"):
+    """``foreachBatch`` writer maintaining a continuously-updated
+    quality-gate ledger from a document stream — the streaming form of
+    the q149 Gopher-rule battery: each micro-batch evaluates the four
+    integer gates per document (:func:`operators.text.quality_rule_flags`)
+    and folds per-source failure/pass COUNTS into the rollup
+    (exactly-once, compactable, mergeable — inherited from
+    :func:`continuous_rollup`). A curation intake pipeline reads the
+    ledger to watch per-source pass rates drift WHILE ingesting, instead
+    of re-scanning the corpus.
+
+    Counts are pure ints (the q149 contract — no float in any gate), so
+    the streamed ledger is bit-equal to the batch battery over the same
+    rows, not just statistically close.
+    """
+    from reactive_kinesis_spark.operators.text import quality_rule_flags
+
+    spec = RollupSpec(keys=(source_col,), sums=("f1", "f2", "f3", "f4", "ok"))
+    inner = continuous_rollup(out_dir, spec)
+
+    def write(batch_df: DataFrame, batch_id: int) -> None:
+        flags = quality_rule_flags(batch_df, text_col, source_col).withColumn(
+            "ok",
+            (
+                (F.col("f1") + F.col("f2") + F.col("f3") + F.col("f4")) == 0
+            ).cast("long"),
+        )
+        inner(flags, batch_id)
+
+    return write
+
+
+def read_quality_battery(spark: SparkSession, out_dir: str, source_col: str = "source") -> DataFrame:
+    """Current per-source quality-gate ledger from a
+    :func:`continuous_quality_battery` stream, in the q149 output shape:
+    merged int counts plus the derived ``pass_rate`` (one int/int IEEE
+    division at read time — the only non-stored column, so merge order
+    can never perturb it)."""
+    spec = RollupSpec(keys=(source_col,), sums=("f1", "f2", "f3", "f4", "ok"))
+    merged = read_rollup(spark, out_dir, spec)
+    return merged.select(
+        source_col,
+        F.col("n").alias("n_docs"),
+        F.col("sum_f1").alias("fail_length"),
+        F.col("sum_f2").alias("fail_word_len"),
+        F.col("sum_f3").alias("fail_stopword"),
+        F.col("sum_f4").alias("fail_repetition"),
+        F.col("sum_ok").alias("n_pass"),
+        (F.col("sum_ok").cast("double") / F.col("n").cast("double")).alias(
+            "pass_rate"
+        ),
+    )

@@ -390,3 +390,57 @@ def test_continuous_heavy_hitters_matches_batch_topk(spark, tmp_path):
     assert stats["folded_batches"] >= 1
     after = [(r.token, r.n) for r in read_heavy_hitters(spark, out_dir, k=3).collect()]
     assert after == want
+
+
+def test_continuous_quality_battery_matches_batch_battery(spark, tmp_path):
+    """Stream real documents through the quality-gate ledger and check it
+    equals the batch q149 battery over the same rows, bit for bit."""
+    from reactive_kinesis_spark.operators.text import quality_rule_battery
+    from reactive_kinesis_spark.streaming.rollup import (
+        continuous_quality_battery,
+        read_quality_battery,
+    )
+
+    docs = (
+        spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+        .select("source", "text")
+    )
+    rows = docs.collect()
+    in_dir, out_dir, ckpt = (
+        str(tmp_path / "in"),
+        str(tmp_path / "qb"),
+        str(tmp_path / "ckpt"),
+    )
+    schema = "source string, text string"
+    third = len(rows) // 3
+    for i in range(3):
+        chunk = rows[i * third : (i + 1) * third] if i < 2 else rows[2 * third :]
+        spark.createDataFrame(chunk, schema).coalesce(1).write.mode(
+            "overwrite"
+        ).parquet(os.path.join(in_dir, f"c{i}"))
+    stream = (
+        spark.readStream.schema(docs.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(in_dir + "/*")
+    )
+    q = (
+        stream.writeStream.foreachBatch(continuous_quality_battery(out_dir))
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+
+    cols = [
+        "source", "n_docs", "fail_length", "fail_word_len", "fail_stopword",
+        "fail_repetition", "n_pass", "pass_rate",
+    ]
+    got = {
+        r.source: tuple(r[c] for c in cols[1:])
+        for r in read_quality_battery(spark, out_dir).collect()
+    }
+    want = {
+        r.source: tuple(r[c] for c in cols[1:])
+        for r in quality_rule_battery(docs).collect()
+    }
+    assert got == want and got
