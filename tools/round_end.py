@@ -83,7 +83,7 @@ def main() -> None:
     n_total = len(registry)
     n_oracle = sum(1 for q in registry.values() if q.oracle)
     plan_rows = sum(
-        1 for line in open(plans, encoding="utf-8") if re.match(r"^\| q", line)
+        1 for line in open(plans, encoding="utf-8") if re.match(r"^\| q\d", line)
     )
     if plan_rows != n_total:
         fail(f"PLANS.md has {plan_rows} query rows; registry has {n_total}")
