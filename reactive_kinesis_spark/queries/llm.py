@@ -137,9 +137,16 @@ def q60_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
 # band's 4 minhash values (no second hash to mirror).
 _MH_K, _MH_BANDS = 32, 8
 _MH_ROWS = _MH_K // _MH_BANDS
+#: Kirsch-Mitzenmacher double hashing (mirrors operators.dedup
+#: .minhash_signatures md5 family): ONE md5 per shingle, hash_i =
+#: (h1 + i*h2) mod 2^56 with h1/h2 = the digest's two 14-hex halves.
 _mh_mins = ",\n           ".join(
-    f"MIN(CAST(('0x' || substr(md5('{i}:' || shingle), 1, 14)) AS BIGINT)) AS mh_{i}"
-    for i in range(_MH_K)
+    f"MIN((h1 + {i} * h2) % {1 << 56}) AS mh_{i}" for i in range(_MH_K)
+)
+_MH_H12 = (
+    "SELECT doc_id,"
+    " CAST(('0x' || substr(md5(shingle), 1, 14)) AS BIGINT) AS h1,"
+    " CAST(('0x' || substr(md5(shingle), 15, 14)) AS BIGINT) AS h2 FROM sh"
 )
 _mh_bands = "\n        UNION ALL ".join(
     "SELECT doc_id, {b} AS band, {key} AS bk FROM mh".format(
@@ -166,7 +173,7 @@ _mh_bands = "\n        UNION ALL ".join(
     mh AS (
         SELECT doc_id,
            {_mh_mins}
-        FROM sh GROUP BY doc_id
+        FROM ({_MH_H12}) GROUP BY doc_id
     ),
     banded AS (
         {_mh_bands}
@@ -245,7 +252,7 @@ _mh_match_sum = "\n         + ".join(
     mh AS (
         SELECT doc_id,
            {_mh_mins}
-        FROM sh GROUP BY doc_id
+        FROM ({_MH_H12}) GROUP BY doc_id
     ),
     banded AS (
         {_mh_bands}

@@ -588,3 +588,13 @@ def test_retrieval_eval_dcg_rank_position_matters(spark):
     assert r.mrr == 0.5
     # n_rel=1 -> idcg = d1; dcg = d2 -> ndcg = d2/d1 exactly
     assert r.ndcg == DCG_DISCOUNTS_1E6[1] / DCG_DISCOUNTS_1E6[0]
+
+
+def test_minhash_md5_family_num_hashes_bound(spark):
+    import pytest
+
+    from reactive_kinesis_spark.operators.dedup import minhash_signatures
+
+    sh = spark.createDataFrame([(1, "a b c")], "doc_id long, shingle string")
+    with pytest.raises(ValueError, match="num_hashes <= 64"):
+        minhash_signatures(sh, num_hashes=65, hash_family="md5")
