@@ -48,24 +48,25 @@ def query(name: str, oracle: str | None = None):
 #: queries get the visible slots — never-certified first, then queries whose
 #: CODE OR ORACLE CHANGED since their last green row (a stale green row
 #: proves the old query, not this one), then by staleness. This round:
-#:   slots 0-13  — round-10 never-hash-certified queries: the eleven NEW
+#:   slots 0-13  — round-10 never-hash-certified queries: the twelve NEW
 #:                 round-10 operators (q148 SemDeDup, q149 quality-rule
 #:                 battery, q150 token-budget allocation, q151 portable
 #:                 HLL, q152 semantic decontamination, q153 OOV rate,
 #:                 q154 hard negatives, q155 product quantization, q156
 #:                 PQ-ADC search, q157 MinHash estimator audit, q158
-#:                 retrieval eval) and the
+#:                 retrieval eval, q159 near-dup family agreement) and
+#:                 the
 #:                 four oracle graduations — q23/q24 (MinHash-LSH /
 #:                 SimHash via the portable md5-prefix hash family) and
 #:                 q122/q123 (perceptual-hash near-dup via the
 #:                 integer-exact aHash), each with a fully unrolled
 #:                 oracle;
-#:   slots 15-49 — 35 of the 39 _DEFERRED_R9 queries (r6-certified, the
-#:                 oldest rows in the ledger); the other four (q64-q67,
-#:                 displaced by q155-q158) head _DEFERRED_R11 alongside
-#:                 ALL 44 r7-certified queries (the 148-oracle/50-slot
-#:                 rotation math makes a ≈3-round staleness floor the
-#:                 best achievable).
+#:   slots 16-49 — 34 of the 39 _DEFERRED_R9 queries (r6-certified, the
+#:                 oldest rows in the ledger); the other five (q62,
+#:                 q64-q67, displaced by q155-q159) head _DEFERRED_R11
+#:                 alongside ALL 44 r7-certified queries (the
+#:                 149-oracle/50-slot rotation math makes a ≈3-round
+#:                 staleness floor the best achievable).
 #: Everything past the window remains fully oracle-checked locally every
 #: session (tests/test_oracle_parity.py runs the ENTIRE registry against
 #: DuckDB).
@@ -82,6 +83,7 @@ _WINDOW = (
     "q156_pq_adc_search",
     "q157_minhash_estimator_audit",
     "q158_retrieval_eval",
+    "q159_neardup_agreement",
     # -- round-10 oracle graduations (never hash-certified) --
     "q23_dedup_minhash_lsh",
     "q24_dedup_simhash",
@@ -122,13 +124,13 @@ _WINDOW = (
     "q59_range_frame_window",
     "q60_dedup_clusters",
     "q61_curation_pipeline",
-    "q62_token_packing",
 )
 #: Queries that don't fit this round's window (4 displaced R9-deferred —
 #: 5 rounds stale, take these FIRST in round 11 — then the 44
 #: r7-certified); they take round-11 slots (the 148-oracle/50-slot
 #: rotation's staleness floor).
 _DEFERRED_R11 = (
+    "q62_token_packing",
     "q64_decontamination",
     "q65_mixture_sample",
     "q66_repetition_stats",

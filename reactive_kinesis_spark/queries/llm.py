@@ -2627,6 +2627,140 @@ def q154_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _neardup_agreement_oracle_sql() -> str:
+    """q159 oracle: the q23 MinHash chain and the q24 SimHash chain
+    assembled into one query (simhash candidate CTE renamed to avoid the
+    ``cand`` collision), FULL OUTER joined on the pair key."""
+    return f"""
+    WITH docs_w AS (
+        SELECT doc_id, string_split(text, ' ') AS words FROM documents
+        WHERE len(string_split(text, ' ')) >= 3
+    ),
+    sh AS (
+        SELECT DISTINCT doc_id, array_to_string(words[i:i+2], ' ') AS shingle
+        FROM docs_w, UNNEST(range(1, len(words)-1)) AS t(i)
+    ),
+    mh AS (
+        SELECT doc_id,
+           {_mh_mins}
+        FROM ({_MH_H12}) GROUP BY doc_id
+    ),
+    banded AS (
+        {_mh_bands}
+    ),
+    cand AS (
+        SELECT DISTINCT x.doc_id AS id_1, y.doc_id AS id_2
+        FROM banded x
+        JOIN banded y ON x.band = y.band AND x.bk = y.bk AND x.doc_id < y.doc_id
+    ),
+    sizes AS (SELECT doc_id, COUNT(*) AS n_sh FROM sh GROUP BY doc_id),
+    common AS (
+        SELECT c.id_1, c.id_2, COUNT(*) AS n_common
+        FROM cand c
+        JOIN sh a ON a.doc_id = c.id_1
+        JOIN sh b ON b.doc_id = c.id_2 AND b.shingle = a.shingle
+        GROUP BY c.id_1, c.id_2
+    ),
+    mhp AS (
+        SELECT c.id_1, c.id_2,
+               CAST(n_common AS DOUBLE)
+               / CAST(s1.n_sh + s2.n_sh - n_common AS DOUBLE) AS jaccard
+        FROM common c
+        JOIN sizes s1 ON s1.doc_id = c.id_1
+        JOIN sizes s2 ON s2.doc_id = c.id_2
+        WHERE CAST(n_common AS DOUBLE)
+              / CAST(s1.n_sh + s2.n_sh - n_common AS DOUBLE)
+              >= CAST('0.8' AS DOUBLE)
+    ),
+    w AS (
+        SELECT doc_id, unnest(string_split(text, ' ')) AS word FROM documents
+    ),
+    wh AS (
+        SELECT doc_id,
+               CAST(('0x' || substr(md5(word), 1, 14)) AS BIGINT) AS h,
+               CAST(COUNT(*) AS BIGINT) AS tf
+        FROM w GROUP BY doc_id, h
+    ),
+    voted AS (
+        SELECT doc_id,
+           {_sh_votes}
+        FROM wh GROUP BY doc_id
+    ),
+    sig AS (
+        SELECT doc_id,
+               CAST({_sh_hi} AS BIGINT) AS hi,
+               CAST({_sh_lo} AS BIGINT) AS lo
+        FROM voted
+    ),
+    chunks AS (
+        SELECT doc_id, hi, lo, 0 AS chunk, (lo >> 0) & {_SH_MASK} AS v FROM sig
+        UNION ALL
+        SELECT doc_id, hi, lo, 1, (lo >> {_SH_WIDTH}) & {_SH_MASK} FROM sig
+        UNION ALL
+        SELECT doc_id, hi, lo, 2, (hi >> 0) & {_SH_MASK} FROM sig
+        UNION ALL
+        SELECT doc_id, hi, lo, 3, (hi >> {_SH_WIDTH}) & {_SH_MASK} FROM sig
+    ),
+    scand AS (
+        SELECT DISTINCT x.doc_id AS id_1, y.doc_id AS id_2,
+               x.hi AS hi1, x.lo AS lo1, y.hi AS hi2, y.lo AS lo2
+        FROM chunks x
+        JOIN chunks y ON x.chunk = y.chunk AND x.v = y.v AND x.doc_id < y.doc_id
+    ),
+    shp AS (
+        SELECT id_1, id_2,
+               CAST(bit_count(xor(hi1, hi2)) + bit_count(xor(lo1, lo2)) AS INT)
+                 AS hamming
+        FROM scand
+        WHERE bit_count(xor(hi1, hi2)) + bit_count(xor(lo1, lo2)) <= 3
+    )
+    SELECT COALESCE(m.id_1, s.id_1) AS id_1,
+           COALESCE(m.id_2, s.id_2) AS id_2,
+           CASE WHEN m.id_1 IS NOT NULL AND s.id_1 IS NOT NULL THEN 'both'
+                WHEN m.id_1 IS NOT NULL THEN 'minhash_only'
+                ELSE 'simhash_only' END AS found_by,
+           COALESCE(m.jaccard, CAST('-1.0' AS DOUBLE)) AS jaccard,
+           COALESCE(s.hamming, -1) AS hamming
+    FROM mhp m FULL OUTER JOIN shp s
+      ON m.id_1 = s.id_1 AND m.id_2 = s.id_2
+    ORDER BY id_1, id_2
+    """
+
+
+@query("q159_neardup_agreement", oracle=_neardup_agreement_oracle_sql())
+def q159_neardup_agreement(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-detector near-dup agreement audit: the certified MinHash-LSH
+    pair set (Jaccard ≥ 0.8) FULL OUTER joined with the certified SimHash
+    pair set (Hamming ≤ 3) on the same corpus — per pair, which family
+    found it and its score(s). The two detectors see different things
+    (shingle-set overlap vs tf-weighted bit votes); this audit is how a
+    curation run decides whether to run one, the other, or both at
+    100 TB. Scores are the already-certified exact ints/divisions;
+    absent-side scores coalesce to sentinels so the output is
+    null-free."""
+    docs = load_table(spark, sf_dir, "documents")
+    mh = D.minhash_lsh_pairs(
+        docs, "text", "doc_id", n=3, num_hashes=32, bands=8,
+        threshold=0.8, hash_family="md5",
+    )
+    sim = D.simhash_pairs(
+        docs, "text", "doc_id", max_hamming=3, bits=56, hash_family="md5"
+    )
+    j = mh.join(sim, ["id_1", "id_2"], "full_outer")
+    found = (
+        F.when(F.col("jaccard").isNotNull() & F.col("hamming").isNotNull(), "both")
+        .when(F.col("jaccard").isNotNull(), "minhash_only")
+        .otherwise("simhash_only")
+    )
+    return j.select(
+        "id_1",
+        "id_2",
+        found.alias("found_by"),
+        F.coalesce(F.col("jaccard"), F.lit(-1.0)).alias("jaccard"),
+        F.coalesce(F.col("hamming"), F.lit(-1)).cast("int").alias("hamming"),
+    ).orderBy("id_1", "id_2")
+
+
 def _retrieval_eval_oracle_sql(k: int, query_pred: str) -> str:
     """q158 oracle: the certified q29 ranking chain with label relevance,
     then recall@k / MRR / nDCG@k from exact ints and the integer-scaled

@@ -598,3 +598,27 @@ def test_minhash_md5_family_num_hashes_bound(spark):
     sh = spark.createDataFrame([(1, "a b c")], "doc_id long, shingle string")
     with pytest.raises(ValueError, match="num_hashes <= 64"):
         minhash_signatures(sh, num_hashes=65, hash_family="md5")
+
+
+# -------------------------------------------------- q159 family agreement
+
+
+def test_neardup_agreement_exact_dup_found_by_both(spark):
+    from reactive_kinesis_spark.queries import load_all
+    import os, tempfile
+
+    text = " ".join(f"w{i}" for i in range(40))
+    other = " ".join(f"z{i}" for i in range(40))
+    df = spark.createDataFrame(
+        [(1, text, "s", "en", len(text)),
+         (2, text, "s", "en", len(text)),
+         (3, other, "s", "en", len(other))],
+        "doc_id long, text string, source string, lang string, n_chars long",
+    )
+    tmp = tempfile.mkdtemp()
+    df.write.mode("overwrite").parquet(os.path.join(tmp, "documents.parquet"))
+    out = {(r.id_1, r.id_2): r for r in
+           load_all()["q159_neardup_agreement"].fn(spark, tmp).collect()}
+    r = out[(1, 2)]
+    assert r.found_by == "both" and r.jaccard == 1.0 and r.hamming == 0
+    assert (1, 3) not in out and (2, 3) not in out
