@@ -821,9 +821,11 @@ def minhash_estimator_audit(
     Per pair: ``(id_1, id_2, est_jaccard, jaccard, abs_err)`` — both
     ratios are single IEEE divisions of exact ints, the error one
     subtraction + abs, so the audit itself is hash-certifiable. Pairs
-    with zero common shingles (possible only via a 56-bit hash
-    collision) are excluded by the inner verification join, identically
-    in both engines.
+    with zero common shingles (possible only via a hash collision) are
+    KEPT with ``jaccard = 0`` via a left join — they are exactly the
+    maximal-error pairs (high ``est_jaccard``, exact 0) this audit
+    exists to surface; an inner verification join would silently hide
+    the estimator's worst failures.
 
     Scale shape = :func:`minhash_lsh_pairs` exactly (banding bounds the
     pair set; signatures join back by id — k int columns per doc, no
@@ -851,12 +853,20 @@ def minhash_estimator_audit(
         .groupBy("id_1", "id_2")
         .agg(F.count(F.lit(1)).alias("n_common"))
     )
+    # LEFT join the candidate set to the common-shingle counts: a
+    # collision-only candidate (n_common = 0) must appear with jaccard 0
+    # and full abs_err, not vanish from its own accuracy audit.
+    verified = cand.select("id_1", "id_2").join(
+        common, ["id_1", "id_2"], "left"
+    ).select(
+        "id_1", "id_2", F.coalesce(F.col("n_common"), F.lit(0)).alias("n_common")
+    )
     exact = F.col("n_common").cast("double") / (
         F.col("n_1") + F.col("n_2") - F.col("n_common")
     ).cast("double")
     est_j = F.col("n_match").cast("double") / F.lit(float(num_hashes))
     return (
-        common.join(sizes.withColumnsRenamed({id_col: "id_1", "n_sh": "n_1"}), "id_1")
+        verified.join(sizes.withColumnsRenamed({id_col: "id_1", "n_sh": "n_1"}), "id_1")
         .join(sizes.withColumnsRenamed({id_col: "id_2", "n_sh": "n_2"}), "id_2")
         .join(est, ["id_1", "id_2"])
         .select(
@@ -900,6 +910,8 @@ def simhash(
     in ANSI SQL for oracle certification. xxhash64 + ``bits=64`` is the
     scale default.
     """
+    if bits % 2 != 0 or not 2 <= bits <= 64:
+        raise ValueError(f"bits={bits} must be even and in [2, 64]")
     if hash_family == "md5":
         word_hash = lambda w: F.conv(  # noqa: E731
             F.substring(F.md5(w), 1, 14), 16, 10
@@ -961,6 +973,23 @@ def simhash_pairs(
     without the persist the full explode + 64-vote aggregation pipeline
     executes twice. Signatures are 3 longs per document — the persist is
     corpus-row-count sized, never token-sized."""
+    if bits % 4 != 0:
+        # a non-multiple-of-4 width would silently leave the top bits of
+        # each half out of every pigeonhole chunk — candidate recall
+        # degrades with no error. Only 4-divisible widths are sound
+        # (56 = md5 family, 64 = xxhash64 family are the tested points).
+        raise ValueError(
+            f"bits={bits} must be divisible by 4: the 4-chunk pigeonhole "
+            "covers every signature bit only then (use 56 for the md5 "
+            "family, 64 for xxhash64)"
+        )
+    if max_hamming > 3:
+        # 4 chunks guarantee a shared chunk only for <= 3 differing bits
+        raise ValueError(
+            f"max_hamming={max_hamming} > 3: the 4-chunk pigeonhole is "
+            "complete only for Hamming distance <= 3 — pairs at distance "
+            "4+ can differ in every chunk and would be silently missed"
+        )
     sig = simhash(df, text_col, id_col, bits=bits, hash_family=hash_family)
     if cache_signatures:
         sig = _persist(sig, cache_registry)

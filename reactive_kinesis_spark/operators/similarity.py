@@ -1036,13 +1036,32 @@ def kmeans_centroids(
     return cents
 
 
+#: Default pair-ability target for :func:`semantic_dedup` /
+#: :func:`semantic_decontaminate` when ``k=None``: clusters average
+#: ~this many members, so the Σ|c|² pair stage stays ~linear in N.
+SEMDEDUP_TARGET_CLUSTER_SIZE = 256
+
+
+def _derive_k(vectors: DataFrame, target_cluster_size: int) -> int:
+    """The k ∝ N rule as CODE, not documentation: k = max(8,
+    n // target_cluster_size), so the within-cluster pair stage's Σ|c|²
+    cost stays ≈ n·target_cluster_size — linear in the corpus — instead
+    of silently going quadratic when a fixed small k meets a grown
+    corpus. One count() of the (column-pruned) vector frame."""
+    if target_cluster_size <= 0:
+        raise ValueError(f"target_cluster_size={target_cluster_size} must be > 0")
+    n = vectors.count()
+    return max(8, n // target_cluster_size)
+
+
 def semantic_dedup(
     vectors: DataFrame,
     vec_col: str = "embedding",
     id_col: str = "vec_id",
-    k: int = 8,
+    k: int | None = None,
     iterations: int = 2,
     threshold: float = 0.95,
+    target_cluster_size: int = SEMDEDUP_TARGET_CLUSTER_SIZE,
 ) -> DataFrame:
     """Semantic deduplication (SemDeDup, Abbas et al. 2023,
     arXiv:2303.09540): cluster the embedding corpus with deterministic
@@ -1067,10 +1086,16 @@ def semantic_dedup(
     quadratic pair stage runs per cluster, so cost is Σ|c|², not N².
     ``k`` must scale with the corpus (k ≈ N / target_cluster_size, e.g.
     ~100k clusters for billions of docs) to keep every cluster
-    pair-able; the self-join shuffles on ``cluster`` (one exchange each
-    side), squared norms are computed once per row BEFORE the join
-    (narrow), and the drop-set aggregation is keyed by (cluster, id) —
-    map-side combinable, never a driver collect.
+    pair-able — and since round 11 that rule is ENFORCED, not advisory:
+    ``k=None`` (the default) derives ``k = max(8, n //
+    target_cluster_size)`` from the corpus itself (:func:`_derive_k`),
+    so a fixed small k can no longer silently meet a 1000×-grown corpus
+    and go quadratic. Pass an explicit ``k`` only when you are pinning
+    results (the q148 oracle does). The self-join shuffles on
+    ``cluster`` (one exchange each side), squared norms are computed
+    once per row BEFORE the join (narrow), and the drop-set aggregation
+    is keyed by (cluster, id) — map-side combinable, never a driver
+    collect.
 
     Returns one row per cluster:
     ``(cluster, n_vecs, n_dup_pairs, n_dropped, dup_cos_sum)`` where
@@ -1083,6 +1108,8 @@ def semantic_dedup(
     v = vectors.select(
         F.col(id_col).alias("__id"), F.col(vec_col).alias("__vec")
     ).where(F.col("__vec").isNotNull() & (F.size("__vec") > 0))
+    if k is None:
+        k = _derive_k(v, target_cluster_size)
     members = (
         kmeans_assign(vectors, vec_col, id_col, k=k, iterations=iterations)
         .select(F.col(id_col).alias("__id"), "cluster")
@@ -1121,6 +1148,43 @@ def semantic_dedup(
     )
 
 
+def pq_codebooks(
+    vectors: DataFrame,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    dim: int = 64,
+    m: int = 2,
+    k: int = 4,
+    iterations: int = 1,
+) -> list:
+    """Fit the ``m`` per-subspace PQ codebooks once and return them as a
+    list of ``(cid, cent)`` centroid frames — the fit/apply split for
+    product quantization. :func:`pq_encode` consumes them to code the
+    corpus and :func:`pq_adc_topk` reuses THE SAME frames for the query
+    distance tables, so the most expensive stage (a full Lloyd loop per
+    subspace over the corpus) runs exactly once per pipeline instead of
+    once per consumer. Each codebook follows the :func:`kmeans_centroids`
+    determinism contract over the sliced vectors, so fit-once/apply-many
+    is bit-identical to the fused path."""
+    if dim % m != 0:
+        raise ValueError(f"dim={dim} not divisible by m={m} subspaces")
+    sub = dim // m
+    v = _kmeans_prepare(vectors, vec_col, id_col).where(F.size("__vec") == dim)
+    return [
+        kmeans_centroids(
+            v.select(
+                F.col("__id").alias(id_col),
+                F.slice("__vec", s * sub + 1, sub).alias("__sv"),
+            ),
+            "__sv",
+            id_col,
+            k=k,
+            iterations=iterations,
+        )
+        for s in range(m)
+    ]
+
+
 def pq_encode(
     vectors: DataFrame,
     vec_col: str = "embedding",
@@ -1129,6 +1193,7 @@ def pq_encode(
     m: int = 2,
     k: int = 4,
     iterations: int = 1,
+    codebooks: list | None = None,
 ) -> DataFrame:
     """Product quantization (Jégou et al. 2011): split each ``dim``-d
     vector into ``m`` equal subvectors, fit an independent deterministic
@@ -1150,6 +1215,11 @@ def pq_encode(
 
     Returns per vector: ``(id_col, code_0..code_{m-1}, recon_err)``.
 
+    ``codebooks`` (from :func:`pq_codebooks`) skips the per-subspace fit
+    and encodes under the given centroid frames — bit-identical to the
+    fused path when they came from the same corpus/params, and the way
+    :func:`pq_adc_topk` avoids fitting every codebook twice.
+
     100 TB shape: ``m`` independent k-row-broadcast assignment passes
     over narrow sliced projections (no shuffle of the corpus), joined
     back on the id — at scale the m passes share the one corpus scan
@@ -1160,10 +1230,18 @@ def pq_encode(
         raise ValueError(f"dim={dim} not divisible by m={m} subspaces")
     sub = dim // m
     v = _kmeans_prepare(vectors, vec_col, id_col).where(F.size("__vec") == dim)
+    if codebooks is None:
+        codebooks = pq_codebooks(
+            vectors, vec_col, id_col, dim=dim, m=m, k=k, iterations=iterations
+        )
+    elif len(codebooks) != m:
+        raise ValueError(f"{len(codebooks)} codebooks for m={m} subspaces")
     out = None
     for s in range(m):
         sv = v.select("__id", F.slice("__vec", s * sub + 1, sub).alias("__sv"))
-        a = kmeans_assign(sv, "__sv", "__id", k=k, iterations=iterations).select(
+        a = _kmeans_assign_to(
+            sv.withColumnRenamed("__sv", "__vec"), codebooks[s]
+        ).select(
             F.col("__id"),
             F.col("cluster").alias(f"code_{s}"),
             F.col("dist").alias(f"__dist_{s}"),
@@ -1211,10 +1289,15 @@ def retrieval_eval(
     exact int64 sums. No ``log`` is ever evaluated at query time.
 
     Per query: ``(query_id, query_label, n_rel, hits_at_k, recall_at_k,
-    mrr, ndcg)`` where ``n_rel`` counts same-label corpus rows excluding
-    the query itself and ``idcg`` truncates at ``min(n_rel, k)``.
-    Queries whose label has no other member score 0 across the board
-    (stated edge; impossible on the test corpus).
+    mrr, ndcg)`` where ``n_rel`` counts same-label corpus rows — the
+    query's own corpus row is excluded ONLY when the query id actually
+    exists in the corpus (a disjoint query set no longer over-subtracts),
+    and ``idcg`` truncates at ``min(n_rel, k)``. A query whose label is
+    absent from the corpus is scored 0 across the board with ``n_rel=0``
+    (previously it was silently dropped by an inner label join). If a
+    query id exists in the corpus under a DIFFERENT label, the exclusion
+    still subtracts one — queries are assumed to be drawn from, or
+    labeled consistently with, the corpus.
 
     100 TB shape: the retriever is the scale cost (corpus never
     shuffles, see :func:`cosine_topk`); the scoring adds one broadcast
@@ -1250,16 +1333,34 @@ def retrieval_eval(
             F.when(F.col("rel"), F.element_at(disc, F.col("rn"))).otherwise(F.lit(0))
         ).cast("long").alias("__dcg"),
     )
-    out = per_q.join(
-        F.broadcast(lab_counts),
-        per_q.query_label == lab_counts[label_col],
-    ).select(
-        "query_id",
-        "query_label",
-        (F.col("__lab_n") - F.lit(1)).cast("long").alias("n_rel"),
-        "hits_at_k",
-        "__first_rel",
-        "__dcg",
+    # membership probe: which query ids exist in the corpus? Broadcast the
+    # small query-id set against the corpus (semi join — the corpus never
+    # shuffles) so the self-exclusion applies only to true corpus members.
+    q_ids = queries.select(F.col(id_col).alias("query_id"))
+    in_corpus = (
+        corpus.select(F.col(id_col).alias("query_id"))
+        .join(F.broadcast(q_ids), "query_id", "left_semi")
+        .distinct()
+        .withColumn("__self", F.lit(1).cast("long"))
+    )
+    out = (
+        per_q.join(
+            F.broadcast(lab_counts),
+            per_q.query_label == lab_counts[label_col],
+            "left",
+        )
+        .join(F.broadcast(in_corpus), "query_id", "left")
+        .select(
+            "query_id",
+            "query_label",
+            (
+                F.coalesce(F.col("__lab_n"), F.lit(0))
+                - F.coalesce(F.col("__self"), F.lit(0))
+            ).cast("long").alias("n_rel"),
+            "hits_at_k",
+            "__first_rel",
+            "__dcg",
+        )
     )
     idcg = F.element_at(idcg_arr, F.least(F.col("n_rel"), F.lit(k)).cast("int"))
     return out.select(
@@ -1319,23 +1420,27 @@ def pq_adc_topk(
             f"query block exceeds max_query_rows={max_query_rows}"
         )
     sub = dim // m
-    codes = pq_encode(
+    # fit each subspace codebook ONCE; encoding and the query distance
+    # tables below share the same centroid frames (pre-round-11 this
+    # refit every codebook a second time — doubling the Lloyd-loop cost,
+    # the dominant stage).
+    codebooks = pq_codebooks(
         corpus, vec_col, id_col, dim=dim, m=m, k=k_codebook, iterations=iterations
     )
-    cv = _kmeans_prepare(corpus, vec_col, id_col).where(F.size("__vec") == dim)
+    codes = pq_encode(
+        corpus,
+        vec_col,
+        id_col,
+        dim=dim,
+        m=m,
+        k=k_codebook,
+        iterations=iterations,
+        codebooks=codebooks,
+    )
     qv = _kmeans_prepare(queries, vec_col, id_col).where(F.size("__vec") == dim)
     out = codes.select(F.col(id_col).alias("neighbor_id"), *[f"code_{s}" for s in range(m)])
     for s in range(m):
-        cents = kmeans_centroids(
-            cv.select(
-                F.col("__id").alias(id_col),
-                F.slice("__vec", s * sub + 1, sub).alias("__sv"),
-            ),
-            "__sv",
-            id_col,
-            k=k_codebook,
-            iterations=iterations,
-        )
+        cents = codebooks[s]
         qslice = qv.select(
             F.col("__id").alias("query_id"),
             F.slice("__vec", s * sub + 1, sub).alias("__qs"),
@@ -1371,9 +1476,10 @@ def semantic_decontaminate(
     evalset: DataFrame,
     vec_col: str = "embedding",
     id_col: str = "vec_id",
-    k: int = 8,
+    k: int | None = None,
     iterations: int = 2,
     threshold: float = 0.25,
+    target_cluster_size: int = SEMDEDUP_TARGET_CLUSTER_SIZE,
 ) -> DataFrame:
     """Embedding-space decontamination — the cross-corpus form of
     :func:`semantic_dedup`: find eval/benchmark items whose PARAPHRASES
@@ -1396,9 +1502,16 @@ def semantic_decontaminate(
     100 TB shape: train is scanned for the centroid fit and once for the
     cluster-keyed pair join; the eval side is cluster-assigned and
     broadcast-joinable when small. No collects, no Q×N cross join.
+    ``k=None`` (default) enforces the k ∝ N rule from the TRAIN corpus
+    size (:func:`_derive_k` — same contract as :func:`semantic_dedup`);
+    pass explicit ``k`` only to pin results (the q152 oracle does).
     """
     from reactive_kinesis_spark.functions import vec_dot, vec_norm
 
+    if k is None:
+        k = _derive_k(
+            _kmeans_prepare(train, vec_col, id_col), target_cluster_size
+        )
     cents = kmeans_centroids(train, vec_col, id_col, k=k, iterations=iterations)
     tv = _kmeans_prepare(train, vec_col, id_col)
     ev = _kmeans_prepare(evalset, vec_col, id_col)
@@ -1437,6 +1550,7 @@ def hard_negative_topk(
     vec_col: str = "embedding",
     label_col: str = "label",
     k: int = 3,
+    max_query_rows: int = 65_536,
 ) -> DataFrame:
     """Hard-negative mining for contrastive/metric learning: for each
     query vector, the ``k`` MOST similar corpus vectors with a DIFFERENT
@@ -1451,9 +1565,23 @@ def hard_negative_topk(
     shuffles, and per corpus partition only k candidates per query
     survive to the final window.
 
+    ``max_query_rows`` bounds the broadcast query block LOUDLY (the
+    :func:`cosine_topk` / :func:`pq_adc_topk` family guard): a queries
+    side that silently grew past the cap raises a descriptive error
+    instead of OOMing executors under an oversized broadcast at 100 TB.
+    The probe is itself bounded — ``limit(cap+1).count()`` detects the
+    violation from ONE extra row.
+
     Returns ``(query_id, query_label, neighbor_id, neighbor_label,
     cosine_sim, rn)``.
     """
+    nq = queries.limit(max_query_rows + 1).count()
+    if nq > max_query_rows:
+        raise ValueError(
+            f"hard_negative_topk query block exceeds max_query_rows="
+            f"{max_query_rows}; the query side is broadcast and must stay "
+            "small — raise max_query_rows deliberately or swap corpus/queries"
+        )
     q = valid_vectors(queries, vec_col).select(
         F.col(id_col).alias("query_id"),
         F.col(label_col).alias("query_label"),

@@ -43,7 +43,7 @@ def query(name: str, oracle: str | None = None):
 
 
 #: Driver-visibility rotation (round 10). The driver's correctness run samples
-#: the FIRST 50 registry entries; with 148 oracle-backed queries, the rest
+#: the FIRST 50 registry entries; with 149 oracle-backed queries, the rest
 #: must sit past the window each round. Policy: the least-driver-certified
 #: queries get the visible slots — never-certified first, then queries whose
 #: CODE OR ORACLE CHANGED since their last green row (a stale green row
@@ -125,9 +125,9 @@ _WINDOW = (
     "q60_dedup_clusters",
     "q61_curation_pipeline",
 )
-#: Queries that don't fit this round's window (4 displaced R9-deferred —
+#: Queries that don't fit this round's window (5 displaced R9-deferred —
 #: 5 rounds stale, take these FIRST in round 11 — then the 44
-#: r7-certified); they take round-11 slots (the 148-oracle/50-slot
+#: r7-certified); they take round-11 slots (the 149-oracle/50-slot
 #: rotation's staleness floor).
 _DEFERRED_R11 = (
     "q62_token_packing",

@@ -276,6 +276,13 @@ _mh_match_sum = "\n         + ".join(
         JOIN sh a ON a.doc_id = c.id_1
         JOIN sh b ON b.doc_id = c.id_2 AND b.shingle = a.shingle
         GROUP BY c.id_1, c.id_2
+    ),
+    verified AS (
+        -- LEFT join (mirrors the Spark side): a collision-only candidate
+        -- with zero common shingles stays in its own accuracy audit
+        SELECT c.id_1, c.id_2, COALESCE(m.n_common, 0) AS n_common
+        FROM cand c
+        LEFT JOIN common m ON m.id_1 = c.id_1 AND m.id_2 = c.id_2
     )
     SELECT c.id_1, c.id_2,
            CAST(e.n_match AS DOUBLE) / CAST({_MH_K} AS DOUBLE) AS est_jaccard,
@@ -284,7 +291,7 @@ _mh_match_sum = "\n         + ".join(
            abs(CAST(e.n_match AS DOUBLE) / CAST({_MH_K} AS DOUBLE)
                - CAST(n_common AS DOUBLE)
                  / CAST(s1.n_sh + s2.n_sh - n_common AS DOUBLE)) AS abs_err
-    FROM common c
+    FROM verified c
     JOIN sizes s1 ON s1.doc_id = c.id_1
     JOIN sizes s2 ON s2.doc_id = c.id_2
     JOIN est e ON e.id_1 = c.id_1 AND e.id_2 = c.id_2
@@ -2802,22 +2809,31 @@ def _retrieval_eval_oracle_sql(k: int, query_pred: str) -> str:
     ), lc AS (
       SELECT label, CAST(COUNT(*) AS BIGINT) AS lab_n
       FROM embeddings GROUP BY label
+    ), nrel AS (
+      -- membership-aware self-exclusion (mirrors retrieval_eval): the
+      -- query's own corpus row is subtracted only when it exists there;
+      -- a label absent from the corpus contributes COALESCE 0
+      SELECT p.query_id, p.query_label, p.hits_at_k, p.first_rel, p.dcg,
+        COALESCE(lc.lab_n, 0)
+        - (CASE WHEN EXISTS (SELECT 1 FROM c WHERE c.neighbor_id = p.query_id)
+                THEN 1 ELSE 0 END) AS n_rel
+      FROM perq p LEFT JOIN lc ON lc.label = p.query_label
     )
-    SELECT p.query_id, p.query_label,
-      lc.lab_n - 1 AS n_rel,
-      p.hits_at_k,
-      CASE WHEN lc.lab_n - 1 <= 0 THEN CAST(0.0 AS DOUBLE)
-           ELSE CAST(p.hits_at_k AS DOUBLE) / CAST(lc.lab_n - 1 AS DOUBLE)
+    SELECT query_id, query_label,
+      n_rel,
+      hits_at_k,
+      CASE WHEN n_rel <= 0 THEN CAST(0.0 AS DOUBLE)
+           ELSE CAST(hits_at_k AS DOUBLE) / CAST(n_rel AS DOUBLE)
       END AS recall_at_k,
-      CASE WHEN p.first_rel IS NULL THEN CAST(0.0 AS DOUBLE)
-           ELSE CAST(1.0 AS DOUBLE) / CAST(p.first_rel AS DOUBLE)
+      CASE WHEN first_rel IS NULL THEN CAST(0.0 AS DOUBLE)
+           ELSE CAST(1.0 AS DOUBLE) / CAST(first_rel AS DOUBLE)
       END AS mrr,
-      CASE WHEN lc.lab_n - 1 <= 0 THEN CAST(0.0 AS DOUBLE)
-           ELSE CAST(p.dcg AS DOUBLE)
-                / CAST(({idcg})[LEAST(lc.lab_n - 1, {k})] AS DOUBLE)
+      CASE WHEN n_rel <= 0 THEN CAST(0.0 AS DOUBLE)
+           ELSE CAST(dcg AS DOUBLE)
+                / CAST(({idcg})[LEAST(n_rel, {k})] AS DOUBLE)
       END AS ndcg
-    FROM perq p JOIN lc ON lc.label = p.query_label
-    ORDER BY p.query_id
+    FROM nrel
+    ORDER BY query_id
     """
 
 

@@ -320,7 +320,15 @@ class FileConditionalKV(ConditionalKV):
         # race but a broken store (persistent EACCES, torn FS) — raise
         # loudly rather than livelock the lease read path.
         last_err: Exception | None = None
-        for _ in range(self._GET_RELIST_ATTEMPTS):
+        for attempt in range(self._GET_RELIST_ATTEMPTS):
+            if attempt:
+                # back off before re-listing: a sustained burst of
+                # concurrent CAS+GC can win the list->open race several
+                # times in a tight loop against a perfectly healthy
+                # store — a few ms of daylight lets the installing
+                # writer finish, so 4 attempts separate "busy" from
+                # "broken" instead of false-alarming under contention
+                time.sleep(0.002 * (1 << attempt))
             versions = self._versions(key)
             for v in reversed(versions):
                 try:
