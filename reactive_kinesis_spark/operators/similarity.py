@@ -23,6 +23,7 @@ from collections.abc import Iterator
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 from pyspark.sql.types import (
+    ArrayType,
     DoubleType,
     IntegerType,
     LongType,
@@ -357,6 +358,169 @@ def _banded_signatures(
     return df.select(id_col, vec_col).mapInPandas(sign_bands, out_schema)
 
 
+#: Quantization scale for the engine-portable integer LSH family:
+#: component -> floor(x * 2^20). Power-of-two scaling of a double is
+#: EXACT, floor is exact, so the quantized vector is identical in any
+#: engine; every downstream dot product is pure int64 arithmetic, making
+#: the signatures (and the verify-stage cosines) independent of summation
+#: order — the property numpy matmul can then be trusted with.
+LSH_INT_SCALE_BITS = 20
+#: Loud input bound for the integer family: with |x| < 4.0 every
+#: quantized component fits 22 bits, plane components fit 21 bits, and a
+#: 64-dim dot stays under 2^49 — exactly representable in int64 AND
+#: float64, so no engine can round differently.
+LSH_INT_MAX_ABS = 4.0
+
+
+def int_hyperplanes(dim: int, n_planes: int, seed: int = 42) -> list[list[int]]:
+    """Deterministic INTEGER hyperplanes for the portable LSH family:
+    the same LCG stream as :func:`_hyperplanes`, emitted as signed
+    integers in [-2^20, 2^20). Integer components make the sign of
+    ``dot(quantized_vec, plane)`` an exact-arithmetic fact — bakeable
+    verbatim into an ANSI-SQL oracle as literal constants (the
+    DCG-table discipline applied to LSH geometry). Hyperplane LSH only
+    needs directions, so integer lattice directions are as uniform as
+    unit floats for sign purposes."""
+    state = seed
+    planes: list[list[int]] = []
+    for _ in range(n_planes):
+        v = []
+        for _ in range(dim):
+            state = (state * 6364136223846793005 + 1442695040888963407) % (1 << 64)
+            v.append(int((state >> 11) % (1 << 21)) - (1 << 20))
+        planes.append(v)
+    return planes
+
+
+def _int_banded_signatures(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    n_planes: int,
+    bands: int,
+    dim: int,
+    id_alias: str,
+) -> DataFrame:
+    """Engine-portable banded LSH signatures: quantize each vector to
+    ``floor(x * 2^20)`` int64, dot against the integer planes (one numpy
+    int64 matmul per Arrow batch — exact, so fold order is irrelevant and
+    the fast path IS the certified path), and emit ``bands`` rows per
+    vector ``(id_alias, __q, __sq, band, bits)`` where ``__q`` is the
+    quantized vector and ``__sq`` its exact squared norm — the verify
+    stage needs both and computes them once here.
+
+    This is the hash-certifiable twin of :func:`_banded_signatures`
+    (whose float64 matmul is fold-order-unmirrorable): same banding
+    shape, same cost profile, signatures bit-reproducible in ANSI SQL
+    from the :func:`int_hyperplanes` literals."""
+    df = valid_vectors(df, vec_col)
+    import numpy as np
+
+    bits_per_band = n_planes // bands
+    planes = np.array(int_hyperplanes(dim, n_planes), dtype="int64")
+    out_schema = StructType(
+        [
+            StructField(id_alias, LongType()),
+            StructField("__q", ArrayType(LongType())),
+            StructField("__sq", LongType()),
+            StructField("band", IntegerType()),
+            StructField("bits", IntegerType()),
+        ]
+    )
+
+    def sign_bands(batches: Iterator) -> Iterator:
+        import pandas as pd
+
+        for pdf in batches:
+            mat = np.array(pdf[vec_col].tolist(), dtype="float64")
+            if mat.size == 0:
+                continue
+            amax = float(np.abs(mat).max())
+            if amax >= LSH_INT_MAX_ABS:
+                raise ValueError(
+                    f"integer-LSH family requires |component| < "
+                    f"{LSH_INT_MAX_ABS} (saw {amax}): larger values would "
+                    "overflow the exact-arithmetic envelope — rescale the "
+                    "embeddings or use the float family"
+                )
+            q = np.floor(mat * float(1 << LSH_INT_SCALE_BITS)).astype("int64")
+            dots = q @ planes.T  # exact int64: every engine agrees on signs
+            sq = np.einsum("ij,ij->i", q, q)
+            signs = (dots > 0).astype("int64")
+            ids = pdf[id_col].to_numpy(dtype="int64")
+            qlist = list(q)
+            frames = []
+            for b in range(bands):
+                band_bits = np.zeros(len(mat), dtype="int64")
+                for r in range(bits_per_band):
+                    band_bits |= signs[:, b * bits_per_band + r] << r
+                frames.append(
+                    pd.DataFrame(
+                        {
+                            id_alias: ids,
+                            "__q": qlist,
+                            "__sq": sq,
+                            "band": np.full(len(mat), b, dtype="int32"),
+                            "bits": band_bits.astype("int32"),
+                        }
+                    )
+                )
+            yield pd.concat(frames, ignore_index=True)
+
+    return df.select(id_col, vec_col).mapInPandas(sign_bands, out_schema)
+
+
+def _pairwise_cosine_int(
+    pairs: DataFrame,
+    id_1: str,
+    id_2: str,
+    q1: str,
+    q2: str,
+    sq1: str,
+    sq2: str,
+    extra_cols: tuple[str, ...] = (),
+) -> DataFrame:
+    """Verify-stage cosine over QUANTIZED vectors: exact int64 dot (one
+    numpy batch op; order-free), then ``dot / (sqrt(sq1) * sqrt(sq2))``
+    — sqrt/multiply/divide are correctly-rounded IEEE ops on exactly
+    representable integers, so the score is bit-equal cross-engine. The
+    reported cosine is that of the quantized vectors (relative
+    quantization error ~2^-20 on unit-scale embeddings — far below any
+    near-dup threshold's decision margin, and CERTIFIED rather than
+    approximated)."""
+    import numpy as np
+
+    fields = [StructField(id_1, LongType()), StructField(id_2, LongType())]
+    fields += [StructField(c, IntegerType()) for c in extra_cols]
+    fields.append(StructField("cosine_sim", DoubleType()))
+    out_schema = StructType(fields)
+
+    def score(batches: Iterator) -> Iterator:
+        import pandas as pd
+
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            a = np.array(pdf[q1].tolist(), dtype="int64")
+            b = np.array(pdf[q2].tolist(), dtype="int64")
+            dots = np.einsum("ij,ij->i", a, b).astype("float64")
+            den = np.sqrt(pdf[sq1].to_numpy(dtype="float64")) * np.sqrt(
+                pdf[sq2].to_numpy(dtype="float64")
+            )
+            cols = {
+                id_1: pdf[id_1].to_numpy(dtype="int64"),
+                id_2: pdf[id_2].to_numpy(dtype="int64"),
+            }
+            for c in extra_cols:
+                cols[c] = pdf[c].to_numpy(dtype="int32")
+            cols["cosine_sim"] = dots / den
+            yield pd.DataFrame(cols)
+
+    return pairs.select(id_1, id_2, *extra_cols, q1, q2, sq1, sq2).mapInPandas(
+        score, out_schema
+    )
+
+
 def _pairwise_cosine_arrow(
     pairs: DataFrame,
     id_1: str,
@@ -442,6 +606,7 @@ def ann_lsh_topk(
     bands: int = 5,
     dim: int = 64,
     preset: str | None = None,
+    family: str = "float",
 ) -> DataFrame:
     """Approximate top-k: candidates = rows sharing ≥1 of ``bands`` signature
     bands with the query, exact cosine re-rank on candidates only.
@@ -456,14 +621,41 @@ def ann_lsh_topk(
     ``'recall'`` = 16 planes × 8 two-bit bands (recall ≈ 0.97 at ≈ 0.9·N) —
     see the measured recall-vs-cost table on :data:`ANN_PRESETS` and
     RECALL.json. Returns ``(query_id, neighbor_id, cosine_sim, rn)``.
+
+    ``family="int"`` switches every numeric step to the engine-portable
+    integer family (:func:`int_hyperplanes` signatures over
+    ``floor(x·2^20)`` quantized vectors, exact-int verify cosine) — the
+    approximate RESULT SET becomes bit-reproducible in ANSI SQL, so the
+    ANN output itself is hash-certifiable (the q151/q156 "certify the
+    approximation" discipline; q30's graduation). Same banding shape and
+    batch-matmul cost profile; the reported cosine is that of the
+    quantized vectors (error ~2^-20). The float family stays the default
+    for corpora outside the integer envelope (|x| < 4).
     """
     p = _apply_preset("lsh", preset, {"n_planes": n_planes, "bands": bands})
-    cand = _lsh_candidates(
-        corpus, queries, id_col, vec_col, p["n_planes"], p["bands"], dim
-    )
-    scored = _pairwise_cosine_arrow(
-        cand, "query_id", "neighbor_id", "__qvec", "__cvec", "__qnorm", "__cnorm"
-    )
+    if family == "int":
+        qb = _int_banded_signatures(
+            queries, id_col, vec_col, p["n_planes"], p["bands"], dim, "query_id"
+        ).withColumnsRenamed({"__q": "__qq", "__sq": "__qsq"})
+        cb = _int_banded_signatures(
+            corpus, id_col, vec_col, p["n_planes"], p["bands"], dim, "neighbor_id"
+        )
+        cand = (
+            cb.join(F.broadcast(qb), ["band", "bits"])
+            .where(F.col("query_id") != F.col("neighbor_id"))
+            .select("query_id", "neighbor_id", "__qq", "__q", "__qsq", "__sq")
+            .dropDuplicates(["query_id", "neighbor_id"])
+        )
+        scored = _pairwise_cosine_int(
+            cand, "query_id", "neighbor_id", "__qq", "__q", "__qsq", "__sq"
+        )
+    else:
+        cand = _lsh_candidates(
+            corpus, queries, id_col, vec_col, p["n_planes"], p["bands"], dim
+        )
+        scored = _pairwise_cosine_arrow(
+            cand, "query_id", "neighbor_id", "__qvec", "__cvec", "__qnorm", "__cnorm"
+        )
     w = Window.partitionBy("query_id").orderBy(F.col("cosine_sim").desc(), "neighbor_id")
     return scored.withColumn("rn", F.row_number().over(w).cast("int")).where(F.col("rn") <= k)
 
@@ -476,6 +668,7 @@ def embedding_neardup_pairs(
     n_planes: int = 16,
     bands: int = 4,
     dim: int = 64,
+    family: str = "float",
 ) -> DataFrame:
     """Embedding-cosine near-duplicate pairs (cosine ≥ threshold) via the
     same LSH bucketing (near-dups almost surely collide in ≥1 band).
@@ -484,9 +677,25 @@ def embedding_neardup_pairs(
     (:func:`_banded_signatures`): the JVM literal-plane fold was a
     n_planes·dim-term Catalyst expression per row, and the three-fold
     per-pair cosine (dot + two norm recomputations) dominated the
-    candidate re-rank — together 2.5-3× of q42/q63's sf0.1 time."""
-    from reactive_kinesis_spark.functions import vec_dot
+    candidate re-rank — together 2.5-3× of q42/q63's sf0.1 time.
 
+    ``family="int"`` runs the engine-portable integer family end to end
+    (:func:`_int_banded_signatures` / :func:`_pairwise_cosine_int`):
+    quantized signatures AND verify cosines are exact-integer facts, so
+    the emitted pair set is bit-reproducible in ANSI SQL — q42/q63's
+    graduation from rows-only to hash-certified. Same banding shape;
+    one int64 matmul per batch instead of a float one."""
+    if family == "int":
+        x = _int_banded_signatures(df, id_col, vec_col, n_planes, bands, dim, "id_1")
+        y = _int_banded_signatures(
+            df, id_col, vec_col, n_planes, bands, dim, "id_2"
+        ).withColumnsRenamed({"__q": "__q2", "__sq": "__sq2"})
+        pairs = x.join(y, ["band", "bits"]).where(F.col("id_1") < F.col("id_2"))
+        return (
+            _pairwise_cosine_int(pairs, "id_1", "id_2", "__q", "__q2", "__sq", "__sq2")
+            .where(F.col("cosine_sim") >= threshold)
+            .dropDuplicates(["id_1", "id_2"])
+        )
     x = _banded_signatures(df, id_col, vec_col, n_planes, bands, dim, "id_1", "__v1", "__n1")
     y = _banded_signatures(df, id_col, vec_col, n_planes, bands, dim, "id_2", "__v2", "__n2")
     # score (vectorized Arrow pass) + threshold BEFORE the dedup: band-

@@ -570,14 +570,108 @@ def q29_embedding_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("q30_embedding_ann_lsh")  # rows-only: approximate by design
+def _int_lsh_ctes(n_planes: int, bands: int, dim: int = 64) -> str:
+    """Shared CTE block for the engine-portable integer LSH family
+    (q30/q42/q63 graduation): quantized vectors ``floor(x·2^20)``
+    (power-of-two scaling and floor are exact in every engine), the
+    :func:`operators.similarity.int_hyperplanes` plane constants baked
+    as BIGINT list literals (the DCG-table discipline), per-(vector,
+    plane) dots as exact integer sums, and band keys from strict-positive
+    sign bits. Every value is an integer fact — summation order is
+    irrelevant, which is exactly why the Spark side may use one numpy
+    int64 matmul per batch and still match bit-for-bit."""
+    from reactive_kinesis_spark.operators.similarity import (
+        LSH_INT_SCALE_BITS,
+        int_hyperplanes,
+    )
+
+    scale = float(1 << LSH_INT_SCALE_BITS)
+    bpb = n_planes // bands
+    planes = int_hyperplanes(dim, n_planes)
+    plane_rows = ",\n             ".join(
+        f"({p}, [{', '.join(str(c) for c in row)}]::BIGINT[])"
+        for p, row in enumerate(planes)
+    )
+    return f"""
+    qv AS (
+      SELECT vec_id,
+        list_transform(embedding,
+          x -> CAST(FLOOR(CAST(x AS DOUBLE) * {scale!r}) AS BIGINT)) AS q
+      FROM embeddings
+      WHERE embedding IS NOT NULL AND len(embedding) > 0
+    ),
+    sqn AS (
+      SELECT vec_id, CAST(list_sum(list_transform(q, x -> x * x)) AS BIGINT) AS sq
+      FROM qv
+    ),
+    planes(pid, pl) AS (
+      VALUES {plane_rows}
+    ),
+    dots AS (
+      SELECT v.vec_id, p.pid,
+        CAST(list_sum(list_transform(range(1, {dim + 1}),
+             i -> v.q[i] * p.pl[i])) AS BIGINT) AS d
+      FROM qv v CROSS JOIN planes p
+    ),
+    banded AS (
+      SELECT vec_id, CAST(pid // {bpb} AS INT) AS band,
+        CAST(SUM(CASE WHEN d > 0 THEN 1 << (pid % {bpb}) ELSE 0 END) AS INT) AS bits
+      FROM dots GROUP BY vec_id, band
+    )"""
+
+
+#: Verify-stage cosine over the quantized vectors (exact int dot; sqrt /
+#: multiply / divide are correctly-rounded IEEE ops) — mirrors
+#: operators.similarity._pairwise_cosine_int bit-for-bit.
+_INT_COS_SQL = (
+    "CAST(CAST(list_sum(list_transform(range(1, 65), i -> a.q[i] * b.q[i]))"
+    " AS BIGINT) AS DOUBLE)"
+    " / (sqrt(CAST(s1.sq AS DOUBLE)) * sqrt(CAST(s2.sq AS DOUBLE)))"
+)
+
+
+@query(
+    "q30_embedding_ann_lsh",
+    oracle=f"""
+    WITH {_int_lsh_ctes(n_planes=15, bands=5)},
+    cand AS (
+      SELECT DISTINCT q.vec_id AS query_id, c.vec_id AS neighbor_id
+      FROM banded q
+      JOIN banded c ON q.band = c.band AND q.bits = c.bits
+      WHERE q.vec_id < 100 AND q.vec_id <> c.vec_id
+    ),
+    scored AS (
+      SELECT cd.query_id, cd.neighbor_id, {_INT_COS_SQL} AS cosine_sim
+      FROM cand cd
+      JOIN qv a ON a.vec_id = cd.query_id
+      JOIN qv b ON b.vec_id = cd.neighbor_id
+      JOIN sqn s1 ON s1.vec_id = cd.query_id
+      JOIN sqn s2 ON s2.vec_id = cd.neighbor_id
+    ),
+    ranked AS (
+      SELECT *, CAST(ROW_NUMBER() OVER (
+        PARTITION BY query_id ORDER BY cosine_sim DESC, neighbor_id) AS INT) AS rn
+      FROM scored
+    )
+    SELECT query_id, neighbor_id, cosine_sim, rn
+    FROM ranked WHERE rn <= 5
+    ORDER BY query_id, rn
+    """,
+)
 def q30_embedding_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ANN top-5 via random-hyperplane LSH banding + exact re-rank of
-    candidates — the bucket-join scale path (no Q×N cross join)."""
+    candidates — the bucket-join scale path (no Q×N cross join). Runs the
+    ``family="int"`` portable construction (quantized integer signatures
+    and verify cosines), so the approximate RESULT SET itself is
+    hash-certified against an unrolled ANSI-SQL oracle — graduated from
+    rows-only in round 11 via the q151 constant-draw discipline applied
+    to LSH geometry (integer plane literals instead of md5 register
+    draws). The float family (q100's presets) stays the measured
+    throughput path for corpora outside the |x| < 4 integer envelope."""
     emb = load_table(spark, sf_dir, "embeddings")
     queries = emb.where(F.col("vec_id") < 100)
     return (
-        S.ann_lsh_topk(emb, queries, "vec_id", "embedding", k=5)
+        S.ann_lsh_topk(emb, queries, "vec_id", "embedding", k=5, family="int")
         .select("query_id", "neighbor_id", "cosine_sim", "rn")
         .orderBy("query_id", "rn")
     )
@@ -657,17 +751,51 @@ def q101_ann_ivf_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("q42_embedding_neardup")  # rows-only: LSH candidate set by design
+#: q42/q63 shared oracle chain: integer-LSH candidates + quantized-cosine
+#: verification at threshold 0.4 (the float literal emitted via repr per
+#: the cross-engine literal rule).
+_Q42_PAIR_CTES = f"""{_int_lsh_ctes(n_planes=16, bands=4)},
+    cand AS (
+      SELECT DISTINCT x.vec_id AS id_1, y.vec_id AS id_2
+      FROM banded x
+      JOIN banded y ON x.band = y.band AND x.bits = y.bits
+                   AND x.vec_id < y.vec_id
+    ),
+    pairs AS (
+      SELECT id_1, id_2, cosine_sim FROM (
+        SELECT cd.id_1, cd.id_2, {_INT_COS_SQL} AS cosine_sim
+        FROM cand cd
+        JOIN qv a ON a.vec_id = cd.id_1
+        JOIN qv b ON b.vec_id = cd.id_2
+        JOIN sqn s1 ON s1.vec_id = cd.id_1
+        JOIN sqn s2 ON s2.vec_id = cd.id_2
+      ) WHERE cosine_sim >= CAST('0.4' AS DOUBLE)
+    )"""
+
+
+@query(
+    "q42_embedding_neardup",
+    oracle=f"""
+    WITH {_Q42_PAIR_CTES}
+    SELECT id_1, id_2, cosine_sim FROM pairs
+    ORDER BY id_1, id_2
+    """,
+)
 def q42_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding-cosine near-duplicate pairs via hyperplane LSH bucketing +
     exact verification — the vector twin of MinHash text dedup; candidates
     O(bucket collisions), never O(pairs). Threshold 0.4 exercises a
     non-empty result on the near-random synthetic embeddings (max pairwise
     cosine ≈ 0.51; production near-dup thresholds are ≥ 0.9 where LSH
-    recall ≈ 1)."""
+    recall ≈ 1). Runs the ``family="int"`` portable construction, so the
+    pair set AND its verification cosines are hash-certified — graduated
+    from rows-only in round 11 (the numpy-matmul fold-order blocker
+    dissolved by making every dot an exact-integer fact)."""
     emb = load_table(spark, sf_dir, "embeddings")
     return (
-        S.embedding_neardup_pairs(emb, "vec_id", "embedding", threshold=0.4)
+        S.embedding_neardup_pairs(
+            emb, "vec_id", "embedding", threshold=0.4, family="int"
+        )
         .orderBy("id_1", "id_2")
     )
 
@@ -763,14 +891,39 @@ def q65_mixture_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("q63_embedding_neardup_clusters")  # rows-only: LSH candidate set by design
+@query(
+    "q63_embedding_neardup_clusters",
+    oracle=f"""
+    WITH RECURSIVE {_Q42_PAIR_CTES},
+    edges AS (
+        SELECT id_1 AS u, id_2 AS v FROM pairs
+        UNION
+        SELECT id_2 AS u, id_1 AS v FROM pairs
+    ),
+    walk(node, reach) AS (
+        SELECT u, u FROM edges
+        UNION
+        SELECT w.node, e.v FROM walk w JOIN edges e ON e.u = w.reach
+    ),
+    comp AS (SELECT node, MIN(reach) AS rep_id FROM walk GROUP BY node),
+    csize AS (SELECT rep_id, COUNT(*) AS cluster_size FROM comp GROUP BY rep_id)
+    SELECT comp.node AS doc_id, comp.rep_id, csize.cluster_size
+    FROM comp JOIN csize USING (rep_id)
+    ORDER BY doc_id
+    """,
+)
 def q63_embedding_neardup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Semantic dedup end-to-end: embedding-cosine near-dup pairs (q42's
-    LSH-bucketed candidates + exact verify) resolved into duplicate groups
-    by the same connected-components operator as q60 — pairs→clusters works
-    identically for the text and vector paths."""
+    LSH-bucketed candidates + exact verify, integer family) resolved into
+    duplicate groups by the same connected-components operator as q60 —
+    pairs→clusters works identically for the text and vector paths.
+    Graduated to hash-certified in round 11: the pair stage is q42's
+    certified integer construction and the cluster stage is q60's
+    certified recursive-walk mirror of large-star/small-star."""
     emb = load_table(spark, sf_dir, "embeddings")
-    pairs = S.embedding_neardup_pairs(emb, "vec_id", "embedding", threshold=0.4)
+    pairs = S.embedding_neardup_pairs(
+        emb, "vec_id", "embedding", threshold=0.4, family="int"
+    )
     return D.dedup_clusters(pairs).orderBy("doc_id")
 
 

@@ -188,3 +188,92 @@ def test_pq_encode_rejects_wrong_codebook_count(spark):
     books = pq_codebooks(df, dim=4, m=2, k=1, iterations=0)
     with pytest.raises(ValueError, match="codebooks"):
         pq_encode(df, dim=4, m=4, k=1, iterations=0, codebooks=books)
+
+
+# ------------------------------------------- integer-exact LSH family
+
+
+def test_int_hyperplanes_deterministic_and_bounded():
+    from reactive_kinesis_spark.operators.similarity import int_hyperplanes
+
+    a = int_hyperplanes(8, 4)
+    b = int_hyperplanes(8, 4)
+    assert a == b
+    assert all(-(1 << 20) <= c < (1 << 20) for row in a for c in row)
+    assert len(a) == 4 and all(len(row) == 8 for row in a)
+
+
+def test_int_banded_signatures_rejects_out_of_envelope_values(spark):
+    from reactive_kinesis_spark.operators.similarity import _int_banded_signatures
+
+    df = _vecs(spark, [(1, (5.0, 0.0, 0.0, 0.0))])
+    sig = _int_banded_signatures(df, "vec_id", "embedding", 4, 2, 4, "id_1")
+    with pytest.raises(Exception, match="integer-LSH family requires"):
+        sig.collect()
+
+
+def test_embedding_neardup_pairs_int_matches_quantized_bruteforce(spark):
+    import math as m
+
+    from reactive_kinesis_spark.operators.similarity import (
+        LSH_INT_SCALE_BITS,
+        embedding_neardup_pairs,
+    )
+
+    vecs = {
+        1: (0.5, 0.1, -0.3, 0.2),
+        2: (0.5, 0.1, -0.3, 0.21),   # near-dup of 1
+        3: (-0.4, 0.5, 0.1, -0.2),
+        4: (0.49, 0.11, -0.29, 0.2), # near-dup of 1/2
+    }
+    df = _vecs(spark, [(i, v) for i, v in vecs.items()])
+    out = {
+        (r.id_1, r.id_2): r.cosine_sim
+        for r in embedding_neardup_pairs(
+            df, threshold=0.99, n_planes=8, bands=4, dim=4, family="int"
+        ).collect()
+    }
+    # python-exact expectation over the SAME quantization
+    scale = float(1 << LSH_INT_SCALE_BITS)
+    q = {i: [m.floor(float(np_x) * scale) for np_x in v] for i, v in vecs.items()}
+    # float32 round-trip: Spark reads array<float>; mirror it
+    import numpy as np
+
+    q = {
+        i: [int(m.floor(float(np.float32(x)) * scale)) for x in v]
+        for i, v in vecs.items()
+    }
+    def cos(i, j):
+        d = sum(a * b for a, b in zip(q[i], q[j]))
+        return d / (m.sqrt(sum(a * a for a in q[i])) * m.sqrt(sum(b * b for b in q[j])))
+
+    expected = {
+        (i, j): cos(i, j)
+        for i in vecs
+        for j in vecs
+        if i < j and cos(i, j) >= 0.99
+    }
+    # every expected high-cosine pair that shares a band must be found with
+    # the exact same score; found pairs must all be expected
+    for pair, sim in out.items():
+        assert pair in expected and expected[pair] == sim
+    assert (1, 2) in out and (1, 4) in out  # the planted near-dups collide
+
+
+def test_ann_lsh_topk_int_family_shape_and_order(spark):
+    from reactive_kinesis_spark.operators.similarity import ann_lsh_topk
+
+    rows = [(i, tuple(0.1 * ((i * 3 + j) % 7 - 3) for j in range(4))) for i in range(20)]
+    df = _vecs(spark, rows)
+    out = ann_lsh_topk(
+        df, df.where("vec_id < 3"), k=2, n_planes=8, bands=4, dim=4, family="int"
+    ).collect()
+    by_q = {}
+    for r in out:
+        by_q.setdefault(r.query_id, []).append(r)
+    for qid, rs in by_q.items():
+        rs.sort(key=lambda r: r.rn)
+        assert [r.rn for r in rs] == list(range(1, len(rs) + 1))
+        sims = [r.cosine_sim for r in rs]
+        assert sims == sorted(sims, reverse=True)
+        assert all(r.neighbor_id != qid for r in rs)
