@@ -181,3 +181,112 @@ def hll_cardinality(
             / F.col("exact_distinct").cast("double")
         ).alias("rel_err"),
     )
+
+
+def bloom_membership_audit(
+    reference: DataFrame,
+    probe: DataFrame,
+    value_col: str,
+    group_col: str,
+    m_bits: int = 1 << 14,
+    k_hashes: int = 4,
+) -> DataFrame:
+    """Engine-portable Bloom-filter membership with a built-in
+    false-positive audit — the sketch a 100 TB decontamination or
+    join-pruning pass uses when the reference set is too large to
+    broadcast exactly but a bitmap of it fits everywhere: build the
+    filter over ``reference[value_col]``, probe every ``probe`` row, and
+    report per ``group_col`` how the sketch's answers compare to exact
+    membership (the q139/q151/q157 "certify the approximation's error"
+    discipline — the FP rate you would otherwise only estimate from
+    theory rides along as an exact-integer column).
+
+    Portability: bit positions come from Kirsch-Mitzenmacher double
+    hashing off ONE md5 per value (``h1``/``h2`` = the digest's two
+    14-hex halves, ``pos_i = (h1 + i·h2) mod m_bits`` — the q23
+    construction), so any engine that can md5 sets the IDENTICAL bits
+    and returns the IDENTICAL verdicts; every reported metric is an
+    integer count or a single IEEE division of two.
+
+    Output per group: ``(group_col, n_rows, n_bloom_pos, n_exact_pos,
+    n_false_pos, fp_rate)`` where ``fp_rate = n_false_pos / (n_rows -
+    n_exact_pos)`` over the true negatives (0.0 when there are none).
+    Bloom filters have no false negatives, so ``n_bloom_pos =
+    n_exact_pos + n_false_pos`` always — the audit's internal invariant.
+
+    100 TB shape: the filter is ONE distinct-aggregate collapsing the
+    reference to ≤ ``m_bits`` integer rows (bits, not values, cross the
+    wire; mergeable across shards by construction), then broadcast to
+    the probe side; probes are evaluated per DISTINCT probe value (k
+    positions each) and joined back, so the probe corpus itself never
+    shuffles on anything wider than its own group key. The exact-
+    membership audit join is the only value-keyed leg and exists for
+    certification — drop the audit columns and the plan is sketch-sized.
+    """
+    if m_bits < 2 or k_hashes < 1:
+        raise ValueError("m_bits >= 2 and k_hashes >= 1 required")
+
+    def positions(col):
+        h1 = F.conv(F.substring(F.md5(col), 1, 14), 16, 10).cast("long")
+        h2 = F.conv(F.substring(F.md5(col), 15, 14), 16, 10).cast("long")
+        return F.array(
+            *[F.pmod(h1 + F.lit(i) * h2, F.lit(m_bits)) for i in range(k_hashes)]
+        )
+
+    ref_vals = reference.select(F.col(value_col).cast("string").alias("__v")).where(
+        F.col("__v").isNotNull()
+    )
+    bits = (
+        ref_vals.select(F.explode(positions(F.col("__v"))).alias("pos"))
+        .distinct()
+    )
+    probe_vals = (
+        probe.select(F.col(value_col).cast("string").alias("__v"))
+        .where(F.col("__v").isNotNull())
+        .distinct()
+    )
+    # bloom-positive iff NO position is missing from the filter (an
+    # anti-join, not a matched-count == k check: double hashing can
+    # collide positions within one value, and a count test would then
+    # manufacture a false NEGATIVE — the one error class Bloom filters
+    # are defined never to make)
+    missing = (
+        probe_vals.select("__v", F.explode(positions(F.col("__v"))).alias("pos"))
+        .join(F.broadcast(bits), "pos", "left_anti")
+        .select("__v")
+        .distinct()
+    )
+    verdicts = probe_vals.join(missing, "__v", "left_anti").select(
+        "__v", F.lit(1).alias("__bloom")
+    )
+    exact = ref_vals.distinct().select("__v", F.lit(1).alias("__exact"))
+    scored = (
+        probe.select(F.col(group_col), F.col(value_col).cast("string").alias("__v"))
+        .where(F.col("__v").isNotNull())
+        .join(verdicts, "__v", "left")
+        .join(exact, "__v", "left")
+        .select(
+            group_col,
+            F.coalesce(F.col("__bloom"), F.lit(0)).alias("__b"),
+            F.coalesce(F.col("__exact"), F.lit(0)).alias("__e"),
+        )
+    )
+    out = scored.groupBy(group_col).agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum("__b").cast("long").alias("n_bloom_pos"),
+        F.sum("__e").cast("long").alias("n_exact_pos"),
+        F.sum(
+            F.when((F.col("__b") == 1) & (F.col("__e") == 0), 1).otherwise(0)
+        ).cast("long").alias("n_false_pos"),
+    )
+    neg = F.col("n_rows") - F.col("n_exact_pos")
+    return out.select(
+        group_col,
+        "n_rows",
+        "n_bloom_pos",
+        "n_exact_pos",
+        "n_false_pos",
+        F.when(neg <= 0, F.lit(0.0))
+        .otherwise(F.col("n_false_pos").cast("double") / neg.cast("double"))
+        .alias("fp_rate"),
+    )

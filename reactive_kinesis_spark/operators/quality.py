@@ -256,3 +256,69 @@ def distribution_drift(
         )
         .orderBy("bucket")
     )
+
+
+def chi_square_homogeneity(
+    df: DataFrame,
+    row_col: str,
+    col_col: str,
+) -> DataFrame:
+    """Chi-square homogeneity audit over the ``row_col`` × ``col_col``
+    contingency table — the classical "did the composition shift?" test
+    a pipeline runs between corpus slices (source × language, batch ×
+    label, shard × topic). Complements :func:`distribution_drift` (L1
+    against a stored baseline) with the cross-sectional form: every
+    slice against every other, no baseline snapshot needed.
+
+    Per cell: observed count ``O`` (exact int), expected count
+    ``E = r·c / N`` (one multiply of exact ints — caller's envelope is
+    ``r·c < 2^53``, comfortably true for any per-slice audit — and one
+    IEEE division), and the contribution ``(O−E)²/E`` (a fixed
+    three-op chain). The total statistic and degrees of freedom ride on
+    every row: ``chi2_total`` sums the contributions through the exact
+    DECIMAL(38,6) path (:func:`functions.dsum` — order-irrelevant),
+    ``dof = (R−1)(C−1)``. Cut-off lookup is the caller's job (a p-value
+    needs the incomplete gamma — libm territory, deliberately outside
+    the certified surface).
+
+    Returns one row per observed cell:
+    ``(row_col, col_col, observed, expected, chi2_term, chi2_total,
+    dof)``.
+
+    100 TB shape: ONE map-side-combined count aggregate over the corpus;
+    everything after operates on the cell table (≤ R·C rows) — marginal
+    re-aggregations, two broadcast joins, a broadcast single-row total.
+    The corpus is scanned exactly once.
+    """
+    from reactive_kinesis_spark.functions import dsum
+
+    cells = df.groupBy(row_col, col_col).agg(
+        F.count(F.lit(1)).cast("long").alias("observed")
+    )
+    rows = cells.groupBy(row_col).agg(F.sum("observed").cast("long").alias("__r"))
+    cols = cells.groupBy(col_col).agg(F.sum("observed").cast("long").alias("__c"))
+    tot = cells.agg(
+        F.sum("observed").cast("long").alias("__n"),
+        F.countDistinct(row_col).cast("long").alias("__nr"),
+        F.countDistinct(col_col).cast("long").alias("__nc"),
+    )
+    e = (F.col("__r") * F.col("__c")).cast("double") / F.col("__n").cast("double")
+    d = F.col("observed").cast("double") - F.col("expected")
+    term = d * d / F.col("expected")
+    scored = (
+        cells.join(F.broadcast(rows), row_col)
+        .join(F.broadcast(cols), col_col)
+        .crossJoin(F.broadcast(tot))
+        .select(
+            row_col,
+            col_col,
+            "observed",
+            e.alias("expected"),
+            ((F.col("__nr") - 1) * (F.col("__nc") - 1)).cast("long").alias("dof"),
+        )
+        .select(row_col, col_col, "observed", "expected", term.alias("chi2_term"), "dof")
+    )
+    total = scored.agg(dsum("chi2_term", "chi2_total"))
+    return scored.crossJoin(F.broadcast(total)).select(
+        row_col, col_col, "observed", "expected", "chi2_term", "chi2_total", "dof"
+    )

@@ -130,3 +130,134 @@ def merge_upsert(
     u = F.broadcast(updates) if broadcast_updates else updates
     kept = target.join(u.select(*key_cols), key_cols, "left_anti")
     return kept.unionByName(updates)
+
+
+def funnel_steps(
+    events: DataFrame,
+    steps: Sequence[str],
+    user_col: str = "user_id",
+    type_col: str = "event_type",
+    ts_col: str = "ts",
+) -> DataFrame:
+    """Ordered-funnel analysis: how many users performed each step of
+    ``steps`` IN ORDER (each step strictly after their first qualifying
+    occurrence of the previous one), with step-over-step and overall
+    conversion rates — the product-analytics staple every event pipeline
+    reimplements.
+
+    Semantics: a user reaches step ``i`` at ``t_i = min ts`` of their
+    ``steps[i]`` events with ``ts > t_{i-1}`` (strict ordering; the
+    earliest-qualifying-time rule makes the funnel greedy and
+    deterministic). Counts are exact ints; conversions are single IEEE
+    divisions (step 0's step-conversion is defined as 1.0).
+
+    Returns one row per step:
+    ``(step, step_name, n_users, conv_from_prev, conv_overall)``.
+
+    100 TB shape: the plan is ``len(steps)`` user-keyed min-aggregates
+    chained by user-keyed joins — every wide stage shuffles on the SAME
+    key (one partitioning, reused), each stage's frame is
+    one-row-per-surviving-user, and the event scan is filtered to one
+    step's type before anything wide happens. The per-step counts union
+    into a ``len(steps)``-row frame; the window over it is trivial. No
+    sequence materialization (no collect_list of per-user event arrays —
+    the usual OOM shape of naive funnel code at scale).
+    """
+    if not steps:
+        raise ValueError("steps must be non-empty")
+    reached = (
+        events.where(F.col(type_col) == steps[0])
+        .groupBy(user_col)
+        .agg(F.min(ts_col).alias("__t"))
+    )
+    frames = [reached]
+    for st in steps[1:]:
+        nxt = (
+            events.where(F.col(type_col) == st)
+            .join(frames[-1].select(user_col, F.col("__t").alias("__prev")), user_col)
+            .where(F.col(ts_col) > F.col("__prev"))
+            .groupBy(user_col)
+            .agg(F.min(ts_col).alias("__t"))
+        )
+        frames.append(nxt)
+    counts = None
+    for i, (st, fr) in enumerate(zip(steps, frames)):
+        c = fr.agg(F.count(F.lit(1)).cast("long").alias("n_users")).select(
+            F.lit(i).cast("int").alias("step"),
+            F.lit(st).alias("step_name"),
+            "n_users",
+        )
+        counts = c if counts is None else counts.unionByName(c)
+    w = Window.orderBy("step")
+    return counts.select(
+        "step",
+        "step_name",
+        "n_users",
+        F.when(F.col("step") == 0, F.lit(1.0))
+        .otherwise(
+            F.col("n_users").cast("double")
+            / F.lag("n_users").over(w).cast("double")
+        )
+        .alias("conv_from_prev"),
+        (
+            F.col("n_users").cast("double")
+            / F.first("n_users").over(w.rowsBetween(Window.unboundedPreceding, 0)).cast("double")
+        ).alias("conv_overall"),
+    )
+
+
+def cohort_retention(
+    events: DataFrame,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+) -> DataFrame:
+    """Weekly cohort-retention matrix: users are cohorted by the ISO week
+    of their FIRST event; for every (cohort, week offset) cell, the
+    number of cohort members active that week and the retention ratio —
+    the other product-analytics staple (funnels measure a flow, cohorts
+    measure decay).
+
+    Week truncation uses ``date_trunc('week', ts)`` (ISO Monday in both
+    Spark and DuckDB); offsets are exact integer day-diffs divided by 7
+    (week-truncated timestamps differ by exact multiples of 7 days, so
+    the division is exact). Counts are exact ints; retention is one IEEE
+    division.
+
+    Returns ``(cohort_week, week_offset, n_active, cohort_size,
+    retention)``, one row per cohort × active week.
+
+    100 TB shape: one user-keyed min-aggregate (cohorts), one distinct
+    over (user, week) — both map-side combinable — one user-keyed join,
+    then a (cohort, offset)-keyed count. Cell count is bounded by
+    #weeks², independent of corpus size; only the per-user frames are
+    data-sized and they shuffle once each on the user key.
+    """
+    firsts = events.groupBy(user_col).agg(
+        F.date_trunc("week", F.min(ts_col)).alias("cohort_week")
+    )
+    active = (
+        events.select(
+            F.col(user_col), F.date_trunc("week", F.col(ts_col)).alias("__aw")
+        )
+        .distinct()
+    )
+    j = active.join(firsts, user_col).select(
+        user_col,
+        "cohort_week",
+        (F.datediff("__aw", "cohort_week") / F.lit(7)).cast("int").alias("week_offset"),
+    )
+    cells = j.groupBy("cohort_week", "week_offset").agg(
+        F.countDistinct(user_col).cast("long").alias("n_active")
+    )
+    sizes = firsts.groupBy("cohort_week").agg(
+        F.count(F.lit(1)).cast("long").alias("cohort_size")
+    )
+    return cells.join(sizes, "cohort_week").select(
+        "cohort_week",
+        "week_offset",
+        "n_active",
+        "cohort_size",
+        (F.col("n_active").cast("double") / F.col("cohort_size").cast("double")).alias(
+            "retention"
+        ),
+    )

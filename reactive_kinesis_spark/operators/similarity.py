@@ -2050,3 +2050,60 @@ def ivf_append_index(
         .partitionBy("cell")
         .parquet(f"{index_dir}/postings")
     )
+
+
+def knn_label_disagreement(
+    df: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    label_col: str = "label",
+    k: int = 5,
+    max_query_rows: int = 65_536,
+) -> DataFrame:
+    """Label-noise audit via k-NN disagreement (the Confident-Learning-
+    style screen): for every labeled vector, the fraction of its ``k``
+    nearest cosine neighbors carrying a DIFFERENT label. Rows whose
+    neighborhoods overwhelmingly disagree are the mislabel candidates a
+    training pipeline routes to review before they poison a classifier
+    — the labeled-data twin of :func:`hard_negative_topk` (which MINES
+    near-boundary pairs; this one AUDITS suspicious ones).
+
+    The ranking is :func:`cosine_topk`'s certified contract; the
+    disagreement count is an exact int, the rate one IEEE division, the
+    flag an integer comparison on cross-multiplied ints (``2·n_diff >
+    k`` — no float threshold), so the whole audit is hash-certifiable.
+
+    Returns ``(id_col, label, n_diff, disagreement, flagged)`` with
+    ``flagged`` as 0/1.
+
+    100 TB shape: the cost IS the retriever (see :func:`cosine_topk` —
+    corpus never shuffles, map-side partial top-k). Self-auditing a
+    corpus makes the corpus its own query block, which the inherited
+    ``max_query_rows`` guard deliberately refuses past its cap: at full
+    scale you run this in bounded query blocks (the guard's message is
+    the operating manual), each block a broadcast-sized slice against
+    the unshuffled corpus.
+    """
+    nbrs = cosine_topk(
+        df, df, id_col, vec_col, k=k, include_self=False, max_query_rows=max_query_rows
+    )
+    lab = df.select(F.col(id_col), F.col(label_col))
+    qlab = lab.withColumnsRenamed({id_col: "query_id", label_col: "__ql"})
+    nlab = lab.withColumnsRenamed({id_col: "neighbor_id", label_col: "__nl"})
+    per = (
+        nbrs.join(qlab, "query_id")
+        .join(nlab, "neighbor_id")
+        .groupBy("query_id", "__ql")
+        .agg(
+            F.sum(F.when(F.col("__nl") != F.col("__ql"), 1).otherwise(0))
+            .cast("long")
+            .alias("n_diff")
+        )
+    )
+    return per.select(
+        F.col("query_id").alias(id_col),
+        F.col("__ql").alias(label_col),
+        "n_diff",
+        (F.col("n_diff").cast("double") / F.lit(float(k))).alias("disagreement"),
+        F.when(F.col("n_diff") * 2 > k, F.lit(1)).otherwise(F.lit(0)).cast("int").alias("flagged"),
+    )

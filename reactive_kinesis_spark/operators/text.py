@@ -1555,3 +1555,136 @@ def sorted_neighborhood_pairs(
             "distance", F.levenshtein("name_1", "name_2").cast("long")
         )
     return pairs
+
+
+def bigram_lm_score(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Per-document fluency under the corpus's OWN Laplace-smoothed
+    bigram LM — the word-ORDER-sensitive complement of
+    :func:`surprisal_scoring` (whose unigram model scores "the the the"
+    as perfectly ordinary; a bigram model does not). This is the
+    cheap-LM quality gate of a curation pipeline: documents whose
+    adjacent-word transitions the corpus has never seen (boilerplate
+    mashups, shuffled scrapes, wrong-language fragments) score low.
+
+    Each bigram's probability is ``p = (c12 + 1) / (c1 + V)`` — a single
+    IEEE division of exact int64 counts (c12 = corpus count of the
+    bigram, c1 = corpus count of the context word as a bigram start, V =
+    corpus vocabulary size; Laplace smoothing keeps unseen transitions
+    finite). For portability the per-bigram score is quantized to
+    ``floor(p · 2^40)``: multiplying by a power of two is EXACT and
+    floor is exact, so the quantized scores — and their per-document
+    integer sums and mins — are bit-identical in any engine (the
+    q151/q158 baked-scale discipline; geometric means / log-space
+    perplexity would need libm and are deliberately avoided).
+
+    Returns per document (≥ 2 words):
+    ``(id_col, n_bigrams, sum_p_q40, min_p_q40, avg_p_q40)`` where
+    ``avg_p_q40 = sum_p_q40 / n_bigrams`` is one division of exact ints
+    (scores are on the 2^40 scale; divide by 2^40 for probabilities —
+    the scale cancels in any ranking or thresholding).
+
+    100 TB shape: bigram counts are one map-side-combined aggregate
+    keyed by the bigram; doc bigrams rejoin that table on the same key
+    (one exchange, reused partitioning); context counts join on the
+    start word; V rides along as a broadcast single-row frame; the final
+    aggregate is id-keyed. No collects, no UDFs — every step is a JVM
+    built-in over exploded word pairs.
+    """
+    words = df.select(
+        F.col(id_col), F.split(F.col(text_col), " ").alias("__ws")
+    ).where(F.size("__ws") >= 2)
+    bg = words.select(
+        id_col,
+        F.explode(
+            F.arrays_zip(
+                F.slice("__ws", 1, F.size("__ws") - 1).alias("w1"),
+                F.slice("__ws", 2, F.size("__ws") - 1).alias("w2"),
+            )
+        ).alias("__bg"),
+    ).select(id_col, F.col("__bg.w1").alias("w1"), F.col("__bg.w2").alias("w2"))
+    c12 = bg.groupBy("w1", "w2").agg(F.count(F.lit(1)).cast("long").alias("c12"))
+    c1 = bg.groupBy("w1").agg(F.count(F.lit(1)).cast("long").alias("c1"))
+    vocab = (
+        df.select(F.explode(F.split(F.col(text_col), " ")).alias("w"))
+        .agg(F.countDistinct("w").cast("long").alias("v"))
+    )
+    p = (F.col("c12") + F.lit(1)).cast("double") / (
+        F.col("c1") + F.col("v")
+    ).cast("double")
+    s = F.floor(p * F.lit(float(1 << 40))).cast("long")
+    scored = (
+        bg.join(c12, ["w1", "w2"])
+        .join(c1, "w1")
+        .crossJoin(F.broadcast(vocab))
+        .select(id_col, s.alias("__s"))
+    )
+    return scored.groupBy(id_col).agg(
+        F.count(F.lit(1)).cast("long").alias("n_bigrams"),
+        F.sum("__s").cast("long").alias("sum_p_q40"),
+        F.min("__s").cast("long").alias("min_p_q40"),
+    ).select(
+        id_col,
+        "n_bigrams",
+        "sum_p_q40",
+        "min_p_q40",
+        (
+            F.col("sum_p_q40").cast("double") / F.col("n_bigrams").cast("double")
+        ).alias("avg_p_q40"),
+    )
+
+
+def tokenizer_fertility(
+    df: DataFrame,
+    text_col: str = "text",
+    group_col: str = "lang",
+) -> DataFrame:
+    """Tokenizer fertility report per group (typically language):
+    BPE-ish tokens per whitespace word and bytes per token — the
+    standard check that a tokenizer doesn't tax some languages with
+    3-4× the tokens per word of others (fertility drives both training
+    cost and context-window economics, so a multilingual pipeline
+    tracks it per corpus slice before committing a token budget).
+
+    Every metric is an integer sum (token counts via the shared
+    :func:`bpe_token_count` regex, word counts via whitespace split,
+    bytes via ``octet_length``) followed by a single IEEE division —
+    the integer-division certification family.
+
+    Returns ``(group_col, n_docs, n_words, n_tokens, n_bytes,
+    tokens_per_word, bytes_per_token)``.
+
+    100 TB shape: one scan, three narrow per-row expressions, one
+    map-side-combined aggregate on the group key. Nothing else.
+    """
+    return (
+        df.select(
+            F.col(group_col),
+            F.size(F.split(F.col(text_col), " ")).cast("long").alias("__w"),
+            bpe_token_count(text_col).cast("long").alias("__t"),
+            F.octet_length(text_col).cast("long").alias("__b"),
+        )
+        .groupBy(group_col)
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.sum("__w").cast("long").alias("n_words"),
+            F.sum("__t").cast("long").alias("n_tokens"),
+            F.sum("__b").cast("long").alias("n_bytes"),
+        )
+        .select(
+            group_col,
+            "n_docs",
+            "n_words",
+            "n_tokens",
+            "n_bytes",
+            (F.col("n_tokens").cast("double") / F.col("n_words").cast("double")).alias(
+                "tokens_per_word"
+            ),
+            (F.col("n_bytes").cast("double") / F.col("n_tokens").cast("double")).alias(
+                "bytes_per_token"
+            ),
+        )
+    )

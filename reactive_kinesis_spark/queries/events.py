@@ -1730,3 +1730,111 @@ def q137_ks_test(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.max("d").alias("ks_d"))
         .orderBy("event_type")
     )
+
+
+# --------------------------------------------------------------------------
+# Round 11: funnel + cohort retention (product-analytics tier)
+# --------------------------------------------------------------------------
+
+_FUNNEL_STEPS = ("signup", "view", "click", "purchase")
+
+
+@query(
+    "q162_funnel_steps",
+    oracle="""
+    WITH s0 AS (
+        SELECT user_id, MIN(ts) AS t FROM events
+        WHERE event_type = 'signup' GROUP BY user_id
+    ),
+    s1 AS (
+        SELECT e.user_id, MIN(e.ts) AS t FROM events e
+        JOIN s0 ON s0.user_id = e.user_id AND e.ts > s0.t
+        WHERE e.event_type = 'view' GROUP BY e.user_id
+    ),
+    s2 AS (
+        SELECT e.user_id, MIN(e.ts) AS t FROM events e
+        JOIN s1 ON s1.user_id = e.user_id AND e.ts > s1.t
+        WHERE e.event_type = 'click' GROUP BY e.user_id
+    ),
+    s3 AS (
+        SELECT e.user_id, MIN(e.ts) AS t FROM events e
+        JOIN s2 ON s2.user_id = e.user_id AND e.ts > s2.t
+        WHERE e.event_type = 'purchase' GROUP BY e.user_id
+    ),
+    counts AS (
+        SELECT 0 AS step, 'signup' AS step_name, CAST(COUNT(*) AS BIGINT) AS n_users FROM s0
+        UNION ALL
+        SELECT 1, 'view', CAST(COUNT(*) AS BIGINT) FROM s1
+        UNION ALL
+        SELECT 2, 'click', CAST(COUNT(*) AS BIGINT) FROM s2
+        UNION ALL
+        SELECT 3, 'purchase', CAST(COUNT(*) AS BIGINT) FROM s3
+    )
+    SELECT CAST(step AS INT) AS step, step_name, n_users,
+           CASE WHEN step = 0 THEN CAST(1.0 AS DOUBLE)
+                ELSE CAST(n_users AS DOUBLE)
+                     / CAST(LAG(n_users) OVER (ORDER BY step) AS DOUBLE)
+           END AS conv_from_prev,
+           CAST(n_users AS DOUBLE)
+           / CAST(FIRST_VALUE(n_users) OVER (
+               ORDER BY step ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+             ) AS DOUBLE) AS conv_overall
+    FROM counts
+    ORDER BY step
+    """,
+)
+def q162_funnel_steps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered conversion funnel signup → view → click → purchase: users
+    reaching each step strictly after their earliest qualifying previous
+    step, with step-over-step and overall conversion (exact counts, single
+    divisions). The plan is one user-keyed min-agg per step chained by
+    user-keyed joins — every wide stage reuses the same partitioning and
+    no per-user event arrays are ever materialized. See
+    :func:`operators.relational.funnel_steps`."""
+    from reactive_kinesis_spark.operators.relational import funnel_steps
+
+    ev = load_table(spark, sf_dir, "events")
+    return funnel_steps(ev, _FUNNEL_STEPS).orderBy("step")
+
+
+@query(
+    "q163_cohort_retention",
+    oracle="""
+    WITH firsts AS (
+        SELECT user_id, date_trunc('week', MIN(ts)) AS cohort_week
+        FROM events GROUP BY user_id
+    ),
+    active AS (
+        SELECT DISTINCT user_id, date_trunc('week', ts) AS aw FROM events
+    ),
+    j AS (
+        SELECT a.user_id, f.cohort_week,
+               CAST(date_diff('day', f.cohort_week, a.aw) // 7 AS INT) AS week_offset
+        FROM active a JOIN firsts f USING (user_id)
+    ),
+    cells AS (
+        SELECT cohort_week, week_offset,
+               CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_active
+        FROM j GROUP BY cohort_week, week_offset
+    ),
+    sizes AS (
+        SELECT cohort_week, CAST(COUNT(*) AS BIGINT) AS cohort_size
+        FROM firsts GROUP BY cohort_week
+    )
+    SELECT c.cohort_week, c.week_offset, c.n_active, s.cohort_size,
+           CAST(c.n_active AS DOUBLE) / CAST(s.cohort_size AS DOUBLE) AS retention
+    FROM cells c JOIN sizes s USING (cohort_week)
+    ORDER BY cohort_week, week_offset
+    """,
+)
+def q163_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weekly cohort-retention matrix: cohort = ISO week of first event,
+    one row per (cohort, active-week offset) with exact counts and one
+    retention division. Week truncation (`date_trunc('week')`, ISO
+    Monday) and day-diff // 7 offsets are engine-identical, so the whole
+    matrix hash-certifies. See
+    :func:`operators.relational.cohort_retention`."""
+    from reactive_kinesis_spark.operators.relational import cohort_retention
+
+    ev = load_table(spark, sf_dir, "events")
+    return cohort_retention(ev).orderBy("cohort_week", "week_offset")

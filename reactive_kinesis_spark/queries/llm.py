@@ -2,8 +2,12 @@
 similarity search, text analysis — over the driver's ``documents`` and
 ``embeddings`` tables.
 
-Oracle-backed where SQL-expressible; MinHash/SimHash/ANN are rows-only
-(hash-family internals aren't portable SQL) but fully deterministic.
+Oracle-backed where SQL-expressible — which, after the portable hash
+families (md5-prefix draws, round 10) and the integer-LSH family
+(round 11), now includes MinHash, SimHash, perceptual hashing, HLL, PQ,
+and the LSH ANN/near-dup surface. Rows-only remnants are individually
+justified at their registration sites (Spark-internal sketches, codec
+dependence, recall reports).
 """
 
 from __future__ import annotations
@@ -3222,3 +3226,211 @@ def q141_simpson_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source")
     )
+
+
+# --------------------------------------------------------------------------
+# Round 11: bigram LM fluency, Bloom membership audit, kNN label-noise
+# audit, tokenizer fertility
+# --------------------------------------------------------------------------
+
+
+@query(
+    "q160_bigram_lm_score",
+    oracle="""
+    WITH w AS (
+        SELECT doc_id, string_split(text, ' ') AS ws FROM documents
+        WHERE len(string_split(text, ' ')) >= 2
+    ),
+    bg AS (
+        SELECT doc_id, ws[i] AS w1, ws[i+1] AS w2
+        FROM w, UNNEST(range(1, len(ws))) AS t(i)
+    ),
+    c12 AS (SELECT w1, w2, CAST(COUNT(*) AS BIGINT) AS c12 FROM bg GROUP BY w1, w2),
+    c1 AS (SELECT w1, CAST(COUNT(*) AS BIGINT) AS c1 FROM bg GROUP BY w1),
+    v AS (
+        SELECT CAST(COUNT(DISTINCT wd) AS BIGINT) AS v
+        FROM (SELECT UNNEST(string_split(text, ' ')) AS wd FROM documents)
+    ),
+    s AS (
+        SELECT bg.doc_id,
+               CAST(FLOOR((CAST(c12.c12 + 1 AS DOUBLE) / CAST(c1.c1 + v.v AS DOUBLE))
+                          * 1099511627776.0) AS BIGINT) AS sc
+        FROM bg JOIN c12 USING (w1, w2) JOIN c1 USING (w1) CROSS JOIN v
+    )
+    SELECT doc_id,
+           CAST(COUNT(*) AS BIGINT) AS n_bigrams,
+           CAST(SUM(sc) AS BIGINT) AS sum_p_q40,
+           CAST(MIN(sc) AS BIGINT) AS min_p_q40,
+           CAST(CAST(SUM(sc) AS BIGINT) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE)
+             AS avg_p_q40
+    FROM s GROUP BY doc_id
+    ORDER BY doc_id
+    """,
+)
+def q160_bigram_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document fluency under the corpus's own Laplace-smoothed bigram
+    LM — the word-order-sensitive quality gate (the unigram surprisal of
+    q103's family scores shuffled text as ordinary; a bigram model does
+    not). Every per-bigram probability is one IEEE division of exact
+    counts, quantized to floor(p·2^40) (power-of-two multiply + floor are
+    exact), so per-doc sums/mins/averages hash-certify without libm.
+    See :func:`operators.text.bigram_lm_score`."""
+    docs = load_table(spark, sf_dir, "documents")
+    return T.bigram_lm_score(docs, "text", "doc_id").orderBy("doc_id")
+
+
+@query(
+    "q161_bloom_membership_audit",
+    oracle="""
+    WITH refv AS (
+        SELECT DISTINCT text AS v FROM documents
+        WHERE source <> 'src0' AND text IS NOT NULL
+    ),
+    rh AS (
+        SELECT v,
+               CAST(('0x' || substr(md5(v), 1, 14)) AS BIGINT) AS h1,
+               CAST(('0x' || substr(md5(v), 15, 14)) AS BIGINT) AS h2
+        FROM refv
+    ),
+    bits AS (
+        SELECT DISTINCT (h1 + i * h2) % 1024 AS pos
+        FROM rh, UNNEST(range(4)) AS t(i)
+    ),
+    probe AS (
+        SELECT lang, text AS v FROM documents
+        WHERE source = 'src0' AND text IS NOT NULL
+    ),
+    pv AS (SELECT DISTINCT v FROM probe),
+    ph AS (
+        SELECT v,
+               CAST(('0x' || substr(md5(v), 1, 14)) AS BIGINT) AS h1,
+               CAST(('0x' || substr(md5(v), 15, 14)) AS BIGINT) AS h2
+        FROM pv
+    ),
+    ppos AS (
+        SELECT v, (h1 + i * h2) % 1024 AS pos
+        FROM ph, UNNEST(range(4)) AS t(i)
+    ),
+    miss AS (
+        SELECT DISTINCT v FROM ppos
+        WHERE pos NOT IN (SELECT pos FROM bits)
+    ),
+    verd AS (
+        SELECT v, CASE WHEN v IN (SELECT v FROM miss) THEN 0 ELSE 1 END AS b
+        FROM pv
+    ),
+    scored AS (
+        SELECT p.lang, vd.b,
+               CASE WHEN p.v IN (SELECT v FROM refv) THEN 1 ELSE 0 END AS e
+        FROM probe p JOIN verd vd USING (v)
+    )
+    SELECT lang,
+           CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(SUM(b) AS BIGINT) AS n_bloom_pos,
+           CAST(SUM(e) AS BIGINT) AS n_exact_pos,
+           CAST(SUM(CASE WHEN b = 1 AND e = 0 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_false_pos,
+           CASE WHEN COUNT(*) - SUM(e) <= 0 THEN CAST(0.0 AS DOUBLE)
+                ELSE CAST(SUM(CASE WHEN b = 1 AND e = 0 THEN 1 ELSE 0 END) AS DOUBLE)
+                     / CAST(COUNT(*) - SUM(e) AS DOUBLE)
+           END AS fp_rate
+    FROM scored
+    GROUP BY lang
+    ORDER BY lang
+    """,
+)
+def q161_bloom_membership_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bloom-filter decontamination membership with its own false-positive
+    audit: build a 1024-bit / 4-hash portable Bloom filter (one md5 per
+    value, Kirsch-Mitzenmacher positions — the q23/q151 draw) over the
+    training sources' texts, probe the held-out source, and report per
+    language how the sketch's verdicts compare to exact membership. The
+    deliberately small filter (~58% fill at driver SF) makes real false
+    positives appear in the audit columns — the measurement that sizes
+    m_bits before a 100 TB run trusts the sketch. See
+    :func:`operators.mining.bloom_membership_audit`."""
+    docs = load_table(spark, sf_dir, "documents")
+    train = docs.where(F.col("source") != "src0")
+    test = docs.where(F.col("source") == "src0")
+    from reactive_kinesis_spark.operators.mining import bloom_membership_audit
+
+    return bloom_membership_audit(
+        train, test, "text", "lang", m_bits=1024, k_hashes=4
+    ).orderBy("lang")
+
+
+@query(
+    "q165_knn_label_disagreement",
+    oracle="""
+    WITH q AS (
+      SELECT vec_id AS query_id, label AS ql, CAST(embedding AS DOUBLE[]) AS qv
+      FROM embeddings WHERE embedding IS NOT NULL AND len(embedding) > 0
+    ), c AS (
+      SELECT vec_id AS neighbor_id, label AS nl, CAST(embedding AS DOUBLE[]) AS cv
+      FROM embeddings WHERE embedding IS NOT NULL AND len(embedding) > 0
+    ), scored AS (
+      SELECT query_id, ql, neighbor_id, nl,
+             list_dot_product(qv, cv)
+             / (sqrt(list_dot_product(qv, qv)) * sqrt(list_dot_product(cv, cv)))
+               AS cs
+      FROM c, q WHERE query_id <> neighbor_id
+    ), ranked AS (
+      SELECT *, ROW_NUMBER() OVER (
+        PARTITION BY query_id ORDER BY cs DESC, neighbor_id) AS rn
+      FROM scored
+    ), topk AS (SELECT * FROM ranked WHERE rn <= 5)
+    SELECT query_id AS vec_id, ql AS label,
+           CAST(SUM(CASE WHEN nl <> ql THEN 1 ELSE 0 END) AS BIGINT) AS n_diff,
+           CAST(SUM(CASE WHEN nl <> ql THEN 1 ELSE 0 END) AS DOUBLE)
+             / CAST(5 AS DOUBLE) AS disagreement,
+           CAST(CASE WHEN SUM(CASE WHEN nl <> ql THEN 1 ELSE 0 END) * 2 > 5
+                     THEN 1 ELSE 0 END AS INT) AS flagged
+    FROM topk
+    GROUP BY query_id, ql
+    ORDER BY vec_id
+    """,
+)
+def q165_knn_label_disagreement(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Label-noise audit: for every labeled embedding, the fraction of its
+    5 nearest cosine neighbors with a different label (Confident-Learning-
+    style mislabel screen). The ranking is q29's certified retriever; the
+    disagreement count is exact, the rate one division, the flag a
+    cross-multiplied integer comparison. See
+    :func:`operators.similarity.knn_label_disagreement`."""
+    from reactive_kinesis_spark.operators.similarity import knn_label_disagreement
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    return knn_label_disagreement(emb, "vec_id", "embedding", "label", k=5).orderBy(
+        "vec_id"
+    )
+
+
+@query(
+    "q166_tokenizer_fertility",
+    oracle=f"""
+    SELECT lang,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(len(string_split(text, ' '))) AS BIGINT) AS n_words,
+           CAST(SUM(len(regexp_extract_all(text, '{_BPE_SQL_PAT}'))) AS BIGINT)
+             AS n_tokens,
+           CAST(SUM(strlen(text)) AS BIGINT) AS n_bytes,
+           CAST(CAST(SUM(len(regexp_extract_all(text, '{_BPE_SQL_PAT}'))) AS BIGINT) AS DOUBLE)
+             / CAST(CAST(SUM(len(string_split(text, ' '))) AS BIGINT) AS DOUBLE)
+             AS tokens_per_word,
+           CAST(CAST(SUM(strlen(text)) AS BIGINT) AS DOUBLE)
+             / CAST(CAST(SUM(len(regexp_extract_all(text, '{_BPE_SQL_PAT}'))) AS BIGINT) AS DOUBLE)
+             AS bytes_per_token
+    FROM documents
+    GROUP BY lang
+    ORDER BY lang
+    """,
+)
+def q166_tokenizer_fertility(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenizer fertility per language: BPE-ish tokens per whitespace
+    word and bytes per token — the multilingual-cost check run before
+    committing a token budget (high-fertility languages pay 3-4× per
+    word). Integer sums + single divisions (the q43/q62 token-counting
+    surface reduced to the integer-division certification family). See
+    :func:`operators.text.tokenizer_fertility`."""
+    docs = load_table(spark, sf_dir, "documents")
+    return T.tokenizer_fertility(docs, "text", "lang").orderBy("lang")

@@ -775,3 +775,60 @@ def q147_cumulative_gains(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise(F.lit(float("nan")))
         .alias("lift"),
     ).orderBy("bin")
+
+
+@query(
+    "q164_chi_square_drift",
+    oracle="""
+    WITH cells AS (
+        SELECT source, lang, CAST(COUNT(*) AS BIGINT) AS observed
+        FROM documents GROUP BY source, lang
+    ),
+    r AS (SELECT source, CAST(SUM(observed) AS BIGINT) AS rr FROM cells GROUP BY source),
+    c AS (SELECT lang, CAST(SUM(observed) AS BIGINT) AS cc FROM cells GROUP BY lang),
+    t AS (
+        SELECT CAST(SUM(observed) AS BIGINT) AS n,
+               CAST(COUNT(DISTINCT source) AS BIGINT) AS nr,
+               CAST(COUNT(DISTINCT lang) AS BIGINT) AS nc
+        FROM cells
+    ),
+    scored AS (
+        SELECT cells.source, cells.lang, cells.observed,
+               CAST(r.rr * c.cc AS DOUBLE) / CAST(t.n AS DOUBLE) AS expected,
+               CAST((t.nr - 1) * (t.nc - 1) AS BIGINT) AS dof
+        FROM cells
+        JOIN r USING (source)
+        JOIN c USING (lang)
+        CROSS JOIN t
+    ),
+    terms AS (
+        SELECT source, lang, observed, expected,
+               (CAST(observed AS DOUBLE) - expected)
+               * (CAST(observed AS DOUBLE) - expected) / expected AS chi2_term,
+               dof
+        FROM scored
+    ),
+    tot AS (
+        SELECT CAST(SUM(CAST((chi2_term) AS DECIMAL(38,6))) AS DOUBLE) AS chi2_total
+        FROM terms
+    )
+    SELECT source, lang, observed, expected, chi2_term, chi2_total, dof
+    FROM terms CROSS JOIN tot
+    ORDER BY source, lang
+    """,
+)
+def q164_chi_square_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Chi-square homogeneity audit over the source × language
+    contingency table: per-cell observed/expected counts and
+    contributions, with the total statistic and degrees of freedom on
+    every row — the cross-sectional "did the composition shift?"
+    companion to the baseline-delta drift gate (q117 family). Expected
+    counts are one multiply + one division of exact ints; contributions
+    a fixed three-op chain; the total goes through the exact
+    DECIMAL(38,6) sum. Cut-off lookup (p-values need the incomplete
+    gamma, i.e. libm) is deliberately left to the caller. See
+    :func:`operators.quality.chi_square_homogeneity`."""
+    from reactive_kinesis_spark.operators.quality import chi_square_homogeneity
+
+    docs = load_table(spark, sf_dir, "documents")
+    return chi_square_homogeneity(docs, "source", "lang").orderBy("source", "lang")
