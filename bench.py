@@ -123,9 +123,30 @@ def run_queries(
     return timings, errors
 
 
+#: loadavg_1m above this at bench start marks the whole payload
+#: ``"noisy": true`` — round-over-round deltas taken under load are not
+#: adjudicable (the r10 lesson: q23 read +18% purely from loadavg 14).
+NOISY_LOAD_1M = 4.0
+
+
 def main() -> None:
     from reactive_kinesis_spark.queries import load_all
     from reactive_kinesis_spark.session import get_spark
+
+    # noise gate FIRST, before the JVM inflates the loadavg itself: a
+    # busy machine taints every number below, so the payload says so
+    try:
+        start_load_1m = round(os.getloadavg()[0], 2)
+    except OSError:
+        start_load_1m = None
+    noisy = start_load_1m is not None and start_load_1m > NOISY_LOAD_1M
+    if noisy:
+        print(
+            f"# WARNING: loadavg_1m {start_load_1m} > {NOISY_LOAD_1M} at bench "
+            "start — payload will carry noisy:true; re-run on a quiet machine "
+            "before comparing rounds",
+            file=sys.stderr,
+        )
 
     spark = get_spark(app_name="rks-bench")
     registry = load_all()
@@ -195,10 +216,11 @@ def main() -> None:
             "loadavg_1m": round(load_1m, 2),
             "loadavg_5m": round(load_5m, 2),
             "loadavg_15m": round(load_15m, 2),
+            "loadavg_1m_at_start": start_load_1m,
             "cpu_count": os.cpu_count(),
         }
     except OSError:
-        machine = {"cpu_count": os.cpu_count()}
+        machine = {"loadavg_1m_at_start": start_load_1m, "cpu_count": os.cpu_count()}
     full = {
         "metric": "headline_queries_total",
         "value": round(total, 3),
@@ -209,6 +231,7 @@ def main() -> None:
         "sf": sf,
         "runs": N_RUNS,
         "machine": machine,
+        "noisy": noisy,
         "skew": skew,
         "streaming": streaming,
         "streaming_file_paged": streaming_file_paged,
@@ -240,6 +263,7 @@ def main() -> None:
         "streaming_file_paged_msgs_per_sec": _rate(streaming_file_paged),
         "streaming_replay_msgs_per_sec": _rate(streaming_replay),
         "machine": machine,
+        "noisy": noisy,
         "full_payload": "BENCH_full.json",
     }
     print(json.dumps(compact))

@@ -42,99 +42,71 @@ def query(name: str, oracle: str | None = None):
     return deco
 
 
-#: Driver-visibility rotation (round 10). The driver's correctness run samples
-#: the FIRST 50 registry entries; with 149 oracle-backed queries, the rest
+#: Driver-visibility rotation (round 11). The driver's correctness run samples
+#: the FIRST 50 registry entries; with 159 oracle-backed queries, the rest
 #: must sit past the window each round. Policy: the least-driver-certified
 #: queries get the visible slots — never-certified first, then queries whose
 #: CODE OR ORACLE CHANGED since their last green row (a stale green row
 #: proves the old query, not this one), then by staleness. This round:
-#:   slots 0-13  — round-10 never-hash-certified queries: the twelve NEW
-#:                 round-10 operators (q148 SemDeDup, q149 quality-rule
-#:                 battery, q150 token-budget allocation, q151 portable
-#:                 HLL, q152 semantic decontamination, q153 OOV rate,
-#:                 q154 hard negatives, q155 product quantization, q156
-#:                 PQ-ADC search, q157 MinHash estimator audit, q158
-#:                 retrieval eval, q159 near-dup family agreement) and
-#:                 the
-#:                 four oracle graduations — q23/q24 (MinHash-LSH /
-#:                 SimHash via the portable md5-prefix hash family) and
-#:                 q122/q123 (perceptual-hash near-dup via the
-#:                 integer-exact aHash), each with a fully unrolled
-#:                 oracle;
-#:   slots 16-49 — 34 of the 39 _DEFERRED_R9 queries (r6-certified, the
-#:                 oldest rows in the ledger); the other five (q62,
-#:                 q64-q67, displaced by q155-q159) head _DEFERRED_R11
-#:                 alongside ALL 44 r7-certified queries (the
-#:                 149-oracle/50-slot rotation math makes a ≈3-round
-#:                 staleness floor the best achievable).
+#:   slots 0-6   — the seven NEW round-11 operators (q160 bigram-LM
+#:                 fluency, q161 Bloom membership audit, q162 funnel,
+#:                 q163 cohort retention, q164 chi-square drift, q165
+#:                 kNN label disagreement, q166 tokenizer fertility);
+#:   slots 7-9   — the round-11 oracle graduations q30/q42/q63 (ANN
+#:                 top-k / embedding near-dup pairs / near-dup clusters
+#:                 via the integer-exact LSH family — quantized int64
+#:                 dots make fold order irrelevant, so the numpy path
+#:                 IS the certified path);
+#:   slots 10-13 — r10-certified queries whose CODE OR ORACLE CHANGED
+#:                 this round and therefore need re-proving: q155/q156
+#:                 (PQ fit-once refactor), q157 (estimator audit keeps
+#:                 zero-common-shingle candidates via left join), q158
+#:                 (membership-aware n_rel). The other round-11 code
+#:                 touches (q148/q152 k=None derivation, q154 broadcast
+#:                 guard, q24 width validation) are guard/default-only:
+#:                 the registered instances pass explicit parameters and
+#:                 their plans and results are bit-unchanged — asserted
+#:                 by tests/test_round11_ops.py — so their r10 rows
+#:                 remain proof of THIS code's results;
+#:   slots 14-18 — the five displaced R9-deferred queries q62/q64-q67
+#:                 (r6-certified, 5 rounds stale — the oldest debt, the
+#:                 round-10 verdict's first ask);
+#:   slots 19-49 — the first 31 of the 44 r7-certified queries from
+#:                 _DEFERRED_R11; the remaining 13 move to
+#:                 _DEFERRED_R12 (the 159-oracle/50-slot rotation math
+#:                 now makes a ≈3.2-round staleness floor the best
+#:                 achievable; new-operator rounds trade a little floor
+#:                 for coverage, never-certified first as always).
 #: Everything past the window remains fully oracle-checked locally every
 #: session (tests/test_oracle_parity.py runs the ENTIRE registry against
-#: DuckDB).
+#: DuckDB), and tools/round_end.py now FAILS the round if this window
+#: equals the previous round's CORRECTNESS key set or if any oracle-count
+#: literal in this file drifts from the live registry.
 _WINDOW = (
-    # -- round-10 new operators (never hash-certified) --
-    "q148_semantic_dedup",
-    "q149_quality_rule_battery",
-    "q150_token_budget",
-    "q151_hll_portable",
-    "q152_semantic_decontamination",
-    "q153_oov_rate",
-    "q154_hard_negatives",
+    # -- round-11 new operators (never certified) --
+    "q160_bigram_lm_score",
+    "q161_bloom_membership_audit",
+    "q162_funnel_steps",
+    "q163_cohort_retention",
+    "q164_chi_square_drift",
+    "q165_knn_label_disagreement",
+    "q166_tokenizer_fertility",
+    # -- round-11 oracle graduations (never hash-certified) --
+    "q30_embedding_ann_lsh",
+    "q42_embedding_neardup",
+    "q63_embedding_neardup_clusters",
+    # -- r10-certified, code/oracle changed this round --
     "q155_product_quantization",
     "q156_pq_adc_search",
     "q157_minhash_estimator_audit",
     "q158_retrieval_eval",
-    "q159_neardup_agreement",
-    # -- round-10 oracle graduations (never hash-certified) --
-    "q23_dedup_minhash_lsh",
-    "q24_dedup_simhash",
-    "q122_media_phash_neardup",
-    "q123_media_phash_capped",
-    # -- _DEFERRED_R9 (r6-certified, oldest debt — all 39) --
-    "q112_quality_checks",
-    "q113_winsorize",
-    "q114_rrf_fusion",
-    "q115_label_propagation",
-    "q117_train_val_test",
-    "q118_sorted_neighborhood",
-    "q119_equidepth_histogram",
-    "q120_pit_join",
-    "q17_events_hourly_window",
-    "q25_text_stats_by_lang",
-    "q26_quality_scores",
-    "q27_fingerprint_stats",
-    "q28_lang_id",
-    "q31_embedding_centroids",
-    "q32_media_decode",
-    "q33_frame_sample",
-    "q35_grouping_sets",
-    "q39_sliding_window",
-    "q40_salted_agg",
-    "q41_interval_self_join",
-    "q43_bpe_token_stats",
-    "q46_scalar_subquery",
-    "q48_pivot",
-    "q49_unpivot",
-    "q52_higher_order_array",
-    "q53_nullsafe_join",
-    "q54_filtered_agg",
-    "q55_window_distribution",
-    "q56_collect_agg",
-    "q57_map_functions",
-    "q58_compound_subqueries",
-    "q59_range_frame_window",
-    "q60_dedup_clusters",
-    "q61_curation_pipeline",
-)
-#: Queries that don't fit this round's window (5 displaced R9-deferred —
-#: 5 rounds stale, take these FIRST in round 11 — then the 44
-#: r7-certified); they take round-11 slots (the 149-oracle/50-slot
-#: rotation's staleness floor).
-_DEFERRED_R11 = (
+    # -- displaced R9-deferred (r6-certified, 5 rounds stale) --
     "q62_token_packing",
     "q64_decontamination",
     "q65_mixture_sample",
     "q66_repetition_stats",
     "q67_pii_redaction",
+    # -- r7-certified block (first 31 of 44; rest -> _DEFERRED_R12) --
     "q01_pricing_summary",
     "q03_join_agg_topk",
     "q04_star_join",
@@ -166,6 +138,11 @@ _DEFERRED_R11 = (
     "q21_dedup_exact",
     "q22_dedup_ngram_jaccard",
     "q29_embedding_cosine_topk",
+)
+#: The 13 r7-certified queries the round-11 window could not fit (plus
+#: nothing else this round — r6 debt is cleared above). Round 12 takes
+#: these FIRST, then whatever round-11 certified rows are oldest.
+_DEFERRED_R12 = (
     "q37_range_join",
     "q44_deterministic_sample",
     "q45_correlated_subquery",

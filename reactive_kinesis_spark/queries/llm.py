@@ -708,7 +708,10 @@ def q31_embedding_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("q38_embedding_ann_ivf")  # rows-only: approximate by design
+@query("q38_embedding_ann_ivf")  # rows-only: driver-side float k-means
+# trainer (numpy means — fold order unmirrorable); the certified IVF
+# complement is q124/q148's decimal-exact kmeans chain, and the certified
+# ANN complement is q30's integer-LSH family
 def q38_embedding_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ANN top-5 via IVF cell partitioning: deterministic driver-side
     k-means centroids, narrow Arrow assignment pass (corpus never shuffles),

@@ -141,10 +141,96 @@ def _watermark(base_dir: str | None) -> int:
     return -1
 
 
-def continuous_rollup(out_dir: str, spec: RollupSpec):
+#: Name of the single-writer claim file inside a rollup ledger dir.
+_WRITER_LOCK = "_writer.lock.json"
+
+
+class RollupWriterConflict(RuntimeError):
+    """Another ``continuous_rollup`` writer owns (or took over) this
+    ledger. Two concurrent ``foreachBatch`` streams writing one ledger
+    would interleave their independent ``_batch_id`` namespaces and
+    silently corrupt the exactly-once replay-overwrite contract — this
+    error is the loud alternative."""
+
+
+def _claim_rollup_writer(out_dir: str, force_takeover: bool) -> str:
+    """Claim the single-writer token for ``out_dir``. The claim is an
+    O_EXCL-created JSON file — atomic on POSIX and object-store-gateway
+    filesystems alike — holding an opaque token each batch re-verifies.
+    A crashed stream leaves its claim behind BY DESIGN (a foreachBatch
+    closure has no shutdown hook): restarting the SAME logical pipeline
+    passes ``force_takeover=True`` (or calls
+    :func:`release_rollup_writer` first), which atomically replaces the
+    claim so any zombie writer that later wakes up fails its next
+    batch-time token check instead of interleaving."""
+    os.makedirs(out_dir, exist_ok=True)
+    path = os.path.join(out_dir, _WRITER_LOCK)
+    token = f"{os.getpid():x}-{os.urandom(8).hex()}"
+    payload = json.dumps({"token": token, "pid": os.getpid()})
+    if force_takeover:
+        tmp = path + f".tmp.{os.getpid()}"
+        with open(tmp, "w", encoding="utf-8") as fh:
+            fh.write(payload)
+        os.replace(tmp, path)  # atomic steal: old writer fails next check
+        return token
+    try:
+        fd = os.open(path, os.O_WRONLY | os.O_CREAT | os.O_EXCL)
+    except FileExistsError:
+        with open(path, encoding="utf-8") as fh:
+            holder = json.load(fh)
+        raise RollupWriterConflict(
+            f"rollup ledger {out_dir!r} already has a writer (pid "
+            f"{holder.get('pid')}): two concurrent writers would corrupt "
+            "the _batch_id exactly-once contract. If that writer is dead, "
+            "restart with force_takeover=True or call "
+            "release_rollup_writer(out_dir)."
+        ) from None
+    with os.fdopen(fd, "w", encoding="utf-8") as fh:
+        fh.write(payload)
+    return token
+
+
+def _check_rollup_writer(out_dir: str, token: str) -> None:
+    path = os.path.join(out_dir, _WRITER_LOCK)
+    try:
+        with open(path, encoding="utf-8") as fh:
+            current = json.load(fh).get("token")
+    except (OSError, json.JSONDecodeError) as e:
+        raise RollupWriterConflict(
+            f"rollup writer claim for {out_dir!r} unreadable ({e}) — "
+            "refusing to write blind"
+        ) from e
+    if current != token:
+        raise RollupWriterConflict(
+            f"rollup ledger {out_dir!r} was taken over by another writer — "
+            "this stream must stop (its checkpoint can resume under a new "
+            "claim via force_takeover)"
+        )
+
+
+def release_rollup_writer(out_dir: str) -> bool:
+    """Release the writer claim on ``out_dir`` (after stopping the owning
+    stream). Returns True if a claim existed."""
+    try:
+        os.remove(os.path.join(out_dir, _WRITER_LOCK))
+        return True
+    except FileNotFoundError:
+        return False
+
+
+def continuous_rollup(out_dir: str, spec: RollupSpec, force_takeover: bool = False):
     """Build the ``foreachBatch`` writer maintaining the rollup at
     ``out_dir``: per batch, ONE groupBy producing the key-level partials,
     persisted under ``deltas/_batch_id=<id>`` with replay-overwrite.
+
+    SINGLE-WRITER CONTRACT (enforced): exactly one live writer per
+    ledger. Building the writer claims ``out_dir`` atomically
+    (:class:`RollupWriterConflict` if already claimed); every batch
+    re-verifies the claim before writing, so even a writer that lost a
+    ``force_takeover`` race dies loudly on its next batch instead of
+    interleaving ``_batch_id`` namespaces with the usurper. Readers and
+    :func:`compact_rollup` are unaffected (they never need the claim —
+    the manifest flip is already atomic).
 
     Use::
 
@@ -154,8 +240,10 @@ def continuous_rollup(out_dir: str, spec: RollupSpec):
     """
 
     delta_dir = _delta_dir(out_dir)
+    token = _claim_rollup_writer(out_dir, force_takeover)
 
     def write(batch_df: DataFrame, batch_id: int) -> None:
+        _check_rollup_writer(out_dir, token)
         spark = batch_df.sparkSession
         partials = batch_df.groupBy(*spec.keys).agg(*spec.partial_aggs())
         prev = spark.conf.get("spark.sql.sources.partitionOverwriteMode", "static")
@@ -336,7 +424,12 @@ def token_rollup_spec(token_col: str = "token") -> RollupSpec:
     return RollupSpec(keys=(token_col,))
 
 
-def continuous_heavy_hitters(out_dir: str, text_col: str = "text", token_col: str = "token"):
+def continuous_heavy_hitters(
+    out_dir: str,
+    text_col: str = "text",
+    token_col: str = "token",
+    force_takeover: bool = False,
+):
     """``foreachBatch`` writer maintaining a continuously-updated token
     frequency table from a TEXT stream — the streaming form of the q82
     heavy-hitters scan: each micro-batch explodes its documents into
@@ -352,7 +445,7 @@ def continuous_heavy_hitters(out_dir: str, text_col: str = "text", token_col: st
     (map-side combined), not the corpus's.
     """
     spec = token_rollup_spec(token_col)
-    inner = continuous_rollup(out_dir, spec)
+    inner = continuous_rollup(out_dir, spec, force_takeover=force_takeover)
 
     def write(batch_df: DataFrame, batch_id: int) -> None:
         toks = batch_df.where(F.col(text_col).isNotNull()).select(
@@ -385,7 +478,12 @@ def read_heavy_hitters(
     )
 
 
-def continuous_quality_battery(out_dir: str, text_col: str = "text", source_col: str = "source"):
+def continuous_quality_battery(
+    out_dir: str,
+    text_col: str = "text",
+    source_col: str = "source",
+    force_takeover: bool = False,
+):
     """``foreachBatch`` writer maintaining a continuously-updated
     quality-gate ledger from a document stream — the streaming form of
     the q149 Gopher-rule battery: each micro-batch evaluates the four
@@ -403,7 +501,7 @@ def continuous_quality_battery(out_dir: str, text_col: str = "text", source_col:
     from reactive_kinesis_spark.operators.text import quality_rule_flags
 
     spec = RollupSpec(keys=(source_col,), sums=("f1", "f2", "f3", "f4", "ok"))
-    inner = continuous_rollup(out_dir, spec)
+    inner = continuous_rollup(out_dir, spec, force_takeover=force_takeover)
 
     def write(batch_df: DataFrame, batch_id: int) -> None:
         flags = quality_rule_flags(batch_df, text_col, source_col).withColumn(

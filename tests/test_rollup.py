@@ -6,6 +6,7 @@ from __future__ import annotations
 
 import os
 
+import pytest
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
@@ -45,8 +46,13 @@ def _run_stream(spark, in_dir: str, out_dir: str, ckpt: str) -> None:
         .option("maxFilesPerTrigger", 1)
         .parquet(in_dir + "/*")
     )
+    # force_takeover: several tests RESTART the same logical pipeline on
+    # the same ledger (same checkpoint) — the documented single-writer
+    # restart path; conflict behavior has its own dedicated tests below
     q = (
-        stream.writeStream.foreachBatch(continuous_rollup(out_dir, SPEC))
+        stream.writeStream.foreachBatch(
+            continuous_rollup(out_dir, SPEC, force_takeover=True)
+        )
         .option("checkpointLocation", ckpt)
         .trigger(availableNow=True)
         .start()
@@ -92,8 +98,10 @@ def test_replayed_batch_does_not_double_count(spark, tmp_path):
     before = _snapshot(spark, out_dir)
 
     # crash-replay: Structured Streaming re-invokes foreachBatch with the
-    # SAME batchId and the same data — the delta must overwrite itself
-    writer = continuous_rollup(out_dir, SPEC)
+    # SAME batchId and the same data — the delta must overwrite itself.
+    # The restart claims the ledger over the crashed run's stale lock
+    # (the documented single-writer restart path).
+    writer = continuous_rollup(out_dir, SPEC, force_takeover=True)
     batch_df = spark.read.parquet(os.path.join(in_dir, "c0"))
     writer(batch_df, 0)
     writer(batch_df, 0)
@@ -444,3 +452,38 @@ def test_continuous_quality_battery_matches_batch_battery(spark, tmp_path):
         for r in quality_rule_battery(docs).collect()
     }
     assert got == want and got
+
+
+# ------------------------------------------------ single-writer contract
+
+
+def test_second_writer_raises_conflict(spark, tmp_path):
+    from reactive_kinesis_spark.streaming.rollup import RollupWriterConflict
+
+    out_dir = str(tmp_path / "roll")
+    continuous_rollup(out_dir, SPEC)  # first writer claims the ledger
+    with pytest.raises(RollupWriterConflict, match="already has a writer"):
+        continuous_rollup(out_dir, SPEC)
+
+
+def test_usurped_writer_fails_its_next_batch(spark, tmp_path):
+    from reactive_kinesis_spark.streaming.rollup import RollupWriterConflict
+
+    out_dir = str(tmp_path / "roll")
+    old = continuous_rollup(out_dir, SPEC)
+    batch = spark.createDataFrame([("a", 1)], "k string, v long")
+    old(batch, 0)  # healthy while it holds the claim
+    continuous_rollup(out_dir, SPEC, force_takeover=True)  # takeover
+    with pytest.raises(RollupWriterConflict, match="taken over"):
+        old(batch, 1)  # the zombie dies loudly, never interleaves
+
+
+def test_release_then_reclaim(spark, tmp_path):
+    from reactive_kinesis_spark.streaming.rollup import release_rollup_writer
+
+    out_dir = str(tmp_path / "roll")
+    continuous_rollup(out_dir, SPEC)
+    assert release_rollup_writer(out_dir) is True
+    continuous_rollup(out_dir, SPEC)  # clean reclaim after release
+    assert release_rollup_writer(out_dir) is True
+    assert release_rollup_writer(out_dir) is False

@@ -14,7 +14,13 @@ mechanical forced a full-suite run between "last code commit" and
    stderr must not leak into the file);
 4. cross-checks the registry count against the PLANS.md row count and the
    README.md / COVERAGE.md "N registered / M oracle" literals, failing on
-   any disagreement (the drifting-docs failure mode of rounds 7-9).
+   any disagreement (the drifting-docs failure mode of rounds 7-9);
+5. verifies the driver window was ROTATED: the first-50 registry window
+   must not equal the previous round's CORRECTNESS key set (the round-9
+   failure mode — a wasted certification run re-proving last round's
+   rows), and every "N oracle"/"N-oracle" literal inside
+   ``queries/__init__.py`` must match the live oracle count (the
+   round-10 stale-comment finding, made mechanical).
 
 Usage: python tools/round_end.py <round_number>
 Exit 0 = the tree is snapshot-ready; commit the written artifacts.
@@ -99,9 +105,51 @@ def main() -> None:
             f"COVERAGE.md count literal is stale — expected "
             f"'{n_total} registered queries; {n_oracle} oracle-checked'"
         )
+
+    # 5a. window rotation: the driver certifies the FIRST 50 entries; if
+    # that set equals the previous round's CORRECTNESS keys, the round
+    # re-proves last round's rows and the certification run is wasted
+    # (the round-9 failure mode — flagged by the judge, now mechanical)
+    window = list(registry)[:50]
+    prev_path = os.path.join(REPO, f"CORRECTNESS_r{rnd - 1:02d}.json")
+    if os.path.exists(prev_path):
+        import json
+
+        with open(prev_path, encoding="utf-8") as fh:
+            prev_keys = set(json.load(fh))
+        overlap = sorted(set(window) & prev_keys)
+        if set(window) == prev_keys:
+            fail(
+                f"driver window NOT rotated: the first-50 registry window "
+                f"equals CORRECTNESS_r{rnd - 1:02d}'s key set — rewrite "
+                "_WINDOW in queries/__init__.py before snapshotting"
+            )
+        print(
+            f"# window rotation vs r{rnd - 1:02d}: {len(overlap)}/50 overlap "
+            f"({', '.join(overlap[:6])}{'...' if len(overlap) > 6 else ''})"
+        )
+
+    # 5b. oracle-count literals inside queries/__init__.py: every
+    # "N oracle..."/"N-oracle..." number must be the live count
+    qinit = open(
+        os.path.join(REPO, "reactive_kinesis_spark", "queries", "__init__.py"),
+        encoding="utf-8",
+    ).read()
+    bad_counts = {
+        m.group(1)
+        for m in re.finditer(r"(\d+)[ -]oracle", qinit)
+        if int(m.group(1)) != n_oracle
+    }
+    if bad_counts:
+        fail(
+            f"stale oracle-count literal(s) {sorted(bad_counts)} in "
+            f"queries/__init__.py — live count is {n_oracle}"
+        )
+
     print(
         f"ROUND_END OK: suite green, PLANS.md {plan_rows} rows, "
-        f"registry {n_total}/{n_oracle} matches README+COVERAGE. "
+        f"registry {n_total}/{n_oracle} matches README+COVERAGE, window "
+        f"rotated, __init__ literals current. "
         f"Commit PYTEST_r{rnd:02d}.txt and PLANS.md."
     )
 
