@@ -725,3 +725,49 @@ def test_quality_battery_single_pass(spark, sf_dir):
     # regression would show 4+)
     assert 1 <= plan.count("Scan parquet") <= 2
     assert plan.count("HashAggregate") >= 2 and "partial_" in plan
+
+
+def test_bloom_filter_bits_are_broadcast(spark, sf_dir):
+    """q161: the ≤m_bits filter frame must re-enter the probe side as a
+    BROADCAST (semi/anti on `pos`) — the probe corpus never shuffles to
+    consult a bitmap."""
+    plan = _plan(load_all()["q161_bloom_membership_audit"].fn(spark, sf_dir))
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_tokenizer_fertility_single_pass(spark, sf_dir):
+    """q166: one scan of documents, narrow expressions, one partial+final
+    group-by — no joins, no windows, no explode-induced second pass."""
+    plan = _plan(load_all()["q166_tokenizer_fertility"].fn(spark, sf_dir))
+    assert "Join" not in plan and "Window" not in plan
+    assert 1 <= plan.count("Scan parquet") <= 2
+    assert plan.count("HashAggregate") >= 2 and "partial_" in plan
+
+
+def test_chi_square_marginals_are_broadcast(spark, sf_dir):
+    """q164: after the ONE corpus count-aggregate, the cell table joins
+    its marginals and total as BROADCASTs — nothing corpus-sized
+    shuffles twice."""
+    plan = _plan(load_all()["q164_chi_square_drift"].fn(spark, sf_dir))
+    assert plan.count("BroadcastHashJoin") >= 2
+    assert "CartesianProduct" not in plan
+    assert plan.count("HashAggregate") >= 2 and "partial_" in plan
+
+
+def test_bigram_lm_vocab_total_is_broadcast(spark, sf_dir):
+    """q160: the single-row vocabulary-size frame rides into the scored
+    join as a broadcast (BroadcastNestedLoopJoin over the crossJoin);
+    the bigram joins are key-keyed, never cartesian."""
+    plan = _plan(load_all()["q160_bigram_lm_score"].fn(spark, sf_dir))
+    assert "BroadcastNestedLoopJoin" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_int_lsh_neardup_joins_on_band_keys(spark, sf_dir):
+    """q42 (integer family): the candidate stage is an equi-join on
+    (band, bits) — a cartesian pair stage would defeat the whole LSH
+    construction."""
+    plan = _plan(load_all()["q42_embedding_neardup"].fn(spark, sf_dir))
+    assert "CartesianProduct" not in plan
+    assert "band" in plan and "bits" in plan
