@@ -133,7 +133,43 @@ def measure(spark) -> dict:
             3,
         ),
     }
+    # the hash-certified integer family (round 11, q30/q42/q63): recall is
+    # measured against the FLOAT exact top-k — the quantization (2^-20) and
+    # the different (integer) plane draw are both inside the measurement
+    out["lsh_int_clustered"] = {
+        "settings": {"n_planes": 16, "bands": 4, "dim": cfg["dim"], "family": "int"},
+        "recall": recall_at_k(
+            exact_c,
+            S.ann_lsh_topk(
+                clustered, cq, k=cfg["k"], n_planes=16, bands=4, dim=cfg["dim"],
+                family="int",
+            ),
+        ),
+        "candidate_fraction": round(
+            _int_candidate_count(S, clustered, cq, 16, 4, cfg["dim"]) / brute_pairs, 3
+        ),
+    }
     return out
+
+
+def _int_candidate_count(S, corpus, queries, n_planes, bands, dim) -> int:
+    """Distinct (query, neighbor) candidate pairs of the integer-LSH
+    banding — the candidate-cost denominator for the certified family."""
+    from pyspark.sql import functions as F
+
+    qb = S._int_banded_signatures(
+        queries, "vec_id", "embedding", n_planes, bands, dim, "query_id"
+    ).select("band", "bits", "query_id")
+    cb = S._int_banded_signatures(
+        corpus, "vec_id", "embedding", n_planes, bands, dim, "neighbor_id"
+    ).select("band", "bits", "neighbor_id")
+    return (
+        cb.join(F.broadcast(qb), ["band", "bits"])
+        .where(F.col("query_id") != F.col("neighbor_id"))
+        .select("query_id", "neighbor_id")
+        .distinct()
+        .count()
+    )
 
 
 def measure_testdata(spark, sf_dir: str, out: dict) -> None:
@@ -193,6 +229,15 @@ def measure_testdata(spark, sf_dir: str, out: dict) -> None:
             ).count()
             / brute_pairs,
             3,
+        ),
+    }
+    out["lsh_int_testdata"] = {
+        "sf_dir": sf_dir,
+        "settings": "q30 registry settings (15 planes x 5 bands), family='int' — "
+        "the hash-certified construction; recall vs the float exact top-k",
+        "recall": recall_at_k(exact, S.ann_lsh_topk(emb, q, k=5, family="int")),
+        "candidate_fraction": round(
+            _int_candidate_count(S, emb, q, 15, 5, 64) / brute_pairs, 3
         ),
     }
     emb.unpersist()
