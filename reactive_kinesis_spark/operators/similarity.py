@@ -335,7 +335,8 @@ def _banded_signatures(
             mat = np.array(pdf[vec_col].tolist(), dtype="float64")
             if mat.size == 0:
                 continue
-            bits = (mat @ planes.T) > 0  # [n, n_planes] sign bits
+            m = min(mat.shape[1], planes.shape[1])  # tolerate short vectors
+            bits = (mat[:, :m] @ planes[:, :m].T) > 0  # [n, n_planes] sign bits
             sig = np.zeros(len(mat), dtype="int64")
             for i in range(n_planes):
                 sig |= bits[:, i].astype("int64") << i
@@ -444,7 +445,13 @@ def _int_banded_signatures(
                     "embeddings or use the float family"
                 )
             q = np.floor(mat * float(1 << LSH_INT_SCALE_BITS)).astype("int64")
-            dots = q @ planes.T  # exact int64: every engine agrees on signs
+            # dot over min(actual_dim, dim) components: vectors shorter
+            # than the plane family are handled by truncating the planes
+            # — the SQL mirror agrees for free because q[i] beyond the
+            # vector's length is NULL and list_sum skips NULLs (pinned by
+            # the random-corpus differential, whose embeddings are 8-dim)
+            m = min(q.shape[1], planes.shape[1])
+            dots = q[:, :m] @ planes[:, :m].T  # exact int64: every engine agrees on signs
             sq = np.einsum("ij,ij->i", q, q)
             signs = (dots > 0).astype("int64")
             ids = pdf[id_col].to_numpy(dtype="int64")

@@ -628,7 +628,7 @@ def _int_lsh_ctes(n_planes: int, bands: int, dim: int = 64) -> str:
 #: multiply / divide are correctly-rounded IEEE ops) — mirrors
 #: operators.similarity._pairwise_cosine_int bit-for-bit.
 _INT_COS_SQL = (
-    "CAST(CAST(list_sum(list_transform(range(1, 65), i -> a.q[i] * b.q[i]))"
+    "CAST(CAST(list_sum(list_transform(range(1, 1 + len(a.q)), i -> a.q[i] * b.q[i]))"
     " AS BIGINT) AS DOUBLE)"
     " / (sqrt(CAST(s1.sq AS DOUBLE)) * sqrt(CAST(s2.sq AS DOUBLE)))"
 )
