@@ -1074,3 +1074,47 @@ def incremental_dedup(
     else:
         hist = history.select(fingerprint(text_col).alias("fingerprint"))
     return survivors.join(hist, "fingerprint", "left_anti")
+
+
+def leakage_safe_split(
+    docs: DataFrame,
+    pairs: DataFrame,
+    id_col: str = "doc_id",
+    train: float = 0.8,
+    val: float = 0.1,
+) -> DataFrame:
+    """Train/val/test assignment that can never leak near-duplicates
+    across splits: near-dup pair edges are resolved to connected
+    components (:func:`dedup_clusters`), every document inherits its
+    component representative (``rep_id`` = component min id; documents in
+    no pair are their own singleton component), and the split is drawn
+    from ``md5(rep_id)`` — so an entire duplicate group lands in ONE
+    split by construction. Random per-document splitting (the q117
+    shape) leaks: a test document's near-copy in train is measured
+    memorization, not generalization (the Lee et al. 2022 dedup paper's
+    core finding).
+
+    Returns ``(doc_id, rep_id, cluster_size, split)`` — the split is
+    exactly :func:`~reactive_kinesis_spark.operators.text
+    .train_val_test_split`'s stable md5-bucket draw, keyed by ``rep_id``
+    instead of the document's own id.
+
+    100 TB shape: the pair stage is whatever bounded candidate generator
+    produced ``pairs`` (LSH-banded, never doc×doc); components are the
+    O(log n)-round star algorithm; the remainder is one id-keyed left
+    join + a per-row hash — no extra shuffles beyond the join."""
+    from reactive_kinesis_spark.operators.text import train_val_test_split
+
+    comp = dedup_clusters(pairs, "id_1", "id_2").withColumnRenamed("doc_id", "__n")
+    base = (
+        docs.select(F.col(id_col).alias("doc_id"))
+        .join(comp, F.col("doc_id") == F.col("__n"), "left")
+        .select(
+            "doc_id",
+            F.coalesce(F.col("rep_id"), F.col("doc_id")).alias("rep_id"),
+            F.coalesce(F.col("cluster_size"), F.lit(1))
+            .cast("long")
+            .alias("cluster_size"),
+        )
+    )
+    return train_val_test_split(base, "rep_id", train=train, val=val)

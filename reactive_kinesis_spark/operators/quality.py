@@ -322,3 +322,87 @@ def chi_square_homogeneity(
     return scored.crossJoin(F.broadcast(total)).select(
         row_col, col_col, "observed", "expected", "chi2_term", "chi2_total", "dof"
     )
+
+
+def gini_feature_screen(
+    df: DataFrame,
+    label_col: str,
+    feature_cols: Sequence[str],
+) -> DataFrame:
+    """Gini-impurity reduction of ``label_col`` by each candidate
+    feature — the decision-tree split criterion used as a data audit:
+    which metadata columns actually carry label signal (worth
+    stratifying/balancing on) and which are noise. Gini is THE
+    entropy-free impurity (pure ratios of counts, no logarithm), so the
+    whole screen stays inside the exact-integer certification family.
+
+    Per feature: ``gini_parent = 1 − Σ_c (n_c/N)²`` (label marginal),
+    ``gini_split = 1 − (1/N)·Σ_v (Σ_c n_vc²)/n_v`` (count-weighted child
+    impurity), ``gini_gain = gini_parent − gini_split``. Squared counts
+    are DECIMAL(38,0)-exact; each per-value ratio is floor-quantized to
+    1e15 micro-units before the cross-value sum (the q107 rule — floor of
+    an identical double is identical in every engine) and divisions are
+    correctly-rounded IEEE ops, so the triple is bit-equal cross-engine.
+
+    Returns one row per feature: ``(feature, n_values, gini_parent,
+    gini_split, gini_gain)``.
+
+    100 TB shape: one scan per feature producing a (feature-cardinality ×
+    label-cardinality) count table via map-side-combined aggregation;
+    everything downstream operates on that tiny table. N and the parent
+    impurity enter as a broadcast single-row frame — no collects. The
+    quantized per-value term is ``(Σn_vc²/n_v)/N·1e15 ≤ 1e15``, so the
+    DECIMAL(38,0) sum never overflows at any corpus size."""
+    if not feature_cols:
+        raise ValueError("feature_cols must be non-empty")
+    sq = lambda c: F.col(c).cast("decimal(19,0)") * F.col(c)  # noqa: E731
+    lab = df.groupBy(label_col).agg(F.count(F.lit(1)).alias("__n"))
+    parent = lab.agg(
+        F.sum("__n").cast("double").alias("__N"),
+        F.sum(sq("__n")).cast("double").alias("__S"),
+    ).select(
+        "__N",
+        (
+            F.lit(1.0) - F.col("__S") / F.col("__N") / F.col("__N")
+        ).alias("gini_parent"),
+    )
+    out = None
+    for feat in feature_cols:
+        cell = df.groupBy(F.col(feat).alias("__v"), F.col(label_col)).agg(
+            F.count(F.lit(1)).alias("__n")
+        )
+        val = cell.groupBy("__v").agg(
+            F.sum("__n").alias("__nv"), F.sum(sq("__n")).alias("__sv")
+        )
+        row = (
+            val.crossJoin(F.broadcast(parent))
+            .select(
+                "gini_parent",
+                "__N",
+                F.floor(
+                    F.col("__sv").cast("double")
+                    / F.col("__nv").cast("double")
+                    / F.col("__N")
+                    * F.lit(1e15)
+                )
+                .cast("decimal(38,0)")
+                .alias("__t"),
+            )
+            .groupBy("gini_parent")
+            .agg(
+                F.count(F.lit(1)).cast("long").alias("n_values"),
+                (
+                    F.lit(1.0)
+                    - F.sum("__t").cast("double") / F.lit(1e15)
+                ).alias("gini_split"),
+            )
+            .select(
+                F.lit(feat).alias("feature"),
+                "n_values",
+                "gini_parent",
+                "gini_split",
+                (F.col("gini_parent") - F.col("gini_split")).alias("gini_gain"),
+            )
+        )
+        out = row if out is None else out.unionAll(row)
+    return out

@@ -2114,3 +2114,75 @@ def knn_label_disagreement(
         (F.col("n_diff").cast("double") / F.lit(float(k))).alias("disagreement"),
         F.when(F.col("n_diff") * 2 > k, F.lit(1)).otherwise(F.lit(0)).cast("int").alias("flagged"),
     )
+
+
+def silhouette_by_cluster(
+    vectors: DataFrame,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    k: int = 8,
+    iterations: int = 2,
+) -> DataFrame:
+    """Per-cluster mean SIMPLIFIED silhouette of the deterministic
+    k-means clustering — the standard "is k right / are these clusters
+    real" audit run before any cluster-keyed pipeline stage (SemDeDup
+    cluster sizing, IVF cell counts) is trusted.
+
+    Simplified silhouette (Hruschka et al.): per vector, ``a`` = L2
+    distance to its OWN centroid and ``b`` = distance to the nearest
+    OTHER centroid, scored ``(b - a) / max(a, b)`` — the O(N·k)
+    centroid-based form of the classic O(N²) pairwise definition, the
+    only form that survives 100 TB (it reuses the assignment stage's
+    vector×centroid distances and adds nothing but a per-row expression).
+    A vector exactly on its centroid with no other centroid at distance 0
+    scores +1; ``max(a, b) = 0`` (duplicate centroids) scores 0.
+
+    Cross-engine exactness: distances are the sequential left-fold both
+    engines share, ``sqrt``/subtract/divide/``max`` are correctly-rounded
+    IEEE ops, the (dist, cid) tie-break is the assignment contract's, and
+    the per-cluster mean goes through the exact DECIMAL(38,6) path.
+    Returns ``(cluster, n_vectors, mean_silhouette)``.
+
+    100 TB shape: one broadcast crossJoin against the k-row centroid
+    frame (no shuffle of the corpus), one id-keyed aggregation collecting
+    k (dist, cid) structs per vector, one cluster-keyed final agg.
+    """
+    from reactive_kinesis_spark.functions import davg
+
+    if k < 2:
+        raise ValueError("silhouette needs k >= 2 (there is no 'other' cluster)")
+    cents = kmeans_centroids(vectors, vec_col, id_col, k=k, iterations=iterations)
+    v = _kmeans_prepare(vectors, vec_col, id_col)
+    d = v.crossJoin(F.broadcast(cents)).select(
+        "__id",
+        "cid",
+        F.aggregate(
+            F.zip_with(
+                "__vec",
+                "cent",
+                lambda x, c: (x.cast("double") - c) * (x.cast("double") - c),
+            ),
+            F.lit(0.0),
+            lambda acc, val: acc + val,
+        ).alias("dist"),
+    )
+    per = d.groupBy("__id").agg(
+        F.array_sort(F.collect_list(F.struct("dist", "cid"))).alias("s")
+    )
+    # F.get: NULL when Lloyd collapsed every centroid onto one point (all
+    # vectors identical) — silhouette is undefined with a single effective
+    # cluster; score 0 (the convention), mirrored by the oracle's LEFT JOIN
+    sil = per.select(
+        F.col("s")[0]["cid"].alias("cluster"),
+        F.sqrt(F.col("s")[0]["dist"]).alias("a"),
+        F.sqrt(F.get("s", 1)["dist"]).alias("b"),
+    ).select(
+        "cluster",
+        F.when(F.col("b").isNull() | (F.greatest("a", "b") == 0.0), F.lit(0.0))
+        .otherwise((F.col("b") - F.col("a")) / F.greatest("a", "b"))
+        .alias("sil"),
+    )
+    return sil.groupBy("cluster").agg(
+        F.count(F.lit(1)).cast("long").alias("n_vectors"),
+        davg(F.col("sil"), "mean_silhouette"),
+    )

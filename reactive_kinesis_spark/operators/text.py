@@ -1688,3 +1688,178 @@ def tokenizer_fertility(
             ),
         )
     )
+
+
+def bpe_merges(
+    docs: DataFrame,
+    text_col: str = "text",
+    k: int = 6,
+    word_end: str = "</w>",
+) -> DataFrame:
+    """Learn the first ``k`` byte-pair-encoding merges from a corpus —
+    the distributed core of tokenizer TRAINING (Sennrich et al. 2016),
+    complementing the inference-side operators (``bpe_token_count``,
+    tokenizer fertility, OOV drift) with the step that produces the vocab
+    they consume.
+
+    Pipeline: ONE corpus scan builds the word-frequency table (the only
+    corpus-sized stage); every merge iteration then runs on that
+    vocab-sized frame — words are kept as ``|``-joined symbol strings
+    (chars + a terminal ``word_end`` marker), pair counts come from one
+    explode + map-side-combined sum per iteration, the argmax pair
+    (count DESC, pair ASC — a total order) re-enters as a BROADCAST
+    single-row frame (never a collect), and the merge itself is a
+    sequential string fold: scanning symbols left-to-right, the
+    accumulator appends ``right`` WITHOUT a separator whenever its last
+    symbol equals ``left`` (checked with an exact ``|``-boundary suffix
+    test) — byte-for-byte the greedy leftmost-non-overlapping merge of
+    reference BPE implementations, and exactly mirrorable as a DuckDB
+    ``list_reduce``. Everything is string/int arithmetic: no float
+    enters the pipeline, so the result is hash-certifiable with no
+    quantization tricks.
+
+    Returns ``(merge_rank, left_sym, right_sym, merged, pair_count)`` —
+    ``k`` rows, the merge table in priority order.
+
+    100 TB shape: the corpus contributes one scan + one word-keyed
+    map-side-combined count; iterations touch only the vocab frame
+    (natural-language vocab is millions of rows, not corpus-sized),
+    localCheckpointed per round so plan size stays O(1) in ``k``. The
+    argmax is a TakeOrdered(1), not a global sort. Precondition: words
+    must not contain ``|`` (the symbol separator) — filter or remap
+    upstream for corpora where that can occur.
+    """
+    if k < 1:
+        raise ValueError("k >= 1 required")
+    words = docs.select(
+        F.explode(F.split(F.col(text_col), " ")).alias("word")
+    ).where(F.col("word") != "")
+    vocab = words.groupBy("word").agg(F.count(F.lit(1)).alias("freq"))
+    v = vocab.select(
+        F.concat(
+            F.regexp_replace(F.col("word"), "(.)", "$1|"), F.lit(word_end)
+        ).alias("w"),
+        "freq",
+    ).localCheckpoint(eager=False)
+
+    merges = []
+    for i in range(1, k + 1):
+        syms = v.select(F.split("w", r"\|").alias("syms"), "freq")
+        best = _bpe_best_pair(syms).localCheckpoint(eager=False)
+        merges.append(
+            best.select(
+                F.lit(i).alias("merge_rank"),
+                F.col("__l").alias("left_sym"),
+                F.col("__r").alias("right_sym"),
+                F.concat("__l", "__r").alias("merged"),
+                "pair_count",
+            )
+        )
+        v = _bpe_apply_merge(syms, best).localCheckpoint(eager=False)
+
+    out = merges[0]
+    for m in merges[1:]:
+        out = out.unionAll(m)
+    return out
+
+
+def _bpe_best_pair(syms: DataFrame) -> DataFrame:
+    """One BPE iteration's argmax: adjacent-pair counts from the symbol
+    arrays (one explode + one map-side-combined sum — the only wide op of
+    the iteration) reduced to a single row by the (count DESC, pair ASC)
+    total order. TakeOrdered(1), never a global sort."""
+    pairs = syms.where(F.size("syms") >= 2).select(
+        "freq",
+        F.explode(
+            F.expr(
+                "transform(sequence(1, size(syms)-1),"
+                " j -> concat(element_at(syms, j), ' ',"
+                " element_at(syms, j+1)))"
+            )
+        ).alias("pair"),
+    )
+    return (
+        pairs.groupBy("pair")
+        .agg(F.sum("freq").alias("pair_count"))
+        .orderBy(F.desc("pair_count"), F.asc("pair"))
+        .limit(1)
+        .select(
+            F.split("pair", " ").getItem(0).alias("__l"),
+            F.split("pair", " ").getItem(1).alias("__r"),
+            "pair_count",
+        )
+    )
+
+
+def _bpe_apply_merge(syms: DataFrame, best: DataFrame) -> DataFrame:
+    """Apply the selected merge to every vocab word: the single-row best
+    frame enters as a BROADCAST crossJoin (never a collect), and the
+    merge is the sequential string fold — appending ``right`` WITHOUT a
+    separator whenever the accumulator's ``|``-boundary suffix equals
+    ``left`` IS greedy leftmost-non-overlapping pair merging."""
+    return syms.crossJoin(F.broadcast(best.select("__l", "__r"))).select(
+        F.when(F.size("syms") == 1, F.element_at("syms", 1))
+        .otherwise(
+            F.aggregate(
+                F.slice("syms", 2, F.size("syms") - 1),
+                F.element_at("syms", 1),
+                lambda acc, cur: F.when(
+                    (
+                        (acc == F.col("__l"))
+                        | acc.endswith(F.concat(F.lit("|"), F.col("__l")))
+                    )
+                    & (cur == F.col("__r")),
+                    F.concat(acc, cur),
+                ).otherwise(F.concat(acc, F.lit("|"), cur)),
+            )
+        )
+        .alias("w"),
+        "freq",
+    )
+
+
+def cooccurrence_word_edges(
+    docs: DataFrame,
+    text_col: str = "text",
+    window: int = 2,
+    min_words: int = 3,
+) -> DataFrame:
+    """Undirected word co-occurrence counts within a ±``window`` token
+    window — the graph behind TextRank keyword extraction (Mihalcea &
+    Tarau 2004). Returns ``(c, s, w)`` with ``c < s`` lexicographically
+    and ``w`` = the number of co-occurrences across the corpus (as
+    DOUBLE, ready to feed :func:`~reactive_kinesis_spark.operators.graph
+    .pagerank` as an edge weight).
+
+    SINGLE corpus scan: every offset's pairs come from the token array
+    itself in ONE generate (``flatten`` over the offset list — no
+    positional self-join and no per-offset union re-scanning the
+    corpus), then one map-side-combined count on the normalized pair
+    key. Documents shorter than ``min_words`` tokens are skipped;
+    ``min_words > window`` keeps ``sequence(1, n-offset)`` well-defined
+    for every offset."""
+    if window < 1:
+        raise ValueError("window >= 1 required")
+    if min_words <= window:
+        raise ValueError("min_words must exceed window")
+    offsets = ", ".join(str(o) for o in range(1, window + 1))
+    words = docs.select(
+        F.filter(F.split(F.col(text_col), " "), lambda x: x != F.lit("")).alias("ws")
+    ).where(F.size("ws") >= F.lit(min_words))
+    pairs = (
+        words.select(
+            F.explode(
+                F.expr(
+                    f"flatten(transform(array({offsets}), o ->"
+                    " transform(sequence(1, size(ws) - o), i ->"
+                    " struct(element_at(ws, i) AS w1,"
+                    " element_at(ws, CAST(i + o AS INT)) AS w2))))"
+                )
+            ).alias("p")
+        )
+        .select("p.w1", "p.w2")
+        .where(F.col("w1") != F.col("w2"))
+    )
+    return pairs.groupBy(
+        F.least("w1", "w2").alias("c"), F.greatest("w1", "w2").alias("s")
+    ).agg(F.count(F.lit(1)).cast("double").alias("w"))

@@ -43,21 +43,26 @@ def query(name: str, oracle: str | None = None):
 
 
 #: Driver-visibility rotation (round 11). The driver's correctness run samples
-#: the FIRST 50 registry entries; with 159 oracle-backed queries, the rest
+#: the FIRST 50 registry entries; with 164 oracle-backed queries, the rest
 #: must sit past the window each round. Policy: the least-driver-certified
 #: queries get the visible slots — never-certified first, then queries whose
 #: CODE OR ORACLE CHANGED since their last green row (a stale green row
 #: proves the old query, not this one), then by staleness. This round:
-#:   slots 0-6   — the seven NEW round-11 operators (q160 bigram-LM
+#:   slots 0-11  — the twelve NEW round-11 operators (q160 bigram-LM
 #:                 fluency, q161 Bloom membership audit, q162 funnel,
 #:                 q163 cohort retention, q164 chi-square drift, q165
-#:                 kNN label disagreement, q166 tokenizer fertility);
-#:   slots 7-9   — the round-11 oracle graduations q30/q42/q63 (ANN
+#:                 kNN label disagreement, q166 tokenizer fertility,
+#:                 q167 BPE merges, q168 leakage-safe split, q169
+#:                 TextRank keywords, q170 cluster silhouette, q171
+#:                 Gini feature screen);
+#:   slots 12-14 — the round-11 oracle graduations q30/q42/q63 (ANN
 #:                 top-k / embedding near-dup pairs / near-dup clusters
 #:                 via the integer-exact LSH family — quantized int64
 #:                 dots make fold order irrelevant, so the numpy path
-#:                 IS the certified path);
-#:   slots 10-13 — r10-certified queries whose CODE OR ORACLE CHANGED
+#:                 IS the certified path; the family also gained the
+#:                 short-vector plane-truncation fix this round, so
+#:                 their window rows prove the fixed code);
+#:   slots 15-18 — r10-certified queries whose CODE OR ORACLE CHANGED
 #:                 this round and therefore need re-proving: q155/q156
 #:                 (PQ fit-once refactor), q157 (estimator audit keeps
 #:                 zero-common-shingle candidates via left join), q158
@@ -68,13 +73,13 @@ def query(name: str, oracle: str | None = None):
 #:                 their plans and results are bit-unchanged — asserted
 #:                 by tests/test_round11_ops.py — so their r10 rows
 #:                 remain proof of THIS code's results;
-#:   slots 14-18 — the five displaced R9-deferred queries q62/q64-q67
+#:   slots 19-23 — the five displaced R9-deferred queries q62/q64-q67
 #:                 (r6-certified, 5 rounds stale — the oldest debt, the
 #:                 round-10 verdict's first ask);
-#:   slots 19-49 — the first 31 of the 44 r7-certified queries from
-#:                 _DEFERRED_R11; the remaining 13 move to
-#:                 _DEFERRED_R12 (the 159-oracle/50-slot rotation math
-#:                 now makes a ≈3.2-round staleness floor the best
+#:   slots 24-49 — the first 26 of the 44 r7-certified queries from
+#:                 _DEFERRED_R11; the remaining 18 move to
+#:                 _DEFERRED_R12 (the 164-oracle/50-slot rotation math
+#:                 now makes a ≈3.3-round staleness floor the best
 #:                 achievable; new-operator rounds trade a little floor
 #:                 for coverage, never-certified first as always).
 #: Everything past the window remains fully oracle-checked locally every
@@ -91,6 +96,11 @@ _WINDOW = (
     "q164_chi_square_drift",
     "q165_knn_label_disagreement",
     "q166_tokenizer_fertility",
+    "q167_bpe_merges",
+    "q168_leakage_safe_split",
+    "q169_textrank_keywords",
+    "q170_cluster_silhouette",
+    "q171_gini_feature_screen",
     # -- round-11 oracle graduations (never hash-certified) --
     "q30_embedding_ann_lsh",
     "q42_embedding_neardup",
@@ -133,15 +143,12 @@ _WINDOW = (
     "q141_simpson_diversity",
     "q16_part_supplier_join",
     "q18_events_json_props",
-    "q19_events_asof_join",
-    "q20_events_sessions",
-    "q21_dedup_exact",
-    "q22_dedup_ngram_jaccard",
-    "q29_embedding_cosine_topk",
 )
 #: The 13 r7-certified queries the round-11 window could not fit (plus
 #: nothing else this round — r6 debt is cleared above). Round 12 takes
-#: these FIRST, then whatever round-11 certified rows are oldest.
+#: these FIRST, then whatever round-11 certified rows are oldest. The last
+#: five names are r7-certified rows displaced mid-round when the second
+#: round-11 session added q167–q171 (new operators take slots first).
 _DEFERRED_R12 = (
     "q37_range_join",
     "q44_deterministic_sample",
@@ -156,6 +163,11 @@ _DEFERRED_R12 = (
     "q74_stratified_sample",
     "q75_rare_word_scoring",
     "q99_resample_daily",
+    "q19_events_asof_join",
+    "q20_events_sessions",
+    "q21_dedup_exact",
+    "q22_dedup_ngram_jaccard",
+    "q29_embedding_cosine_topk",
 )
 _WINDOW_RANK = {name: i for i, name in enumerate(_WINDOW)}
 

@@ -81,7 +81,11 @@ def copurchase_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _pagerank_oracle_sql(
-    iterations: int = 6, damping: float = 0.85, weighted: bool = False
+    iterations: int = 6,
+    damping: float = 0.85,
+    weighted: bool = False,
+    pairs_sql: list[str] | None = None,
+    final_sql: list[str] | None = None,
 ) -> str:
     """Unrolled PageRank oracle over the co-purchase graph — the LAST
     iterative tier member to reach full hash certification (q115/q124
@@ -96,15 +100,24 @@ def _pagerank_oracle_sql(
       exactly 0.15, not the double 0.15000000000000002);
     * expression shapes mirror the operator's evaluation order
       (``teleport + damping · (sum/Q)``).
+
+    ``pairs_sql``/``final_sql`` swap the graph and the output projection
+    (q169 ranks the word co-occurrence graph instead of co-purchase);
+    the rank-iteration CTEs — the part whose exactness rules were
+    hard-won — stay shared. Defaults reproduce the q107/q121 text byte
+    for byte. ``pairs_sql`` must yield a ``pairs(c, s, w)`` CTE body
+    (undirected edge per row, DOUBLE weight); ``final_sql`` the final
+    SELECT lines over ``r{iterations}(node, rank)``.
     """
     tele = repr(1.0 - damping)
     damp = repr(damping)
     w_expr = "w" if weighted else "CAST(1.0 AS DOUBLE)"
-    parts = [
-        "WITH pairs AS (",
+    default_pairs = [
         "  SELECT o_custkey * 2 AS c, l_suppkey * 2 + 1 AS s,",
         "         CAST(COUNT(*) AS DOUBLE) AS w",
         "  FROM lineitem JOIN orders ON l_orderkey = o_orderkey GROUP BY 1, 2),",
+    ]
+    parts = ["WITH pairs AS ("] + (pairs_sql if pairs_sql is not None else default_pairs) + [
         f"e AS (SELECT c AS src, s AS dst, {w_expr} AS w FROM pairs",
         f"      UNION ALL SELECT s AS src, c AS dst, {w_expr} AS w FROM pairs),",
         "deg AS (SELECT src, CAST(SUM(CAST(w AS DECIMAL(38,18))) AS DOUBLE)",
@@ -127,7 +140,7 @@ def _pagerank_oracle_sql(
             "  GROUP BY e.dst, nn.n),",
         ]
     parts[-1] = parts[-1].rstrip(",")
-    parts += [
+    parts += final_sql if final_sql is not None else [
         "SELECT CASE WHEN node % 2 = 0 THEN 'c' || CAST(node // 2 AS VARCHAR)",
         "            ELSE 's' || CAST(node // 2 AS VARCHAR) END AS node, rank",
         f"FROM r{iterations} ORDER BY rank DESC, 1 LIMIT 100",
@@ -612,3 +625,61 @@ def q140_hits_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
         .limit(25)
     )
     return top_h.unionByName(top_a).orderBy("side", F.col("score").desc(), "node")
+
+
+#: q169: TextRank pairs CTE — the word co-occurrence graph (±2 window,
+#: normalized word pairs, co-occurrence count as weight), mirroring
+#: operators.text.cooccurrence_word_edges. Word nodes are the strings
+#: themselves; no numeric namespacing or relabeling step.
+_TEXTRANK_PAIRS_SQL = [
+    "  SELECT LEAST(w1, w2) AS c, GREATEST(w1, w2) AS s,",
+    "         CAST(COUNT(*) AS DOUBLE) AS w",
+    "  FROM (",
+    "    SELECT words[i] AS w1, words[i + o] AS w2",
+    "    FROM (SELECT list_filter(string_split(text, ' '), x -> x <> '')",
+    "          AS words FROM documents),",
+    "         UNNEST(range(1, len(words))) AS t(i), UNNEST([1, 2]) AS u(o)",
+    "    WHERE len(words) >= 3 AND i + o <= len(words)",
+    "      AND words[i] <> words[i + o]",
+    "  ) GROUP BY 1, 2),",
+]
+
+
+@query(
+    "q169_textrank_keywords",
+    oracle=_pagerank_oracle_sql(
+        6,
+        0.85,
+        weighted=True,
+        pairs_sql=_TEXTRANK_PAIRS_SQL,
+        final_sql=[
+            "SELECT node AS word, rank",
+            "FROM r6 ORDER BY rank DESC, node LIMIT 30",
+        ],
+    ),
+)
+def q169_textrank_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-level TextRank keywords (Mihalcea & Tarau 2004): top-30
+    words by 6-iteration weighted PageRank over the ±2-window word
+    co-occurrence graph — keyword extraction as a composition of two
+    certified pieces (the single-scan co-occurrence edge builder and the
+    quantized-integer-mass PageRank loop). One corpus scan builds the
+    vocab-sized graph; the walk never touches documents again. See
+    :func:`operators.text.cooccurrence_word_edges` and
+    :func:`operators.graph.pagerank`."""
+    from reactive_kinesis_spark.operators.text import cooccurrence_word_edges
+
+    docs = load_table(spark, sf_dir, "documents")
+    und = cooccurrence_word_edges(docs, "text", window=2, min_words=3)
+    edges = und.select(F.col("c").alias("src"), F.col("s").alias("dst"), "w").unionAll(
+        und.select(F.col("s").alias("src"), F.col("c").alias("dst"), "w")
+    )
+    pr = pagerank(
+        edges, iterations=6, damping=0.85, weight_col="w",
+        symmetric=True, quantize=1e15,
+    )
+    return (
+        pr.orderBy(F.desc("rank"), F.asc("node"))
+        .limit(30)
+        .select(F.col("node").alias("word"), "rank")
+    )

@@ -3437,3 +3437,150 @@ def q166_tokenizer_fertility(spark: SparkSession, sf_dir: str) -> DataFrame:
     :func:`operators.text.tokenizer_fertility`."""
     docs = load_table(spark, sf_dir, "documents")
     return T.tokenizer_fertility(docs, "text", "lang").orderBy("lang")
+
+
+def _bpe_oracle_sql(k: int) -> str:
+    """Unrolled BPE-merge oracle: per iteration one pair-count CTE, one
+    argmax CTE (count DESC, pair ASC — total order), and one merge-fold
+    CTE whose ``list_reduce`` accumulator appends the right symbol
+    WITHOUT a separator whenever its ``|``-boundary suffix equals the
+    left symbol — character-identical semantics to the Spark
+    ``F.aggregate`` fold in :func:`operators.text.bpe_merges`. Pure
+    string/int arithmetic end to end: nothing to quantize."""
+    parts = [
+        "WITH words AS (SELECT unnest(string_split(text, ' ')) AS word",
+        "  FROM documents),",
+        "vocab AS (SELECT word, CAST(COUNT(*) AS BIGINT) AS freq FROM words",
+        "  WHERE word <> '' GROUP BY word),",
+        r"v0 AS (SELECT regexp_replace(word, '(.)', '\1|', 'g') || '</w>' AS w,",
+        "  freq FROM vocab),",
+    ]
+    sels = []
+    for i in range(1, k + 1):
+        p = i - 1
+        parts += [
+            f"p{i} AS (SELECT syms[j] || ' ' || syms[j+1] AS pair,",
+            "  CAST(SUM(freq) AS BIGINT) AS pair_count",
+            f"  FROM (SELECT string_split(w, '|') AS syms, freq FROM v{p}),",
+            "       UNNEST(range(1, len(syms))) AS t(j)",
+            "  GROUP BY 1),",
+            f"b{i} AS (SELECT string_split(pair, ' ')[1] AS l,",
+            "  string_split(pair, ' ')[2] AS r, pair_count",
+            f"  FROM p{i} ORDER BY pair_count DESC, pair ASC LIMIT 1),",
+            f"v{i} AS (SELECT CASE WHEN len(syms) = 1 THEN syms[1] ELSE",
+            "    list_reduce(syms, (acc, cur) -> CASE",
+            "      WHEN (acc = b.l OR ends_with(acc, '|' || b.l)) AND cur = b.r",
+            "      THEN acc || cur ELSE acc || '|' || cur END) END AS w, freq",
+            f"  FROM (SELECT string_split(w, '|') AS syms, freq FROM v{p}), b{i} b),",
+        ]
+        sels.append(
+            f"SELECT {i} AS merge_rank, l AS left_sym, r AS right_sym,"
+            f" l || r AS merged, pair_count FROM b{i}"
+        )
+    parts[-1] = parts[-1].rstrip(",")
+    return "\n".join(parts) + "\n" + "\nUNION ALL ".join(sels) + "\nORDER BY merge_rank"
+
+
+@query("q167_bpe_merges", oracle=_bpe_oracle_sql(6))
+def q167_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The first 6 byte-pair-encoding merges learned from the documents
+    corpus — distributed tokenizer training (one corpus scan for the
+    word-frequency table, then vocab-sized iterations with a broadcast
+    argmax), the producer side of the engine's tokenizer surface
+    (q43/q153/q166 consume a vocab; this builds one). All string/integer
+    arithmetic — hash-certified with no quantization. See
+    :func:`operators.text.bpe_merges`."""
+    docs = load_table(spark, sf_dir, "documents")
+    return T.bpe_merges(docs, "text", k=6).orderBy("merge_rank")
+
+
+@query(
+    "q168_leakage_safe_split",
+    oracle=f"""
+    WITH RECURSIVE {_JACCARD_PAIR_CTES},
+    edges AS (
+        SELECT id_1 AS u, id_2 AS v FROM pairs
+        UNION
+        SELECT id_2 AS u, id_1 AS v FROM pairs
+    ),
+    walk(node, reach) AS (
+        SELECT u, u FROM edges
+        UNION
+        SELECT w.node, e.v FROM walk w JOIN edges e ON e.u = w.reach
+    ),
+    comp AS (SELECT node, MIN(reach) AS rep_id FROM walk GROUP BY node),
+    csize AS (SELECT rep_id, COUNT(*) AS cluster_size FROM comp GROUP BY rep_id),
+    assign AS (
+        SELECT d.doc_id,
+               COALESCE(comp.rep_id, d.doc_id) AS rep_id,
+               CAST(COALESCE(csize.cluster_size, 1) AS BIGINT) AS cluster_size
+        FROM (SELECT doc_id FROM documents) d
+        LEFT JOIN comp ON comp.node = d.doc_id
+        LEFT JOIN csize ON csize.rep_id = comp.rep_id
+    )
+    SELECT doc_id, rep_id, cluster_size,
+           CASE
+             WHEN (CAST(('0x' || substr(md5(CAST(rep_id AS VARCHAR)), 1, 14))
+                   AS BIGINT) % 1000) < 800 THEN 'train'
+             WHEN (CAST(('0x' || substr(md5(CAST(rep_id AS VARCHAR)), 1, 14))
+                   AS BIGINT) % 1000) < 900 THEN 'val'
+             ELSE 'test'
+           END AS split
+    FROM assign
+    ORDER BY doc_id
+    """,
+)
+def q168_leakage_safe_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Leakage-safe 80/10/10 train/val/test split: q22's near-dup pair
+    edges resolved to connected components, the whole component assigned
+    to ONE split by its representative's md5 bucket — a test document can
+    never have a near-copy in train (the Lee et al. 2022 eval-integrity
+    rule q117's per-document split cannot give). See
+    :func:`operators.dedup.leakage_safe_split`."""
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = D.ngram_jaccard_pairs(docs, "text", "doc_id", n=3, threshold=0.8, max_df=1000)
+    return D.leakage_safe_split(docs, pairs, "doc_id", train=0.8, val=0.1).orderBy(
+        "doc_id"
+    )
+
+
+def _silhouette_oracle_sql(k: int, iterations: int) -> str:
+    """Silhouette oracle on top of the shared unrolled Lloyd chain: the
+    final distance CTE already holds every vector×centroid distance, so
+    rn=1 / rn=2 under the assignment tie order (dist, cid) are own- and
+    nearest-other-centroid; the score is sqrt/subtract/divide/greatest —
+    all correctly-rounded IEEE ops — and the mean is the exact decimal
+    path."""
+    parts, _final = _kmeans_assign_ctes(k, iterations)
+    dn = f"d{iterations + 1}"
+    return (
+        "\n".join(parts)
+        + f"""
+    r AS (SELECT vec_id, cid, dist,
+           ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY dist, cid) AS rn
+          FROM {dn}),
+    ab AS (SELECT a.vec_id, a.cid AS cluster, sqrt(a.dist) AS a, sqrt(b.dist) AS b
+           FROM (SELECT * FROM r WHERE rn = 1) a
+           LEFT JOIN (SELECT * FROM r WHERE rn = 2) b USING (vec_id)),
+    s AS (SELECT cluster,
+           CASE WHEN b IS NULL OR greatest(a, b) = CAST('0.0' AS DOUBLE)
+                THEN CAST('0.0' AS DOUBLE)
+                ELSE (b - a) / greatest(a, b) END AS sil FROM ab)
+    SELECT cluster, CAST(COUNT(*) AS BIGINT) AS n_vectors,
+           {davg_sql('sil', 'mean_silhouette')}
+    FROM s GROUP BY cluster ORDER BY cluster
+    """
+    )
+
+
+@query("q170_cluster_silhouette", oracle=_silhouette_oracle_sql(8, 2))
+def q170_cluster_silhouette(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-cluster mean simplified silhouette of the q124 k-means
+    clustering (k=8) — the cluster-quality audit run before any
+    cluster-keyed stage (SemDeDup, IVF) is trusted. O(N·k): reuses the
+    assignment stage's distances, adds one expression. See
+    :func:`operators.similarity.silhouette_by_cluster`."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    return S.silhouette_by_cluster(emb, "embedding", "vec_id", k=8, iterations=2).orderBy(
+        "cluster"
+    )

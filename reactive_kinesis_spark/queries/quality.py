@@ -832,3 +832,61 @@ def q164_chi_square_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = load_table(spark, sf_dir, "documents")
     return chi_square_homogeneity(docs, "source", "lang").orderBy("source", "lang")
+
+
+def _gini_feature_block(prefix: str, fname: str, fexpr: str) -> str:
+    """One feature's CTE block for the q171 oracle — mirrors
+    :func:`operators.quality.gini_feature_screen`'s per-feature plan
+    (cell counts → per-value squared-count sums → one quantized-ratio
+    aggregate). ``FLOOR(sv/nv/N · 1e15)`` is the q107 floor-quantize rule
+    applied to each per-value ratio so the cross-value sum is exact."""
+    return f"""
+    {prefix}cell AS (
+        SELECT {fexpr} AS v, lang, CAST(COUNT(*) AS BIGINT) AS n
+        FROM documents GROUP BY 1, 2),
+    {prefix}val AS (
+        SELECT v, SUM(n) AS nv, SUM(CAST(n AS DECIMAL(19,0)) * n) AS sv
+        FROM {prefix}cell GROUP BY v),
+    {prefix}row AS (
+        SELECT '{fname}' AS feature, CAST(COUNT(*) AS BIGINT) AS n_values,
+               p.gini_parent,
+               CAST('1.0' AS DOUBLE)
+                 - CAST(SUM(CAST(FLOOR(CAST(sv AS DOUBLE) / CAST(nv AS DOUBLE)
+                     / p.N * CAST('1e15' AS DOUBLE)) AS DECIMAL(38,0))) AS DOUBLE)
+                   / CAST('1e15' AS DOUBLE) AS gini_split
+        FROM {prefix}val, parent p GROUP BY p.gini_parent, p.N)"""
+
+
+@query(
+    "q171_gini_feature_screen",
+    oracle=f"""
+    WITH lab AS (
+        SELECT lang, CAST(COUNT(*) AS BIGINT) AS n FROM documents GROUP BY lang),
+    parent AS (
+        SELECT CAST(SUM(n) AS DOUBLE) AS N,
+               CAST('1.0' AS DOUBLE)
+                 - CAST(SUM(CAST(n AS DECIMAL(19,0)) * n) AS DOUBLE)
+                   / CAST(SUM(n) AS DOUBLE) / CAST(SUM(n) AS DOUBLE) AS gini_parent
+        FROM lab),{_gini_feature_block('f1', 'len_bucket', 'CAST(FLOOR(length(text) / 64) AS BIGINT)')},{_gini_feature_block('f2', 'source', 'source')}
+    SELECT feature, n_values, gini_parent, gini_split,
+           gini_parent - gini_split AS gini_gain
+    FROM (SELECT * FROM f1row UNION ALL SELECT * FROM f2row)
+    ORDER BY feature
+    """,
+)
+def q171_gini_feature_screen(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gini-impurity reduction of the language label by each candidate
+    metadata feature (source, 64-char length bucket) — the
+    decision-tree split criterion as a which-columns-carry-signal audit,
+    kept entirely inside the exact-integer certification family (no
+    logarithm: Gini is pure count ratios; per-value ratios floor-quantized
+    before the cross-value sum). See
+    :func:`operators.quality.gini_feature_screen`."""
+    from reactive_kinesis_spark.operators.quality import gini_feature_screen
+
+    docs = load_table(spark, sf_dir, "documents").withColumn(
+        "len_bucket", F.floor(F.length("text") / F.lit(64)).cast("long")
+    )
+    return gini_feature_screen(docs, "lang", ["len_bucket", "source"]).orderBy(
+        "feature"
+    )

@@ -771,3 +771,76 @@ def test_int_lsh_neardup_joins_on_band_keys(spark, sf_dir):
     plan = _plan(load_all()["q42_embedding_neardup"].fn(spark, sf_dir))
     assert "CartesianProduct" not in plan
     assert "band" in plan and "bits" in plan
+
+
+def test_bpe_argmax_enters_as_broadcast(spark, sf_dir):
+    """q167: each iteration's best-pair single-row frame must ride into
+    the merge stage as a BROADCAST (nested-loop over one row), never a
+    CartesianProduct or a vocab shuffle; the iteration's only wide op is
+    one partial+final pair-count aggregate. The per-round checkpoints
+    hide these stages from the composed query's plan, so the pins target
+    the stage builders the loop is made of."""
+    from reactive_kinesis_spark.operators.text import (
+        _bpe_apply_merge,
+        _bpe_best_pair,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    vocab = (
+        docs.select(F.explode(F.split("text", " ")).alias("word"))
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).alias("freq"))
+    )
+    syms = vocab.select(F.split("word", "").alias("syms"), "freq")
+    best_plan = _plan(_bpe_best_pair(syms))
+    assert best_plan.count("HashAggregate") >= 2 and "partial_" in best_plan
+    assert "TakeOrderedAndProject" in best_plan  # argmax, not a global sort
+    merge_plan = _plan(_bpe_apply_merge(syms, _bpe_best_pair(syms)))
+    assert "BroadcastNestedLoopJoin" in merge_plan
+    assert "CartesianProduct" not in merge_plan
+    assert "SortMergeJoin" not in merge_plan
+
+
+def test_textrank_edge_builder_is_single_scan(spark, sf_dir):
+    """q169's co-occurrence graph: EVERY window offset's pairs come from
+    the token array in one generate — ONE scan of documents, no
+    positional self-join, no per-offset union re-scanning the corpus;
+    the walk operates on the checkpointed vocab-sized graph."""
+    from reactive_kinesis_spark.operators.text import cooccurrence_word_edges
+
+    docs = load_table(spark, sf_dir, "documents")
+    plan = _plan(cooccurrence_word_edges(docs, "text"))
+    assert "Join" not in plan
+    assert 1 <= plan.count("Scan parquet") <= 2
+    assert plan.count("HashAggregate") >= 2 and "partial_" in plan
+
+
+def test_leakage_split_is_one_join_past_components(spark, sf_dir):
+    """q168: after the bounded pair stage and the component resolution,
+    the split itself must add only the id-keyed left join + a per-row
+    hash — no window, no extra aggregation over the corpus."""
+    plan = _plan(load_all()["q168_leakage_safe_split"].fn(spark, sf_dir))
+    assert "CartesianProduct" not in plan
+    assert plan.count("Window") == 0
+    assert "md5" in plan  # the split is the stable hash, not a sample
+
+
+def test_silhouette_centroids_are_broadcast(spark, sf_dir):
+    """q170: the k-row centroid frame joins the corpus as a BROADCAST
+    nested loop (the assignment stage's own shape) — the corpus never
+    shuffles to be scored."""
+    plan = _plan(load_all()["q170_cluster_silhouette"].fn(spark, sf_dir))
+    assert "BroadcastNestedLoopJoin" in plan
+    assert "CartesianProduct" not in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_gini_parent_is_broadcast_onto_value_table(spark, sf_dir):
+    """q171: per feature, ONE corpus count-aggregate; N and the parent
+    impurity enter the per-value stage as a broadcast single-row frame —
+    nothing corpus-sized is scanned or shuffled twice per feature."""
+    plan = _plan(load_all()["q171_gini_feature_screen"].fn(spark, sf_dir))
+    assert "BroadcastNestedLoopJoin" in plan
+    assert "CartesianProduct" not in plan
+    assert "SortMergeJoin" not in plan
+    assert plan.count("HashAggregate") >= 2 and "partial_" in plan

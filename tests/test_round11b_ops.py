@@ -1,0 +1,208 @@
+"""Hand-computed micro-input tests for the second round-11 operator batch:
+BPE merge induction, leakage-safe group splitting, TextRank keywords,
+cluster silhouette audits, and the Gini-impurity feature screen."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from reactive_kinesis_spark.operators.dedup import leakage_safe_split
+from reactive_kinesis_spark.operators.graph import pagerank
+from reactive_kinesis_spark.operators.quality import gini_feature_screen
+from reactive_kinesis_spark.operators.similarity import silhouette_by_cluster
+from reactive_kinesis_spark.operators.text import bpe_merges, cooccurrence_word_edges
+
+
+class TestBpeMerges:
+    def test_classic_merge_sequence(self, spark):
+        # the Sennrich et al. worked example: freqs low=5 lower=2
+        # newest=6 widest=3. Hand-derived sequence (count DESC, pair ASC):
+        #   1. (e, s)    9  (newest 6 + widest 3)
+        #   2. (es, t)   9  (ties 'es t' < 't </w>')
+        #   3. (est, </w>) 9
+        #   4. (l, o)    7  (ties 'l o' < 'o w')
+        docs = spark.createDataFrame(
+            [(" ".join(["low"] * 5 + ["lower"] * 2 + ["newest"] * 6 + ["widest"] * 3),)],
+            "text string",
+        )
+        rows = bpe_merges(docs, "text", k=4).orderBy("merge_rank").collect()
+        got = [(r.left_sym, r.right_sym, r.merged, r.pair_count) for r in rows]
+        assert got == [
+            ("e", "s", "es", 9),
+            ("es", "t", "est", 9),
+            ("est", "</w>", "est</w>", 9),
+            ("l", "o", "lo", 7),
+        ]
+
+    def test_greedy_run_semantics(self, spark):
+        # 'aaaa' ×2: merge 1 = (a, a) count 6 (three adjacent pairs per
+        # word × freq 2); the greedy fold must yield aa|aa|</w> (two
+        # merges, no overlap), so merge 2's candidates are (aa, aa)=2 and
+        # (aa, </w>)=2 — tie broken by pair ASC: 'aa </w>' < 'aa aa'
+        # (byte '<' sorts before 'a').
+        docs = spark.createDataFrame([("aaaa aaaa",)], "text string")
+        rows = bpe_merges(docs, "text", k=2).orderBy("merge_rank").collect()
+        assert (rows[0].left_sym, rows[0].right_sym, rows[0].pair_count) == ("a", "a", 6)
+        assert (rows[1].left_sym, rows[1].right_sym, rows[1].pair_count) == (
+            "aa",
+            "</w>",
+            2,
+        )
+
+    def test_k_validation(self, spark):
+        docs = spark.createDataFrame([("x",)], "text string")
+        with pytest.raises(ValueError, match="k >= 1"):
+            bpe_merges(docs, "text", k=0)
+
+
+class TestLeakageSafeSplit:
+    def test_components_share_a_split_and_singletons_match_q117_rule(self, spark):
+        docs = spark.createDataFrame(
+            [(i,) for i in range(6)], "doc_id long"
+        )
+        pairs = spark.createDataFrame(
+            [(0, 1), (1, 4)], "id_1 long, id_2 long"
+        )
+        out = {
+            r.doc_id: r
+            for r in leakage_safe_split(docs, pairs, "doc_id").collect()
+        }
+        # the {0,1,4} component: one rep (the min), one split for all
+        assert out[0].rep_id == out[1].rep_id == out[4].rep_id == 0
+        assert out[0].cluster_size == out[1].cluster_size == out[4].cluster_size == 3
+        assert out[0].split == out[1].split == out[4].split
+        # singletons: own rep, size 1, and the split equals the plain
+        # per-document md5 rule applied to their id
+        from reactive_kinesis_spark.operators.text import train_val_test_split
+
+        plain = {
+            r.doc_id: r.split
+            for r in train_val_test_split(
+                docs, "doc_id", train=0.8, val=0.1
+            ).collect()
+        }
+        for i in (2, 3, 5):
+            assert out[i].rep_id == i and out[i].cluster_size == 1
+            assert out[i].split == plain[i]
+
+    def test_split_params_validated(self, spark):
+        docs = spark.createDataFrame([(0,)], "doc_id long")
+        pairs = spark.createDataFrame([], "id_1 long, id_2 long")
+        with pytest.raises(ValueError):
+            leakage_safe_split(docs, pairs, "doc_id", train=0.9, val=0.2)
+
+
+class TestTextRank:
+    def test_cooccurrence_edges_hand_computed(self, spark):
+        # "a hub b" → window-2 pairs (a,hub), (hub,b), (a,b); normalized
+        # counts over two docs sharing the hub word
+        docs = spark.createDataFrame(
+            [("a hub b",), ("c hub a",)], "text string"
+        )
+        edges = {
+            (r.c, r.s): r.w for r in cooccurrence_word_edges(docs, "text").collect()
+        }
+        assert edges == {
+            ("a", "hub"): 2.0,  # one per doc
+            ("b", "hub"): 1.0,
+            ("a", "b"): 1.0,
+            ("c", "hub"): 1.0,
+            ("a", "c"): 1.0,
+        }
+
+    def test_hub_word_outranks_satellites(self, spark):
+        # star geometry: 'hub' co-occurs with every satellite; satellites
+        # only with the hub and one neighbor — hub must take rank 1
+        docs = spark.createDataFrame(
+            [("s1 hub s2",), ("s3 hub s4",), ("s5 hub s6",)], "text string"
+        )
+        und = cooccurrence_word_edges(docs, "text")
+        edges = und.select(
+            F.col("c").alias("src"), F.col("s").alias("dst"), "w"
+        ).unionAll(und.select(F.col("s").alias("src"), F.col("c").alias("dst"), "w"))
+        pr = pagerank(
+            edges, iterations=4, damping=0.85, weight_col="w", symmetric=True
+        ).orderBy(F.desc("rank"))
+        assert pr.first().node == "hub"
+
+    def test_short_docs_skipped_and_window_validated(self, spark):
+        docs = spark.createDataFrame([("a b",)], "text string")
+        assert cooccurrence_word_edges(docs, "text", min_words=3).count() == 0
+        with pytest.raises(ValueError, match="window"):
+            cooccurrence_word_edges(docs, "text", window=0)
+
+
+class TestSilhouette:
+    def test_tight_far_clusters_score_high(self, spark):
+        # ids chosen so deterministic seeding (first k by id) lands one
+        # seed per true cluster
+        vecs = spark.createDataFrame(
+            [
+                (0, [0.0, 0.0]),
+                (1, [4.0, 4.0]),
+                (2, [0.1, 0.0]),
+                (3, [4.1, 4.0]),
+            ],
+            "vec_id long, embedding array<float>",
+        )
+        rows = (
+            silhouette_by_cluster(vecs, "embedding", "vec_id", k=2, iterations=1)
+            .orderBy("cluster")
+            .collect()
+        )
+        assert [r.n_vectors for r in rows] == [2, 2]
+        assert all(r.mean_silhouette > 0.9 for r in rows)
+
+    def test_duplicate_centroids_score_zero(self, spark):
+        vecs = spark.createDataFrame(
+            [(i, [1.0, 2.0]) for i in range(4)],
+            "vec_id long, embedding array<float>",
+        )
+        rows = silhouette_by_cluster(
+            vecs, "embedding", "vec_id", k=2, iterations=1
+        ).collect()
+        # all vectors sit on both (identical) centroids: a = b = 0 → 0.0
+        assert len(rows) == 1 and rows[0].n_vectors == 4
+        assert rows[0].mean_silhouette == 0.0
+
+    def test_k_validation(self, spark):
+        vecs = spark.createDataFrame(
+            [(0, [1.0])], "vec_id long, embedding array<float>"
+        )
+        with pytest.raises(ValueError, match="k >= 2"):
+            silhouette_by_cluster(vecs, "embedding", "vec_id", k=1)
+
+
+class TestGiniFeatureScreen:
+    def test_perfect_and_constant_features_exact(self, spark):
+        # 4 rows, 2 labels split 2/2: parent gini = 1 - 2·(2/4)² = 0.5.
+        # 'perfect' predicts the label exactly → split impurity 0, gain
+        # 0.5; 'constant' has one value → split == parent, gain 0. All
+        # quantities are exact through the 1e15 quantization (terms are
+        # 0.5·1e15 exactly), so the asserts are equality, not approx.
+        df = spark.createDataFrame(
+            [
+                ("a", "c0", "l1"),
+                ("a", "c0", "l1"),
+                ("b", "c0", "l2"),
+                ("b", "c0", "l2"),
+            ],
+            "perfect string, constant string, lang string",
+        )
+        rows = {
+            r.feature: r
+            for r in gini_feature_screen(df, "lang", ["perfect", "constant"]).collect()
+        }
+        assert rows["perfect"].gini_parent == 0.5
+        assert rows["perfect"].gini_split == 0.0
+        assert rows["perfect"].gini_gain == 0.5
+        assert rows["perfect"].n_values == 2
+        assert rows["constant"].gini_split == 0.5
+        assert rows["constant"].gini_gain == 0.0
+        assert rows["constant"].n_values == 1
+
+    def test_empty_features_raise(self, spark):
+        df = spark.createDataFrame([("x",)], "lang string")
+        with pytest.raises(ValueError, match="non-empty"):
+            gini_feature_screen(df, "lang", [])
