@@ -206,3 +206,102 @@ class TestGiniFeatureScreen:
         df = spark.createDataFrame([("x",)], "lang string")
         with pytest.raises(ValueError, match="non-empty"):
             gini_feature_screen(df, "lang", [])
+
+
+def _reference_bpe(word_freqs: dict[str, int], k: int):
+    """Textbook greedy BPE (Sennrich et al. 2016 Algorithm 1), tuple
+    symbols — the independent implementation the operator is
+    differentially checked against."""
+    vocab = {tuple(w) + ("</w>",): f for w, f in word_freqs.items()}
+    merges = []
+    for _ in range(k):
+        counts: dict[tuple[str, str], int] = {}
+        for syms, f in vocab.items():
+            for a, b in zip(syms, syms[1:]):
+                counts[(a, b)] = counts.get((a, b), 0) + f
+        if not counts:
+            break
+        # count DESC, pair ASC — the operator's total order
+        (l, r), c = min(counts.items(), key=lambda kv: (-kv[1], f"{kv[0][0]} {kv[0][1]}"))
+        merges.append((l, r, l + r, c))
+        new_vocab = {}
+        for syms, f in vocab.items():
+            out, i = [], 0
+            while i < len(syms):
+                if i + 1 < len(syms) and syms[i] == l and syms[i + 1] == r:
+                    out.append(l + r)
+                    i += 2
+                else:
+                    out.append(syms[i])
+                    i += 1
+            new_vocab[tuple(out)] = new_vocab.get(tuple(out), 0) + f
+        vocab = new_vocab
+    return merges
+
+
+class TestBpeDifferential:
+    @pytest.mark.parametrize("seed", [7, 99])
+    def test_matches_reference_implementation_on_random_corpora(self, spark, seed):
+        import random
+
+        rng = random.Random(seed)
+        alphabet = "abcde"
+        words = [
+            "".join(rng.choice(alphabet) for _ in range(rng.randint(1, 6)))
+            for _ in range(40)
+        ]
+        freqs: dict[str, int] = {}
+        for w in words:
+            freqs[w] = freqs.get(w, 0) + rng.randint(1, 9)
+        text = " ".join(w for w, f in freqs.items() for _ in range(f))
+        docs = spark.createDataFrame([(text,)], "text string")
+        got = [
+            (r.left_sym, r.right_sym, r.merged, r.pair_count)
+            for r in bpe_merges(docs, "text", k=5).orderBy("merge_rank").collect()
+        ]
+        assert got == _reference_bpe(freqs, 5)
+
+
+class TestSilhouetteDifferential:
+    def test_matches_numpy_reference(self, spark):
+        import numpy as np
+
+        rng = np.random.default_rng(13)
+        # two gaussian blobs, float32 round-trip mirrored below
+        pts = np.vstack(
+            [rng.normal(0, 0.3, (20, 4)), rng.normal(3, 0.3, (20, 4))]
+        ).astype("float32")
+        order = rng.permutation(40)
+        pts = pts[order]
+        vecs = spark.createDataFrame(
+            [(int(i), [float(x) for x in pts[i]]) for i in range(40)],
+            "vec_id long, embedding array<float>",
+        )
+        rows = (
+            silhouette_by_cluster(vecs, "embedding", "vec_id", k=2, iterations=2)
+            .orderBy("cluster")
+            .collect()
+        )
+        # numpy reference mirroring the operator's contract: same seeding
+        # (first k by id), squared-L2 Lloyd with plain means, simplified
+        # silhouette. atol is loose because the reference uses float
+        # means, not the engine's decimal-exact path.
+        x = pts.astype("float64")
+        cents = x[:2].copy()
+        for _ in range(2):
+            d = ((x[:, None, :] - cents[None, :, :]) ** 2).sum(-1)
+            assign = d.argmin(1)
+            cents = np.array([x[assign == c].mean(0) for c in range(2)])
+        d = ((x[:, None, :] - cents[None, :, :]) ** 2).sum(-1)
+        assign = d.argmin(1)
+        a = np.sqrt(d[np.arange(40), assign])
+        b = np.sqrt(
+            np.where(
+                np.arange(2)[None, :] == assign[:, None], np.inf, d
+            ).min(1)
+        )
+        sil = np.where(np.maximum(a, b) == 0, 0.0, (b - a) / np.maximum(a, b))
+        for r in rows:
+            ref = sil[assign == r.cluster].mean()
+            assert abs(r.mean_silhouette - ref) < 1e-6
+            assert r.n_vectors == int((assign == r.cluster).sum())
