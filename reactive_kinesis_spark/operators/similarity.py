@@ -2186,3 +2186,66 @@ def silhouette_by_cluster(
         F.count(F.lit(1)).cast("long").alias("n_vectors"),
         davg(F.col("sil"), "mean_silhouette"),
     )
+
+
+def margin_topk(
+    side_a: DataFrame,
+    side_b: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 4,
+    max_query_rows: int = 65_536,
+) -> DataFrame:
+    """Margin-criterion candidate mining between two embedding corpora
+    (Artetxe & Schwenk 2019 — the scoring rule behind large-scale bitext
+    / paired-data mining): raw cosine rewards hubs (vectors close to
+    EVERYTHING score high against everything), so each pair's cosine is
+    normalized by the two endpoints' neighborhood densities:
+
+        margin(x, y) = cos(x, y) / ((avg_k(x→B) + avg_k(y→A)) / 2)
+
+    where ``avg_k`` is the mean cosine of the endpoint's k nearest
+    neighbors on the OTHER side. Returns every forward top-k candidate
+    pair ``(query_id, neighbor_id, cosine_sim, margin, rn)`` with ``rn``
+    margin-ranked per query (rn=1 = the mined match; filter margin > 1.05
+    for the usual acceptance rule).
+
+    Cross-engine exactness: cosines come from the certified left-fold
+    retriever (:func:`cosine_topk`), the neighborhood means go through the
+    exact DECIMAL(38,6) path, and the margin is two IEEE-exact additions/
+    divisions — hash-certifiable end to end.
+
+    100 TB shape: two bounded broadcast-query-block retrievals (each side
+    guarded by ``max_query_rows`` — this exact form is the AUDIT path;
+    at mining scale swap :func:`cosine_topk` for the ANN retrievers and
+    keep the margin stage unchanged) plus two k-row-per-id means and two
+    id-keyed joins of candidate-sized frames. Sides must not share ids.
+    """
+    from reactive_kinesis_spark.functions import davg
+
+    fwd = cosine_topk(
+        side_b, side_a, id_col, vec_col, k=k,
+        include_self=True, max_query_rows=max_query_rows,
+    )
+    bwd = cosine_topk(
+        side_a, side_b, id_col, vec_col, k=k,
+        include_self=True, max_query_rows=max_query_rows,
+    )
+    avg_a = fwd.groupBy("query_id").agg(davg(F.col("cosine_sim"), "__avg_a"))
+    avg_b = bwd.groupBy("query_id").agg(davg(F.col("cosine_sim"), "__avg_b"))
+    m = (
+        fwd.select("query_id", "neighbor_id", "cosine_sim")
+        .join(avg_a, "query_id")
+        .join(avg_b.withColumnRenamed("query_id", "neighbor_id"), "neighbor_id")
+        .select(
+            "query_id",
+            "neighbor_id",
+            "cosine_sim",
+            (
+                F.col("cosine_sim")
+                / ((F.col("__avg_a") + F.col("__avg_b")) / F.lit(2.0))
+            ).alias("margin"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("margin").desc(), "neighbor_id")
+    return m.withColumn("rn", F.row_number().over(w).cast("int"))

@@ -1863,3 +1863,32 @@ def cooccurrence_word_edges(
     return pairs.groupBy(
         F.least("w1", "w2").alias("c"), F.greatest("w1", "w2").alias("s")
     ).agg(F.count(F.lit(1)).cast("double").alias("w"))
+
+
+def frozen_vocab_oov_flags(
+    df: DataFrame,
+    text_col: str = "text",
+    group_col: str = "source",
+    vocab: tuple[str, ...] = (),
+) -> DataFrame:
+    """Row-level OOV counts against a FROZEN vocabulary: per document,
+    ``(group, n_tokens, n_oov)``. This is the shipped-tokenizer form of
+    :func:`oov_rate` — production drift monitoring compares the stream
+    against the vocabulary the tokenizer was FIT with, not one re-derived
+    per batch (a per-batch vocabulary would move under the measurement).
+    Used row-level by the streaming OOV ledger; aggregate the two int
+    columns per group for the batch twin.
+
+    Membership is a literal IN set (Catalyst compiles >10 literals to a
+    hashed InSet — O(1) per token); for 100k+ entry vocabularies prefer
+    the broadcast-join shape of :func:`oov_rate` with a frozen vocab
+    frame. Join-free as written: each micro-batch costs one narrow
+    projection."""
+    if not vocab:
+        raise ValueError("vocab must be non-empty (the frozen tokenizer vocab)")
+    ws = tokens(text_col)
+    return df.where(F.col(text_col).isNotNull()).select(
+        F.col(group_col),
+        F.size(ws).cast("long").alias("n_tokens"),
+        F.size(F.filter(ws, lambda x: ~x.isin(*vocab))).cast("long").alias("n_oov"),
+    )

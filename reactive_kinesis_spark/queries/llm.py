@@ -3584,3 +3584,73 @@ def q170_cluster_silhouette(spark: SparkSession, sf_dir: str) -> DataFrame:
     return S.silhouette_by_cluster(emb, "embedding", "vec_id", k=8, iterations=2).orderBy(
         "cluster"
     )
+
+
+def _margin_mining_oracle_sql(k: int) -> str:
+    """q172 oracle: both directions' exact top-k cosine (the q29
+    list_dot_product ≡ left-fold idiom), decimal-exact neighborhood
+    means, and the margin as two IEEE-exact additions/divisions."""
+    return f"""
+    WITH a AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+               FROM embeddings WHERE label = 0),
+    b AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+          FROM embeddings WHERE label = 1),
+    fs AS (
+        SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id,
+               list_dot_product(a.v, b.v)
+               / (sqrt(list_dot_product(a.v, a.v))
+                  * sqrt(list_dot_product(b.v, b.v))) AS cosine_sim
+        FROM a, b
+    ),
+    f AS (SELECT * FROM (
+        SELECT *, ROW_NUMBER() OVER (
+            PARTITION BY query_id ORDER BY cosine_sim DESC, neighbor_id) AS crn
+        FROM fs) WHERE crn <= {k}),
+    bs AS (
+        SELECT b.vec_id AS query_id, a.vec_id AS neighbor_id,
+               list_dot_product(b.v, a.v)
+               / (sqrt(list_dot_product(b.v, b.v))
+                  * sqrt(list_dot_product(a.v, a.v))) AS cosine_sim
+        FROM a, b
+    ),
+    g AS (SELECT * FROM (
+        SELECT *, ROW_NUMBER() OVER (
+            PARTITION BY query_id ORDER BY cosine_sim DESC, neighbor_id) AS crn
+        FROM bs) WHERE crn <= {k}),
+    avga AS (SELECT query_id, {davg_sql('cosine_sim', 'avg_a')}
+             FROM f GROUP BY query_id),
+    avgb AS (SELECT query_id, {davg_sql('cosine_sim', 'avg_b')}
+             FROM g GROUP BY query_id),
+    m AS (
+        SELECT f.query_id, f.neighbor_id, f.cosine_sim,
+               f.cosine_sim / ((avga.avg_a + avgb.avg_b)
+                               / CAST('2.0' AS DOUBLE)) AS margin
+        FROM f
+        JOIN avga ON avga.query_id = f.query_id
+        JOIN avgb ON avgb.query_id = f.neighbor_id
+    )
+    SELECT query_id, neighbor_id, cosine_sim, margin,
+           CAST(ROW_NUMBER() OVER (
+               PARTITION BY query_id ORDER BY margin DESC, neighbor_id
+           ) AS INT) AS rn
+    FROM m
+    ORDER BY query_id, rn
+    """
+
+
+@query("q172_margin_mining", oracle=_margin_mining_oracle_sql(4))
+def q172_margin_mining(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Margin-criterion paired-data mining between two embedding corpora
+    (label 0 vs label 1): every forward top-4 candidate re-scored by the
+    Artetxe & Schwenk margin — cosine normalized by both endpoints'
+    neighborhood density, the hub-robust acceptance rule behind
+    large-scale bitext mining. rn=1 per query is the mined match. See
+    :func:`operators.similarity.margin_topk`."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    return S.margin_topk(
+        emb.where(F.col("label") == 0),
+        emb.where(F.col("label") == 1),
+        "vec_id",
+        "embedding",
+        k=4,
+    ).orderBy("query_id", "rn")

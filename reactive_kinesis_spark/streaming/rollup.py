@@ -535,3 +535,53 @@ def read_quality_battery(spark: SparkSession, out_dir: str, source_col: str = "s
             "pass_rate"
         ),
     )
+
+
+def continuous_oov_drift(
+    out_dir: str,
+    vocab: tuple[str, ...],
+    text_col: str = "text",
+    source_col: str = "source",
+    force_takeover: bool = False,
+):
+    """``foreachBatch`` writer maintaining a continuously-updated
+    OOV-drift ledger from a document stream — the streaming form of the
+    q153 coverage-drift detector, with the vocabulary FROZEN (the shipped
+    tokenizer's vocab) instead of re-derived per batch: each micro-batch
+    counts per-document token/OOV occurrences
+    (:func:`operators.text.frozen_vocab_oov_flags`, a join-free narrow
+    projection) and folds per-source INT counts into the rollup
+    (exactly-once, compactable, mergeable — inherited from
+    :func:`continuous_rollup`). An ingest pipeline reads the ledger to
+    watch per-source tokenizer coverage rot WHILE ingesting.
+
+    Counts are pure ints, so the streamed ledger is bit-equal to the
+    batch computation over the same rows — the q149-ledger contract."""
+    from reactive_kinesis_spark.operators.text import frozen_vocab_oov_flags
+
+    spec = RollupSpec(keys=(source_col,), sums=("n_tokens", "n_oov"))
+    inner = continuous_rollup(out_dir, spec, force_takeover=force_takeover)
+
+    def write(batch_df: DataFrame, batch_id: int) -> None:
+        inner(frozen_vocab_oov_flags(batch_df, text_col, source_col, vocab), batch_id)
+
+    return write
+
+
+def read_oov_drift(
+    spark: SparkSession, out_dir: str, source_col: str = "source"
+) -> DataFrame:
+    """Current per-source OOV ledger from a :func:`continuous_oov_drift`
+    stream: merged int counts plus the derived ``oov_rate`` (one int/int
+    IEEE division at read time, so merge order can never perturb it)."""
+    spec = RollupSpec(keys=(source_col,), sums=("n_tokens", "n_oov"))
+    merged = read_rollup(spark, out_dir, spec)
+    return merged.select(
+        source_col,
+        F.col("n").alias("n_docs"),
+        F.col("sum_n_tokens").alias("n_tokens"),
+        F.col("sum_n_oov").alias("n_oov"),
+        (F.col("sum_n_oov").cast("double") / F.col("sum_n_tokens").cast("double")).alias(
+            "oov_rate"
+        ),
+    )

@@ -844,3 +844,13 @@ def test_gini_parent_is_broadcast_onto_value_table(spark, sf_dir):
     assert "CartesianProduct" not in plan
     assert "SortMergeJoin" not in plan
     assert plan.count("HashAggregate") >= 2 and "partial_" in plan
+
+
+def test_margin_mining_is_two_bounded_retrievals(spark, sf_dir):
+    """q172: both directions run the guarded Arrow retriever (MapInPandas
+    with the query block in the closure — the corpus never shuffles to be
+    scored); everything after operates on candidate-sized frames. No
+    cartesian anywhere."""
+    plan = _plan(load_all()["q172_margin_mining"].fn(spark, sf_dir))
+    assert plan.count("MapInPandas") >= 2
+    assert "CartesianProduct" not in plan

@@ -487,3 +487,73 @@ def test_release_then_reclaim(spark, tmp_path):
     continuous_rollup(out_dir, SPEC)  # clean reclaim after release
     assert release_rollup_writer(out_dir) is True
     assert release_rollup_writer(out_dir) is False
+
+
+def test_continuous_oov_drift_matches_batch(spark, tmp_path):
+    """Stream real documents through the OOV ledger under a frozen
+    vocabulary and check it equals the batch computation over the same
+    rows, bit for bit (int counts; the rate is derived at read time)."""
+    from reactive_kinesis_spark.operators.text import frozen_vocab_oov_flags
+    from reactive_kinesis_spark.streaming.rollup import (
+        continuous_oov_drift,
+        read_oov_drift,
+    )
+
+    vocab = ("the", "a", "table", "query", "scan", "value")
+    docs = (
+        spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+        .select("source", "text")
+    )
+    rows = docs.collect()
+    in_dir, out_dir, ckpt = (
+        str(tmp_path / "in"),
+        str(tmp_path / "oov"),
+        str(tmp_path / "ckpt"),
+    )
+    schema = "source string, text string"
+    half = len(rows) // 2
+    for i, chunk in enumerate([rows[:half], rows[half:]]):
+        spark.createDataFrame(chunk, schema).coalesce(1).write.mode(
+            "overwrite"
+        ).parquet(os.path.join(in_dir, f"c{i}"))
+    stream = (
+        spark.readStream.schema(docs.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(in_dir + "/*")
+    )
+    q = (
+        stream.writeStream.foreachBatch(continuous_oov_drift(out_dir, vocab))
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+
+    got = {
+        r.source: (r.n_docs, r.n_tokens, r.n_oov, r.oov_rate)
+        for r in read_oov_drift(spark, out_dir).collect()
+    }
+    from pyspark.sql import functions as SF
+
+    want = {
+        r.source: (r.n_docs, r.n_tokens, r.n_oov, r.n_oov / r.n_tokens)
+        for r in frozen_vocab_oov_flags(docs, "text", "source", vocab)
+        .groupBy("source")
+        .agg(
+            SF.count(SF.lit(1)).alias("n_docs"),
+            SF.sum("n_tokens").alias("n_tokens"),
+            SF.sum("n_oov").alias("n_oov"),
+        )
+        .collect()
+    }
+    assert got == want and got
+
+
+def test_frozen_vocab_requires_vocab(spark):
+    from reactive_kinesis_spark.operators.text import frozen_vocab_oov_flags
+
+    docs = spark.createDataFrame([("s", "a b")], "source string, text string")
+    import pytest
+
+    with pytest.raises(ValueError, match="vocab"):
+        frozen_vocab_oov_flags(docs, "text", "source", ())

@@ -305,3 +305,57 @@ class TestSilhouetteDifferential:
             ref = sil[assign == r.cluster].mean()
             assert abs(r.mean_silhouette - ref) < 1e-6
             assert r.n_vectors == int((assign == r.cluster).sum())
+
+
+class TestMarginMining:
+    def test_margin_flips_the_hub_match(self, spark):
+        # 3D geometry where RAW cosine retrieves the hub for both queries
+        # (hub at 45° between them beats each dedicated partner at ~49°),
+        # but the margin criterion — cosine normalized by neighborhood
+        # density — penalizes the hub (its backward neighborhood is
+        # uniformly close) and picks the dedicated partners. This is the
+        # property the operator exists for.
+        from reactive_kinesis_spark.operators.similarity import margin_topk
+
+        a = spark.createDataFrame(
+            [(1, [1.0, 0.0, 0.0]), (2, [0.0, 1.0, 0.0])],
+            "vec_id long, embedding array<float>",
+        )
+        b = spark.createDataFrame(
+            [
+                (10, [0.7, 0.7, 0.14]),  # hub
+                (11, [0.65, 0.0, 0.76]),  # a1's dedicated partner
+                (12, [0.0, 0.65, 0.76]),  # a2's dedicated partner
+            ],
+            "vec_id long, embedding array<float>",
+        )
+        rows = margin_topk(a, b, "vec_id", "embedding", k=2).collect()
+        by_q = {}
+        for r in rows:
+            by_q.setdefault(r.query_id, []).append(r)
+        # raw cosine prefers the hub...
+        for qid in (1, 2):
+            top_cos = max(by_q[qid], key=lambda r: r.cosine_sim)
+            assert top_cos.neighbor_id == 10
+        # ...but margin rank 1 is the dedicated partner, above threshold
+        mined = {r.query_id: r for r in rows if r.rn == 1}
+        assert mined[1].neighbor_id == 11 and mined[1].margin > 1.05
+        assert mined[2].neighbor_id == 12 and mined[2].margin > 1.05
+
+    def test_disjoint_sides_required_contract_shape(self, spark):
+        # columns and rank completeness: every query emits exactly k rows
+        from reactive_kinesis_spark.operators.similarity import margin_topk
+
+        a = spark.createDataFrame(
+            [(1, [1.0, 0.0]), (2, [0.0, 1.0])],
+            "vec_id long, embedding array<float>",
+        )
+        b = spark.createDataFrame(
+            [(10, [1.0, 1.0]), (11, [1.0, -1.0])],
+            "vec_id long, embedding array<float>",
+        )
+        out = margin_topk(a, b, "vec_id", "embedding", k=2)
+        assert out.columns == ["neighbor_id", "query_id", "cosine_sim", "margin", "rn"] or \
+            set(out.columns) == {"query_id", "neighbor_id", "cosine_sim", "margin", "rn"}
+        cnt = out.groupBy("query_id").count().collect()
+        assert {r.query_id: r["count"] for r in cnt} == {1: 2, 2: 2}
