@@ -135,9 +135,11 @@ def main() -> None:
         os.path.join(REPO, "reactive_kinesis_spark", "queries", "__init__.py"),
         encoding="utf-8",
     ).read()
+    # negative lookbehind: "round-11 oracle graduations" is a ROUND
+    # number, not a count — only match numbers that start their own word
     bad_counts = {
         m.group(1)
-        for m in re.finditer(r"(\d+)[ -]oracle", qinit)
+        for m in re.finditer(r"(?<![-\w])(\d+)[ -]oracle", qinit)
         if int(m.group(1)) != n_oracle
     }
     if bad_counts:
