@@ -2219,10 +2219,24 @@ def margin_topk(
     guarded by ``max_query_rows`` — this exact form is the AUDIT path;
     at mining scale swap :func:`cosine_topk` for the ANN retrievers and
     keep the margin stage unchanged) plus two k-row-per-id means and two
-    id-keyed joins of candidate-sized frames. Sides must not share ids.
+    id-keyed joins of candidate-sized frames. Sides must not share ids —
+    enforced up front by a bounded limit(1) intersection probe (the
+    cosine_topk loud-guard discipline).
     """
     from reactive_kinesis_spark.functions import davg
 
+    shared = (
+        side_a.select(F.col(id_col))
+        .join(side_b.select(F.col(id_col)), id_col)
+        .limit(1)
+        .count()
+    )
+    if shared:
+        raise ValueError(
+            "margin_topk sides share ids: the backward-density join keys on "
+            "the id, so a shared id would silently mix the two sides' "
+            "neighborhoods — give the sides disjoint id spaces"
+        )
     fwd = cosine_topk(
         side_b, side_a, id_col, vec_col, k=k,
         include_self=True, max_query_rows=max_query_rows,

@@ -1731,16 +1731,7 @@ def bpe_merges(
     """
     if k < 1:
         raise ValueError("k >= 1 required")
-    words = docs.select(
-        F.explode(F.split(F.col(text_col), " ")).alias("word")
-    ).where(F.col("word") != "")
-    vocab = words.groupBy("word").agg(F.count(F.lit(1)).alias("freq"))
-    v = vocab.select(
-        F.concat(
-            F.regexp_replace(F.col("word"), "(.)", "$1|"), F.lit(word_end)
-        ).alias("w"),
-        "freq",
-    ).localCheckpoint(eager=False)
+    v = _bpe_initial_vocab(docs, text_col, word_end).localCheckpoint(eager=False)
 
     merges = []
     for i in range(1, k + 1):
@@ -1791,13 +1782,17 @@ def _bpe_best_pair(syms: DataFrame) -> DataFrame:
     )
 
 
-def _bpe_apply_merge(syms: DataFrame, best: DataFrame) -> DataFrame:
+def _bpe_apply_merge(
+    syms: DataFrame, best: DataFrame, carry: tuple[str, ...] = ()
+) -> DataFrame:
     """Apply the selected merge to every vocab word: the single-row best
     frame enters as a BROADCAST crossJoin (never a collect), and the
     merge is the sequential string fold — appending ``right`` WITHOUT a
     separator whenever the accumulator's ``|``-boundary suffix equals
-    ``left`` IS greedy leftmost-non-overlapping pair merging."""
+    ``left`` IS greedy leftmost-non-overlapping pair merging. ``carry``
+    columns ride along unchanged (the segmenter keeps the word)."""
     return syms.crossJoin(F.broadcast(best.select("__l", "__r"))).select(
+        *carry,
         F.when(F.size("syms") == 1, F.element_at("syms", 1))
         .otherwise(
             F.aggregate(
@@ -1891,4 +1886,80 @@ def frozen_vocab_oov_flags(
         F.col(group_col),
         F.size(ws).cast("long").alias("n_tokens"),
         F.size(F.filter(ws, lambda x: ~x.isin(*vocab))).cast("long").alias("n_oov"),
+    )
+
+
+def _bpe_initial_vocab(
+    docs: DataFrame, text_col: str, word_end: str, keep_word: bool = False
+) -> DataFrame:
+    """Word-frequency table in initial symbol form (chars ``|``-joined +
+    the ``word_end`` marker) — the ONE corpus-sized stage of both BPE
+    operators. A word containing the ``|`` separator raises loudly
+    per-row (``raise_error`` rides the projection at zero cost on clean
+    data) instead of silently corrupting the symbol stream."""
+    words = docs.select(
+        F.explode(F.split(F.col(text_col), " ")).alias("word")
+    ).where(F.col("word") != "")
+    vocab = words.groupBy("word").agg(F.count(F.lit(1)).alias("freq"))
+    guarded = F.when(
+        F.col("word").contains("|"),
+        F.raise_error(
+            F.concat(
+                F.lit("bpe: word contains the '|' symbol separator: "),
+                F.col("word"),
+            )
+        ),
+    ).otherwise(F.col("word"))
+    cols = [
+        F.concat(
+            F.regexp_replace(guarded, "(.)", "$1|"), F.lit(word_end)
+        ).alias("w"),
+        "freq",
+    ]
+    if keep_word:
+        cols.insert(0, F.col("word"))
+    return vocab.select(*cols)
+
+
+def bpe_segment(
+    docs: DataFrame,
+    text_col: str = "text",
+    k: int = 6,
+    top_n: int = 30,
+    word_end: str = "</w>",
+) -> DataFrame:
+    """Segment the corpus vocabulary under the first ``k`` learned BPE
+    merges — the APPLY side of :func:`bpe_merges` (train → segment →
+    fertility is the full tokenizer loop): the same deterministic merge
+    sequence is learned and applied in one plan, and each word's final
+    symbol decomposition is reported for the ``top_n`` most frequent
+    words (freq DESC, word ASC — a total order).
+
+    Returns ``(word, freq, segmentation, n_subwords)`` with
+    ``segmentation`` the ``|``-joined subword string (``word_end``
+    marker included as a symbol). Same certification class as the
+    trainer: pure string/int arithmetic.
+
+    100 TB shape: identical to :func:`bpe_merges` (one corpus scan, k
+    vocab-sized iterations) — the segmentation IS the trainer's final
+    vocab state, so applying costs nothing beyond training; the bounded
+    output is a TakeOrdered(top_n)."""
+    if k < 1 or top_n < 1:
+        raise ValueError("k >= 1 and top_n >= 1 required")
+    v = _bpe_initial_vocab(docs, text_col, word_end, keep_word=True).localCheckpoint(
+        eager=False
+    )
+    for _ in range(k):
+        syms = v.select("word", F.split("w", r"\|").alias("syms"), "freq")
+        best = _bpe_best_pair(syms).localCheckpoint(eager=False)
+        v = _bpe_apply_merge(syms, best, carry=("word",)).localCheckpoint(eager=False)
+    return (
+        v.orderBy(F.desc("freq"), F.asc("word"))
+        .limit(top_n)
+        .select(
+            "word",
+            "freq",
+            F.col("w").alias("segmentation"),
+            F.size(F.split("w", r"\|")).cast("long").alias("n_subwords"),
+        )
     )

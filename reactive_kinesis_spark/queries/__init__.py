@@ -43,26 +43,27 @@ def query(name: str, oracle: str | None = None):
 
 
 #: Driver-visibility rotation (round 11). The driver's correctness run samples
-#: the FIRST 50 registry entries; with 165 oracle-backed queries, the rest
+#: the FIRST 50 registry entries; with 166 oracle-backed queries, the rest
 #: must sit past the window each round. Policy: the least-driver-certified
 #: queries get the visible slots — never-certified first, then queries whose
 #: CODE OR ORACLE CHANGED since their last green row (a stale green row
 #: proves the old query, not this one), then by staleness. This round:
-#:   slots 0-12  — the thirteen NEW round-11 operators (q160 bigram-LM
+#:   slots 0-13  — the fourteen NEW round-11 operators (q160 bigram-LM
 #:                 fluency, q161 Bloom membership audit, q162 funnel,
 #:                 q163 cohort retention, q164 chi-square drift, q165
 #:                 kNN label disagreement, q166 tokenizer fertility,
 #:                 q167 BPE merges, q168 leakage-safe split, q169
 #:                 TextRank keywords, q170 cluster silhouette, q171
-#:                 Gini feature screen, q172 margin mining);
-#:   slots 13-15 — the round-11 oracle graduations q30/q42/q63 (ANN
+#:                 Gini feature screen, q172 margin mining, q173 BPE
+#:                 segmentation);
+#:   slots 14-16 — the round-11 oracle graduations q30/q42/q63 (ANN
 #:                 top-k / embedding near-dup pairs / near-dup clusters
 #:                 via the integer-exact LSH family — quantized int64
 #:                 dots make fold order irrelevant, so the numpy path
 #:                 IS the certified path; the family also gained the
 #:                 short-vector plane-truncation fix this round, so
 #:                 their window rows prove the fixed code);
-#:   slots 16-19 — r10-certified queries whose CODE OR ORACLE CHANGED
+#:   slots 17-20 — r10-certified queries whose CODE OR ORACLE CHANGED
 #:                 this round and therefore need re-proving: q155/q156
 #:                 (PQ fit-once refactor), q157 (estimator audit keeps
 #:                 zero-common-shingle candidates via left join), q158
@@ -73,12 +74,12 @@ def query(name: str, oracle: str | None = None):
 #:                 their plans and results are bit-unchanged — asserted
 #:                 by tests/test_round11_ops.py — so their r10 rows
 #:                 remain proof of THIS code's results;
-#:   slots 20-24 — the five displaced R9-deferred queries q62/q64-q67
+#:   slots 21-25 — the five displaced R9-deferred queries q62/q64-q67
 #:                 (r6-certified, 5 rounds stale — the oldest debt, the
 #:                 round-10 verdict's first ask);
-#:   slots 25-49 — the first 25 of the 44 r7-certified queries from
-#:                 _DEFERRED_R11; the remaining 19 move to
-#:                 _DEFERRED_R12 (the 165-oracle/50-slot rotation math
+#:   slots 26-49 — the first 24 of the 44 r7-certified queries from
+#:                 _DEFERRED_R11; the remaining 20 move to
+#:                 _DEFERRED_R12 (the 166-oracle/50-slot rotation math
 #:                 now makes a ≈3.3-round staleness floor the best
 #:                 achievable; new-operator rounds trade a little floor
 #:                 for coverage, never-certified first as always).
@@ -102,6 +103,7 @@ _WINDOW = (
     "q170_cluster_silhouette",
     "q171_gini_feature_screen",
     "q172_margin_mining",
+    "q173_bpe_segment",
     # -- round-11 oracle graduations (never hash-certified) --
     "q30_embedding_ann_lsh",
     "q42_embedding_neardup",
@@ -117,7 +119,7 @@ _WINDOW = (
     "q65_mixture_sample",
     "q66_repetition_stats",
     "q67_pii_redaction",
-    # -- r7-certified block (first 31 of 44; rest -> _DEFERRED_R12) --
+    # -- r7-certified block (first 24 of 44; rest -> _DEFERRED_R12) --
     "q01_pricing_summary",
     "q03_join_agg_topk",
     "q04_star_join",
@@ -142,13 +144,12 @@ _WINDOW = (
     "q139_countmin_sketch",
     "q140_hits_scores",
     "q141_simpson_diversity",
-    "q16_part_supplier_join",
 )
-#: The 13 r7-certified queries the round-11 window could not fit (plus
+#: The 20 r7-certified queries the round-11 window could not fit (plus
 #: nothing else this round — r6 debt is cleared above). Round 12 takes
 #: these FIRST, then whatever round-11 certified rows are oldest. The last
-#: six names are r7-certified rows displaced mid-round when the second
-#: round-11 session added q167–q172 (new operators take slots first).
+#: seven names are r7-certified rows displaced mid-round when the second
+#: round-11 session added q167–q173 (new operators take slots first).
 _DEFERRED_R12 = (
     "q37_range_join",
     "q44_deterministic_sample",
@@ -163,6 +164,7 @@ _DEFERRED_R12 = (
     "q74_stratified_sample",
     "q75_rare_word_scoring",
     "q99_resample_daily",
+    "q16_part_supplier_join",
     "q18_events_json_props",
     "q19_events_asof_join",
     "q20_events_sessions",

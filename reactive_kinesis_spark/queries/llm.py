@@ -3439,20 +3439,26 @@ def q166_tokenizer_fertility(spark: SparkSession, sf_dir: str) -> DataFrame:
     return T.tokenizer_fertility(docs, "text", "lang").orderBy("lang")
 
 
-def _bpe_oracle_sql(k: int) -> str:
+def _bpe_oracle_sql(k: int, segment_top_n: int | None = None) -> str:
     """Unrolled BPE-merge oracle: per iteration one pair-count CTE, one
     argmax CTE (count DESC, pair ASC — total order), and one merge-fold
     CTE whose ``list_reduce`` accumulator appends the right symbol
     WITHOUT a separator whenever its ``|``-boundary suffix equals the
     left symbol — character-identical semantics to the Spark
     ``F.aggregate`` fold in :func:`operators.text.bpe_merges`. Pure
-    string/int arithmetic end to end: nothing to quantize."""
+    string/int arithmetic end to end: nothing to quantize.
+
+    ``segment_top_n`` switches the output from the merge table to the
+    q173 segmentation view: the word column is carried through every
+    fold CTE and the final select reports the ``top_n`` most frequent
+    words' symbol decompositions (the v{k} state IS the segmentation)."""
+    word_sel = "word, " if segment_top_n else ""
     parts = [
         "WITH words AS (SELECT unnest(string_split(text, ' ')) AS word",
         "  FROM documents),",
         "vocab AS (SELECT word, CAST(COUNT(*) AS BIGINT) AS freq FROM words",
         "  WHERE word <> '' GROUP BY word),",
-        r"v0 AS (SELECT regexp_replace(word, '(.)', '\1|', 'g') || '</w>' AS w,",
+        rf"v0 AS (SELECT {word_sel}regexp_replace(word, '(.)', '\1|', 'g') || '</w>' AS w,",
         "  freq FROM vocab),",
     ]
     sels = []
@@ -3467,17 +3473,24 @@ def _bpe_oracle_sql(k: int) -> str:
             f"b{i} AS (SELECT string_split(pair, ' ')[1] AS l,",
             "  string_split(pair, ' ')[2] AS r, pair_count",
             f"  FROM p{i} ORDER BY pair_count DESC, pair ASC LIMIT 1),",
-            f"v{i} AS (SELECT CASE WHEN len(syms) = 1 THEN syms[1] ELSE",
+            f"v{i} AS (SELECT {word_sel}CASE WHEN len(syms) = 1 THEN syms[1] ELSE",
             "    list_reduce(syms, (acc, cur) -> CASE",
             "      WHEN (acc = b.l OR ends_with(acc, '|' || b.l)) AND cur = b.r",
             "      THEN acc || cur ELSE acc || '|' || cur END) END AS w, freq",
-            f"  FROM (SELECT string_split(w, '|') AS syms, freq FROM v{p}), b{i} b),",
+            f"  FROM (SELECT {word_sel}string_split(w, '|') AS syms, freq"
+            f" FROM v{p}), b{i} b),",
         ]
         sels.append(
             f"SELECT {i} AS merge_rank, l AS left_sym, r AS right_sym,"
             f" l || r AS merged, pair_count FROM b{i}"
         )
     parts[-1] = parts[-1].rstrip(",")
+    if segment_top_n:
+        return "\n".join(parts) + f"""
+    SELECT word, freq, w AS segmentation,
+           CAST(len(string_split(w, '|')) AS BIGINT) AS n_subwords
+    FROM v{k} ORDER BY freq DESC, word LIMIT {segment_top_n}
+    """
     return "\n".join(parts) + "\n" + "\nUNION ALL ".join(sels) + "\nORDER BY merge_rank"
 
 
@@ -3654,3 +3667,17 @@ def q172_margin_mining(spark: SparkSession, sf_dir: str) -> DataFrame:
         "embedding",
         k=4,
     ).orderBy("query_id", "rn")
+
+
+@query("q173_bpe_segment", oracle=_bpe_oracle_sql(6, segment_top_n=30))
+def q173_bpe_segment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The 30 most frequent corpus words segmented under the first 6
+    learned BPE merges — the APPLY side of q167's trainer (train →
+    segment → fertility is the full tokenizer loop), reporting each
+    word's subword decomposition and count. Same all-string/int
+    certification class as the trainer. See
+    :func:`operators.text.bpe_segment`."""
+    docs = load_table(spark, sf_dir, "documents")
+    return T.bpe_segment(docs, "text", k=6, top_n=30).orderBy(
+        F.desc("freq"), F.asc("word")
+    )

@@ -359,3 +359,43 @@ class TestMarginMining:
             set(out.columns) == {"query_id", "neighbor_id", "cosine_sim", "margin", "rn"}
         cnt = out.groupBy("query_id").count().collect()
         assert {r.query_id: r["count"] for r in cnt} == {1: 2, 2: 2}
+
+
+class TestBpeSegment:
+    def test_classic_corpus_segmentations(self, spark):
+        # after the 4 hand-derived merges (e,s)(es,t)(est,</w>)(l,o):
+        #   newest → n|e|w|est</w>, low → lo|w|</w>, widest → w|i|d|est</w>,
+        #   lower → lo|w|e|r|</w>
+        from reactive_kinesis_spark.operators.text import bpe_segment
+
+        docs = spark.createDataFrame(
+            [(" ".join(["low"] * 5 + ["lower"] * 2 + ["newest"] * 6 + ["widest"] * 3),)],
+            "text string",
+        )
+        rows = {r.word: r for r in bpe_segment(docs, "text", k=4, top_n=4).collect()}
+        assert rows["newest"].segmentation == "n|e|w|est</w>"
+        assert rows["newest"].n_subwords == 4
+        assert rows["low"].segmentation == "lo|w|</w>"
+        assert rows["widest"].segmentation == "w|i|d|est</w>"
+        assert rows["lower"].segmentation == "lo|w|e|r|</w>"
+
+    def test_separator_in_word_raises_loudly(self, spark):
+        from reactive_kinesis_spark.operators.text import bpe_merges
+
+        docs = spark.createDataFrame([("bad|word fine",)], "text string")
+        with pytest.raises(Exception, match="symbol separator"):
+            bpe_merges(docs, "text", k=1).collect()
+
+
+class TestMarginGuards:
+    def test_shared_ids_raise(self, spark):
+        from reactive_kinesis_spark.operators.similarity import margin_topk
+
+        a = spark.createDataFrame(
+            [(1, [1.0, 0.0]), (2, [0.0, 1.0])], "vec_id long, embedding array<float>"
+        )
+        b = spark.createDataFrame(
+            [(2, [1.0, 1.0])], "vec_id long, embedding array<float>"
+        )
+        with pytest.raises(ValueError, match="share ids"):
+            margin_topk(a, b, "vec_id", "embedding", k=1)
