@@ -2263,3 +2263,80 @@ def margin_topk(
     )
     w = Window.partitionBy("query_id").orderBy(F.col("margin").desc(), "neighbor_id")
     return m.withColumn("rn", F.row_number().over(w).cast("int"))
+
+
+def ivf_topk_certified(
+    corpus: DataFrame,
+    queries: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 5,
+    n_cells: int = 16,
+    n_probe: int = 6,
+    iterations: int = 2,
+) -> DataFrame:
+    """IVF ANN top-k with a DISTRIBUTED, decimal-exact coarse quantizer —
+    the hash-certifiable twin of :func:`ivf_topk` (whose driver-side
+    numpy trainer is the one fold-order-unmirrorable stage): centroids
+    come from :func:`kmeans_centroids`' certified Lloyd chain, corpus and
+    query cell assignment is the same broadcast fold distance with the
+    (dist, cid) tie order, and the candidate re-rank is the q29-certified
+    sequential-fold cosine — so the approximate RESULT SET itself is
+    bit-reproducible in ANSI SQL (the q151/q156/q30 "certify the
+    approximation" discipline applied to IVF).
+
+    Search: each query probes its ``n_probe`` nearest cells; candidates
+    are the corpus vectors in those cells (cell equi-join, expected
+    fraction ≈ n_probe/n_cells); exact cosine re-rank on candidates only.
+    Returns ``(query_id, neighbor_id, cosine_sim, rn)``.
+
+    100 TB shape: the quantizer fit is ``iterations`` rounds of one
+    broadcast crossJoin + one map-side-combined decimal mean over the
+    corpus (no driver-side training set at all — the sampled numpy
+    trainer exists for build speed, this one for certification and for
+    corpora where the sample's determinism contract is not enough);
+    assignment is one narrow broadcast pass per side; the only wide ops
+    are the cell equi-join and the per-query top-k."""
+    cents = kmeans_centroids(corpus, vec_col, id_col, k=n_cells, iterations=iterations)
+    cv = _kmeans_prepare(corpus, vec_col, id_col)
+    cells = _kmeans_assign_to(cv, cents).select(
+        F.col("__id").alias("neighbor_id"), F.col("cluster").alias("__cell")
+    )
+    qv = _kmeans_prepare(queries, vec_col, id_col)
+    qd = qv.crossJoin(F.broadcast(cents)).select(
+        "__id",
+        "cid",
+        F.aggregate(
+            F.zip_with(
+                "__vec",
+                "cent",
+                lambda x, c: (x.cast("double") - c) * (x.cast("double") - c),
+            ),
+            F.lit(0.0),
+            lambda acc, val: acc + val,
+        ).alias("dist"),
+    )
+    wp = Window.partitionBy("__id").orderBy("dist", "cid")
+    probe = (
+        qd.withColumn("__prn", F.row_number().over(wp))
+        .where(F.col("__prn") <= n_probe)
+        .select(F.col("__id").alias("query_id"), F.col("cid").alias("__cell"))
+    )
+    cand = probe.join(cells, "__cell").where(
+        F.col("query_id") != F.col("neighbor_id")
+    )
+    qvec = qv.select(F.col("__id").alias("query_id"), F.col("__vec").alias("__q"))
+    nvec = cv.select(F.col("__id").alias("neighbor_id"), F.col("__vec").alias("__c"))
+    scored = (
+        cand.join(qvec, "query_id")
+        .join(nvec, "neighbor_id")
+        .select(
+            "query_id",
+            "neighbor_id",
+            cosine_similarity("__q", "__c").alias("cosine_sim"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("cosine_sim").desc(), "neighbor_id")
+    return scored.withColumn("rn", F.row_number().over(w).cast("int")).where(
+        F.col("rn") <= k
+    )

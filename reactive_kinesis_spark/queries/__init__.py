@@ -43,7 +43,7 @@ def query(name: str, oracle: str | None = None):
 
 
 #: Driver-visibility rotation (round 11). The driver's correctness run samples
-#: the FIRST 50 registry entries; with 166 oracle-backed queries, the rest
+#: the FIRST 50 registry entries; with 167 oracle-backed queries, the rest
 #: must sit past the window each round. Policy: the least-driver-certified
 #: queries get the visible slots — never-certified first, then queries whose
 #: CODE OR ORACLE CHANGED since their last green row (a stale green row
@@ -56,14 +56,17 @@ def query(name: str, oracle: str | None = None):
 #:                 TextRank keywords, q170 cluster silhouette, q171
 #:                 Gini feature screen, q172 margin mining, q173 BPE
 #:                 segmentation);
-#:   slots 14-16 — the round-11 oracle graduations q30/q42/q63 (ANN
+#:   slots 14-17 — the round-11 oracle graduations q30/q42/q63 (ANN
 #:                 top-k / embedding near-dup pairs / near-dup clusters
 #:                 via the integer-exact LSH family — quantized int64
 #:                 dots make fold order irrelevant, so the numpy path
 #:                 IS the certified path; the family also gained the
 #:                 short-vector plane-truncation fix this round, so
-#:                 their window rows prove the fixed code);
-#:   slots 17-20 — r10-certified queries whose CODE OR ORACLE CHANGED
+#:                 their window rows prove the fixed code) and q38 (IVF
+#:                 ANN — the driver-side numpy quantizer swapped for the
+#:                 certified distributed Lloyd chain; every remaining
+#:                 stage was an already-proven idiom);
+#:   slots 18-21 — r10-certified queries whose CODE OR ORACLE CHANGED
 #:                 this round and therefore need re-proving: q155/q156
 #:                 (PQ fit-once refactor), q157 (estimator audit keeps
 #:                 zero-common-shingle candidates via left join), q158
@@ -74,12 +77,12 @@ def query(name: str, oracle: str | None = None):
 #:                 their plans and results are bit-unchanged — asserted
 #:                 by tests/test_round11_ops.py — so their r10 rows
 #:                 remain proof of THIS code's results;
-#:   slots 21-25 — the five displaced R9-deferred queries q62/q64-q67
+#:   slots 22-26 — the five displaced R9-deferred queries q62/q64-q67
 #:                 (r6-certified, 5 rounds stale — the oldest debt, the
 #:                 round-10 verdict's first ask);
-#:   slots 26-49 — the first 24 of the 44 r7-certified queries from
-#:                 _DEFERRED_R11; the remaining 20 move to
-#:                 _DEFERRED_R12 (the 166-oracle/50-slot rotation math
+#:   slots 27-49 — the first 23 of the 44 r7-certified queries from
+#:                 _DEFERRED_R11; the remaining 21 move to
+#:                 _DEFERRED_R12 (the 167-oracle/50-slot rotation math
 #:                 now makes a ≈3.3-round staleness floor the best
 #:                 achievable; new-operator rounds trade a little floor
 #:                 for coverage, never-certified first as always).
@@ -108,6 +111,7 @@ _WINDOW = (
     "q30_embedding_ann_lsh",
     "q42_embedding_neardup",
     "q63_embedding_neardup_clusters",
+    "q38_embedding_ann_ivf",
     # -- r10-certified, code/oracle changed this round --
     "q155_product_quantization",
     "q156_pq_adc_search",
@@ -119,7 +123,7 @@ _WINDOW = (
     "q65_mixture_sample",
     "q66_repetition_stats",
     "q67_pii_redaction",
-    # -- r7-certified block (first 24 of 44; rest -> _DEFERRED_R12) --
+    # -- r7-certified block (first 23 of 44; rest -> _DEFERRED_R12) --
     "q01_pricing_summary",
     "q03_join_agg_topk",
     "q04_star_join",
@@ -143,13 +147,13 @@ _WINDOW = (
     "q138_calibration_bins",
     "q139_countmin_sketch",
     "q140_hits_scores",
-    "q141_simpson_diversity",
 )
-#: The 20 r7-certified queries the round-11 window could not fit (plus
+#: The 21 r7-certified queries the round-11 window could not fit (plus
 #: nothing else this round — r6 debt is cleared above). Round 12 takes
 #: these FIRST, then whatever round-11 certified rows are oldest. The last
-#: seven names are r7-certified rows displaced mid-round when the second
-#: round-11 session added q167–q173 (new operators take slots first).
+#: eight names are r7-certified rows displaced mid-round when the second
+#: round-11 session added q167–q173 and graduated q38 (new and
+#: never-certified operators take slots first).
 _DEFERRED_R12 = (
     "q37_range_join",
     "q44_deterministic_sample",
@@ -164,6 +168,7 @@ _DEFERRED_R12 = (
     "q74_stratified_sample",
     "q75_rare_word_scoring",
     "q99_resample_daily",
+    "q141_simpson_diversity",
     "q16_part_supplier_join",
     "q18_events_json_props",
     "q19_events_asof_join",

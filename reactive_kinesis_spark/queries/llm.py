@@ -708,19 +708,139 @@ def q31_embedding_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("q38_embedding_ann_ivf")  # rows-only: driver-side float k-means
-# trainer (numpy means — fold order unmirrorable); the certified IVF
-# complement is q124/q148's decimal-exact kmeans chain, and the certified
-# ANN complement is q30's integer-LSH family
+def _kmeans_assign_ctes(
+    k: int,
+    iterations: int,
+    extra_where: str = "",
+    prefix: str = "",
+    vec_expr: str = "embedding",
+    leading_with: bool = True,
+) -> tuple[list[str], str]:
+    """The unrolled Lloyd k-means CTE chain shared by the q124, q148,
+    q152 and q155 oracles: returns ``(parts, final)`` where ``parts`` is
+    the WITH-chain up to the final assignment CTE (trailing comma intact)
+    and ``final`` is that CTE's name (``{prefix}a{iterations+1}``,
+    columns ``vec_id/cluster/dist``). ``extra_where`` restricts the fit
+    corpus (q152 fits on train only); ``prefix``/``vec_expr``/
+    ``leading_with`` let several independent chains coexist in one query
+    over derived vector expressions (q155 runs one chain per PQ
+    subspace). All defaults reproduce the q124 oracle text byte for
+    byte. Distances are the same sequential left-fold DuckDB
+    ``list_reduce`` / Spark ``aggregate`` both use (q52 parity pattern);
+    centroid means go through the shared DECIMAL(38,6) path."""
+    from reactive_kinesis_spark.functions import davg_sql
+
+    vname = f"{prefix}v"
+    vsel = "embedding" if vec_expr == "embedding" else f"{vec_expr} AS embedding"
+    vfrom = f"{vname} v" if prefix else "v"
+    ujoin = f"JOIN {vname} v USING" if prefix else "JOIN v USING"
+    lead = "WITH " if leading_with else ""
+
+    def dist_cte(n: int, cents: str) -> list[str]:
+        return [
+            f"{prefix}d{n} AS (SELECT v.vec_id, c.cid,",
+            "  list_reduce(list_transform(range(1, 1 + len(v.embedding)),",
+            "    i -> (CAST(v.embedding[i] AS DOUBLE) - c.cent[i])",
+            "       * (CAST(v.embedding[i] AS DOUBLE) - c.cent[i])),",
+            "    (a, b) -> a + b) AS dist",
+            f"  FROM {vfrom} CROSS JOIN {cents} c),",
+            f"{prefix}a{n} AS (SELECT vec_id, cid AS cluster, dist FROM",
+            "  (SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id",
+            f"     ORDER BY dist, cid) AS rn FROM {prefix}d{n}) WHERE rn = 1),",
+        ]
+
+    parts = [
+        f"{lead}{vname} AS (SELECT vec_id, {vsel} FROM embeddings",
+        f"  WHERE embedding IS NOT NULL AND len(embedding) > 0{extra_where}),",
+        f"{prefix}c0 AS (SELECT ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS cid,",
+        "  list_transform(embedding, x -> CAST(x AS DOUBLE)) AS cent",
+        f"  FROM (SELECT * FROM {vname} ORDER BY vec_id LIMIT {k})),",
+    ]
+    for i in range(1, iterations + 1):
+        parts += dist_cte(i, f"{prefix}c{i - 1}")
+        parts += [
+            f"{prefix}u{i} AS (SELECT a.cluster AS cid, p.pos,",
+            f"  {davg_sql('CAST(p.x AS DOUBLE)', 'm')}",
+            f"  FROM {prefix}a{i} a {ujoin} (vec_id),",
+            "  LATERAL (SELECT unnest(v.embedding) AS x,",
+            "           generate_subscripts(v.embedding, 1) AS pos) p",
+            "  GROUP BY a.cluster, p.pos),",
+            f"{prefix}c{i} AS (SELECT cid, array_agg(m ORDER BY pos) AS cent",
+            f"  FROM {prefix}u{i} GROUP BY cid),",
+        ]
+    final = iterations + 1
+    parts += dist_cte(final, f"{prefix}c{iterations}")
+    return parts, f"{prefix}a{final}"
+
+
+def _ivf_certified_oracle_sql(
+    n_cells: int, n_probe: int, iterations: int, k: int
+) -> str:
+    """q38 oracle: the shared unrolled Lloyd chain fits the coarse
+    quantizer and assigns every corpus vector to its cell (a{it+1}); the
+    query side probes its n_probe nearest final centroids with the same
+    fold distance and (dist, cid) tie order; candidates are the cell
+    equi-join; the re-rank is the q29 list_dot_product ≡ left-fold
+    cosine. Every stage is an already-proven idiom — IVF graduates by
+    COMPOSITION."""
+    parts, final = _kmeans_assign_ctes(n_cells, iterations)
+    cents = f"c{iterations}"
+    return (
+        "\n".join(parts)
+        + f"""
+    qpd AS (SELECT v.vec_id, c.cid,
+      list_reduce(list_transform(range(1, 1 + len(v.embedding)),
+        i -> (CAST(v.embedding[i] AS DOUBLE) - c.cent[i])
+           * (CAST(v.embedding[i] AS DOUBLE) - c.cent[i])),
+        (a, b) -> a + b) AS dist
+      FROM (SELECT vec_id, embedding FROM v WHERE vec_id < 100) v
+      CROSS JOIN {cents} c),
+    probe AS (SELECT vec_id, cid FROM
+      (SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id
+         ORDER BY dist, cid) AS prn FROM qpd) WHERE prn <= {n_probe}),
+    cand AS (SELECT p.vec_id AS query_id, a.vec_id AS neighbor_id
+             FROM probe p JOIN {final} a ON a.cluster = p.cid
+             WHERE p.vec_id <> a.vec_id),
+    qq AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS qv
+           FROM embeddings WHERE vec_id < 100),
+    cc AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS cv FROM embeddings),
+    scored AS (SELECT cd.query_id, cd.neighbor_id,
+      list_dot_product(q.qv, c.cv)
+      / (sqrt(list_dot_product(q.qv, q.qv))
+         * sqrt(list_dot_product(c.cv, c.cv))) AS cosine_sim
+      FROM cand cd
+      JOIN qq q ON q.vec_id = cd.query_id
+      JOIN cc c ON c.vec_id = cd.neighbor_id),
+    ranked AS (SELECT *, CAST(ROW_NUMBER() OVER (
+        PARTITION BY query_id ORDER BY cosine_sim DESC, neighbor_id
+      ) AS INT) AS rn FROM scored)
+    SELECT query_id, neighbor_id, cosine_sim, rn
+    FROM ranked WHERE rn <= {k} ORDER BY query_id, rn
+    """
+    )
+
+
+@query(
+    "q38_embedding_ann_ivf",
+    oracle=_ivf_certified_oracle_sql(n_cells=16, n_probe=6, iterations=2, k=5),
+)
 def q38_embedding_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """ANN top-5 via IVF cell partitioning: deterministic driver-side
-    k-means centroids, narrow Arrow assignment pass (corpus never shuffles),
-    n_probe-cell candidate join + exact re-rank — the second ANN scale path
-    (candidate fraction ≈ n_probe/n_cells, independent of corpus size)."""
+    """ANN top-5 via IVF cell partitioning — HASH-CERTIFIED as of round
+    11 by swapping the driver-side numpy quantizer (fold-order
+    unmirrorable) for the distributed decimal-exact k-means chain: the
+    coarse centroids, both sides' cell assignments, and the candidate
+    cosine re-rank are each an already-certified idiom, so the
+    approximate result set itself is bit-reproducible in ANSI SQL.
+    Candidate fraction ≈ n_probe/n_cells, independent of corpus size;
+    the sampled numpy trainer (:func:`operators.similarity.ivf_topk`)
+    remains the build-speed path, measured in RECALL.json. See
+    :func:`operators.similarity.ivf_topk_certified`."""
     emb = load_table(spark, sf_dir, "embeddings")
     queries = emb.where(F.col("vec_id") < 100)
     return (
-        S.ivf_topk(emb, queries, "vec_id", "embedding", k=5, n_cells=16, n_probe=6)
+        S.ivf_topk_certified(
+            emb, queries, "vec_id", "embedding", k=5, n_cells=16, n_probe=6
+        )
         .select("query_id", "neighbor_id", "cosine_sim", "rn")
         .orderBy("query_id", "rn")
     )
@@ -2239,69 +2359,6 @@ def q114_rrf_fusion(spark: SparkSession, sf_dir: str) -> DataFrame:
     return fused.orderBy(F.col("rrf_score").desc(), "doc_id").limit(100)
 
 
-def _kmeans_assign_ctes(
-    k: int,
-    iterations: int,
-    extra_where: str = "",
-    prefix: str = "",
-    vec_expr: str = "embedding",
-    leading_with: bool = True,
-) -> tuple[list[str], str]:
-    """The unrolled Lloyd k-means CTE chain shared by the q124, q148,
-    q152 and q155 oracles: returns ``(parts, final)`` where ``parts`` is
-    the WITH-chain up to the final assignment CTE (trailing comma intact)
-    and ``final`` is that CTE's name (``{prefix}a{iterations+1}``,
-    columns ``vec_id/cluster/dist``). ``extra_where`` restricts the fit
-    corpus (q152 fits on train only); ``prefix``/``vec_expr``/
-    ``leading_with`` let several independent chains coexist in one query
-    over derived vector expressions (q155 runs one chain per PQ
-    subspace). All defaults reproduce the q124 oracle text byte for
-    byte. Distances are the same sequential left-fold DuckDB
-    ``list_reduce`` / Spark ``aggregate`` both use (q52 parity pattern);
-    centroid means go through the shared DECIMAL(38,6) path."""
-    from reactive_kinesis_spark.functions import davg_sql
-
-    vname = f"{prefix}v"
-    vsel = "embedding" if vec_expr == "embedding" else f"{vec_expr} AS embedding"
-    vfrom = f"{vname} v" if prefix else "v"
-    ujoin = f"JOIN {vname} v USING" if prefix else "JOIN v USING"
-    lead = "WITH " if leading_with else ""
-
-    def dist_cte(n: int, cents: str) -> list[str]:
-        return [
-            f"{prefix}d{n} AS (SELECT v.vec_id, c.cid,",
-            "  list_reduce(list_transform(range(1, 1 + len(v.embedding)),",
-            "    i -> (CAST(v.embedding[i] AS DOUBLE) - c.cent[i])",
-            "       * (CAST(v.embedding[i] AS DOUBLE) - c.cent[i])),",
-            "    (a, b) -> a + b) AS dist",
-            f"  FROM {vfrom} CROSS JOIN {cents} c),",
-            f"{prefix}a{n} AS (SELECT vec_id, cid AS cluster, dist FROM",
-            "  (SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id",
-            f"     ORDER BY dist, cid) AS rn FROM {prefix}d{n}) WHERE rn = 1),",
-        ]
-
-    parts = [
-        f"{lead}{vname} AS (SELECT vec_id, {vsel} FROM embeddings",
-        f"  WHERE embedding IS NOT NULL AND len(embedding) > 0{extra_where}),",
-        f"{prefix}c0 AS (SELECT ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS cid,",
-        "  list_transform(embedding, x -> CAST(x AS DOUBLE)) AS cent",
-        f"  FROM (SELECT * FROM {vname} ORDER BY vec_id LIMIT {k})),",
-    ]
-    for i in range(1, iterations + 1):
-        parts += dist_cte(i, f"{prefix}c{i - 1}")
-        parts += [
-            f"{prefix}u{i} AS (SELECT a.cluster AS cid, p.pos,",
-            f"  {davg_sql('CAST(p.x AS DOUBLE)', 'm')}",
-            f"  FROM {prefix}a{i} a {ujoin} (vec_id),",
-            "  LATERAL (SELECT unnest(v.embedding) AS x,",
-            "           generate_subscripts(v.embedding, 1) AS pos) p",
-            "  GROUP BY a.cluster, p.pos),",
-            f"{prefix}c{i} AS (SELECT cid, array_agg(m ORDER BY pos) AS cent",
-            f"  FROM {prefix}u{i} GROUP BY cid),",
-        ]
-    final = iterations + 1
-    parts += dist_cte(final, f"{prefix}c{iterations}")
-    return parts, f"{prefix}a{final}"
 
 
 def _kmeans_oracle_sql(k: int, iterations: int) -> str:

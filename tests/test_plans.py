@@ -854,3 +854,13 @@ def test_margin_mining_is_two_bounded_retrievals(spark, sf_dir):
     plan = _plan(load_all()["q172_margin_mining"].fn(spark, sf_dir))
     assert plan.count("MapInPandas") >= 2
     assert "CartesianProduct" not in plan
+
+
+def test_ivf_certified_centroids_broadcast_and_cell_equijoin(spark, sf_dir):
+    """q38 (certified IVF): the n_cells-row centroid frame joins both
+    sides as a BROADCAST nested loop (assignment never shuffles the
+    corpus); candidates come from a cell EQUI-join — no cartesian
+    anywhere."""
+    plan = _plan(load_all()["q38_embedding_ann_ivf"].fn(spark, sf_dir))
+    assert "BroadcastNestedLoopJoin" in plan
+    assert "CartesianProduct" not in plan

@@ -399,3 +399,56 @@ class TestMarginGuards:
         )
         with pytest.raises(ValueError, match="share ids"):
             margin_topk(a, b, "vec_id", "embedding", k=1)
+
+
+class TestIvfCertified:
+    def test_full_probe_equals_exact_search(self, spark):
+        # with n_probe == n_cells every cell is probed, so IVF degenerates
+        # to exact search: results must be IDENTICAL to the brute-force
+        # retriever (same cosine fold, same tie order) — the invariant
+        # that pins the candidate stage as lossless-when-exhaustive
+        from reactive_kinesis_spark.operators.similarity import (
+            cosine_topk,
+            ivf_topk_certified,
+        )
+
+        import random
+
+        rng = random.Random(3)
+        emb = spark.createDataFrame(
+            [(i, [rng.uniform(-1, 1) for _ in range(6)]) for i in range(30)],
+            "vec_id long, embedding array<float>",
+        )
+        q = emb.where(F.col("vec_id") < 5)
+        ivf = ivf_topk_certified(
+            emb, q, "vec_id", "embedding", k=3, n_cells=4, n_probe=4, iterations=1
+        )
+        exact = cosine_topk(emb, q, "vec_id", "embedding", k=3)
+        got = sorted(
+            (r.query_id, r.neighbor_id, r.rn, round(r.cosine_sim, 12))
+            for r in ivf.collect()
+        )
+        want = sorted(
+            (r.query_id, r.neighbor_id, r.rn, round(r.cosine_sim, 12))
+            for r in exact.collect()
+        )
+        assert got == want and len(got) == 15
+
+    def test_partial_probe_bounds_candidates(self, spark):
+        # n_probe < n_cells: every query still gets up to k results and
+        # each returned neighbor must come from a probed cell
+        from reactive_kinesis_spark.operators.similarity import ivf_topk_certified
+
+        import random
+
+        rng = random.Random(4)
+        emb = spark.createDataFrame(
+            [(i, [rng.uniform(-1, 1) for _ in range(6)]) for i in range(40)],
+            "vec_id long, embedding array<float>",
+        )
+        q = emb.where(F.col("vec_id") < 3)
+        out = ivf_topk_certified(
+            emb, q, "vec_id", "embedding", k=3, n_cells=8, n_probe=2, iterations=1
+        )
+        per = {r.query_id: r["count"] for r in out.groupBy("query_id").count().collect()}
+        assert set(per) == {0, 1, 2} and all(v <= 3 for v in per.values())
