@@ -1,0 +1,270 @@
+"""Corpus-level lexical statistics — the vocabulary-health audits a
+pre-training data pipeline runs per ingest batch: vocabulary growth
+(Heaps' law), unigram Shannon entropy, Zipf rank-frequency slope, and a
+Naive-Bayes log-odds domain-affinity scorer (the certified core of
+CCNet/DSIR-style target-domain selection).
+
+All four are hash-certified: counting is exact integer work, and every
+logarithm goes through :mod:`reactive_kinesis_spark.fixmath`'s portable
+fixed-point log2 (Q12, exact int64 program — bit-identical cross-engine),
+so entropies, slopes, and log-odds end as exact-integer sums with one
+final IEEE division each.
+
+100 TB shape: tokens explode once per operator into a (group, word)
+aggregation — the classic word-count shuffle, map-side combinable; the
+log2 chain (≈40 int ops/row) runs on VOCABULARY-sized frames (distinct
+words / one-row totals), never the token stream; threshold/total frames
+are 1–10 rows and broadcast. No driver-side collection anywhere.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from reactive_kinesis_spark.fixmath import LOG2_SCALE, with_log2_fixed
+
+_DEC18 = "decimal(18,0)"
+
+
+def _words(docs: DataFrame, text_col: str, *keep: str) -> DataFrame:
+    """Exploded (keep..., word) token stream; whitespace tokenization, the
+    engine-wide q71 convention (empty text yields one empty token, NULL
+    text drops — both mirrored by ``string_split`` in oracles)."""
+    return docs.where(F.col(text_col).isNotNull()).select(
+        *keep, F.explode(F.split(F.col(text_col), " ")).alias("word")
+    )
+
+
+def vocab_growth(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    buckets: int = 10,
+) -> DataFrame:
+    """Heaps'-law vocabulary-growth audit: cumulative token count and
+    distinct-vocabulary size at ``buckets`` corpus checkpoints (NTILE
+    buckets of the ``id_col`` order). A corpus whose vocabulary keeps
+    growing linearly is unclean (IDs, hashes, boilerplate churn); a
+    healthy natural corpus bends (V ≈ K·N^β, β < 1).
+
+    The sequential-looking statistic is computed without any sequential
+    scan: each word contributes its FIRST document (``min(id)``) and a
+    checkpoint's vocabulary is "words whose first document is within the
+    prefix" — a word-keyed aggregate plus a ``buckets``-row broadcast
+    inequality join. Returns ``(bucket, n_docs, cum_tokens, vocab,
+    type_token_ratio)``; every column but the final ratio is an exact
+    integer, the ratio is one IEEE division.
+
+    Scale note: the NTILE window runs over the bare id column (narrow;
+    at petabyte scale swap for exact/approx id percentiles — the
+    checkpoint DEFINITION, not the dataflow, is the only thing that
+    changes); the heavy stages are two word-keyed shuffles.
+    """
+    if buckets < 1:
+        raise ValueError("buckets >= 1 required")
+    ids = docs.where(F.col(text_col).isNotNull()).select(F.col(id_col).alias("__id"))
+    th = (
+        ids.select("__id", F.ntile(buckets).over(Window.orderBy("__id")).alias("bucket"))
+        .groupBy("bucket")
+        .agg(F.max("__id").alias("__t"))
+    )
+    w = _words(docs, text_col, F.col(id_col).alias("__id"))
+    tok = w.groupBy("__id").agg(F.count(F.lit(1)).alias("__ntok"))
+    fw = w.groupBy("word").agg(F.min("__id").alias("__first"))
+
+    n_docs = (
+        ids.crossJoin(F.broadcast(th))
+        .where(F.col("__id") <= F.col("__t"))
+        .groupBy("bucket")
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+    )
+    cum_tok = (
+        tok.crossJoin(F.broadcast(th))
+        .where(F.col("__id") <= F.col("__t"))
+        .groupBy("bucket")
+        .agg(F.sum("__ntok").alias("cum_tokens"))
+    )
+    vocab = (
+        fw.crossJoin(F.broadcast(th))
+        .where(F.col("__first") <= F.col("__t"))
+        .groupBy("bucket")
+        .agg(F.count(F.lit(1)).alias("vocab"))
+    )
+    return (
+        n_docs.join(cum_tok, "bucket")
+        .join(vocab, "bucket")
+        .select(
+            "bucket",
+            "n_docs",
+            "cum_tokens",
+            "vocab",
+            (F.col("vocab").cast("double") / F.col("cum_tokens").cast("double")).alias(
+                "type_token_ratio"
+            ),
+        )
+        .orderBy("bucket")
+    )
+
+
+def token_entropy(
+    docs: DataFrame, text_col: str = "text", group_col: str = "source"
+) -> DataFrame:
+    """Per-group unigram Shannon entropy in bits — the
+    information-density audit of a corpus mix (near-zero entropy =
+    degenerate/boilerplate source; entropy ≈ log2(vocab) = uniform
+    noise). Uses the identity ``H = (N·log2 N − Σ c·log2 c) / N`` so the
+    only non-integer step is the final division: counts are exact,
+    ``log2`` is the portable Q12 fixed-point program, the weighted sums
+    are exact DECIMAL, and both engines emit the same bits.
+
+    Returns ``(group, n_tokens, vocab, entropy_bits)``. Entropy carries
+    the documented fixmath accuracy (~2.4e-4 bits per log term).
+    """
+    w = _words(docs, text_col, F.col(group_col).alias("grp"))
+    cnt = w.groupBy("grp", "word").agg(F.count(F.lit(1)).alias("c"))
+    cnt = with_log2_fixed(cnt, "c", "lc", prefix="c")
+    per = cnt.groupBy("grp").agg(
+        F.sum("c").alias("n_tokens"),
+        F.count(F.lit(1)).alias("vocab"),
+        F.sum(F.col("c").cast(_DEC18) * F.col("lc").cast(_DEC18)).alias("__sum_clc"),
+    )
+    per = with_log2_fixed(per, "n_tokens", "__ln", prefix="n")
+    return per.select(
+        F.col("grp").alias(group_col),
+        "n_tokens",
+        "vocab",
+        (
+            (
+                F.col("n_tokens").cast(_DEC18) * F.col("__ln").cast(_DEC18)
+                - F.col("__sum_clc")
+            ).cast("double")
+            / (F.col("n_tokens") * F.lit(LOG2_SCALE)).cast("double")
+        ).alias("entropy_bits"),
+    ).orderBy(group_col)
+
+
+def zipf_slope(
+    docs: DataFrame,
+    text_col: str = "text",
+    group_col: str = "lang",
+    top_ranks: int = 128,
+) -> DataFrame:
+    """Per-group Zipf rank-frequency slope: the least-squares slope of
+    ``log2(freq)`` on ``log2(rank)`` over the top ``top_ranks`` words
+    (rank ties broken by word). Natural language sits near −1; synthetic
+    or template-heavy text flattens toward 0 — a one-number corpus
+    fingerprint.
+
+    Both logs are Q12 fixed-point integers, so the regression reduces to
+    the classic ``(nΣxy − ΣxΣy) / (nΣx² − (Σx)²)`` over exact int64 sums
+    (the Q12 scale cancels), finished by one IEEE division. Returns
+    ``(group, n_ranks, zipf_slope)``; groups with fewer than 2 distinct
+    words are dropped (no variance to regress).
+
+    Scale: one word-count shuffle, a per-group top-k window over the
+    (group, word) COUNT frame — vocabulary-sized, not corpus-sized —
+    then a group-keyed aggregate.
+    """
+    if top_ranks < 2:
+        raise ValueError("top_ranks >= 2 required")
+    w = _words(docs, text_col, F.col(group_col).alias("grp"))
+    cnt = w.groupBy("grp", "word").agg(F.count(F.lit(1)).alias("c"))
+    ranked = cnt.select(
+        "grp",
+        "c",
+        F.row_number()
+        .over(Window.partitionBy("grp").orderBy(F.desc("c"), F.asc("word")))
+        .alias("r"),
+    ).where(F.col("r") <= top_ranks)
+    ranked = with_log2_fixed(ranked, "r", "lx", prefix="x")
+    ranked = with_log2_fixed(ranked, "c", "ly", prefix="y")
+    g = ranked.groupBy("grp").agg(
+        F.count(F.lit(1)).alias("n_ranks"),
+        F.sum("lx").alias("sx"),
+        F.sum("ly").alias("sy"),
+        F.sum(F.col("lx") * F.col("lx")).alias("sxx"),
+        F.sum(F.col("lx") * F.col("ly")).alias("sxy"),
+    )
+    return (
+        g.where(F.col("n_ranks") >= 2)
+        .select(
+            F.col("grp").alias(group_col),
+            "n_ranks",
+            (
+                (F.col("n_ranks") * F.col("sxy") - F.col("sx") * F.col("sy")).cast("double")
+                / (F.col("n_ranks") * F.col("sxx") - F.col("sx") * F.col("sx")).cast("double")
+            ).alias("zipf_slope"),
+        )
+        .orderBy(group_col)
+    )
+
+
+def nb_domain_llr(
+    docs: DataFrame,
+    target_filter: str,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Naive-Bayes log-likelihood-ratio domain scorer — the certified
+    core of CCNet/DSIR-style "does this document look like the target
+    domain?" selection. ``target_filter`` is a SQL boolean over the
+    document columns (e.g. ``"lang = 'en'"``) naming the in-domain
+    slice; every document is scored
+
+        score(d) = Σ_w tf_d(w) · [ log2 P(w|target) − log2 P(w|background) ]
+
+    with add-one smoothing over the SHARED vocabulary, all logs Q12
+    fixed-point, so the per-word LLR is an exact integer and a document
+    score is an exact int64 dot product. Returns ``(id, n_tokens,
+    is_target, llr_bits_per_token)`` — the per-token normalization keeps
+    long documents comparable; one IEEE division per row.
+
+    Scale: one (word)-keyed conditional-count aggregate builds the
+    vocabulary LLR table; totals are a 1-row broadcast; scoring is a
+    word-keyed join of the doc-term frame against the LLR table (both
+    shuffle on the word key — co-partitioned) and an id-keyed sum. The
+    LLR table is vocabulary-sized; if it fits executor memory it may be
+    broadcast, but the word-keyed equi-join needs no such assumption.
+    """
+    base = docs.where(F.col(text_col).isNotNull()).select(
+        F.col(id_col).alias("__id"),
+        F.col(text_col).alias("__text"),
+        F.expr(target_filter).cast("boolean").alias("__tgt"),
+    )
+    w = base.select(
+        "__id", "__tgt", F.explode(F.split("__text", " ")).alias("word")
+    )
+    dw = w.groupBy("__id", "__tgt", "word").agg(F.count(F.lit(1)).alias("tf"))
+    cw = dw.groupBy("word").agg(
+        F.sum(F.when(F.col("__tgt"), F.col("tf")).otherwise(F.lit(0))).alias("ct"),
+        F.sum(F.when(~F.col("__tgt"), F.col("tf")).otherwise(F.lit(0))).alias("cb"),
+    )
+    cw = with_log2_fixed(cw, "ct + 1", "lt", prefix="t")
+    cw = with_log2_fixed(cw, "cb + 1", "lb", prefix="b")
+    tot = cw.agg(
+        F.sum("ct").alias("nt"), F.sum("cb").alias("nb"), F.count(F.lit(1)).alias("v")
+    )
+    tot = with_log2_fixed(tot, "nt + v", "lnt", prefix="nt")
+    tot = with_log2_fixed(tot, "nb + v", "lnb", prefix="nb")
+    llr = cw.crossJoin(F.broadcast(tot.select("lnt", "lnb"))).select(
+        "word",
+        ((F.col("lt") - F.col("lnt")) - (F.col("lb") - F.col("lnb"))).alias("llr"),
+    )
+    scored = (
+        dw.join(llr, "word")
+        .groupBy("__id", "__tgt")
+        .agg(
+            F.sum("tf").alias("n_tokens"),
+            F.sum(F.col("tf") * F.col("llr")).alias("__score"),
+        )
+    )
+    return scored.select(
+        F.col("__id").alias(id_col),
+        "n_tokens",
+        F.col("__tgt").alias("is_target"),
+        (
+            F.col("__score").cast("double")
+            / (F.col("n_tokens") * F.lit(LOG2_SCALE)).cast("double")
+        ).alias("llr_bits_per_token"),
+    ).orderBy(id_col)

@@ -197,6 +197,7 @@ def load_all() -> dict[str, QueryDef]:
     """Import all query modules (side-effect: registry population)."""
     from reactive_kinesis_spark.queries import (  # noqa: F401
         advanced,
+        corpus,
         events,
         graph,
         llm,

@@ -1,0 +1,166 @@
+"""Corpus-statistics queries — the lexical-health tier (q174–q177).
+
+Everything here is hash-certified: the logarithms all ride
+:mod:`reactive_kinesis_spark.fixmath` (portable Q12 fixed-point log2 —
+an exact int64 program, identical bits in Spark and DuckDB), counting is
+exact integers/DECIMAL, and each query ends in one IEEE division. The
+oracle text splices the SAME generated log2 select-items the Spark side
+executes, so there is no second implementation to drift.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+from reactive_kinesis_spark.fixmath import LOG2_SCALE, log2_fixed_ctes
+from reactive_kinesis_spark.operators import lexstats as L
+from reactive_kinesis_spark.queries import query
+from reactive_kinesis_spark.tables import load_table
+
+_SC = LOG2_SCALE  # 4096
+
+
+def _vocab_growth_sql(buckets: int) -> str:
+    return f"""
+    WITH d AS (SELECT doc_id, text FROM documents WHERE text IS NOT NULL),
+    ids AS (SELECT doc_id AS id FROM d),
+    th AS (SELECT bucket, MAX(id) AS t FROM
+      (SELECT id, NTILE({buckets}) OVER (ORDER BY id) AS bucket FROM ids)
+      GROUP BY bucket),
+    w AS (SELECT doc_id AS id, unnest(string_split(text, ' ')) AS word FROM d),
+    tok AS (SELECT id, CAST(COUNT(*) AS BIGINT) AS ntok FROM w GROUP BY id),
+    fw AS (SELECT word, MIN(id) AS first_id FROM w GROUP BY word),
+    nd AS (SELECT bucket, CAST(COUNT(*) AS BIGINT) AS n_docs
+           FROM ids JOIN th ON id <= t GROUP BY bucket),
+    ct AS (SELECT bucket, CAST(SUM(ntok) AS BIGINT) AS cum_tokens
+           FROM tok JOIN th ON id <= t GROUP BY bucket),
+    vb AS (SELECT bucket, CAST(COUNT(*) AS BIGINT) AS vocab
+           FROM fw JOIN th ON first_id <= t GROUP BY bucket)
+    SELECT bucket, n_docs, cum_tokens, vocab,
+           CAST(vocab AS DOUBLE) / CAST(cum_tokens AS DOUBLE) AS type_token_ratio
+    FROM nd JOIN ct USING (bucket) JOIN vb USING (bucket)
+    ORDER BY bucket
+    """
+
+
+@query("q174_vocab_growth", oracle=_vocab_growth_sql(10))
+def q174_vocab_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heaps'-law vocabulary-growth audit: cumulative tokens vs distinct
+    vocabulary at 10 corpus checkpoints, computed via the
+    first-occurrence trick (min doc per word + a 10-row broadcast
+    inequality join) — no sequential scan. See
+    operators.lexstats.vocab_growth."""
+    docs = load_table(spark, sf_dir, "documents")
+    return L.vocab_growth(docs, buckets=10)
+
+
+def _token_entropy_sql() -> str:
+    lg_cnt = log2_fixed_ctes("cnt0", "grp, word, c", "c", "lc", "cnt", prefix="c")
+    lg_per = log2_fixed_ctes(
+        "per0", "grp, n_tokens, vocab, sum_clc", "n_tokens", "ln_", "per", prefix="n"
+    )
+    return f"""
+    WITH w AS (SELECT source AS grp, unnest(string_split(text, ' ')) AS word
+               FROM documents WHERE text IS NOT NULL),
+    cnt0 AS (SELECT grp, word, CAST(COUNT(*) AS BIGINT) AS c
+             FROM w GROUP BY grp, word),
+    {lg_cnt},
+    per0 AS (SELECT grp, CAST(SUM(c) AS BIGINT) AS n_tokens,
+             CAST(COUNT(*) AS BIGINT) AS vocab,
+             CAST(SUM(CAST(c AS DECIMAL(18,0)) * CAST(lc AS DECIMAL(18,0)))
+                  AS DECIMAL(38,0)) AS sum_clc
+             FROM cnt GROUP BY grp),
+    {lg_per}
+    SELECT grp AS source, n_tokens, vocab,
+      CAST(CAST(n_tokens AS DECIMAL(18,0)) * CAST(ln_ AS DECIMAL(18,0)) - sum_clc
+           AS DOUBLE)
+      / CAST(n_tokens * {_SC} AS DOUBLE) AS entropy_bits
+    FROM per ORDER BY source
+    """
+
+
+@query("q175_token_entropy", oracle=_token_entropy_sql())
+def q175_token_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source unigram Shannon entropy in bits, via the portable
+    fixed-point log2 (H = (N·log2 N − Σ c·log2 c)/N — exact integer sums,
+    one IEEE division). See operators.lexstats.token_entropy."""
+    docs = load_table(spark, sf_dir, "documents")
+    return L.token_entropy(docs, group_col="source")
+
+
+def _zipf_slope_sql(top_ranks: int) -> str:
+    lg_x = log2_fixed_ctes("top", "grp, word, c, r", "r", "lx", "zx", prefix="x")
+    lg_y = log2_fixed_ctes("zx", "grp, word, c, r, lx", "c", "ly", "zy", prefix="y")
+    return f"""
+    WITH w AS (SELECT lang AS grp, unnest(string_split(text, ' ')) AS word
+               FROM documents WHERE text IS NOT NULL),
+    cnt0 AS (SELECT grp, word, CAST(COUNT(*) AS BIGINT) AS c
+             FROM w GROUP BY grp, word),
+    top AS (SELECT * FROM
+      (SELECT grp, word, c, CAST(ROW_NUMBER() OVER (
+         PARTITION BY grp ORDER BY c DESC, word) AS BIGINT) AS r FROM cnt0)
+      WHERE r <= {top_ranks}),
+    {lg_x},
+    {lg_y},
+    g AS (SELECT grp, CAST(COUNT(*) AS BIGINT) AS n_ranks,
+          CAST(SUM(lx) AS BIGINT) AS sx, CAST(SUM(ly) AS BIGINT) AS sy,
+          CAST(SUM(lx * lx) AS BIGINT) AS sxx,
+          CAST(SUM(lx * ly) AS BIGINT) AS sxy
+          FROM zy GROUP BY grp)
+    SELECT grp AS lang, n_ranks,
+      CAST(n_ranks * sxy - sx * sy AS DOUBLE)
+      / CAST(n_ranks * sxx - sx * sx AS DOUBLE) AS zipf_slope
+    FROM g WHERE n_ranks >= 2 ORDER BY lang
+    """
+
+
+@query("q176_zipf_slope", oracle=_zipf_slope_sql(128))
+def q176_zipf_slope(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-language Zipf rank-frequency slope over the top-128 words:
+    least squares on Q12 log-log points — the fixed-point scale cancels
+    in the slope, leaving exact int64 sums and one IEEE division. See
+    operators.lexstats.zipf_slope."""
+    docs = load_table(spark, sf_dir, "documents")
+    return L.zipf_slope(docs, group_col="lang", top_ranks=128)
+
+
+def _nb_domain_llr_sql(target_filter: str) -> str:
+    lg_t = log2_fixed_ctes("cw0", "word, ct, cb", "ct + 1", "lt", "cw1", prefix="t")
+    lg_b = log2_fixed_ctes("cw1", "word, ct, cb, lt", "cb + 1", "lb", "cw2", prefix="b")
+    lg_nt = log2_fixed_ctes("tot0", "nt, nb, v", "nt + v", "lnt", "tot1", prefix="nt")
+    lg_nb = log2_fixed_ctes("tot1", "nt, nb, v, lnt", "nb + v", "lnb", "tot2", prefix="nb")
+    return f"""
+    WITH base AS (SELECT doc_id AS id, text, ({target_filter}) AS tgt
+                  FROM documents WHERE text IS NOT NULL),
+    w AS (SELECT id, tgt, unnest(string_split(text, ' ')) AS word FROM base),
+    dw AS (SELECT id, tgt, word, CAST(COUNT(*) AS BIGINT) AS tf
+           FROM w GROUP BY id, tgt, word),
+    cw0 AS (SELECT word,
+            CAST(SUM(CASE WHEN tgt THEN tf ELSE 0 END) AS BIGINT) AS ct,
+            CAST(SUM(CASE WHEN NOT tgt THEN tf ELSE 0 END) AS BIGINT) AS cb
+            FROM dw GROUP BY word),
+    {lg_t},
+    {lg_b},
+    tot0 AS (SELECT CAST(SUM(ct) AS BIGINT) AS nt, CAST(SUM(cb) AS BIGINT) AS nb,
+             CAST(COUNT(*) AS BIGINT) AS v FROM cw2),
+    {lg_nt},
+    {lg_nb},
+    llr AS (SELECT word, (lt - lnt) - (lb - lnb) AS llr
+            FROM cw2 CROSS JOIN tot2),
+    sc AS (SELECT id, tgt, CAST(SUM(tf) AS BIGINT) AS n_tokens,
+           CAST(SUM(tf * llr) AS BIGINT) AS score
+           FROM dw JOIN llr USING (word) GROUP BY id, tgt)
+    SELECT id AS doc_id, n_tokens, tgt AS is_target,
+      CAST(score AS DOUBLE) / CAST(n_tokens * {_SC} AS DOUBLE) AS llr_bits_per_token
+    FROM sc ORDER BY doc_id
+    """
+
+
+@query("q177_domain_affinity", oracle=_nb_domain_llr_sql("lang = 'en'"))
+def q177_domain_affinity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Naive-Bayes log-likelihood-ratio domain scorer (CCNet/DSIR-style
+    target-domain selection): every document scored by Σ tf·LLR(word)
+    against the in-domain slice lang='en', LLRs as exact Q12 integers.
+    See operators.lexstats.nb_domain_llr."""
+    docs = load_table(spark, sf_dir, "documents")
+    return L.nb_domain_llr(docs, target_filter="lang = 'en'")

@@ -1,0 +1,168 @@
+"""Hand-computed micro-input tests for the lexstats tier (q174–q177)
+plus a pure-Python reference differential: ``_log2_ref`` re-implements
+the fixmath Q12 program in plain ints, so expected values are derived
+independently of either engine, and the true-entropy proximity check
+pins the documented accuracy envelope end-to-end."""
+
+from __future__ import annotations
+
+import math
+
+import pytest
+
+from reactive_kinesis_spark.fixmath import LOG2_SCALE
+from reactive_kinesis_spark.operators import lexstats as L
+
+_S = 25
+_TWO = 1 << (_S + 1)
+
+
+def _log2_ref(c: int) -> int:
+    """Plain-int mirror of fixmath's Q12 log2 (the test oracle)."""
+    e = c.bit_length() - 1
+    x = c << (_S - e) if e <= _S else int(math.floor(c / 2.0 ** (e - _S)))
+    acc = 0
+    for _ in range(12):
+        s = (x * x) >> _S
+        if s >= _TWO:
+            acc = acc * 2 + 1
+            x = s >> 1
+        else:
+            acc = acc * 2
+            x = s
+    return e * LOG2_SCALE + acc
+
+
+def _docs(spark, rows):
+    return spark.createDataFrame(rows, "doc_id long, text string, lang string, source string")
+
+
+# ------------------------------------------------------------ vocab growth
+
+
+def test_vocab_growth_hand_computed(spark):
+    df = _docs(
+        spark,
+        [(1, "a b a", "en", "s0"), (2, "b c", "en", "s0"), (3, "c d e", "en", "s0")],
+    )
+    rows = {r["bucket"]: r for r in L.vocab_growth(df, buckets=3).collect()}
+    assert rows[1]["n_docs"] == 1 and rows[1]["cum_tokens"] == 3 and rows[1]["vocab"] == 2
+    assert rows[2]["n_docs"] == 2 and rows[2]["cum_tokens"] == 5 and rows[2]["vocab"] == 3
+    assert rows[3]["n_docs"] == 3 and rows[3]["cum_tokens"] == 8 and rows[3]["vocab"] == 5
+    assert rows[3]["type_token_ratio"] == 5 / 8
+
+
+def test_vocab_growth_null_text_dropped(spark):
+    df = _docs(spark, [(1, "a", "en", "s0"), (2, None, "en", "s0")])
+    rows = L.vocab_growth(df, buckets=1).collect()
+    assert len(rows) == 1
+    assert rows[0]["n_docs"] == 1 and rows[0]["vocab"] == 1
+
+
+def test_vocab_growth_rejects_bad_buckets(spark):
+    df = _docs(spark, [(1, "a", "en", "s0")])
+    with pytest.raises(ValueError, match="buckets"):
+        L.vocab_growth(df, buckets=0)
+
+
+# ----------------------------------------------------------- token entropy
+
+
+def test_token_entropy_uniform_and_degenerate(spark):
+    df = _docs(
+        spark,
+        [(1, "a a b b", "en", "uniform"), (2, "c c c c", "en", "point")],
+    )
+    rows = {r["source"]: r for r in L.token_entropy(df).collect()}
+    # two equiprobable symbols -> exactly 1 bit (all logs land on powers of 2)
+    assert rows["uniform"]["entropy_bits"] == 1.0
+    assert rows["uniform"]["n_tokens"] == 4 and rows["uniform"]["vocab"] == 2
+    # a single symbol -> exactly 0 bits
+    assert rows["point"]["entropy_bits"] == 0.0
+
+
+def test_token_entropy_matches_python_reference(spark):
+    text = "a a a a b b c d"  # counts 4,2,1,1 over N=8
+    df = _docs(spark, [(1, text, "en", "s0")])
+    got = L.token_entropy(df).collect()[0]
+    counts = [4, 2, 1, 1]
+    num = 8 * _log2_ref(8) - sum(c * _log2_ref(c) for c in counts)
+    want = num / (8 * LOG2_SCALE)
+    assert got["entropy_bits"] == want
+    # and the fixed-point answer is close to true Shannon entropy
+    true_h = -sum((c / 8) * math.log2(c / 8) for c in counts)
+    assert abs(got["entropy_bits"] - true_h) < 1e-3
+
+
+# -------------------------------------------------------------- zipf slope
+
+
+def test_zipf_slope_exact_on_power_of_two_points(spark):
+    # freqs 4,2 at ranks 1,2: Δy/Δx = (L(2)-L(4)) / (L(2)-L(1)) = -1 exactly
+    df = _docs(spark, [(1, "a a a a b b", "en", "s0")])
+    rows = L.zipf_slope(df, group_col="lang").collect()
+    assert len(rows) == 1
+    assert rows[0]["n_ranks"] == 2
+    assert rows[0]["zipf_slope"] == -1.0
+
+
+def test_zipf_slope_matches_python_reference(spark):
+    df = _docs(spark, [(1, "a a a a a b b b c c d", "en", "s0")])
+    got = L.zipf_slope(df, group_col="lang").collect()[0]
+    freqs = [5, 3, 2, 1]  # ranks 1..4
+    xs = [_log2_ref(r) for r in range(1, 5)]
+    ys = [_log2_ref(c) for c in freqs]
+    n = 4
+    sx, sy = sum(xs), sum(ys)
+    sxx = sum(x * x for x in xs)
+    sxy = sum(x * y for x, y in zip(xs, ys))
+    want = (n * sxy - sx * sy) / (n * sxx - sx * sx)
+    assert got["zipf_slope"] == want
+
+
+def test_zipf_slope_drops_single_word_groups(spark):
+    df = _docs(
+        spark,
+        [(1, "a a a", "en", "s0"), (2, "x y", "fr", "s0")],
+    )
+    rows = {r["lang"]: r for r in L.zipf_slope(df, group_col="lang").collect()}
+    assert "en" not in rows  # one distinct word -> no variance to regress
+    assert rows["fr"]["n_ranks"] == 2
+
+
+def test_zipf_slope_rejects_bad_ranks(spark):
+    df = _docs(spark, [(1, "a", "en", "s0")])
+    with pytest.raises(ValueError, match="top_ranks"):
+        L.zipf_slope(df, top_ranks=1)
+
+
+# ---------------------------------------------------------- NB domain LLR
+
+
+def test_nb_domain_llr_hand_computed(spark):
+    df = _docs(spark, [(1, "a a", "en", "s0"), (2, "a b", "fr", "s0")])
+    rows = {r["doc_id"]: r for r in L.nb_domain_llr(df, "lang = 'en'").collect()}
+    # ct: a=2, b=0; cb: a=1, b=1; nt=2, nb=2, v=2
+    llr_a = (_log2_ref(3) - _log2_ref(4)) - (_log2_ref(2) - _log2_ref(4))
+    llr_b = (_log2_ref(1) - _log2_ref(4)) - (_log2_ref(2) - _log2_ref(4))
+    assert rows[1]["is_target"] is True and rows[2]["is_target"] is False
+    assert rows[1]["n_tokens"] == 2 and rows[2]["n_tokens"] == 2
+    assert rows[1]["llr_bits_per_token"] == (2 * llr_a) / (2 * LOG2_SCALE)
+    assert rows[2]["llr_bits_per_token"] == (llr_a + llr_b) / (2 * LOG2_SCALE)
+    # the target-heavy word scores positive, the background-only negative
+    assert llr_a > 0 > llr_b
+
+
+def test_nb_domain_llr_separates_planted_domains(spark):
+    rows = []
+    for i in range(20):
+        rows.append((i, "alpha beta gamma", "en", "s0"))
+    for i in range(20, 40):
+        rows.append((i, "delta epsilon zeta", "fr", "s0"))
+    df = _docs(spark, rows)
+    out = L.nb_domain_llr(df, "lang = 'en'").collect()
+    for r in out:
+        if r["is_target"]:
+            assert r["llr_bits_per_token"] > 0
+        else:
+            assert r["llr_bits_per_token"] < 0
