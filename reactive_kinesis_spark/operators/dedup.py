@@ -1118,3 +1118,79 @@ def leakage_safe_split(
         )
     )
     return train_val_test_split(base, "rep_id", train=train, val=val)
+
+
+def pair_ngram_precision(
+    docs: DataFrame,
+    pairs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """BLEU-style clipped n-gram precision (n = 1, 2) for candidate
+    document pairs — the machine-translation-grade overlap metric on a
+    dedup pipeline's candidate set. Jaccard (q22/q23) counts DISTINCT
+    shared shingles; clipped precision weighs by occurrence (``min`` of
+    the two term frequencies, the Papineni et al. 2002 clipping rule), so
+    a pair that repeats the same plagiarized sentence ten times scores
+    ten times the overlap mass. ``id_1`` plays the BLEU candidate role,
+    ``id_2`` the reference.
+
+    ``pairs`` must carry ``id_1 < id_2`` (any bounded candidate source —
+    LSH bands, exact-Jaccard pairs, sorted-neighborhood blocks). Returns
+    one row per pair: ``clip_1/tot_1/prec_1`` (unigrams) and
+    ``clip_2/tot_2/prec_2`` (bigrams). Counts are exact integers;
+    each precision is one IEEE division — hash-certified.
+
+    Scale shape: per-doc n-gram counting is one scan + explode; the pair
+    scoring is two equi-joins keyed on (doc, gram) — candidate-bounded,
+    never doc×doc. No broadcast assumption on any side.
+    """
+    words = F.split(F.col(text_col), " ")
+    base = docs.where(F.col(text_col).isNotNull()).select(
+        F.col(id_col).alias("__id"), words.alias("__w")
+    )
+    uni = (
+        base.select("__id", F.explode("__w").alias("g"))
+        .groupBy("__id", "g")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    big = (
+        base.where(F.size("__w") >= 2)
+        .select(
+            "__id",
+            F.expr(
+                "transform(sequence(1, size(__w) - 1),"
+                " i -> concat_ws(' ', __w[i - 1], __w[i]))"
+            ).alias("__bg"),
+        )
+        .select("__id", F.explode("__bg").alias("g"))
+        .groupBy("__id", "g")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+
+    def _clip(cnt: DataFrame, suffix: str) -> DataFrame:
+        a = cnt.select(F.col("__id").alias("id_1"), "g", F.col("c").alias("__ca"))
+        b = cnt.select(F.col("__id").alias("id_2"), "g", F.col("c").alias("__cb"))
+        return (
+            pairs.select("id_1", "id_2")
+            .join(a, "id_1")
+            .join(b, ["id_2", "g"], "left")
+            .groupBy("id_1", "id_2")
+            .agg(
+                F.sum(F.least("__ca", F.coalesce("__cb", F.lit(0)))).alias(
+                    f"clip_{suffix}"
+                ),
+                F.sum("__ca").alias(f"tot_{suffix}"),
+            )
+        )
+    out = _clip(uni, "1").join(_clip(big, "2"), ["id_1", "id_2"])
+    return out.select(
+        "id_1",
+        "id_2",
+        "clip_1",
+        "tot_1",
+        (F.col("clip_1").cast("double") / F.col("tot_1").cast("double")).alias("prec_1"),
+        "clip_2",
+        "tot_2",
+        (F.col("clip_2").cast("double") / F.col("tot_2").cast("double")).alias("prec_2"),
+    )

@@ -2340,3 +2340,112 @@ def ivf_topk_certified(
     return scored.withColumn("rn", F.row_number().over(w).cast("int")).where(
         F.col("rn") <= k
     )
+
+
+def mmr_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 3,
+    pool: int = 8,
+    lam: float = 0.7,
+    max_query_rows: int = 65_536,
+) -> DataFrame:
+    """Maximal Marginal Relevance (Carbonell & Goldstein 1998) diversified
+    top-k: greedily pick ``k`` results per query from the ``pool`` most
+    relevant candidates, each step maximizing
+    ``lam·rel(q,d) − (1−lam)·max_{s∈selected} sim(d,s)`` — the standard
+    redundancy-penalized selection for retrieval-augmented pipelines and
+    diverse few-shot example picking, where plain top-k returns k copies
+    of the same neighborhood.
+
+    Fully certified: relevance and candidate-candidate similarities are
+    the exact left-fold cosine (the q29 idiom), the greedy loop is
+    UNROLLED (k is a small constant — the q124/q115 fixed-iteration
+    precedent) so a DuckDB oracle mirrors it CTE for CTE, the MMR score
+    is the identical 3-op IEEE expression in both engines (including the
+    Python-rounded ``1−lam`` literal), and every argmax carries a
+    neighbor-id tie-break.
+
+    Returns ``(query_id, step, neighbor_id, relevance, redundancy,
+    mmr_score)`` with ``step ∈ 1..k`` in selection order; step 1 is the
+    plain relevance argmax (redundancy 0 by convention).
+
+    Scale shape: the only corpus-sized work is the :func:`cosine_topk`
+    pool build (broadcast query block, map-side partial top-k, no corpus
+    shuffle); everything after runs on queries·pool rows — the pairwise
+    stage is pool² per query, never corpus². The greedy rounds add k−1
+    joins over those bounded frames.
+    """
+    if not 0.0 < lam <= 1.0:
+        raise ValueError("lam must be in (0, 1]")
+    if k < 1 or pool < k:
+        raise ValueError("need 1 <= k <= pool")
+    mu = 1.0 - lam  # Python-rounded once; the oracle interpolates repr(mu)
+
+    pool_df = cosine_topk(
+        corpus, queries, id_col=id_col, vec_col=vec_col, k=pool,
+        max_query_rows=max_query_rows,
+    ).select("query_id", "neighbor_id", F.col("cosine_sim").alias("rel"), "rn")
+    cvec = valid_vectors(corpus, vec_col).select(
+        F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("__v")
+    )
+    pv = pool_df.join(cvec, "neighbor_id").select("query_id", "neighbor_id", "rel", "__v")
+    pa = pv.select("query_id", F.col("neighbor_id").alias("a"), F.col("__v").alias("__va"))
+    pb = pv.select("query_id", F.col("neighbor_id").alias("b"), F.col("__v").alias("__vb"))
+    pp = (
+        pa.join(pb, "query_id")
+        .where(F.col("a") != F.col("b"))
+        .select(
+            "query_id", "a", "b",
+            cosine_similarity("__va", "__vb").alias("sim"),
+        )
+    )
+
+    def _mmr(rel, red):
+        return F.lit(lam) * rel - F.lit(mu) * red
+
+    s1 = (
+        pool_df.where(F.col("rn") == 1)
+        .select("query_id", "neighbor_id", "rel", F.lit(0.0).alias("red"))
+    )
+    steps = [s1]
+    acc = s1.select("query_id", "neighbor_id")
+    w = Window.partitionBy("query_id").orderBy(
+        _mmr(F.col("rel"), F.col("red")).desc(), "neighbor_id"
+    )
+    for _ in range(2, k + 1):
+        remaining = pv.join(acc, ["query_id", "neighbor_id"], "left_anti")
+        red = (
+            remaining.select("query_id", "neighbor_id", "rel")
+            .join(
+                pp.withColumnRenamed("a", "neighbor_id"),
+                ["query_id", "neighbor_id"],
+            )
+            .join(
+                acc.withColumnRenamed("neighbor_id", "b"),
+                ["query_id", "b"],
+            )
+            .groupBy("query_id", "neighbor_id", "rel")
+            .agg(F.max("sim").alias("red"))
+        )
+        pick = (
+            red.withColumn("__rn", F.row_number().over(w))
+            .where(F.col("__rn") == 1)
+            .select("query_id", "neighbor_id", "rel", "red")
+        )
+        steps.append(pick)
+        acc = acc.unionByName(pick.select("query_id", "neighbor_id"))
+    out = None
+    for i, s in enumerate(steps, start=1):
+        rowset = s.select(
+            "query_id",
+            F.lit(i).alias("step"),
+            "neighbor_id",
+            F.col("rel").alias("relevance"),
+            F.col("red").alias("redundancy"),
+            _mmr(F.col("rel"), F.col("red")).alias("mmr_score"),
+        )
+        out = rowset if out is None else out.unionByName(rowset)
+    return out

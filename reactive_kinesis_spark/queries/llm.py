@@ -3738,3 +3738,165 @@ def q173_bpe_segment(spark: SparkSession, sf_dir: str) -> DataFrame:
     return T.bpe_segment(docs, "text", k=6, top_n=30).orderBy(
         F.desc("freq"), F.asc("word")
     )
+
+
+def _elbow_oracle_sql(ks: tuple[int, ...], iterations: int) -> str:
+    """q178 oracle: one prefixed unrolled Lloyd chain per candidate k
+    (the q155 multiple-chains precedent), each reduced to a single
+    (k, n_vecs, n_clusters, inertia) row, UNION ALL'd — the elbow sweep
+    is certified as the sum of its already-certified parts."""
+    from reactive_kinesis_spark.functions import dsum_sql
+
+    parts: list[str] = []
+    selects: list[str] = []
+    for i, k in enumerate(ks):
+        chain, final = _kmeans_assign_ctes(
+            k, iterations, prefix=f"e{k}_", leading_with=(i == 0)
+        )
+        parts += chain
+        selects.append(
+            f"SELECT {k} AS k, CAST(COUNT(*) AS BIGINT) AS n_vecs,"
+            f" CAST(COUNT(DISTINCT cluster) AS BIGINT) AS n_clusters,"
+            f" {dsum_sql('dist', 'inertia')} FROM {final}"
+        )
+    parts[-1] = parts[-1].rstrip(",")
+    return "\n".join(parts) + "\n" + "\nUNION ALL\n".join(selects) + "\nORDER BY k"
+
+
+@query("q178_kmeans_elbow", oracle=_elbow_oracle_sql((2, 4, 8), 2))
+def q178_kmeans_elbow(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Elbow/inertia sweep for cluster-count selection: the deterministic
+    2-round Lloyd chain fit at k=2/4/8, each reduced to total inertia —
+    the audit that decides k for the SemDeDup/decontamination family
+    (whose 100 TB soundness rule is k ∝ N). Pure composition of the
+    certified q124 machinery; the sweep's k-row outputs make the
+    marginal-inertia elbow directly readable. Scale: the three fits are
+    independent (k-row broadcast assignment each); at production N run
+    them as one job each over the same cached scan."""
+    from reactive_kinesis_spark.functions import dsum
+    from reactive_kinesis_spark.operators.similarity import kmeans_assign
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    frames = []
+    for k in (2, 4, 8):
+        a = kmeans_assign(emb, "embedding", "vec_id", k=k, iterations=2)
+        frames.append(
+            a.agg(
+                F.count(F.lit(1)).cast("long").alias("n_vecs"),
+                F.countDistinct("cluster").cast("long").alias("n_clusters"),
+                dsum("dist", "inertia"),
+            ).select(F.lit(k).alias("k"), "n_vecs", "n_clusters", "inertia")
+        )
+    out = frames[0]
+    for f in frames[1:]:
+        out = out.unionByName(f)
+    return out.orderBy("k")
+
+
+@query(
+    "q179_pair_ngram_precision",
+    oracle=f"""
+    WITH {_JACCARD_PAIR_CTES},
+    unic AS (SELECT doc_id, g, CAST(COUNT(*) AS BIGINT) AS c FROM
+             (SELECT doc_id, unnest(words) AS g FROM docs) GROUP BY doc_id, g),
+    bgc AS (SELECT doc_id, g, CAST(COUNT(*) AS BIGINT) AS c FROM
+            (SELECT doc_id, array_to_string(words[i:i+1], ' ') AS g
+             FROM docs, UNNEST(range(1, len(words))) AS t(i)) GROUP BY doc_id, g),
+    c1 AS (SELECT p.id_1, p.id_2,
+           CAST(SUM(LEAST(ua.c, COALESCE(ub.c, 0))) AS BIGINT) AS clip_1,
+           CAST(SUM(ua.c) AS BIGINT) AS tot_1
+           FROM pairs p JOIN unic ua ON ua.doc_id = p.id_1
+           LEFT JOIN unic ub ON ub.doc_id = p.id_2 AND ub.g = ua.g
+           GROUP BY p.id_1, p.id_2),
+    c2 AS (SELECT p.id_1, p.id_2,
+           CAST(SUM(LEAST(ua.c, COALESCE(ub.c, 0))) AS BIGINT) AS clip_2,
+           CAST(SUM(ua.c) AS BIGINT) AS tot_2
+           FROM pairs p JOIN bgc ua ON ua.doc_id = p.id_1
+           LEFT JOIN bgc ub ON ub.doc_id = p.id_2 AND ub.g = ua.g
+           GROUP BY p.id_1, p.id_2)
+    SELECT id_1, id_2, clip_1, tot_1,
+           CAST(clip_1 AS DOUBLE) / CAST(tot_1 AS DOUBLE) AS prec_1,
+           clip_2, tot_2,
+           CAST(clip_2 AS DOUBLE) / CAST(tot_2 AS DOUBLE) AS prec_2
+    FROM c1 JOIN c2 USING (id_1, id_2) ORDER BY id_1, id_2
+    """,
+)
+def q179_pair_ngram_precision(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BLEU-style clipped 1/2-gram precision over the q22 exact-Jaccard
+    candidate pairs — occurrence-weighted overlap (Papineni clipping)
+    next to Jaccard's distinct-set view, the metric pair a dedup
+    adjudication UI shows side by side. Counts exact, one IEEE division
+    per precision. See operators.dedup.pair_ngram_precision."""
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = D.ngram_jaccard_pairs(docs, "text", "doc_id", n=3, threshold=0.8, max_df=1000)
+    return D.pair_ngram_precision(docs, pairs).orderBy("id_1", "id_2")
+
+
+def _mmr_oracle_sql(k: int, pool: int, lam: float, query_limit: int) -> str:
+    """q180 oracle: the MMR greedy loop unrolled step by step — pool from
+    the q29 fold-cosine ranking, pairwise pool similarities, then per
+    step an accumulate/anti-join/argmax round mirroring
+    :func:`operators.similarity.mmr_topk` CTE for CTE. ``lam`` and the
+    Python-rounded ``1−lam`` are interpolated with ``repr`` so both
+    engines multiply by the identical doubles."""
+    mu = 1.0 - lam
+    cos = (
+        "list_dot_product({a}, {b})"
+        " / (sqrt(list_dot_product({a}, {a})) * sqrt(list_dot_product({b}, {b})))"
+    )
+    parts = [
+        f"WITH q AS (SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qv",
+        f"  FROM embeddings WHERE vec_id < {query_limit}",
+        "   AND embedding IS NOT NULL AND len(embedding) > 0),",
+        "c AS (SELECT vec_id AS nid, CAST(embedding AS DOUBLE[]) AS cv",
+        "  FROM embeddings WHERE embedding IS NOT NULL AND len(embedding) > 0),",
+        "scored AS (SELECT query_id, nid, "
+        + cos.format(a="qv", b="cv")
+        + " AS rel FROM c, q WHERE query_id <> nid),",
+        "poolf AS (SELECT * FROM (SELECT query_id, nid, rel, ROW_NUMBER() OVER (",
+        "  PARTITION BY query_id ORDER BY rel DESC, nid) AS rn FROM scored)",
+        f"  WHERE rn <= {pool}),",
+        "pv AS (SELECT p.query_id, p.nid, p.rel, c.cv FROM poolf p JOIN c USING (nid)),",
+        "pp AS (SELECT x.query_id, x.nid AS a, y.nid AS b, "
+        + cos.format(a="x.cv", b="y.cv")
+        + " AS sim FROM pv x JOIN pv y ON x.query_id = y.query_id AND x.nid <> y.nid),",
+        "s1 AS (SELECT query_id, nid, rel, CAST(0.0 AS DOUBLE) AS red",
+        "  FROM poolf WHERE rn = 1),",
+        "acc1 AS (SELECT query_id, nid FROM s1),",
+    ]
+    for t in range(2, k + 1):
+        parts += [
+            f"r{t} AS (SELECT p.query_id, p.nid, p.rel, MAX(pp.sim) AS red",
+            f"  FROM pv p JOIN pp ON pp.query_id = p.query_id AND pp.a = p.nid",
+            f"  JOIN acc{t - 1} s ON s.query_id = pp.query_id AND s.nid = pp.b",
+            f"  LEFT JOIN acc{t - 1} x ON x.query_id = p.query_id AND x.nid = p.nid",
+            "  WHERE x.nid IS NULL GROUP BY p.query_id, p.nid, p.rel),",
+            f"s{t} AS (SELECT query_id, nid, rel, red FROM (SELECT *,",
+            f"  ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY",
+            f"  {lam!r} * rel - {mu!r} * red DESC, nid) AS rn2 FROM r{t}) WHERE rn2 = 1),",
+            f"acc{t} AS (SELECT query_id, nid FROM acc{t - 1}",
+            f"  UNION ALL SELECT query_id, nid FROM s{t}),",
+        ]
+    parts[-1] = parts[-1].rstrip(",")
+    selects = [
+        f"SELECT query_id, {t} AS step, nid AS neighbor_id, rel AS relevance,"
+        f" red AS redundancy, {lam!r} * rel - {mu!r} * red AS mmr_score FROM s{t}"
+        for t in range(1, k + 1)
+    ]
+    return "\n".join(parts) + "\n" + "\nUNION ALL\n".join(selects) + "\nORDER BY query_id, step"
+
+
+@query("q180_mmr_diverse_topk", oracle=_mmr_oracle_sql(3, 8, 0.7, 16))
+def q180_mmr_diverse_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Maximal-Marginal-Relevance diversified retrieval: for each of 16
+    query vectors, greedily select 3 of the 8 most-relevant candidates,
+    each step penalizing similarity to what's already selected
+    (λ=0.7) — plain top-k returns a neighborhood's clones; MMR returns
+    its spread. Unrolled greedy loop, fold-exact cosines, id tie-breaks:
+    hash-certified end to end. See operators.similarity.mmr_topk."""
+    from reactive_kinesis_spark.operators.similarity import mmr_topk
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    return mmr_topk(
+        emb, emb.where(F.col("vec_id") < 16), k=3, pool=8, lam=0.7
+    ).orderBy("query_id", "step")

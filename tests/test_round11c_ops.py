@@ -1,0 +1,109 @@
+"""Hand-computed micro-input tests for the session's composition
+operators: the k-means elbow sweep (q178), BLEU-style pair n-gram
+precision (q179), and MMR diversified top-k (q180)."""
+
+from __future__ import annotations
+
+import pytest
+
+from reactive_kinesis_spark.operators.dedup import pair_ngram_precision
+from reactive_kinesis_spark.operators.similarity import mmr_topk
+from reactive_kinesis_spark.queries import load_all
+
+
+# ------------------------------------------------------------ elbow (q178)
+
+
+def test_kmeans_elbow_invariants_on_testdata(spark, sf_dir):
+    rows = load_all()["q178_kmeans_elbow"].fn(spark, sf_dir).collect()
+    by_k = {r["k"]: r for r in rows}
+    assert sorted(by_k) == [2, 4, 8]
+    n_vecs = {r["n_vecs"] for r in rows}
+    assert len(n_vecs) == 1  # every fit sees the same corpus
+    for k, r in by_k.items():
+        assert 1 <= r["n_clusters"] <= k
+        assert r["inertia"] > 0.0
+    # more clusters must explain the planted-cluster corpus much better
+    assert by_k[8]["inertia"] < by_k[2]["inertia"]
+
+
+# --------------------------------------------- pair n-gram precision (q179)
+
+
+def _docs(spark, rows):
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def test_pair_ngram_precision_hand_computed(spark):
+    docs = _docs(spark, [(1, "x y x"), (2, "x z"), (3, "x y x")])
+    pairs = spark.createDataFrame([(1, 2), (1, 3)], "id_1 long, id_2 long")
+    rows = {(r["id_1"], r["id_2"]): r for r in pair_ngram_precision(docs, pairs).collect()}
+    r12 = rows[(1, 2)]
+    # candidate=1 {x:2,y:1}, reference=2 {x:1,z:1}: clip=min(2,1)+min(1,0)=1 of 3
+    assert r12["clip_1"] == 1 and r12["tot_1"] == 3 and r12["prec_1"] == 1 / 3
+    # bigrams: cand {"x y","y x"}, ref {"x z"}: no overlap
+    assert r12["clip_2"] == 0 and r12["tot_2"] == 2 and r12["prec_2"] == 0.0
+    # identical docs: perfect precision at both orders
+    r13 = rows[(1, 3)]
+    assert r13["prec_1"] == 1.0 and r13["prec_2"] == 1.0
+
+
+def test_pair_ngram_precision_clipping_caps_repeats(spark):
+    # candidate repeats "x" 4 times; reference has it twice -> clip at 2
+    docs = _docs(spark, [(1, "x x x x"), (2, "x x y")])
+    pairs = spark.createDataFrame([(1, 2)], "id_1 long, id_2 long")
+    r = pair_ngram_precision(docs, pairs).collect()[0]
+    assert r["clip_1"] == 2 and r["tot_1"] == 4 and r["prec_1"] == 0.5
+    # bigrams: cand {"x x":3}, ref {"x x":1} -> clip 1 of 3
+    assert r["clip_2"] == 1 and r["tot_2"] == 3
+
+
+# ------------------------------------------------------------- MMR (q180)
+
+
+def _vecs(spark, rows):
+    return spark.createDataFrame(
+        [(i, [float(x) for x in v]) for i, v in rows],
+        "vec_id long, embedding array<float>",
+    )
+
+
+def test_mmr_prefers_diversity_over_clone(spark):
+    corpus = _vecs(
+        spark,
+        [
+            (1, (1.0, 0.1)),   # near the query
+            (2, (1.0, 0.12)),  # clone of 1
+            (3, (0.6, -0.8)),  # distinct direction, lower relevance
+        ],
+    )
+    queries = _vecs(spark, [(100, (1.0, 0.0))])
+    out = {r["step"]: r for r in mmr_topk(corpus, queries, k=2, pool=3, lam=0.5).collect()}
+    assert out[1]["neighbor_id"] == 1  # pure relevance argmax
+    assert out[1]["redundancy"] == 0.0
+    # step 2: the clone is crushed by its similarity to the selected set
+    assert out[2]["neighbor_id"] == 3
+    assert out[2]["redundancy"] < out[1]["relevance"]
+    # lam=1 degenerates to plain top-k order: clone wins instead
+    pure = {r["step"]: r for r in mmr_topk(corpus, queries, k=2, pool=3, lam=1.0).collect()}
+    assert pure[2]["neighbor_id"] == 2
+
+
+def test_mmr_validates_parameters(spark):
+    v = _vecs(spark, [(1, (1.0, 0.0)), (2, (0.0, 1.0))])
+    with pytest.raises(ValueError, match="lam"):
+        mmr_topk(v, v, lam=0.0)
+    with pytest.raises(ValueError, match="k <= pool"):
+        mmr_topk(v, v, k=5, pool=3)
+
+
+def test_mmr_emits_k_steps_per_query(spark):
+    corpus = _vecs(spark, [(i, (1.0, float(i) / 10)) for i in range(1, 7)])
+    queries = _vecs(spark, [(100, (1.0, 0.0)), (200, (0.5, 0.5))])
+    out = mmr_topk(corpus, queries, k=3, pool=5, lam=0.7).collect()
+    assert len(out) == 6
+    per_q = {}
+    for r in out:
+        per_q.setdefault(r["query_id"], set()).add(r["neighbor_id"])
+    # selections are distinct within each query
+    assert all(len(s) == 3 for s in per_q.values())
