@@ -268,3 +268,125 @@ def nb_domain_llr(
             / (F.col("n_tokens") * F.lit(LOG2_SCALE)).cast("double")
         ).alias("llr_bits_per_token"),
     ).orderBy(id_col)
+
+
+def source_kl_divergence(
+    docs: DataFrame, text_col: str = "text", group_col: str = "source"
+) -> DataFrame:
+    """Per-group KL divergence (bits) of the group's unigram distribution
+    from the whole-corpus distribution — the drift/contamination audit
+    that ranks sources by how far their language deviates from the mix
+    (a scraped source that suddenly turns into SEO spam jumps in one
+    number). Uses
+
+        KL(p_g ‖ p) = Σ_w c_gw·[(L(c_gw) − L(N_g)) − (L(c_w) − L(N))]
+                      / (N_g · 2^12)
+
+    — log-of-ratio as difference-of-logs keeps every operand in int64
+    (no overflowing c·N products), each L is the portable Q12 log2, the
+    weighted sum is exact DECIMAL, and one IEEE division finishes.
+    Every group word exists in the corpus, so no zero-probability terms
+    arise by construction. Returns ``(group, n_tokens, vocab, kl_bits)``.
+
+    Scale: two word-keyed aggregates (per-group and global counts), the
+    log2 chain on vocabulary-sized frames, a word-keyed equi-join, and a
+    1-row broadcast of the corpus totals.
+    """
+    w = _words(docs, text_col, F.col(group_col).alias("grp"))
+    cs = w.groupBy("grp", "word").agg(F.count(F.lit(1)).alias("c"))
+    cs = with_log2_fixed(cs, "c", "ls", prefix="s")
+    cg = cs.groupBy("word").agg(F.sum("c").alias("cg"))
+    cg = with_log2_fixed(cg, "cg", "lg_", prefix="g")
+    ts = cs.groupBy("grp").agg(F.sum("c").alias("ns"))
+    ts = with_log2_fixed(ts, "ns", "lns", prefix="ns")
+    tg = cg.agg(F.sum("cg").alias("n"))
+    tg = with_log2_fixed(tg, "n", "ln_", prefix="n")
+    joined = (
+        cs.join(cg.select("word", "lg_"), "word")
+        .join(ts, "grp")
+        .crossJoin(F.broadcast(tg.select("ln_")))
+    )
+    per = joined.groupBy("grp", "ns").agg(
+        F.count(F.lit(1)).alias("vocab"),
+        F.sum(
+            F.col("c").cast(_DEC18)
+            * ((F.col("ls") - F.col("lns")) - (F.col("lg_") - F.col("ln_"))).cast(_DEC18)
+        ).alias("__num"),
+    )
+    return per.select(
+        F.col("grp").alias(group_col),
+        F.col("ns").alias("n_tokens"),
+        "vocab",
+        (
+            F.col("__num").cast("double")
+            / (F.col("ns") * F.lit(LOG2_SCALE)).cast("double")
+        ).alias("kl_bits"),
+    ).orderBy(group_col)
+
+
+def pmi_collocations(
+    docs: DataFrame,
+    text_col: str = "text",
+    min_count: int = 5,
+    top: int = 100,
+) -> DataFrame:
+    """Top adjacent-bigram collocations by pointwise mutual information in
+    BITS — the log-scale companion of the lift-based q72 (lift compresses
+    nothing: a 10× and a 1000× association differ 100× in lift but only
+    ~6.6 bits vs ~10 bits in PMI, which is what collocation extraction
+    thresholds on). ``PMI = [L(c_xy) + L(N) − L(c_x) − L(c_y)] / 2^12``:
+    exact Q12 integer arithmetic ranked BY THE INTEGER (so the top-k cut
+    is exact, no float tie ambiguity), one IEEE division only for the
+    reported value, word-pair tie-breaks. Returns ``(w1, w2, c_xy,
+    pmi_bits)``.
+
+    Scale: one corpus scan each for unigram and bigram counts (map-side
+    combinable), two word-keyed joins, a 1-row broadcast total, and a
+    bounded top-k (TakeOrdered — no global sort).
+    """
+    words = F.split(F.col(text_col), " ")
+    base = docs.where(F.col(text_col).isNotNull()).select(words.alias("__w"))
+    uni = (
+        base.select(F.explode("__w").alias("tok"))
+        .groupBy("tok")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    tot = uni.agg(F.sum("c").alias("n_total"))
+    tot = with_log2_fixed(tot, "n_total", "ln_", prefix="n")
+    uni = with_log2_fixed(uni, "c", "lu", prefix="u")
+    big = (
+        base.where(F.size("__w") >= 2)
+        .select(
+            F.expr(
+                "transform(sequence(1, size(__w) - 1),"
+                " i -> struct(__w[i - 1] AS w1, __w[i] AS w2))"
+            ).alias("__bg")
+        )
+        .select(F.explode("__bg").alias("bg"))
+        .select(F.col("bg.w1").alias("w1"), F.col("bg.w2").alias("w2"))
+        .groupBy("w1", "w2")
+        .agg(F.count(F.lit(1)).alias("c_xy"))
+        .where(F.col("c_xy") >= min_count)
+    )
+    big = with_log2_fixed(big, "c_xy", "lxy", prefix="xy")
+    scored = (
+        big.join(uni.select(F.col("tok").alias("w1"), F.col("lu").alias("l1")), "w1")
+        .join(uni.select(F.col("tok").alias("w2"), F.col("lu").alias("l2")), "w2")
+        .crossJoin(F.broadcast(tot.select("ln_")))
+        .select(
+            "w1",
+            "w2",
+            "c_xy",
+            ((F.col("lxy") + F.col("ln_")) - (F.col("l1") + F.col("l2"))).alias("__pmi_q"),
+        )
+    )
+    return (
+        scored.orderBy(F.desc("__pmi_q"), "w1", "w2")
+        .limit(top)
+        .select(
+            "w1",
+            "w2",
+            "c_xy",
+            (F.col("__pmi_q").cast("double") / F.lit(float(LOG2_SCALE))).alias("pmi_bits"),
+        )
+    )

@@ -164,3 +164,80 @@ def q177_domain_affinity(spark: SparkSession, sf_dir: str) -> DataFrame:
     See operators.lexstats.nb_domain_llr."""
     docs = load_table(spark, sf_dir, "documents")
     return L.nb_domain_llr(docs, target_filter="lang = 'en'")
+
+
+def _source_kl_sql() -> str:
+    lg_cs = log2_fixed_ctes("cs0", "grp, word, c", "c", "ls", "cs", prefix="s")
+    lg_cg = log2_fixed_ctes("cg0", "word, cg", "cg", "lg_", "cg", prefix="g")
+    lg_ts = log2_fixed_ctes("ts0", "grp, ns", "ns", "lns", "ts", prefix="ns")
+    lg_tg = log2_fixed_ctes("tg0", "n", "n", "ln_", "tg", prefix="n")
+    return f"""
+    WITH w AS (SELECT source AS grp, unnest(string_split(text, ' ')) AS word
+               FROM documents WHERE text IS NOT NULL),
+    cs0 AS (SELECT grp, word, CAST(COUNT(*) AS BIGINT) AS c
+            FROM w GROUP BY grp, word),
+    {lg_cs},
+    cg0 AS (SELECT word, CAST(SUM(c) AS BIGINT) AS cg FROM cs GROUP BY word),
+    {lg_cg},
+    ts0 AS (SELECT grp, CAST(SUM(c) AS BIGINT) AS ns FROM cs GROUP BY grp),
+    {lg_ts},
+    tg0 AS (SELECT CAST(SUM(cg) AS BIGINT) AS n FROM cg),
+    {lg_tg},
+    j AS (SELECT cs.grp, ts.ns, cs.c,
+          ((cs.ls - ts.lns) - (cg.lg_ - tg.ln_)) AS term
+          FROM cs JOIN cg USING (word) JOIN ts ON ts.grp = cs.grp CROSS JOIN tg),
+    per AS (SELECT grp, ns, CAST(COUNT(*) AS BIGINT) AS vocab,
+            CAST(SUM(CAST(c AS DECIMAL(18,0)) * CAST(term AS DECIMAL(18,0)))
+                 AS DECIMAL(38,0)) AS num
+            FROM j GROUP BY grp, ns)
+    SELECT grp AS source, ns AS n_tokens, vocab,
+      CAST(num AS DOUBLE) / CAST(ns * {_SC} AS DOUBLE) AS kl_bits
+    FROM per ORDER BY source
+    """
+
+
+@query("q181_source_kl_divergence", oracle=_source_kl_sql())
+def q181_source_kl_divergence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source KL divergence (bits) from the corpus unigram mix — the
+    one-number drift/contamination audit per ingest source. Log-of-ratio
+    as difference of Q12 logs keeps everything in int64; exact DECIMAL
+    sum, one IEEE division. See operators.lexstats.source_kl_divergence."""
+    docs = load_table(spark, sf_dir, "documents")
+    return L.source_kl_divergence(docs, group_col="source")
+
+
+def _pmi_sql(min_count: int, top: int) -> str:
+    lg_uni = log2_fixed_ctes("uni0", "tok, c", "c", "lu", "uni", prefix="u")
+    lg_tot = log2_fixed_ctes("tot0", "n_total", "n_total", "ln_", "tot", prefix="n")
+    lg_big = log2_fixed_ctes("big0", "w1, w2, c_xy", "c_xy", "lxy", "big", prefix="xy")
+    return f"""
+    WITH w AS (SELECT string_split(text, ' ') AS words FROM documents
+               WHERE text IS NOT NULL),
+    uni0 AS (SELECT tok, CAST(COUNT(*) AS BIGINT) AS c FROM
+             (SELECT unnest(words) AS tok FROM w) GROUP BY tok),
+    {lg_uni},
+    tot0 AS (SELECT CAST(SUM(c) AS BIGINT) AS n_total FROM uni0),
+    {lg_tot},
+    big0 AS (SELECT w1, w2, CAST(COUNT(*) AS BIGINT) AS c_xy FROM
+             (SELECT words[i] AS w1, words[i + 1] AS w2
+              FROM w, UNNEST(range(1, len(words))) AS t(i)
+              WHERE len(words) >= 2)
+             GROUP BY w1, w2 HAVING COUNT(*) >= {min_count}),
+    {lg_big},
+    sc AS (SELECT b.w1, b.w2, b.c_xy,
+           (b.lxy + t.ln_) - (u1.lu + u2.lu) AS pmi_q
+           FROM big b JOIN uni u1 ON b.w1 = u1.tok
+           JOIN uni u2 ON b.w2 = u2.tok CROSS JOIN tot t)
+    SELECT w1, w2, c_xy, CAST(pmi_q AS DOUBLE) / {float(_SC)!r} AS pmi_bits
+    FROM sc ORDER BY pmi_q DESC, w1, w2 LIMIT {top}
+    """
+
+
+@query("q182_pmi_collocations", oracle=_pmi_sql(5, 100))
+def q182_pmi_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-100 adjacent-bigram collocations by pointwise mutual
+    information in bits (count >= 5) — the log-scale companion of q72's
+    lift, ranked by the exact Q12 integer so the top-k cut has no float
+    ambiguity. See operators.lexstats.pmi_collocations."""
+    docs = load_table(spark, sf_dir, "documents")
+    return L.pmi_collocations(docs, min_count=5, top=100)

@@ -166,3 +166,54 @@ def test_nb_domain_llr_separates_planted_domains(spark):
             assert r["llr_bits_per_token"] > 0
         else:
             assert r["llr_bits_per_token"] < 0
+
+
+# ------------------------------------------------------- KL divergence
+
+
+def test_source_kl_zero_for_identical_distributions(spark):
+    df = _docs(spark, [(1, "a b", "en", "A"), (2, "a b", "en", "B")])
+    rows = L.source_kl_divergence(df).collect()
+    assert {r["source"] for r in rows} == {"A", "B"}
+    for r in rows:
+        # every term is (L(1)-L(2)) - (L(2)-L(4)) = 0 exactly
+        assert r["kl_bits"] == 0.0
+
+
+def test_source_kl_exact_one_bit_for_disjoint_halves(spark):
+    # A={a,a}, B={b,b}: each source concentrates half the corpus mass on
+    # its own word -> KL = log2(2) = 1 bit, exactly (all logs land on
+    # powers of two)
+    df = _docs(spark, [(1, "a a", "en", "A"), (2, "b b", "en", "B")])
+    rows = {r["source"]: r for r in L.source_kl_divergence(df).collect()}
+    assert rows["A"]["kl_bits"] == 1.0
+    assert rows["B"]["kl_bits"] == 1.0
+    assert rows["A"]["n_tokens"] == 2 and rows["A"]["vocab"] == 1
+
+
+# ---------------------------------------------------- PMI collocations
+
+
+def test_pmi_exact_one_bit_for_perfect_collocation(spark):
+    # "a b" x5: c_ab=5, c_a=c_b=5, N=10 -> PMI = L(10)-L(5) = exactly 1 bit;
+    # "b a" occurs only 4 times and is cut by min_count
+    df = _docs(spark, [(1, "a b a b a b a b a b", "en", "s0")])
+    rows = L.pmi_collocations(df, min_count=5, top=10).collect()
+    assert len(rows) == 1
+    r = rows[0]
+    assert (r["w1"], r["w2"], r["c_xy"]) == ("a", "b", 5)
+    assert r["pmi_bits"] == 1.0
+
+
+def test_pmi_top_cut_is_exact_and_ordered(spark):
+    # two collocations with different PMI; top=1 keeps the higher one
+    text1 = " ".join(["x y"] * 8)          # tight pair
+    text2 = " ".join(["p q", "p r", "p q", "p r"] * 4)  # looser pair
+    df = _docs(spark, [(1, text1, "en", "s0"), (2, text2, "en", "s0")])
+    all_rows = L.pmi_collocations(df, min_count=5, top=100).collect()
+    assert all_rows == sorted(
+        all_rows, key=lambda r: (-round(r["pmi_bits"] * 4096), r["w1"], r["w2"])
+    )
+    top1 = L.pmi_collocations(df, min_count=5, top=1).collect()
+    assert len(top1) == 1
+    assert top1[0]["w1"] == all_rows[0]["w1"] and top1[0]["w2"] == all_rows[0]["w2"]
