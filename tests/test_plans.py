@@ -864,3 +864,82 @@ def test_ivf_certified_centroids_broadcast_and_cell_equijoin(spark, sf_dir):
     plan = _plan(load_all()["q38_embedding_ann_ivf"].fn(spark, sf_dir))
     assert "BroadcastNestedLoopJoin" in plan
     assert "CartesianProduct" not in plan
+
+
+def test_vocab_growth_thresholds_are_broadcast(spark, sf_dir):
+    """q174: the bucket-threshold frame (10 rows) must re-enter all three
+    inequality joins as a BROADCAST (BroadcastNestedLoopJoin) — neither
+    the id set, the token counts, nor the first-occurrence vocabulary
+    ever shuffles against it."""
+    plan = _plan(load_all()["q174_vocab_growth"].fn(spark, sf_dir))
+    assert plan.count("BroadcastNestedLoopJoin") >= 3
+    assert "CartesianProduct" not in plan
+
+
+def test_token_entropy_is_join_free_single_chain(spark, sf_dir):
+    """q175: word counts -> log2 projection chain -> group aggregate.
+    The fixed-point log2 must stay a narrow Project (no join, no window,
+    no second corpus pass); aggregates run partial+final."""
+    plan = _plan(load_all()["q175_token_entropy"].fn(spark, sf_dir))
+    assert "Join" not in plan and "Window" not in plan
+    assert plan.count("HashAggregate") >= 2 and "partial_" in plan
+
+
+def test_zipf_slope_windows_the_vocab_not_the_corpus(spark, sf_dir):
+    """q176: the per-group top-k window runs over the (group, word) COUNT
+    frame (vocabulary-sized), after a partial+final count — and the log2
+    chain adds no joins."""
+    plan = _plan(load_all()["q176_zipf_slope"].fn(spark, sf_dir))
+    assert "Join" not in plan
+    assert "Window" in plan
+    assert plan.count("HashAggregate") >= 2 and "partial_" in plan
+
+
+def test_nb_domain_llr_totals_are_broadcast(spark, sf_dir):
+    """q177: the 1-row totals frame broadcasts into the vocabulary LLR
+    table; doc-term scoring is a word-keyed EQUI-join (never a cartesian
+    or a nested-loop over the corpus)."""
+    plan = _plan(load_all()["q177_domain_affinity"].fn(spark, sf_dir))
+    assert "BroadcastNestedLoopJoin" in plan  # 1-row totals ride-along
+    assert "CartesianProduct" not in plan
+
+
+def test_kmeans_elbow_centroids_broadcast_in_every_fit(spark, sf_dir):
+    """q178: each of the three fits assigns via a k-row broadcast
+    crossJoin (BroadcastNestedLoopJoin) — the corpus never shuffles on
+    centroid keys, at any k."""
+    plan = _plan(load_all()["q178_kmeans_elbow"].fn(spark, sf_dir))
+    assert plan.count("BroadcastNestedLoopJoin") >= 3
+    assert "CartesianProduct" not in plan
+
+
+def test_pair_ngram_precision_stays_candidate_bounded(spark, sf_dir):
+    """q179: pair scoring is (doc, gram)-keyed equi-joins off the bounded
+    candidate set — no cartesian, no doc x doc nested loop."""
+    plan = _plan(load_all()["q179_pair_ngram_precision"].fn(spark, sf_dir))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_mmr_only_corpus_stage_is_the_pool_build(spark, sf_dir):
+    """q180: after the cosine_topk pool build, every greedy round joins
+    bounded (query x pool) frames on equi keys — no cartesian anywhere."""
+    plan = _plan(load_all()["q180_mmr_diverse_topk"].fn(spark, sf_dir))
+    assert "CartesianProduct" not in plan
+
+
+def test_source_kl_total_is_broadcast(spark, sf_dir):
+    """q181: the 1-row corpus-total frame broadcasts onto the vocabulary
+    join; the only shuffles are the word/group-keyed aggregates."""
+    plan = _plan(load_all()["q181_source_kl_divergence"].fn(spark, sf_dir))
+    assert "BroadcastNestedLoopJoin" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_pmi_top_cut_is_take_ordered(spark, sf_dir):
+    """q182: the top-100 cut must compile to TakeOrderedAndProject (map-
+    side partial top-k), not a global Sort; the 1-row total broadcasts."""
+    plan = _plan(load_all()["q182_pmi_collocations"].fn(spark, sf_dir))
+    assert "TakeOrderedAndProject" in plan
+    assert "BroadcastNestedLoopJoin" in plan
+    assert "CartesianProduct" not in plan
