@@ -1158,9 +1158,14 @@ def pair_ngram_precision(
         base.where(F.size("__w") >= 2)
         .select(
             "__id",
+            # get() not [] — the explode's implicit size(...)>0 predicate is
+            # pushed into the same Filter as the size>=2 guard and codegen
+            # evaluates conjuncts eagerly, so ANSI [] indexing throws on the
+            # single-word rows the guard is about to drop (caught by the
+            # random-corpus differential)
             F.expr(
                 "transform(sequence(1, size(__w) - 1),"
-                " i -> concat_ws(' ', __w[i - 1], __w[i]))"
+                " i -> concat_ws(' ', get(__w, i - 1), get(__w, i)))"
             ).alias("__bg"),
         )
         .select("__id", F.explode("__bg").alias("g"))

@@ -357,9 +357,12 @@ def pmi_collocations(
     big = (
         base.where(F.size("__w") >= 2)
         .select(
+            # get() not [] — see pair_ngram_precision: the pushed-down
+            # explode predicate evaluates eagerly next to the size>=2 guard,
+            # and ANSI [] indexing would throw on single-word rows
             F.expr(
                 "transform(sequence(1, size(__w) - 1),"
-                " i -> struct(__w[i - 1] AS w1, __w[i] AS w2))"
+                " i -> struct(get(__w, i - 1) AS w1, get(__w, i) AS w2))"
             ).alias("__bg")
         )
         .select(F.explode("__bg").alias("bg"))
