@@ -2449,3 +2449,133 @@ def mmr_topk(
         )
         out = rowset if out is None else out.unionByName(rowset)
     return out
+
+
+def power_iteration_pc(
+    vectors: DataFrame,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    iterations: int = 6,
+) -> DataFrame:
+    """Dominant principal component by UNROLLED power iteration — the
+    first hash-certified spectral operator. q81's full PCA whitening
+    keeps its numpy eigendecomposition (dense ``syevd`` is not
+    SQL-mirrorable); this computes the one direction most corpus audits
+    actually need — "what single axis dominates my embedding space, and
+    how much of the variance is it?" — as a deterministic exact-integer
+    program both engines reproduce bit for bit.
+
+    Construction (every stage order-free or single-IEEE-op):
+
+    * covariance ``C``: centered cross-moments through the exact
+      DECIMAL(38,6) sum (the engine-wide dsum policy) — exact doubles;
+    * ``C`` rescales by its max |entry| and floor-quantizes to Q20 ints
+      (only the DIRECTION matters, so the spectrum survives scaling);
+    * each round: ``w = Cq·v`` is an exact int64 matvec (|Cq|,|v| ≤ 2^20,
+      d ≤ 2^11 keeps every sum < 2^63 — order irrelevant), then
+      max-abs renormalization back to Q20 (multiply-by-2^20 is an
+      exact IEEE exponent shift; one division; one floor);
+    * output: the unit-normalized component per dimension (1-based
+      ``pos``, matching SQL ``generate_subscripts``) and the Rayleigh
+      explained-variance share ``vᵀCqv / (vᵀv · tr Cq)`` as a single
+      division of two exact DECIMAL values.
+
+    Sign is whichever the all-ones start converges to — deterministic,
+    identical cross-engine (compare directions by |cos|, as the numpy
+    differential does).
+
+    Scale shape: the moment pass is the only corpus-sized stage — an
+    id-keyed self-join exploding to N·d² narrow rows with a map-side-
+    combinable (p,q)-keyed sum (at very large N·d² swap in a per-
+    partition Gram accumulation via mapInPandas; the certified dataflow
+    is the spec). Everything after runs on d- or d²-row frames with the
+    d-row vector broadcast into each matvec.
+    """
+    if iterations < 1:
+        raise ValueError("iterations >= 1 required")
+    from reactive_kinesis_spark.functions import davg, dsum
+
+    Q = 1048576  # 2^20
+    x = valid_vectors(vectors, vec_col).select(
+        F.col(id_col).alias("__id"), F.col(vec_col).alias("__v")
+    )
+    el = x.select(
+        "__id", F.posexplode("__v").alias("pos0", "xv")
+    ).select("__id", (F.col("pos0") + 1).alias("p"), F.col("xv").cast("double").alias("xv"))
+    mn = el.groupBy("p").agg(davg("xv", "m"))
+    a = el.select("__id", F.col("p").alias("pa"), F.col("xv").alias("xa"))
+    b = el.select("__id", F.col("p").alias("pb"), F.col("xv").alias("xb"))
+    pr = (
+        a.join(b, "__id")
+        .join(F.broadcast(mn.select(F.col("p").alias("pa"), F.col("m").alias("ma"))), "pa")
+        .join(F.broadcast(mn.select(F.col("p").alias("pb"), F.col("m").alias("mb"))), "pb")
+        .select(
+            F.col("pa").alias("p"),
+            F.col("pb").alias("q"),
+            ((F.col("xa") - F.col("ma")) * (F.col("xb") - F.col("mb"))).alias("prod"),
+        )
+    )
+    cv = pr.groupBy("p", "q").agg(dsum("prod", "c"))
+    mx = cv.agg(F.max(F.abs("c")).alias("maxc"))
+    cq = (
+        cv.crossJoin(F.broadcast(mx))
+        .select(
+            "p",
+            "q",
+            F.floor((F.col("c") * F.lit(float(Q))) / F.col("maxc")).alias("cq"),
+        )
+        .localCheckpoint(eager=False)
+    )
+    v = mn.select("p", F.lit(Q).cast("long").alias("vv"))
+    for _ in range(iterations):
+        w = (
+            cq.join(F.broadcast(v.select(F.col("p").alias("q"), "vv")), "q")
+            .groupBy("p")
+            .agg(F.sum(F.col("cq") * F.col("vv")).alias("w"))
+        )
+        mw = w.agg(F.greatest(F.max(F.abs("w")), F.lit(1).cast("long")).alias("mw"))
+        # lazy checkpoint per round (the kmeans_centroids discipline):
+        # keeps the broadcast-forced per-round jobs from recomputing the
+        # whole v-chain, and lineage O(1) in iterations
+        v = (
+            w.crossJoin(F.broadcast(mw))
+            .select(
+                "p",
+                F.floor(
+                    (F.col("w").cast("double") * F.lit(float(Q)))
+                    / F.col("mw").cast("double")
+                ).alias("vv"),
+            )
+            .localCheckpoint(eager=False)
+        )
+    ss = v.agg(F.sum(F.col("vv") * F.col("vv")).alias("ss"))
+    va = v.select(F.col("p").alias("p"), F.col("vv").alias("va"))
+    vb = v.select(F.col("p").alias("q"), F.col("vv").alias("vb"))
+    ray = (
+        cq.join(F.broadcast(va), "p")
+        .join(F.broadcast(vb), "q")
+        .agg(
+            F.sum(
+                (F.col("cq") * F.col("va") * F.col("vb")).cast("decimal(38,0)")
+            ).alias("num")
+        )
+    )
+    tr = cq.where(F.col("p") == F.col("q")).agg(F.sum("cq").alias("trq"))
+    return (
+        v.crossJoin(F.broadcast(ss))
+        .crossJoin(F.broadcast(ray))
+        .crossJoin(F.broadcast(tr))
+        .select(
+            F.col("p").alias("pos"),
+            (F.col("vv").cast("double") / F.sqrt(F.col("ss").cast("double"))).alias(
+                "component"
+            ),
+            (
+                F.col("num").cast("double")
+                / (
+                    F.col("ss").cast("decimal(38,0)") * F.col("trq").cast("decimal(38,0)")
+                ).cast("double")
+            ).alias("ev_share"),
+        )
+        .orderBy("pos")
+    )

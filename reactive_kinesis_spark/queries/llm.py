@@ -3900,3 +3900,67 @@ def q180_mmr_diverse_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return mmr_topk(
         emb, emb.where(F.col("vec_id") < 16), k=3, pool=8, lam=0.7
     ).orderBy("query_id", "step")
+
+
+def _power_pc_oracle_sql(iterations: int) -> str:
+    """q183 oracle: the unrolled power iteration mirrored CTE for CTE —
+    decimal-exact covariance, Q20 floor-quantization (exact: the ×2^20
+    is an IEEE exponent shift, the division and floor are single ops),
+    exact-int64 matvecs, max-abs renormalization, and the two final
+    single divisions. See operators.similarity.power_iteration_pc."""
+    from reactive_kinesis_spark.functions import davg_sql, dsum_sql
+
+    Q = 1048576
+    parts = [
+        "WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS ev",
+        "  FROM embeddings WHERE embedding IS NOT NULL AND len(embedding) > 0),",
+        "el AS MATERIALIZED (SELECT vec_id, pp.pos AS p, pp.x FROM v,",
+        "  LATERAL (SELECT unnest(ev) AS x, generate_subscripts(ev, 1) AS pos) pp),",
+        f"mn AS (SELECT p, {davg_sql('x', 'm')} FROM el GROUP BY p),",
+        "pr AS (SELECT a.p AS p, b.p AS q, (a.x - ma.m) * (b.x - mb.m) AS prod",
+        "  FROM el a JOIN el b ON a.vec_id = b.vec_id",
+        "  JOIN mn ma ON ma.p = a.p JOIN mn mb ON mb.p = b.p),",
+        f"cv AS (SELECT p, q, {dsum_sql('prod', 'c')} FROM pr GROUP BY p, q),",
+        "mx AS (SELECT MAX(abs(c)) AS maxc FROM cv),",
+        f"cq AS MATERIALIZED (SELECT p, q, CAST(floor((c * {float(Q)!r}) / maxc) AS BIGINT) AS cq",
+        "  FROM cv CROSS JOIN mx),",
+        f"v0 AS (SELECT p, CAST({Q} AS BIGINT) AS vv FROM mn),",
+    ]
+    for i in range(1, iterations + 1):
+        parts += [
+            f"w{i} AS (SELECT cq.p, CAST(SUM(cq.cq * v{i - 1}.vv) AS BIGINT) AS w",
+            f"  FROM cq JOIN v{i - 1} ON v{i - 1}.p = cq.q GROUP BY cq.p),",
+            f"m{i} AS (SELECT GREATEST(MAX(abs(w)), 1) AS mw FROM w{i}),",
+            f"v{i} AS MATERIALIZED (SELECT p, CAST(floor((CAST(w AS DOUBLE) * {float(Q)!r})",
+            f"  / CAST(mw AS DOUBLE)) AS BIGINT) AS vv FROM w{i} CROSS JOIN m{i}),",
+        ]
+    k = iterations
+    parts += [
+        f"ss AS (SELECT CAST(SUM(vv * vv) AS BIGINT) AS ss FROM v{k}),",
+        "ray AS (SELECT CAST(SUM(CAST(cq.cq * va.vv * vb.vv AS DECIMAL(38,0)))",
+        f"  AS DECIMAL(38,0)) AS num FROM cq JOIN v{k} va ON va.p = cq.p",
+        f"  JOIN v{k} vb ON vb.p = cq.q),",
+        "tr AS (SELECT CAST(SUM(cq) AS BIGINT) AS trq FROM cq WHERE p = q)",
+        f"SELECT v{k}.p AS pos,",
+        "  CAST(vv AS DOUBLE) / sqrt(CAST(ss AS DOUBLE)) AS component,",
+        "  CAST(num AS DOUBLE) / CAST(CAST(ss AS DECIMAL(38,0))",
+        "    * CAST(trq AS DECIMAL(38,0)) AS DOUBLE) AS ev_share",
+        f"FROM v{k} CROSS JOIN ss CROSS JOIN ray CROSS JOIN tr",
+        "ORDER BY pos",
+    ]
+    return "\n".join(parts)
+
+
+@query("q183_power_iteration_pc", oracle=_power_pc_oracle_sql(6))
+def q183_power_iteration_pc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dominant principal component of the embedding corpus by 6-round
+    unrolled power iteration — the first hash-certified spectral
+    operator (decimal-exact covariance, Q20 integer matvecs, max-abs
+    renormalization; the unit component and the Rayleigh explained-
+    variance share each end as one IEEE division). The one-axis audit
+    behind 'is my embedding space collapsing?'. See
+    operators.similarity.power_iteration_pc."""
+    from reactive_kinesis_spark.operators.similarity import power_iteration_pc
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    return power_iteration_pc(emb, "embedding", "vec_id", iterations=6)

@@ -943,3 +943,12 @@ def test_pmi_top_cut_is_take_ordered(spark, sf_dir):
     assert "TakeOrderedAndProject" in plan
     assert "BroadcastNestedLoopJoin" in plan
     assert "CartesianProduct" not in plan
+
+
+def test_power_iteration_matvecs_broadcast_the_vector(spark, sf_dir):
+    """q183: each matvec joins the d-row iterate into the d²-row quantized
+    covariance as a BROADCAST; the only corpus-sized stage is the moment
+    pass (id-keyed equi self-join) — no cartesian anywhere."""
+    plan = _plan(load_all()["q183_power_iteration_pc"].fn(spark, sf_dir))
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan

@@ -107,3 +107,72 @@ def test_mmr_emits_k_steps_per_query(spark):
         per_q.setdefault(r["query_id"], set()).add(r["neighbor_id"])
     # selections are distinct within each query
     assert all(len(s) == 3 for s in per_q.values())
+
+
+# ---------------------------------------------- power-iteration PC (q183)
+
+
+def test_power_iteration_pc_matches_numpy_mirror(spark, sf_dir):
+    """Differential against an independent implementation: a numpy
+    float64 mirror of the SAME fixed-k quantized program (the honest
+    apples-to-apples — on this deliberately flat-spectrum corpus,
+    lambda2/lambda1 ≈ 0.93, so NO 6-round power iteration lands on the
+    true eigenvector; convergence-when-a-gap-exists is pinned by the
+    planted-axis test below). Also checks the reported ev_share equals
+    the mirror's Rayleigh share."""
+    import numpy as np
+
+    from reactive_kinesis_spark.operators.similarity import power_iteration_pc
+    from reactive_kinesis_spark.tables import load_table
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    rows = power_iteration_pc(emb, "embedding", "vec_id", iterations=6).collect()
+    got = np.array([r["component"] for r in sorted(rows, key=lambda r: r["pos"])])
+    share = rows[0]["ev_share"]
+
+    X = np.array(
+        [r["embedding"] for r in emb.select("embedding").collect()], dtype=np.float64
+    )
+    C = np.cov(X, rowvar=False, bias=True) * len(X)  # centered moment sums
+    Cq = np.floor(C * 2**20 / np.abs(C).max())
+    v = np.full(C.shape[0], 2**20, dtype=np.float64)
+    for _ in range(6):
+        w = Cq @ v
+        v = np.floor(w * 2**20 / max(np.abs(w).max(), 1.0))
+    u = v / np.linalg.norm(v)
+    assert abs(float(np.dot(got, u))) > 1 - 1e-9
+    want_share = float(v @ Cq @ v) / (float(v @ v) * float(np.trace(Cq)))
+    # numpy's float64 covariance can flip a few Cq entries by +-1 vs the
+    # engine's decimal-exact moments; the share agrees to the same budget
+    assert abs(share - want_share) < 1e-6
+
+
+def test_power_iteration_pc_validates_iterations(spark, sf_dir):
+    from reactive_kinesis_spark.operators.similarity import power_iteration_pc
+    from reactive_kinesis_spark.tables import load_table
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    with pytest.raises(ValueError, match="iterations"):
+        power_iteration_pc(emb, iterations=0)
+
+
+def test_power_iteration_pc_on_planted_dominant_axis(spark):
+    """Hand-built geometry: variance concentrated on axis 0 -> the
+    component must be ~e_0 and the share ~1."""
+    import numpy as np
+
+    from reactive_kinesis_spark.operators.similarity import power_iteration_pc
+
+    rng = np.random.default_rng(7)
+    X = np.zeros((200, 4))
+    X[:, 0] = rng.normal(0, 10.0, 200)   # dominant axis
+    X[:, 1:] = rng.normal(0, 0.1, (200, 3))
+    df = spark.createDataFrame(
+        [(i, [float(v) for v in X[i]]) for i in range(200)],
+        "vec_id long, embedding array<float>",
+    )
+    rows = sorted(power_iteration_pc(df, iterations=6).collect(), key=lambda r: r["pos"])
+    comp = [r["component"] for r in rows]
+    assert abs(comp[0]) > 0.999
+    assert all(abs(c) < 0.03 for c in comp[1:])
+    assert rows[0]["ev_share"] > 0.99
