@@ -123,6 +123,20 @@ def token_entropy(
     """
     w = _words(docs, text_col, F.col(group_col).alias("grp"))
     cnt = w.groupBy("grp", "word").agg(F.count(F.lit(1)).alias("c"))
+    return entropy_from_counts(cnt, group_col=group_col)
+
+
+def entropy_from_counts(
+    cnt: DataFrame, group_col: str = "source"
+) -> DataFrame:
+    """The entropy tail of :func:`token_entropy`, factored so any exact
+    per-(group, word) count frame can feed it — the batch query builds
+    counts from a document scan; the streaming vocabulary ledger
+    (:func:`streaming.rollup.read_source_entropy`) feeds its merged
+    counts instead, making stream and batch BIT-EQUAL by construction
+    (pure-int counts fold exactly-once; entropy is derived only here, at
+    read time, so merge order can never perturb it). ``cnt`` must carry
+    ``grp``/``word``/``c`` columns with ``c`` the exact BIGINT count."""
     cnt = with_log2_fixed(cnt, "c", "lc", prefix="c")
     per = cnt.groupBy("grp").agg(
         F.sum("c").alias("n_tokens"),

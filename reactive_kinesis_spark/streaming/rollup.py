@@ -585,3 +585,69 @@ def read_oov_drift(
             "oov_rate"
         ),
     )
+
+
+def source_vocab_spec(source_col: str = "source", token_col: str = "token") -> RollupSpec:
+    """Spec for the per-(source, token) vocabulary ledger behind
+    :func:`read_source_entropy` — two keys, count-only measures."""
+    return RollupSpec(keys=(source_col, token_col))
+
+
+def continuous_source_vocabulary(
+    out_dir: str,
+    text_col: str = "text",
+    source_col: str = "source",
+    token_col: str = "token",
+    force_takeover: bool = False,
+):
+    """``foreachBatch`` writer maintaining a continuously-updated
+    per-SOURCE vocabulary ledger from a document stream — the fifth
+    continuous view, and the streaming substrate of the q175 entropy /
+    q181 KL audits: each micro-batch explodes its documents into
+    (source, token) counts and folds them into the rollup ledger
+    (exactly-once replay-overwrite, compactable, mergeable — inherited
+    from :func:`continuous_rollup`).
+
+    Counts are pure ints, so every statistic DERIVED from the ledger at
+    read time (entropy via the portable fixed-point log2, OOV, KL) is
+    bit-equal to the batch computation over the same rows — the
+    q149-ledger contract, extended to the information-theoretic tier.
+    At 100 TB the per-batch delta is the batch's own per-source
+    vocabulary (map-side combined), not the corpus's.
+    """
+    spec = source_vocab_spec(source_col, token_col)
+    inner = continuous_rollup(out_dir, spec, force_takeover=force_takeover)
+
+    def write(batch_df: DataFrame, batch_id: int) -> None:
+        toks = batch_df.where(F.col(text_col).isNotNull()).select(
+            F.col(source_col),
+            F.explode(F.split(F.col(text_col), " ")).alias(token_col),
+        )
+        inner(toks, batch_id)
+
+    return write
+
+
+def read_source_entropy(
+    spark: SparkSession,
+    out_dir: str,
+    source_col: str = "source",
+    token_col: str = "token",
+) -> DataFrame:
+    """Per-source Shannon entropy (bits) from a
+    :func:`continuous_source_vocabulary` ledger: merge base + deltas
+    (one groupBy over pre-aggregated partials), then the SAME certified
+    fixed-point-log2 entropy program the batch q175 runs
+    (:func:`operators.lexstats.entropy_from_counts`) — stream ≡ batch
+    bit-for-bit over the committed rows, pinned by tests/test_rollup.py.
+    """
+    from reactive_kinesis_spark.operators.lexstats import entropy_from_counts
+
+    spec = source_vocab_spec(source_col, token_col)
+    merged = read_rollup(spark, out_dir, spec)
+    cnt = merged.select(
+        F.col(source_col).alias("grp"),
+        F.col(token_col).alias("word"),
+        F.col("n").alias("c"),
+    )
+    return entropy_from_counts(cnt, group_col=source_col)

@@ -557,3 +557,54 @@ def test_frozen_vocab_requires_vocab(spark):
 
     with pytest.raises(ValueError, match="vocab"):
         frozen_vocab_oov_flags(docs, "text", "source", ())
+
+
+def test_continuous_source_vocabulary_entropy_matches_batch(spark, tmp_path):
+    """Stream real documents through the per-source vocabulary ledger and
+    check the entropy READ equals the batch q175 program over the same
+    rows, bit for bit: counts fold as pure ints (exactly-once), and the
+    certified fixed-point-log2 entropy runs only at read time."""
+    from reactive_kinesis_spark.operators.lexstats import token_entropy
+    from reactive_kinesis_spark.streaming.rollup import (
+        continuous_source_vocabulary,
+        read_source_entropy,
+    )
+
+    docs = (
+        spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+        .select("source", "text")
+    )
+    rows = docs.collect()
+    in_dir, out_dir, ckpt = (
+        str(tmp_path / "in"),
+        str(tmp_path / "vocab"),
+        str(tmp_path / "ckpt"),
+    )
+    schema = "source string, text string"
+    third = len(rows) // 3
+    for i, chunk in enumerate([rows[:third], rows[third : 2 * third], rows[2 * third :]]):
+        spark.createDataFrame(chunk, schema).coalesce(1).write.mode(
+            "overwrite"
+        ).parquet(os.path.join(in_dir, f"c{i}"))
+    stream = (
+        spark.readStream.schema(docs.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(in_dir + "/*")
+    )
+    q = (
+        stream.writeStream.foreachBatch(continuous_source_vocabulary(out_dir))
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+
+    got = {
+        r.source: (r.n_tokens, r.vocab, r.entropy_bits)
+        for r in read_source_entropy(spark, out_dir).collect()
+    }
+    want = {
+        r.source: (r.n_tokens, r.vocab, r.entropy_bits)
+        for r in token_entropy(docs, "text", "source").collect()
+    }
+    assert got == want and got
