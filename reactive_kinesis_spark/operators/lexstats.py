@@ -407,3 +407,76 @@ def pmi_collocations(
             (F.col("__pmi_q").cast("double") / F.lit(float(LOG2_SCALE))).alias("pmi_bits"),
         )
     )
+
+
+def conditional_entropy(
+    docs: DataFrame, text_col: str = "text", group_col: str = "source"
+) -> DataFrame:
+    """Per-group conditional next-word entropy ``H(w2 | w1)`` in bits --
+    the template detector: a source whose next word is nearly determined
+    by the previous one (low conditional entropy) is boilerplate or
+    machine-generated even when its unigram entropy (q175) looks healthy.
+    Computed by the chain rule as ``H(w1,w2) - H(w1)`` with BOTH terms
+    over the same bigram population (the head marginal, not the free
+    unigram distribution), each through the certified fixed-point-log2
+    entropy program -- certified by composition, one IEEE subtraction at
+    the end.
+
+    Returns ``(group, n_bigrams, pair_entropy_bits, head_entropy_bits,
+    cond_entropy_bits)``. Scale: one bigram explode (map-side-combinable
+    (group, w1, w2) count), the head marginal is a re-aggregation of
+    those counts -- vocabulary-squared-bounded, never a second corpus
+    pass. The pair "word" key for the entropy program is the (w1, w2)
+    struct flattened with an unambiguous separator-free concat: entropy
+    only needs count MULTISET identity, and (grp, w1, w2) grouping
+    happened before the concat, so collisions cannot merge counts.
+    """
+    words = F.split(F.col(text_col), " ")
+    base = docs.where(F.col(text_col).isNotNull()).select(
+        F.col(group_col).alias("grp"), words.alias("__w")
+    )
+    bg = (
+        base.where(F.size("__w") >= 2)
+        .select(
+            "grp",
+            F.expr(
+                "transform(sequence(1, size(__w) - 1),"
+                " i -> struct(get(__w, i - 1) AS w1, get(__w, i) AS w2))"
+            ).alias("__bg"),
+        )
+        .select("grp", F.explode("__bg").alias("bg"))
+        .select("grp", F.col("bg.w1").alias("w1"), F.col("bg.w2").alias("w2"))
+    )
+    # lazy checkpoint: both entropy terms branch off this frame, and
+    # without materialization each branch re-executes the corpus scan —
+    # the plan pin asserts the single-pass claim stays true
+    pair_cnt = (
+        bg.groupBy("grp", "w1", "w2")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .localCheckpoint(eager=False)
+    )
+    head_cnt = pair_cnt.groupBy("grp", "w1").agg(F.sum("c").alias("c"))
+    h_pair = entropy_from_counts(
+        pair_cnt.select("grp", F.concat_ws("", "w1", "w2").alias("word"), "c"),
+        group_col="grp",
+    ).select(
+        "grp",
+        F.col("n_tokens").alias("n_bigrams"),
+        F.col("entropy_bits").alias("pair_entropy_bits"),
+    )
+    h_head = entropy_from_counts(
+        head_cnt.select("grp", F.col("w1").alias("word"), "c"), group_col="grp"
+    ).select("grp", F.col("entropy_bits").alias("head_entropy_bits"))
+    return (
+        h_pair.join(h_head, "grp")
+        .select(
+            F.col("grp").alias(group_col),
+            "n_bigrams",
+            "pair_entropy_bits",
+            "head_entropy_bits",
+            (F.col("pair_entropy_bits") - F.col("head_entropy_bits")).alias(
+                "cond_entropy_bits"
+            ),
+        )
+        .orderBy(group_col)
+    )

@@ -241,3 +241,60 @@ def q182_pmi_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
     ambiguity. See operators.lexstats.pmi_collocations."""
     docs = load_table(spark, sf_dir, "documents")
     return L.pmi_collocations(docs, min_count=5, top=100)
+
+
+def _entropy_tail_sql(src: str, pfx: str, n_alias: str, h_alias: str) -> str:
+    """CTE fragment running the certified entropy program over ``src``
+    (columns ``grp``/``c``): emits CTEs ``{pfx}0``/``{pfx}`` and a final
+    ``{pfx}h`` with ``grp, {n_alias}, {h_alias}`` — the SQL mirror of
+    operators.lexstats.entropy_from_counts, reused by q184's two terms."""
+    lg_c = log2_fixed_ctes(src, "grp, c", "c", "lc", f"{pfx}c", prefix=f"{pfx}lc")
+    lg_n = log2_fixed_ctes(
+        f"{pfx}0", "grp, n_tokens, vocab, sum_clc", "n_tokens", "ln_", f"{pfx}1",
+        prefix=f"{pfx}ln",
+    )
+    return f"""{lg_c},
+    {pfx}0 AS (SELECT grp, CAST(SUM(c) AS BIGINT) AS n_tokens,
+        CAST(COUNT(*) AS BIGINT) AS vocab,
+        CAST(SUM(CAST(c AS DECIMAL(18,0)) * CAST(lc AS DECIMAL(18,0)))
+             AS DECIMAL(38,0)) AS sum_clc
+        FROM {pfx}c GROUP BY grp),
+    {lg_n},
+    {pfx}h AS (SELECT grp, n_tokens AS {n_alias},
+      CAST(CAST(n_tokens AS DECIMAL(18,0)) * CAST(ln_ AS DECIMAL(18,0)) - sum_clc
+           AS DOUBLE)
+      / CAST(n_tokens * {_SC} AS DOUBLE) AS {h_alias}
+      FROM {pfx}1)"""
+
+
+def _conditional_entropy_sql() -> str:
+    pair_tail = _entropy_tail_sql("pcc", "ep", "n_bigrams", "pair_entropy_bits")
+    head_tail = _entropy_tail_sql("hcc", "eh", "n_heads", "head_entropy_bits")
+    return f"""
+    WITH w AS (SELECT source AS grp, string_split(text, ' ') AS words
+               FROM documents WHERE text IS NOT NULL),
+    bg0 AS (SELECT grp, words[i] AS w1, words[i + 1] AS w2
+            FROM w, UNNEST(range(1, len(words))) AS t(i)
+            WHERE len(words) >= 2),
+    pc0 AS (SELECT grp, w1, w2, CAST(COUNT(*) AS BIGINT) AS c
+            FROM bg0 GROUP BY grp, w1, w2),
+    pcc AS (SELECT grp, c FROM pc0),
+    hcc AS (SELECT grp, CAST(SUM(c) AS BIGINT) AS c FROM pc0 GROUP BY grp, w1),
+    {pair_tail},
+    {head_tail}
+    SELECT eph.grp AS source, n_bigrams, pair_entropy_bits, head_entropy_bits,
+           pair_entropy_bits - head_entropy_bits AS cond_entropy_bits
+    FROM eph JOIN ehh ON ehh.grp = eph.grp ORDER BY source
+    """
+
+
+@query("q184_conditional_entropy", oracle=_conditional_entropy_sql())
+def q184_conditional_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source conditional next-word entropy H(w2|w1) in bits, by the
+    chain rule over the bigram population -- the template/boilerplate
+    detector that fires even when unigram entropy looks healthy.
+    Certified by composition of two runs of the fixed-point-log2 entropy
+    program plus one IEEE subtraction. See
+    operators.lexstats.conditional_entropy."""
+    docs = load_table(spark, sf_dir, "documents")
+    return L.conditional_entropy(docs, group_col="source")

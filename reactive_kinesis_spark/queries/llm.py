@@ -3904,11 +3904,12 @@ def q180_mmr_diverse_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def _power_pc_oracle_sql(iterations: int) -> str:
     """q183 oracle: the unrolled power iteration mirrored CTE for CTE —
-    decimal-exact covariance, Q20 floor-quantization (exact: the ×2^20
-    is an IEEE exponent shift, the division and floor are single ops),
-    exact-int64 matvecs, max-abs renormalization, and the two final
-    single divisions. See operators.similarity.power_iteration_pc."""
-    from reactive_kinesis_spark.functions import davg_sql, dsum_sql
+    decimal-exact means, micro-unit-exact covariance (each centered
+    product floor-quantized to int64 micro-units, then a pure integer
+    sum — order-free in both engines), Q20 floor-quantization, exact-
+    int64 matvecs, max-abs renormalization, and the two final single
+    divisions. See operators.similarity.power_iteration_pc."""
+    from reactive_kinesis_spark.functions import davg_sql
 
     Q = 1048576
     parts = [
@@ -3917,13 +3918,14 @@ def _power_pc_oracle_sql(iterations: int) -> str:
         "el AS MATERIALIZED (SELECT vec_id, pp.pos AS p, pp.x FROM v,",
         "  LATERAL (SELECT unnest(ev) AS x, generate_subscripts(ev, 1) AS pos) pp),",
         f"mn AS (SELECT p, {davg_sql('x', 'm')} FROM el GROUP BY p),",
-        "pr AS (SELECT a.p AS p, b.p AS q, (a.x - ma.m) * (b.x - mb.m) AS prod",
+        "pr AS (SELECT a.p AS p, b.p AS q,",
+        "  CAST(floor(((a.x - ma.m) * (b.x - mb.m)) * 1000000.0) AS BIGINT) AS prod_u",
         "  FROM el a JOIN el b ON a.vec_id = b.vec_id",
         "  JOIN mn ma ON ma.p = a.p JOIN mn mb ON mb.p = b.p),",
-        f"cv AS (SELECT p, q, {dsum_sql('prod', 'c')} FROM pr GROUP BY p, q),",
+        "cv AS (SELECT p, q, CAST(SUM(prod_u) AS BIGINT) AS c FROM pr GROUP BY p, q),",
         "mx AS (SELECT MAX(abs(c)) AS maxc FROM cv),",
-        f"cq AS MATERIALIZED (SELECT p, q, CAST(floor((c * {float(Q)!r}) / maxc) AS BIGINT) AS cq",
-        "  FROM cv CROSS JOIN mx),",
+        f"cq AS MATERIALIZED (SELECT p, q, CAST(floor((CAST(c AS DOUBLE) * {float(Q)!r})",
+        "  / CAST(maxc AS DOUBLE)) AS BIGINT) AS cq FROM cv CROSS JOIN mx),",
         f"v0 AS (SELECT p, CAST({Q} AS BIGINT) AS vv FROM mn),",
     ]
     for i in range(1, iterations + 1):

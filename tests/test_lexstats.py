@@ -217,3 +217,46 @@ def test_pmi_top_cut_is_exact_and_ordered(spark):
     top1 = L.pmi_collocations(df, min_count=5, top=1).collect()
     assert len(top1) == 1
     assert top1[0]["w1"] == all_rows[0]["w1"] and top1[0]["w2"] == all_rows[0]["w2"]
+
+
+# ------------------------------------------------ conditional entropy
+
+
+def test_conditional_entropy_zero_for_deterministic_chain(spark):
+    # "a b a b a b": heads {a:3, b:2}; every head determines its successor
+    # -> H(pair) == H(head), conditional entropy exactly 0
+    df = _docs(spark, [(1, "a b a b a b", "en", "s0")])
+    rows = L.conditional_entropy(df).collect()
+    assert len(rows) == 1
+    r = rows[0]
+    assert r["n_bigrams"] == 5
+    assert r["cond_entropy_bits"] == 0.0
+
+
+def test_conditional_entropy_one_bit_for_fair_branching(spark):
+    # heads all 'a'; successors split 2/2 between b and c:
+    # H(head)=0, H(pair)=1 -> conditional entropy exactly 1 bit
+    df = _docs(spark, [(1, "a b", "en", "s0"), (2, "a c", "en", "s0"),
+                       (3, "a b", "en", "s0"), (4, "a c", "en", "s0")])
+    r = L.conditional_entropy(df).collect()[0]
+    assert r["n_bigrams"] == 4
+    assert r["head_entropy_bits"] == 0.0
+    assert r["pair_entropy_bits"] == 1.0
+    assert r["cond_entropy_bits"] == 1.0
+
+
+def test_conditional_entropy_matches_python_reference(spark):
+    df = _docs(spark, [(1, "a b a c a b b c", "en", "s0")])
+    r = L.conditional_entropy(df).collect()[0]
+    # bigrams: ab,ba,ac,ca,ab,bb,bc -> pair counts {ab:2,ba:1,ac:1,ca:1,bb:1,bc:1}
+    # heads (w1 of each bigram; the final word is never a head): a:3, b:3, c:1
+    def h(counts):
+        n = sum(counts)
+        num = n * _log2_ref(n) - sum(c * _log2_ref(c) for c in counts)
+        return num / (n * LOG2_SCALE)
+    hp = h([2, 1, 1, 1, 1, 1])
+    hh = h([3, 3, 1])
+    assert r["n_bigrams"] == 7
+    assert r["pair_entropy_bits"] == hp
+    assert r["head_entropy_bits"] == hh
+    assert r["cond_entropy_bits"] == hp - hh

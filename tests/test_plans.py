@@ -945,10 +945,34 @@ def test_pmi_top_cut_is_take_ordered(spark, sf_dir):
     assert "CartesianProduct" not in plan
 
 
-def test_power_iteration_matvecs_broadcast_the_vector(spark, sf_dir):
-    """q183: each matvec joins the d-row iterate into the d²-row quantized
-    covariance as a BROADCAST; the only corpus-sized stage is the moment
-    pass (id-keyed equi self-join) — no cartesian anywhere."""
-    plan = _plan(load_all()["q183_power_iteration_pc"].fn(spark, sf_dir))
-    assert "BroadcastHashJoin" in plan
+def test_power_iteration_covariance_is_join_free(spark, sf_dir):
+    """q183's distributed half (covariance_q20): the mean vector re-enters
+    as a 1-row BROADCAST array, the N·d² product stream comes out of
+    generators (no equi self-join, no shuffle of product rows beyond the
+    map-side-combined (p,q) partials), and nothing is a cartesian."""
+    from reactive_kinesis_spark.operators.similarity import covariance_q20
+    from reactive_kinesis_spark.tables import load_table
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    plan = _plan(covariance_q20(emb))
+    assert "BroadcastNestedLoopJoin" in plan  # the 1-row means array
+    assert "SortMergeJoin" not in plan and "ShuffledHashJoin" not in plan
     assert "CartesianProduct" not in plan
+    assert plan.count("HashAggregate") >= 2 and "partial_" in plan
+
+
+def test_conditional_entropy_single_bigram_pass(spark, sf_dir):
+    """q184: one bigram explode feeding a map-side-combined (grp,w1,w2)
+    count; the head marginal re-aggregates those counts (never a second
+    corpus pass); the final join is between two group-sized entropy
+    frames — no cartesian, no window."""
+    df = load_all()["q184_conditional_entropy"].fn(spark, sf_dir)
+    df.count()  # materialize the lazy checkpoint so the plan shows it
+    plan = _plan(df)
+    assert "CartesianProduct" not in plan and "Window" not in plan
+    # after the checkpoint materializes, BOTH entropy branches read the
+    # checkpointed pair-count RDD: no parquet scan remains in the plan
+    # (the one corpus pass happened inside the checkpoint job)
+    assert plan.count("Scan parquet") == 0
+    assert "localCheckpoint" in plan
+    assert plan.count("HashAggregate") >= 2 and "partial_" in plan

@@ -133,7 +133,15 @@ def test_power_iteration_pc_matches_numpy_mirror(spark, sf_dir):
     X = np.array(
         [r["embedding"] for r in emb.select("embedding").collect()], dtype=np.float64
     )
-    C = np.cov(X, rowvar=False, bias=True) * len(X)  # centered moment sums
+    mean = np.array(
+        # the engine's means are decimal-exact; float64 mean of 2000 rows
+        # agrees far beyond the micro-unit budget below
+        X.mean(axis=0)
+    )
+    P = X - mean
+    # the engine's covariance: per-row centered products floor-quantized
+    # to int64 micro-units, then an exact integer sum
+    C = np.floor((P[:, :, None] * P[:, None, :]) * 1e6).sum(axis=0)
     Cq = np.floor(C * 2**20 / np.abs(C).max())
     v = np.full(C.shape[0], 2**20, dtype=np.float64)
     for _ in range(6):
