@@ -2579,6 +2579,8 @@ def power_iteration_pc(
     spark = vectors.sparkSession
     rows = covariance_q20(vectors, vec_col, id_col).collect()
     dims = sorted({r["p"] for r in rows})
+    if not dims:  # empty corpus: no direction to report — well-formed empty
+        return spark.createDataFrame([], "pos int, component double, ev_share double")
     if len(dims) > POWER_PC_MAX_DIM:
         raise ValueError(
             f"power_iteration_pc: dimension {len(dims)} exceeds "
