@@ -480,3 +480,43 @@ def conditional_entropy(
         )
         .orderBy(group_col)
     )
+
+
+def heaps_exponent(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    buckets: int = 10,
+) -> DataFrame:
+    """Heaps'-law exponent fit: the least-squares slope of ``log2(vocab)``
+    on ``log2(cum_tokens)`` over the :func:`vocab_growth` checkpoints —
+    the one-number form of q174's curve (V ~ K * N^beta; natural corpora
+    sit near beta ~ 0.5; beta ~ 1 means unbounded vocabulary churn: IDs,
+    hashes, boilerplate noise). Same certified regression as
+    :func:`zipf_slope`: both logs are Q12 fixed-point integers, the Q12
+    scale cancels in the slope, exact int64 sums, one IEEE division.
+    Returns one row ``(n_checkpoints, heaps_beta)``; requires at least
+    2 checkpoints (no variance to regress below that).
+
+    Scale: q174's dataflow plus a buckets-row regression — nothing new
+    touches the corpus.
+    """
+    if buckets < 2:
+        raise ValueError("buckets >= 2 required (regression needs 2 points)")
+    g = vocab_growth(docs, text_col=text_col, id_col=id_col, buckets=buckets)
+    g = with_log2_fixed(g, "cum_tokens", "lx", prefix="hx")
+    g = with_log2_fixed(g, "vocab", "ly", prefix="hy")
+    agg = g.agg(
+        F.count(F.lit(1)).alias("n_checkpoints"),
+        F.sum("lx").alias("sx"),
+        F.sum("ly").alias("sy"),
+        F.sum(F.col("lx") * F.col("lx")).alias("sxx"),
+        F.sum(F.col("lx") * F.col("ly")).alias("sxy"),
+    )
+    return agg.where(F.col("n_checkpoints") >= 2).select(
+        "n_checkpoints",
+        (
+            (F.col("n_checkpoints") * F.col("sxy") - F.col("sx") * F.col("sy")).cast("double")
+            / (F.col("n_checkpoints") * F.col("sxx") - F.col("sx") * F.col("sx")).cast("double")
+        ).alias("heaps_beta"),
+    )

@@ -43,7 +43,7 @@ def query(name: str, oracle: str | None = None):
 
 
 #: Driver-visibility rotation (round 11). The driver's correctness run samples
-#: the FIRST 50 registry entries; with 178 oracle-backed queries, the rest
+#: the FIRST 50 registry entries; with 179 oracle-backed queries, the rest
 #: must sit past the window each round. Policy: the least-driver-certified
 #: queries get the visible slots — never-certified first, then queries whose
 #: CODE OR ORACLE CHANGED since their last green row (a stale green row
@@ -80,15 +80,15 @@ def query(name: str, oracle: str | None = None):
 #:   slots 22-26 — the five displaced R9-deferred queries q62/q64-q67
 #:                 (r6-certified, 5 rounds stale — the oldest debt, the
 #:                 round-10 verdict's first ask);
-#:   slots 27-37 — the ELEVEN third-session operators q174–q184 (the
+#:   slots 27-38 — the TWELVE third-session operators q174–q185 (the
 #:                 fixed-point-log2 tier: vocab growth, entropy, zipf,
 #:                 NB domain LLR, elbow, pair n-gram precision, MMR,
 #:                 KL drift, PMI, power-iteration PC, conditional
-#:                 bigram entropy) — never certified, so they outrank
-#:                 every already-green row;
-#:   slots 38-49 — the first 12 of the 44 r7-certified queries from
-#:                 _DEFERRED_R11; the remaining 32 move to
-#:                 _DEFERRED_R12 (the 178-oracle/50-slot rotation math
+#:                 bigram entropy, Heaps exponent) — never certified,
+#:                 so they outrank every already-green row;
+#:   slots 39-49 — the first 11 of the 44 r7-certified queries from
+#:                 _DEFERRED_R11; the remaining 33 move to
+#:                 _DEFERRED_R12 (the 179-oracle/50-slot rotation math
 #:                 now makes a ≈3.5-round staleness floor the best
 #:                 achievable; new-operator rounds trade a little floor
 #:                 for coverage, never-certified first as always).
@@ -141,7 +141,8 @@ _WINDOW = (
     "q182_pmi_collocations",
     "q183_power_iteration_pc",
     "q184_conditional_entropy",
-    # -- r7-certified block (first 12 of 44; rest -> _DEFERRED_R12) --
+    "q185_heaps_exponent",
+    # -- r7-certified block (first 11 of 44; rest -> _DEFERRED_R12) --
     "q01_pricing_summary",
     "q03_join_agg_topk",
     "q04_star_join",
@@ -153,17 +154,17 @@ _WINDOW = (
     "q11_cube",
     "q121_weighted_pagerank",
     "q124_kmeans_clusters",
-    "q126_bfs_hops",
 )
-#: The 32 r7-certified queries the round-11 window could not fit (plus
+#: The 33 r7-certified queries the round-11 window could not fit (plus
 #: nothing else this round — r6 debt is cleared above). Round 12 takes
 #: these FIRST, then whatever round-11 certified rows are oldest. Two
 #: mid-round displacements extended this list: the second round-11
-#: session added q167–q173 and graduated q38, the third added q174–q184
+#: session added q167–q173 and graduated q38, the third added q174–q185
 #: (the fixed-point-log2 tier) — new and never-certified operators take
 #: slots first, so the r7 tail (q130–q140 block, then q16–q29 block)
 #: moved here.
 _DEFERRED_R12 = (
+    "q126_bfs_hops",
     "q127_association_rules",
     "q129_link_prediction",
     "q130_quantile_normalize",

@@ -298,3 +298,50 @@ def q184_conditional_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
     operators.lexstats.conditional_entropy."""
     docs = load_table(spark, sf_dir, "documents")
     return L.conditional_entropy(docs, group_col="source")
+
+
+def _heaps_exponent_sql(buckets: int) -> str:
+    lg_x = log2_fixed_ctes(
+        "g0", "bucket, cum_tokens, vocab", "cum_tokens", "lx", "gx", prefix="hx"
+    )
+    lg_y = log2_fixed_ctes(
+        "gx", "bucket, cum_tokens, vocab, lx", "vocab", "ly", "gy", prefix="hy"
+    )
+    return f"""
+    WITH d AS (SELECT doc_id, text FROM documents WHERE text IS NOT NULL),
+    ids AS (SELECT doc_id AS id FROM d),
+    th AS (SELECT bucket, MAX(id) AS t FROM
+      (SELECT id, NTILE({buckets}) OVER (ORDER BY id) AS bucket FROM ids)
+      GROUP BY bucket),
+    w AS (SELECT doc_id AS id, unnest(string_split(text, ' ')) AS word FROM d),
+    tok AS (SELECT id, CAST(COUNT(*) AS BIGINT) AS ntok FROM w GROUP BY id),
+    fw AS (SELECT word, MIN(id) AS first_id FROM w GROUP BY word),
+    ct AS (SELECT bucket, CAST(SUM(ntok) AS BIGINT) AS cum_tokens
+           FROM tok JOIN th ON id <= t GROUP BY bucket),
+    vb AS (SELECT bucket, CAST(COUNT(*) AS BIGINT) AS vocab
+           FROM fw JOIN th ON first_id <= t GROUP BY bucket),
+    g0 AS (SELECT ct.bucket, cum_tokens, vocab FROM ct JOIN vb USING (bucket)),
+    {lg_x},
+    {lg_y},
+    r AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_checkpoints,
+          CAST(SUM(lx) AS BIGINT) AS sx, CAST(SUM(ly) AS BIGINT) AS sy,
+          CAST(SUM(lx * lx) AS BIGINT) AS sxx,
+          CAST(SUM(lx * ly) AS BIGINT) AS sxy
+          FROM gy)
+    SELECT n_checkpoints,
+      CAST(n_checkpoints * sxy - sx * sy AS DOUBLE)
+      / CAST(n_checkpoints * sxx - sx * sx AS DOUBLE) AS heaps_beta
+    FROM r WHERE n_checkpoints >= 2
+    """
+
+
+@query("q185_heaps_exponent", oracle=_heaps_exponent_sql(10))
+def q185_heaps_exponent(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heaps'-law exponent: the least-squares slope of log2(vocab) on
+    log2(cum_tokens) over q174's 10 corpus checkpoints — the one-number
+    vocabulary-churn alarm (beta near 1 = IDs/hash noise; natural text
+    bends toward ~0.5). Q12 log-log regression, scale cancels, exact
+    int64 sums, one IEEE division. See
+    operators.lexstats.heaps_exponent."""
+    docs = load_table(spark, sf_dir, "documents")
+    return L.heaps_exponent(docs, buckets=10)

@@ -260,3 +260,37 @@ def test_conditional_entropy_matches_python_reference(spark):
     assert r["pair_entropy_bits"] == hp
     assert r["head_entropy_bits"] == hh
     assert r["cond_entropy_bits"] == hp - hh
+
+
+# ------------------------------------------------------ Heaps exponent
+
+
+def test_heaps_exponent_exact_on_power_of_two_checkpoints(spark):
+    # checkpoints (cum_tokens, vocab) = (4, 2) and (16, 4):
+    # beta = (L(4)-L(2)) / (L(16)-L(4)) = 4096/8192 = 0.5 exactly
+    df = _docs(
+        spark,
+        [(1, "a a b b", "en", "s0"), (2, "c c c c c c d d d d d d", "en", "s0")],
+    )
+    rows = L.heaps_exponent(df, buckets=2).collect()
+    assert len(rows) == 1
+    assert rows[0]["n_checkpoints"] == 2
+    assert rows[0]["heaps_beta"] == 0.5
+
+
+def test_heaps_exponent_flags_vocabulary_churn(spark):
+    # every doc introduces only new words -> vocab grows ~linearly with
+    # tokens -> beta near 1; a repeated-vocab corpus sits far lower
+    churn = [(i, " ".join(f"w{i}_{j}" for j in range(10)), "en", "s0") for i in range(10)]
+    fixed = [(i, "a b c d e f g h i j", "en", "s0") for i in range(10)]
+    b_churn = L.heaps_exponent(_docs(spark, churn), buckets=5).collect()[0]["heaps_beta"]
+    b_fixed = L.heaps_exponent(_docs(spark, fixed), buckets=5).collect()[0]["heaps_beta"]
+    assert b_churn > 0.95
+    assert b_fixed < 0.2
+    assert b_churn > b_fixed
+
+
+def test_heaps_exponent_rejects_single_bucket(spark):
+    df = _docs(spark, [(1, "a", "en", "s0")])
+    with pytest.raises(ValueError, match="buckets"):
+        L.heaps_exponent(df, buckets=1)

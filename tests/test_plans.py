@@ -976,3 +976,11 @@ def test_conditional_entropy_single_bigram_pass(spark, sf_dir):
     assert plan.count("Scan parquet") == 0
     assert "localCheckpoint" in plan
     assert plan.count("HashAggregate") >= 2 and "partial_" in plan
+
+
+def test_heaps_exponent_reuses_vocab_growth_shape(spark, sf_dir):
+    """q185: the regression rides q174's dataflow — threshold broadcasts,
+    no cartesian, and the log2 chains stay narrow projections."""
+    plan = _plan(load_all()["q185_heaps_exponent"].fn(spark, sf_dir))
+    assert plan.count("BroadcastNestedLoopJoin") >= 2
+    assert "CartesianProduct" not in plan
