@@ -1136,8 +1136,15 @@ def pair_ngram_precision(
     ``id_2`` the reference.
 
     ``pairs`` must carry ``id_1 < id_2`` (any bounded candidate source —
-    LSH bands, exact-Jaccard pairs, sorted-neighborhood blocks). Returns
-    one row per pair: ``clip_1/tot_1/prec_1`` (unigrams) and
+    LSH bands, exact-Jaccard pairs, sorted-neighborhood blocks).
+    PRECONDITION: each pair's ``id_1`` document must have >= 2 words —
+    the unigram and bigram clip frames are inner-joined, so a pair whose
+    candidate side has no bigram rows (or no text at all) drops from the
+    output entirely rather than surfacing with null bigram columns.
+    Shingle-based candidate sources satisfy this by construction (a
+    trigram-shingled candidate implies >= 3 words, q179's case); audit
+    hand-built pair lists against it before calling. Returns one row per
+    qualifying pair: ``clip_1/tot_1/prec_1`` (unigrams) and
     ``clip_2/tot_2/prec_2`` (bigrams). Counts are exact integers;
     each precision is one IEEE division — hash-certified.
 

@@ -241,10 +241,13 @@ def nb_domain_llr(
     LLR table is vocabulary-sized; if it fits executor memory it may be
     broadcast, but the word-keyed equi-join needs no such assumption.
     """
+    # NULL target_filter rows (e.g. NULL lang) coalesce to background —
+    # two-valued class membership, no silently-unclassed tokens (the
+    # pre-r12 three-valued behavior skipped them in BOTH class counts)
     base = docs.where(F.col(text_col).isNotNull()).select(
         F.col(id_col).alias("__id"),
         F.col(text_col).alias("__text"),
-        F.expr(target_filter).cast("boolean").alias("__tgt"),
+        F.coalesce(F.expr(target_filter).cast("boolean"), F.lit(False)).alias("__tgt"),
     )
     w = base.select(
         "__id", "__tgt", F.explode(F.split("__text", " ")).alias("word")
@@ -496,7 +499,11 @@ def heaps_exponent(
     :func:`zipf_slope`: both logs are Q12 fixed-point integers, the Q12
     scale cancels in the slope, exact int64 sums, one IEEE division.
     Returns one row ``(n_checkpoints, heaps_beta)``; requires at least
-    2 checkpoints (no variance to regress below that).
+    2 checkpoints (no variance to regress below that). ``heaps_beta`` is
+    an explicit NULL when the x-variance denominator is exactly 0 —
+    checkpoints whose cum_tokens differ by less than the Q12 log
+    resolution (~0.017% relative) quantize to identical lx on
+    tiny/degenerate corpora, and a pinned NULL beats NaN-by-accident.
 
     Scale: q174's dataflow plus a buckets-row regression — nothing new
     touches the corpus.
@@ -517,6 +524,9 @@ def heaps_exponent(
         "n_checkpoints",
         (
             (F.col("n_checkpoints") * F.col("sxy") - F.col("sx") * F.col("sy")).cast("double")
-            / (F.col("n_checkpoints") * F.col("sxx") - F.col("sx") * F.col("sx")).cast("double")
+            / F.nullif(
+                F.col("n_checkpoints") * F.col("sxx") - F.col("sx") * F.col("sx"),
+                F.lit(0).cast("long"),
+            ).cast("double")
         ).alias("heaps_beta"),
     )

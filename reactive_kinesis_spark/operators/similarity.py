@@ -2514,7 +2514,11 @@ def covariance_q20(
         )
     )
     cv = pr.groupBy("p", "q").agg(F.sum("prod_u").alias("c"))
-    mx = cv.agg(F.max(F.abs("c")).alias("maxc"))
+    # GREATEST(maxc, 1): a constant-embedding (or single-row) corpus has an
+    # all-zero covariance; without the floor the Q20 quantization divides
+    # 0/0 (engine-divergent NULL/NaN). With it, cq is all-zero — well
+    # formed — and power_iteration_pc reports the degenerate result loudly.
+    mx = cv.agg(F.greatest(F.max(F.abs("c")), F.lit(1)).alias("maxc"))
     return cv.crossJoin(F.broadcast(mx)).select(
         "p",
         "q",
@@ -2596,6 +2600,14 @@ def power_iteration_pc(
     ss = sum(x * x for x in v.values())
     num = sum(cqm[(p, q)] * v[p] * v[q] for (p, q) in cqm)
     trq = sum(cqm.get((p, p), 0) for p in dims)
+    if ss == 0 or trq == 0:
+        # degenerate-nonempty corpus (constant embeddings → all-zero
+        # covariance → zero vector after round 1): no principal direction
+        # exists; report a well-formed all-zero result instead of 0/0.
+        return spark.createDataFrame(
+            [(p, 0.0, 0.0) for p in dims],
+            "pos int, component double, ev_share double",
+        ).orderBy("pos")
     out = [
         (
             p,

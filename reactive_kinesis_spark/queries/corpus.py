@@ -130,7 +130,8 @@ def _nb_domain_llr_sql(target_filter: str) -> str:
     lg_nt = log2_fixed_ctes("tot0", "nt, nb, v", "nt + v", "lnt", "tot1", prefix="nt")
     lg_nb = log2_fixed_ctes("tot1", "nt, nb, v, lnt", "nb + v", "lnb", "tot2", prefix="nb")
     return f"""
-    WITH base AS (SELECT doc_id AS id, text, ({target_filter}) AS tgt
+    WITH base AS (SELECT doc_id AS id, text,
+                  COALESCE(({target_filter}), FALSE) AS tgt
                   FROM documents WHERE text IS NOT NULL),
     w AS (SELECT id, tgt, unnest(string_split(text, ' ')) AS word FROM base),
     dw AS (SELECT id, tgt, word, CAST(COUNT(*) AS BIGINT) AS tf
@@ -330,7 +331,7 @@ def _heaps_exponent_sql(buckets: int) -> str:
           FROM gy)
     SELECT n_checkpoints,
       CAST(n_checkpoints * sxy - sx * sy AS DOUBLE)
-      / CAST(n_checkpoints * sxx - sx * sx AS DOUBLE) AS heaps_beta
+      / CAST(NULLIF(n_checkpoints * sxx - sx * sx, 0) AS DOUBLE) AS heaps_beta
     FROM r WHERE n_checkpoints >= 2
     """
 

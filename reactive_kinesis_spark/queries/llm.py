@@ -3923,7 +3923,7 @@ def _power_pc_oracle_sql(iterations: int) -> str:
         "  FROM el a JOIN el b ON a.vec_id = b.vec_id",
         "  JOIN mn ma ON ma.p = a.p JOIN mn mb ON mb.p = b.p),",
         "cv AS (SELECT p, q, CAST(SUM(prod_u) AS BIGINT) AS c FROM pr GROUP BY p, q),",
-        "mx AS (SELECT MAX(abs(c)) AS maxc FROM cv),",
+        "mx AS (SELECT GREATEST(MAX(abs(c)), 1) AS maxc FROM cv),",
         f"cq AS MATERIALIZED (SELECT p, q, CAST(floor((CAST(c AS DOUBLE) * {float(Q)!r})",
         "  / CAST(maxc AS DOUBLE)) AS BIGINT) AS cq FROM cv CROSS JOIN mx),",
         f"v0 AS (SELECT p, CAST({Q} AS BIGINT) AS vv FROM mn),",

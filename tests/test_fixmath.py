@@ -65,7 +65,8 @@ def test_log2_fixed_intermediates_dropped_and_src_expression(spark):
     df = spark.createDataFrame([(3, 4)], "a long, b long")
     out = with_log2_fixed(df, "a + b", "lg", prefix="p")
     assert out.columns == ["a", "b", "lg"]
-    assert out.collect()[0]["lg"] == int(math.log2(7) * LOG2_SCALE) or True
-    # value sanity: within one LSB of log2(7)
-    v = out.collect()[0]["lg"] / LOG2_SCALE
-    assert abs(v - math.log2(7)) <= 1.5 / LOG2_SCALE
+    # value sanity: the shift-and-square result may legitimately sit 1 LSB
+    # under float log2 (it truncates), so pin the real envelope, not equality
+    lg = out.collect()[0]["lg"]
+    assert abs(lg / LOG2_SCALE - math.log2(7)) <= 1.5 / LOG2_SCALE
+    assert lg <= int(math.log2(7) * LOG2_SCALE) + 1

@@ -294,3 +294,44 @@ def test_heaps_exponent_rejects_single_bucket(spark):
     df = _docs(spark, [(1, "a", "en", "s0")])
     with pytest.raises(ValueError, match="buckets"):
         L.heaps_exponent(df, buckets=1)
+
+
+def test_heaps_exponent_null_when_x_variance_quantizes_to_zero(spark):
+    # 65536 = 2^16 tokens in bucket 1, +1 token in bucket 2: both
+    # checkpoints' cum_tokens quantize to the SAME Q12 log (the +1 sits
+    # far below the ~0.017% Q12 resolution and 2^16 is safely mid-cell),
+    # so the regression denominator is exactly 0 -> explicit NULL beta,
+    # not NaN-by-accident (ADVICE r11)
+    assert _log2_ref(65536) == _log2_ref(65537)
+    df = _docs(
+        spark,
+        [(1, " ".join("a" for _ in range(65536)), "en", "s0"), (2, "b", "en", "s0")],
+    )
+    rows = L.heaps_exponent(df, buckets=2).collect()
+    assert len(rows) == 1
+    assert rows[0]["n_checkpoints"] == 2
+    assert rows[0]["heaps_beta"] is None
+
+
+def test_nb_domain_llr_null_filter_is_background(spark):
+    # NULL lang -> target_filter evaluates NULL -> coalesced to FALSE:
+    # the document is counted in (and scored against) the background
+    # class, never silently dropped from both (ADVICE r11)
+    df = _docs(
+        spark,
+        [(1, "a a b", "en", "s0"), (2, "a c c", "fr", "s0"), (3, "b c", None, "s0")],
+    )
+    rows = {r["doc_id"]: r for r in L.nb_domain_llr(df, "lang = 'en'").collect()}
+    assert set(rows) == {1, 2, 3}
+    assert rows[1]["is_target"] is True
+    assert rows[2]["is_target"] is False
+    assert rows[3]["is_target"] is False
+    # and its tokens really entered the background counts: the scorer on
+    # an explicit-false corpus must agree exactly
+    df2 = _docs(
+        spark,
+        [(1, "a a b", "en", "s0"), (2, "a c c", "fr", "s0"), (3, "b c", "xx", "s0")],
+    )
+    rows2 = {r["doc_id"]: r for r in L.nb_domain_llr(df2, "lang = 'en'").collect()}
+    for i in (1, 2, 3):
+        assert rows[i]["llr_bits_per_token"] == rows2[i]["llr_bits_per_token"]

@@ -184,3 +184,24 @@ def test_power_iteration_pc_on_planted_dominant_axis(spark):
     assert abs(comp[0]) > 0.999
     assert all(abs(c) < 0.03 for c in comp[1:])
     assert rows[0]["ev_share"] > 0.99
+
+
+def test_power_iteration_pc_degenerate_constant_corpus(spark):
+    """ADVICE r11: a constant-embedding corpus has an all-zero covariance;
+    covariance_q20's GREATEST(maxc, 1) keeps the Q20 quantization 0/1
+    (not 0/0) and power_iteration_pc reports a well-formed all-zero
+    result instead of crashing on ss == 0."""
+    from reactive_kinesis_spark.operators.similarity import (
+        covariance_q20,
+        power_iteration_pc,
+    )
+
+    vecs = spark.createDataFrame(
+        [(i, [1.0, 2.0, 3.0]) for i in range(5)], "vec_id long, embedding array<double>"
+    )
+    cq = covariance_q20(vecs).collect()
+    assert len(cq) == 9
+    assert all(r["cq"] == 0 for r in cq)
+    rows = power_iteration_pc(vecs, iterations=4).orderBy("pos").collect()
+    assert [r["pos"] for r in rows] == [1, 2, 3]
+    assert all(r["component"] == 0.0 and r["ev_share"] == 0.0 for r in rows)
