@@ -30,6 +30,17 @@ N_RUNS = int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "3"))
 #: order-of-magnitude regressions. Disable with SPARK_GRAFT_SWEEP=0.
 SWEEP = os.environ.get("SPARK_GRAFT_SWEEP", "1") != "0"
 
+#: Recycle the SparkSession after this many sweep queries. The r11 final
+#: payload carried 3.4–4.2× inflated entries for the similarity tier that
+#: runs late in the 156-query sweep while same-HEAD quiet isolated runs
+#: (and the in-sweep numbers of commit 20b7777's shorter sweep) sat far
+#: lower: accumulated session state (codegen cache pressure, listener/HMS
+#: growth, old-gen heap) taxes the tail of a long sweep in one long-lived
+#: local JVM. A fresh session every chunk bounds that buildup, so a
+#: sweep entry measures the query, not its position in the sweep
+#: (r11 verdict "What's wrong #1").
+SWEEP_RESTART_EVERY = int(os.environ.get("SPARK_GRAFT_SWEEP_RESTART", "40"))
+
 
 def _median(xs: list[float]) -> float:
     import statistics
@@ -123,10 +134,35 @@ def run_queries(
     return timings, errors
 
 
-#: loadavg_1m above this at bench start marks the whole payload
+#: loadavg above this at bench start marks the whole payload
 #: ``"noisy": true`` — round-over-round deltas taken under load are not
 #: adjudicable (the r10 lesson: q23 read +18% purely from loadavg 14).
+#: Checked against BOTH the 1m and 5m figures: r11's run passed a
+#: 1m-only gate at 2.45 while the 5m average sat at 7+ — the 1m figure
+#: can dip under the gate for the check instant while the machine is
+#: still draining whatever just finished.
 NOISY_LOAD_1M = 4.0
+
+#: Busy-machine gate #2 (self-load-immune): the fixed calibration probe
+#: timed at start is re-timed after the headline block; a slowdown past
+#: this ratio means external contention built up mid-bench (raw loadavg
+#: cannot distinguish that from the bench's own local[N] bursts).
+PROBE_SLOWDOWN_LIMIT = 1.5
+
+
+def _calibration_probe(spark) -> float:
+    """A fixed ~0.5 s JVM-side workload (range scan + hash + sum — no
+    shuffle, no Python) whose runtime tracks available CPU; timed cold at
+    bench start and again after the headline to detect mid-bench
+    contention. Best-of-2 so a single scheduler hiccup can't fake a
+    slowdown."""
+    def one() -> float:
+        t0 = time.perf_counter()
+        # pmod keeps the ANSI sum far inside int64 (raw xxhash64 overflows)
+        spark.range(200_000_000).selectExpr("sum(pmod(xxhash64(id), 1024))").collect()
+        return time.perf_counter() - t0
+
+    return min(one(), one())
 
 
 def main() -> None:
@@ -137,14 +173,16 @@ def main() -> None:
     # busy machine taints every number below, so the payload says so
     try:
         start_load_1m = round(os.getloadavg()[0], 2)
+        start_load_5m = round(os.getloadavg()[1], 2)
+        start_load = max(start_load_1m, start_load_5m)
     except OSError:
-        start_load_1m = None
-    noisy = start_load_1m is not None and start_load_1m > NOISY_LOAD_1M
+        start_load_1m = start_load_5m = start_load = None
+    noisy = start_load is not None and start_load > NOISY_LOAD_1M
     if noisy:
         print(
-            f"# WARNING: loadavg_1m {start_load_1m} > {NOISY_LOAD_1M} at bench "
-            "start — payload will carry noisy:true; re-run on a quiet machine "
-            "before comparing rounds",
+            f"# WARNING: loadavg (1m {start_load_1m} / 5m {start_load_5m}) > "
+            f"{NOISY_LOAD_1M} at bench start — payload will carry noisy:true; "
+            "re-run on a quiet machine before comparing rounds",
             file=sys.stderr,
         )
 
@@ -153,20 +191,55 @@ def main() -> None:
 
     # JVM/codegen warmup outside the timed region
     spark.range(1_000_000).selectExpr("sum(id)").collect()
+    probe_start = _calibration_probe(spark)
+    print(f"# calibration probe at start: {probe_start:.3f}s", file=sys.stderr)
 
     timings, errors = run_queries(spark, registry, HEADLINE, SF_DIR, N_RUNS)
     total = sum(timings.values())
     for name, med in timings.items():
         print(f"# {name}: median {med:.3f}s over {N_RUNS} runs", file=sys.stderr)
 
+    # second noise gate at END of headline, self-load-immune: raw loadavg
+    # here includes the bench's own local[N] bursts, so instead re-time
+    # the fixed calibration probe — same JVM-side work as at start; if it
+    # now runs much slower, EXTERNAL contention built up mid-bench (the
+    # r11 failure: start 1m load 2.45 passed the gate while residual load
+    # inflated the tail)
+    probe_after = _calibration_probe(spark)
+    probe_ratio = round(probe_after / probe_start, 2) if probe_start else None
+    if probe_ratio is not None and probe_ratio > PROBE_SLOWDOWN_LIMIT:
+        noisy = True
+        print(
+            f"# WARNING: calibration probe {probe_ratio}x slower after the "
+            f"headline block ({probe_start:.3f}s -> {probe_after:.3f}s) — "
+            "external contention mid-bench; payload marked noisy:true",
+            file=sys.stderr,
+        )
+
     sweep: dict[str, float] = {}
     if SWEEP:
         sweep_names = [name for name in registry if name not in HEADLINE]
-        sweep, sweep_errors = run_queries(spark, registry, sweep_names, SF_DIR, 1)
+        sweep_errors: dict[str, str] = {}
+        # chunked sweep with session recycling (see SWEEP_RESTART_EVERY)
+        for i in range(0, len(sweep_names), SWEEP_RESTART_EVERY):
+            chunk = sweep_names[i : i + SWEEP_RESTART_EVERY]
+            if i > 0:
+                spark.stop()
+                spark = get_spark(app_name="rks-bench")
+                spark.range(1_000_000).selectExpr("sum(id)").collect()
+                print(
+                    f"# sweep: fresh SparkSession at query {i} "
+                    f"({chunk[0]})",
+                    file=sys.stderr,
+                )
+            chunk_t, chunk_e = run_queries(spark, registry, chunk, SF_DIR, 1)
+            sweep.update(chunk_t)
+            sweep_errors.update(chunk_e)
         errors.update(sweep_errors)
         print(
             f"# sweep: {len(sweep)}/{len(sweep_names)} non-headline queries, "
-            f"{sum(sweep.values()):.1f}s total (single run each)",
+            f"{sum(sweep.values()):.1f}s total (single run each, session "
+            f"recycled every {SWEEP_RESTART_EVERY})",
             file=sys.stderr,
         )
 
@@ -217,10 +290,14 @@ def main() -> None:
             "loadavg_5m": round(load_5m, 2),
             "loadavg_15m": round(load_15m, 2),
             "loadavg_1m_at_start": start_load_1m,
+            "loadavg_5m_at_start": start_load_5m,
             "cpu_count": os.cpu_count(),
         }
     except OSError:
         machine = {"loadavg_1m_at_start": start_load_1m, "cpu_count": os.cpu_count()}
+    machine["probe_start_sec"] = round(probe_start, 3)
+    machine["probe_after_headline_sec"] = round(probe_after, 3)
+    machine["probe_ratio_after_headline"] = probe_ratio
     full = {
         "metric": "headline_queries_total",
         "value": round(total, 3),

@@ -2265,15 +2265,22 @@ def margin_topk(
     return m.withColumn("rn", F.row_number().over(w).cast("int"))
 
 
+#: Default per-cell candidate target for :func:`ivf_topk_certified` when
+#: ``n_cells=None``: cells average ~this many members, so each probe's
+#: candidate set (≈ n_probe·N/n_cells) stays bounded as the corpus grows.
+IVF_TARGET_CELL_SIZE = 4096
+
+
 def ivf_topk_certified(
     corpus: DataFrame,
     queries: DataFrame,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     k: int = 5,
-    n_cells: int = 16,
+    n_cells: int | None = 16,
     n_probe: int = 6,
     iterations: int = 2,
+    target_cell_size: int = IVF_TARGET_CELL_SIZE,
 ) -> DataFrame:
     """IVF ANN top-k with a DISTRIBUTED, decimal-exact coarse quantizer —
     the hash-certifiable twin of :func:`ivf_topk` (whose driver-side
@@ -2296,7 +2303,20 @@ def ivf_topk_certified(
     trainer exists for build speed, this one for certification and for
     corpora where the sample's determinism contract is not enough);
     assignment is one narrow broadcast pass per side; the only wide ops
-    are the cell equi-join and the per-query top-k."""
+    are the cell equi-join and the per-query top-k.
+
+    ``n_cells=None`` derives the cell count from the corpus —
+    ``max(16, n // target_cell_size)`` (the SemDeDup ``k ∝ N`` rule,
+    :func:`_derive_k`, applied to IVF): a fixed literal degenerates
+    toward full scan as N grows (candidate fraction n_probe/n_cells stays
+    constant while cells bloat), whereas the derived count keeps the
+    per-probe candidate cost ≈ n_probe·target_cell_size rows flat at any
+    scale. The default stays the explicit 16 so existing oracles (q38)
+    and recall pins are untouched; pass ``None`` for the scale path."""
+    if n_cells is None:
+        if target_cell_size <= 0:
+            raise ValueError(f"target_cell_size={target_cell_size} must be > 0")
+        n_cells = max(16, corpus.count() // target_cell_size)
     cents = kmeans_centroids(corpus, vec_col, id_col, k=n_cells, iterations=iterations)
     cv = _kmeans_prepare(corpus, vec_col, id_col)
     cells = _kmeans_assign_to(cv, cents).select(

@@ -42,128 +42,48 @@ def query(name: str, oracle: str | None = None):
     return deco
 
 
-#: Driver-visibility rotation (round 11). The driver's correctness run samples
-#: the FIRST 50 registry entries; with 179 oracle-backed queries, the rest
-#: must sit past the window each round. Policy: the least-driver-certified
-#: queries get the visible slots — never-certified first, then queries whose
-#: CODE OR ORACLE CHANGED since their last green row (a stale green row
-#: proves the old query, not this one), then by staleness. This round:
-#:   slots 0-13  — the fourteen NEW round-11 operators (q160 bigram-LM
-#:                 fluency, q161 Bloom membership audit, q162 funnel,
-#:                 q163 cohort retention, q164 chi-square drift, q165
-#:                 kNN label disagreement, q166 tokenizer fertility,
-#:                 q167 BPE merges, q168 leakage-safe split, q169
-#:                 TextRank keywords, q170 cluster silhouette, q171
-#:                 Gini feature screen, q172 margin mining, q173 BPE
-#:                 segmentation);
-#:   slots 14-17 — the round-11 oracle graduations q30/q42/q63 (ANN
-#:                 top-k / embedding near-dup pairs / near-dup clusters
-#:                 via the integer-exact LSH family — quantized int64
-#:                 dots make fold order irrelevant, so the numpy path
-#:                 IS the certified path; the family also gained the
-#:                 short-vector plane-truncation fix this round, so
-#:                 their window rows prove the fixed code) and q38 (IVF
-#:                 ANN — the driver-side numpy quantizer swapped for the
-#:                 certified distributed Lloyd chain; every remaining
-#:                 stage was an already-proven idiom);
-#:   slots 18-21 — r10-certified queries whose CODE OR ORACLE CHANGED
-#:                 this round and therefore need re-proving: q155/q156
-#:                 (PQ fit-once refactor), q157 (estimator audit keeps
-#:                 zero-common-shingle candidates via left join), q158
-#:                 (membership-aware n_rel). The other round-11 code
-#:                 touches (q148/q152 k=None derivation, q154 broadcast
-#:                 guard, q24 width validation) are guard/default-only:
-#:                 the registered instances pass explicit parameters and
-#:                 their plans and results are bit-unchanged — asserted
-#:                 by tests/test_round11_ops.py — so their r10 rows
-#:                 remain proof of THIS code's results;
-#:   slots 22-26 — the five displaced R9-deferred queries q62/q64-q67
-#:                 (r6-certified, 5 rounds stale — the oldest debt, the
-#:                 round-10 verdict's first ask);
-#:   slots 27-38 — the TWELVE third-session operators q174–q185 (the
-#:                 fixed-point-log2 tier: vocab growth, entropy, zipf,
-#:                 NB domain LLR, elbow, pair n-gram precision, MMR,
-#:                 KL drift, PMI, power-iteration PC, conditional
-#:                 bigram entropy, Heaps exponent) — never certified,
-#:                 so they outrank every already-green row;
-#:   slots 39-49 — the first 11 of the 44 r7-certified queries from
-#:                 _DEFERRED_R11; the remaining 33 move to
-#:                 _DEFERRED_R12 (the 179-oracle/50-slot rotation math
-#:                 now makes a ≈3.5-round staleness floor the best
-#:                 achievable; new-operator rounds trade a little floor
-#:                 for coverage, never-certified first as always).
+#: Driver-visibility rotation (round 12) — the CERTIFICATION-DEBT round
+#: (r11 verdict Next #1). The driver's correctness run samples the FIRST
+#: 50 registry entries; with 182 oracle-backed queries, the rest must sit
+#: past the window each round. Policy: the least-driver-certified queries
+#: get the visible slots — never-certified first, then queries whose CODE
+#: OR ORACLE CHANGED since their last green row (a stale green row proves
+#: the old query, not this one), then by staleness. This round:
+#:   slots 0-2   — the three NEW round-12 queries q186/q187/q188 (the
+#:                 lexstats tier re-certified on the deterministic
+#:                 heavy-tailed synthetic corpus, where Heaps beta ≈ 0.57
+#:                 and the Zipf slope ≈ −1.7 actually discriminate —
+#:                 never certified, so they outrank every green row);
+#:   slots 3-5   — r11-certified queries whose CODE AND ORACLE changed
+#:                 this round and need re-proving: q177 (NULL target
+#:                 filter now coalesces to background), q183 (GREATEST
+#:                 maxc guard in the covariance quantization), q185
+#:                 (explicit NULL beta on zero x-variance) — all three
+#:                 ADVICE closures with oracle-text edits;
+#:   slots 6-38  — ALL 33 _DEFERRED_R12 entries, burned to zero as the
+#:                 r11 verdict's first ask: led by the twice-displaced
+#:                 q126/q127/q129, then the r7-certified q130–q141/q37/
+#:                 q44/q45/q50/q51/q68–q75/q99/q141 blocks and the
+#:                 q16–q29 block (r7-certified, 5 rounds stale);
+#:   slots 39-49 — the 11 alphabetically-first of the 50 r9-certified
+#:                 queries (q02/q05/q07/q09/q102–q109 block) — the next-
+#:                 oldest debt tier; the other 39 move to _DEFERRED_R13.
 #: Everything past the window remains fully oracle-checked locally every
 #: session (tests/test_oracle_parity.py runs the ENTIRE registry against
-#: DuckDB), and tools/round_end.py now FAILS the round if this window
-#: equals the previous round's CORRECTNESS key set or if any oracle-count
+#: DuckDB), and tools/round_end.py FAILS the round if this window equals
+#: the previous round's CORRECTNESS key set or if any oracle-count
 #: literal in this file drifts from the live registry.
 _WINDOW = (
-    # -- round-11 new operators (never certified) --
-    "q160_bigram_lm_score",
-    "q161_bloom_membership_audit",
-    "q162_funnel_steps",
-    "q163_cohort_retention",
-    "q164_chi_square_drift",
-    "q165_knn_label_disagreement",
-    "q166_tokenizer_fertility",
-    "q167_bpe_merges",
-    "q168_leakage_safe_split",
-    "q169_textrank_keywords",
-    "q170_cluster_silhouette",
-    "q171_gini_feature_screen",
-    "q172_margin_mining",
-    "q173_bpe_segment",
-    # -- round-11 oracle graduations (never hash-certified) --
-    "q30_embedding_ann_lsh",
-    "q42_embedding_neardup",
-    "q63_embedding_neardup_clusters",
-    "q38_embedding_ann_ivf",
-    # -- r10-certified, code/oracle changed this round --
-    "q155_product_quantization",
-    "q156_pq_adc_search",
-    "q157_minhash_estimator_audit",
-    "q158_retrieval_eval",
-    # -- displaced R9-deferred (r6-certified, 5 rounds stale) --
-    "q62_token_packing",
-    "q64_decontamination",
-    "q65_mixture_sample",
-    "q66_repetition_stats",
-    "q67_pii_redaction",
-    # -- round-11 third-session operators (never certified) --
-    "q174_vocab_growth",
-    "q175_token_entropy",
-    "q176_zipf_slope",
+    # -- round-12 new queries (never certified) --
+    "q186_zipf_synth_growth",
+    "q187_zipf_synth_slope",
+    "q188_zipf_synth_heaps",
+    # -- code+oracle changed this round (ADVICE closures) --
     "q177_domain_affinity",
-    "q178_kmeans_elbow",
-    "q179_pair_ngram_precision",
-    "q180_mmr_diverse_topk",
-    "q181_source_kl_divergence",
-    "q182_pmi_collocations",
     "q183_power_iteration_pc",
-    "q184_conditional_entropy",
     "q185_heaps_exponent",
-    # -- r7-certified block (first 11 of 44; rest -> _DEFERRED_R12) --
-    "q01_pricing_summary",
-    "q03_join_agg_topk",
-    "q04_star_join",
-    "q06_outer_join_histogram",
-    "q08_window_topk_per_group",
-    "q107_pagerank",
-    "q10_rollup",
-    "q116_table_fingerprint",
-    "q11_cube",
-    "q121_weighted_pagerank",
-    "q124_kmeans_clusters",
-)
-#: The 33 r7-certified queries the round-11 window could not fit (plus
-#: nothing else this round — r6 debt is cleared above). Round 12 takes
-#: these FIRST, then whatever round-11 certified rows are oldest. Two
-#: mid-round displacements extended this list: the second round-11
-#: session added q167–q173 and graduated q38, the third added q174–q185
-#: (the fixed-point-log2 tier) — new and never-certified operators take
-#: slots first, so the r7 tail (q130–q140 block, then q16–q29 block)
-#: moved here.
-_DEFERRED_R12 = (
+    # -- the full _DEFERRED_R12 burn-down (r7-certified; q126/q127/q129
+    #    twice-displaced) --
     "q126_bfs_hops",
     "q127_association_rules",
     "q129_link_prediction",
@@ -197,6 +117,64 @@ _DEFERRED_R12 = (
     "q21_dedup_exact",
     "q22_dedup_ngram_jaccard",
     "q29_embedding_cosine_topk",
+    # -- oldest remaining debt: first 11 of the 50 r9-certified --
+    "q02_filter_project",
+    "q05_anti_join",
+    "q07_semi_join",
+    "q09_window_analytic",
+    "q102_bm25_scoring",
+    "q103_tf_cosine_pairs",
+    "q104_seasonal_anomaly",
+    "q105_trend_slope",
+    "q106_name_edit_join",
+    "q108_merge_upsert",
+    "q109_scd2_intervals",
+)
+#: The 39 r9-certified queries the round-12 window could not fit (the
+#: certification-debt round consumed all of _DEFERRED_R12, so the oldest
+#: remaining tier is now r9 — 3 rounds stale at r12 close, exactly the
+#: ≈3.5-round floor the 182-oracle/50-slot rotation math predicts).
+#: Round 13 takes these FIRST.
+_DEFERRED_R13 = (
+    "q110_cooccurrence_pairs",
+    "q111_triangle_stats",
+    "q125_snapshot_drift",
+    "q128_cusum_changepoint",
+    "q12_set_ops",
+    "q134_interarrival_burstiness",
+    "q137_ks_test",
+    "q13_scalar_functions",
+    "q142_ab_ztest",
+    "q143_mannwhitney_u",
+    "q144_roc_auc",
+    "q145_threshold_sweep",
+    "q146_cohens_kappa",
+    "q147_cumulative_gains",
+    "q14_date_functions",
+    "q15_distinct_agg",
+    "q47_having",
+    "q76_characteristic_terms",
+    "q77_source_overlap",
+    "q78_event_transitions",
+    "q79_temperature_weights",
+    "q80_incremental_dedup",
+    "q82_heavy_hitters",
+    "q83_chunking",
+    "q84_weighted_sample",
+    "q85_event_funnel",
+    "q86_robust_outliers",
+    "q87_surprisal_scoring",
+    "q88_canonical_pick",
+    "q89_table_profile",
+    "q90_zscore_normalize",
+    "q91_feature_hashing",
+    "q92_centroid_similarity",
+    "q93_session_paths",
+    "q94_snapshot_diff",
+    "q95_blocklist_stats",
+    "q96_training_prep",
+    "q97_resample_ffill",
+    "q98_cohort_retention",
 )
 _WINDOW_RANK = {name: i for i, name in enumerate(_WINDOW)}
 

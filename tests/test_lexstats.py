@@ -335,3 +335,39 @@ def test_nb_domain_llr_null_filter_is_background(spark):
     rows2 = {r["doc_id"]: r for r in L.nb_domain_llr(df2, "lang = 'en'").collect()}
     for i in (1, 2, 3):
         assert rows[i]["llr_bits_per_token"] == rows2[i]["llr_bits_per_token"]
+
+
+# ------------------------------------------------- synthetic Zipf corpus
+
+
+def test_zipf_synth_docs_deterministic_and_passthrough(spark):
+    df = _docs(spark, [(1, "orig one", "en", "s0"), (2, "orig two", "fr", "s1")])
+    a = {r["doc_id"]: r for r in L.zipf_synth_docs(df, tokens_per_doc=8).collect()}
+    b = {r["doc_id"]: r for r in L.zipf_synth_docs(df, tokens_per_doc=8).collect()}
+    assert a.keys() == b.keys() == {1, 2}
+    for i in (1, 2):
+        assert a[i]["text"] == b[i]["text"]          # deterministic
+        assert len(a[i]["text"].split(" ")) == 8
+        assert a[i]["lang"] == df.where(f"doc_id = {i}").first()["lang"]
+    # seed changes the draw
+    c = {r["doc_id"]: r for r in
+         L.zipf_synth_docs(df, tokens_per_doc=8, seed="other").collect()}
+    assert c[1]["text"] != a[1]["text"]
+    with pytest.raises(ValueError, match="tokens_per_doc"):
+        L.zipf_synth_docs(df, tokens_per_doc=0)
+
+
+def test_zipf_synth_docs_is_heavy_tailed(spark):
+    # 200 docs x 32 tokens: rank-1 word holds ~1/2 of all tokens
+    # (pmf 1/r(r+1)), and the Heaps exponent is discriminating (~0.56) —
+    # the property the degenerate testdata corpus cannot exhibit
+    df = _docs(spark, [(i, "x", "en", "s0") for i in range(1, 201)])
+    synth = L.zipf_synth_docs(df, tokens_per_doc=32)
+    counts = (
+        synth.select(L.F.explode(L.F.split("text", " ")).alias("w"))
+        .groupBy("w").count().orderBy(L.F.desc("count")).limit(2).collect()
+    )
+    assert counts[0]["w"] == "w1"
+    assert 0.4 < counts[0]["count"] / 6400 < 0.6
+    beta = L.heaps_exponent(synth, buckets=5).collect()[0]["heaps_beta"]
+    assert 0.35 < beta < 0.8

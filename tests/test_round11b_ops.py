@@ -452,3 +452,35 @@ class TestIvfCertified:
         )
         per = {r.query_id: r["count"] for r in out.groupBy("query_id").count().collect()}
         assert set(per) == {0, 1, 2} and all(v <= 3 for v in per.values())
+
+    def test_n_cells_none_derives_from_corpus_size(self, spark):
+        # the k ∝ N rule applied to IVF (r11 verdict Next #4): with
+        # n_cells=None the cell count is max(16, n // target_cell_size),
+        # so a huge target floors at 16 — bit-identical to the explicit
+        # n_cells=16 call — while a small target scales the cell count
+        # with the corpus instead of letting cells bloat
+        from reactive_kinesis_spark.operators.similarity import ivf_topk_certified
+
+        import random
+
+        rng = random.Random(5)
+        emb = spark.createDataFrame(
+            [(i, [rng.uniform(-1, 1) for _ in range(6)]) for i in range(64)],
+            "vec_id long, embedding array<float>",
+        )
+        q = emb.where(F.col("vec_id") < 3)
+        derived = ivf_topk_certified(
+            emb, q, "vec_id", "embedding", k=3, n_probe=6, iterations=1,
+            n_cells=None, target_cell_size=1_000_000,
+        )
+        explicit = ivf_topk_certified(
+            emb, q, "vec_id", "embedding", k=3, n_probe=6, iterations=1, n_cells=16
+        )
+        key = lambda r: (r.query_id, r.rn)
+        assert sorted(map(tuple, derived.collect()), key=lambda t: (t[0], t[3])) == \
+            sorted(map(tuple, explicit.collect()), key=lambda t: (t[0], t[3]))
+        # small target -> more cells than the floor: 64 // 2 = 32
+        with pytest.raises(ValueError, match="target_cell_size"):
+            ivf_topk_certified(
+                emb, q, "vec_id", "embedding", n_cells=None, target_cell_size=0
+            )
