@@ -152,16 +152,19 @@ PROBE_SLOWDOWN_LIMIT = 1.5
 
 def _calibration_probe(spark) -> float:
     """A fixed ~0.5 s JVM-side workload (range scan + hash + sum — no
-    shuffle, no Python) whose runtime tracks available CPU; timed cold at
+    shuffle, no Python) whose runtime tracks available CPU; timed at
     bench start and again after the headline to detect mid-bench
-    contention. Best-of-2 so a single scheduler hiccup can't fake a
-    slowdown."""
+    contention. One untimed warm call first (the probe's own codegen/JIT
+    read 1.03 s cold vs 0.22 s steady-state — an unwarmed start figure
+    mutes the gate), then best-of-2 so a single scheduler hiccup can't
+    fake a slowdown."""
     def one() -> float:
         t0 = time.perf_counter()
         # pmod keeps the ANSI sum far inside int64 (raw xxhash64 overflows)
         spark.range(200_000_000).selectExpr("sum(pmod(xxhash64(id), 1024))").collect()
         return time.perf_counter() - t0
 
+    one()
     return min(one(), one())
 
 

@@ -450,14 +450,26 @@ def conditional_entropy(
         .select("grp", F.explode("__bg").alias("bg"))
         .select("grp", F.col("bg.w1").alias("w1"), F.col("bg.w2").alias("w2"))
     )
+    pair_cnt = bg.groupBy("grp", "w1", "w2").agg(F.count(F.lit(1)).alias("c"))
+    return conditional_entropy_from_counts(pair_cnt, group_col=group_col)
+
+
+def conditional_entropy_from_counts(
+    pair_cnt: DataFrame, group_col: str = "source"
+) -> DataFrame:
+    """The conditional-entropy tail of :func:`conditional_entropy`,
+    factored so any exact per-(group, w1, w2) bigram-count frame can feed
+    it — the batch query builds counts from a document scan; the
+    streaming bigram ledger
+    (:func:`streaming.rollup.read_conditional_entropy`) feeds its merged
+    counts instead, making stream and batch BIT-EQUAL by construction
+    (pure-int counts fold exactly-once; both entropy terms and the final
+    subtraction are derived only here, at read time). ``pair_cnt`` must
+    carry ``grp``/``w1``/``w2``/``c`` with ``c`` the exact BIGINT count."""
     # lazy checkpoint: both entropy terms branch off this frame, and
-    # without materialization each branch re-executes the corpus scan —
+    # without materialization each branch re-executes the upstream scan —
     # the plan pin asserts the single-pass claim stays true
-    pair_cnt = (
-        bg.groupBy("grp", "w1", "w2")
-        .agg(F.count(F.lit(1)).alias("c"))
-        .localCheckpoint(eager=False)
-    )
+    pair_cnt = pair_cnt.localCheckpoint(eager=False)
     head_cnt = pair_cnt.groupBy("grp", "w1").agg(F.sum("c").alias("c"))
     h_pair = entropy_from_counts(
         pair_cnt.select("grp", F.concat_ws("", "w1", "w2").alias("word"), "c"),

@@ -651,3 +651,77 @@ def read_source_entropy(
         F.col("n").alias("c"),
     )
     return entropy_from_counts(cnt, group_col=source_col)
+
+
+def source_bigram_spec(source_col: str = "source") -> RollupSpec:
+    """Spec for the per-(source, w1, w2) bigram ledger behind
+    :func:`read_conditional_entropy` — three keys, count-only measures."""
+    return RollupSpec(keys=(source_col, "w1", "w2"))
+
+
+def continuous_source_bigrams(
+    out_dir: str,
+    text_col: str = "text",
+    source_col: str = "source",
+    force_takeover: bool = False,
+):
+    """``foreachBatch`` writer maintaining a continuously-updated
+    per-source BIGRAM ledger from a document stream — the streaming twin
+    of the q184 conditional-entropy template detector (r11 verdict Next
+    #7): each micro-batch explodes its documents into (source, w1, w2)
+    adjacent-pair counts (the same expression the batch operator runs)
+    and folds them into the rollup ledger (exactly-once
+    replay-overwrite, compactable, mergeable — inherited from
+    :func:`continuous_rollup`). An ingest pipeline reads the ledger to
+    watch per-source H(w2|w1) collapse — the template-spam alarm — WHILE
+    ingesting, even when unigram entropy still looks healthy.
+
+    Counts are pure ints, so the read-time statistic is bit-equal to the
+    batch computation over the same rows — the q149-ledger contract. At
+    100 TB the per-batch delta is the batch's own per-source bigram
+    table (map-side combined), never the corpus's."""
+    spec = source_bigram_spec(source_col)
+    inner = continuous_rollup(out_dir, spec, force_takeover=force_takeover)
+
+    def write(batch_df: DataFrame, batch_id: int) -> None:
+        words = F.split(F.col(text_col), " ")
+        bg = (
+            batch_df.where(F.col(text_col).isNotNull())
+            .select(F.col(source_col), words.alias("__w"))
+            .where(F.size("__w") >= 2)
+            .select(
+                source_col,
+                F.explode(
+                    F.expr(
+                        "transform(sequence(1, size(__w) - 1),"
+                        " i -> struct(get(__w, i - 1) AS w1, get(__w, i) AS w2))"
+                    )
+                ).alias("bg"),
+            )
+            .select(source_col, F.col("bg.w1").alias("w1"), F.col("bg.w2").alias("w2"))
+        )
+        inner(bg, batch_id)
+
+    return write
+
+
+def read_conditional_entropy(
+    spark: SparkSession, out_dir: str, source_col: str = "source"
+) -> DataFrame:
+    """Current per-source conditional next-word entropy H(w2|w1) from a
+    :func:`continuous_source_bigrams` ledger: merge base + deltas (one
+    groupBy over pre-aggregated partials), then the SAME certified
+    chain-rule program the batch q184 runs
+    (:func:`operators.lexstats.conditional_entropy_from_counts`) —
+    stream ≡ batch bit-for-bit over the committed rows, pinned by
+    tests/test_rollup.py."""
+    from reactive_kinesis_spark.operators.lexstats import (
+        conditional_entropy_from_counts,
+    )
+
+    spec = source_bigram_spec(source_col)
+    merged = read_rollup(spark, out_dir, spec)
+    cnt = merged.select(
+        F.col(source_col).alias("grp"), "w1", "w2", F.col("n").alias("c")
+    )
+    return conditional_entropy_from_counts(cnt, group_col=source_col)
