@@ -2554,6 +2554,33 @@ def covariance_q20(
 POWER_PC_MAX_DIM = 2048
 
 
+def _power_iterate_int(cqm, dims, iterations: int):
+    """The q183 certified power-iteration inner loop: exact-int matvecs
+    over a Q20-quantized matrix dict, max-abs renormalization back to Q20
+    (multiply-by-2^20 is an exact exponent shift; one IEEE division; one
+    floor) — plain Python ints/IEEE doubles, bit-identical to the
+    unrolled SQL program. Shared by :func:`power_iteration_pc` (j = 1)
+    and :func:`deflation_pcs` (each deflation round)."""
+    import math
+
+    Q = 1048576  # 2^20
+    v = {p: Q for p in dims}
+    for _ in range(iterations):
+        w = {p: sum(cqm.get((p, q), 0) * v[q] for q in dims) for p in dims}
+        mw = max(max(abs(x) for x in w.values()), 1)
+        v = {p: math.floor((float(w[p]) * float(Q)) / float(mw)) for p in dims}
+    return v
+
+
+def _tdiv(a: int, b: int) -> int:
+    """Integer division TRUNCATED toward zero — the ANSI-SQL / DuckDB
+    ``//`` semantics (Python's ``//`` floors, which differs on negative
+    numerators: -7 // 2 = -4 vs SQL -3). Used wherever the certified
+    program divides signed exact integers."""
+    q = abs(a) // b
+    return -q if a < 0 else q
+
+
 def power_iteration_pc(
     vectors: DataFrame,
     vec_col: str = "embedding",
@@ -2612,11 +2639,7 @@ def power_iteration_pc(
             "int64 matvec bound) — reduce the vector width first"
         )
     cqm = {(r["p"], r["q"]): r["cq"] for r in rows}
-    v = {p: Q for p in dims}
-    for _ in range(iterations):
-        w = {p: sum(cqm.get((p, q), 0) * v[q] for q in dims) for p in dims}
-        mw = max(max(abs(x) for x in w.values()), 1)
-        v = {p: math.floor((float(w[p]) * float(Q)) / float(mw)) for p in dims}
+    v = _power_iterate_int(cqm, dims, iterations)
     ss = sum(x * x for x in v.values())
     num = sum(cqm[(p, q)] * v[p] * v[q] for (p, q) in cqm)
     trq = sum(cqm.get((p, p), 0) for p in dims)
@@ -2639,3 +2662,110 @@ def power_iteration_pc(
     return spark.createDataFrame(
         out, "pos int, component double, ev_share double"
     ).orderBy("pos")
+
+
+def deflation_pcs(
+    vectors: DataFrame,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    k: int = 4,
+    iterations: int = 6,
+) -> DataFrame:
+    """Top-``k`` principal components by Hotelling deflation over the
+    certified power iteration — the q183 discipline extended from "the
+    dominant axis" to "the dominant basis", making the whitening basis
+    q81's rows-only PCA uses hash-certifiable for small k (r11 verdict
+    Next #6: no eigendecomposition anywhere; k unrolled power-iteration
+    chains plus k−1 exact-integer deflations).
+
+    Per component j: run the q183 inner loop on the current quantized
+    covariance C_j (:func:`_power_iterate_int` — exact-int matvecs, Q20
+    max-abs renormalization), record the direction v_j, then deflate
+    WITHOUT ever forming a non-integer matrix: Hotelling's
+    ``C − (vᵀCv/(vᵀv)²)·vvᵀ`` is scaled through by ``(vᵀv)²`` to
+
+        D = (vᵀv)²·C_j − (vᵀC_jv)·v vᵀ          (exact integers ≤ 2^114)
+
+    and requantized by ONE truncating integer division
+    ``C_{j+1} = D // max(max|D| // 2^20, 1)`` (:func:`_tdiv` — the SQL
+    ``//`` semantics; scaling a matrix never moves its eigenvectors),
+    keeping entries ≤ 2^21 so every downstream matvec stays in int64.
+    The deflation intermediates need 128-bit integers: Python ints are
+    exact, and the oracle mirror runs the same program in DuckDB HUGEINT
+    — certified because both engines compute identical integer facts,
+    with one IEEE division per emitted double.
+
+    Output: one row per (component ``comp`` ≤ k, dimension ``pos``) with
+    the unit-normalized ``component`` loading and ``ev_share_resid`` —
+    the Rayleigh share of the REMAINING (j-th deflated) variance,
+    ``vᵀC_jv / (vᵀv · tr C_j)``, itself Q20-quantized through ONE
+    truncating integer division (``num·2^20 // (ss·tr)``, then an exact
+    ÷2^20): both numerator and denominator exceed 2^53, and DuckDB's
+    HUGEINT→DOUBLE cast is NOT correctly rounded (measured ~1% 1-ulp
+    drift vs Python's exact int→float), so the certified program never
+    converts a >2^53 integer to double — every emitted double is an
+    exact conversion of a ≤2^20 integer fact or a correctly-rounded
+    op on such (the component loading: vv ≤ 2^20, ss ≤ 2^46, sqrt and
+    divide are IEEE-exact on exactly-converted operands). If a deflation
+    annihilates the matrix (k ≥ numerical rank), the remaining
+    components emit well-formed zero rows.
+
+    Scale split = q183's: :func:`covariance_q20` does the ONLY
+    corpus-sized work (one distributed moment pass); the k·iterations
+    matvec chain runs on d² driver-side integers (POWER_PC_MAX_DIM loud
+    guard), O(k·t·d²) anywhere.
+    """
+    if k < 1:
+        raise ValueError("k >= 1 required")
+    if iterations < 1:
+        raise ValueError("iterations >= 1 required")
+    import math
+
+    Q = 1048576  # 2^20
+    spark = vectors.sparkSession
+    rows = covariance_q20(vectors, vec_col, id_col).collect()
+    dims = sorted({r["p"] for r in rows})
+    if not dims:
+        return spark.createDataFrame(
+            [], "comp int, pos int, component double, ev_share_resid double"
+        )
+    if len(dims) > POWER_PC_MAX_DIM:
+        raise ValueError(
+            f"deflation_pcs: dimension {len(dims)} exceeds "
+            f"POWER_PC_MAX_DIM={POWER_PC_MAX_DIM} (d^2 driver state) — "
+            "reduce the vector width first"
+        )
+    cqm = {(r["p"], r["q"]): r["cq"] for r in rows}
+    out = []
+    for j in range(1, k + 1):
+        tr = sum(cqm.get((p, p), 0) for p in dims)
+        v = _power_iterate_int(cqm, dims, iterations)
+        ss = sum(x * x for x in v.values())
+        num = sum(cqm[(p, q)] * v[p] * v[q] for (p, q) in cqm)
+        if ss == 0 or tr == 0:
+            out.extend((jj, p, 0.0, 0.0) for jj in range(j, k + 1) for p in dims)
+            break
+        share = float(_tdiv(num * Q, ss * tr)) / float(Q)
+        out.extend(
+            (
+                j,
+                p,
+                float(v[p]) / math.sqrt(float(ss)),
+                share,
+            )
+            for p in dims
+        )
+        if j == k:
+            break
+        ss2 = ss * ss
+        dmat = {
+            (p, q): ss2 * cqm.get((p, q), 0) - num * v[p] * v[q]
+            for p in dims
+            for q in dims
+        }
+        maxd = max(max(abs(x) for x in dmat.values()), 1)
+        s = max(maxd // Q, 1)
+        cqm = {pq: _tdiv(x, s) for pq, x in dmat.items()}
+    return spark.createDataFrame(
+        out, "comp int, pos int, component double, ev_share_resid double"
+    ).orderBy("comp", "pos")

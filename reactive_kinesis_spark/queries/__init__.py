@@ -44,30 +44,32 @@ def query(name: str, oracle: str | None = None):
 
 #: Driver-visibility rotation (round 12) — the CERTIFICATION-DEBT round
 #: (r11 verdict Next #1). The driver's correctness run samples the FIRST
-#: 50 registry entries; with 182 oracle-backed queries, the rest must sit
+#: 50 registry entries; with 183 oracle-backed queries, the rest must sit
 #: past the window each round. Policy: the least-driver-certified queries
 #: get the visible slots — never-certified first, then queries whose CODE
 #: OR ORACLE CHANGED since their last green row (a stale green row proves
 #: the old query, not this one), then by staleness. This round:
-#:   slots 0-2   — the three NEW round-12 queries q186/q187/q188 (the
+#:   slots 0-3   — the four NEW round-12 queries: q186/q187/q188 (the
 #:                 lexstats tier re-certified on the deterministic
 #:                 heavy-tailed synthetic corpus, where Heaps beta ≈ 0.57
-#:                 and the Zipf slope ≈ −1.7 actually discriminate —
-#:                 never certified, so they outrank every green row);
-#:   slots 3-5   — r11-certified queries whose CODE AND ORACLE changed
+#:                 and the Zipf slope ≈ −1.7 actually discriminate) and
+#:                 q189 (top-k principal components by exact-integer
+#:                 Hotelling deflation over the q183 power iteration) —
+#:                 never certified, so they outrank every green row;
+#:   slots 4-6   — r11-certified queries whose CODE AND ORACLE changed
 #:                 this round and need re-proving: q177 (NULL target
 #:                 filter now coalesces to background), q183 (GREATEST
 #:                 maxc guard in the covariance quantization), q185
 #:                 (explicit NULL beta on zero x-variance) — all three
 #:                 ADVICE closures with oracle-text edits;
-#:   slots 6-38  — ALL 33 _DEFERRED_R12 entries, burned to zero as the
+#:   slots 7-39  — ALL 33 _DEFERRED_R12 entries, burned to zero as the
 #:                 r11 verdict's first ask: led by the twice-displaced
 #:                 q126/q127/q129, then the r7-certified q130–q141/q37/
 #:                 q44/q45/q50/q51/q68–q75/q99/q141 blocks and the
 #:                 q16–q29 block (r7-certified, 5 rounds stale);
-#:   slots 39-49 — the 11 alphabetically-first of the 50 r9-certified
-#:                 queries (q02/q05/q07/q09/q102–q109 block) — the next-
-#:                 oldest debt tier; the other 39 move to _DEFERRED_R13.
+#:   slots 40-49 — the 10 alphabetically-first of the 50 r9-certified
+#:                 queries (q02/q05/q07/q09/q102–q108 block) — the next-
+#:                 oldest debt tier; the other 40 move to _DEFERRED_R13.
 #: Everything past the window remains fully oracle-checked locally every
 #: session (tests/test_oracle_parity.py runs the ENTIRE registry against
 #: DuckDB), and tools/round_end.py FAILS the round if this window equals
@@ -78,6 +80,7 @@ _WINDOW = (
     "q186_zipf_synth_growth",
     "q187_zipf_synth_slope",
     "q188_zipf_synth_heaps",
+    "q189_deflation_pcs",
     # -- code+oracle changed this round (ADVICE closures) --
     "q177_domain_affinity",
     "q183_power_iteration_pc",
@@ -128,14 +131,14 @@ _WINDOW = (
     "q105_trend_slope",
     "q106_name_edit_join",
     "q108_merge_upsert",
-    "q109_scd2_intervals",
 )
-#: The 39 r9-certified queries the round-12 window could not fit (the
+#: The 40 r9-certified queries the round-12 window could not fit (the
 #: certification-debt round consumed all of _DEFERRED_R12, so the oldest
 #: remaining tier is now r9 — 3 rounds stale at r12 close, exactly the
-#: ≈3.5-round floor the 182-oracle/50-slot rotation math predicts).
+#: ≈3.5-round floor the 183-oracle/50-slot rotation math predicts).
 #: Round 13 takes these FIRST.
 _DEFERRED_R13 = (
+    "q109_scd2_intervals",
     "q110_cooccurrence_pairs",
     "q111_triangle_stats",
     "q125_snapshot_drift",

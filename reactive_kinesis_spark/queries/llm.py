@@ -3902,17 +3902,17 @@ def q180_mmr_diverse_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("query_id", "step")
 
 
-def _power_pc_oracle_sql(iterations: int) -> str:
-    """q183 oracle: the unrolled power iteration mirrored CTE for CTE —
-    decimal-exact means, micro-unit-exact covariance (each centered
-    product floor-quantized to int64 micro-units, then a pure integer
-    sum — order-free in both engines), Q20 floor-quantization, exact-
-    int64 matvecs, max-abs renormalization, and the two final single
-    divisions. See operators.similarity.power_iteration_pc."""
+def _cov_q20_cte_parts() -> list[str]:
+    """Shared covariance-CTE prefix for q183/q189: decimal-exact means,
+    micro-unit-exact covariance (each centered product floor-quantized to
+    int64 micro-units, then a pure integer sum — order-free in both
+    engines), Q20 floor-quantization with the GREATEST(maxc, 1)
+    degenerate guard. Mirrors operators.similarity.covariance_q20 CTE
+    for CTE; ends defining ``cq (p, q, cq BIGINT)``."""
     from reactive_kinesis_spark.functions import davg_sql
 
     Q = 1048576
-    parts = [
+    return [
         "WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS ev",
         "  FROM embeddings WHERE embedding IS NOT NULL AND len(embedding) > 0),",
         "el AS MATERIALIZED (SELECT vec_id, pp.pos AS p, pp.x FROM v,",
@@ -3926,6 +3926,16 @@ def _power_pc_oracle_sql(iterations: int) -> str:
         "mx AS (SELECT GREATEST(MAX(abs(c)), 1) AS maxc FROM cv),",
         f"cq AS MATERIALIZED (SELECT p, q, CAST(floor((CAST(c AS DOUBLE) * {float(Q)!r})",
         "  / CAST(maxc AS DOUBLE)) AS BIGINT) AS cq FROM cv CROSS JOIN mx),",
+    ]
+
+
+def _power_pc_oracle_sql(iterations: int) -> str:
+    """q183 oracle: the unrolled power iteration mirrored CTE for CTE —
+    the shared covariance prefix, exact-int64 matvecs, max-abs
+    renormalization, and the two final single divisions. See
+    operators.similarity.power_iteration_pc."""
+    Q = 1048576
+    parts = _cov_q20_cte_parts() + [
         f"v0 AS (SELECT p, CAST({Q} AS BIGINT) AS vv FROM mn),",
     ]
     for i in range(1, iterations + 1):
@@ -3966,3 +3976,91 @@ def q183_power_iteration_pc(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     emb = load_table(spark, sf_dir, "embeddings")
     return power_iteration_pc(emb, "embedding", "vec_id", iterations=6)
+
+
+def _deflation_pcs_oracle_sql(k: int, iterations: int) -> str:
+    """q189 oracle: k unrolled power-iteration chains with Hotelling
+    deflation between them, mirrored CTE for CTE — the shared covariance
+    prefix, then per component j: the q183 matvec/renormalize rounds on
+    the current quantized covariance cq{j}, Rayleigh pieces (ss/num/tr),
+    and the exact-integer deflation D = ss²·C − num·vvᵀ in HUGEINT
+    (≤ 2^114, inside int128) requantized by ONE truncating integer
+    division (DuckDB ``//`` — mirrored by _tdiv engine-side). The
+    variance share is Q20-quantized through ``num·2^20 // (ss·tr)``
+    before its exact ÷2^20, so no >2^53 integer ever converts to double
+    (DuckDB's HUGEINT→DOUBLE cast is not correctly rounded). See
+    operators.similarity.deflation_pcs."""
+    from reactive_kinesis_spark.queries.llm import _cov_q20_cte_parts
+
+    Q = 1048576
+    parts = _cov_q20_cte_parts() + [
+        "cq1 AS (SELECT p, q, cq FROM cq),",
+    ]
+    for j in range(1, k + 1):
+        parts += [
+            f"v{j}_0 AS (SELECT p, CAST({Q} AS BIGINT) AS vv FROM mn),",
+        ]
+        for i in range(1, iterations + 1):
+            parts += [
+                f"w{j}_{i} AS (SELECT cq.p, CAST(SUM(cq.cq * v{j}_{i - 1}.vv)"
+                " AS BIGINT) AS w",
+                f"  FROM cq{j} cq JOIN v{j}_{i - 1} ON v{j}_{i - 1}.p = cq.q"
+                " GROUP BY cq.p),",
+                f"m{j}_{i} AS (SELECT GREATEST(MAX(abs(w)), 1) AS mw FROM w{j}_{i}),",
+                f"v{j}_{i} AS MATERIALIZED (SELECT p,"
+                f" CAST(floor((CAST(w AS DOUBLE) * {float(Q)!r})",
+                f"  / CAST(mw AS DOUBLE)) AS BIGINT) AS vv"
+                f" FROM w{j}_{i} CROSS JOIN m{j}_{i}),",
+            ]
+        t = iterations
+        parts += [
+            f"ss{j} AS (SELECT CAST(SUM(vv * vv) AS BIGINT) AS ss FROM v{j}_{t}),",
+            f"num{j} AS (SELECT CAST(SUM(CAST(cq.cq * va.vv * vb.vv AS HUGEINT))"
+            f" AS HUGEINT) AS num FROM cq{j} cq JOIN v{j}_{t} va ON va.p = cq.p",
+            f"  JOIN v{j}_{t} vb ON vb.p = cq.q),",
+            f"tr{j} AS (SELECT CAST(SUM(cq) AS BIGINT) AS tr FROM cq{j} WHERE p = q),",
+            f"sh{j} AS (SELECT CAST((num * {Q}) // (CAST(ss AS HUGEINT) * tr)"
+            f" AS BIGINT) AS shq FROM ss{j} CROSS JOIN num{j} CROSS JOIN tr{j}),",
+        ]
+        if j < k:
+            parts += [
+                f"d{j} AS (SELECT cq.p, cq.q,",
+                "  CAST(ss AS HUGEINT) * ss * cq.cq - num * va.vv * vb.vv AS dd",
+                f"  FROM cq{j} cq JOIN v{j}_{t} va ON va.p = cq.p"
+                f" JOIN v{j}_{t} vb ON vb.p = cq.q",
+                f"  CROSS JOIN ss{j} CROSS JOIN num{j}),",
+                f"md{j} AS (SELECT GREATEST(MAX(abs(dd)), 1) AS maxd FROM d{j}),",
+                f"sc{j} AS (SELECT GREATEST(maxd // {Q}, 1) AS s FROM md{j}),",
+                f"cq{j + 1} AS MATERIALIZED (SELECT p, q, CAST(dd // s AS BIGINT)"
+                f" AS cq FROM d{j} CROSS JOIN sc{j}),",
+            ]
+    parts[-1] = parts[-1].rstrip(",")
+    selects = [
+        f"SELECT {j} AS comp, v{j}_{iterations}.p AS pos,"
+        f" CAST(vv AS DOUBLE) / sqrt(CAST(ss AS DOUBLE)) AS component,"
+        f" CAST(shq AS DOUBLE) / {float(Q)!r} AS ev_share_resid"
+        f" FROM v{j}_{iterations} CROSS JOIN ss{j} CROSS JOIN sh{j}"
+        for j in range(1, k + 1)
+    ]
+    return (
+        "\n".join(parts)
+        + "\n"
+        + "\nUNION ALL\n".join(selects)
+        + "\nORDER BY comp, pos"
+    )
+
+
+@query("q189_deflation_pcs", oracle=_deflation_pcs_oracle_sql(4, 6))
+def q189_deflation_pcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-4 principal components by Hotelling deflation over the q183
+    certified power iteration — the spectral audit graduated from one
+    axis to a basis: exact-integer deflation D = ss²·C − num·vvᵀ in
+    128-bit integers, requantized by one truncating division, every
+    emitted double an exact conversion of a small integer fact or a
+    correctly-rounded op on such. The dominant-k whitening basis q81's
+    rows-only PCA uses, now hash-certified for small k. See
+    operators.similarity.deflation_pcs."""
+    from reactive_kinesis_spark.operators.similarity import deflation_pcs
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    return deflation_pcs(emb, "embedding", "vec_id", k=4, iterations=6)

@@ -205,3 +205,113 @@ def test_power_iteration_pc_degenerate_constant_corpus(spark):
     rows = power_iteration_pc(vecs, iterations=4).orderBy("pos").collect()
     assert [r["pos"] for r in rows] == [1, 2, 3]
     assert all(r["component"] == 0.0 and r["ev_share"] == 0.0 for r in rows)
+
+
+# ---------------------------------------------------- deflation PCs (q189)
+
+
+def test_deflation_pcs_matches_numpy_mirror(spark, sf_dir):
+    """Differential against an independent numpy/Python mirror of the
+    SAME fixed-k quantized deflation program (big-int exact where the
+    engine is, float64 where the engine is): components and Q20-quantized
+    shares must agree bit for bit."""
+    import math
+
+    import numpy as np
+
+    from reactive_kinesis_spark.operators.similarity import (
+        _tdiv,
+        covariance_q20,
+        deflation_pcs,
+    )
+    from reactive_kinesis_spark.tables import load_table
+
+    Q = 1 << 20
+    emb = load_table(spark, sf_dir, "embeddings")
+    got = deflation_pcs(emb, "embedding", "vec_id", k=3, iterations=4).collect()
+
+    rows = covariance_q20(emb, "embedding", "vec_id").collect()
+    dims = sorted({r["p"] for r in rows})
+    cqm = {(r["p"], r["q"]): r["cq"] for r in rows}
+    want = []
+    for j in range(1, 4):
+        tr = sum(cqm.get((p, p), 0) for p in dims)
+        v = {p: Q for p in dims}
+        for _ in range(4):
+            w = {p: sum(cqm.get((p, q), 0) * v[q] for q in dims) for p in dims}
+            mw = max(max(abs(x) for x in w.values()), 1)
+            v = {p: math.floor(float(w[p]) * float(Q) / float(mw)) for p in dims}
+        ss = sum(x * x for x in v.values())
+        num = sum(cqm[(p, q)] * v[p] * v[q] for (p, q) in cqm)
+        share = float(_tdiv(num * Q, ss * tr)) / float(Q)
+        want.extend(
+            (j, p, float(v[p]) / math.sqrt(float(ss)), share) for p in dims
+        )
+        dmat = {
+            (p, q): ss * ss * cqm.get((p, q), 0) - num * v[p] * v[q]
+            for p in dims
+            for q in dims
+        }
+        maxd = max(max(abs(x) for x in dmat.values()), 1)
+        s = max(maxd // Q, 1)
+        cqm = {pq: _tdiv(x, s) for pq, x in dmat.items()}
+    got_t = sorted((r.comp, r.pos, r.component, r.ev_share_resid) for r in got)
+    assert got_t == sorted(want)
+    assert len(got_t) == 3 * len(dims)
+
+
+def test_deflation_pcs_recovers_planted_orthogonal_axes(spark):
+    """Hand-built geometry: variance 100:25:~0 on axes 0/1/rest — the
+    first two components must be ~e0 and ~e1 (the deflation actually
+    removes the dominant axis), and shares must rank accordingly."""
+    import numpy as np
+
+    from reactive_kinesis_spark.operators.similarity import deflation_pcs
+
+    rng = np.random.default_rng(7)
+    n = 400
+    X = np.zeros((n, 5))
+    X[:, 0] = rng.normal(0, 10.0, n)
+    X[:, 1] = rng.normal(0, 5.0, n)
+    X[:, 2:] = rng.normal(0, 0.05, (n, 3))
+    vecs = spark.createDataFrame(
+        [(i, [float(x) for x in X[i]]) for i in range(n)],
+        "vec_id long, embedding array<double>",
+    )
+    out = deflation_pcs(vecs, k=2, iterations=8).collect()
+    c1 = np.array([r.component for r in sorted(out, key=lambda r: r.pos) if r.comp == 1])
+    c2 = np.array([r.component for r in sorted(out, key=lambda r: r.pos) if r.comp == 2])
+    assert abs(c1[0]) > 0.99
+    assert abs(c2[1]) > 0.99
+    assert abs(float(np.dot(c1, c2))) < 0.02
+    s1 = next(r.ev_share_resid for r in out if r.comp == 1)
+    s2 = next(r.ev_share_resid for r in out if r.comp == 2)
+    assert s1 > 0.7        # ~100/125 of total variance
+    assert s2 > 0.9        # ~all of what remains after deflating axis 0
+
+
+def test_deflation_pcs_degenerate_rank_pads_zero_rows(spark):
+    """k above the numerical rank: a rank-1 corpus annihilates after one
+    deflation; remaining components emit well-formed zero rows."""
+    from reactive_kinesis_spark.operators.similarity import deflation_pcs
+
+    import pytest as _pytest
+
+    vecs = spark.createDataFrame(
+        [(i, [float(i), 2.0 * i, -float(i)]) for i in range(12)],
+        "vec_id long, embedding array<double>",
+    )
+    out = deflation_pcs(vecs, k=3, iterations=6).collect()
+    assert len(out) == 9
+    comp1 = [r for r in out if r.comp == 1]
+    assert any(abs(r.component) > 0.1 for r in comp1)
+    for j in (2, 3):
+        assert all(
+            r.component == 0.0 and r.ev_share_resid == 0.0
+            for r in out
+            if r.comp == j
+        )
+    with _pytest.raises(ValueError, match="k >= 1"):
+        deflation_pcs(vecs, k=0)
+    with _pytest.raises(ValueError, match="iterations"):
+        deflation_pcs(vecs, iterations=0)
