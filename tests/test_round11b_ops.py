@@ -484,3 +484,50 @@ class TestIvfCertified:
             ivf_topk_certified(
                 emb, q, "vec_id", "embedding", n_cells=None, target_cell_size=0
             )
+
+
+class TestDerivedLshParams:
+    def test_small_corpus_floors_at_balanced_geometry(self):
+        from reactive_kinesis_spark.operators.similarity import derive_lsh_params
+
+        # any corpus under bands*N/target = 1 floors at 3-bit bands —
+        # exactly the 'balanced' preset's 15x5 geometry
+        assert derive_lsh_params(1_000) == {"n_planes": 15, "bands": 5}
+        assert derive_lsh_params(0) == {"n_planes": 15, "bands": 5}
+
+    def test_bits_grow_with_log_n_and_cap(self):
+        from reactive_kinesis_spark.operators.similarity import derive_lsh_params
+
+        import math
+        prev_bits = 0
+        for n in (10**5, 10**6, 10**7, 10**9):
+            p = derive_lsh_params(n, bands=5, target_candidates=4096)
+            bits = p["n_planes"] // 5
+            want = min(24, max(3, math.ceil(math.log2(max(1, 5 * n // 4096)))))
+            assert bits == want
+            assert bits >= prev_bits
+            prev_bits = bits
+        # the cap: an absurd corpus never exceeds 24-bit bands
+        assert derive_lsh_params(10**14)["n_planes"] == 5 * 24
+        import pytest as _p
+        with _p.raises(ValueError, match="target_candidates"):
+            derive_lsh_params(10, target_candidates=0)
+        with _p.raises(ValueError, match="bands"):
+            derive_lsh_params(10, bands=0)
+
+    def test_ann_lsh_topk_derived_matches_explicit_floor(self, spark):
+        # n_planes=None on a small corpus = the 15x5 floor -> identical
+        # results to the explicit call (both families' registered shapes
+        # untouched)
+        from reactive_kinesis_spark.operators.similarity import ann_lsh_topk
+
+        import random
+        rng = random.Random(9)
+        emb = spark.createDataFrame(
+            [(i, [rng.uniform(-1, 1) for _ in range(8)]) for i in range(50)],
+            "vec_id long, embedding array<float>",
+        )
+        q = emb.where(F.col("vec_id") < 3)
+        a = sorted(map(tuple, ann_lsh_topk(emb, q, k=3, n_planes=None, dim=8).collect()))
+        b = sorted(map(tuple, ann_lsh_topk(emb, q, k=3, dim=8).collect()))
+        assert a == b and a
