@@ -984,3 +984,33 @@ def test_heaps_exponent_reuses_vocab_growth_shape(spark, sf_dir):
     plan = _plan(load_all()["q185_heaps_exponent"].fn(spark, sf_dir))
     assert plan.count("BroadcastNestedLoopJoin") >= 2
     assert "CartesianProduct" not in plan
+
+
+def test_zipf_synth_adds_no_exchange_over_base_operator(spark, sf_dir):
+    """q186/q188: the synthetic-corpus rewrite (md5 + integer division
+    per token) must be a pure narrow projection generated IN the scan
+    stage — the derived-corpus query plans carry exactly as many
+    exchanges as the same operator over the raw documents table, and no
+    join/cartesian appears from the synthesis itself."""
+    q174 = _plan(load_all()["q174_vocab_growth"].fn(spark, sf_dir))
+    q186 = _plan(load_all()["q186_zipf_synth_growth"].fn(spark, sf_dir))
+    assert q186.count("Exchange") == q174.count("Exchange")
+    q185 = _plan(load_all()["q185_heaps_exponent"].fn(spark, sf_dir))
+    q188 = _plan(load_all()["q188_zipf_synth_heaps"].fn(spark, sf_dir))
+    assert q188.count("Exchange") == q185.count("Exchange")
+    assert "CartesianProduct" not in q186 and "CartesianProduct" not in q188
+
+
+def test_deflation_pcs_distributed_half_is_covariance_only(spark, sf_dir):
+    """q189: the ONLY corpus-sized work is the shared covariance pass —
+    same join-free shape pinned for q183 (1-row broadcast means, no
+    equi self-join, map-side-combined (p,q) partials); the k·iterations
+    deflation chain is driver-side integer state, invisible to the
+    plan."""
+    from reactive_kinesis_spark.operators.similarity import covariance_q20
+    from reactive_kinesis_spark.tables import load_table
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    plan = _plan(covariance_q20(emb))
+    assert "SortMergeJoin" not in plan and "ShuffledHashJoin" not in plan
+    assert "CartesianProduct" not in plan
