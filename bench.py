@@ -150,20 +150,25 @@ NOISY_LOAD_1M = 4.0
 PROBE_SLOWDOWN_LIMIT = 1.5
 
 
-def _calibration_probe(spark) -> float:
-    """A fixed ~0.5 s JVM-side workload (range scan + hash + sum — no
-    shuffle, no Python) whose runtime tracks available CPU; timed at
-    bench start and again after the headline to detect mid-bench
-    contention. TWO untimed warm calls first (the measured convergence
-    curve reads 0.66 → 0.36 → 0.34 → ~0.30 s: one warm pass still leaves
-    a JIT-tier bias that would distort the start-vs-after comparison),
-    then best-of-3 so a single scheduler hiccup can't fake a slowdown —
-    after warm-up the probe tracks available CPU tightly (~0.18 s quiet,
-    ~0.30 s at loadavg 4, 0.44+ s contended)."""
+def _calibration_probe() -> float:
+    """A fixed all-cores BLAS workload (2048² float64 matmul) whose wall
+    time tracks available host CPU; timed at bench start and again after
+    the headline to detect contention. Deliberately JVM-FREE: a
+    Spark-side probe can never give an apples-to-apples start-vs-after
+    comparison, because the JVM keeps re-JITting for minutes — a fresh
+    session's best probe reads ~1.6× the same machine's mature-session
+    figure (measured 0.324 s at loadavg 0.03 vs 0.197 s after the
+    headline), which falsely trips any symmetric gate. Precompiled BLAS
+    has no such maturity curve: after the thread-pool spin-up (two warm
+    calls) it sits in a tight band and moves only with external load.
+    Best-of-3 so a single scheduler hiccup can't fake a slowdown."""
+    import numpy as np
+
+    a = np.random.default_rng(0).standard_normal((2048, 2048))
+
     def one() -> float:
         t0 = time.perf_counter()
-        # pmod keeps the ANSI sum far inside int64 (raw xxhash64 overflows)
-        spark.range(200_000_000).selectExpr("sum(pmod(xxhash64(id), 1024))").collect()
+        (a @ a).sum()
         return time.perf_counter() - t0
 
     one()
@@ -197,7 +202,7 @@ def main() -> None:
 
     # JVM/codegen warmup outside the timed region
     spark.range(1_000_000).selectExpr("sum(id)").collect()
-    probe_start = _calibration_probe(spark)
+    probe_start = _calibration_probe()
     print(f"# calibration probe at start: {probe_start:.3f}s", file=sys.stderr)
 
     timings, errors = run_queries(spark, registry, HEADLINE, SF_DIR, N_RUNS)
@@ -211,7 +216,7 @@ def main() -> None:
     # now runs much slower, EXTERNAL contention built up mid-bench (the
     # r11 failure: start 1m load 2.45 passed the gate while residual load
     # inflated the tail)
-    probe_after = _calibration_probe(spark)
+    probe_after = _calibration_probe()
     probe_ratio = round(probe_after / probe_start, 2) if probe_start else None
     # symmetric gate: >limit = contention built up DURING the bench;
     # <1/limit = the bench STARTED contended and the load faded (observed:
@@ -226,33 +231,6 @@ def main() -> None:
             f"# WARNING: calibration probe moved {probe_ratio}x across the "
             f"headline block ({probe_start:.3f}s -> {probe_after:.3f}s) — "
             "contention during or before the bench; payload marked noisy:true",
-            file=sys.stderr,
-        )
-
-    sweep: dict[str, float] = {}
-    if SWEEP:
-        sweep_names = [name for name in registry if name not in HEADLINE]
-        sweep_errors: dict[str, str] = {}
-        # chunked sweep with session recycling (see SWEEP_RESTART_EVERY)
-        for i in range(0, len(sweep_names), SWEEP_RESTART_EVERY):
-            chunk = sweep_names[i : i + SWEEP_RESTART_EVERY]
-            if i > 0:
-                spark.stop()
-                spark = get_spark(app_name="rks-bench")
-                spark.range(1_000_000).selectExpr("sum(id)").collect()
-                print(
-                    f"# sweep: fresh SparkSession at query {i} "
-                    f"({chunk[0]})",
-                    file=sys.stderr,
-                )
-            chunk_t, chunk_e = run_queries(spark, registry, chunk, SF_DIR, 1)
-            sweep.update(chunk_t)
-            sweep_errors.update(chunk_e)
-        errors.update(sweep_errors)
-        print(
-            f"# sweep: {len(sweep)}/{len(sweep_names)} non-headline queries, "
-            f"{sum(sweep.values()):.1f}s total (single run each, session "
-            f"recycled every {SWEEP_RESTART_EVERY})",
             file=sys.stderr,
         )
 
@@ -283,6 +261,37 @@ def main() -> None:
     # un-paged file number above keeps cross-round comparability)
     streaming_file_paged = _leg("file source, paged", _streaming_throughput, files_per_trigger=1)
     streaming_replay = _leg("kinesis_replay, paged", _replay_throughput)
+
+    # the sweep runs LAST: its session recycling must never hand the
+    # streaming/skew legs a cold JVM (observed: paged-file leg 62k vs
+    # 98k msg/s purely from running legs on a just-recycled session)
+    sweep: dict[str, float] = {}
+    if SWEEP:
+        sweep_names = [name for name in registry if name not in HEADLINE]
+        sweep_errors: dict[str, str] = {}
+        # chunked sweep with session recycling (see SWEEP_RESTART_EVERY)
+        for i in range(0, len(sweep_names), SWEEP_RESTART_EVERY):
+            chunk = sweep_names[i : i + SWEEP_RESTART_EVERY]
+            if i > 0:
+                spark.stop()
+                spark = get_spark(app_name="rks-bench")
+                spark.range(1_000_000).selectExpr("sum(id)").collect()
+                print(
+                    f"# sweep: fresh SparkSession at query {i} "
+                    f"({chunk[0]})",
+                    file=sys.stderr,
+                )
+            chunk_t, chunk_e = run_queries(spark, registry, chunk, SF_DIR, 1)
+            sweep.update(chunk_t)
+            sweep_errors.update(chunk_e)
+        errors.update(sweep_errors)
+        print(
+            f"# sweep: {len(sweep)}/{len(sweep_names)} non-headline queries, "
+            f"{sum(sweep.values()):.1f}s total (single run each, session "
+            f"recycled every {SWEEP_RESTART_EVERY})",
+            file=sys.stderr,
+        )
+
 
     m = re.search(r"sf([0-9.]+)", SF_DIR)
     sf = float(m.group(1).rstrip(".")) if m else None
