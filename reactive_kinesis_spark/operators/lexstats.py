@@ -180,10 +180,24 @@ def zipf_slope(
     (group, word) COUNT frame — vocabulary-sized, not corpus-sized —
     then a group-keyed aggregate.
     """
-    if top_ranks < 2:
-        raise ValueError("top_ranks >= 2 required")
     w = _words(docs, text_col, F.col(group_col).alias("grp"))
     cnt = w.groupBy("grp", "word").agg(F.count(F.lit(1)).alias("c"))
+    return zipf_slope_from_counts(cnt, group_col=group_col, top_ranks=top_ranks)
+
+
+def zipf_slope_from_counts(
+    cnt: DataFrame, group_col: str = "lang", top_ranks: int = 128
+) -> DataFrame:
+    """The regression tail of :func:`zipf_slope`, factored (like
+    :func:`entropy_from_counts` / :func:`conditional_entropy_from_counts`)
+    so any exact per-(group, word) count frame can feed it — the batch
+    query builds counts from a document scan; the streaming vocabulary
+    ledger (:func:`streaming.rollup.read_source_zipf_slope`) feeds its
+    merged counts instead, making stream and batch BIT-EQUAL by
+    construction. ``cnt`` must carry ``grp``/``word``/``c`` with ``c``
+    the exact BIGINT count."""
+    if top_ranks < 2:
+        raise ValueError("top_ranks >= 2 required")
     ranked = cnt.select(
         "grp",
         "c",

@@ -725,3 +725,29 @@ def read_conditional_entropy(
         F.col(source_col).alias("grp"), "w1", "w2", F.col("n").alias("c")
     )
     return conditional_entropy_from_counts(cnt, group_col=source_col)
+
+
+def read_source_zipf_slope(
+    spark: SparkSession,
+    out_dir: str,
+    source_col: str = "source",
+    token_col: str = "token",
+    top_ranks: int = 128,
+) -> DataFrame:
+    """Per-source Zipf rank-frequency slope from a
+    :func:`continuous_source_vocabulary` ledger — the SAME ledger the
+    entropy read uses, so one streaming count table serves the whole
+    lexical-health battery (entropy, KL, and now the q176 slope) with
+    zero extra per-batch work: merge base + deltas, then the certified
+    Q12 log-log regression (:func:`operators.lexstats.zipf_slope_from_counts`)
+    — stream ≡ batch bit-for-bit over the committed rows."""
+    from reactive_kinesis_spark.operators.lexstats import zipf_slope_from_counts
+
+    spec = source_vocab_spec(source_col, token_col)
+    merged = read_rollup(spark, out_dir, spec)
+    cnt = merged.select(
+        F.col(source_col).alias("grp"),
+        F.col(token_col).alias("word"),
+        F.col("n").alias("c"),
+    )
+    return zipf_slope_from_counts(cnt, group_col=source_col, top_ranks=top_ranks)

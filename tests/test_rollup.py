@@ -671,3 +671,52 @@ def test_continuous_source_bigrams_cond_entropy_matches_batch(spark, tmp_path):
         for r in conditional_entropy(docs, "text", "source").collect()
     }
     assert got == want and got
+
+
+def test_source_vocabulary_ledger_also_serves_zipf_slope(spark, tmp_path):
+    """One streamed (source, token) ledger serves the whole lexical
+    battery: the Zipf-slope READ must equal the batch q176 program over
+    the same rows, bit for bit — no new writer, no extra per-batch work."""
+    from reactive_kinesis_spark.operators.lexstats import zipf_slope
+    from reactive_kinesis_spark.streaming.rollup import (
+        continuous_source_vocabulary,
+        read_source_zipf_slope,
+    )
+
+    docs = (
+        spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+        .select("source", "text")
+    )
+    rows = docs.collect()
+    in_dir, out_dir, ckpt = (
+        str(tmp_path / "in"),
+        str(tmp_path / "vocab"),
+        str(tmp_path / "ckpt"),
+    )
+    half = len(rows) // 2
+    for i, chunk in enumerate([rows[:half], rows[half:]]):
+        spark.createDataFrame(chunk, "source string, text string").coalesce(
+            1
+        ).write.mode("overwrite").parquet(os.path.join(in_dir, f"c{i}"))
+    stream = (
+        spark.readStream.schema(docs.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(in_dir + "/*")
+    )
+    q = (
+        stream.writeStream.foreachBatch(continuous_source_vocabulary(out_dir))
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+
+    got = {
+        r.source: (r.n_ranks, r.zipf_slope)
+        for r in read_source_zipf_slope(spark, out_dir, top_ranks=64).collect()
+    }
+    want = {
+        r.source: (r.n_ranks, r.zipf_slope)
+        for r in zipf_slope(docs, "text", "source", top_ranks=64).collect()
+    }
+    assert got == want and got
