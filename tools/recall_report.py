@@ -172,6 +172,87 @@ def _int_candidate_count(S, corpus, queries, n_planes, bands, dim) -> int:
     )
 
 
+#: Derived-operating-point measurement corpus: big enough (60k vectors)
+#: that ``derive_lsh_params`` genuinely departs from the 3-bit floor
+#: (bits = ⌈log2(5·60000/4096)⌉ = 7 ⇒ 35 planes × 5 bands), clustered
+#: like real embedding corpora — the regime the r12 scale-derivation
+#: claim ("cost flat, recall survives on clustered data") rests on.
+DERIVED_SCALE = {
+    "seed": 11,
+    "n_clusters": 240,
+    "per_cluster": 250,
+    "dim": 32,
+    "noise": 0.05,
+    "n_queries": 100,
+    "k": 5,
+}
+
+
+def measure_derived_scale(spark, out: dict) -> None:
+    """Fixed 'balanced' preset vs the size-derived LSH point on a 60k
+    clustered corpus: the derived point must cut candidate cost by an
+    order of magnitude while keeping recall — measured, not argued."""
+    import numpy as np
+
+    from pyspark.sql import functions as F
+
+    from reactive_kinesis_spark.operators import similarity as S
+
+    cfg = DERIVED_SCALE
+    rng = np.random.default_rng(cfg["seed"])
+    cents = rng.standard_normal((cfg["n_clusters"], cfg["dim"]))
+    cents /= np.linalg.norm(cents, axis=1, keepdims=True)
+    pts = cents.repeat(cfg["per_cluster"], axis=0) + cfg["noise"] * rng.standard_normal(
+        (cfg["n_clusters"] * cfg["per_cluster"], cfg["dim"])
+    )
+    pts /= np.linalg.norm(pts, axis=1, keepdims=True)
+    big = spark.createDataFrame(
+        [(i, [float(x) for x in pts[i]]) for i in range(len(pts))],
+        schema="vec_id long, embedding array<float>",
+    ).cache()
+    n = big.count()
+    q = big.where(F.col("vec_id") % cfg["per_cluster"] == 0).where(
+        F.col("vec_id") < cfg["n_queries"] * cfg["per_cluster"]
+    )
+    nq = q.count()
+    brute_pairs = nq * (n - 1)
+    exact = S.cosine_topk(big, q, k=cfg["k"])
+    fixed = {"n_planes": 15, "bands": 5}
+    derived = S.derive_lsh_params(n)
+    out["lsh_derived_scale"] = {
+        "corpus": cfg,
+        "fixed_preset": {
+            "settings": fixed,
+            "recall": recall_at_k(
+                exact,
+                S.ann_lsh_topk(big, q, k=cfg["k"], dim=cfg["dim"], **fixed),
+            ),
+            "candidate_fraction": round(
+                S._lsh_candidates(
+                    big, q, "vec_id", "embedding",
+                    fixed["n_planes"], fixed["bands"], cfg["dim"],
+                ).count() / brute_pairs,
+                4,
+            ),
+        },
+        "derived_point": {
+            "settings": derived,
+            "recall": recall_at_k(
+                exact,
+                S.ann_lsh_topk(big, q, k=cfg["k"], dim=cfg["dim"], n_planes=None),
+            ),
+            "candidate_fraction": round(
+                S._lsh_candidates(
+                    big, q, "vec_id", "embedding",
+                    derived["n_planes"], derived["bands"], cfg["dim"],
+                ).count() / brute_pairs,
+                4,
+            ),
+        },
+    }
+    big.unpersist()
+
+
 def measure_testdata(spark, sf_dir: str, out: dict) -> None:
     from pyspark.sql import functions as F
 
@@ -251,6 +332,7 @@ def main() -> None:
     spark = get_spark(app_name="rks-recall-report")
     spark.sparkContext.setLogLevel("ERROR")
     out = measure(spark)
+    measure_derived_scale(spark, out)
     measure_testdata(spark, sf_dir, out)
     print(json.dumps(out, indent=2))
 
