@@ -325,6 +325,18 @@ def source_kl_divergence(
     """
     w = _words(docs, text_col, F.col(group_col).alias("grp"))
     cs = w.groupBy("grp", "word").agg(F.count(F.lit(1)).alias("c"))
+    return source_kl_from_counts(cs, group_col=group_col)
+
+
+def source_kl_from_counts(cs: DataFrame, group_col: str = "source") -> DataFrame:
+    """The KL tail of :func:`source_kl_divergence`, factored (the
+    ``*_from_counts`` pattern) so any exact per-(group, word) count frame
+    can feed it — the batch query builds counts from a document scan; the
+    streaming vocabulary ledger (:func:`streaming.rollup.read_source_kl`)
+    feeds its merged counts instead (the corpus marginal is re-derived by
+    summing the ledger over groups, so stream and batch are BIT-EQUAL by
+    construction). ``cs`` must carry ``grp``/``word``/``c`` with ``c``
+    the exact BIGINT count."""
     cs = with_log2_fixed(cs, "c", "ls", prefix="s")
     cg = cs.groupBy("word").agg(F.sum("c").alias("cg"))
     cg = with_log2_fixed(cg, "cg", "lg_", prefix="g")

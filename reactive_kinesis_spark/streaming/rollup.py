@@ -751,3 +751,30 @@ def read_source_zipf_slope(
         F.col("n").alias("c"),
     )
     return zipf_slope_from_counts(cnt, group_col=source_col, top_ranks=top_ranks)
+
+
+def read_source_kl(
+    spark: SparkSession,
+    out_dir: str,
+    source_col: str = "source",
+    token_col: str = "token",
+) -> DataFrame:
+    """Per-source KL divergence from the corpus mix, read off a
+    :func:`continuous_source_vocabulary` ledger — the q181
+    drift/contamination audit as a continuous view, completing the
+    lexical-health battery on ONE streamed count table (entropy, Zipf
+    slope, and now KL; no new writer, zero extra per-batch work): merge
+    base + deltas, then the certified difference-of-logs program
+    (:func:`operators.lexstats.source_kl_from_counts`, which re-derives
+    the corpus marginal by summing the ledger over sources) — stream ≡
+    batch bit-for-bit over the committed rows."""
+    from reactive_kinesis_spark.operators.lexstats import source_kl_from_counts
+
+    spec = source_vocab_spec(source_col, token_col)
+    merged = read_rollup(spark, out_dir, spec)
+    cs = merged.select(
+        F.col(source_col).alias("grp"),
+        F.col(token_col).alias("word"),
+        F.col("n").alias("c"),
+    )
+    return source_kl_from_counts(cs, group_col=source_col)

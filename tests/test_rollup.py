@@ -720,3 +720,53 @@ def test_source_vocabulary_ledger_also_serves_zipf_slope(spark, tmp_path):
         for r in zipf_slope(docs, "text", "source", top_ranks=64).collect()
     }
     assert got == want and got
+
+
+def test_source_vocabulary_ledger_also_serves_kl(spark, tmp_path):
+    """The same streamed (source, token) ledger serves the q181 KL audit:
+    the read must equal the batch program over the same rows, bit for
+    bit (the corpus marginal re-derives by summing the ledger over
+    sources, so no extra state is needed)."""
+    from reactive_kinesis_spark.operators.lexstats import source_kl_divergence
+    from reactive_kinesis_spark.streaming.rollup import (
+        continuous_source_vocabulary,
+        read_source_kl,
+    )
+
+    docs = (
+        spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+        .select("source", "text")
+    )
+    rows = docs.collect()
+    in_dir, out_dir, ckpt = (
+        str(tmp_path / "in"),
+        str(tmp_path / "vocab"),
+        str(tmp_path / "ckpt"),
+    )
+    half = len(rows) // 2
+    for i, chunk in enumerate([rows[:half], rows[half:]]):
+        spark.createDataFrame(chunk, "source string, text string").coalesce(
+            1
+        ).write.mode("overwrite").parquet(os.path.join(in_dir, f"c{i}"))
+    stream = (
+        spark.readStream.schema(docs.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(in_dir + "/*")
+    )
+    q = (
+        stream.writeStream.foreachBatch(continuous_source_vocabulary(out_dir))
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+
+    got = {
+        r.source: (r.n_tokens, r.vocab, r.kl_bits)
+        for r in read_source_kl(spark, out_dir).collect()
+    }
+    want = {
+        r.source: (r.n_tokens, r.vocab, r.kl_bits)
+        for r in source_kl_divergence(docs, "text", "source").collect()
+    }
+    assert got == want and got
