@@ -211,3 +211,86 @@ def test_chunking_rejects_bad_stride(spark):
         chunk_documents(docs, chunk_tokens=8, stride=0)
     with pytest.raises(ValueError, match="stride"):
         chunk_documents(docs, chunk_tokens=8, stride=9)
+
+
+@settings(**_SETTINGS)
+@given(
+    st.integers(min_value=-(1 << 113), max_value=(1 << 113)),
+    st.integers(min_value=1, max_value=(1 << 60)),
+)
+def test_tdiv_matches_sql_truncating_division(a, b):
+    """_tdiv is the SQL // semantics on signed ints: truncation toward
+    zero (Python's // floors — off by one on every inexact negative
+    quotient), pinned against the arithmetic definition over the full
+    128-bit range q189's deflation actually uses."""
+    from reactive_kinesis_spark.operators.similarity import _tdiv
+
+    q = _tdiv(a, b)
+    assert abs(q) == abs(a) // b
+    assert q == 0 or (q < 0) == (a < 0)
+    # |q*b| never overshoots |a|, and the remainder is inside [0, b)
+    assert abs(q * b) <= abs(a) < abs(q * b) + b
+
+
+@settings(**_SETTINGS)
+@given(st.integers(min_value=0, max_value=(1 << 50)), st.integers(min_value=1, max_value=10))
+def test_derive_lsh_params_cost_budget_invariant(n, bands):
+    """The derived banding point always (a) floors at 3-bit bands, (b)
+    caps at 24, (c) keeps the expected random-collision candidate count
+    N·bands·2^-bits within 2× of the target whenever neither clamp is
+    active — the flat-cost contract of the r12 scale derivation."""
+    from reactive_kinesis_spark.operators.similarity import (
+        ANN_TARGET_CANDIDATES,
+        derive_lsh_params,
+    )
+
+    p = derive_lsh_params(n, bands=bands)
+    bits = p["n_planes"] // bands
+    assert p["bands"] == bands and p["n_planes"] == bits * bands
+    assert 3 <= bits <= 24
+    expected = n * bands / (2.0**bits)
+    if 3 < bits < 24:
+        assert expected <= ANN_TARGET_CANDIDATES * 2
+        # one bit fewer would blow the budget — the derivation is tight
+        assert n * bands / (2.0 ** (bits - 1)) > ANN_TARGET_CANDIDATES
+
+
+@settings(max_examples=10, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(
+    st.integers(min_value=1, max_value=12),
+    st.sampled_from(["zipf", "alt", "x:y"]),
+)
+def test_zipf_synth_docs_matches_duckdb_any_params(spark, tokens_per_doc, seed):
+    """The synthetic corpus is bit-identical cross-engine for ANY
+    (tokens_per_doc, seed) — not just the q186-q188 registry point:
+    Spark conv/md5/div vs DuckDB hex-cast/md5/// on the same doc ids."""
+    import duckdb
+
+    from reactive_kinesis_spark.operators.lexstats import (
+        ZIPF_SYNTH_RANGE,
+        zipf_synth_docs,
+    )
+
+    df = spark.createDataFrame(
+        [(i, "t", "en", "s") for i in (1, 2, 7, 40)],
+        "doc_id long, text string, lang string, source string",
+    )
+    got = {
+        r.doc_id: r.text
+        for r in zipf_synth_docs(df, tokens_per_doc=tokens_per_doc, seed=seed).collect()
+    }
+    word = (
+        f"'w' || CAST({ZIPF_SYNTH_RANGE} // (CAST(('0x' || substr(md5("
+        f"'{seed}:' || CAST(doc_id AS VARCHAR) || ':' || CAST(i AS VARCHAR)"
+        f"), 1, 12)) AS BIGINT) + 1) AS VARCHAR)"
+    )
+    con = duckdb.connect()
+    want = dict(
+        con.execute(
+            f"SELECT doc_id, array_to_string(list_transform(range(1, "
+            f"{tokens_per_doc + 1}), i -> {word}), ' ') FROM (VALUES (1), (2), "
+            f"(7), (40)) t(doc_id)"
+        ).fetchall()
+    )
+    assert got == want
