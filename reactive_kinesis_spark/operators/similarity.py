@@ -1314,6 +1314,59 @@ def _derive_k(vectors: DataFrame, target_cluster_size: int) -> int:
     return max(8, n // target_cluster_size)
 
 
+def _sampled_cluster_assign(
+    vectors: DataFrame,
+    vec_col: str,
+    id_col: str,
+    k: int,
+    train_sample: int,
+) -> DataFrame:
+    """``(id_col, cluster)`` via the IVF fit/assign split: numpy k-means
+    on a bounded driver-side sample (deterministic — ordered
+    ``limit(train_sample)``, :func:`_train_centroids` seeding), then ONE
+    Arrow argmin pass over the corpus (stable lowest-index tie-break).
+    The throughput twin of :func:`kmeans_assign` for callers that need
+    cluster STRUCTURE, not cross-engine bit-reproducible cluster ids."""
+    import numpy as np
+
+    from pyspark.sql.types import IntegerType, LongType, StructField, StructType
+
+    if not 0 < train_sample <= 1 << 17:
+        raise ValueError(
+            f"train_sample={train_sample} outside (0, {1 << 17}]: the k-means "
+            "training block is collected to the driver and must stay bounded"
+        )
+    if k > train_sample:
+        raise ValueError(f"k={k} > train_sample={train_sample}")
+    vv = valid_vectors(vectors, vec_col)
+    train_rows = vv.orderBy(id_col).limit(train_sample).select(vec_col).collect()
+    if not train_rows:
+        return vv.select(F.col(id_col), F.lit(0).alias("cluster")).limit(0)
+    cents = _train_centroids(
+        np.array([list(r[0]) for r in train_rows], dtype="float64"), k
+    )
+    out_schema = StructType(
+        [StructField(id_col, LongType()), StructField("cluster", IntegerType())]
+    )
+
+    def run(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            mat = np.array(pdf[vec_col].tolist(), dtype="float64")
+            if mat.size == 0:
+                continue
+            d2 = ((mat[:, None, :] - cents[None, :, :]) ** 2).sum(axis=2)
+            yield pd.DataFrame(
+                {
+                    id_col: pdf[id_col].to_numpy(dtype="int64"),
+                    "cluster": d2.argmin(axis=1).astype("int32"),
+                }
+            )
+
+    return vv.select(id_col, vec_col).mapInPandas(run, out_schema)
+
+
 def semantic_dedup(
     vectors: DataFrame,
     vec_col: str = "embedding",
@@ -1322,6 +1375,8 @@ def semantic_dedup(
     iterations: int = 2,
     threshold: float = 0.95,
     target_cluster_size: int = SEMDEDUP_TARGET_CLUSTER_SIZE,
+    trainer: str = "certified",
+    train_sample: int = 2048,
 ) -> DataFrame:
     """Semantic deduplication (SemDeDup, Abbas et al. 2023,
     arXiv:2303.09540): cluster the embedding corpus with deterministic
@@ -1357,6 +1412,19 @@ def semantic_dedup(
     is keyed by (cluster, id) — map-side combinable, never a driver
     collect.
 
+    ``trainer`` selects the clustering stage (the IVF fit/throughput
+    split applied to SemDeDup): ``"certified"`` (default, the q148
+    oracle's path) runs the full-corpus decimal-exact Lloyd chain —
+    ``iterations`` distributed passes; ``"sampled"`` fits centroids from
+    a bounded driver-side sample (``train_sample`` ≤ 2^17, the IVF
+    :func:`_train_centroids` quantizer) and assigns the corpus in ONE
+    Arrow matmul pass — the throughput path for repeated ingest-time
+    dedup, where quantizer quality plateaus long before the full-corpus
+    fit. Cluster IDS differ between trainers (different seeding), so the
+    pair sets are not comparable row-for-row; the semantic-duplicate
+    guarantee (pairs compared within a cluster at the same Σ|c|² cost
+    bound) holds identically.
+
     Returns one row per cluster:
     ``(cluster, n_vecs, n_dup_pairs, n_dropped, dup_cos_sum)`` where
     ``n_dropped`` counts distinct dropped members and ``dup_cos_sum`` is
@@ -1365,13 +1433,23 @@ def semantic_dedup(
     """
     from reactive_kinesis_spark.functions import dsum, vec_dot, vec_norm
 
+    if trainer not in ("certified", "sampled"):
+        raise ValueError(f"unknown trainer {trainer!r}; 'certified' or 'sampled'")
     v = vectors.select(
         F.col(id_col).alias("__id"), F.col(vec_col).alias("__vec")
     ).where(F.col("__vec").isNotNull() & (F.size("__vec") > 0))
     if k is None:
         k = _derive_k(v, target_cluster_size)
+    if trainer == "sampled":
+        assigned = _sampled_cluster_assign(
+            vectors, vec_col, id_col, k=k, train_sample=train_sample
+        )
+    else:
+        assigned = kmeans_assign(
+            vectors, vec_col, id_col, k=k, iterations=iterations
+        )
     members = (
-        kmeans_assign(vectors, vec_col, id_col, k=k, iterations=iterations)
+        assigned
         .select(F.col(id_col).alias("__id"), "cluster")
         .join(v, "__id")
         .select("__id", "cluster", "__vec", vec_norm("__vec").alias("__nrm"))

@@ -531,3 +531,40 @@ class TestDerivedLshParams:
         a = sorted(map(tuple, ann_lsh_topk(emb, q, k=3, n_planes=None, dim=8).collect()))
         b = sorted(map(tuple, ann_lsh_topk(emb, q, k=3, dim=8).collect()))
         assert a == b and a
+
+
+class TestSemanticDedupSampledTrainer:
+    def test_sampled_trainer_flags_the_same_planted_duplicates(self, spark):
+        # exact duplicate vectors collide in SOME cluster under ANY
+        # trainer (identical vectors always share an assignment), so the
+        # planted duplicates must be flagged by both paths even though
+        # cluster ids differ
+        from reactive_kinesis_spark.operators.similarity import semantic_dedup
+
+        import random
+        rng = random.Random(13)
+        base = [[rng.uniform(-1, 1) for _ in range(8)] for _ in range(30)]
+        rows = [(i, base[i]) for i in range(30)]
+        rows += [(100 + i, base[i]) for i in range(5)]   # 5 exact dups
+        vecs = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+        for trainer in ("certified", "sampled"):
+            out = semantic_dedup(
+                vecs, k=4, iterations=2, threshold=0.999, trainer=trainer
+            ).agg(
+                F.sum("n_dup_pairs").alias("p"), F.sum("n_dropped").alias("d")
+            ).collect()[0]
+            assert out["p"] >= 5 and out["d"] >= 5, trainer
+
+    def test_sampled_trainer_validations(self, spark):
+        from reactive_kinesis_spark.operators.similarity import semantic_dedup
+
+        vecs = spark.createDataFrame(
+            [(i, [float(i), 1.0]) for i in range(10)],
+            "vec_id long, embedding array<double>",
+        )
+        with pytest.raises(ValueError, match="trainer"):
+            semantic_dedup(vecs, trainer="nope")
+        with pytest.raises(ValueError, match="train_sample"):
+            semantic_dedup(vecs, k=2, trainer="sampled", train_sample=0)
+        with pytest.raises(ValueError, match="> train_sample"):
+            semantic_dedup(vecs, k=8, trainer="sampled", train_sample=4)
