@@ -575,6 +575,23 @@ def heaps_exponent(
 ZIPF_SYNTH_RANGE = 1 << 48
 
 
+def check_zipf_seed(seed: str) -> str:
+    """Validate a :func:`zipf_synth_docs` seed against the safe charset
+    ``[A-Za-z0-9:_-]`` before it is interpolated into a SQL expression
+    string (both the Spark ``expr`` and the DuckDB oracle mirror splice
+    it between single quotes; a quote or backslash in the seed would be
+    expression injection / a parse error — r12 ADVICE). Returns the seed
+    so call sites can validate inline."""
+    import re
+
+    if not re.fullmatch(r"[A-Za-z0-9:_-]+", seed or ""):
+        raise ValueError(
+            f"zipf seed {seed!r} outside the safe charset [A-Za-z0-9:_-]+ "
+            "(it is interpolated into a quoted SQL literal)"
+        )
+    return seed
+
+
 def zipf_synth_docs(
     docs: DataFrame,
     tokens_per_doc: int = 64,
@@ -608,6 +625,10 @@ def zipf_synth_docs(
     """
     if tokens_per_doc < 1:
         raise ValueError("tokens_per_doc >= 1 required")
+    check_zipf_seed(seed)
+    for ident in (id_col, text_col):
+        if not ident.isidentifier():
+            raise ValueError(f"column name {ident!r} is not a plain identifier")
     word = (
         f"concat('w', CAST({ZIPF_SYNTH_RANGE} div (CAST(conv(substr(md5("
         f"concat('{seed}:', CAST({id_col} AS STRING), ':', CAST(i AS STRING))"

@@ -771,6 +771,49 @@ def embedding_neardup_pairs(
 # --------------------------------------------------------------------------
 
 
+#: Element budget for one nearest-centroid distance block (rows × cells
+#: float64s ≈ 64 MB at this cap): both the driver-side trainer and the
+#: Arrow assign pass chunk their row axis so rows×cells can never
+#: materialize a multi-GB block at derived-k scale (k grows ∝ N).
+NEAREST_BLOCK_ELEMS = 1 << 23
+
+
+def _nearest_centroid(mat, cents):
+    """Row-wise argmin over squared distance to ``cents`` in matmul form:
+    ``argmin_c ||x-c||^2 = argmin_c (||c||^2 - 2 x·c)`` (the ||x||^2 term
+    is constant per row). O(rows·cells) memory, chunked to
+    :data:`NEAREST_BLOCK_ELEMS` — never the rows×cells×dim residual
+    tensor the naive broadcast form materializes (≈10+ GB per 10k-row
+    Arrow batch at k=2^17, the r12 ADVICE finding). Ties break to the
+    lowest centroid index (numpy argmin), stable across chunk splits."""
+    import numpy as np
+
+    c2 = (cents * cents).sum(axis=1)
+    block = max(1, NEAREST_BLOCK_ELEMS // max(len(cents), 1))
+    out = np.empty(len(mat), dtype="int64")
+    for s in range(0, len(mat), block):
+        sub = mat[s : s + block]
+        out[s : s + block] = (c2[None, :] - 2.0 * (sub @ cents.T)).argmin(axis=1)
+    return out
+
+
+def _nearest_cells(mat, cents, probes: int):
+    """Top-``probes`` centroid indices per row by squared distance — the
+    multi-probe variant of :func:`_nearest_centroid`, same matmul form,
+    same :data:`NEAREST_BLOCK_ELEMS` chunking, ties to the lower centroid
+    index (stable argsort)."""
+    import numpy as np
+
+    c2 = (cents * cents).sum(axis=1)
+    block = max(1, NEAREST_BLOCK_ELEMS // max(len(cents), 1))
+    out = np.empty((len(mat), probes), dtype="int64")
+    for s in range(0, len(mat), block):
+        sub = mat[s : s + block]
+        d2 = c2[None, :] - 2.0 * (sub @ cents.T)
+        out[s : s + block] = np.argsort(d2, axis=1, kind="stable")[:, :probes]
+    return out
+
+
 def _train_centroids(mat, n_cells: int, iters: int = 8):
     """Deterministic Lloyd's k-means on a fixed training sample (init = the
     first ``n_cells`` rows, which are id-ordered upstream). Driver-side: the
@@ -779,8 +822,10 @@ def _train_centroids(mat, n_cells: int, iters: int = 8):
 
     cents = mat[:n_cells].copy()
     for _ in range(iters):
-        d2 = ((mat[:, None, :] - cents[None, :, :]) ** 2).sum(axis=2)
-        assign = d2.argmin(axis=1)
+        # argmin_c ||x-c||^2 = argmin_c (||c||^2 - 2 x·c): O(sample·cells)
+        # memory in matmul form — the naive broadcast residual tensor is
+        # sample×cells×dim and OOMs the driver at derived-k scale
+        assign = _nearest_centroid(mat, cents)
         for c in range(n_cells):
             members = mat[assign == c]
             if len(members):
@@ -856,10 +901,10 @@ def _ivf_candidates(
                 mat = np.array(pdf[vec_col].tolist(), dtype="float64")
                 if mat.size == 0:
                     continue
-                d2 = ((mat[:, None, :] - cents[None, :, :]) ** 2).sum(axis=2)
                 # lowest-index tie-break is argsort(kind='stable') semantics;
                 # argpartition is not deterministic under ties → argsort
-                order = np.argsort(d2, axis=1, kind="stable")[:, :probes]
+                # (matmul-form + chunked — see _nearest_cells)
+                order = _nearest_cells(mat, cents, probes)
                 norms = np.sqrt(_seq_sqnorm(mat))
                 frames = []
                 for p in range(probes):
@@ -1356,11 +1401,10 @@ def _sampled_cluster_assign(
             mat = np.array(pdf[vec_col].tolist(), dtype="float64")
             if mat.size == 0:
                 continue
-            d2 = ((mat[:, None, :] - cents[None, :, :]) ** 2).sum(axis=2)
             yield pd.DataFrame(
                 {
                     id_col: pdf[id_col].to_numpy(dtype="int64"),
-                    "cluster": d2.argmin(axis=1).astype("int32"),
+                    "cluster": _nearest_centroid(mat, cents).astype("int32"),
                 }
             )
 
@@ -1440,6 +1484,24 @@ def semantic_dedup(
     ).where(F.col("__vec").isNotNull() & (F.size("__vec") > 0))
     if k is None:
         k = _derive_k(v, target_cluster_size)
+        if trainer == "sampled":
+            # the throughput path must not hard-fail just because k was
+            # DERIVED at scale (r12 ADVICE: k = n/256 passes 2048 at
+            # n ≈ 524k): grow the fit sample with k (≥4 training rows per
+            # centroid, the quantizer floor) up to the bounded-collect
+            # cap. Past the cap (k > 2^17 ⇒ n > ~33.5M at the default
+            # target) no meaningful driver-sample quantizer exists — say
+            # so loudly instead of fitting 1-point centroids.
+            train_sample = min(1 << 17, max(train_sample, 4 * k))
+            if k > train_sample:
+                raise ValueError(
+                    f"derived k={k} exceeds the bounded fit-sample cap "
+                    f"{1 << 17}: the sampled trainer cannot fit that many "
+                    "centroids from a driver-side sample — raise "
+                    "target_cluster_size (clusters of "
+                    f"{target_cluster_size} are over-fine at this corpus "
+                    "size) or use trainer='certified'"
+                )
     if trainer == "sampled":
         assigned = _sampled_cluster_assign(
             vectors, vec_col, id_col, k=k, train_sample=train_sample
@@ -2019,8 +2081,7 @@ def ivf_build_index(
             mat = np.array(pdf[vec_col].tolist(), dtype="float64")
             if mat.size == 0:
                 continue
-            d2 = ((mat[:, None, :] - cents[None, :, :]) ** 2).sum(axis=2)
-            order = np.argsort(d2, axis=1, kind="stable")[:, 0]
+            order = _nearest_centroid(mat, cents)
             yield pd.DataFrame(
                 {
                     "id": pdf[id_col].to_numpy(dtype="int64"),
@@ -2082,8 +2143,7 @@ def ivf_query_index(
             mat = np.array(pdf[vec_col].tolist(), dtype="float64")
             if mat.size == 0:
                 continue
-            d2 = ((mat[:, None, :] - cents[None, :, :]) ** 2).sum(axis=2)
-            order = np.argsort(d2, axis=1, kind="stable")[:, :probes]
+            order = _nearest_cells(mat, cents, probes)
             norms = np.sqrt(_seq_sqnorm(mat))
             frames = []
             for p in range(probes):
@@ -2160,8 +2220,7 @@ def ivf_append_index(
             mat = np.array(pdf[vec_col].tolist(), dtype="float64")
             if mat.size == 0:
                 continue
-            d2 = ((mat[:, None, :] - cents[None, :, :]) ** 2).sum(axis=2)
-            order = np.argsort(d2, axis=1, kind="stable")[:, 0]
+            order = _nearest_centroid(mat, cents)
             yield pd.DataFrame(
                 {
                     "id": pdf[id_col].to_numpy(dtype="int64"),
@@ -2696,11 +2755,14 @@ def _power_iterate_int(cqm, dims, iterations: int):
 
 def _tdiv(a: int, b: int) -> int:
     """Integer division TRUNCATED toward zero — the ANSI-SQL / DuckDB
-    ``//`` semantics (Python's ``//`` floors, which differs on negative
-    numerators: -7 // 2 = -4 vs SQL -3). Used wherever the certified
-    program divides signed exact integers."""
-    q = abs(a) // b
-    return -q if a < 0 else q
+    ``//`` semantics for ANY signed pair (Python's ``//`` floors, which
+    is off by one whenever exactly one operand is negative and the
+    quotient is inexact: -7 // 2 = -4 vs SQL -3). Sign from a XOR b,
+    magnitude from ``abs(a) // abs(b)``; b == 0 raises
+    ZeroDivisionError, as both engines error. Used wherever the
+    certified program divides signed exact integers."""
+    q = abs(a) // abs(b)
+    return -q if (a < 0) != (b < 0) else q
 
 
 def power_iteration_pc(

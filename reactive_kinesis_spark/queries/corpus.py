@@ -28,8 +28,12 @@ def _zipf_docs_sql(tokens_per_doc: int, seed: str = "zipf") -> str:
     derived-table expression — same md5 12-hex draw, same exact integer
     division, so the synthetic corpus is bit-identical cross-engine and
     everything computed from it hash-certifies."""
-    from reactive_kinesis_spark.operators.lexstats import ZIPF_SYNTH_RANGE
+    from reactive_kinesis_spark.operators.lexstats import (
+        ZIPF_SYNTH_RANGE,
+        check_zipf_seed,
+    )
 
+    check_zipf_seed(seed)
     word = (
         f"'w' || CAST({ZIPF_SYNTH_RANGE} // (CAST(('0x' || substr(md5("
         f"'{seed}:' || CAST(doc_id AS VARCHAR) || ':' || CAST(i AS VARCHAR)"

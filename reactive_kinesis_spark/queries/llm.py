@@ -3953,10 +3953,16 @@ def _power_pc_oracle_sql(iterations: int) -> str:
         f"  AS DECIMAL(38,0)) AS num FROM cq JOIN v{k} va ON va.p = cq.p",
         f"  JOIN v{k} vb ON vb.p = cq.q),",
         "tr AS (SELECT CAST(SUM(cq) AS BIGINT) AS trq FROM cq WHERE p = q)",
+        # degenerate guard (r12 ADVICE): a constant-embedding corpus has
+        # ss = 0 / trq = 0 — the operator returns well-formed zero rows
+        # there (similarity.py power_iteration_pc), so the oracle must
+        # agree on ALL inputs, not just the non-degenerate registered data
         f"SELECT v{k}.p AS pos,",
-        "  CAST(vv AS DOUBLE) / sqrt(CAST(ss AS DOUBLE)) AS component,",
-        "  CAST(num AS DOUBLE) / CAST(CAST(ss AS DECIMAL(38,0))",
-        "    * CAST(trq AS DECIMAL(38,0)) AS DOUBLE) AS ev_share",
+        "  CASE WHEN ss = 0 OR trq = 0 THEN 0.0",
+        "    ELSE CAST(vv AS DOUBLE) / sqrt(CAST(ss AS DOUBLE)) END AS component,",
+        "  CASE WHEN ss = 0 OR trq = 0 THEN 0.0",
+        "    ELSE CAST(num AS DOUBLE) / CAST(CAST(ss AS DECIMAL(38,0))",
+        "    * CAST(trq AS DECIMAL(38,0)) AS DOUBLE) END AS ev_share",
         f"FROM v{k} CROSS JOIN ss CROSS JOIN ray CROSS JOIN tr",
         "ORDER BY pos",
     ]
@@ -3995,6 +4001,7 @@ def _deflation_pcs_oracle_sql(k: int, iterations: int) -> str:
     Q = 1048576
     parts = _cov_q20_cte_parts() + [
         "cq1 AS (SELECT p, q, cq FROM cq),",
+        "bad0 AS (SELECT 0 AS b),",
     ]
     for j in range(1, k + 1):
         parts += [
@@ -4019,7 +4026,14 @@ def _deflation_pcs_oracle_sql(k: int, iterations: int) -> str:
             f" AS HUGEINT) AS num FROM cq{j} cq JOIN v{j}_{t} va ON va.p = cq.p",
             f"  JOIN v{j}_{t} vb ON vb.p = cq.q),",
             f"tr{j} AS (SELECT CAST(SUM(cq) AS BIGINT) AS tr FROM cq{j} WHERE p = q),",
-            f"sh{j} AS (SELECT CAST((num * {Q}) // (CAST(ss AS HUGEINT) * tr)"
+            # cumulative degenerate flag (r12 ADVICE): the operator BREAKS
+            # at the first ss==0/tr==0 round and emits zero rows for every
+            # remaining component, so the flag must propagate monotonically
+            f"bad{j} AS (SELECT GREATEST(CASE WHEN ss = 0 OR tr = 0 THEN 1"
+            f" ELSE 0 END, bad{j - 1}.b) AS b"
+            f" FROM ss{j} CROSS JOIN tr{j} CROSS JOIN bad{j - 1}),",
+            f"sh{j} AS (SELECT CAST(COALESCE((num * {Q})"
+            f" // NULLIF(CAST(ss AS HUGEINT) * tr, 0), 0)"
             f" AS BIGINT) AS shq FROM ss{j} CROSS JOIN num{j} CROSS JOIN tr{j}),",
         ]
         if j < k:
@@ -4037,9 +4051,12 @@ def _deflation_pcs_oracle_sql(k: int, iterations: int) -> str:
     parts[-1] = parts[-1].rstrip(",")
     selects = [
         f"SELECT {j} AS comp, v{j}_{iterations}.p AS pos,"
-        f" CAST(vv AS DOUBLE) / sqrt(CAST(ss AS DOUBLE)) AS component,"
-        f" CAST(shq AS DOUBLE) / {float(Q)!r} AS ev_share_resid"
+        f" CASE WHEN bad{j}.b = 1 THEN 0.0"
+        f" ELSE CAST(vv AS DOUBLE) / sqrt(CAST(ss AS DOUBLE)) END AS component,"
+        f" CASE WHEN bad{j}.b = 1 THEN 0.0"
+        f" ELSE CAST(shq AS DOUBLE) / {float(Q)!r} END AS ev_share_resid"
         f" FROM v{j}_{iterations} CROSS JOIN ss{j} CROSS JOIN sh{j}"
+        f" CROSS JOIN bad{j}"
         for j in range(1, k + 1)
     ]
     return (

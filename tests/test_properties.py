@@ -216,20 +216,22 @@ def test_chunking_rejects_bad_stride(spark):
 @settings(**_SETTINGS)
 @given(
     st.integers(min_value=-(1 << 113), max_value=(1 << 113)),
-    st.integers(min_value=1, max_value=(1 << 60)),
+    st.integers(min_value=-(1 << 60), max_value=(1 << 60)).filter(lambda b: b != 0),
 )
 def test_tdiv_matches_sql_truncating_division(a, b):
-    """_tdiv is the SQL // semantics on signed ints: truncation toward
-    zero (Python's // floors — off by one on every inexact negative
-    quotient), pinned against the arithmetic definition over the full
-    128-bit range q189's deflation actually uses."""
+    """_tdiv is the SQL // semantics on ANY signed pair: truncation
+    toward zero (Python's // floors — off by one on every inexact
+    mixed-sign quotient), pinned against the arithmetic definition over
+    the full 128-bit range q189's deflation actually uses. Widened from
+    b >= 1 in r13 (the r12 ADVICE finding: the helper silently assumed a
+    positive divisor)."""
     from reactive_kinesis_spark.operators.similarity import _tdiv
 
     q = _tdiv(a, b)
-    assert abs(q) == abs(a) // b
-    assert q == 0 or (q < 0) == (a < 0)
-    # |q*b| never overshoots |a|, and the remainder is inside [0, b)
-    assert abs(q * b) <= abs(a) < abs(q * b) + b
+    assert abs(q) == abs(a) // abs(b)
+    assert q == 0 or (q < 0) == ((a < 0) != (b < 0))
+    # |q*b| never overshoots |a|, and the remainder is inside [0, |b|)
+    assert abs(q * b) <= abs(a) < abs(q * b) + abs(b)
 
 
 @settings(**_SETTINGS)
