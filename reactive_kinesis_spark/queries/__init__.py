@@ -42,102 +42,49 @@ def query(name: str, oracle: str | None = None):
     return deco
 
 
-#: Driver-visibility rotation (round 12) — the CERTIFICATION-DEBT round
-#: (r11 verdict Next #1). The driver's correctness run samples the FIRST
-#: 50 registry entries; with 183 oracle-backed queries, the rest must sit
-#: past the window each round. Policy: the least-driver-certified queries
-#: get the visible slots — never-certified first, then queries whose CODE
-#: OR ORACLE CHANGED since their last green row (a stale green row proves
-#: the old query, not this one), then by staleness. This round:
-#:   slots 0-3   — the four NEW round-12 queries: q186/q187/q188 (the
-#:                 lexstats tier re-certified on the deterministic
-#:                 heavy-tailed synthetic corpus, where Heaps beta ≈ 0.57
-#:                 and the Zipf slope ≈ −1.7 actually discriminate) and
-#:                 q189 (top-k principal components by exact-integer
-#:                 Hotelling deflation over the q183 power iteration) —
-#:                 never certified, so they outrank every green row;
-#:   slots 4-6   — r11-certified queries whose CODE AND ORACLE changed
-#:                 this round and need re-proving: q177 (NULL target
-#:                 filter now coalesces to background), q183 (GREATEST
-#:                 maxc guard in the covariance quantization), q185
-#:                 (explicit NULL beta on zero x-variance) — all three
-#:                 ADVICE closures with oracle-text edits;
-#:   slots 7-39  — ALL 33 _DEFERRED_R12 entries, burned to zero as the
-#:                 r11 verdict's first ask: led by the twice-displaced
-#:                 q126/q127/q129, then the r7-certified q130–q141/q37/
-#:                 q44/q45/q50/q51/q68–q75/q99/q141 blocks and the
-#:                 q16–q29 block (r7-certified, 5 rounds stale);
-#:   slots 40-49 — the 10 alphabetically-first of the 50 r9-certified
-#:                 queries (q02/q05/q07/q09/q102–q108 block) — the next-
-#:                 oldest debt tier; the other 40 move to _DEFERRED_R13.
+#: Driver-visibility rotation (round 13). The driver's correctness run
+#: samples the FIRST 50 registry entries; with 188 oracle-backed queries,
+#: the rest must sit past the window each round. Policy: the
+#: least-driver-certified queries get the visible slots — never-certified
+#: first, then queries whose CODE OR ORACLE CHANGED since their last
+#: green row (a stale green row proves the old query, not this one),
+#: then by staleness. This round:
+#:   slots 0-4   — the five NEW round-13 queries: q190 (the derived ANN
+#:                 operating point — ann_lsh_topk(n_planes=None), the
+#:                 code path a 100 TB deployment actually runs, landing
+#:                 on the certified 15×5 floor at driver SF so the
+#:                 oracle is q30's geometry by construction; r12 verdict
+#:                 Next #3) and q191–q194 (entropy/KL/PMI/conditional-
+#:                 entropy re-certified on the synthetic Zipf corpus
+#:                 where the statistics separate; r12 verdict Next #6);
+#:   slots 5-6   — r12-certified queries whose ORACLE TEXT changed this
+#:                 round and need re-proving: q183/q189 gained the
+#:                 ss==0/tr==0 degenerate guards (r12 ADVICE #3) — the
+#:                 registered data is non-degenerate so values are
+#:                 unchanged, but the hash must prove the NEW text;
+#:   slots 7-46  — ALL 40 _DEFERRED_R13 entries (r9-certified, the
+#:                 oldest tier), burned to zero as the r12 verdict's
+#:                 first ask: q109–q111, the stats/eval tier q137–q147,
+#:                 the r7-era q76–q98 block, q12/q13/q14/q15/q47;
+#:   slots 47-49 — the 3 alphabetically-first of the 46 r10-certified
+#:                 queries (q112/q113/q114) — the next-oldest debt tier;
+#:                 the other 43 move to _DEFERRED_R14.
 #: Everything past the window remains fully oracle-checked locally every
 #: session (tests/test_oracle_parity.py runs the ENTIRE registry against
 #: DuckDB), and tools/round_end.py FAILS the round if this window equals
 #: the previous round's CORRECTNESS key set or if any oracle-count
 #: literal in this file drifts from the live registry.
 _WINDOW = (
-    # -- round-12 new queries (never certified) --
-    "q186_zipf_synth_growth",
-    "q187_zipf_synth_slope",
-    "q188_zipf_synth_heaps",
-    "q189_deflation_pcs",
-    # -- code+oracle changed this round (ADVICE closures) --
-    "q177_domain_affinity",
+    # -- round-13 new queries (never certified) --
+    "q190_ann_lsh_derived",
+    "q191_zipf_synth_entropy",
+    "q192_zipf_synth_kl",
+    "q193_zipf_synth_pmi",
+    "q194_zipf_synth_cond_entropy",
+    # -- oracle text changed this round (degenerate-guard ADVICE closure) --
     "q183_power_iteration_pc",
-    "q185_heaps_exponent",
-    # -- the full _DEFERRED_R12 burn-down (r7-certified; q126/q127/q129
-    #    twice-displaced) --
-    "q126_bfs_hops",
-    "q127_association_rules",
-    "q129_link_prediction",
-    "q130_quantile_normalize",
-    "q131_gini_concentration",
-    "q132_attribution",
-    "q133_lorenz_deciles",
-    "q135_rfm_segments",
-    "q136_ewma_smoothing",
-    "q138_calibration_bins",
-    "q139_countmin_sketch",
-    "q140_hits_scores",
-    "q37_range_join",
-    "q44_deterministic_sample",
-    "q45_correlated_subquery",
-    "q50_stats_moments",
-    "q51_percentiles",
-    "q68_embedding_quantization",
-    "q69_duplicate_spans",
-    "q70_async_enrichment",
-    "q71_vocabulary_topk",
-    "q72_collocations",
-    "q74_stratified_sample",
-    "q75_rare_word_scoring",
-    "q99_resample_daily",
-    "q141_simpson_diversity",
-    "q16_part_supplier_join",
-    "q18_events_json_props",
-    "q19_events_asof_join",
-    "q20_events_sessions",
-    "q21_dedup_exact",
-    "q22_dedup_ngram_jaccard",
-    "q29_embedding_cosine_topk",
-    # -- oldest remaining debt: first 11 of the 50 r9-certified --
-    "q02_filter_project",
-    "q05_anti_join",
-    "q07_semi_join",
-    "q09_window_analytic",
-    "q102_bm25_scoring",
-    "q103_tf_cosine_pairs",
-    "q104_seasonal_anomaly",
-    "q105_trend_slope",
-    "q106_name_edit_join",
-    "q108_merge_upsert",
-)
-#: The 40 r9-certified queries the round-12 window could not fit (the
-#: certification-debt round consumed all of _DEFERRED_R12, so the oldest
-#: remaining tier is now r9 — 3 rounds stale at r12 close, exactly the
-#: ≈3.5-round floor the 183-oracle/50-slot rotation math predicts).
-#: Round 13 takes these FIRST.
-_DEFERRED_R13 = (
+    "q189_deflation_pcs",
+    # -- the full _DEFERRED_R13 burn-down (r9-certified, 4 rounds stale) --
     "q109_scd2_intervals",
     "q110_cooccurrence_pairs",
     "q111_triangle_stats",
@@ -178,6 +125,60 @@ _DEFERRED_R13 = (
     "q96_training_prep",
     "q97_resample_ffill",
     "q98_cohort_retention",
+    # -- oldest remaining debt: first 3 of the 46 r10-certified --
+    "q112_quality_checks",
+    "q113_winsorize",
+    "q114_rrf_fusion",
+)
+#: The 43 r10-certified queries the round-13 window could not fit (the
+#: r9 tier is burned to zero above, so the oldest remaining tier is now
+#: r10 — 3 rounds stale at r13 close; the structural floor of a
+#: 188-oracle registry over a 50-slot window is ≈3.8 rounds). Round 14
+#: takes these FIRST.
+_DEFERRED_R14 = (
+    "q115_label_propagation",
+    "q117_train_val_test",
+    "q118_sorted_neighborhood",
+    "q119_equidepth_histogram",
+    "q120_pit_join",
+    "q122_media_phash_neardup",
+    "q123_media_phash_capped",
+    "q148_semantic_dedup",
+    "q149_quality_rule_battery",
+    "q150_token_budget",
+    "q151_hll_portable",
+    "q152_semantic_decontamination",
+    "q153_oov_rate",
+    "q154_hard_negatives",
+    "q159_neardup_agreement",
+    "q17_events_hourly_window",
+    "q23_dedup_minhash_lsh",
+    "q24_dedup_simhash",
+    "q25_text_stats_by_lang",
+    "q26_quality_scores",
+    "q27_fingerprint_stats",
+    "q28_lang_id",
+    "q31_embedding_centroids",
+    "q32_media_decode",
+    "q33_frame_sample",
+    "q35_grouping_sets",
+    "q39_sliding_window",
+    "q40_salted_agg",
+    "q41_interval_self_join",
+    "q43_bpe_token_stats",
+    "q46_scalar_subquery",
+    "q48_pivot",
+    "q49_unpivot",
+    "q52_higher_order_array",
+    "q53_nullsafe_join",
+    "q54_filtered_agg",
+    "q55_window_distribution",
+    "q56_collect_agg",
+    "q57_map_functions",
+    "q58_compound_subqueries",
+    "q59_range_frame_window",
+    "q60_dedup_clusters",
+    "q61_curation_pipeline",
 )
 _WINDOW_RANK = {name: i for i, name in enumerate(_WINDOW)}
 

@@ -682,6 +682,58 @@ def q30_embedding_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "q190_ann_lsh_derived",
+    oracle=f"""
+    WITH {_int_lsh_ctes(n_planes=15, bands=5)},
+    cand AS (
+      SELECT DISTINCT q.vec_id AS query_id, c.vec_id AS neighbor_id
+      FROM banded q
+      JOIN banded c ON q.band = c.band AND q.bits = c.bits
+      WHERE q.vec_id < 100 AND q.vec_id <> c.vec_id
+    ),
+    scored AS (
+      SELECT cd.query_id, cd.neighbor_id, {_INT_COS_SQL} AS cosine_sim
+      FROM cand cd
+      JOIN qv a ON a.vec_id = cd.query_id
+      JOIN qv b ON b.vec_id = cd.neighbor_id
+      JOIN sqn s1 ON s1.vec_id = cd.query_id
+      JOIN sqn s2 ON s2.vec_id = cd.neighbor_id
+    ),
+    ranked AS (
+      SELECT *, CAST(ROW_NUMBER() OVER (
+        PARTITION BY query_id ORDER BY cosine_sim DESC, neighbor_id) AS INT) AS rn
+      FROM scored
+    )
+    SELECT query_id, neighbor_id, cosine_sim, rn
+    FROM ranked WHERE rn <= 5
+    ORDER BY query_id, rn
+    """,
+)
+def q190_ann_lsh_derived(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """q30's certified int-family ANN run through the SELF-SCALING
+    operating point — ``n_planes=None`` so the banding width is DERIVED
+    from the corpus size at query time (operators.similarity.
+    derive_lsh_params: bits/band = clamp(ceil(log2(bands·N/target)),
+    3, 24), holding the random-collision candidate budget flat at any N).
+    This is the code path a 100 TB deployment actually runs; at every
+    driver SF (N ≤ 4096·2³/5) the derivation lands on the 3-bit floor —
+    exactly q30's certified 15×5 geometry — so the oracle IS the
+    certified explicit-geometry SQL by construction (the floor identity
+    is also pytest-pinned; this row makes the DRIVER certify the
+    derivation end to end, r12 verdict Next #3). q30 stays registered
+    with its explicit literals, untouched."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.where(F.col("vec_id") < 100)
+    return (
+        S.ann_lsh_topk(
+            emb, queries, "vec_id", "embedding", k=5, n_planes=None, family="int"
+        )
+        .select("query_id", "neighbor_id", "cosine_sim", "rn")
+        .orderBy("query_id", "rn")
+    )
+
+
+@query(
     "q31_embedding_centroids",
     oracle=f"""
     SELECT label, CAST(i AS INT) AS dim,
