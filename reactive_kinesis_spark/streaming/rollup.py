@@ -309,8 +309,29 @@ def read_rollup(
     return merged
 
 
-def compact_rollup(spark: SparkSession, out_dir: str, spec: RollupSpec) -> dict:
+def compact_rollup(
+    spark: SparkSession,
+    out_dir: str,
+    spec: RollupSpec,
+    min_count: int | None = None,
+) -> dict:
     """Fold every fresh delta into the base and advance the watermark.
+
+    ``min_count`` is the STATE-GROWTH BOUND for ledgers whose key space
+    grows super-linearly (r12 verdict: the (source, w1, w2) bigram ledger
+    behind :func:`read_conditional_entropy` — bigram TYPES grow faster
+    than vocabulary under Heaps' law in both coordinates, so unlike the
+    vocabulary ledger the alarm's state table is unbounded at 100 TB).
+    When set, keys whose merged count ``n`` is below the floor are
+    DROPPED from the new base (``floored_rows`` in the returned stats
+    says how many). The exactness caveat, stated: a dropped key that
+    reappears restarts from zero, so read-time statistics become
+    statistics over the RETAINED mass — for H(w2|w1) the singleton tail
+    this floor removes is precisely the mass a template-spam alarm does
+    not need (templates are high-count by definition), while the state
+    table becomes frequent-bigram-sized. Leave ``None`` (the default)
+    for exact ledgers; the vocabulary ledger needs no floor (its growth
+    is Heaps-bounded ≈ N^0.5-0.6).
 
     Crash-safe against a LIVE stream: the set of delta batch ids is
     listed ONCE and the merge is pinned to exactly that set with an
@@ -344,6 +365,12 @@ def compact_rollup(spark: SparkSession, out_dir: str, spec: RollupSpec) -> dict:
     # delta (id > new_wm) must not be folded under this watermark
     pinned = deltas.where(F.col("_batch_id").isin(batch_ids))
     merged = _merge(spark, spec, base_dir, pinned)
+    floored = 0
+    if min_count is not None:
+        if min_count < 1:
+            raise ValueError(f"min_count={min_count} must be >= 1")
+        floored = merged.where(F.col("n") < min_count).count()
+        merged = merged.where(F.col("n") >= min_count)
     new_base_name = f"base_v{new_wm}"
     new_base = os.path.join(out_dir, new_base_name)
     merged.write.mode("overwrite").parquet(new_base)
@@ -367,7 +394,11 @@ def compact_rollup(spark: SparkSession, out_dir: str, spec: RollupSpec) -> dict:
     # compaction finishes the job — exactly the "readers see either the
     # old base+deltas or the new base" contract, now for live readers too.
     _gc_superseded(out_dir, delta_dir, base_dir, wm, also_keep=new_base_name)
-    return {"folded_batches": len(batch_ids), "watermark": new_wm}
+    return {
+        "folded_batches": len(batch_ids),
+        "watermark": new_wm,
+        "floored_rows": floored,
+    }
 
 
 def _gc_superseded(
@@ -679,7 +710,21 @@ def continuous_source_bigrams(
     Counts are pure ints, so the read-time statistic is bit-equal to the
     batch computation over the same rows — the q149-ledger contract. At
     100 TB the per-batch delta is the batch's own per-source bigram
-    table (map-side combined), never the corpus's."""
+    table (map-side combined), never the corpus's.
+
+    STATE BOUND (r12 verdict "what's missing #3"): unlike the vocabulary
+    ledger (Heaps-bounded) this ledger's key space — bigram TYPES —
+    grows super-linearly, so an exact ledger is unbounded at 100 TB.
+    Compact it with a min-count floor::
+
+        compact_rollup(spark, out_dir, source_bigram_spec(), min_count=2)
+
+    which drops the singleton tail at each compaction (the dominant mass
+    of bigram types under Heaps' law) and makes the retained state
+    frequent-bigram-sized. H(w2|w1) then reads over the RETAINED mass —
+    exactly what a template alarm watches, since templates are
+    high-count by construction; the caveat is documented on
+    :func:`compact_rollup`."""
     spec = source_bigram_spec(source_col)
     inner = continuous_rollup(out_dir, spec, force_takeover=force_takeover)
 

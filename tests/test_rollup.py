@@ -770,3 +770,72 @@ def test_source_vocabulary_ledger_also_serves_kl(spark, tmp_path):
         for r in source_kl_divergence(docs, "text", "source").collect()
     }
     assert got == want and got
+
+
+def test_bigram_ledger_min_count_floor_bounds_state(spark, tmp_path):
+    """The compaction-time min-count floor (r12 verdict Next #2): the
+    bigram ledger's singleton tail is dropped at compaction, the new base
+    holds only keys with n >= min_count, the floored-row count is
+    reported, and the read-time H(w2|w1) over the retained mass equals
+    the batch program over the SAME retained counts (the stated
+    retained-mass semantics — not the unfloored statistic)."""
+    from reactive_kinesis_spark.operators.lexstats import (
+        conditional_entropy_from_counts,
+    )
+    from reactive_kinesis_spark.streaming.rollup import (
+        compact_rollup,
+        continuous_source_bigrams,
+        read_conditional_entropy,
+        read_rollup,
+        source_bigram_spec,
+    )
+
+    out_dir = str(tmp_path / "bigrams")
+    # batch 0: 'a b' x3 (frequent) + one singleton bigram 'x y';
+    # batch 1: 'a b' again + a fresh singleton 'p q'
+    write = continuous_source_bigrams(out_dir)
+    write(
+        spark.createDataFrame(
+            [("s1", "a b a b a b"), ("s1", "x y")], "source string, text string"
+        ),
+        0,
+    )
+    write(
+        spark.createDataFrame(
+            [("s1", "a b"), ("s1", "p q")], "source string, text string"
+        ),
+        1,
+    )
+    spec = source_bigram_spec()
+    with pytest.raises(ValueError, match="min_count"):
+        compact_rollup(spark, out_dir, spec, min_count=0)
+    stats = compact_rollup(spark, out_dir, spec, min_count=2)
+    assert stats["folded_batches"] == 2
+    # singletons 'x y', 'b a' (x2 from the repeated text? no: 'a b a b a b'
+    # has bigrams a-b x3 and b-a x2) — retained: (a,b) n=4, (b,a) n=2
+    base = read_rollup(spark, out_dir, spec)
+    kept = {(r.w1, r.w2): r.n for r in base.collect()}
+    assert kept == {("a", "b"): 4, ("b", "a"): 2}
+    assert stats["floored_rows"] == 2  # 'x y' and 'p q' dropped
+    # the read is the retained-mass statistic: bit-equal to the batch
+    # program over exactly the retained counts
+    cnt = base.select(
+        F.col("source").alias("grp"), "w1", "w2", F.col("n").alias("c")
+    )
+    want = {
+        (r.grp if hasattr(r, "grp") else r.source): r.cond_entropy_bits
+        for r in conditional_entropy_from_counts(cnt, group_col="source").collect()
+    }
+    got = {
+        r.source: r.cond_entropy_bits
+        for r in read_conditional_entropy(spark, out_dir).collect()
+    }
+    assert got == want and got
+    # a re-appearing dropped key restarts from zero (the stated caveat)
+    write(
+        spark.createDataFrame([("s1", "x y")], "source string, text string"), 2
+    )
+    merged = {
+        (r.w1, r.w2): r.n for r in read_rollup(spark, out_dir, spec).collect()
+    }
+    assert merged[("x", "y")] == 1
