@@ -253,6 +253,56 @@ def measure_derived_scale(spark, out: dict) -> None:
     big.unpersist()
 
 
+#: Planted exact duplicates for the SemDeDup trainer-family evidence
+#: (r12 verdict Next #8: the sampled trainer had the −31% throughput
+#: measurement in SCALING.md but no RECALL-style duplicate-recall entry
+#: like MinHash xxhash64 / ANN float carry).
+SEMDEDUP_PLANTED = 50
+
+
+def measure_semdedup_trainers(spark, out: dict) -> None:
+    """Duplicate recall of semantic_dedup under BOTH trainers on the
+    clustered synthetic corpus with planted exact duplicates: an exact
+    duplicate shares its original's cluster under ANY trainer (identical
+    vectors assign identically), and at threshold 0.999 only the planted
+    pairs pass (within-cluster cosine ≈ 0.93), so recall isolates the
+    trainer swap. Also reports each trainer's within-cluster pair cost
+    Σ|c|·(|c|−1)/2 — the Σ|c|² bound the 100 TB claim rests on — since
+    cluster STRUCTURE (not ids) is what the throughput trainer may
+    legitimately change."""
+    from pyspark.sql import functions as F
+
+    from reactive_kinesis_spark.operators import similarity as S
+
+    base = clustered_frame(spark).select("vec_id", "embedding")
+    planted = base.where(F.col("vec_id") < SEMDEDUP_PLANTED).select(
+        (F.col("vec_id") + 1_000_000).alias("vec_id"), "embedding"
+    )
+    vecs = base.unionByName(planted).cache()
+    n = vecs.count()
+    entry: dict[str, object] = {
+        "corpus": {"base": CLUSTERED, "planted_exact_dups": SEMDEDUP_PLANTED},
+        "settings": {"k": "derived (None)", "threshold": 0.999, "iterations": 2},
+    }
+    for trainer in ("certified", "sampled"):
+        rows = S.semantic_dedup(
+            vecs, k=None, iterations=2, threshold=0.999, trainer=trainer
+        ).collect()
+        dropped = sum(r["n_dropped"] for r in rows)
+        entry[trainer] = {
+            "duplicate_recall": round(dropped / SEMDEDUP_PLANTED, 3),
+            "n_dup_pairs": sum(r["n_dup_pairs"] for r in rows),
+            "pair_cost": sum(r["n_vecs"] * (r["n_vecs"] - 1) // 2 for r in rows),
+            "pair_cost_fraction_of_n2": round(
+                sum(r["n_vecs"] * (r["n_vecs"] - 1) // 2 for r in rows)
+                / (n * (n - 1) / 2),
+                4,
+            ),
+        }
+    out["semdedup_trainers"] = entry
+    vecs.unpersist()
+
+
 def measure_testdata(spark, sf_dir: str, out: dict) -> None:
     from pyspark.sql import functions as F
 
@@ -333,6 +383,7 @@ def main() -> None:
     spark.sparkContext.setLogLevel("ERROR")
     out = measure(spark)
     measure_derived_scale(spark, out)
+    measure_semdedup_trainers(spark, out)
     measure_testdata(spark, sf_dir, out)
     print(json.dumps(out, indent=2))
 
