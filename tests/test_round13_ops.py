@@ -190,3 +190,83 @@ class TestSpectralOracleDegenerateGuard:
             self._ddb_constant_corpus(),
             _deflation_pcs_oracle_sql(4, 6),
         )
+
+
+class TestSynthLexstatsTwinsDiscriminate:
+    """q191-q194 exist because the testdata corpus saturates the
+    information-theoretic tier against a ~31-word vocabulary. Pin the
+    DISCRIMINATION claims, not just parity: the synthetic twins must
+    produce values the degenerate corpus cannot."""
+
+    def test_synth_entropy_separates_from_support_size(self, spark, sf_dir):
+        """On the testdata corpus entropy is glued to log2(vocab) (a
+        near-uniform fixed ~31-word support: 2^H ≈ vocab), so q175
+        certifies arithmetic but cannot distinguish entropy from support
+        size. On the heavy-tailed synth corpus 2^H ≪ vocab (rank 1 alone
+        carries mass 1/2) — entropy finally measures CONCENTRATION."""
+        import math
+
+        from reactive_kinesis_spark.operators.lexstats import (
+            token_entropy,
+            zipf_synth_docs,
+        )
+        from reactive_kinesis_spark.tables import load_table
+
+        docs = load_table(spark, sf_dir, "documents")
+        base = {
+            r.source: (r.entropy_bits, r.vocab)
+            for r in token_entropy(docs, group_col="source").collect()
+        }
+        synth = {
+            r.source: (r.entropy_bits, r.vocab)
+            for r in token_entropy(
+                zipf_synth_docs(docs, 64), group_col="source"
+            ).collect()
+        }
+        assert set(synth) == set(base) and synth
+        for s, (h, v) in base.items():
+            assert h / math.log2(v) > 0.9, (s, h, v)  # saturated: H ≈ log2|V|
+        for s, (h, v) in synth.items():
+            # unbounded vocabulary grew past the ~31-word testdata support
+            # (1600 tokens/source at sf0.001 -> ~69 types under beta≈0.57)
+            assert v > 40, (s, v)
+            assert h / math.log2(v) < 0.5, (s, h, v)  # heavy tail: H ≪ log2|V|
+
+    def test_synth_cond_entropy_has_real_gap(self, spark, sf_dir):
+        """Under iid draws H(w2|w1) < H2 marginal with a finite-sample
+        gap, and both terms are non-degenerate (> 0)."""
+        from reactive_kinesis_spark.operators.lexstats import (
+            conditional_entropy,
+            zipf_synth_docs,
+        )
+        from reactive_kinesis_spark.tables import load_table
+
+        docs = load_table(spark, sf_dir, "documents")
+        rows = conditional_entropy(
+            zipf_synth_docs(docs, 64), group_col="source"
+        ).collect()
+        assert rows
+        for r in rows:
+            assert r.pair_entropy_bits > r.head_entropy_bits > 0
+            assert 0 < r.cond_entropy_bits < r.pair_entropy_bits
+
+    def test_synth_pmi_sits_near_independence(self, spark, sf_dir):
+        """The synthetic corpus draws tokens independently, so its top
+        PMI collocations are finite-sample noise near 0 — the null
+        calibration: |pmi| small vs the >=1-bit associations a template
+        corpus shows."""
+        from reactive_kinesis_spark.operators.lexstats import (
+            pmi_collocations,
+            zipf_synth_docs,
+        )
+        from reactive_kinesis_spark.tables import load_table
+
+        docs = load_table(spark, sf_dir, "documents")
+        rows = pmi_collocations(
+            zipf_synth_docs(docs, 64), min_count=5, top=20
+        ).collect()
+        assert rows
+        # finite-sample PMI noise at min_count=5 reaches ~2 bits at this
+        # corpus size; a GENUINE always-together template pair would read
+        # ≈ log2(N/c) ≈ 12+ bits. 4.0 splits the regimes with margin.
+        assert all(abs(r.pmi_bits) < 4.0 for r in rows)
