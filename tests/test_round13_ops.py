@@ -270,3 +270,25 @@ class TestSynthLexstatsTwinsDiscriminate:
         # corpus size; a GENUINE always-together template pair would read
         # ≈ log2(N/c) ≈ 12+ bits. 4.0 splits the regimes with margin.
         assert all(abs(r.pmi_bits) < 4.0 for r in rows)
+
+
+def test_synth_twins_add_zero_exchanges(spark, sf_dir):
+    """q191-q194's synth rewrite is an in-scan projection and q190's
+    derivation is a driver-side count, so each twin's executed plan must
+    carry EXACTLY its base query's exchange count — re-certification on
+    discriminating data costs no new shuffle (the q186-q188 contract,
+    extended to the whole battery)."""
+    from reactive_kinesis_spark.queries import load_all
+
+    reg = load_all()
+    pairs = [
+        ("q175_token_entropy", "q191_zipf_synth_entropy"),
+        ("q181_source_kl_divergence", "q192_zipf_synth_kl"),
+        ("q182_pmi_collocations", "q193_zipf_synth_pmi"),
+        ("q184_conditional_entropy", "q194_zipf_synth_cond_entropy"),
+        ("q30_embedding_ann_lsh", "q190_ann_lsh_derived"),
+    ]
+    for base, twin in pairs:
+        pb = reg[base].fn(spark, sf_dir)._jdf.queryExecution().executedPlan().toString()
+        pt = reg[twin].fn(spark, sf_dir)._jdf.queryExecution().executedPlan().toString()
+        assert pb.count("Exchange") == pt.count("Exchange"), (base, twin)
