@@ -357,7 +357,11 @@ def test_two_streaming_queries_rebalance_after_worker_death(spark, tmp_path, lea
                 out.setdefault(sid, set()).update(seqs)
         return out
 
-    def wait_until(pred, timeout=60):
+    def wait_until(pred, timeout=150):
+        # 150s not 60: two concurrent streaming queries at a 300ms trigger
+        # settle in ~5-10s on a quiet host, but the suite runs this late in
+        # a long session on a host whose effective CPU speed oscillates
+        # (SCALING.md) — 60s flaked in-suite while passing in isolation
         t0 = time.time()
         while time.time() - t0 < timeout:
             if pred():
@@ -743,7 +747,13 @@ def test_cas_lease_store_threaded_write_contention_no_torn_reads(tmp_path):
     for t in threads:
         t.start()
     for t in threads:
-        t.join(timeout=60)
+        # generous budget: 80 CAS writes with per-version fsyncs can take
+        # minutes in a slow host window (this timed out at 60s mid-suite
+        # on the oscillating-CPU host and then failed the version-count
+        # assert MISLEADINGLY); assert completion so a stall is reported
+        # as a stall, not as lost updates
+        t.join(timeout=300)
+        assert not t.is_alive(), "writer stalled past 300s"
     stop.set()
     rt.join(timeout=10)
     assert errors == []
