@@ -1165,14 +1165,15 @@ def pair_ngram_precision(
         base.where(F.size("__w") >= 2)
         .select(
             "__id",
-            # get() not [] — the explode's implicit size(...)>0 predicate is
-            # pushed into the same Filter as the size>=2 guard and codegen
-            # evaluates conjuncts eagerly, so ANSI [] indexing throws on the
-            # single-word rows the guard is about to drop (caught by the
-            # random-corpus differential)
+            # zip_with over two slices: binds __w once per row (a lambda-body
+            # get(__w, i) re-evaluates __w per iteration after projection
+            # collapse — pathological when text is a computed column; measured
+            # 62s -> ~2s on the q193 synthetic corpus at sf0.1), and with no
+            # indexing the ANSI-[]-throws-on-short-rows hazard the old get()
+            # comment described is gone by construction
             F.expr(
-                "transform(sequence(1, size(__w) - 1),"
-                " i -> concat_ws(' ', get(__w, i - 1), get(__w, i)))"
+                "zip_with(slice(__w, 1, size(__w) - 1), slice(__w, 2, size(__w) - 1),"
+                " (a, b) -> concat_ws(' ', a, b))"
             ).alias("__bg"),
         )
         .select("__id", F.explode("__bg").alias("g"))

@@ -403,9 +403,16 @@ def pmi_collocations(
             # get() not [] — see pair_ngram_precision: the pushed-down
             # explode predicate evaluates eagerly next to the size>=2 guard,
             # and ANSI [] indexing would throw on single-word rows
+            # zip_with over two slices, NOT a transform indexing __w inside
+            # the lambda: a lambda-body reference re-evaluates __w per
+            # iteration after projection collapse, which turns a computed
+            # text column (q191-q194's inline synthetic corpus) into ~2x
+            # tokens-per-doc full re-computations per row — measured 62s vs
+            # ~3s at sf0.1. Slices bind the arrays ONCE per row; also no
+            # indexing, so the ANSI-[]-on-short-rows hazard is gone by form.
             F.expr(
-                "transform(sequence(1, size(__w) - 1),"
-                " i -> struct(get(__w, i - 1) AS w1, get(__w, i) AS w2))"
+                "zip_with(slice(__w, 1, size(__w) - 1), slice(__w, 2, size(__w) - 1),"
+                " (a, b) -> struct(a AS w1, b AS w2))"
             ).alias("__bg")
         )
         .select(F.explode("__bg").alias("bg"))
@@ -468,9 +475,16 @@ def conditional_entropy(
         base.where(F.size("__w") >= 2)
         .select(
             "grp",
+            # zip_with over two slices, NOT a transform indexing __w inside
+            # the lambda: a lambda-body reference re-evaluates __w per
+            # iteration after projection collapse, which turns a computed
+            # text column (q191-q194's inline synthetic corpus) into ~2x
+            # tokens-per-doc full re-computations per row — measured 62s vs
+            # ~3s at sf0.1. Slices bind the arrays ONCE per row; also no
+            # indexing, so the ANSI-[]-on-short-rows hazard is gone by form.
             F.expr(
-                "transform(sequence(1, size(__w) - 1),"
-                " i -> struct(get(__w, i - 1) AS w1, get(__w, i) AS w2))"
+                "zip_with(slice(__w, 1, size(__w) - 1), slice(__w, 2, size(__w) - 1),"
+                " (a, b) -> struct(a AS w1, b AS w2))"
             ).alias("__bg"),
         )
         .select("grp", F.explode("__bg").alias("bg"))

@@ -737,9 +737,12 @@ def continuous_source_bigrams(
             .select(
                 source_col,
                 F.explode(
+                    # zip_with/slice form — binds __w once per row (see
+                    # operators/lexstats.py bigram sites)
                     F.expr(
-                        "transform(sequence(1, size(__w) - 1),"
-                        " i -> struct(get(__w, i - 1) AS w1, get(__w, i) AS w2))"
+                        "zip_with(slice(__w, 1, size(__w) - 1),"
+                        " slice(__w, 2, size(__w) - 1),"
+                        " (a, b) -> struct(a AS w1, b AS w2))"
                     )
                 ).alias("bg"),
             )
