@@ -1844,11 +1844,15 @@ def cooccurrence_word_edges(
     pairs = (
         words.select(
             F.explode(
+                # per-offset zip_with over two slices — binds ws a constant
+                # number of times per offset instead of re-evaluating it per
+                # pair inside the lambda body (the bigram-builder fix of
+                # operators/lexstats.py, applied to the ±window form)
                 F.expr(
                     f"flatten(transform(array({offsets}), o ->"
-                    " transform(sequence(1, size(ws) - o), i ->"
-                    " struct(element_at(ws, i) AS w1,"
-                    " element_at(ws, CAST(i + o AS INT)) AS w2))))"
+                    " zip_with(slice(ws, 1, size(ws) - o),"
+                    " slice(ws, CAST(1 + o AS INT), size(ws) - o),"
+                    " (a, b) -> struct(a AS w1, b AS w2))))"
                 )
             ).alias("p")
         )
