@@ -1489,13 +1489,20 @@ def semantic_dedup(
             # DERIVED at scale (r12 ADVICE: k = n/256 passes 2048 at
             # n ≈ 524k): grow the fit sample with k (≥4 training rows per
             # centroid, the quantizer floor) up to the bounded-collect
-            # cap. Past the cap (k > 2^17 ⇒ n > ~33.5M at the default
-            # target) no meaningful driver-sample quantizer exists — say
-            # so loudly instead of fitting 1-point centroids.
-            train_sample = min(1 << 17, max(train_sample, 4 * k))
-            if k > train_sample:
+            # cap. The floor is ENFORCED against the cap (r13 ADVICE: the
+            # old check only fired past k > 2^17, so k in (2^15, 2^17]
+            # silently fit 1-4 rows per centroid — at k near the cap the
+            # init used the whole sample as centroids, exactly the
+            # degenerate fit this guard exists to prevent). Past
+            # k > 2^17/4 (⇒ n > ~8.4M at the default target) no
+            # floor-respecting driver-sample quantizer exists — say so
+            # loudly instead of fitting near-1-point centroids.
+            train_sample = max(train_sample, 4 * k)
+            if train_sample > (1 << 17):
                 raise ValueError(
-                    f"derived k={k} exceeds the bounded fit-sample cap "
+                    f"derived k={k} needs a fit sample of 4*k="
+                    f"{4 * k} rows (the >=4-rows-per-centroid quantizer "
+                    f"floor) which exceeds the bounded-collect cap "
                     f"{1 << 17}: the sampled trainer cannot fit that many "
                     "centroids from a driver-side sample — raise "
                     "target_cluster_size (clusters of "
@@ -2452,6 +2459,19 @@ def margin_topk(
 IVF_TARGET_CELL_SIZE = 4096
 
 
+def derive_ivf_cells(n: int, target_cell_size: int = IVF_TARGET_CELL_SIZE) -> int:
+    """The ``n_cells=None`` derivation of :func:`ivf_topk_certified`,
+    exposed as plain arithmetic so the operating point is pinnable
+    without running a fit: ``max(16, n // target_cell_size)`` — the
+    SemDeDup ``k ∝ N`` rule applied to IVF. At every driver/testdata SF
+    (n ≤ 16·target) this lands on the 16-cell floor, i.e. exactly q38's
+    certified geometry (the q195 oracle-by-construction identity); the
+    first n where it departs is ``17 · target_cell_size`` rows."""
+    if target_cell_size <= 0:
+        raise ValueError(f"target_cell_size={target_cell_size} must be > 0")
+    return max(16, n // target_cell_size)
+
+
 def ivf_topk_certified(
     corpus: DataFrame,
     queries: DataFrame,
@@ -2495,9 +2515,7 @@ def ivf_topk_certified(
     scale. The default stays the explicit 16 so existing oracles (q38)
     and recall pins are untouched; pass ``None`` for the scale path."""
     if n_cells is None:
-        if target_cell_size <= 0:
-            raise ValueError(f"target_cell_size={target_cell_size} must be > 0")
-        n_cells = max(16, corpus.count() // target_cell_size)
+        n_cells = derive_ivf_cells(corpus.count(), target_cell_size)
     cents = kmeans_centroids(corpus, vec_col, id_col, k=n_cells, iterations=iterations)
     cv = _kmeans_prepare(corpus, vec_col, id_col)
     cells = _kmeans_assign_to(cv, cents).select(

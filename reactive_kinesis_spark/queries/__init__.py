@@ -42,100 +42,40 @@ def query(name: str, oracle: str | None = None):
     return deco
 
 
-#: Driver-visibility rotation (round 13). The driver's correctness run
-#: samples the FIRST 50 registry entries; with 188 oracle-backed queries,
+#: Driver-visibility rotation (round 14). The driver's correctness run
+#: samples the FIRST 50 registry entries; with 192 oracle-backed queries,
 #: the rest must sit past the window each round. Policy: the
 #: least-driver-certified queries get the visible slots — never-certified
 #: first, then queries whose CODE OR ORACLE CHANGED since their last
-#: green row (a stale green row proves the old query, not this one),
-#: then by staleness. This round:
-#:   slots 0-4   — the five NEW round-13 queries: q190 (the derived ANN
-#:                 operating point — ann_lsh_topk(n_planes=None), the
-#:                 code path a 100 TB deployment actually runs, landing
-#:                 on the certified 15×5 floor at driver SF so the
-#:                 oracle is q30's geometry by construction; r12 verdict
-#:                 Next #3) and q191–q194 (entropy/KL/PMI/conditional-
-#:                 entropy re-certified on the synthetic Zipf corpus
-#:                 where the statistics separate; r12 verdict Next #6);
-#:   slots 5-6   — r12-certified queries whose ORACLE TEXT changed this
-#:                 round and need re-proving: q183/q189 gained the
-#:                 ss==0/tr==0 degenerate guards (r12 ADVICE #3) — the
-#:                 registered data is non-degenerate so values are
-#:                 unchanged, but the hash must prove the NEW text;
-#:   slots 7-46  — ALL 40 _DEFERRED_R13 entries (r9-certified, the
-#:                 oldest tier), burned to zero as the r12 verdict's
-#:                 first ask: q109–q111, the stats/eval tier q137–q147,
-#:                 the r7-era q76–q98 block, q12/q13/q14/q15/q47;
-#:   slots 47-49 — the 3 alphabetically-first of the 46 r10-certified
-#:                 queries (q112/q113/q114) — the next-oldest debt tier;
-#:                 the other 43 move to _DEFERRED_R14.
+#: green row (a stale green row proves the old query, not this one —
+#: enforced mechanically by tools/round_end.py against
+#: QUERY_MANIFEST.json since r14), then by staleness. This round:
+#:   slots 0-42  — ALL 43 _DEFERRED_R14 entries (r10-certified, the
+#:                 oldest tier), burned to zero as the r13 verdict's
+#:                 first ask — the staleness ladder's last big tier:
+#:                 after this round every oracle-backed query is ≤3
+#:                 rounds driver-stale and rotation is steady-state;
+#:   slots 43-46 — the four NEW round-14 queries: q195 (the derived IVF
+#:                 operating point — ivf_topk_certified(n_cells=None),
+#:                 landing on the certified 16-cell floor at driver SF
+#:                 so the oracle is q38's SQL by construction; r13
+#:                 verdict Next #2) and q196–q198 (bigram-LM fluency /
+#:                 BLEU pair precision / TextRank re-certified on the
+#:                 synthetic Zipf corpus where n-gram statistics
+#:                 separate; r13 verdict Next #4);
+#:   slots 47-49 — the 3 alphabetically-first of the 47 r11-certified
+#:                 queries (q01/q03/q04) — the next-oldest debt tier;
+#:                 the other 44 form _DEFERRED_R15.
 #: Everything past the window remains fully oracle-checked locally every
 #: session (tests/test_oracle_parity.py runs the ENTIRE registry against
 #: DuckDB), and tools/round_end.py FAILS the round if this window equals
-#: the previous round's CORRECTNESS key set or if any oracle-count
-#: literal in this file drifts from the live registry.
+#: the previous round's CORRECTNESS key set, if any oracle-count literal
+#: in this file drifts from the live registry, or if a query whose code
+#: or oracle text changed since QUERY_MANIFEST.json was last stamped is
+#: missing from the window.
 _WINDOW = (
-    # -- round-13 new queries (never certified) --
-    "q190_ann_lsh_derived",
-    "q191_zipf_synth_entropy",
-    "q192_zipf_synth_kl",
-    "q193_zipf_synth_pmi",
-    "q194_zipf_synth_cond_entropy",
-    # -- oracle text changed this round (degenerate-guard ADVICE closure) --
-    "q183_power_iteration_pc",
-    "q189_deflation_pcs",
-    # -- the full _DEFERRED_R13 burn-down (r9-certified, 4 rounds stale) --
-    "q109_scd2_intervals",
-    "q110_cooccurrence_pairs",
-    "q111_triangle_stats",
-    "q125_snapshot_drift",
-    "q128_cusum_changepoint",
-    "q12_set_ops",
-    "q134_interarrival_burstiness",
-    "q137_ks_test",
-    "q13_scalar_functions",
-    "q142_ab_ztest",
-    "q143_mannwhitney_u",
-    "q144_roc_auc",
-    "q145_threshold_sweep",
-    "q146_cohens_kappa",
-    "q147_cumulative_gains",
-    "q14_date_functions",
-    "q15_distinct_agg",
-    "q47_having",
-    "q76_characteristic_terms",
-    "q77_source_overlap",
-    "q78_event_transitions",
-    "q79_temperature_weights",
-    "q80_incremental_dedup",
-    "q82_heavy_hitters",
-    "q83_chunking",
-    "q84_weighted_sample",
-    "q85_event_funnel",
-    "q86_robust_outliers",
-    "q87_surprisal_scoring",
-    "q88_canonical_pick",
-    "q89_table_profile",
-    "q90_zscore_normalize",
-    "q91_feature_hashing",
-    "q92_centroid_similarity",
-    "q93_session_paths",
-    "q94_snapshot_diff",
-    "q95_blocklist_stats",
-    "q96_training_prep",
-    "q97_resample_ffill",
-    "q98_cohort_retention",
-    # -- oldest remaining debt: first 3 of the 46 r10-certified --
-    "q112_quality_checks",
-    "q113_winsorize",
-    "q114_rrf_fusion",
-)
-#: The 43 r10-certified queries the round-13 window could not fit (the
-#: r9 tier is burned to zero above, so the oldest remaining tier is now
-#: r10 — 3 rounds stale at r13 close; the structural floor of a
-#: 188-oracle registry over a 50-slot window is ≈3.8 rounds). Round 14
-#: takes these FIRST.
-_DEFERRED_R14 = (
+    # -- the full _DEFERRED_R14 burn-down (r10-certified, 4 rounds stale;
+    # finishes the staleness ladder) --
     "q115_label_propagation",
     "q117_train_val_test",
     "q118_sorted_neighborhood",
@@ -179,6 +119,70 @@ _DEFERRED_R14 = (
     "q59_range_frame_window",
     "q60_dedup_clusters",
     "q61_curation_pipeline",
+    # -- round-14 new queries (never certified) --
+    "q195_ann_ivf_derived",
+    "q196_zipf_synth_bigram_lm",
+    "q197_zipf_synth_pair_precision",
+    "q198_zipf_synth_textrank",
+    # -- oldest remaining debt: first 3 of the 47 r11-certified --
+    "q01_pricing_summary",
+    "q03_join_agg_topk",
+    "q04_star_join",
+)
+#: The 44 r11-certified queries the round-14 window could not fit (the
+#: r10 tier is burned to zero above, so the oldest remaining tier is now
+#: r11 — 3 rounds stale at r14 close, exactly the structural floor of a
+#: 192-oracle registry over a 50-slot window ≈ 3.8 rounds: the ladder is
+#: DONE and rotation is steady-state from here). Round 15 takes these
+#: FIRST. NOTE: q160/q169/q179's oracle builders were parameterized this
+#: round with byte-identical default text (sha256-pinned in
+#: tests/test_round14_ops.py), so their r11 green rows remain proof of
+#: the live text.
+_DEFERRED_R15 = (
+    "q06_outer_join_histogram",
+    "q08_window_topk_per_group",
+    "q107_pagerank",
+    "q10_rollup",
+    "q116_table_fingerprint",
+    "q11_cube",
+    "q121_weighted_pagerank",
+    "q124_kmeans_clusters",
+    "q155_product_quantization",
+    "q156_pq_adc_search",
+    "q157_minhash_estimator_audit",
+    "q158_retrieval_eval",
+    "q160_bigram_lm_score",
+    "q161_bloom_membership_audit",
+    "q162_funnel_steps",
+    "q163_cohort_retention",
+    "q164_chi_square_drift",
+    "q165_knn_label_disagreement",
+    "q166_tokenizer_fertility",
+    "q167_bpe_merges",
+    "q168_leakage_safe_split",
+    "q169_textrank_keywords",
+    "q170_cluster_silhouette",
+    "q171_gini_feature_screen",
+    "q172_margin_mining",
+    "q173_bpe_segment",
+    "q174_vocab_growth",
+    "q175_token_entropy",
+    "q176_zipf_slope",
+    "q178_kmeans_elbow",
+    "q179_pair_ngram_precision",
+    "q180_mmr_diverse_topk",
+    "q181_source_kl_divergence",
+    "q182_pmi_collocations",
+    "q184_conditional_entropy",
+    "q30_embedding_ann_lsh",
+    "q38_embedding_ann_ivf",
+    "q42_embedding_neardup",
+    "q62_token_packing",
+    "q63_embedding_neardup_clusters",
+    "q64_decontamination",
+    "q65_mixture_sample",
+    "q66_repetition_stats",
+    "q67_pii_redaction",
 )
 _WINDOW_RANK = {name: i for i, name in enumerate(_WINDOW)}
 

@@ -11,6 +11,7 @@ executes, so there is no second implementation to drift.
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
 from reactive_kinesis_spark.fixmath import LOG2_SCALE, log2_fixed_ctes
 from reactive_kinesis_spark.operators import lexstats as L
@@ -499,3 +500,146 @@ def q194_zipf_synth_cond_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
     operators.lexstats.zipf_synth_docs."""
     docs = load_table(spark, sf_dir, "documents")
     return L.conditional_entropy(L.zipf_synth_docs(docs, _ZIPF_TPD), group_col="source")
+
+
+# --------------------------------------------------------------------------
+# q196–q198 — the ORDER-SENSITIVE text statistics on the synthetic corpus
+# (r13 verdict Next #4): q191–q194 moved the unigram/bigram entropy
+# family onto discriminating data, but the bigram-LM fluency gate
+# (q160), BLEU-style pair precision (q179) and TextRank keywords (q169)
+# still certified only on the ~31-word testdata corpus, where n-gram
+# statistics barely separate (near-saturated counts, a co-occurrence
+# graph with ~31 nodes). Each twin below is the SAME certified program —
+# the oracle builders are parameterized over the docs source, so there
+# is no second SQL implementation to drift — pointed at the Zipf rewrite
+# where counts are heavy-tailed, the vocabulary is unbounded, and the
+# word graph has genuinely skewed degree mass.
+
+
+def _synth_bigram_lm_sql() -> str:
+    """q196 oracle: the q160 text (queries.llm._bigram_lm_sql)
+    parameterized over the synthetic corpus."""
+    from reactive_kinesis_spark.queries.llm import _bigram_lm_sql
+
+    return _bigram_lm_sql(from_tbl=_ZIPF_TBL)
+
+
+@query("q196_zipf_synth_bigram_lm", oracle=_synth_bigram_lm_sql())
+def q196_zipf_synth_bigram_lm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """q160's per-document fluency under the corpus's own
+    Laplace-smoothed bigram LM, on the synthetic heavy-tailed corpus:
+    bigram counts now span orders of magnitude (head bigrams like
+    'w1 w1' recur thousands of times, tail bigrams are singletons), so
+    per-doc scores genuinely discriminate — the testdata corpus's
+    saturated ~31-word support pins every doc near the same score. Same
+    floor(p·2^40) quantization, hash-certified. See
+    :func:`operators.text.bigram_lm_score`."""
+    from reactive_kinesis_spark.operators import text as T
+    from reactive_kinesis_spark.operators.lexstats import zipf_synth_docs
+
+    docs = load_table(spark, sf_dir, "documents")
+    return T.bigram_lm_score(
+        zipf_synth_docs(docs, _ZIPF_TPD), "text", "doc_id"
+    ).orderBy("doc_id")
+
+
+def _synth_pair_precision_sql() -> str:
+    """q197 oracle: the q179 clipped-precision TAIL text verbatim
+    (queries.llm._PAIR_PRECISION_TAIL_SQL) over the synthetic corpus,
+    with the candidate source swapped from exact-Jaccard survivors to
+    DETERMINISTIC consecutive pairs (2i, 2i+1) — on an independent-draw
+    corpus no pair clears a 0.8 Jaccard gate (the twin would certify an
+    empty set), while fixed pairs measure the clipping machinery on
+    genuinely varying overlap: head words clip at large counts, tail
+    words at 0/1."""
+    from reactive_kinesis_spark.queries.llm import _PAIR_PRECISION_TAIL_SQL
+
+    return f"""
+    WITH docs AS (
+        SELECT doc_id, string_split(text, ' ') AS words FROM {_ZIPF_TBL}
+    ),
+    pairs AS (
+        SELECT a.doc_id AS id_1, b.doc_id AS id_2
+        FROM docs a JOIN docs b ON b.doc_id = a.doc_id + 1
+        WHERE a.doc_id % 2 = 0
+    ),
+    {_PAIR_PRECISION_TAIL_SQL}
+    """
+
+
+@query("q197_zipf_synth_pair_precision", oracle=_synth_pair_precision_sql())
+def q197_zipf_synth_pair_precision(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """q179's BLEU-style clipped 1/2-gram precision on the synthetic
+    corpus, scored over deterministic consecutive-doc pairs (2i, 2i+1).
+    Every pair's precision is a real mid-range value driven by shared
+    Zipf-head mass (unigram clip large, bigram clip small-but-nonzero) —
+    the testdata twin only ever scores near-duplicate survivors, i.e.
+    precisions pinned near 1. Counts exact, one IEEE division per
+    precision. See :func:`operators.dedup.pair_ngram_precision`."""
+    from reactive_kinesis_spark.operators import dedup as D
+    from reactive_kinesis_spark.operators.lexstats import zipf_synth_docs
+
+    zd = zipf_synth_docs(load_table(spark, sf_dir, "documents"), _ZIPF_TPD)
+    ids = zd.select("doc_id")
+    a, b = ids.alias("a"), ids.alias("b")
+    pairs = (
+        a.join(b, F.expr("b.doc_id = a.doc_id + 1"))
+        .where(F.expr("a.doc_id % 2 = 0"))
+        .select(F.expr("a.doc_id").alias("id_1"), F.expr("b.doc_id").alias("id_2"))
+    )
+    return D.pair_ngram_precision(zd, pairs).orderBy("id_1", "id_2")
+
+
+def _synth_textrank_sql() -> str:
+    """q198 oracle: q169's weighted-PageRank chain with the pairs CTE
+    pointed at the synthetic corpus — both builders are the q169 text
+    parameterized over the docs source."""
+    from reactive_kinesis_spark.queries.graph import (
+        _pagerank_oracle_sql,
+        _textrank_pairs_sql,
+    )
+
+    return _pagerank_oracle_sql(
+        6,
+        0.85,
+        weighted=True,
+        pairs_sql=_textrank_pairs_sql(from_tbl=_ZIPF_TBL),
+        final_sql=[
+            "SELECT node AS word, rank",
+            "FROM r6 ORDER BY rank DESC, node LIMIT 30",
+        ],
+    )
+
+
+@query("q198_zipf_synth_textrank", oracle=_synth_textrank_sql())
+def q198_zipf_synth_textrank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """q169's corpus-level TextRank keywords on the synthetic corpus:
+    the ±2-window co-occurrence graph now has an unbounded vocabulary
+    with Zipf-skewed degree mass, so the 6-iteration weighted walk ranks
+    a genuinely heavy-tailed graph (the testdata graph has ~31 nodes of
+    near-equal degree — rank separation there is mostly tie-breaking).
+    Also the driver-visible certification of the r13 zip_with rewrite of
+    the co-occurrence builder ON a computed text column — the exact
+    shape whose per-pair re-evaluation hazard that rewrite removed. See
+    :func:`operators.text.cooccurrence_word_edges` and
+    :func:`operators.graph.pagerank`."""
+    from reactive_kinesis_spark.operators.graph import pagerank
+    from reactive_kinesis_spark.operators.lexstats import zipf_synth_docs
+    from reactive_kinesis_spark.operators.text import cooccurrence_word_edges
+
+    docs = load_table(spark, sf_dir, "documents")
+    und = cooccurrence_word_edges(
+        zipf_synth_docs(docs, _ZIPF_TPD), "text", window=2, min_words=3
+    )
+    edges = und.select(F.col("c").alias("src"), F.col("s").alias("dst"), "w").unionAll(
+        und.select(F.col("s").alias("src"), F.col("c").alias("dst"), "w")
+    )
+    pr = pagerank(
+        edges, iterations=6, damping=0.85, weight_col="w",
+        symmetric=True, quantize=1e15,
+    )
+    return (
+        pr.orderBy(F.desc("rank"), F.asc("node"))
+        .limit(30)
+        .select(F.col("node").alias("word"), "rank")
+    )

@@ -627,22 +627,30 @@ def q140_hits_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
     return top_h.unionByName(top_a).orderBy("side", F.col("score").desc(), "node")
 
 
-#: q169: TextRank pairs CTE — the word co-occurrence graph (±2 window,
-#: normalized word pairs, co-occurrence count as weight), mirroring
-#: operators.text.cooccurrence_word_edges. Word nodes are the strings
-#: themselves; no numeric namespacing or relabeling step.
-_TEXTRANK_PAIRS_SQL = [
-    "  SELECT LEAST(w1, w2) AS c, GREATEST(w1, w2) AS s,",
-    "         CAST(COUNT(*) AS DOUBLE) AS w",
-    "  FROM (",
-    "    SELECT words[i] AS w1, words[i + o] AS w2",
-    "    FROM (SELECT list_filter(string_split(text, ' '), x -> x <> '')",
-    "          AS words FROM documents),",
-    "         UNNEST(range(1, len(words))) AS t(i), UNNEST([1, 2]) AS u(o)",
-    "    WHERE len(words) >= 3 AND i + o <= len(words)",
-    "      AND words[i] <> words[i + o]",
-    "  ) GROUP BY 1, 2),",
-]
+def _textrank_pairs_sql(from_tbl: str = "documents") -> list[str]:
+    """q169/q198: TextRank pairs CTE — the word co-occurrence graph (±2
+    window, normalized word pairs, co-occurrence count as weight),
+    mirroring operators.text.cooccurrence_word_edges. Word nodes are the
+    strings themselves; no numeric namespacing or relabeling step.
+    Parameterized over the docs source (r13 verdict Next #4: q198 runs
+    the identical text over the synthetic Zipf corpus); the default
+    reproduces the q169 text byte for byte (pinned in
+    tests/test_round14_ops.py)."""
+    return [
+        "  SELECT LEAST(w1, w2) AS c, GREATEST(w1, w2) AS s,",
+        "         CAST(COUNT(*) AS DOUBLE) AS w",
+        "  FROM (",
+        "    SELECT words[i] AS w1, words[i + o] AS w2",
+        "    FROM (SELECT list_filter(string_split(text, ' '), x -> x <> '')",
+        f"          AS words FROM {from_tbl}),",
+        "         UNNEST(range(1, len(words))) AS t(i), UNNEST([1, 2]) AS u(o)",
+        "    WHERE len(words) >= 3 AND i + o <= len(words)",
+        "      AND words[i] <> words[i + o]",
+        "  ) GROUP BY 1, 2),",
+    ]
+
+
+_TEXTRANK_PAIRS_SQL = _textrank_pairs_sql()
 
 
 @query(

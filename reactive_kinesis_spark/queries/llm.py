@@ -898,6 +898,36 @@ def q38_embedding_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "q195_ann_ivf_derived",
+    oracle=_ivf_certified_oracle_sql(n_cells=16, n_probe=6, iterations=2, k=5),
+)
+def q195_ann_ivf_derived(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """q38's certified IVF ANN run through the SELF-SCALING operating
+    point — ``n_cells=None`` so the cell count is DERIVED from the
+    corpus at query time (``max(16, n // IVF_TARGET_CELL_SIZE)``, the
+    SemDeDup k∝N rule applied to IVF: a fixed cell literal degenerates
+    toward full scan as N grows, the derived count keeps the per-probe
+    candidate cost ≈ n_probe·target_cell_size rows flat at any scale).
+    This is the code path a 100 TB deployment actually runs; at every
+    driver SF (N ≤ 16·4096 = 65,536 embeddings) the derivation lands on
+    the 16-cell floor — exactly q38's certified geometry — so the oracle
+    IS the certified explicit-geometry SQL by construction (the floor
+    identity is also pytest-pinned; this row makes the DRIVER certify
+    the IVF derivation end to end — the q190 pattern applied to the
+    second derived knob, r13 verdict Next #2). q38 stays registered with
+    its explicit literals, untouched."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.where(F.col("vec_id") < 100)
+    return (
+        S.ivf_topk_certified(
+            emb, queries, "vec_id", "embedding", k=5, n_cells=None, n_probe=6
+        )
+        .select("query_id", "neighbor_id", "cosine_sim", "rn")
+        .orderBy("query_id", "rn")
+    )
+
+
 @query("q100_ann_lsh_recall")  # rows-only: approximate by design
 def q100_ann_lsh_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     """q30's recall-first twin: the same LSH banding ANN at the measured
@@ -3346,11 +3376,14 @@ def q141_simpson_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
 # --------------------------------------------------------------------------
 
 
-@query(
-    "q160_bigram_lm_score",
-    oracle="""
+def _bigram_lm_sql(from_tbl: str = "documents") -> str:
+    """q160 oracle, parameterized over the docs source (r13 verdict Next
+    #4: q196 points the SAME certified program at the synthetic Zipf
+    corpus). The default reproduces the round-11 q160 text byte for
+    byte (pinned in tests/test_round14_ops.py)."""
+    return f"""
     WITH w AS (
-        SELECT doc_id, string_split(text, ' ') AS ws FROM documents
+        SELECT doc_id, string_split(text, ' ') AS ws FROM {from_tbl}
         WHERE len(string_split(text, ' ')) >= 2
     ),
     bg AS (
@@ -3361,7 +3394,7 @@ def q141_simpson_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
     c1 AS (SELECT w1, CAST(COUNT(*) AS BIGINT) AS c1 FROM bg GROUP BY w1),
     v AS (
         SELECT CAST(COUNT(DISTINCT wd) AS BIGINT) AS v
-        FROM (SELECT UNNEST(string_split(text, ' ')) AS wd FROM documents)
+        FROM (SELECT UNNEST(string_split(text, ' ')) AS wd FROM {from_tbl})
     ),
     s AS (
         SELECT bg.doc_id,
@@ -3377,8 +3410,10 @@ def q141_simpson_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
              AS avg_p_q40
     FROM s GROUP BY doc_id
     ORDER BY doc_id
-    """,
-)
+    """
+
+
+@query("q160_bigram_lm_score", oracle=_bigram_lm_sql())
 def q160_bigram_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-document fluency under the corpus's own Laplace-smoothed bigram
     LM — the word-order-sensitive quality gate (the unigram surprisal of
@@ -3845,11 +3880,12 @@ def q178_kmeans_elbow(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.orderBy("k")
 
 
-@query(
-    "q179_pair_ngram_precision",
-    oracle=f"""
-    WITH {_JACCARD_PAIR_CTES},
-    unic AS (SELECT doc_id, g, CAST(COUNT(*) AS BIGINT) AS c FROM
+#: q179/q197 shared oracle tail — BLEU-style clipped 1/2-gram precision
+#: over a ``docs`` CTE (doc_id, words array) and a ``pairs`` CTE
+#: (id_1, id_2); factored so the synth twin (q197) scores a DIFFERENT
+#: candidate source over a DIFFERENT corpus with the identical scoring
+#: text (no second implementation to drift).
+_PAIR_PRECISION_TAIL_SQL = """unic AS (SELECT doc_id, g, CAST(COUNT(*) AS BIGINT) AS c FROM
              (SELECT doc_id, unnest(words) AS g FROM docs) GROUP BY doc_id, g),
     bgc AS (SELECT doc_id, g, CAST(COUNT(*) AS BIGINT) AS c FROM
             (SELECT doc_id, array_to_string(words[i:i+1], ' ') AS g
@@ -3870,7 +3906,14 @@ def q178_kmeans_elbow(spark: SparkSession, sf_dir: str) -> DataFrame:
            CAST(clip_1 AS DOUBLE) / CAST(tot_1 AS DOUBLE) AS prec_1,
            clip_2, tot_2,
            CAST(clip_2 AS DOUBLE) / CAST(tot_2 AS DOUBLE) AS prec_2
-    FROM c1 JOIN c2 USING (id_1, id_2) ORDER BY id_1, id_2
+    FROM c1 JOIN c2 USING (id_1, id_2) ORDER BY id_1, id_2"""
+
+
+@query(
+    "q179_pair_ngram_precision",
+    oracle=f"""
+    WITH {_JACCARD_PAIR_CTES},
+    {_PAIR_PRECISION_TAIL_SQL}
     """,
 )
 def q179_pair_ngram_precision(spark: SparkSession, sf_dir: str) -> DataFrame:

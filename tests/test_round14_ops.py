@@ -1,0 +1,194 @@
+"""Round-14 additions: the derived IVF operating point (q195), the
+synthetic-corpus twins for the order-sensitive text statistics
+(q196–q198), the sampled-trainer 4-rows-per-centroid floor, compaction
+size telemetry, and the matmul-assignment parity band (r13 ADVICE)."""
+
+from __future__ import annotations
+
+import hashlib
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from reactive_kinesis_spark.queries import load_all
+
+_REGISTRY = load_all()
+
+
+class TestOracleTextPins:
+    """The r13→r14 builder parameterization (q160/q169/q179 oracles now
+    come from docs-source-parameterized builders shared with their synth
+    twins) must NOT change the certified text: a changed oracle means the
+    old green hash row proves the old query, not this one (the q183/q189
+    re-proof precedent). Pin the sha256 of each default-built text to the
+    bytes the driver certified."""
+
+    PINS = {
+        "q160_bigram_lm_score": "76f19ecf5f612f07",
+        "q169_textrank_keywords": "3b202659cbc63b86",
+        "q179_pair_ngram_precision": "87ef0409e9d8a8e3",
+    }
+
+    @pytest.mark.parametrize("name", sorted(PINS))
+    def test_certified_text_unchanged(self, name):
+        digest = hashlib.sha256(_REGISTRY[name].oracle.encode()).hexdigest()[:16]
+        assert digest == self.PINS[name], (
+            f"{name}'s oracle text drifted from its driver-certified bytes — "
+            "either revert the builder default or put the query in the next "
+            "driver window for re-proof (tools/round_end.py enforces this)"
+        )
+
+
+class TestIvfDerivedOperatingPoint:
+    """q195: ivf_topk_certified(n_cells=None) — the floor identity that
+    makes q38's SQL the oracle by construction, pinned as arithmetic."""
+
+    def test_floor_at_all_testdata_sfs(self):
+        from reactive_kinesis_spark.operators.similarity import derive_ivf_cells
+
+        # embeddings: 500 (sf0.001/sf0.01), 2000 (sf0.1) — all on the floor
+        assert derive_ivf_cells(500) == 16
+        assert derive_ivf_cells(2000) == 16
+        assert derive_ivf_cells(16 * 4096) == 16
+
+    def test_departure_point(self):
+        from reactive_kinesis_spark.operators.similarity import derive_ivf_cells
+
+        assert derive_ivf_cells(17 * 4096 - 1) == 16
+        assert derive_ivf_cells(17 * 4096) == 17
+        # k ∝ N from there on: candidate cost n_probe·target stays flat
+        assert derive_ivf_cells(100 * 4096) == 100
+
+    def test_invalid_target_raises(self):
+        from reactive_kinesis_spark.operators.similarity import derive_ivf_cells
+
+        with pytest.raises(ValueError, match="target_cell_size"):
+            derive_ivf_cells(500, target_cell_size=0)
+
+    def test_q195_oracle_is_q38_oracle_by_construction(self):
+        assert (
+            _REGISTRY["q195_ann_ivf_derived"].oracle
+            == _REGISTRY["q38_embedding_ann_ivf"].oracle
+        )
+
+
+class TestSampledTrainerFloor:
+    """r13 ADVICE: the derived-k sampled fit must enforce the stated
+    >=4-rows-per-centroid floor against the 2^17 bounded-collect cap —
+    the old guard only fired past k > 2^17, so k in (2^15, 2^17]
+    silently fit 1-4 rows per centroid."""
+
+    def test_floor_gap_zone_raises(self, spark, monkeypatch):
+        import reactive_kinesis_spark.operators.similarity as S
+
+        vecs = spark.createDataFrame(
+            [(i, [float(i), 1.0]) for i in range(10)],
+            "vec_id long, embedding array<double>",
+        )
+        # k in the old silent zone: 4*k > 2^17 but k <= 2^17
+        monkeypatch.setattr(S, "_derive_k", lambda v, t: (1 << 15) + 1)
+        with pytest.raises(ValueError, match="4-rows-per-centroid|rows-per-centroid|floor"):
+            S.semantic_dedup(vecs, k=None, trainer="sampled")
+
+    def test_below_floor_threshold_still_fits(self, spark, monkeypatch):
+        import reactive_kinesis_spark.operators.similarity as S
+
+        rng = np.random.default_rng(5)
+        rows = [(i, [float(x) for x in rng.standard_normal(4)]) for i in range(64)]
+        vecs = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+        monkeypatch.setattr(S, "_derive_k", lambda v, t: 8)  # 4*8 well under cap
+        out = S.semantic_dedup(vecs, k=None, trainer="sampled", train_sample=16)
+        assert out.agg(F.sum("n_vecs").alias("n")).collect()[0]["n"] == 64
+
+
+class TestCompactRollupTelemetry:
+    """r13 verdict Next #5: every compaction reports the new base's row
+    count (parquet-metadata read-back), so the DEFAULT exact path shows
+    ledger growth; the floored path derives floored_rows without
+    evaluating the merge twice (r13 ADVICE)."""
+
+    def test_exact_path_reports_base_rows(self, spark, tmp_path):
+        from reactive_kinesis_spark.streaming.rollup import (
+            compact_rollup,
+            continuous_source_bigrams,
+            source_bigram_spec,
+        )
+
+        out_dir = str(tmp_path / "bigrams")
+        write = continuous_source_bigrams(out_dir)
+        write(
+            spark.createDataFrame(
+                [("s1", "a b a b"), ("s1", "x y")], "source string, text string"
+            ),
+            0,
+        )
+        stats = compact_rollup(spark, out_dir, source_bigram_spec())
+        # bigram types: (a,b) (b,a) (x,y) — exact ledger keeps all
+        assert stats["base_rows"] == 3
+        assert stats["floored_rows"] == 0
+
+    def test_floored_path_counts_add_up(self, spark, tmp_path):
+        from reactive_kinesis_spark.streaming.rollup import (
+            compact_rollup,
+            continuous_source_bigrams,
+            source_bigram_spec,
+        )
+
+        out_dir = str(tmp_path / "bigrams")
+        write = continuous_source_bigrams(out_dir)
+        write(
+            spark.createDataFrame(
+                [("s1", "a b a b a b"), ("s1", "x y")],
+                "source string, text string",
+            ),
+            0,
+        )
+        stats = compact_rollup(spark, out_dir, source_bigram_spec(), min_count=2)
+        # merged types: (a,b) n=3, (b,a) n=2, (x,y) n=1 -> floor drops 1
+        assert stats["base_rows"] == 2
+        assert stats["floored_rows"] == 1
+
+
+class TestNearestCentroidParityBand:
+    """r13 ADVICE low: the matmul distance form (||c||^2 - 2x·c) rounds
+    differently from the naive residual form, so NEAR-tie assignments
+    could in principle flip. Property-pin the contract: wherever the
+    naive top-2 squared-distance gap exceeds a float-noise band, both
+    forms agree exactly; inside the band any flip is between centroids
+    whose distances are equal to within the band (documented acceptable
+    for the uncertified throughput paths)."""
+
+    @pytest.mark.parametrize("seed", [0, 1, 2])
+    def test_assignment_parity_outside_noise_band(self, seed):
+        from reactive_kinesis_spark.operators.similarity import (
+            _nearest_centroid,
+        )
+
+        rng = np.random.default_rng(seed)
+        mat = rng.standard_normal((512, 16))
+        cents = rng.standard_normal((32, 16))
+        got = _nearest_centroid(mat, cents)
+        # naive residual-tensor form (the pre-r13 arithmetic)
+        d2 = ((mat[:, None, :] - cents[None, :, :]) ** 2).sum(axis=2)
+        naive = d2.argmin(axis=1)
+        part = np.partition(d2, 1, axis=1)
+        gap = part[:, 1] - part[:, 0]
+        scale = np.abs(d2).max()
+        band = 64 * np.finfo(np.float64).eps * scale
+        clear = gap > band
+        assert (got[clear] == naive[clear]).all()
+        # inside the band a flip must still be a near-tie in naive metric
+        flipped = got != naive
+        assert (
+            np.abs(d2[np.arange(len(mat)), got] - part[:, 0])[flipped] <= band
+        ).all()
+
+    def test_exact_duplicate_centroid_tie_to_lowest_index(self):
+        from reactive_kinesis_spark.operators.similarity import (
+            _nearest_centroid,
+        )
+
+        mat = np.array([[1.0, 0.0]])
+        cents = np.array([[1.0, 0.0], [1.0, 0.0], [0.0, 1.0]])
+        assert _nearest_centroid(mat, cents)[0] == 0
