@@ -354,6 +354,7 @@ def main() -> None:
     # streaming/skew legs a cold JVM (observed: paged-file leg 62k vs
     # 98k msg/s purely from running legs on a just-recycled session)
     sweep: dict[str, float] = {}
+    sweep_meta: dict[str, dict] = {}
     if SWEEP:
         sweep_names = [name for name in registry if name not in HEADLINE]
         sweep_errors: dict[str, str] = {}
@@ -363,7 +364,12 @@ def main() -> None:
             if i > 0:
                 spark.stop()
                 spark = get_spark(app_name="rks-bench")
+                # fixed post-recycle warm-up: codegen/JIT (range-sum) AND
+                # the parquet read path (one tiny table scan) — a chunk's
+                # first query must not pay the cold-session tax its
+                # cross-round comparison partner didn't pay
                 spark.range(1_000_000).selectExpr("sum(id)").collect()
+                spark.read.parquet(os.path.join(SF_DIR, "region.parquet")).count()
                 print(
                     f"# sweep: fresh SparkSession at query {i} "
                     f"({chunk[0]})",
@@ -372,6 +378,19 @@ def main() -> None:
             chunk_t, chunk_e = run_queries(spark, registry, chunk, SF_DIR, 1)
             sweep.update(chunk_t)
             sweep_errors.update(chunk_e)
+            # session-age stamp (r13 verdict Next #3): the rotation
+            # reorders the registry every round, so a sweep entry's
+            # position relative to the session recycle changes round to
+            # round — and with it the session-maturity tax its single-run
+            # number carries (r13 saw 2-4.7x single-run movers on
+            # untouched code from exactly this). The stamp makes the
+            # comparison mechanical: compare entries at like session age,
+            # or flag age-shifted entries before adjudicating their delta.
+            for j, name in enumerate(chunk):
+                sweep_meta[name] = {
+                    "session_age": j,
+                    "chunk": i // SWEEP_RESTART_EVERY,
+                }
         errors.update(sweep_errors)
         print(
             f"# sweep: {len(sweep)}/{len(sweep_names)} non-headline queries, "
@@ -425,6 +444,7 @@ def main() -> None:
         "headline_probe_normalized": headline_norm,
         "queries": timings,
         "sweep": sweep,
+        "sweep_meta": sweep_meta,
         "errors": errors,
         "sf": sf,
         "runs": N_RUNS,
@@ -469,6 +489,16 @@ def main() -> None:
         "streaming_msgs_per_sec": _rate(streaming),
         "streaming_file_paged_msgs_per_sec": _rate(streaming_file_paged),
         "streaming_replay_msgs_per_sec": _rate(streaming_replay),
+        # the per-shard-floor comparison vs BASELINE.md is defined against
+        # the WARM figure (fresh checkpoint, hot JVM) — r13 carried it only
+        # in BENCH_full.json/SCALING.md; the compact driver-recorded line
+        # must stand alone (r13 verdict Next #6)
+        "streaming_replay_warm_msgs_per_sec": (
+            round(streaming_replay["msgs_per_sec_warm"])
+            if isinstance(streaming_replay, dict)
+            and isinstance(streaming_replay.get("msgs_per_sec_warm"), (int, float))
+            else None
+        ),
         "leg_accounting": {
             "skew": _leg_acct(skew),
             "streaming": _leg_acct(streaming),

@@ -192,3 +192,66 @@ class TestNearestCentroidParityBand:
         mat = np.array([[1.0, 0.0]])
         cents = np.array([[1.0, 0.0], [1.0, 0.0], [0.0, 1.0]])
         assert _nearest_centroid(mat, cents)[0] == 0
+
+
+class TestReproofPolicyGate:
+    """tools/round_end.py step 6 (r13 verdict Next #8): a query whose
+    oracle text or registration source changed since the committed
+    QUERY_MANIFEST.json stamp must take a driver-window slot — pinned
+    here so the policy survives builder turnover."""
+
+    def _registry(self):
+        return _REGISTRY
+
+    def test_missing_manifest_is_baseline(self, tmp_path):
+        from tools.round_end import check_reproof_policy
+
+        v, live = check_reproof_policy(
+            self._registry(), str(tmp_path / "absent.json")
+        )
+        assert v == []
+        assert set(live) == set(self._registry())
+
+    def test_changed_nonwindow_entry_is_violation(self, tmp_path):
+        import json
+
+        from tools.round_end import check_reproof_policy, compute_query_manifest
+
+        reg = self._registry()
+        live = compute_query_manifest(reg)
+        nonwindow = list(reg)[60]  # safely past the 50-slot window
+        stamped = dict(live)
+        stamped[nonwindow] = "0" * 64
+        p = tmp_path / "QUERY_MANIFEST.json"
+        p.write_text(json.dumps(stamped))
+        v, _ = check_reproof_policy(reg, str(p))
+        assert v == [nonwindow]
+
+    def test_changed_window_entry_is_clean(self, tmp_path):
+        import json
+
+        from tools.round_end import check_reproof_policy, compute_query_manifest
+
+        reg = self._registry()
+        live = compute_query_manifest(reg)
+        inwindow = list(reg)[0]
+        stamped = dict(live)
+        stamped[inwindow] = "0" * 64
+        p = tmp_path / "QUERY_MANIFEST.json"
+        p.write_text(json.dumps(stamped))
+        v, _ = check_reproof_policy(reg, str(p))
+        assert v == []
+
+    def test_new_entry_missing_from_window_is_violation(self, tmp_path):
+        import json
+
+        from tools.round_end import check_reproof_policy, compute_query_manifest
+
+        reg = self._registry()
+        live = compute_query_manifest(reg)
+        nonwindow = list(reg)[60]
+        stamped = {k: v for k, v in live.items() if k != nonwindow}
+        p = tmp_path / "QUERY_MANIFEST.json"
+        p.write_text(json.dumps(stamped))
+        v, _ = check_reproof_policy(reg, str(p))
+        assert v == [nonwindow]

@@ -253,6 +253,93 @@ def measure_derived_scale(spark, out: dict) -> None:
     big.unpersist()
 
 
+#: Corpus for the IVF derived-operating-point evidence (r13 verdict Next
+#: #7: the symmetric artifact to ``lsh_derived_scale`` for the second
+#: derived knob). 960×250 = 240,000 rows — well past the departure point
+#: n = 17·4096 = 69,632 where ``derive_ivf_cells`` first leaves the
+#: 16-cell floor; at 240k the derivation lands on 58 cells, so the
+#: fixed-16 literal's per-probe-set candidate cost (≈ n_probe/16·N) has
+#: visibly degenerated while the derived point holds ≈ n_probe·4096
+#: rows per query.
+IVF_DERIVED_SCALE = {
+    "seed": 13,
+    "n_clusters": 960,
+    "per_cluster": 250,
+    "dim": 32,
+    "noise": 0.05,
+    "n_queries": 100,
+    "k": 5,
+}
+
+
+def measure_ivf_derived_scale(spark, out: dict) -> None:
+    """Fixed 'balanced' IVF preset vs the size-derived cell count on a
+    240k clustered corpus: the derived point must cut candidate cost by
+    ~n_cells_derived/16 while keeping recall — measured, not argued
+    (the q190/q195 floor-identity evidence pattern: driver SFs certify
+    the derivation ON the floor; this entry measures it PAST the
+    departure point). Runs the sampled-trainer throughput family (the
+    ingest path, the lsh_derived_scale precedent); the certified family
+    shares the identical derivation arithmetic
+    (operators.similarity.derive_ivf_cells)."""
+    import numpy as np
+    import pandas as pd
+
+    from pyspark.sql import functions as F
+
+    from reactive_kinesis_spark.operators import similarity as S
+
+    cfg = IVF_DERIVED_SCALE
+    rng = np.random.default_rng(cfg["seed"])
+    cents = rng.standard_normal((cfg["n_clusters"], cfg["dim"]))
+    cents /= np.linalg.norm(cents, axis=1, keepdims=True)
+    pts = cents.repeat(cfg["per_cluster"], axis=0) + cfg["noise"] * rng.standard_normal(
+        (cfg["n_clusters"] * cfg["per_cluster"], cfg["dim"])
+    )
+    pts /= np.linalg.norm(pts, axis=1, keepdims=True)
+    big = spark.createDataFrame(
+        pd.DataFrame(
+            {
+                "vec_id": np.arange(len(pts), dtype="int64"),
+                "embedding": [[float(x) for x in row] for row in pts],
+            }
+        )
+    ).cache()
+    n = big.count()
+    q = big.where(F.col("vec_id") % cfg["per_cluster"] == 0).where(
+        F.col("vec_id") < cfg["n_queries"] * cfg["per_cluster"]
+    )
+    nq = q.count()
+    brute_pairs = nq * (n - 1)
+    exact = S.cosine_topk(big, q, k=cfg["k"])
+    derived_cells = S.derive_ivf_cells(n)
+    entry: dict[str, object] = {
+        "corpus": cfg,
+        "departure_n": 17 * S.IVF_TARGET_CELL_SIZE,
+        "derived_cells": derived_cells,
+    }
+    train = 1 << 13  # >= 4 rows/centroid at 58 cells, quality plateau
+    for label, cells in (("fixed_preset", 16), ("derived_point", derived_cells)):
+        entry[label] = {
+            "settings": {"n_cells": cells, "n_probe": 6},
+            "recall": recall_at_k(
+                exact,
+                S.ivf_topk(
+                    big, q, k=cfg["k"], n_cells=cells, n_probe=6, train_sample=train
+                ),
+            ),
+            "candidate_fraction": round(
+                S._ivf_candidates(
+                    big, q, "vec_id", "embedding", cells, 6, train
+                ).count()
+                / brute_pairs,
+                4,
+            ),
+        }
+    out["ivf_derived_scale"] = entry
+    big.unpersist()
+
+
 #: Planted exact duplicates for the SemDeDup trainer-family evidence
 #: (r12 verdict Next #8: the sampled trainer had the −31% throughput
 #: measurement in SCALING.md but no RECALL-style duplicate-recall entry
@@ -383,6 +470,7 @@ def main() -> None:
     spark.sparkContext.setLogLevel("ERROR")
     out = measure(spark)
     measure_derived_scale(spark, out)
+    measure_ivf_derived_scale(spark, out)
     measure_semdedup_trainers(spark, out)
     measure_testdata(spark, sf_dir, out)
     print(json.dumps(out, indent=2))

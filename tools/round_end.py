@@ -20,7 +20,11 @@ mechanical forced a full-suite run between "last code commit" and
    failure mode — a wasted certification run re-proving last round's
    rows), and every "N oracle"/"N-oracle" literal inside
    ``queries/__init__.py`` must match the live oracle count (the
-   round-10 stale-comment finding, made mechanical).
+   round-10 stale-comment finding, made mechanical);
+6. enforces the RE-PROOF policy (the q183/q189 precedent, r13 verdict
+   Next #8): any query whose evaluated oracle text or registration
+   source differs from the committed ``QUERY_MANIFEST.json`` stamp must
+   occupy a window slot this round, then re-stamps the manifest.
 
 Usage: python tools/round_end.py <round_number>
 Exit 0 = the tree is snapshot-ready; commit the written artifacts.
@@ -40,6 +44,56 @@ sys.path.insert(0, REPO)
 def fail(msg: str) -> None:
     print(f"ROUND_END FAIL: {msg}", file=sys.stderr)
     sys.exit(1)
+
+
+def compute_query_manifest(registry) -> dict[str, str]:
+    """Per-query change fingerprint: sha256 over the EVALUATED oracle
+    text (builders may be refactored freely as long as the emitted bytes
+    hold) plus the query function's source. Scope note: edits to shared
+    operator code a query calls are NOT captured — the manifest tracks
+    the registration site, which is where oracle text and query shape
+    live; operator-level changes are covered by the full local parity
+    suite every session."""
+    import hashlib
+    import inspect
+
+    out = {}
+    for name, qd in registry.items():
+        try:
+            src = inspect.getsource(qd.fn)
+        except OSError:  # pragma: no cover — source always on disk here
+            src = ""
+        blob = (qd.oracle or "") + "\x00" + src
+        out[name] = hashlib.sha256(blob.encode("utf-8")).hexdigest()
+    return out
+
+
+def check_reproof_policy(
+    registry, manifest_path: str
+) -> tuple[list[str], dict[str, str]]:
+    """The q183/q189 re-proof policy, made mechanical (r13 verdict Next
+    #8): any registry entry whose oracle text or query source changed
+    since QUERY_MANIFEST.json was last stamped must appear in the
+    current 50-slot driver window — a green hash row proves the text
+    that produced it, so a changed query with only an old green row is
+    uncertified until re-proven. Returns ``(violations, live_manifest)``
+    where violations = changed-or-new entries missing from the window.
+    A missing manifest file (first run) yields no violations — the
+    stamp written at this round's end becomes the baseline."""
+    import json
+
+    live = compute_query_manifest(registry)
+    if not os.path.exists(manifest_path):
+        return [], live
+    with open(manifest_path, encoding="utf-8") as fh:
+        stamped = json.load(fh)
+    window = set(list(registry)[:50])
+    violations = [
+        name
+        for name, digest in live.items()
+        if stamped.get(name) != digest and name not in window
+    ]
+    return sorted(violations), live
 
 
 def main() -> None:
@@ -148,11 +202,28 @@ def main() -> None:
             f"queries/__init__.py — live count is {n_oracle}"
         )
 
+    # 5c. re-proof policy (r13 verdict Next #8): a query whose oracle
+    # text or registration source changed since the last stamp must take
+    # a window slot this round — its old green row proves the OLD text.
+    manifest_path = os.path.join(REPO, "QUERY_MANIFEST.json")
+    violations, live_manifest = check_reproof_policy(registry, manifest_path)
+    if violations:
+        fail(
+            "changed-since-last-stamp queries missing from the driver "
+            f"window (re-proof policy): {violations} — put them in "
+            "_WINDOW or revert their oracle/source to the stamped bytes"
+        )
+    import json as _json
+
+    with open(manifest_path, "w", encoding="utf-8") as fh:
+        _json.dump(live_manifest, fh, indent=0, sort_keys=True)
+    print(f"# re-proof policy clean; QUERY_MANIFEST.json stamped ({len(live_manifest)} entries)")
+
     print(
         f"ROUND_END OK: suite green, PLANS.md {plan_rows} rows, "
         f"registry {n_total}/{n_oracle} matches README+COVERAGE, window "
-        f"rotated, __init__ literals current. "
-        f"Commit PYTEST_r{rnd:02d}.txt and PLANS.md."
+        f"rotated, __init__ literals current, re-proof manifest stamped. "
+        f"Commit PYTEST_r{rnd:02d}.txt, PLANS.md and QUERY_MANIFEST.json."
     )
 
 
