@@ -716,7 +716,7 @@ def embedding_neardup_pairs(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     threshold: float = 0.95,
-    n_planes: int = 16,
+    n_planes: int | None = 16,
     bands: int = 4,
     dim: int = 64,
     family: str = "float",
@@ -735,7 +735,24 @@ def embedding_neardup_pairs(
     quantized signatures AND verify cosines are exact-integer facts, so
     the emitted pair set is bit-reproducible in ANSI SQL — q42/q63's
     graduation from rows-only to hash-certified. Same banding shape;
-    one int64 matmul per batch instead of a float one."""
+    one int64 matmul per batch instead of a float one.
+
+    ``n_planes=None`` derives the banding width from the corpus size
+    (:func:`derive_lsh_params` over this ``bands``): the self-join's
+    random-collision pair cost is ≈ N²·bands·2^(−bits) — QUADRATIC decay
+    in nothing at a fixed geometry — so a 100 TB dedup run must widen
+    bands with log2(N) or the candidate join degenerates toward N².
+    The default stays the explicit 16×4 so the q42/q63 oracles and
+    recall pins are untouched; pass ``None`` for the scale path. Note
+    the derivation's 3-bit floor (12 planes at ``bands=4``) is bucket-
+    COARSER than the registered 4-bit geometry, so at tiny corpora the
+    derived point examines more candidates (and misses fewer pairs)
+    than the default; it first reaches the registered width past
+    N ≈ 2·target_candidates·2^4/bands ≈ 16k and widens from there."""
+    if n_planes is None:
+        n_planes = derive_lsh_params(
+            valid_vectors(df, vec_col).count(), bands
+        )["n_planes"]
     if family == "int":
         x = _int_banded_signatures(df, id_col, vec_col, n_planes, bands, dim, "id_1")
         y = _int_banded_signatures(
@@ -937,7 +954,7 @@ def ivf_topk(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     k: int = 5,
-    n_cells: int = 16,
+    n_cells: int | None = 16,
     n_probe: int = 4,
     train_sample: int = 2048,
     preset: str | None = None,
@@ -958,10 +975,36 @@ def ivf_topk(
     ``'recall'`` = 16 cells × 12 probes (recall ≈ 0.94 at ≈ 0.75·N) — see
     the measured table on :data:`ANN_PRESETS` and RECALL.json.
 
+    ``n_cells=None`` derives the cell count from the corpus
+    (:func:`derive_ivf_cells` — the same ``max(16, n // 4096)`` rule as
+    :func:`ivf_topk_certified`), auto-raising the driver-side fit sample
+    to the ≥4-rows-per-centroid floor up to the 2^17 bounded-collect cap
+    and failing loudly past it. The default stays the explicit 16 so
+    recall pins are untouched; pass ``None`` for the scale path.
+
     Deterministic end-to-end (fixed init, fixed sample, argmin ties by
     lowest index). Returns ``(query_id, neighbor_id, cosine_sim, rn)``.
     """
     p = _apply_preset("ivf", preset, {"n_cells": n_cells, "n_probe": n_probe})
+    if p["n_cells"] is None:
+        # the throughput family's self-scaling point (r14: the derived
+        # knob was certified-family-only — q195 — but the ingest path is
+        # the one a deployment actually re-runs): same derivation, and
+        # the driver-side fit sample auto-raises to the >=4-rows-per-
+        # centroid quantizer floor up to the bounded-collect cap (the
+        # sampled-trainer discipline; loud past it).
+        cells = derive_ivf_cells(valid_vectors(corpus, vec_col).count())
+        train_sample = max(train_sample, 4 * cells)
+        if train_sample > (1 << 17):
+            raise ValueError(
+                f"derived n_cells={cells} needs a fit sample of "
+                f"{4 * cells} rows (the >=4-rows-per-centroid floor) "
+                f"exceeding the bounded-collect cap {1 << 17} — raise "
+                "target_cell_size via ivf_topk_certified(n_cells=None, "
+                "target_cell_size=...) semantics or pass an explicit "
+                "n_cells"
+            )
+        p = {**p, "n_cells": cells}
     cand = _ivf_candidates(
         corpus, queries, id_col, vec_col, p["n_cells"], p["n_probe"], train_sample
     )

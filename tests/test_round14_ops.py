@@ -255,3 +255,56 @@ class TestReproofPolicyGate:
         p.write_text(json.dumps(stamped))
         v, _ = check_reproof_policy(reg, str(p))
         assert v == [nonwindow]
+
+
+class TestThroughputDerivedKnobs:
+    """r14: the self-scaling operating point extended to the THROUGHPUT
+    families — ivf_topk(n_cells=None) and
+    embedding_neardup_pairs(n_planes=None) — so the ingest paths a
+    deployment actually re-runs carry the same k ∝ N discipline as the
+    certified twins (q190/q195)."""
+
+    def test_ivf_topk_derived_equals_explicit_floor(self, spark, sf_dir):
+        from reactive_kinesis_spark.operators import similarity as S
+        from reactive_kinesis_spark.tables import load_table
+
+        emb = load_table(spark, sf_dir, "embeddings")
+        q = emb.where(F.col("vec_id") < 20)
+        got = S.ivf_topk(emb, q, k=3, n_cells=None, n_probe=4)
+        want = S.ivf_topk(emb, q, k=3, n_cells=16, n_probe=4)
+        assert sorted(map(tuple, got.collect())) == sorted(
+            map(tuple, want.collect())
+        )
+
+    def test_ivf_topk_derived_floor_cap_raises(self, spark, monkeypatch):
+        import reactive_kinesis_spark.operators.similarity as S
+
+        vecs = spark.createDataFrame(
+            [(i, [float(i), 1.0]) for i in range(10)],
+            "vec_id long, embedding array<double>",
+        )
+        monkeypatch.setattr(S, "derive_ivf_cells", lambda n: (1 << 15) + 1)
+        with pytest.raises(ValueError, match="rows-per-centroid"):
+            S.ivf_topk(vecs, vecs.limit(2), k=1, n_cells=None)
+
+    def test_neardup_derived_equals_explicit_derived_planes(self, spark, sf_dir):
+        from reactive_kinesis_spark.operators import similarity as S
+        from reactive_kinesis_spark.tables import load_table
+
+        emb = load_table(spark, sf_dir, "embeddings")
+        n = emb.count()
+        planes = S.derive_lsh_params(n, bands=4)["n_planes"]
+        got = S.embedding_neardup_pairs(emb, threshold=0.4, n_planes=None)
+        want = S.embedding_neardup_pairs(emb, threshold=0.4, n_planes=planes)
+        assert sorted(map(tuple, got.collect())) == sorted(
+            map(tuple, want.collect())
+        )
+
+    def test_neardup_derived_widens_with_n(self):
+        from reactive_kinesis_spark.operators.similarity import derive_lsh_params
+
+        # 3-bit floor at testdata sizes; the registered 4-bit width is
+        # reached past ~16k rows and keeps widening
+        assert derive_lsh_params(500, bands=4)["n_planes"] == 12
+        assert derive_lsh_params(20_000, bands=4)["n_planes"] == 20
+        assert derive_lsh_params(2_000_000, bands=4)["n_planes"] == 44
