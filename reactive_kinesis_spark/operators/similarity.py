@@ -990,20 +990,17 @@ def ivf_topk(
         # the throughput family's self-scaling point (r14: the derived
         # knob was certified-family-only — q195 — but the ingest path is
         # the one a deployment actually re-runs): same derivation, and
-        # the driver-side fit sample auto-raises to the >=4-rows-per-
-        # centroid quantizer floor up to the bounded-collect cap (the
-        # sampled-trainer discipline; loud past it).
+        # the driver-side fit sample rides the shared floor/cap
+        # discipline (:func:`_bounded_fit_sample`).
         cells = derive_ivf_cells(valid_vectors(corpus, vec_col).count())
-        train_sample = max(train_sample, 4 * cells)
-        if train_sample > (1 << 17):
-            raise ValueError(
-                f"derived n_cells={cells} needs a fit sample of "
-                f"{4 * cells} rows (the >=4-rows-per-centroid floor) "
-                f"exceeding the bounded-collect cap {1 << 17} — raise "
-                "target_cell_size via ivf_topk_certified(n_cells=None, "
-                "target_cell_size=...) semantics or pass an explicit "
-                "n_cells"
-            )
+        train_sample = _bounded_fit_sample(
+            train_sample,
+            cells,
+            "n_cells",
+            "pass an explicit n_cells, or use "
+            "ivf_topk_certified(n_cells=None, target_cell_size=...) whose "
+            "distributed fit has no driver-sample bound",
+        )
         p = {**p, "n_cells": cells}
     cand = _ivf_candidates(
         corpus, queries, id_col, vec_col, p["n_cells"], p["n_probe"], train_sample
@@ -1532,26 +1529,21 @@ def semantic_dedup(
             # DERIVED at scale (r12 ADVICE: k = n/256 passes 2048 at
             # n ≈ 524k): grow the fit sample with k (≥4 training rows per
             # centroid, the quantizer floor) up to the bounded-collect
-            # cap. The floor is ENFORCED against the cap (r13 ADVICE: the
+            # cap, via the shared floor/cap discipline
+            # (:func:`_bounded_fit_sample` — the r13 ADVICE closure: the
             # old check only fired past k > 2^17, so k in (2^15, 2^17]
-            # silently fit 1-4 rows per centroid — at k near the cap the
-            # init used the whole sample as centroids, exactly the
-            # degenerate fit this guard exists to prevent). Past
-            # k > 2^17/4 (⇒ n > ~8.4M at the default target) no
-            # floor-respecting driver-sample quantizer exists — say so
-            # loudly instead of fitting near-1-point centroids.
-            train_sample = max(train_sample, 4 * k)
-            if train_sample > (1 << 17):
-                raise ValueError(
-                    f"derived k={k} needs a fit sample of 4*k="
-                    f"{4 * k} rows (the >=4-rows-per-centroid quantizer "
-                    f"floor) which exceeds the bounded-collect cap "
-                    f"{1 << 17}: the sampled trainer cannot fit that many "
-                    "centroids from a driver-side sample — raise "
-                    "target_cluster_size (clusters of "
-                    f"{target_cluster_size} are over-fine at this corpus "
-                    "size) or use trainer='certified'"
-                )
+            # silently fit 1-4 rows per centroid). Past k > 2^17/4
+            # (⇒ n > ~8.4M at the default target) no floor-respecting
+            # driver-sample quantizer exists — the helper says so loudly
+            # instead of fitting near-1-point centroids.
+            train_sample = _bounded_fit_sample(
+                train_sample,
+                k,
+                "k",
+                "raise target_cluster_size (clusters of "
+                f"{target_cluster_size} are over-fine at this corpus "
+                "size) or use trainer='certified'",
+            )
     if trainer == "sampled":
         assigned = _sampled_cluster_assign(
             vectors, vec_col, id_col, k=k, train_sample=train_sample
@@ -2502,6 +2494,28 @@ def margin_topk(
 IVF_TARGET_CELL_SIZE = 4096
 
 
+def _bounded_fit_sample(train_sample: int, k: int, what: str, remedy: str) -> int:
+    """The sampled-quantizer fit discipline shared by every derived-count
+    path (semantic_dedup's k=None, ivf_topk's n_cells=None): the
+    driver-side sample must give every centroid ≥4 training rows — the
+    floor below which the fit degenerates toward 1-point centroids —
+    while staying inside the 2^17 bounded-collect cap. Raises when the
+    floor itself cannot fit the cap (4·k > 2^17 ⇒ no floor-respecting
+    driver-side sample exists at this k; ``remedy`` names the caller's
+    way out); otherwise returns ``train_sample`` raised to the floor and
+    clamped to the cap — a caller-supplied excess above the cap is
+    CLAMPED, not rejected (pre-r14 behavior; quantizer quality plateaus
+    long before the cap)."""
+    if 4 * k > (1 << 17):
+        raise ValueError(
+            f"derived {what}={k} needs a fit sample of 4*{k}={4 * k} rows "
+            f"(the >=4-rows-per-centroid quantizer floor) exceeding the "
+            f"bounded-collect cap {1 << 17}: no floor-respecting "
+            f"driver-side sample exists — {remedy}"
+        )
+    return min(1 << 17, max(train_sample, 4 * k))
+
+
 def derive_ivf_cells(n: int, target_cell_size: int = IVF_TARGET_CELL_SIZE) -> int:
     """The ``n_cells=None`` derivation of :func:`ivf_topk_certified`,
     exposed as plain arithmetic so the operating point is pinnable
@@ -2558,7 +2572,13 @@ def ivf_topk_certified(
     scale. The default stays the explicit 16 so existing oracles (q38)
     and recall pins are untouched; pass ``None`` for the scale path."""
     if n_cells is None:
-        n_cells = derive_ivf_cells(corpus.count(), target_cell_size)
+        # derive from the VALID-vector count (the rows actually
+        # clustered — NULL/empty vectors are dropped by the ingest
+        # contract downstream), keeping the derivation basis identical
+        # across the certified and throughput families
+        n_cells = derive_ivf_cells(
+            valid_vectors(corpus, vec_col).count(), target_cell_size
+        )
     cents = kmeans_centroids(corpus, vec_col, id_col, k=n_cells, iterations=iterations)
     cv = _kmeans_prepare(corpus, vec_col, id_col)
     cells = _kmeans_assign_to(cv, cents).select(

@@ -308,3 +308,68 @@ class TestThroughputDerivedKnobs:
         assert derive_lsh_params(500, bands=4)["n_planes"] == 12
         assert derive_lsh_params(20_000, bands=4)["n_planes"] == 20
         assert derive_lsh_params(2_000_000, bands=4)["n_planes"] == 44
+
+
+class TestBoundedFitSample:
+    """The shared floor/cap discipline (_bounded_fit_sample): raise only
+    when the 4-rows-per-centroid floor itself cannot fit the 2^17 cap;
+    a caller-supplied excess above the cap is CLAMPED, not rejected
+    (pre-r14 behavior — the post-review regression pin)."""
+
+    def test_user_excess_clamped_not_rejected(self):
+        from reactive_kinesis_spark.operators.similarity import (
+            _bounded_fit_sample,
+        )
+
+        assert _bounded_fit_sample(200_000, 8, "k", "x") == (1 << 17)
+
+    def test_floor_raise_only_when_floor_exceeds_cap(self):
+        from reactive_kinesis_spark.operators.similarity import (
+            _bounded_fit_sample,
+        )
+
+        cap4 = (1 << 17) // 4
+        assert _bounded_fit_sample(16, cap4, "k", "x") == 4 * cap4
+        with pytest.raises(ValueError, match="rows-per-centroid"):
+            _bounded_fit_sample(16, cap4 + 1, "k", "remedy-here")
+
+    def test_remedy_reaches_message(self):
+        from reactive_kinesis_spark.operators.similarity import (
+            _bounded_fit_sample,
+        )
+
+        with pytest.raises(ValueError, match="use trainer-x instead"):
+            _bounded_fit_sample(16, 1 << 16, "k", "use trainer-x instead")
+
+    def test_semantic_dedup_user_excess_still_works(self, spark, monkeypatch):
+        import reactive_kinesis_spark.operators.similarity as S
+
+        rng = np.random.default_rng(7)
+        rows = [(i, [float(x) for x in rng.standard_normal(4)]) for i in range(48)]
+        vecs = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+        monkeypatch.setattr(S, "_derive_k", lambda v, t: 6)
+        out = S.semantic_dedup(
+            vecs, k=None, trainer="sampled", train_sample=200_000
+        )
+        assert out.agg(F.sum("n_vecs").alias("n")).collect()[0]["n"] == 48
+
+    def test_certified_derivation_uses_valid_vector_count(self, spark, monkeypatch):
+        """A corpus with NULL/empty vectors must derive cells from the
+        rows actually clustered — same basis as the throughput twin."""
+        import reactive_kinesis_spark.operators.similarity as S
+
+        rows = [(i, [float(i % 3), 1.0]) for i in range(12)]
+        rows += [(100 + i, None) for i in range(50)]
+        vecs = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+        seen = {}
+        real = S.derive_ivf_cells
+
+        def spy(n, target_cell_size=S.IVF_TARGET_CELL_SIZE):
+            seen["n"] = n
+            return real(n, target_cell_size)
+
+        monkeypatch.setattr(S, "derive_ivf_cells", spy)
+        S.ivf_topk_certified(
+            vecs, vecs.where(F.col("vec_id") < 2), k=1, n_cells=None, n_probe=2
+        ).collect()
+        assert seen["n"] == 12  # not 62
