@@ -296,3 +296,24 @@ def test_zipf_synth_docs_matches_duckdb_any_params(spark, tokens_per_doc, seed):
         ).fetchall()
     )
     assert got == want
+
+
+@settings(**_SETTINGS)
+@given(st.integers(min_value=0, max_value=(1 << 50)))
+def test_derive_ivf_cells_cost_budget_invariant(n):
+    """The derived IVF point always (a) floors at 16 cells, (b) keeps
+    the expected per-probe-set candidate count n_probe·N/cells within
+    [target/2·n_probe, 2·target·n_probe] whenever the floor is not
+    active — the flat-cost contract of the r14 derivation (the q195
+    twin of the LSH budget invariant above)."""
+    from reactive_kinesis_spark.operators.similarity import (
+        IVF_TARGET_CELL_SIZE,
+        derive_ivf_cells,
+    )
+
+    cells = derive_ivf_cells(n)
+    assert cells >= 16
+    if cells > 16:  # off the floor: mean cell size within [1x, 2x) target
+        assert IVF_TARGET_CELL_SIZE <= n / cells < 2 * IVF_TARGET_CELL_SIZE
+    else:
+        assert n < 17 * IVF_TARGET_CELL_SIZE
