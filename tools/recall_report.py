@@ -340,6 +340,83 @@ def measure_ivf_derived_scale(spark, out: dict) -> None:
     big.unpersist()
 
 
+def measure_neardup_derived_scale(spark, out: dict) -> None:
+    """Evidence for the THIRD derived knob (r14:
+    ``embedding_neardup_pairs(n_planes=None)``): on the 240k clustered
+    corpus with 50 planted near-duplicate pairs, compare the fixed
+    16×4 geometry against the derived width on (a) candidate-PAIR cost
+    — computed as Σ_bucket c·(c−1)/2 over the banded signature buckets,
+    the exact pre-dedup pair count of the builder's band equi-join,
+    WITHOUT running the quadratic join (at this N the fixed geometry's
+    candidate set is ~10^9 pairs: exactly the degeneration the derived
+    point removes, and exactly why it cannot be counted by executing
+    it) — and (b) planted-pair recall, checked directly per planted
+    pair (do the two signatures share ≥1 band?), which is the builder's
+    candidate-generation event. The honest trade quantified: wider
+    bands cut random collisions exponentially while cosine-0.95 pairs
+    keep per-bit agreement ≈ 1−θ/π ≈ 0.9, so recall falls slowly as
+    cost falls fast."""
+    import numpy as np
+
+    from pyspark.sql import functions as F
+
+    from reactive_kinesis_spark.operators import similarity as S
+
+    cfg = IVF_DERIVED_SCALE  # reuse the 240k clustered corpus recipe
+    rng = np.random.default_rng(cfg["seed"])
+    cents = rng.standard_normal((cfg["n_clusters"], cfg["dim"]))
+    cents /= np.linalg.norm(cents, axis=1, keepdims=True)
+    pts = cents.repeat(cfg["per_cluster"], axis=0) + cfg["noise"] * rng.standard_normal(
+        (cfg["n_clusters"] * cfg["per_cluster"], cfg["dim"])
+    )
+    pts /= np.linalg.norm(pts, axis=1, keepdims=True)
+    n_planted = 50
+    # planted near-dups: tiny perturbation of the first 50 vectors
+    # (cosine ≈ 0.999) under ids orig + 1_000_000
+    dup = pts[:n_planted] + 0.02 * rng.standard_normal((n_planted, cfg["dim"]))
+    dup /= np.linalg.norm(dup, axis=1, keepdims=True)
+    import pandas as pd
+
+    frame = pd.DataFrame(
+        {
+            "vec_id": np.concatenate(
+                [np.arange(len(pts)), 1_000_000 + np.arange(n_planted)]
+            ).astype("int64"),
+            "embedding": [[float(x) for x in r] for r in np.vstack([pts, dup])],
+        }
+    )
+    vecs = spark.createDataFrame(frame).cache()
+    n = vecs.count()
+    bands = 4
+    derived = S.derive_lsh_params(n, bands=bands)
+    entry: dict[str, object] = {
+        "corpus": {**cfg, "planted_neardup_pairs": n_planted, "perturb": 0.02},
+    }
+    for label, planes in (("fixed_preset", 16), ("derived_point", derived["n_planes"])):
+        sig = S._banded_signatures(
+            vecs, "vec_id", "embedding", planes, bands, cfg["dim"], "sid", "__v"
+        ).select("band", "bits", "sid")
+        cand_pairs = (
+            sig.groupBy("band", "bits")
+            .agg(F.count(F.lit(1)).alias("c"))
+            .agg(F.sum(F.expr("c * (c - 1) / 2")).alias("p"))
+            .collect()[0]["p"]
+        )
+        a = sig.where(F.col("sid") < n_planted).withColumnRenamed("sid", "orig")
+        b = sig.where(F.col("sid") >= 1_000_000).select(
+            "band", "bits", (F.col("sid") - 1_000_000).alias("orig")
+        )
+        hit = a.join(b, ["band", "bits", "orig"]).select("orig").distinct().count()
+        entry[label] = {
+            "settings": {"n_planes": planes, "bands": bands},
+            "candidate_pairs": int(cand_pairs),
+            "candidate_pairs_fraction_of_n2": round(cand_pairs / (n * (n - 1) / 2), 4),
+            "planted_recall": round(hit / n_planted, 3),
+        }
+    out["neardup_derived_scale"] = entry
+    vecs.unpersist()
+
+
 #: Planted exact duplicates for the SemDeDup trainer-family evidence
 #: (r12 verdict Next #8: the sampled trainer had the −31% throughput
 #: measurement in SCALING.md but no RECALL-style duplicate-recall entry
@@ -471,6 +548,7 @@ def main() -> None:
     out = measure(spark)
     measure_derived_scale(spark, out)
     measure_ivf_derived_scale(spark, out)
+    measure_neardup_derived_scale(spark, out)
     measure_semdedup_trainers(spark, out)
     measure_testdata(spark, sf_dir, out)
     print(json.dumps(out, indent=2))
