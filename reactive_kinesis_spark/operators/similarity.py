@@ -22,6 +22,7 @@ from collections.abc import Iterator
 
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
+from pyspark.storagelevel import StorageLevel
 from pyspark.sql.types import (
     ArrayType,
     DoubleType,
@@ -320,7 +321,7 @@ def hyperplane_signature(
     return df.withColumn(out_col, sig.cast("int"))
 
 
-def _banded_signatures(
+def _vec_signatures(
     df: DataFrame,
     id_col: str,
     vec_col: str,
@@ -331,9 +332,10 @@ def _banded_signatures(
     keep_vec: str,
     keep_norm: str | None = None,
 ) -> DataFrame:
-    """Arrow-batched hyperplane signature + band explosion: one numpy matmul
-    per batch against the (tiny) plane matrix riding in the closure, then
-    ``bands`` rows per input ``(id_alias, keep_vec, band, bits[, norm])``.
+    """Arrow-batched hyperplane signatures, ONE row per vector:
+    ``(id_alias, keep_vec, __bits array<int>[bands][, keep_norm])`` — one
+    numpy matmul per batch against the (tiny) plane matrix riding in the
+    closure.
 
     This is the scale path for EVERY banded-LSH consumer (ANN search and
     embedding near-dup alike): the JVM literal-plane fold
@@ -341,6 +343,12 @@ def _banded_signatures(
     expression — measured 3.2 s for 2 000 rows at 16×64 vs milliseconds
     here — so it is kept only as the no-Python-boundary variant for tiny
     frames.
+
+    The band dimension stays an ARRAY here (r14): consumers explode
+    ``(id, band, bits)`` as a narrow JVM projection for the bucket join and
+    keep the heavy vector column OUT of it — the banding exchange then
+    carries 16-byte id rows instead of each vector replicated ``bands``
+    times (guide §8: decide with small rows, move big rows once).
 
     ``keep_norm`` additionally emits each vector's L2 norm (computed once
     here, sequential-fold order), so downstream cosine re-ranking is ONE
@@ -355,14 +363,13 @@ def _banded_signatures(
     fields = [
         StructField(id_alias, LongType()),
         StructField(keep_vec, vec_type),
-        StructField("band", IntegerType()),
-        StructField("bits", IntegerType()),
+        StructField("__bits", ArrayType(IntegerType())),
     ]
     if keep_norm:
         fields.append(StructField(keep_norm, DoubleType()))
     out_schema = StructType(fields)
 
-    def sign_bands(batches: Iterator) -> Iterator:
+    def sign(batches: Iterator) -> Iterator:
         import pandas as pd
 
         band_mask = (1 << bits_per_band) - 1
@@ -375,23 +382,57 @@ def _banded_signatures(
             sig = np.zeros(len(mat), dtype="int64")
             for i in range(n_planes):
                 sig |= bits[:, i].astype("int64") << i
-            norms = np.sqrt(_seq_sqnorm(mat)) if keep_norm else None
-            frames = []
-            for b in range(bands):
-                cols = {
-                    id_alias: pdf[id_col].to_numpy(dtype="int64"),
-                    keep_vec: pdf[vec_col],
-                    "band": np.full(len(mat), b, dtype="int32"),
-                    "bits": ((sig >> (b * bits_per_band)) & band_mask).astype(
-                        "int32"
-                    ),
-                }
-                if keep_norm:
-                    cols[keep_norm] = norms
-                frames.append(pd.DataFrame(cols))
-            yield pd.concat(frames, ignore_index=True)
+            band_bits = np.stack(
+                [
+                    ((sig >> (b * bits_per_band)) & band_mask).astype("int32")
+                    for b in range(bands)
+                ],
+                axis=1,
+            )
+            cols = {
+                id_alias: pdf[id_col].to_numpy(dtype="int64"),
+                keep_vec: pdf[vec_col],
+                "__bits": list(band_bits),
+            }
+            if keep_norm:
+                cols[keep_norm] = np.sqrt(_seq_sqnorm(mat))
+            yield pd.DataFrame(cols)
 
-    return df.select(id_col, vec_col).mapInPandas(sign_bands, out_schema)
+    return df.select(id_col, vec_col).mapInPandas(sign, out_schema)
+
+
+def _explode_bands(sig: DataFrame, id_alias: str) -> DataFrame:
+    """Narrow band view of a signature frame: ``(id, band, bits)`` only —
+    the columns the bucket equi-join needs, nothing heavy."""
+    return sig.select(
+        id_alias, F.posexplode("__bits").alias("band", "bits")
+    )
+
+
+def _banded_signatures(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    n_planes: int,
+    bands: int,
+    dim: int,
+    id_alias: str,
+    keep_vec: str,
+    keep_norm: str | None = None,
+) -> DataFrame:
+    """Back-compat band-exploded view (``bands`` rows per vector, heavy
+    columns attached) — kept for the recall tooling; the query paths use
+    :func:`_vec_signatures` + :func:`_explode_bands` so the heavy columns
+    stay out of the banding exchange."""
+    sig = _vec_signatures(
+        df, id_col, vec_col, n_planes, bands, dim, id_alias, keep_vec, keep_norm
+    )
+    cols = [id_alias, keep_vec, F.posexplode("__bits").alias("band", "bits")]
+    if keep_norm:
+        cols.insert(2, keep_norm)
+    out = sig.select(*cols)
+    order = [id_alias, keep_vec, "band", "bits"] + ([keep_norm] if keep_norm else [])
+    return out.select(*order)
 
 
 #: Quantization scale for the engine-portable integer LSH family:
@@ -428,7 +469,7 @@ def int_hyperplanes(dim: int, n_planes: int, seed: int = 42) -> list[list[int]]:
     return planes
 
 
-def _int_banded_signatures(
+def _int_vec_signatures(
     df: DataFrame,
     id_col: str,
     vec_col: str,
@@ -437,18 +478,20 @@ def _int_banded_signatures(
     dim: int,
     id_alias: str,
 ) -> DataFrame:
-    """Engine-portable banded LSH signatures: quantize each vector to
-    ``floor(x * 2^20)`` int64, dot against the integer planes (one numpy
-    int64 matmul per Arrow batch — exact, so fold order is irrelevant and
-    the fast path IS the certified path), and emit ``bands`` rows per
-    vector ``(id_alias, __q, __sq, band, bits)`` where ``__q`` is the
-    quantized vector and ``__sq`` its exact squared norm — the verify
-    stage needs both and computes them once here.
+    """Engine-portable LSH signatures, ONE row per vector: quantize each
+    vector to ``floor(x * 2^20)`` int64, dot against the integer planes
+    (one numpy int64 matmul per Arrow batch — exact, so fold order is
+    irrelevant and the fast path IS the certified path), and emit
+    ``(id_alias, __q, __sq, __bits array<int>[bands])`` where ``__q`` is
+    the quantized vector and ``__sq`` its exact squared norm — the verify
+    stage needs both and computes them once here. Consumers explode the
+    band array narrowly (:func:`_explode_bands`) so the bucket join never
+    carries the quantized vectors (r14; guide §8).
 
-    This is the hash-certifiable twin of :func:`_banded_signatures`
-    (whose float64 matmul is fold-order-unmirrorable): same banding
-    shape, same cost profile, signatures bit-reproducible in ANSI SQL
-    from the :func:`int_hyperplanes` literals."""
+    This is the hash-certifiable twin of :func:`_vec_signatures` (whose
+    float64 matmul is fold-order-unmirrorable): same banding shape, same
+    cost profile, signatures bit-reproducible in ANSI SQL from the
+    :func:`int_hyperplanes` literals."""
     df = valid_vectors(df, vec_col)
     import numpy as np
 
@@ -459,12 +502,11 @@ def _int_banded_signatures(
             StructField(id_alias, LongType()),
             StructField("__q", ArrayType(LongType())),
             StructField("__sq", LongType()),
-            StructField("band", IntegerType()),
-            StructField("bits", IntegerType()),
+            StructField("__bits", ArrayType(IntegerType())),
         ]
     )
 
-    def sign_bands(batches: Iterator) -> Iterator:
+    def sign(batches: Iterator) -> Iterator:
         import pandas as pd
 
         for pdf in batches:
@@ -489,27 +531,41 @@ def _int_banded_signatures(
             dots = q[:, :m] @ planes[:, :m].T  # exact int64: every engine agrees on signs
             sq = np.einsum("ij,ij->i", q, q)
             signs = (dots > 0).astype("int64")
-            ids = pdf[id_col].to_numpy(dtype="int64")
-            qlist = list(q)
-            frames = []
+            band_cols = []
             for b in range(bands):
                 band_bits = np.zeros(len(mat), dtype="int64")
                 for r in range(bits_per_band):
                     band_bits |= signs[:, b * bits_per_band + r] << r
-                frames.append(
-                    pd.DataFrame(
-                        {
-                            id_alias: ids,
-                            "__q": qlist,
-                            "__sq": sq,
-                            "band": np.full(len(mat), b, dtype="int32"),
-                            "bits": band_bits.astype("int32"),
-                        }
-                    )
-                )
-            yield pd.concat(frames, ignore_index=True)
+                band_cols.append(band_bits.astype("int32"))
+            yield pd.DataFrame(
+                {
+                    id_alias: pdf[id_col].to_numpy(dtype="int64"),
+                    "__q": list(q),
+                    "__sq": sq,
+                    "__bits": list(np.stack(band_cols, axis=1)),
+                }
+            )
 
-    return df.select(id_col, vec_col).mapInPandas(sign_bands, out_schema)
+    return df.select(id_col, vec_col).mapInPandas(sign, out_schema)
+
+
+def _int_banded_signatures(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    n_planes: int,
+    bands: int,
+    dim: int,
+    id_alias: str,
+) -> DataFrame:
+    """Back-compat band-exploded view of :func:`_int_vec_signatures`
+    (``bands`` rows per vector with the heavy columns attached) — kept for
+    the recall tooling; query paths keep the vectors out of the banding
+    exchange."""
+    sig = _int_vec_signatures(df, id_col, vec_col, n_planes, bands, dim, id_alias)
+    return sig.select(
+        id_alias, "__q", "__sq", F.posexplode("__bits").alias("band", "bits")
+    )
 
 
 def _pairwise_cosine_int(
@@ -623,19 +679,31 @@ def _lsh_candidates(
     """Banded-signature candidate pairs ``(query_id, neighbor_id, __qvec,
     __cvec)`` for :func:`ann_lsh_topk` — exposed separately so
     tools/recall_report.py can measure candidate cost (candidates ÷ Q·(N−1)
-    brute-force pairs) for the preset table above."""
-    qb = _banded_signatures(
+    brute-force pairs) for the preset table above.
+
+    r14 shape: the bucket join and the dedup run over NARROW ``(id, band,
+    bits)`` rows; the vectors attach afterwards — one broadcast join for
+    the query block, one id-keyed join against the per-vector signature
+    frame for the corpus side. Before, every corpus vector crossed the
+    dedup exchange once per colliding band; now the heavy columns cross
+    exactly once (guide §8). The corpus signature frame is persisted so
+    its two consumers (band view + vector attach) share one scan+matmul."""
+    qs = _vec_signatures(
         queries, id_col, vec_col, n_planes, bands, dim, "query_id", "__qvec", "__qnorm"
     )
-    cb = _banded_signatures(
+    cs = _vec_signatures(
         corpus, id_col, vec_col, n_planes, bands, dim, "neighbor_id", "__cvec", "__cnorm"
-    )
-    return (
-        cb.join(F.broadcast(qb), ["band", "bits"])
+    ).persist(StorageLevel.MEMORY_AND_DISK)
+    cand = (
+        _explode_bands(cs, "neighbor_id")
+        .join(F.broadcast(_explode_bands(qs, "query_id")), ["band", "bits"])
         .where(F.col("query_id") != F.col("neighbor_id"))
-        .select("query_id", "neighbor_id", "__qvec", "__cvec", "__qnorm", "__cnorm")
+        .select("query_id", "neighbor_id")
         .dropDuplicates(["query_id", "neighbor_id"])
     )
+    return cand.join(
+        F.broadcast(qs.select("query_id", "__qvec", "__qnorm")), "query_id"
+    ).join(cs.select("neighbor_id", "__cvec", "__cnorm"), "neighbor_id")
 
 
 def ann_lsh_topk(
@@ -685,18 +753,24 @@ def ann_lsh_topk(
     if p["n_planes"] is None:
         p = {**p, **derive_lsh_params(valid_vectors(corpus, vec_col).count(), bands)}
     if family == "int":
-        qb = _int_banded_signatures(
+        # narrow banding + id-only dedup, vectors attached once after
+        # (see _lsh_candidates — same r14 shape, integer family)
+        qs = _int_vec_signatures(
             queries, id_col, vec_col, p["n_planes"], p["bands"], dim, "query_id"
         ).withColumnsRenamed({"__q": "__qq", "__sq": "__qsq"})
-        cb = _int_banded_signatures(
+        cs = _int_vec_signatures(
             corpus, id_col, vec_col, p["n_planes"], p["bands"], dim, "neighbor_id"
-        )
+        ).persist(StorageLevel.MEMORY_AND_DISK)
         cand = (
-            cb.join(F.broadcast(qb), ["band", "bits"])
+            _explode_bands(cs, "neighbor_id")
+            .join(F.broadcast(_explode_bands(qs, "query_id")), ["band", "bits"])
             .where(F.col("query_id") != F.col("neighbor_id"))
-            .select("query_id", "neighbor_id", "__qq", "__q", "__qsq", "__sq")
+            .select("query_id", "neighbor_id")
             .dropDuplicates(["query_id", "neighbor_id"])
         )
+        cand = cand.join(
+            F.broadcast(qs.select("query_id", "__qq", "__qsq")), "query_id"
+        ).join(cs.select("neighbor_id", "__q", "__sq"), "neighbor_id")
         scored = _pairwise_cosine_int(
             cand, "query_id", "neighbor_id", "__qq", "__q", "__qsq", "__sq"
         )
@@ -753,34 +827,59 @@ def embedding_neardup_pairs(
         n_planes = derive_lsh_params(
             valid_vectors(df, vec_col).count(), bands
         )["n_planes"]
+    # r14 shape (both families): the band self-join and the candidate dedup
+    # run over NARROW (id, band, bits) rows — before, each vector crossed
+    # the (band, bits) exchange once per band row on BOTH sides, making the
+    # bucket join the largest exchange at 100 TB. Vectors now attach to the
+    # deduped candidate ids by two id-keyed joins against the persisted
+    # per-vector signature frame (one scan+matmul, heavy bytes cross once),
+    # and each unique pair is scored exactly once (the old shape scored
+    # every band collision and deduped after).
     if family == "int":
-        x = _int_banded_signatures(df, id_col, vec_col, n_planes, bands, dim, "id_1")
-        y = _int_banded_signatures(
-            df, id_col, vec_col, n_planes, bands, dim, "id_2"
-        ).withColumnsRenamed({"__q": "__q2", "__sq": "__sq2"})
-        pairs = x.join(y, ["band", "bits"]).where(F.col("id_1") < F.col("id_2"))
-        return (
-            _pairwise_cosine_int(pairs, "id_1", "id_2", "__q", "__q2", "__sq", "__sq2")
-            .where(F.col("cosine_sim") >= threshold)
+        sig = _int_vec_signatures(
+            df, id_col, vec_col, n_planes, bands, dim, "id_1"
+        ).persist(StorageLevel.MEMORY_AND_DISK)
+        b = _explode_bands(sig, "id_1")
+        cand = (
+            b.join(
+                b.withColumnRenamed("id_1", "id_2"), ["band", "bits"]
+            )
+            .where(F.col("id_1") < F.col("id_2"))
+            .select("id_1", "id_2")
             .dropDuplicates(["id_1", "id_2"])
         )
-    x = _banded_signatures(df, id_col, vec_col, n_planes, bands, dim, "id_1", "__v1", "__n1")
-    y = _banded_signatures(df, id_col, vec_col, n_planes, bands, dim, "id_2", "__v2", "__n2")
-    # score (vectorized Arrow pass) + threshold BEFORE the dedup: band-
-    # collision duplicates cost a few extra batched dots, but the dedup
-    # exchange then carries only the (id, id, score) rows that PASSED the
-    # threshold — not every candidate with two attached dim-float vectors
-    # (the otherwise-largest exchange at 100 TB). Duplicate rows score
-    # bit-identically, so dropDuplicates on the ids keeps exactly one.
-    pairs = (
-        x.join(y, ["band", "bits"])
+        pairs = cand.join(sig.select("id_1", "__q", "__sq"), "id_1").join(
+            sig.select(
+                F.col("id_1").alias("id_2"),
+                F.col("__q").alias("__q2"),
+                F.col("__sq").alias("__sq2"),
+            ),
+            "id_2",
+        )
+        return _pairwise_cosine_int(
+            pairs, "id_1", "id_2", "__q", "__q2", "__sq", "__sq2"
+        ).where(F.col("cosine_sim") >= threshold)
+    sig = _vec_signatures(
+        df, id_col, vec_col, n_planes, bands, dim, "id_1", "__v1", "__n1"
+    ).persist(StorageLevel.MEMORY_AND_DISK)
+    b = _explode_bands(sig, "id_1")
+    cand = (
+        b.join(b.withColumnRenamed("id_1", "id_2"), ["band", "bits"])
         .where(F.col("id_1") < F.col("id_2"))
-    )
-    return (
-        _pairwise_cosine_arrow(pairs, "id_1", "id_2", "__v1", "__v2", "__n1", "__n2")
-        .where(F.col("cosine_sim") >= threshold)
+        .select("id_1", "id_2")
         .dropDuplicates(["id_1", "id_2"])
     )
+    pairs = cand.join(sig.select("id_1", "__v1", "__n1"), "id_1").join(
+        sig.select(
+            F.col("id_1").alias("id_2"),
+            F.col("__v1").alias("__v2"),
+            F.col("__n1").alias("__n2"),
+        ),
+        "id_2",
+    )
+    return _pairwise_cosine_arrow(
+        pairs, "id_1", "id_2", "__v1", "__v2", "__n1", "__n2"
+    ).where(F.col("cosine_sim") >= threshold)
 
 
 # --------------------------------------------------------------------------

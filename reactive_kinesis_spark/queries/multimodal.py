@@ -21,8 +21,12 @@ from reactive_kinesis_spark.tables import load_table
 
 def _media_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
     """documents → the standard media frame (media_id, media, media_meta).
-    Narrow projection; blob = UTF-8 bytes of the text."""
-    docs = load_table(spark, sf_dir, "documents")
+    Narrow projection; blob = UTF-8 bytes of the text. ``parallelize=False``:
+    the media tier is deliberately narrow (decode/slice per row, tiny final
+    aggregate) — an injected deficient-layout repartition would shuffle the
+    blob bytes for no parallel-compute gain (measured +1.3 s on q32 at
+    sf0.1) and break the blobs-never-shuffle posture."""
+    docs = load_table(spark, sf_dir, "documents", parallelize=False)
     return M.with_media_meta(
         docs.select(
             F.col("doc_id").alias("media_id"),

@@ -7,10 +7,29 @@ plan shapes that matter.
 
 from __future__ import annotations
 
+import os
+
+import pytest
 from pyspark.sql import functions as F
 
+from reactive_kinesis_spark import tables
 from reactive_kinesis_spark.queries import load_all
 from reactive_kinesis_spark.tables import load_table
+
+
+@pytest.fixture(autouse=True)
+def _production_layout():
+    """Pin plans in their PRODUCTION shape: the deficient-scan repartition
+    (tables._parallelize_deficient_scan) only ever fires on layouts with
+    fewer row groups than cores — i.e. the single-row-group local testdata,
+    never a 100 TB table — so the shapes these tests assert must be the
+    ones a real deployment plans. The repartition's own behavior is pinned
+    separately in tests/test_scan_parallelize.py."""
+    os.environ["SPARK_GRAFT_SCAN_PARALLELIZE"] = "0"
+    tables._TABLE_MEMO.clear()
+    yield
+    os.environ.pop("SPARK_GRAFT_SCAN_PARALLELIZE", None)
+    tables._TABLE_MEMO.clear()
 
 
 def _plan(df) -> str:
