@@ -19,6 +19,7 @@ from __future__ import annotations
 
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
+from pyspark.storagelevel import StorageLevel
 
 
 def _persist(df: DataFrame, cache_registry: list | None) -> DataFrame:
@@ -1153,13 +1154,21 @@ def pair_ngram_precision(
     never doc×doc. No broadcast assumption on any side.
     """
     words = F.split(F.col(text_col), " ")
-    base = docs.where(F.col(text_col).isNotNull()).select(
-        F.col(id_col).alias("__id"), words.alias("__w")
+    # base feeds the unigram AND bigram count frames, and each count frame
+    # feeds BOTH sides of its clip join — without persistence that is four
+    # corpus tokenizations (pathological when text is a computed column:
+    # q197's synthetic corpus is an inline md5 chain). Persist all three so
+    # the corpus materializes once and each count aggregate runs once.
+    base = (
+        docs.where(F.col(text_col).isNotNull())
+        .select(F.col(id_col).alias("__id"), words.alias("__w"))
+        .persist(StorageLevel.MEMORY_AND_DISK)
     )
     uni = (
         base.select("__id", F.explode("__w").alias("g"))
         .groupBy("__id", "g")
         .agg(F.count(F.lit(1)).alias("c"))
+        .persist(StorageLevel.MEMORY_AND_DISK)
     )
     big = (
         base.where(F.size("__w") >= 2)
@@ -1179,6 +1188,7 @@ def pair_ngram_precision(
         .select("__id", F.explode("__bg").alias("g"))
         .groupBy("__id", "g")
         .agg(F.count(F.lit(1)).alias("c"))
+        .persist(StorageLevel.MEMORY_AND_DISK)
     )
 
     def _clip(cnt: DataFrame, suffix: str) -> DataFrame:

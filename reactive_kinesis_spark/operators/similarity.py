@@ -1614,7 +1614,7 @@ def semantic_dedup(
     the exact-decimal sum of the flagged pairs' cosines (a value-level
     fingerprint of the pair set, not just its cardinality).
     """
-    from reactive_kinesis_spark.functions import dsum, vec_dot, vec_norm
+    from reactive_kinesis_spark.functions import dsum, vec_norm
 
     if trainer not in ("certified", "sampled"):
         raise ValueError(f"unknown trainer {trainer!r}; 'certified' or 'sampled'")
@@ -1656,24 +1656,65 @@ def semantic_dedup(
         .select(F.col(id_col).alias("__id"), "cluster")
         .join(v, "__id")
         .select("__id", "cluster", "__vec", vec_norm("__vec").alias("__nrm"))
+        .persist(StorageLevel.MEMORY_AND_DISK)
     )
-    x, y = members.alias("x"), members.alias("y")
-    dup = (
-        x.join(
-            y,
-            (F.col("x.cluster") == F.col("y.cluster"))
-            & (F.col("x.__id") < F.col("y.__id")),
-        )
-        .select(
-            F.col("x.cluster").alias("cluster"),
-            F.col("y.__id").alias("dropped_id"),
-            (
-                vec_dot(F.col("x.__vec"), F.col("y.__vec"))
-                / (F.col("x.__nrm") * F.col("y.__nrm"))
-            ).alias("cos"),
-        )
-        .where(F.col("cos") >= F.lit(threshold))
+    # Within-cluster pair scoring (r14): one Arrow group per cluster
+    # instead of a per-pair JVM ``aggregate`` fold — the interpreted fold
+    # evaluated a dim-term expression per PAIR (Σ|c|²·dim evals; the
+    # dominant q148 cost), while here each member's vector crosses to
+    # Python ONCE and the pairwise dots are computed with the dimension
+    # loop of :func:`_seq_dot`, preserving the exact left-fold summation
+    # order — cos values, pair set, and hashes are bit-identical to the
+    # joined form (and to the DuckDB oracle). Row-blocked so per-task
+    # memory is block·|c| doubles regardless of cluster size.
+    import numpy as np
+    import pandas as pd
+
+    pair_schema = StructType(
+        [
+            StructField("cluster", IntegerType()),
+            StructField("dropped_id", LongType()),
+            StructField("cos", DoubleType()),
+        ]
     )
+    thr = float(threshold)
+
+    def flag_pairs(pdf: "pd.DataFrame") -> "pd.DataFrame":
+        n = len(pdf)
+        if n < 2:
+            return pd.DataFrame(
+                {"cluster": pd.array([], dtype="int32"),
+                 "dropped_id": pd.array([], dtype="int64"),
+                 "cos": pd.array([], dtype="float64")}
+            )
+        pdf = pdf.sort_values("__id", ignore_index=True)
+        ids = pdf["__id"].to_numpy(dtype="int64")
+        mat = np.array(pdf["__vec"].tolist(), dtype="float64")
+        nrm = pdf["__nrm"].to_numpy(dtype="float64")
+        clu = int(pdf["cluster"].iloc[0])
+        out_drop, out_cos = [], []
+        block = max(1, NEAREST_BLOCK_ELEMS // max(n, 1))
+        for i0 in range(0, n, block):
+            i1 = min(i0 + block, n)
+            acc = np.zeros((i1 - i0, n), dtype="float64")
+            for d in range(mat.shape[1]):
+                acc += np.outer(mat[i0:i1, d], mat[:, d])
+            cos = acc / np.outer(nrm[i0:i1], nrm)
+            ii, jj = np.nonzero(cos >= thr)
+            keep = (ii + i0) < jj  # x.__id < y.__id on the sorted axis
+            out_drop.append(ids[jj[keep]])
+            out_cos.append(cos[ii[keep], jj[keep]])
+        drop = np.concatenate(out_drop) if out_drop else np.array([], dtype="int64")
+        cosv = np.concatenate(out_cos) if out_cos else np.array([], dtype="float64")
+        return pd.DataFrame(
+            {
+                "cluster": np.full(len(drop), clu, dtype="int32"),
+                "dropped_id": drop,
+                "cos": cosv,
+            }
+        )
+
+    dup = members.groupBy("cluster").applyInPandas(flag_pairs, pair_schema)
     dup_agg = dup.groupBy("cluster").agg(
         F.count(F.lit(1)).alias("__dup_pairs"),
         F.countDistinct("dropped_id").alias("__dropped"),

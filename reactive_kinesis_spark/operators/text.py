@@ -9,6 +9,7 @@ from __future__ import annotations
 
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
+from pyspark.storagelevel import StorageLevel
 
 #: Tiny per-language stopword lists for the heuristic language-ID operator.
 #: Deterministic and engine-portable (the DuckDB oracle embeds the same sets).
@@ -1594,9 +1595,16 @@ def bigram_lm_score(
     aggregate is id-keyed. No collects, no UDFs — every step is a JVM
     built-in over exploded word pairs.
     """
-    words = df.select(
-        F.col(id_col), F.split(F.col(text_col), " ").alias("__ws")
-    ).where(F.size("__ws") >= 2)
+    # ONE corpus tokenization feeds all four consumers (bigram counts,
+    # context counts, the scoring join, and the vocabulary) — persisted so
+    # the text column (possibly computed: q196's synthetic corpus is an
+    # inline md5 chain) materializes once instead of four times
+    toks = (
+        df.where(F.col(text_col).isNotNull())
+        .select(F.col(id_col), F.split(F.col(text_col), " ").alias("__ws"))
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    words = toks.where(F.size("__ws") >= 2)
     bg = words.select(
         id_col,
         F.explode(
@@ -1609,7 +1617,7 @@ def bigram_lm_score(
     c12 = bg.groupBy("w1", "w2").agg(F.count(F.lit(1)).cast("long").alias("c12"))
     c1 = bg.groupBy("w1").agg(F.count(F.lit(1)).cast("long").alias("c1"))
     vocab = (
-        df.select(F.explode(F.split(F.col(text_col), " ")).alias("w"))
+        toks.select(F.explode("__ws").alias("w"))
         .agg(F.countDistinct("w").cast("long").alias("v"))
     )
     p = (F.col("c12") + F.lit(1)).cast("double") / (
