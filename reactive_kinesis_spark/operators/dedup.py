@@ -1126,6 +1126,7 @@ def pair_ngram_precision(
     pairs: DataFrame,
     text_col: str = "text",
     id_col: str = "doc_id",
+    cache_registry: list | None = None,
 ) -> DataFrame:
     """BLEU-style clipped n-gram precision (n = 1, 2) for candidate
     document pairs — the machine-translation-grade overlap metric on a
@@ -1158,17 +1159,20 @@ def pair_ngram_precision(
     # feeds BOTH sides of its clip join — without persistence that is four
     # corpus tokenizations (pathological when text is a computed column:
     # q197's synthetic corpus is an inline md5 chain). Persist all three so
-    # the corpus materializes once and each count aggregate runs once.
-    base = (
-        docs.where(F.col(text_col).isNotNull())
-        .select(F.col(id_col).alias("__id"), words.alias("__w"))
-        .persist(StorageLevel.MEMORY_AND_DISK)
+    # the corpus materializes once and each count aggregate runs once
+    # (``cache_registry=[]`` receives the frames for deterministic
+    # ``unpersist()`` in long-lived sessions — the module idiom).
+    base = _persist(
+        docs.where(F.col(text_col).isNotNull()).select(
+            F.col(id_col).alias("__id"), words.alias("__w")
+        ),
+        cache_registry,
     )
-    uni = (
+    uni = _persist(
         base.select("__id", F.explode("__w").alias("g"))
         .groupBy("__id", "g")
-        .agg(F.count(F.lit(1)).alias("c"))
-        .persist(StorageLevel.MEMORY_AND_DISK)
+        .agg(F.count(F.lit(1)).alias("c")),
+        cache_registry,
     )
     big = (
         base.where(F.size("__w") >= 2)
@@ -1188,8 +1192,8 @@ def pair_ngram_precision(
         .select("__id", F.explode("__bg").alias("g"))
         .groupBy("__id", "g")
         .agg(F.count(F.lit(1)).alias("c"))
-        .persist(StorageLevel.MEMORY_AND_DISK)
     )
+    big = _persist(big, cache_registry)
 
     def _clip(cnt: DataFrame, suffix: str) -> DataFrame:
         a = cnt.select(F.col("__id").alias("id_1"), "g", F.col("c").alias("__ca"))

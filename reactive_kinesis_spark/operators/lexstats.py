@@ -21,9 +21,9 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
-from pyspark.storagelevel import StorageLevel
 
 from reactive_kinesis_spark.fixmath import LOG2_SCALE, with_log2_fixed
+from reactive_kinesis_spark.operators.dedup import _persist
 
 _DEC18 = "decimal(18,0)"
 
@@ -234,6 +234,7 @@ def nb_domain_llr(
     target_filter: str,
     text_col: str = "text",
     id_col: str = "doc_id",
+    cache_registry: list | None = None,
 ) -> DataFrame:
     """Naive-Bayes log-likelihood-ratio domain scorer — the certified
     core of CCNet/DSIR-style "does this document look like the target
@@ -269,11 +270,12 @@ def nb_domain_llr(
     )
     # the doc-term frame feeds BOTH the vocabulary LLR table and the final
     # scoring join — persist it so the corpus is tokenized/aggregated once
-    # (second consumer otherwise re-runs the whole scan+explode+count)
-    dw = (
-        w.groupBy("__id", "__tgt", "word")
-        .agg(F.count(F.lit(1)).alias("tf"))
-        .persist(StorageLevel.MEMORY_AND_DISK)
+    # (second consumer otherwise re-runs the whole scan+explode+count;
+    # ``cache_registry=[]`` receives the frame for deterministic
+    # ``unpersist()`` in long-lived sessions)
+    dw = _persist(
+        w.groupBy("__id", "__tgt", "word").agg(F.count(F.lit(1)).alias("tf")),
+        cache_registry,
     )
     cw = dw.groupBy("word").agg(
         F.sum(F.when(F.col("__tgt"), F.col("tf")).otherwise(F.lit(0))).alias("ct"),
@@ -380,6 +382,7 @@ def pmi_collocations(
     text_col: str = "text",
     min_count: int = 5,
     top: int = 100,
+    cache_registry: list | None = None,
 ) -> DataFrame:
     """Top adjacent-bigram collocations by pointwise mutual information in
     BITS — the log-scale companion of the lift-based q72 (lift compresses
@@ -400,11 +403,11 @@ def pmi_collocations(
     # bigram counts) — persist it so the corpus is scanned/generated once
     # (for the q191-q198 synthetic corpus the text column is a computed
     # md5 chain: measured 5.2 s → 3.4 s at sf0.1; stored text also wins,
-    # 2.7 s → 2.2 s, by not re-reading + re-repartitioning the scan)
-    base = (
-        docs.where(F.col(text_col).isNotNull())
-        .select(words.alias("__w"))
-        .persist(StorageLevel.MEMORY_AND_DISK)
+    # 2.7 s → 2.2 s, by not re-reading + re-repartitioning the scan;
+    # ``cache_registry=[]`` receives the frame for deterministic unpersist)
+    base = _persist(
+        docs.where(F.col(text_col).isNotNull()).select(words.alias("__w")),
+        cache_registry,
     )
     uni = (
         base.select(F.explode("__w").alias("tok"))
@@ -463,7 +466,10 @@ def pmi_collocations(
 
 
 def conditional_entropy(
-    docs: DataFrame, text_col: str = "text", group_col: str = "source"
+    docs: DataFrame,
+    text_col: str = "text",
+    group_col: str = "source",
+    cache_registry: list | None = None,
 ) -> DataFrame:
     """Per-group conditional next-word entropy ``H(w2 | w1)`` in bits --
     the template detector: a source whose next word is nearly determined
@@ -489,11 +495,13 @@ def conditional_entropy(
     # count is the only corpus consumer here, but the persisted token frame
     # makes the (possibly computed — q194's synthetic corpus) text column
     # materialize once and in parallel (measured 5.7 s → 2.5 s at sf0.1
-    # on the synthetic corpus; 3.3 s → 2.6 s on stored text)
-    base = (
-        docs.where(F.col(text_col).isNotNull())
-        .select(F.col(group_col).alias("grp"), words.alias("__w"))
-        .persist(StorageLevel.MEMORY_AND_DISK)
+    # on the synthetic corpus; 3.3 s → 2.6 s on stored text;
+    # ``cache_registry=[]`` receives the frame for deterministic unpersist)
+    base = _persist(
+        docs.where(F.col(text_col).isNotNull()).select(
+            F.col(group_col).alias("grp"), words.alias("__w")
+        ),
+        cache_registry,
     )
     bg = (
         base.where(F.size("__w") >= 2)

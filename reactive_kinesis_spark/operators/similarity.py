@@ -119,6 +119,25 @@ def _apply_preset(kind: str, preset: str | None, params: dict) -> dict:
     return {**params, **chosen}
 
 
+def _persist(df: DataFrame, cache_registry: list | None) -> DataFrame:
+    """MEMORY_AND_DISK persist; when the caller passed a ``cache_registry``
+    list, the frame is appended so a long-lived session can ``unpersist()``
+    deterministically instead of relying on ``spark.catalog.clearCache()``
+    (the dedup module idiom, r14 ADVICE).
+
+    Unconditional by design: a size-gated variant (skip below a corpus-row
+    threshold) was built and measured in r15 — with the r15 right-sized
+    scan repartition the persist materialization is CHEAPER than
+    recomputing the signature pass even at sf0.1 (gate 12.61 s vs persist
+    12.03 s over the 8 affected queries), and the gate's row count was
+    pure overhead, so the r14 verdict's size-gate hypothesis (driven by
+    the old 32-partition persist cost) is obsolete."""
+    out = df.persist(StorageLevel.MEMORY_AND_DISK)
+    if cache_registry is not None:
+        cache_registry.append(out)
+    return out
+
+
 def valid_vectors(df: DataFrame, vec_col: str) -> DataFrame:
     """Exclude rows whose vector is NULL or empty — the ingest contract of
     every numeric operator in this module (a vector store refuses such
@@ -675,6 +694,7 @@ def _lsh_candidates(
     n_planes: int,
     bands: int,
     dim: int,
+    cache_registry: list | None = None,
 ) -> DataFrame:
     """Banded-signature candidate pairs ``(query_id, neighbor_id, __qvec,
     __cvec)`` for :func:`ann_lsh_topk` — exposed separately so
@@ -687,13 +707,19 @@ def _lsh_candidates(
     frame for the corpus side. Before, every corpus vector crossed the
     dedup exchange once per colliding band; now the heavy columns cross
     exactly once (guide §8). The corpus signature frame is persisted so
-    its two consumers (band view + vector attach) share one scan+matmul."""
+    its two consumers (band view + vector attach) share one scan+matmul
+    (unconditional — see :func:`_persist` for the measured rejection of
+    the size-gated variant)."""
     qs = _vec_signatures(
         queries, id_col, vec_col, n_planes, bands, dim, "query_id", "__qvec", "__qnorm"
     )
-    cs = _vec_signatures(
-        corpus, id_col, vec_col, n_planes, bands, dim, "neighbor_id", "__cvec", "__cnorm"
-    ).persist(StorageLevel.MEMORY_AND_DISK)
+    cs = _persist(
+        _vec_signatures(
+            corpus, id_col, vec_col, n_planes, bands, dim,
+            "neighbor_id", "__cvec", "__cnorm",
+        ),
+        cache_registry,
+    )
     cand = (
         _explode_bands(cs, "neighbor_id")
         .join(F.broadcast(_explode_bands(qs, "query_id")), ["band", "bits"])
@@ -717,6 +743,7 @@ def ann_lsh_topk(
     dim: int = 64,
     preset: str | None = None,
     family: str = "float",
+    cache_registry: list | None = None,
 ) -> DataFrame:
     """Approximate top-k: candidates = rows sharing ≥1 of ``bands`` signature
     bands with the query, exact cosine re-rank on candidates only.
@@ -758,9 +785,12 @@ def ann_lsh_topk(
         qs = _int_vec_signatures(
             queries, id_col, vec_col, p["n_planes"], p["bands"], dim, "query_id"
         ).withColumnsRenamed({"__q": "__qq", "__sq": "__qsq"})
-        cs = _int_vec_signatures(
-            corpus, id_col, vec_col, p["n_planes"], p["bands"], dim, "neighbor_id"
-        ).persist(StorageLevel.MEMORY_AND_DISK)
+        cs = _persist(
+            _int_vec_signatures(
+                corpus, id_col, vec_col, p["n_planes"], p["bands"], dim, "neighbor_id"
+            ),
+            cache_registry,
+        )
         cand = (
             _explode_bands(cs, "neighbor_id")
             .join(F.broadcast(_explode_bands(qs, "query_id")), ["band", "bits"])
@@ -776,7 +806,8 @@ def ann_lsh_topk(
         )
     else:
         cand = _lsh_candidates(
-            corpus, queries, id_col, vec_col, p["n_planes"], p["bands"], dim
+            corpus, queries, id_col, vec_col, p["n_planes"], p["bands"], dim,
+            cache_registry=cache_registry,
         )
         scored = _pairwise_cosine_arrow(
             cand, "query_id", "neighbor_id", "__qvec", "__cvec", "__qnorm", "__cnorm"
@@ -794,6 +825,7 @@ def embedding_neardup_pairs(
     bands: int = 4,
     dim: int = 64,
     family: str = "float",
+    cache_registry: list | None = None,
 ) -> DataFrame:
     """Embedding-cosine near-duplicate pairs (cosine ≥ threshold) via the
     same LSH bucketing (near-dups almost surely collide in ≥1 band).
@@ -836,9 +868,10 @@ def embedding_neardup_pairs(
     # and each unique pair is scored exactly once (the old shape scored
     # every band collision and deduped after).
     if family == "int":
-        sig = _int_vec_signatures(
-            df, id_col, vec_col, n_planes, bands, dim, "id_1"
-        ).persist(StorageLevel.MEMORY_AND_DISK)
+        sig = _persist(
+            _int_vec_signatures(df, id_col, vec_col, n_planes, bands, dim, "id_1"),
+            cache_registry,
+        )
         b = _explode_bands(sig, "id_1")
         cand = (
             b.join(
@@ -859,9 +892,12 @@ def embedding_neardup_pairs(
         return _pairwise_cosine_int(
             pairs, "id_1", "id_2", "__q", "__q2", "__sq", "__sq2"
         ).where(F.col("cosine_sim") >= threshold)
-    sig = _vec_signatures(
-        df, id_col, vec_col, n_planes, bands, dim, "id_1", "__v1", "__n1"
-    ).persist(StorageLevel.MEMORY_AND_DISK)
+    sig = _persist(
+        _vec_signatures(
+            df, id_col, vec_col, n_planes, bands, dim, "id_1", "__v1", "__n1"
+        ),
+        cache_registry,
+    )
     b = _explode_bands(sig, "id_1")
     cand = (
         b.join(b.withColumnRenamed("id_1", "id_2"), ["band", "bits"])
@@ -1560,6 +1596,7 @@ def semantic_dedup(
     target_cluster_size: int = SEMDEDUP_TARGET_CLUSTER_SIZE,
     trainer: str = "certified",
     train_sample: int = 2048,
+    cache_registry: list | None = None,
 ) -> DataFrame:
     """Semantic deduplication (SemDeDup, Abbas et al. 2023,
     arXiv:2303.09540): cluster the embedding corpus with deterministic
@@ -1651,12 +1688,15 @@ def semantic_dedup(
         assigned = kmeans_assign(
             vectors, vec_col, id_col, k=k, iterations=iterations
         )
-    members = (
+    # persisted: members shields the whole clustering chain — recomputing
+    # it would re-run the Lloyd iterations per consumer. cache_registry
+    # receives the frame for deterministic unpersist in long-lived sessions.
+    members = _persist(
         assigned
         .select(F.col(id_col).alias("__id"), "cluster")
         .join(v, "__id")
-        .select("__id", "cluster", "__vec", vec_norm("__vec").alias("__nrm"))
-        .persist(StorageLevel.MEMORY_AND_DISK)
+        .select("__id", "cluster", "__vec", vec_norm("__vec").alias("__nrm")),
+        cache_registry,
     )
     # Within-cluster pair scoring (r14): one Arrow group per cluster
     # instead of a per-pair JVM ``aggregate`` fold — the interpreted fold

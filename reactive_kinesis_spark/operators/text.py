@@ -1562,6 +1562,7 @@ def bigram_lm_score(
     df: DataFrame,
     text_col: str = "text",
     id_col: str = "doc_id",
+    cache_registry: list | None = None,
 ) -> DataFrame:
     """Per-document fluency under the corpus's OWN Laplace-smoothed
     bigram LM — the word-ORDER-sensitive complement of
@@ -1599,10 +1600,14 @@ def bigram_lm_score(
     # context counts, the scoring join, and the vocabulary) — persisted so
     # the text column (possibly computed: q196's synthetic corpus is an
     # inline md5 chain) materializes once instead of four times
-    toks = (
-        df.where(F.col(text_col).isNotNull())
-        .select(F.col(id_col), F.split(F.col(text_col), " ").alias("__ws"))
-        .persist(StorageLevel.MEMORY_AND_DISK)
+    # (``cache_registry=[]`` receives the frame for deterministic unpersist)
+    from reactive_kinesis_spark.operators.dedup import _persist
+
+    toks = _persist(
+        df.where(F.col(text_col).isNotNull()).select(
+            F.col(id_col), F.split(F.col(text_col), " ").alias("__ws")
+        ),
+        cache_registry,
     )
     words = toks.where(F.size("__ws") >= 2)
     bg = words.select(

@@ -208,16 +208,26 @@ _FACT_SCAN_KEYS: dict[str, str] = {
     "embeddings": "vec_id",
 }
 
-#: (abs path, mtime_ns, size) -> total parquet row-group count. Row groups
-#: are the unit of scan parallelism: Spark's byte-range splits cannot divide
-#: a row group, so a file with one row group is ONE scan task no matter what
-#: ``maxPartitionBytes`` says.
-_LAYOUT_CACHE: dict[tuple[str, int, int], int] = {}
+#: (abs path, mtime_ns, size) -> (total parquet row-group count, total
+#: UNCOMPRESSED row-group bytes). Row groups are the unit of scan
+#: parallelism: Spark's byte-range splits cannot divide a row group, so a
+#: file with one row group is ONE scan task no matter what
+#: ``maxPartitionBytes`` says. The uncompressed byte total sizes the
+#: injected repartition (see :func:`_parallelize_deficient_scan`).
+#: Staleness note: the key is the stat of the top-level path — rewriting a
+#: member file IN PLACE inside a directory (same dir mtime/size) serves a
+#: stale entry. Accepted: testdata is immutable per round, and a wrong
+#: count only mis-sizes an optimization hint, never results; callers that
+#: rewrite a table mid-session should call :func:`clear_table_memo`.
+_LAYOUT_CACHE: dict[tuple[str, int, int], tuple[int, int]] = {}
 
 
-def _scan_row_groups(path: str) -> int:
-    """Total row groups across the parquet file(s) at ``path`` — the upper
-    bound on native scan parallelism for that table."""
+def _scan_layout(path: str) -> tuple[int, int]:
+    """``(total row groups, total uncompressed bytes)`` across the parquet
+    file(s) at ``path`` — the upper bound on native scan parallelism for
+    that table, and the size the injected repartition is derived from.
+    Recurses into subdirectories so a Hive-partitioned layout is counted,
+    not mistaken for an empty (deficient) one."""
     st = os.stat(path)
     key = (os.path.abspath(path), st.st_mtime_ns, st.st_size)
     got = _LAYOUT_CACHE.get(key)
@@ -225,18 +235,39 @@ def _scan_row_groups(path: str) -> int:
         return got
     import pyarrow.parquet as pq
 
-    files = (
-        [
-            os.path.join(path, f)
-            for f in os.listdir(path)
+    if os.path.isdir(path):
+        files = [
+            os.path.join(root, f)
+            for root, dirs, names in os.walk(path)
+            for f in names
             if f.endswith(".parquet") and not f.startswith((".", "_"))
         ]
-        if os.path.isdir(path)
-        else [path]
-    )
-    total = sum(pq.ParquetFile(f).metadata.num_row_groups for f in files)
-    _LAYOUT_CACHE[key] = total
-    return total
+    else:
+        files = [path]
+    total_rgs = 0
+    total_bytes = 0
+    for f in files:
+        md = pq.ParquetFile(f).metadata
+        total_rgs += md.num_row_groups
+        total_bytes += sum(
+            md.row_group(i).total_byte_size for i in range(md.num_row_groups)
+        )
+    out = (total_rgs, total_bytes)
+    _LAYOUT_CACHE[key] = out
+    return out
+
+
+#: Target UNCOMPRESSED bytes per injected partition. Sizes the deficient-
+#: layout repartition to the table instead of raw ``defaultParallelism``
+#: (the r14 shape): a 20k-row events table no longer becomes 32 near-empty
+#: shuffle partitions — the round-14 driver's own scaling block showed the
+#: tiny-input queries running FASTER at 8 cores than 32 from exactly that
+#: overhead. Local default measured at sf0.1 (see OPTIMIZATION_r15.md);
+#: production layouts never reach this code path at all (the injection is
+#: layout-gated off when row groups >= cores), so the knob only tunes the
+#: deficient-layout repair, not any at-scale plan.
+def _scan_partition_target_bytes() -> int:
+    return int(os.environ.get("SPARK_GRAFT_SCAN_PARTITION_BYTES", "262144"))
 
 
 def _parallelize_deficient_scan(
@@ -256,6 +287,15 @@ def _parallelize_deficient_scan(
     and column pruning still reach the scan through the repartition
     (verified in plans: PushedFilters/ReadSchema unchanged).
     Kill-switch: ``SPARK_GRAFT_SCAN_PARALLELIZE=0``.
+
+    The partition count is DERIVED FROM THE TABLE'S SIZE (r15; guide
+    §2.1/§2.5): ``min(defaultParallelism, max(2, ceil(uncompressed_bytes /
+    target)))`` — raw ``defaultParallelism`` (the r14 shape) over-
+    partitioned small inputs into near-empty shuffle partitions, which the
+    r14 driver's scaling block surfaced as sub-second queries running
+    faster at 8 cores than 32. Tiny tables now get 2-4 partitions, big
+    deficient tables still get every core, and any layout that already
+    feeds enough row groups is untouched.
     """
     key = _FACT_SCAN_KEYS.get(name)
     if key is None:
@@ -264,14 +304,25 @@ def _parallelize_deficient_scan(
     if parallelism <= 1:
         return df
     try:
-        row_groups = _scan_row_groups(table_path(sf_dir, name))
-    except OSError:
+        row_groups, total_bytes = _scan_layout(table_path(sf_dir, name))
+    except Exception:  # noqa: BLE001 — layout probing is an optimization
+        # hint only; any pyarrow/IO failure (ArrowInvalid on an odd file,
+        # permissions, ...) must degrade to "no repartition", never fail a
+        # load the plain Spark read would have served (r14 ADVICE).
         return df
-    if row_groups >= parallelism:
+    if row_groups == 0 or row_groups >= parallelism:
+        # zero parquet files found (e.g. an exotic layout the walk cannot
+        # see) means "layout unknown" — leave the plan alone
+        return df
+    parts = min(
+        parallelism,
+        max(2, -(-total_bytes // max(1, _scan_partition_target_bytes()))),
+    )
+    if parts <= row_groups:
         return df
     from pyspark.sql import functions as F
 
-    return df.repartition(parallelism, F.col(key))
+    return df.repartition(int(parts), F.col(key))
 
 
 #: Per-session memo of loaded table frames. A DataFrame is an immutable
@@ -287,6 +338,20 @@ def _parallelize_deficient_scan(
 _TABLE_MEMO: "weakref.WeakKeyDictionary[SparkSession, dict[tuple[str, str, bool], DataFrame]]" = (
     weakref.WeakKeyDictionary()
 )
+
+
+def clear_table_memo() -> None:
+    """Invalidate the per-session table memo AND the parquet layout cache.
+
+    The documented hook (r14 ADVICE) for callers that regenerate or rewrite
+    ``sf_dir`` contents within a live session: the memo pins each table's
+    file listing/schema at first read, and the layout cache keys on the
+    top-level path stat (an in-place member-file rewrite does not change
+    either), so without this call such a caller would be served a stale
+    plan. Normal benchmark/driver runs never need it — testdata is
+    immutable for the life of a session."""
+    _TABLE_MEMO.clear()
+    _LAYOUT_CACHE.clear()
 
 
 def load_table(
