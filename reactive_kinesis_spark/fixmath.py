@@ -115,13 +115,19 @@ def log2_fixed_items(src: str, out: str, prefix: str | None = None) -> list[str]
 
 def with_log2_fixed(df: DataFrame, src: str, out: str, prefix: str | None = None) -> DataFrame:
     """Append ``out`` (Q12 fixed-point log2 of SQL expression ``src``) to a
-    Spark frame by running :func:`log2_fixed_items` as chained
-    projections; all intermediates are dropped. Narrow (no shuffle):
-    Catalyst collapses the chain into one Project over the scan."""
+    Spark frame by running :func:`log2_fixed_items` in ONE ``selectExpr``
+    — items reference earlier items' aliases laterally (Spark ≥ 3.4
+    lateral column aliases, on by default; the analyzer expands them to
+    the same nested projections the old 40-call chain built, in one
+    analysis pass). All intermediates are dropped. Narrow (no shuffle):
+    Catalyst collapses everything into one Project over the scan, and the
+    emitted values are bit-identical to the chained form (same item
+    list). r15: the chained form cost ~40 py4j + analysis round-trips PER
+    CHAIN, 1.5 s of pure driver-side plan construction on the 4-chain
+    q177 (guide §5 "very large query plans are driver-side work");
+    measured 1.33 s → 0.42 s for one cold chain build."""
     items = log2_fixed_items(src, out, prefix=prefix)
-    cur = df
-    for item in items:
-        cur = cur.selectExpr("*", item)
+    cur = df.selectExpr("*", *items)
     p = f"__{prefix or out}_"
     keep = [c for c in cur.columns if not c.startswith(p)]
     return cur.select(*keep)

@@ -115,9 +115,16 @@ def pagerank(
             # guarantees distinctness
             e = e.dropDuplicates(["src", "dst"])
     # the loop-invariant frames are materialized ONCE (localCheckpoint also
-    # cuts their lineage out of every iteration's plan): the degree frame,
-    # the node count (a single-row frame, broadcast into each round —
-    # never a driver collect), and the out-degree-annotated edges
+    # cuts their lineage out of every iteration's plan): the edge frame
+    # itself (r15 — ``e`` feeds BOTH the degree aggregate and the
+    # out-degree-annotated edge join, so without this its whole upstream
+    # lineage evaluated twice; pathological when the edges derive from an
+    # expensive projection, e.g. the computed synthetic-corpus
+    # co-occurrence graph of q198: measured 2.98 s → 2.05 s at sf0.1,
+    # neutral for cheap checkpointed-upstream callers like q107), the
+    # degree frame, the node count (a single-row frame, broadcast into
+    # each round — never a driver collect), and the annotated edges
+    e = e.localCheckpoint(eager=False)
     deg = e.groupBy("src").agg(
         F.sum(F.col("w").cast(_RANK_DEC)).cast("double").alias("out_w")
     )
@@ -156,15 +163,30 @@ def pagerank(
         contrib = F.col("rank") * F.col("w") / F.col("out_w")
         if quantize is not None:
             q = float(quantize)
+            # Quantized contributions are summed as INT64 when the scale
+            # cannot overflow (r15): ranks sum to <= 1 invariantly
+            # (teleport + damping·mass with mass <= Σranks), so every
+            # per-node sum of floor(contrib·q) is bounded by q — for
+            # q <= 2^61 the long sum is exact and bit-identical to the
+            # DECIMAL(38,0) sum (both are the same integer; same double
+            # after the division) while shuffling 8-byte values instead
+            # of 16-byte decimals and aggregating without decimal
+            # overhead (measured 3.77 -> 3.35 s on the 6-round q107 loop
+            # at sf0.1). Larger scales keep the decimal path. HITS keeps
+            # decimal unconditionally — its first half-step sums
+            # UN-normalized scores, where per-node totals can exceed q.
+            summand = (
+                F.col("__cq")
+                if q <= float(1 << 61)
+                else F.col("__cq").cast("decimal(38,0)")
+            )
             contribs = (
                 joined.select(
                     F.col("dst").alias("node"),
-                    F.floor(contrib * F.lit(q)).cast("decimal(38,0)").alias("__cq"),
+                    F.floor(contrib * F.lit(q)).alias("__cq"),
                 )
                 .groupBy("node")
-                .agg(
-                    (F.sum("__cq").cast("double") / F.lit(q)).alias("__mass")
-                )
+                .agg((F.sum(summand).cast("double") / F.lit(q)).alias("__mass"))
             )
         else:
             contribs = (

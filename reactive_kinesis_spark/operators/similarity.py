@@ -1521,6 +1521,26 @@ def kmeans_centroids(
 #: ~this many members, so the Σ|c|² pair stage stays ~linear in N.
 SEMDEDUP_TARGET_CLUSTER_SIZE = 256
 
+#: Loud upper bound on a single SemDeDup cluster's row count (r15, the
+#: r14 ADVICE guard): the per-cluster Arrow pair stage materializes the
+#: cluster's |c|×dim float64 matrix in one Python worker, so per-task
+#: memory is |c|·dim·8 bytes for the input (the ``acc`` block is
+#: separately bounded by NEAREST_BLOCK_ELEMS). 2^16 rows × 64 dims ≈
+#: 32 MB — comfortable for a default worker; a cluster past the cap
+#: means the k∝N sizing was defeated by corpus skew and the operator
+#: raises with the remedy instead of OOM-killing the worker.
+SEMDEDUP_MAX_CLUSTER_ROWS = 1 << 16
+
+
+def _semdedup_max_cluster_rows() -> int:
+    import os
+
+    return int(
+        os.environ.get(
+            "SPARK_GRAFT_SEMDEDUP_MAX_ROWS", str(SEMDEDUP_MAX_CLUSTER_ROWS)
+        )
+    )
+
 
 def _derive_k(vectors: DataFrame, target_cluster_size: int) -> int:
     """The k ∝ N rule as CODE, not documentation: k = max(8,
@@ -1705,8 +1725,17 @@ def semantic_dedup(
     # Python ONCE and the pairwise dots are computed with the dimension
     # loop of :func:`_seq_dot`, preserving the exact left-fold summation
     # order — cos values, pair set, and hashes are bit-identical to the
-    # joined form (and to the DuckDB oracle). Row-blocked so per-task
-    # memory is block·|c| doubles regardless of cluster size.
+    # joined form (and to the DuckDB oracle).
+    #
+    # MEMORY INVARIANT (stated honestly, r15 — see SCALING.md "SemDeDup
+    # per-cluster memory"): the ``acc`` block is bounded
+    # (NEAREST_BLOCK_ELEMS), but the cluster's own |c|×dim float64 input
+    # matrix lands in ONE Python worker. The k∝N derivation (_derive_k)
+    # bounds |c| ≈ target_cluster_size only in EXPECTATION; a degenerate
+    # corpus (all-identical vectors) can put most rows in one cluster.
+    # The guard below fails LOUDLY past SEMDEDUP_MAX_CLUSTER_ROWS with
+    # the actionable remedy instead of letting the worker be OOM-killed
+    # with an opaque exit 137 (guide §7.4).
     import numpy as np
     import pandas as pd
 
@@ -1719,6 +1748,8 @@ def semantic_dedup(
     )
     thr = float(threshold)
 
+    max_rows = _semdedup_max_cluster_rows()
+
     def flag_pairs(pdf: "pd.DataFrame") -> "pd.DataFrame":
         n = len(pdf)
         if n < 2:
@@ -1726,6 +1757,17 @@ def semantic_dedup(
                 {"cluster": pd.array([], dtype="int32"),
                  "dropped_id": pd.array([], dtype="int64"),
                  "cos": pd.array([], dtype="float64")}
+            )
+        if n > max_rows:
+            raise ValueError(
+                f"semantic_dedup cluster {int(pdf['cluster'].iloc[0])} has "
+                f"{n} members (> SEMDEDUP_MAX_CLUSTER_ROWS={max_rows}): the "
+                "per-cluster pair stage holds the cluster's full vector "
+                "matrix in one Python worker, so a cluster this size risks "
+                "an OOM-kill. The corpus is badly skewed for the derived "
+                "k — raise k (lower target_cluster_size), pre-split the "
+                "degenerate region, or raise SPARK_GRAFT_SEMDEDUP_MAX_ROWS "
+                "if the workers have the memory."
             )
         pdf = pdf.sort_values("__id", ignore_index=True)
         ids = pdf["__id"].to_numpy(dtype="int64")

@@ -42,7 +42,7 @@ def query(name: str, oracle: str | None = None):
     return deco
 
 
-#: Driver-visibility rotation (round 14). The driver's correctness run
+#: Driver-visibility rotation (round 15). The driver's correctness run
 #: samples the FIRST 50 registry entries; with 192 oracle-backed queries,
 #: the rest must sit past the window each round. Policy: the
 #: least-driver-certified queries get the visible slots — never-certified
@@ -50,22 +50,19 @@ def query(name: str, oracle: str | None = None):
 #: green row (a stale green row proves the old query, not this one —
 #: enforced mechanically by tools/round_end.py against
 #: QUERY_MANIFEST.json since r14), then by staleness. This round:
-#:   slots 0-42  — ALL 43 _DEFERRED_R14 entries (r10-certified, the
-#:                 oldest tier), burned to zero as the r13 verdict's
-#:                 first ask — the staleness ladder's last big tier:
-#:                 after this round every oracle-backed query is ≤3
-#:                 rounds driver-stale and rotation is steady-state;
-#:   slots 43-46 — the four NEW round-14 queries: q195 (the derived IVF
-#:                 operating point — ivf_topk_certified(n_cells=None),
-#:                 landing on the certified 16-cell floor at driver SF
-#:                 so the oracle is q38's SQL by construction; r13
-#:                 verdict Next #2) and q196–q198 (bigram-LM fluency /
-#:                 BLEU pair precision / TextRank re-certified on the
-#:                 synthetic Zipf corpus where n-gram statistics
-#:                 separate; r13 verdict Next #4);
-#:   slots 47-49 — the 3 alphabetically-first of the 47 r11-certified
-#:                 queries (q01/q03/q04) — the next-oldest debt tier;
-#:                 the other 44 form _DEFERRED_R15.
+#:   slots 0-43  — ALL 44 _DEFERRED_R15 entries (r11-certified, now the
+#:                 oldest tier — 4 rounds stale), burned to zero. This
+#:                 tier includes q107/q121 (whose pagerank operator
+#:                 gained the r15 int64 quantize-sum path) and
+#:                 q30/q42/q63 (whose LSH persists were rethreaded), so
+#:                 the round's operator-level optimizations get driver
+#:                 re-certification on top of the local parity suite;
+#:   slots 44-49 — the 6 alphabetically-first of the 48 r12-certified
+#:                 queries (q02/q05/q07/q09/q102/q103) — the next-oldest
+#:                 debt tier; the other 42 form _DEFERRED_R16.
+#: No registration-site source or oracle text changed in r15 (the
+#: optimizations live in operator modules, covered by the local parity
+#: suite every session), so the re-proof policy forces no extra slots.
 #: Everything past the window remains fully oracle-checked locally every
 #: session (tests/test_oracle_parity.py runs the ENTIRE registry against
 #: DuckDB), and tools/round_end.py FAILS the round if this window equals
@@ -74,71 +71,8 @@ def query(name: str, oracle: str | None = None):
 #: or oracle text changed since QUERY_MANIFEST.json was last stamped is
 #: missing from the window.
 _WINDOW = (
-    # -- the full _DEFERRED_R14 burn-down (r10-certified, 4 rounds stale;
-    # finishes the staleness ladder) --
-    "q115_label_propagation",
-    "q117_train_val_test",
-    "q118_sorted_neighborhood",
-    "q119_equidepth_histogram",
-    "q120_pit_join",
-    "q122_media_phash_neardup",
-    "q123_media_phash_capped",
-    "q148_semantic_dedup",
-    "q149_quality_rule_battery",
-    "q150_token_budget",
-    "q151_hll_portable",
-    "q152_semantic_decontamination",
-    "q153_oov_rate",
-    "q154_hard_negatives",
-    "q159_neardup_agreement",
-    "q17_events_hourly_window",
-    "q23_dedup_minhash_lsh",
-    "q24_dedup_simhash",
-    "q25_text_stats_by_lang",
-    "q26_quality_scores",
-    "q27_fingerprint_stats",
-    "q28_lang_id",
-    "q31_embedding_centroids",
-    "q32_media_decode",
-    "q33_frame_sample",
-    "q35_grouping_sets",
-    "q39_sliding_window",
-    "q40_salted_agg",
-    "q41_interval_self_join",
-    "q43_bpe_token_stats",
-    "q46_scalar_subquery",
-    "q48_pivot",
-    "q49_unpivot",
-    "q52_higher_order_array",
-    "q53_nullsafe_join",
-    "q54_filtered_agg",
-    "q55_window_distribution",
-    "q56_collect_agg",
-    "q57_map_functions",
-    "q58_compound_subqueries",
-    "q59_range_frame_window",
-    "q60_dedup_clusters",
-    "q61_curation_pipeline",
-    # -- round-14 new queries (never certified) --
-    "q195_ann_ivf_derived",
-    "q196_zipf_synth_bigram_lm",
-    "q197_zipf_synth_pair_precision",
-    "q198_zipf_synth_textrank",
-    # -- oldest remaining debt: first 3 of the 47 r11-certified --
-    "q01_pricing_summary",
-    "q03_join_agg_topk",
-    "q04_star_join",
-)
-#: The 44 r11-certified queries the round-14 window could not fit (the
-#: r10 tier is burned to zero above, so the oldest remaining tier is now
-#: r11 — 3 rounds stale at r14 close, exactly the structural floor of a
-#: 192-oracle registry over a 50-slot window ≈ 3.8 rounds: the ladder is
-#: DONE and rotation is steady-state from here). Round 15 takes these
-#: FIRST. NOTE: q160/q169/q179's oracle builders were parameterized this
-#: round with byte-identical default text (sha256-pinned in
-#: tests/test_round14_ops.py), so their r11 green rows remain proof of
-#: the live text.
-_DEFERRED_R15 = (
+    # -- the full _DEFERRED_R15 burn-down (r11-certified, 4 rounds stale;
+    # steady-state rotation continues) --
     "q06_outer_join_histogram",
     "q08_window_topk_per_group",
     "q107_pagerank",
@@ -183,6 +117,62 @@ _DEFERRED_R15 = (
     "q65_mixture_sample",
     "q66_repetition_stats",
     "q67_pii_redaction",
+    # -- next-oldest debt: first 6 of the 48 r12-certified --
+    "q02_filter_project",
+    "q05_anti_join",
+    "q07_semi_join",
+    "q09_window_analytic",
+    "q102_bm25_scoring",
+    "q103_tf_cosine_pairs",
+)
+#: The 42 r12-certified queries the round-15 window could not fit (the
+#: r11 tier is burned to zero above, so the oldest remaining tier is
+#: r12 — 3 rounds stale at r15 close; rotation remains steady-state at
+#: the structural floor of a 192-oracle registry over a 50-slot window).
+#: Round 16 takes these FIRST.
+_DEFERRED_R16 = (
+    "q104_seasonal_anomaly",
+    "q105_trend_slope",
+    "q106_name_edit_join",
+    "q108_merge_upsert",
+    "q126_bfs_hops",
+    "q127_association_rules",
+    "q129_link_prediction",
+    "q130_quantile_normalize",
+    "q131_gini_concentration",
+    "q132_attribution",
+    "q133_lorenz_deciles",
+    "q135_rfm_segments",
+    "q136_ewma_smoothing",
+    "q138_calibration_bins",
+    "q139_countmin_sketch",
+    "q140_hits_scores",
+    "q141_simpson_diversity",
+    "q16_part_supplier_join",
+    "q177_domain_affinity",
+    "q185_heaps_exponent",
+    "q186_zipf_synth_growth",
+    "q187_zipf_synth_slope",
+    "q188_zipf_synth_heaps",
+    "q18_events_json_props",
+    "q19_events_asof_join",
+    "q20_events_sessions",
+    "q21_dedup_exact",
+    "q22_dedup_ngram_jaccard",
+    "q29_embedding_cosine_topk",
+    "q37_range_join",
+    "q44_deterministic_sample",
+    "q45_correlated_subquery",
+    "q50_stats_moments",
+    "q51_percentiles",
+    "q68_embedding_quantization",
+    "q69_duplicate_spans",
+    "q70_async_enrichment",
+    "q71_vocabulary_topk",
+    "q72_collocations",
+    "q74_stratified_sample",
+    "q75_rare_word_scoring",
+    "q99_resample_daily",
 )
 _WINDOW_RANK = {name: i for i, name in enumerate(_WINDOW)}
 

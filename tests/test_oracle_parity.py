@@ -102,15 +102,15 @@ def test_driver_window_integrity():
     is an explicit slot list. Guard its invariants so a future edit can't
     silently shrink the window, orphan a name, or let a rows-only query
     eat a certification slot."""
-    from reactive_kinesis_spark.queries import _DEFERRED_R15, _WINDOW
+    from reactive_kinesis_spark.queries import _DEFERRED_R16, _WINDOW
 
     assert len(_WINDOW) == 50
     assert len(set(_WINDOW)) == 50
     names = list(_REGISTRY)
     assert names[:50] == list(_WINDOW)
-    for name in (*_WINDOW, *_DEFERRED_R15):
+    for name in (*_WINDOW, *_DEFERRED_R16):
         assert name in _REGISTRY, name
         assert _REGISTRY[name].oracle, f"{name} is rows-only — wasted slot"
     # every oracle-backed query is either in the window, explicitly
     # deferred, or past the window by rotation — never silently dropped
-    assert set(_WINDOW).isdisjoint(_DEFERRED_R15)
+    assert set(_WINDOW).isdisjoint(_DEFERRED_R16)

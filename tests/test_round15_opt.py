@@ -184,6 +184,43 @@ def test_similarity_cache_registry(spark):
         _assert_registered_and_release(reg)
 
 
+def test_semdedup_cluster_cap_property(spark):
+    """The k∝N derivation keeps expected cluster size = target (so real
+    clusters sit ~256× under SEMDEDUP_MAX_CLUSTER_ROWS), and an over-cap
+    cluster fails loudly with the remedy instead of an opaque worker OOM
+    (SCALING.md 'SemDeDup per-cluster memory')."""
+    from reactive_kinesis_spark.operators.similarity import (
+        SEMDEDUP_MAX_CLUSTER_ROWS,
+        SEMDEDUP_TARGET_CLUSTER_SIZE,
+        _derive_k,
+        semantic_dedup,
+    )
+
+    # property side: for any corpus size, derived k keeps E[|c|] <= target,
+    # and the target sits far under the loud cap
+    for n in (10, 1_000, 100_000, 10_000_000, 1_000_000_000):
+        k = max(8, n // SEMDEDUP_TARGET_CLUSTER_SIZE)
+        assert n / k <= SEMDEDUP_TARGET_CLUSTER_SIZE + 1
+    assert SEMDEDUP_MAX_CLUSTER_ROWS >= 64 * SEMDEDUP_TARGET_CLUSTER_SIZE
+
+    vecs = _vecs(spark)
+    assert _derive_k(
+        vecs.selectExpr("vec_id as __id", "embedding as __vec"),
+        SEMDEDUP_TARGET_CLUSTER_SIZE,
+    ) == 8
+
+    # guard side: drop the cap to 4 rows -> the 12-vector corpus with k=1
+    # puts one cluster over the cap and must raise the actionable message
+    os.environ["SPARK_GRAFT_SEMDEDUP_MAX_ROWS"] = "4"
+    try:
+        with pytest.raises(Exception, match="SEMDEDUP_MAX_CLUSTER_ROWS"):
+            semantic_dedup(vecs, k=1).collect()
+    finally:
+        os.environ.pop("SPARK_GRAFT_SEMDEDUP_MAX_ROWS", None)
+    # and with the default cap the same corpus runs clean
+    assert semantic_dedup(vecs, k=1).collect()
+
+
 def test_cache_registry_does_not_change_results(spark):
     from reactive_kinesis_spark.operators.lexstats import pmi_collocations
 

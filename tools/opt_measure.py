@@ -1,14 +1,14 @@
 #!/usr/bin/env python
-"""Round-14 optimization measurement harness (guide §1).
+"""Optimization measurement harness (guide §1; r14, reused in r15).
 
 For each named query: one warm pass, then N timed runs of (a) the bench's
 `.collect()` action and (b) the noop sink (`format("noop")` — computes every
 column, §1.4), caches cleared before every timed run exactly like bench.py.
-Also dumps `.explain("formatted")` to ``plans/r14/<query>_<tag>.txt``.
+Also dumps `.explain("formatted")` to ``plans/<round>/<query>_<tag>.txt``.
 
 Usage:
   python tools/opt_measure.py [--tag before|after] [--runs 3] [--plans-only]
-                              [q01_pricing_summary ...]
+                              [--round r15] [q01_pricing_summary ...]
 With no query names: the full bench HEADLINE list.
 Output: one JSON line per query on stdout + a summary line.
 """
@@ -34,6 +34,7 @@ def main() -> None:
     ap.add_argument("--runs", type=int, default=3)
     ap.add_argument("--plans-only", action="store_true")
     ap.add_argument("--no-plans", action="store_true")
+    ap.add_argument("--round", default="r15")
     args = ap.parse_args()
 
     from bench import HEADLINE
@@ -45,7 +46,7 @@ def main() -> None:
     registry = load_all()
     names = args.names or HEADLINE
 
-    plans_dir = os.path.join(REPO, "plans", "r14")
+    plans_dir = os.path.join(REPO, "plans", args.round)
     os.makedirs(plans_dir, exist_ok=True)
 
     # codegen/JIT warm-up outside any timed region
