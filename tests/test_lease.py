@@ -266,6 +266,7 @@ def test_takeover_mid_shard_resumes_after_victims_commit(lease_path):
 # ---------------------------------------------------------------------------
 
 
+@pytest.mark.slow_e2e
 def test_two_streaming_queries_rebalance_after_worker_death(spark, tmp_path, lease_path):
     """Two concurrent kinesis_live queries with the SAME leaseDir split a
     4-shard stream automatically (no `shards=` option); stopping query A
@@ -433,6 +434,7 @@ def _read_lease_file(lease_dir: str, sid: str):
     return resolve_store(lease_dir).read("leases", sid)
 
 
+@pytest.mark.slow_e2e
 def test_multiprocess_kill9_failover_no_loss_no_dup(tmp_path, lease_path):
     """TRUE cross-process contention (round-6 verdict ask #8): two OS
     processes each drive the real `_LiveStreamReader` loop against one
@@ -615,6 +617,7 @@ def test_cas_kv_conditional_create_is_exclusive(tmp_path):
     assert kv.list("leases") == []
 
 
+@pytest.mark.slow_e2e
 def test_cas_kv_multiprocess_contention(tmp_path):
     """True cross-process CAS: N processes each try to append their id
     via read-CAS-retry; every append must survive (no lost updates —
@@ -702,6 +705,7 @@ def test_cas_kv_get_persistently_unreadable_version_raises_not_hangs(tmp_path):
         kv.get("k/doc")
 
 
+@pytest.mark.slow_e2e
 def test_cas_lease_store_threaded_write_contention_no_torn_reads(tmp_path):
     """r8 ask: two writers racing CasLeaseStore.write through the CAS
     retry loop — every write lands as its own version (versions strictly

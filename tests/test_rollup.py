@@ -7,6 +7,9 @@ from __future__ import annotations
 import os
 
 import pytest
+
+pytestmark = pytest.mark.slow_e2e  # minute-scale e2e; skipped under SPARK_GRAFT_FAST_VERIFY=1
+
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
