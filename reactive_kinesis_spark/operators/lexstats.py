@@ -283,6 +283,12 @@ def nb_domain_llr(
     )
     cw = with_log2_fixed(cw, "ct + 1", "lt", prefix="t")
     cw = with_log2_fixed(cw, "cb + 1", "lb", prefix="b")
+    # lazy checkpoint (r15): cw feeds BOTH the totals aggregate and the
+    # LLR projection — without materialization each branch re-runs the
+    # vocabulary aggregation over the persisted doc-term frame (measured
+    # ~0.5 s of q177's exec at sf0.1; the conditional-entropy pair_cnt
+    # precedent)
+    cw = cw.localCheckpoint(eager=False)
     tot = cw.agg(
         F.sum("ct").alias("nt"), F.sum("cb").alias("nb"), F.count(F.lit(1)).alias("v")
     )
@@ -348,8 +354,16 @@ def source_kl_from_counts(cs: DataFrame, group_col: str = "source") -> DataFrame
     construction). ``cs`` must carry ``grp``/``word``/``c`` with ``c``
     the exact BIGINT count."""
     cs = with_log2_fixed(cs, "c", "ls", prefix="s")
+    # lazy checkpoints (r15): cs feeds THREE subtrees (the corpus
+    # marginal, the per-group totals, and the scoring join) and cg feeds
+    # two (the global total and the join) — without materialization each
+    # consumer re-runs the upstream count aggregation, which for the
+    # batch queries means re-scanning/re-exploding the corpus (the
+    # conditional-entropy pair_cnt precedent)
+    cs = cs.localCheckpoint(eager=False)
     cg = cs.groupBy("word").agg(F.sum("c").alias("cg"))
     cg = with_log2_fixed(cg, "cg", "lg_", prefix="g")
+    cg = cg.localCheckpoint(eager=False)
     ts = cs.groupBy("grp").agg(F.sum("c").alias("ns"))
     ts = with_log2_fixed(ts, "ns", "lns", prefix="ns")
     tg = cg.agg(F.sum("cg").alias("n"))
